@@ -1,0 +1,214 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), printing ONE JSON line.
+
+Headline metric (BASELINE.json): spatial-join + tile-assignment throughput
+in images/sec over the synthesized image+caption table: synth → decode →
+footprint → XYZ tile assignment → PIP join (cell-partitioned) → per-tile
+aggregate.
+
+  python bench.py             # single run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh processes at 8 and 32 CPUs + efficiency
+
+The image count scales with the sf dir's lineitem row count so the bench
+input tracks the scale factor; images are generated deterministically
+inside the pipeline (seeded), identical across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench-profile image dims: moderate sizes so the bench measures pipeline
+# throughput, not just zlib on 512x512 blobs (dims still cycle, odd size kept)
+BENCH_DIMS = [(64, 64), (128, 128), (256, 255), (96, 128), (128, 96)]
+
+
+def _n_images() -> int:
+    import pyarrow.parquet as pq
+
+    rows = pq.read_metadata(f"{SF_DIR}/lineitem.parquet").num_rows
+    return max(2000, min(rows // 3, 400_000))
+
+
+def build_images(n: int):
+    """Deterministic image table, generated distributed (bench profile)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.codecs import encode
+    from gdal_ray.synth import caption_for, footprint_for, phash64, pixels_for
+
+    def gen(batch):
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                               "lon_min", "lat_min", "lon_max", "lat_max")}
+        for i in ids.tolist():
+            w, h = BENCH_DIMS[i % len(BENCH_DIMS)]
+            fmt = ["png", "jpeg", "webp"][i % 3]
+            img = pixels_for(i, w, h)
+            fp = footprint_for(i, w, h)
+            out["image_id"].append(f"img-{i:012d}")
+            out["bytes"].append(encode(img, fmt))
+            out["w"].append(w)
+            out["h"].append(h)
+            out["fmt"].append(fmt)
+            out["caption"].append(caption_for(i))
+            out["phash"].append(phash64(img))
+            for k, v in zip(("lon_min", "lat_min", "lon_max", "lat_max"), fp):
+                out[k].append(v)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "caption": pa.array(out["caption"], pa.string()),
+                "phash": pa.array(out["phash"], pa.int64()),
+                "lon_min": pa.array(out["lon_min"], pa.float64()),
+                "lat_min": pa.array(out["lat_min"], pa.float64()),
+                "lon_max": pa.array(out["lon_max"], pa.float64()),
+                "lat_max": pa.array(out["lat_max"], pa.float64()),
+            }
+        )
+
+    ds = rd.range(n, override_num_blocks=max(NUM_CPUS * 4, 8))
+    return ds.map_batches(gen, batch_format="numpy", batch_size=512)
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.pipelines import queries as q
+    from gdal_ray.pipelines.flagship import per_batch_tile_counts
+    from gdal_ray.stages.footprint import decode_and_footprint
+    from gdal_ray.stages.pip import PIPBroadcastJoin, points_with_cell
+    from gdal_ray.stages.tiles import assign_tiles
+    from gdal_ray.synth import make_polygon_table
+    from ray.data.aggregate import Sum
+
+    n = _n_images()
+    queries = {}
+
+    # q1: decode + footprint + tile assignment + per-tile counts
+    t0 = time.time()
+    images = build_images(n)
+    assigns = images.map_batches(decode_and_footprint, batch_format="pyarrow", batch_size=128)
+    assigns = assigns.map_batches(lambda b: assign_tiles(b, max_zoom=14), batch_format="pyarrow")
+    tiles = assigns.map_batches(per_batch_tile_counts, batch_format="pyarrow")
+    n_tiles = tiles.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n")).count()
+    t1 = time.time() - t0
+    queries["tile_assign"] = t1
+
+    # q2: PIP join of image centers against 500 polygons (broadcast plan)
+    t0 = time.time()
+    polys = make_polygon_table(500)
+    pref = ray.put(polys)
+
+    def centers(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "point_id": b.column("image_id"),
+                "px": pa.array(
+                    (b.column("lon_min").to_numpy() + b.column("lon_max").to_numpy()) / 2.0
+                ),
+                "py": pa.array(
+                    (b.column("lat_min").to_numpy() + b.column("lat_max").to_numpy()) / 2.0
+                ),
+            }
+        )
+
+    pts = build_images(n).map_batches(centers, batch_format="pyarrow")
+    matches = pts.map_batches(
+        PIPBroadcastJoin,
+        fn_constructor_kwargs={"polys_ref": [pref]},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=max(NUM_CPUS // 2, 2),
+    )
+    n_matches = matches.count()
+    t2 = time.time() - t0
+    queries["pip_join"] = t2
+
+    total = t1 + t2
+    result = {
+        "metric": "images/sec (decode+footprint+tile-assign; pip-join)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_images": n,
+        "images_per_sec": round(n / t1, 1),
+        "pip_images_per_sec": round(n / t2, 1),
+        "n_tiles": n_tiles,
+        "n_matches": n_matches,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["n_images"] / r_lo["value"]
+    thr_hi = r_hi["n_images"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "images_per_sec_8": round(thr_lo, 1),
+                "images_per_sec_32": round(thr_hi, 1),
+                "n_images": r_lo["n_images"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_headline()))

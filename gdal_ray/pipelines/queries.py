@@ -1,0 +1,845 @@
+"""The engine's query suite: every entry is a Ray Data pipeline over the
+driver's parquet tables plus (where expressible) an exactly-matching ANSI
+SQL oracle for DuckDB.
+
+Float-safety policy for the oracle comparisons: every money/measure column
+is converted to integer units with ``floor(x*100 + 0.5)`` (identical IEEE
+double ops in numpy and DuckDB), so hashed values are exact integers on
+both sides.  Geo points are *derived arithmetically from doc_id* (integer
+modular arithmetic + correctly-rounded division), so both engines see
+bit-identical float64 coordinates; the mercator tile formulas were verified
+bit-exact between numpy and DuckDB over 200k points (tests/test_oracle_exact.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gdal_ray import tilemath as tm
+from gdal_ray.stages import ann as ann_stage
+from gdal_ray.stages import dedup as dedup_stage
+from gdal_ray.stages import knn as knn_stage
+from gdal_ray.stages import text as text_stage
+from gdal_ray.stages.footprint import decode_and_footprint
+from gdal_ray.stages.pip import pip_join_cell_partitioned
+from gdal_ray.stages.stats import checksum_batch, image_stats_batch
+from gdal_ray.stages.tiles import assign_tiles
+from gdal_ray.synth import make_image_batch, make_polygon_table, polygon_edges_sql_values
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) — same IEEE ops as the SQL oracle's expression."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+_SQL_CENTS = "cast(floor({col}*100 + 0.5) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# derived geo points (bit-identical in numpy and SQL)
+
+POINT_SQL_CTE = (
+    "select doc_id as point_id, "
+    "((doc_id * 7919) % 36000)/100.0 - 180.0 + 0.005 as px, "
+    "((doc_id * 104729) % 17000)/100.0 - 85.0 + 0.005 as py "
+    "from documents"
+)
+
+
+def derived_points_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    px = ((ids * 7919) % 36000) / 100.0 - 180.0 + 0.005
+    py = ((ids * 104729) % 17000) / 100.0 - 85.0 + 0.005
+    return pa.table(
+        {
+            "point_id": pa.array(ids, pa.int64()),
+            "px": pa.array(px, pa.float64()),
+            "py": pa.array(py, pa.float64()),
+        }
+    )
+
+
+def derived_points_ds(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        derived_points_batch, batch_format="pyarrow"
+    )
+
+
+def _sql_tile_xyz(lon: str, lat: str, z: int) -> tuple[str, str]:
+    """SQL expressions for the XYZ mercator tile of (lon, lat) at zoom z —
+    mirrors tilemath.lonlat_to_tile_xyz (incl. lat clip + matrix clip)."""
+    n = 2**z
+    res = f"({tm.INITIAL_RESOLUTION!r} / {n})"
+    clat = f"greatest(-{tm.MAX_LATITUDE!r}, least({lat}, {tm.MAX_LATITUDE!r}))"
+    mx = f"(({lon}) * {tm.ORIGIN_SHIFT!r} / 180.0)"
+    my = f"((ln(tan((90.0 + {clat}) * pi() / 360.0)) / (pi() / 180.0)) * {tm.ORIGIN_SHIFT!r} / 180.0)"
+    tx = f"greatest(0, least(cast(ceil(({mx} + {tm.ORIGIN_SHIFT!r}) / {res} / 256.0) as bigint) - 1, {n - 1}))"
+    ty_tms = f"greatest(0, least(cast(ceil(({my} + {tm.ORIGIN_SHIFT!r}) / {res} / 256.0) as bigint) - 1, {n - 1}))"
+    return tx, f"({n - 1} - {ty_tms})"
+
+
+# ===========================================================================
+# Relational core (engine ops: scan/filter/project/agg/join/sort/limit/
+# distinct/union/window) — TPC-H-ish tables
+# ===========================================================================
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with partial per-batch combine
+    (SURVEY.md §4: pre-aggregate inside map_batches before the shuffle)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty=df["l_quantity"].to_numpy().astype(np.int64),
+            price_cents=_cents(df["l_extendedprice"].to_numpy()),
+            disc_price_c4=_cents(df["l_extendedprice"].to_numpy())
+            * (100 - _cents(df["l_discount"].to_numpy())),
+            n=np.int64(1),
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_price_cents=("price_cents", "sum"),
+                sum_disc_price_c4=("disc_price_c4", "sum"),
+                max_qty=("qty", "max"),
+                min_qty=("qty", "min"),
+                count_order=("n", "sum"),
+            )
+        )
+        return g
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return (
+        part.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("sum_disc_price_c4", alias_name="sum_disc_price_c4"),
+            Max("max_qty", alias_name="max_qty"),
+            Min("min_qty", alias_name="min_qty"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+select l_returnflag, l_linestatus,
+       sum(cast(l_quantity as bigint)) as sum_qty,
+       sum({_SQL_CENTS.format(col='l_extendedprice')}) as sum_price_cents,
+       sum({_SQL_CENTS.format(col='l_extendedprice')} * (100 - {_SQL_CENTS.format(col='l_discount')})) as sum_disc_price_c4,
+       max(cast(l_quantity as bigint)) as max_qty,
+       min(cast(l_quantity as bigint)) as min_qty,
+       count(*) as count_order
+from lineitem
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + projection (swq WHERE semantics → Arrow compute)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["l_quantity"], 45.0), pc.equal(t["l_returnflag"], "N"))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_PROJECT = """
+select l_orderkey, l_partkey from lineitem where l_quantity > 45 and l_returnflag = 'N'
+"""
+
+
+def q_join_hash(sf_dir: str):
+    """Distributed hash join (Ray Dataset.join) orders⋈customer + aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents")
+    )
+
+
+SQL_JOIN_HASH = f"""
+select c_mktsegment,
+       count(*) as n_orders,
+       sum({_SQL_CENTS.format(col='o_totalprice')}) as sum_price_cents
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment
+"""
+
+
+def q_join_broadcast(sf_dir: str):
+    """Broadcast join: small `part` side shipped via ray.put once, dict
+    lookup per batch (SURVEY.md §2.4 'broadcast if small')."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part_tbl = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(part_tbl["p_partkey"], part_tbl["p_brand"])))
+
+    class BrandJoin:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.lookup = _r.get(ref[0])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("l_partkey").to_numpy()
+            brands = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
+            qty = t.column("l_quantity").to_numpy().astype(np.int64)
+            return pa.table({"p_brand": brands, "qty": pa.array(qty, pa.int64())})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    joined = li.map_batches(
+        BrandJoin,
+        fn_constructor_kwargs={"ref": [lookup_ref]},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty")
+    )
+
+
+SQL_JOIN_BROADCAST = """
+select p_brand, count(*) as n_items, sum(cast(l_quantity as bigint)) as sum_qty
+from lineitem join part on l_partkey = p_partkey
+group by p_brand
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """Distributed sort + limit (ORDER BY/LIMIT, ogr_gensql.cpp:2201)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+SQL_TOPK_ORDERS = f"""
+select o_orderkey, {_SQL_CENTS.format(col='o_totalprice')} as price_cents
+from orders order by price_cents desc, o_orderkey limit 100
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """DISTINCT via groupby (COUNT(DISTINCT)-style, ogr_swq.h:322)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n"))
+
+
+SQL_DISTINCT_PAIRS = """
+select l_returnflag, l_linestatus, count(*) as n from lineitem group by 1, 2
+"""
+
+
+def q_union_all(sf_dir: str):
+    """UNION ALL (`gdal vector concat` → ds.union) + aggregate."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    a = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    )
+    b = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow"
+    )
+    return a.union(b).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION_ALL = """
+select event_type, count(*) as n from (
+  select event_type from events where event_type = 'purchase'
+  union all
+  select event_type from events where event_type = 'error'
+) group by 1
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (ordered-log model)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tus = t.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pa.array(tus // 3_600_000_000, pa.int64()),
+                "value_cents": pa.array(_cents(t.column("value").to_numpy()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+select event_type, epoch_us(ts) // 3600000000 as hour,
+       count(*) as n, sum({_SQL_CENTS.format(col='value')}) as sum_value_cents
+from events group by 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) — groupby(user).map_groups over the
+    ts-ordered log (Ray Data's streaming-window idiom)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "tus": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tus", "event_id"], kind="mergesort")
+        gap = g["tus"].diff().fillna(np.inf)
+        sid = (gap > 1_800_000_000).cumsum().astype(np.int64)
+        g = g.assign(session_id=sid)
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"), first_event=("event_id", "min")
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_SESSIONIZE = """
+with e as (select event_id, user_id, epoch_us(ts) as tus from events),
+o as (select *, lag(tus) over (partition by user_id order by tus, event_id) as prev from e),
+s as (select *, sum(case when prev is null or tus - prev > 1800000000 then 1 else 0 end)
+                over (partition by user_id order by tus, event_id rows unbounded preceding) as session_id
+      from o)
+select user_id, session_id, count(*) as n_events, min(event_id) as first_event
+from s group by 1, 2
+"""
+
+
+# ===========================================================================
+# Geospatial core (tile assignment, cover, pyramid, PIP join, cell agg, kNN)
+# ===========================================================================
+
+TILE_Z = 10
+COVER_Z = 6
+PIP_Z = 5
+PYRAMID_BASE_Z = 8
+
+
+def q_tile_assign(sf_dir: str):
+    """Mercator XYZ tile of each derived point at z=10 (gdal2tiles math)."""
+    def tile(b: pa.Table) -> pa.Table:
+        x, y = tm.lonlat_to_tile_xyz(b.column("px").to_numpy(), b.column("py").to_numpy(), np.int64(TILE_Z))
+        return pa.table(
+            {
+                "point_id": b.column("point_id"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return derived_points_ds(sf_dir).map_batches(tile, batch_format="pyarrow")
+
+
+def _sql_tile_assign() -> str:
+    tx, ty = _sql_tile_xyz("px", "py", TILE_Z)
+    return f"with p as ({POINT_SQL_CTE}) select point_id, {tx} as x, {ty} as y from p"
+
+
+def q_tile_cover(sf_dir: str):
+    """Covering-tile expansion of a derived bbox per doc at z=6 — the
+    vectorized flat_map at the heart of tile planning."""
+    def cover(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        lon0 = b.column("px").to_numpy()
+        lat0 = b.column("py").to_numpy()
+        dlon = 0.05 + (ids % 7) * 0.35
+        dlat = 0.04 + (ids % 5) * 0.28
+        x0, x1, y0, y1 = tm.bbox_to_tile_range_xyz(lon0, lat0, lon0 + dlon, lat0 + dlat, np.int64(COVER_Z))
+        nx = x1 - x0 + 1
+        ny = y1 - y0 + 1
+        count = (nx * ny).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), count)
+        starts = np.concatenate([[0], np.cumsum(count)[:-1]])
+        ordinal = np.arange(int(count.sum()), dtype=np.int64) - np.repeat(starts, count)
+        dx = ordinal % nx[idx]
+        dy = ordinal // nx[idx]
+        return pa.table(
+            {
+                "point_id": pa.array(ids[idx], pa.int64()),
+                "x": pa.array(x0[idx] + dx, pa.int64()),
+                "y": pa.array(y0[idx] + dy, pa.int64()),
+            }
+        )
+
+    return derived_points_ds(sf_dir).map_batches(cover, batch_format="pyarrow")
+
+
+def _sql_tile_cover() -> str:
+    # corners: top-left = (lon_min, lat_max), bottom-right = (lon_max, lat_min)
+    tx0, ty0 = _sql_tile_xyz("px", "py + dlat", COVER_Z)
+    tx1, ty1 = _sql_tile_xyz("px + dlon", "py", COVER_Z)
+    return f"""
+with p0 as ({POINT_SQL_CTE}),
+p as (select point_id, px, py,
+             0.05 + (point_id % 7) * 0.35 as dlon,
+             0.04 + (point_id % 5) * 0.28 as dlat
+      from p0),
+t as (select point_id, {tx0} as x0, {ty0} as y0, {tx1} as x1, {ty1} as y1 from p)
+select point_id, sx.x as x, sy.y as y
+from t,
+     unnest(generate_series(t.x0, greatest(t.x0, t.x1))) as sx(x),
+     unnest(generate_series(t.y0, greatest(t.y0, t.y1))) as sy(y)
+"""
+
+
+def q_pyramid_rollup(sf_dir: str):
+    """Pyramid tile counts for z=8..0 from base assignments — the 4→1
+    parent reduction of overview building (overview.cpp / gdal2tiles
+    group_overview_base_tiles) expressed as vectorized parent-key rollup +
+    one groupby."""
+    from ray.data.aggregate import Sum
+
+    def base(b: pa.Table) -> pa.Table:
+        x, y = tm.lonlat_to_tile_xyz(
+            b.column("px").to_numpy(), b.column("py").to_numpy(), np.int64(PYRAMID_BASE_Z)
+        )
+        # explode to all ancestor levels, vectorized
+        n = len(x)
+        levels = np.arange(PYRAMID_BASE_Z + 1, dtype=np.int64)
+        z_out = np.tile(levels, n)
+        shift = PYRAMID_BASE_Z - z_out
+        x_out = np.repeat(x, PYRAMID_BASE_Z + 1) >> shift
+        y_out = np.repeat(y, PYRAMID_BASE_Z + 1) >> shift
+        return pa.table(
+            {
+                "z": pa.array(z_out, pa.int64()),
+                "x": pa.array(x_out, pa.int64()),
+                "y": pa.array(y_out, pa.int64()),
+                "n_points": pa.array(np.ones(n * (PYRAMID_BASE_Z + 1), dtype=np.int64)),
+            }
+        )
+
+    ds = derived_points_ds(sf_dir).map_batches(base, batch_format="pyarrow")
+    return ds.groupby(["z", "x", "y"]).aggregate(Sum("n_points", alias_name="n_points"))
+
+
+def _sql_pyramid_rollup() -> str:
+    tx, ty = _sql_tile_xyz("px", "py", PYRAMID_BASE_Z)
+    return f"""
+with p as ({POINT_SQL_CTE}),
+base as (select point_id, {tx} as bx, {ty} as by from p)
+select l.z as z, bx >> ({PYRAMID_BASE_Z} - l.z) as x, by >> ({PYRAMID_BASE_Z} - l.z) as y,
+       count(*) as n_points
+from base, unnest(generate_series(0, {PYRAMID_BASE_Z})) as l(z)
+group by 1, 2, 3
+"""
+
+
+def q_cell_counts(sf_dir: str):
+    """Spatial aggregate: points per quadkey cell at z=6 (H3/S2-style
+    cell-keyed partial aggregation, no raw-point shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        x, y = tm.lonlat_to_tile_xyz(b.column("px").to_numpy(), b.column("py").to_numpy(), np.int64(COVER_Z))
+        key = tm.quadkey_int(x, y, np.int64(COVER_Z))
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cell_id": pa.array(uniq, pa.int64()),
+                "n_points": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = derived_points_ds(sf_dir).map_batches(cells, batch_format="pyarrow")
+    return ds.groupby("cell_id").aggregate(Sum("n_points", alias_name="n_points"))
+
+
+def _sql_cell_counts() -> str:
+    tx, ty = _sql_tile_xyz("px", "py", COVER_Z)
+    # replicate quadkey_int bit interleave in SQL: sum over bits
+    interleave = " | ".join(
+        f"((((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1}))" for i in range(COVER_Z)
+    )
+    return f"""
+with p as ({POINT_SQL_CTE}),
+t as (select {tx} as x, {ty} as y from p),
+c as (select (cast({COVER_Z} as bigint) << 58) | ({interleave}) as cell_id from t)
+select cell_id, count(*) as n_points from c group by 1
+"""
+
+
+def q_pip_join(sf_dir: str):
+    """Cell-partitioned point-in-polygon join of derived points against the
+    seeded polygon table (even-odd ray cast, llrasterize.cpp semantics)."""
+    polys = make_polygon_table(50)
+    return pip_join_cell_partitioned(derived_points_ds(sf_dir), polys, zoom=PIP_Z)
+
+
+def _sql_pip_join() -> str:
+    edges = polygon_edges_sql_values(make_polygon_table(50))
+    return f"""
+with p as ({POINT_SQL_CTE}),
+edges(poly_id, x1, y1, x2, y2) as (values {edges}),
+cnt as (
+  select p.point_id, e.poly_id,
+         sum(case when ((e.y1 > p.py) <> (e.y2 > p.py))
+                   and (p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1)
+             then 1 else 0 end) as crossings
+  from p, edges e
+  where e.y1 <> e.y2
+  group by 1, 2
+)
+select point_id, poly_id from cnt where crossings % 2 = 1
+"""
+
+
+def q_knn(sf_dir: str):
+    """kNN (k=5) of the first-10 derived points against all derived points
+    (broadcast queries + per-batch partial top-k + tiny merge)."""
+    pts = derived_points_ds(sf_dir)
+    head = pts.filter(expr="point_id < 10").to_pandas().sort_values("point_id")
+    queries = head[["px", "py"]].to_numpy()
+    return knn_stage.knn_topk(pts, queries, head["point_id"].to_numpy(), k=5)
+
+
+SQL_KNN = f"""
+with p as ({POINT_SQL_CTE}),
+q as (select point_id as query_id, px as qx, py as qy from p where point_id < 10),
+d as (select q.query_id, p.point_id as neighbor_id,
+             (p.px - q.qx)*(p.px - q.qx) + (p.py - q.qy)*(p.py - q.qy) as d2
+      from q, p),
+r as (select query_id, neighbor_id,
+             row_number() over (partition by query_id order by d2, neighbor_id) as "rank"
+      from d)
+select query_id, neighbor_id, "rank" from r where "rank" <= 5
+"""
+
+
+# ===========================================================================
+# Documents / embeddings (training-data ops)
+# ===========================================================================
+
+def q_dedup_exact(sf_dir: str):
+    return dedup_stage.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = """
+select min(doc_id) as keep_id, count(*) as n_dups from documents group by text
+"""
+
+
+def q_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    stats = docs.map_batches(
+        lambda b: text_stage.token_stats_batch(b).append_column("lang", b.column("lang")),
+        batch_format="pyarrow",
+    )
+    return stats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Sum("n_alpha", alias_name="sum_alpha"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+with s as (
+  select lang,
+         case when trim(text) = '' then 0
+              else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens,
+         len(text) as n_chars,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
+  from documents
+)
+select lang, count(*) as n_docs, sum(n_tokens) as sum_tokens,
+       sum(n_chars) as sum_chars, sum(n_alpha) as sum_alpha
+from s group by lang
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality gate: keep docs whose alpha-char share is >= 70% of non-space
+    chars and that have >= 20 tokens — integer predicate, exact both sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        t = text_stage.token_stats_batch(b)
+        nonspace = np.array(
+            [len(s.replace(" ", "")) for s in b.column("text").to_pylist()], dtype=np.int64
+        )
+        t = t.append_column("n_nonspace", pa.array(nonspace))
+        mask = (t.column("n_alpha").to_numpy() * 10 >= nonspace * 7) & (
+            t.column("n_tokens").to_numpy() >= 20
+        )
+        return t.filter(pa.array(mask)).select(["doc_id", "n_tokens", "n_alpha", "n_nonspace"])
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = r"""
+with s as (
+  select doc_id,
+         case when trim(text) = '' then 0
+              else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha,
+         len(replace(text, ' ', '')) as n_nonspace
+  from documents
+)
+select doc_id, n_tokens, n_alpha, n_nonspace from s
+where n_alpha * 10 >= n_nonspace * 7 and n_tokens >= 20
+"""
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-5 of the first-10 embedding vectors vs all."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return ann_stage.brute_topk(emb, queries, head["vec_id"].to_numpy(), k=5)
+
+
+SQL_ANN_COSINE = """
+with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 10),
+s as (select q.query_id, v.vec_id as neighbor_id,
+             list_cosine_similarity(cast(q.qe as double[]), cast(v.embedding as double[])) as sim
+      from q, embeddings v),
+r as (select query_id, neighbor_id,
+             row_number() over (partition by query_id order by sim desc, neighbor_id) as "rank"
+      from s)
+select query_id, neighbor_id, "rank" from r where "rank" <= 5
+"""
+
+
+def q_ngram_pairs(sf_dir: str):
+    """Exact 3-gram Jaccard similar pairs among the first 100 docs (the
+    exact-verification kernel of near-dup dedup; LSH variants are
+    rows-only-checked)."""
+    docs = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr="doc_id < 100")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    a, b, num, den = dedup_stage.ngram_jaccard_pairs_batch(
+        docs["text"].tolist(), docs["doc_id"].to_numpy(), k=3, threshold=0.5
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "n_common": pa.array(num, pa.int64()),
+            "n_union": pa.array(den, pa.int64()),
+        }
+    )
+
+
+SQL_NGRAM_PAIRS = """
+with d as (select doc_id, text from documents where doc_id < 100),
+g as (
+  select distinct doc_id, substr(text, s.i, 3) as gram
+  from d, unnest(generate_series(1, len(text) - 2)) as s(i)
+),
+sizes as (select doc_id, count(*) as n from g group by 1),
+common as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2
+),
+j as (
+  select doc_a, doc_b, n_common, sa.n + sb.n - n_common as n_union
+  from common join sizes sa on sa.doc_id = doc_a join sizes sb on sb.doc_id = doc_b
+)
+select doc_a, doc_b, n_common, n_union from j where n_common * 2 >= n_union
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs verified by exact Jaccard ≥ 0.5
+    (non-SQL-expressible: LSH banding; verified in pytest vs brute force)."""
+    return dedup_stage.minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (deterministic; rows-only check)."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        dedup_stage.simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID vs the labeled lang column: confusion counts."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = docs.map_batches(
+        lambda b: text_stage.LangId()(b).append_column("lang", b.column("lang")),
+        batch_format="pyarrow",
+    )
+    return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only check)."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text_stage.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+# ===========================================================================
+# Raster ops over the synthesized image table (rows-only checks; pixel
+# semantics verified bit-exactly in pytest)
+# ===========================================================================
+
+def _images_ds(sf_dir: str, limit: int | None = None):
+    """Deterministic image table derived from doc ids (input_hint schema)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    if limit is not None:
+        docs = docs.filter(expr=f"doc_id < {limit}")
+    return docs.map_batches(
+        lambda b: make_image_batch({"id": np.asarray(b["doc_id"])}),
+        batch_format="numpy",
+        batch_size=64,
+    )
+
+
+def q_raster_checksum(sf_dir: str):
+    """GDALChecksumImage (alg/gdalchecksum.cpp:68) per synthesized image."""
+    return _images_ds(sf_dir, limit=200).map_batches(
+        checksum_batch, batch_format="pyarrow", batch_size=32
+    )
+
+
+def q_raster_stats(sf_dir: str):
+    """ComputeStatistics-style exact per-image stats (integer sums)."""
+    return _images_ds(sf_dir, limit=200).map_batches(
+        image_stats_batch, batch_format="pyarrow", batch_size=32
+    )
+
+
+def q_image_tiles(sf_dir: str):
+    """Flagship slice: decode + footprint + XYZ tile assignment rows."""
+    return _images_ds(sf_dir, limit=300).map_batches(
+        decode_and_footprint, batch_format="pyarrow", batch_size=32
+    ).map_batches(lambda b: assign_tiles(b, max_zoom=12), batch_format="pyarrow")
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+def queries():
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "join_hash": q_join_hash,
+        "join_broadcast": q_join_broadcast,
+        "topk_orders": q_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
+        "union_all": q_union_all,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "tile_assign": q_tile_assign,
+        "tile_cover": q_tile_cover,
+        "pyramid_rollup": q_pyramid_rollup,
+        "cell_counts": q_cell_counts,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_filter": q_quality_filter,
+        "ann_cosine": q_ann_cosine,
+        "ngram_pairs": q_ngram_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "raster_checksum": q_raster_checksum,
+        "raster_stats": q_raster_stats,
+        "image_tiles": q_image_tiles,
+    }
+
+
+def oracle_sql():
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "filter_project": SQL_FILTER_PROJECT,
+        "join_hash": SQL_JOIN_HASH,
+        "join_broadcast": SQL_JOIN_BROADCAST,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "distinct_pairs": SQL_DISTINCT_PAIRS,
+        "union_all": SQL_UNION_ALL,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "sessionize": SQL_SESSIONIZE,
+        "tile_assign": _sql_tile_assign(),
+        "tile_cover": _sql_tile_cover(),
+        "pyramid_rollup": _sql_pyramid_rollup(),
+        "cell_counts": _sql_cell_counts(),
+        "pip_join": _sql_pip_join(),
+        "knn": SQL_KNN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "ann_cosine": SQL_ANN_COSINE,
+        "ngram_pairs": SQL_NGRAM_PAIRS,
+        # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
+        # image_tiles: non-SQL-expressible → rows-only driver check;
+        # semantics verified in tests/.
+    }

@@ -1,0 +1,194 @@
+"""Point-in-polygon join — the engine's primitive spatial semi-join.
+
+Semantics mirror the reference's spatial filter (OGRLayer::SetSpatialFilter →
+bbox pre-test then exact test, ogr/ogrsf_frmts/generic/ogrlayer.cpp:2129-2330)
+with the even-odd/pixel-center containment convention of the scanline
+rasterizer (alg/llrasterize.cpp:49-58).
+
+Two physical plans, chosen by polygon-side size (SURVEY.md §2.4):
+
+- **broadcast** (small polygon side): polygons are prepared once (decoded
+  rings + bboxes), `ray.put` once, and every `map_batches` actor reads them
+  from the object store in __init__ — the classic broadcast join, no shuffle.
+- **cell-partitioned** (large polygon side): polygons are replicated to the
+  quadkey cells their bbox covers, points keyed by their containing cell;
+  one `groupby(cell_id).map_groups` co-partitions both sides.  A point lies
+  in exactly one cell, so each (point, polygon) pair is tested exactly once
+  — no post-join dedup needed (unlike polygon×polygon algebra).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray import tilemath as tm
+from gdal_ray.geometry.predicates import points_in_rings, ring_bbox
+from gdal_ray.geometry.wkb import polygon_rings
+
+
+def prepare_polygons(polys: pa.Table) -> list[tuple[str, tuple, list[np.ndarray]]]:
+    """WKB table -> [(poly_id, bbox, rings)] ready for vectorized tests."""
+    out = []
+    for pid, wkb in zip(polys.column("poly_id").to_pylist(), polys.column("wkb").to_pylist()):
+        rings = polygon_rings(wkb)
+        out.append((pid, ring_bbox(rings), rings))
+    return out
+
+
+def _match_points(px, py, point_ids, prepared):
+    """Vectorized bbox-prefilter + exact even-odd test against each polygon."""
+    out_pid, out_poly = [], []
+    for poly_id, (bx0, by0, bx1, by1), rings in prepared:
+        cand = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
+        if not cand.any():
+            continue
+        idx = np.flatnonzero(cand)
+        hit = points_in_rings(px[idx], py[idx], rings)
+        for k in idx[hit]:
+            out_pid.append(point_ids[k])
+            out_poly.append(poly_id)
+    return out_pid, out_poly
+
+
+class PIPBroadcastJoin:
+    """Actor-pool stage: polygons fetched from the object store once per
+    actor (not per batch).  Construct with
+    ``map_batches(PIPBroadcastJoin, fn_constructor_kwargs={"polys_ref": [ref]},
+    concurrency=N, batch_format="pyarrow")``.
+    The ref is wrapped in a list so Ray does not auto-deref it at submission
+    — each actor resolves it locally (zero-copy from the shared store).
+    """
+
+    def __init__(self, polys_ref=None, polys: pa.Table | None = None):
+        import ray
+
+        if polys is None:
+            polys = ray.get(polys_ref[0])
+        self.prepared = prepare_polygons(polys)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        ids = batch.column("point_id").to_pylist()
+        out_pid, out_poly = _match_points(px, py, ids, self.prepared)
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, batch.schema.field("point_id").type),
+                "poly_id": pa.array(out_poly, pa.string()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# cell-partitioned plan
+
+def polygons_to_cell_rows(polys: pa.Table, zoom: int) -> pa.Table:
+    """Replicate each polygon to every quadkey cell its bbox covers
+    (coarse cover = bbox cover; exact test happens inside the cell group)."""
+    pids, wkbs = polys.column("poly_id").to_pylist(), polys.column("wkb").to_pylist()
+    cells, rpid, rwkb = [], [], []
+    for pid, wkb in zip(pids, wkbs):
+        x0c, y0c, x1c, y1c = ring_bbox(polygon_rings(wkb))
+        tx0, tx1, ty0, ty1 = tm.bbox_to_tile_range_xyz(
+            np.float64(x0c), np.float64(y0c), np.float64(x1c), np.float64(y1c), np.int64(zoom)
+        )
+        for x in range(int(tx0), int(tx1) + 1):
+            for y in range(int(ty0), int(ty1) + 1):
+                cells.append(int(tm.quadkey_int(np.int64(x), np.int64(y), np.int64(zoom))))
+                rpid.append(pid)
+                rwkb.append(wkb)
+    return pa.table(
+        {
+            "cell_id": pa.array(cells, pa.int64()),
+            "poly_id": pa.array(rpid, pa.string()),
+            "wkb": pa.array(rwkb, pa.binary()),
+        }
+    )
+
+
+def points_with_cell(batch: pa.Table, *, zoom: int) -> pa.Table:
+    px = batch.column("px").to_numpy()
+    py = batch.column("py").to_numpy()
+    x, y = tm.lonlat_to_tile_xyz(px, py, zoom)
+    cell = tm.quadkey_int(x, y, np.int64(zoom))
+    return batch.append_column("cell_id", pa.array(cell, pa.int64()))
+
+
+def pip_join_cell_partitioned(points_ds, polys: pa.Table, *, zoom: int = 6):
+    """Large-side plan: groupby(cell) over the union of tagged point rows and
+    replicated polygon rows, exact PIP inside each group.
+
+    Returns a Dataset of (point_id, poly_id).
+    """
+    import ray
+    import ray.data as rd
+
+    poly_cells = polygons_to_cell_rows(polys, zoom)
+    pid_type = points_ds.schema().base_schema.field("point_id").type
+
+    # Tag and align both sides onto one unified nullable schema so the
+    # union's blocks concatenate cleanly inside the groupby.
+    def as_point_rows(b: pa.Table) -> pa.Table:
+        b = points_with_cell(b, zoom=zoom)
+        n = len(b)
+        return pa.table(
+            {
+                "cell_id": b.column("cell_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "point_id": b.column("point_id"),
+                "px": b.column("px"),
+                "py": b.column("py"),
+                "poly_id": pa.nulls(n, pa.string()),
+                "wkb": pa.nulls(n, pa.binary()),
+            }
+        )
+
+    def as_poly_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "cell_id": b.column("cell_id"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "point_id": pa.nulls(n, pid_type),
+                "px": pa.nulls(n, pa.float64()),
+                "py": pa.nulls(n, pa.float64()),
+                "poly_id": b.column("poly_id"),
+                "wkb": b.column("wkb"),
+            }
+        )
+
+    pts = points_ds.map_batches(as_point_rows, batch_format="pyarrow")
+    polys_ds = rd.from_arrow(poly_cells).map_batches(as_poly_rows, batch_format="pyarrow")
+
+    id_np_dtype = np.int64 if pa.types.is_integer(pid_type) else object
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        pmask = g["side"] == 0
+        pts_g = g[pmask]
+        polys_g = g[~pmask]
+        if len(pts_g) == 0 or len(polys_g) == 0:
+            return pd.DataFrame(
+                {
+                    "point_id": pd.Series([], dtype=id_np_dtype),
+                    "poly_id": pd.Series([], dtype=object),
+                }
+            )
+        prepared = []
+        for pid, wkb in zip(polys_g["poly_id"].tolist(), polys_g["wkb"].tolist()):
+            rings = polygon_rings(bytes(wkb))
+            prepared.append((pid, ring_bbox(rings), rings))
+        px = pts_g["px"].to_numpy(dtype=np.float64)
+        py = pts_g["py"].to_numpy(dtype=np.float64)
+        ids = pts_g["point_id"].tolist()
+        out_pid, out_poly = _match_points(px, py, ids, prepared)
+        return pd.DataFrame(
+            {
+                "point_id": np.array(out_pid, dtype=id_np_dtype),
+                "poly_id": np.array(out_poly, dtype=object),
+            }
+        )
+
+    unioned = pts.union(polys_ds)
+    return unioned.groupby("cell_id").map_groups(join_group, batch_format="pandas")

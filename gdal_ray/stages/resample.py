@@ -1,0 +1,137 @@
+"""Resampling kernels (pure numpy) with GDAL's kernel definitions.
+
+Kernel math follows ``alg/gdalresamplingkernels.h`` and the resampler
+registry ``GDALResampleAlg`` (alg/gdalwarper.h:37-69):
+
+- nearest  — pixel-center convention: src = floor((dst+0.5)*scale)
+- bilinear — triangle kernel, radius 1
+- cubic    — Catmull-Rom (a = -0.5), radius 2 (CubicKernel)
+- lanczos  — sinc windowed, radius 3 (LanczosSincKernel)
+- average  — exact box coverage with fractional edge weights, the
+  semantics of the overview average reducer (gcore/overview.cpp:1168
+  template: partial source windows at edges contribute proportionally)
+
+All resamplers use the half-pixel-center inverse mapping
+``src_x = (dst_x + 0.5) * (src_size / dst_size) - 0.5`` — the same grid
+convention as GDALWarpKernel.  Edge handling clamps to the valid range
+(GDAL's default edge behavior for non-nodata input).
+
+These run per image inside ``map_batches`` — no shuffle; a whole-pyramid
+build shuffles only (z,x,y)-keyed tiles, never raw pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _cubic_weight(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    w = np.zeros_like(ax)
+    m1 = ax <= 1
+    m2 = (ax > 1) & (ax < 2)
+    w[m1] = ((a + 2) * ax[m1] - (a + 3)) * ax[m1] * ax[m1] + 1
+    w[m2] = (((ax[m2] - 5) * ax[m2] + 8) * ax[m2] - 4) * a
+    return w
+
+
+def _lanczos_weight(x: np.ndarray, radius: int = 3) -> np.ndarray:
+    w = np.sinc(x) * np.sinc(x / radius)
+    w[np.abs(x) >= radius] = 0.0
+    return w
+
+
+def _bilinear_weight(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+_KERNELS = {
+    "bilinear": (_bilinear_weight, 1),
+    "cubic": (_cubic_weight, 2),
+    "lanczos": (_lanczos_weight, 3),
+}
+
+
+def _resample_axis(img: np.ndarray, out_size: int, axis: int, kernel: str) -> np.ndarray:
+    """Separable 1-D resample along `axis` (float64 accumulation)."""
+    in_size = img.shape[axis]
+    scale = in_size / out_size
+    centers = (np.arange(out_size) + 0.5) * scale - 0.5
+    fn, radius = _KERNELS[kernel]
+    # kernel footprint scales up when downsampling (GDAL convolution
+    # resamplers widen the kernel by the scale factor when scale > 1)
+    ksc = max(scale, 1.0)
+    half = int(np.ceil(radius * ksc))
+    offsets = np.arange(-half, half + 1)
+    idx = np.floor(centers).astype(np.int64)[:, None] + offsets[None, :]
+    dist = (idx - centers[:, None]) / ksc
+    w = fn(dist.astype(np.float64))
+    wsum = w.sum(axis=1, keepdims=True)
+    wsum[wsum == 0] = 1.0
+    w = w / wsum
+    idx = np.clip(idx, 0, in_size - 1)
+    moved = np.moveaxis(img, axis, 0).astype(np.float64)
+    out = np.einsum("ok,ok...->o...", w, moved[idx])
+    return np.moveaxis(out, 0, axis)
+
+
+def resize(img: np.ndarray, out_w: int, out_h: int, method: str = "nearest") -> np.ndarray:
+    """Resize (H, W[, C]) uint8/float to (out_h, out_w[, C])."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        sy = (np.arange(out_h) + 0.5) * (h / out_h)
+        sx = (np.arange(out_w) + 0.5) * (w / out_w)
+        yi = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+        return img[yi][:, xi]
+    if method == "average":
+        return _box_average(img, out_w, out_h)
+    if method in _KERNELS:
+        out = _resample_axis(img.astype(np.float64), out_h, 0, method)
+        out = _resample_axis(out, out_w, 1, method)
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            return np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
+        return out
+    raise ValueError(f"unknown resampling method {method!r}")
+
+
+def _box_average(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact-coverage box average (overview.cpp average semantics: source
+    pixels partially covered by the destination footprint get fractional
+    weight)."""
+    h, w = img.shape[:2]
+    out = _box_average_axis(img.astype(np.float64), out_h, 0)
+    out = _box_average_axis(out, out_w, 1)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
+    return out
+
+
+def _box_average_axis(img: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    in_size = img.shape[axis]
+    scale = in_size / out_size
+    starts = np.arange(out_size) * scale
+    ends = starts + scale
+    moved = np.moveaxis(img, axis, 0)
+    out = np.empty((out_size,) + moved.shape[1:], dtype=np.float64)
+    for o in range(out_size):
+        s, e = starts[o], ends[o]
+        i0, i1 = int(np.floor(s)), int(np.ceil(e))
+        i1 = min(i1, in_size)
+        sl = moved[i0:i1].astype(np.float64)
+        wts = np.ones(i1 - i0)
+        wts[0] -= s - i0
+        wts[-1] -= i1 - e
+        wts = np.clip(wts, 0, None)
+        shape = (len(wts),) + (1,) * (sl.ndim - 1)
+        out[o] = (sl * wts.reshape(shape)).sum(axis=0) / wts.sum()
+    return np.moveaxis(out, 0, axis)
+
+
+def downsample_2x2_average(img: np.ndarray) -> np.ndarray:
+    """The pyramid 4→1 reducer (overview.cpp average for the common 2×
+    integer factor; odd trailing row/col handled by exact coverage)."""
+    h, w = img.shape[:2]
+    return _box_average(img, (w + 1) // 2, (h + 1) // 2)

@@ -1,0 +1,83 @@
+"""Tile math vs an independent scalar reimplementation of the reference
+formulas (gdal2tiles.py GlobalMercator:315)."""
+
+import math
+
+import numpy as np
+
+from gdal_ray import tilemath as tm
+
+
+def _ref_tile(lon, lat, z):
+    O = 2 * math.pi * 6378137 / 2
+    mx = lon * O / 180
+    my = math.log(math.tan((90 + lat) * math.pi / 360)) / (math.pi / 180) * O / 180
+    res = (2 * math.pi * 6378137 / 256) / (2**z)
+    px, py = (mx + O) / res, (my + O) / res
+    tx = int(math.ceil(px / 256.0) - 1)
+    ty = int(math.ceil(py / 256.0) - 1)
+    return tx, (2**z - 1) - ty
+
+
+def test_lonlat_to_tile_matches_reference_formulas():
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-179.9, 179.9, 1000)
+    lats = rng.uniform(-84.9, 84.9, 1000)
+    for z in (0, 1, 5, 10, 18):
+        xs, ys = tm.lonlat_to_tile_xyz(lons, lats, np.int64(z))
+        for lo, la, x, y in zip(lons[:200], lats[:200], xs[:200], ys[:200]):
+            assert (int(x), int(y)) == _ref_tile(lo, la, z)
+
+
+def test_boundary_point_in_lower_tile():
+    # px exactly on tile edge -> ceil(px/256)-1 puts it in the lower tile
+    # lon=0 at z=1 lies exactly between tiles 0 and 1 -> reference gives 0
+    x, y = tm.lonlat_to_tile_xyz(0.0, 10.0, np.int64(1))
+    assert int(x) == 0
+
+
+def test_zoom_for_pixel_size_reference_loop():
+    def ref_zoom(ps):
+        for i in range(32):
+            if ps > tm.INITIAL_RESOLUTION / (2**i):
+                return max(0, i - 1)
+        return 31
+
+    vals = [1e6, tm.INITIAL_RESOLUTION, 5000, 300, 1.0, 0.01, 1e-5]
+    vals += [tm.INITIAL_RESOLUTION / 2**k for k in range(0, 25)]
+    for ps in vals:
+        assert int(tm.zoom_for_pixel_size(ps)) == ref_zoom(ps), ps
+
+
+def test_quadkey_str_matches_reference_digit_rule():
+    # reference QuadTree (gdal2tiles.py:517): digit = xbit + 2*ybit on
+    # TMS-flipped y; quadkey_str takes XYZ y directly.
+    assert tm.quadkey_str(0, 0, 1) == "0"
+    assert tm.quadkey_str(1, 0, 1) == "1"
+    assert tm.quadkey_str(0, 1, 1) == "2"
+    assert tm.quadkey_str(1, 1, 1) == "3"
+    assert tm.quadkey_str(3, 5, 3) == "213"
+
+
+def test_quadkey_int_unique_and_zoom_prefixed():
+    n = 1 << 6
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    keys = tm.quadkey_int(xs.ravel(), ys.ravel(), np.full(n * n, 6, dtype=np.int64))
+    assert len(np.unique(keys)) == n * n
+    k5 = tm.quadkey_int(np.int64(3), np.int64(4), np.int64(5))
+    k6 = tm.quadkey_int(np.int64(3), np.int64(4), np.int64(6))
+    assert int(k5) != int(k6)
+
+
+def test_tile_bounds_roundtrip():
+    for z in (2, 8):
+        for x, y in [(1, 1), (2, 0), ((1 << z) - 1, (1 << z) - 1)]:
+            lon0, lat0, lon1, lat1 = tm.tile_bounds_lonlat_xyz(np.int64(x), np.int64(y), np.int64(z))
+            cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
+            rx, ry = tm.lonlat_to_tile_xyz(cx, cy, np.int64(z))
+            assert (int(rx), int(ry)) == (x, y)
+
+
+def test_parent_tile():
+    x, y, z = tm.parent_tile(np.int64(5), np.int64(7), np.int64(4))
+    assert (int(x), int(y), int(z)) == (2, 3, 3)
