@@ -744,6 +744,109 @@ def q_fingerprint(sf_dir: str):
 
 
 # ===========================================================================
+# DEM / contour kernels (gdaldem + gdal_contour family) over a derived
+# integer elevation grid — integer kernels have exact SQL oracles; float
+# kernels (hillshade/slope) are rows-only here and pytest-verified.
+# ===========================================================================
+
+DEM_DOCS = 48
+DEM_N = 16
+
+_DEM_GRID_CTE = f"""
+d as (select doc_id from documents where doc_id < {DEM_DOCS}),
+g as (select d.doc_id, r.r, c.c, (d.doc_id*7919 + r.r*131 + c.c*17) % 256 as e
+      from d, unnest(generate_series(0, {DEM_N - 1})) as r(r),
+              unnest(generate_series(0, {DEM_N - 1})) as c(c))
+"""
+
+
+def _dem_docs(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id"]).filter(expr=f"doc_id < {DEM_DOCS}")
+
+
+def q_dem_metrics(sf_dir: str):
+    """3×3-window roughness / TRI / TPI (gdaldem, apps/gdaldem_lib.cpp) —
+    integer-exact, per-image map_batches, no shuffle."""
+    from gdal_ray.stages import dem
+
+    return _dem_docs(sf_dir).map_batches(dem.dem_metrics_batch, batch_format="pyarrow")
+
+
+SQL_DEM_METRICS = f"""
+with {_DEM_GRID_CTE},
+w as (select a.doc_id, a.r, a.c, a.e as ce, b.e as ne
+      from g a join g b on b.doc_id = a.doc_id
+           and b.r between a.r - 1 and a.r + 1 and b.c between a.c - 1 and a.c + 1
+      where a.r between 1 and {DEM_N - 2} and a.c between 1 and {DEM_N - 2})
+select doc_id, r, c,
+       max(ne) - min(ne) as roughness,
+       sum(abs(ce - ne)) as tri,
+       9 * max(ce) - sum(ne) as tpi9
+from w group by 1, 2, 3
+"""
+
+
+def q_dem_reclassify(sf_dir: str):
+    """Reclassify via integer LUT (gdalalg_raster_reclassify.cpp) → class
+    histogram per image (partial per-batch combine + tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    from gdal_ray.stages import dem
+
+    ds = _dem_docs(sf_dir).map_batches(dem.dem_reclass_batch, batch_format="pyarrow")
+    return ds.groupby(["doc_id", "class"]).aggregate(Sum("n_cells", alias_name="n_cells"))
+
+
+SQL_DEM_RECLASSIFY = f"""
+with {_DEM_GRID_CTE},
+c as (select doc_id,
+             case when e < 50 then 0 when e < 120 then 1 when e < 200 then 2 else 3 end as class
+      from g),
+k as (select unnest(generate_series(0, 3)) as class),
+cnt as (select doc_id, class, count(*) as n from c group by 1, 2)
+select d.doc_id, k.class, coalesce(cnt.n, 0) as n_cells
+from d cross join k left join cnt on cnt.doc_id = d.doc_id and cnt.class = k.class
+"""
+
+
+def q_contour(sf_dir: str):
+    """Marching-squares contour cell/segment counts per level
+    (alg/marching_squares, contour.cpp:568) — integer-exact."""
+    from gdal_ray.stages import dem
+
+    return _dem_docs(sf_dir).map_batches(dem.contour_counts_batch, batch_format="pyarrow")
+
+
+SQL_CONTOUR = f"""
+with {_DEM_GRID_CTE},
+cell as (select tl.doc_id, tl.e as tle, tr.e as tre, br.e as bre, bl.e as ble
+         from g tl
+         join g tr on tr.doc_id = tl.doc_id and tr.r = tl.r and tr.c = tl.c + 1
+         join g bl on bl.doc_id = tl.doc_id and bl.r = tl.r + 1 and bl.c = tl.c
+         join g br on br.doc_id = tl.doc_id and br.r = tl.r + 1 and br.c = tl.c + 1),
+lv as (select unnest([64, 128, 192]) as level),
+cs as (select doc_id, level,
+              (case when tle >= level then 8 else 0 end
+               + case when tre >= level then 4 else 0 end
+               + case when bre >= level then 2 else 0 end
+               + case when ble >= level then 1 else 0 end) as cse
+       from cell cross join lv)
+select doc_id, level,
+       sum(case when cse not in (0, 15) then 1 else 0 end) as n_cells_crossed,
+       sum(case cse when 0 then 0 when 15 then 0 when 5 then 2 when 10 then 2 else 1 end) as n_segments
+from cs group by 1, 2
+"""
+
+
+def q_hillshade(sf_dir: str):
+    """Horn hillshade + slope (GDALHillshadeAlg, gdaldem_lib.cpp:1003) —
+    per-image checksums; float math pytest-verified vs naive reference."""
+    from gdal_ray.stages import dem
+
+    return _dem_docs(sf_dir).map_batches(dem.hillshade_checksum_batch, batch_format="pyarrow")
+
+
+# ===========================================================================
 # Raster ops over the synthesized image table (rows-only checks; pixel
 # semantics verified bit-exactly in pytest)
 # ===========================================================================
@@ -814,6 +917,10 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "dem_metrics": q_dem_metrics,
+        "dem_reclassify": q_dem_reclassify,
+        "contour": q_contour,
+        "hillshade": q_hillshade,
     }
 
 
@@ -839,6 +946,9 @@ def oracle_sql():
         "quality_filter": SQL_QUALITY_FILTER,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_pairs": SQL_NGRAM_PAIRS,
+        "dem_metrics": SQL_DEM_METRICS,
+        "dem_reclassify": SQL_DEM_RECLASSIFY,
+        "contour": SQL_CONTOUR,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

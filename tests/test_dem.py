@@ -1,0 +1,95 @@
+"""DEM kernels: integer window stats vs brute force, float hillshade /
+slope / aspect vs a naive per-pixel reference implementation of the Horn
+formulas (gdaldem_lib.cpp:1003)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gdal_ray.stages import dem
+
+
+@pytest.fixture(scope="module")
+def grids():
+    return dem.elevation_grids(np.array([0, 1, 7, 41]), n=12)
+
+
+def test_elevation_deterministic():
+    a = dem.elevation_grids(np.array([3]), n=8)
+    b = dem.elevation_grids(np.array([3]), n=8)
+    assert (a == b).all()
+    assert a[0, 2, 5] == (3 * 7919 + 2 * 131 + 5 * 17) % 256
+
+
+def test_window_metrics_vs_bruteforce(grids):
+    rough, tri, tpi9 = dem.window_metrics(grids)
+    e = grids
+    B, n, _ = e.shape
+    for b in range(B):
+        for r in range(1, n - 1):
+            for c in range(1, n - 1):
+                w = e[b, r - 1 : r + 2, c - 1 : c + 2]
+                assert rough[b, r - 1, c - 1] == w.max() - w.min()
+                assert tri[b, r - 1, c - 1] == np.abs(w - e[b, r, c]).sum()
+                assert tpi9[b, r - 1, c - 1] == 9 * e[b, r, c] - w.sum()
+
+
+def test_hillshade_vs_naive(grids):
+    hs = dem.hillshade(grids)
+    e = grids.astype(np.float64)
+    B, n, _ = e.shape
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    for b in range(B):
+        for r in range(1, n - 1):
+            for c in range(1, n - 1):
+                w = e[b, r - 1 : r + 2, c - 1 : c + 2]
+                gx = ((w[0, 0] + 2 * w[1, 0] + w[2, 0]) - (w[0, 2] + 2 * w[1, 2] + w[2, 2])) / 8.0
+                gy = ((w[2, 0] + 2 * w[2, 1] + w[2, 2]) - (w[0, 0] + 2 * w[0, 1] + w[0, 2])) / 8.0
+                slope = math.atan(math.hypot(gx, gy))
+                aspect = math.atan2(gy, -gx)
+                shade = math.sin(alt) * math.cos(slope) + math.cos(alt) * math.sin(slope) * math.cos(az - aspect)
+                want = max(1, min(255, round(1.0 + 254.0 * max(0.0, min(1.0, shade)))))
+                assert hs[b, r - 1, c - 1] == want, (b, r, c)
+
+
+def test_slope_aspect_ranges(grids):
+    s = dem.slope_degrees(grids)
+    assert (s >= 0).all() and (s < 90).all()
+    a = dem.aspect_degrees(grids)
+    ok = (a == -9999.0) | ((a >= 0) & (a < 360))
+    assert ok.all()
+
+
+def test_flat_grid():
+    flat = np.full((1, 8, 8), 42, dtype=np.int64)
+    assert (dem.hillshade(flat) == round(1 + 254 * math.sin(math.radians(45)))).all()
+    assert (dem.aspect_degrees(flat) == -9999.0).all()
+    rough, tri, tpi9 = dem.window_metrics(flat)
+    assert rough.sum() == 0 and tri.sum() == 0 and tpi9.sum() == 0
+
+
+def test_contour_cases_bruteforce(grids):
+    level = 128
+    cases = dem.marching_square_cases(grids, level)
+    e = grids
+    B, n, _ = e.shape
+    for b in range(B):
+        for r in range(n - 1):
+            for c in range(n - 1):
+                want = (
+                    8 * (e[b, r, c] >= level)
+                    + 4 * (e[b, r, c + 1] >= level)
+                    + 2 * (e[b, r + 1, c + 1] >= level)
+                    + 1 * (e[b, r + 1, c] >= level)
+                )
+                assert cases[b, r, c] == want
+    crossed, segs = dem.contour_segment_counts(e, level)
+    assert (crossed <= (n - 1) ** 2).all()
+    assert (segs >= crossed).all()  # saddles add 2
+
+
+def test_reclassify_bins():
+    e = np.array([[[0, 49, 50, 119, 120, 199, 200, 255]]], dtype=np.int64)
+    assert dem.reclassify(e).tolist() == [[[0, 0, 1, 1, 2, 2, 3, 3]]]
