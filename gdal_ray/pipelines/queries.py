@@ -744,6 +744,141 @@ def q_fingerprint(sf_dir: str):
 
 
 # ===========================================================================
+# Joins beyond hash-equi: as-of, window rank (top-N per group), bbox range
+# join (stages/joins.py)
+# ===========================================================================
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each purchase, the user's most recent click strictly
+    before it — one shuffle by user, per-group sorted merge (searchsorted)."""
+    from gdal_ray.stages import joins
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")), batch_format="pyarrow"
+    )
+    return joins.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        left_cols=["event_id"], right_cols=["event_id"], strict=True,
+    )
+
+
+SQL_ASOF_JOIN = """
+with p as (select event_id, user_id, ts from events where event_type = 'purchase'),
+c as (select event_id, user_id, ts from events where event_type = 'click'),
+j as (select p.user_id, p.event_id as l_event_id, c.event_id as r_event_id,
+             row_number() over (partition by p.event_id order by c.ts desc) as rn
+      from p join c on c.user_id = p.user_id and c.ts < p.ts)
+select user_id, l_event_id, r_event_id from j where rn = 1
+"""
+
+
+def q_window_rank(sf_dir: str):
+    """Top-3 orders per customer by price (row_number window — the ORDER BY
+    index of ogr_gensql.cpp:2201, partitioned)."""
+    from gdal_ray.stages import joins
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return joins.topn_per_group(
+        ds, key="o_custkey", order_cols=["price_cents", "o_orderkey"],
+        ascending=[False, True], n=3,
+    )
+
+
+SQL_WINDOW_RANK = f"""
+with o as (select o_custkey, o_orderkey, {_SQL_CENTS.format(col='o_totalprice')} as price_cents
+           from orders),
+r as (select *, row_number() over (partition by o_custkey
+                                   order by price_cents desc, o_orderkey) as "rank"
+      from o)
+select o_custkey, o_orderkey, price_cents, "rank" from r where "rank" <= 3
+"""
+
+
+def _poly_bboxes() -> pa.Table:
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.wkb import polygon_rings
+
+    polys = make_polygon_table(50)
+    ids, x0, y0, x1, y1 = [], [], [], [], []
+    for pid, wkb in zip(polys.column("poly_id").to_pylist(), polys.column("wkb").to_pylist()):
+        bx0, by0, bx1, by1 = ring_bbox(polygon_rings(wkb))
+        ids.append(pid)
+        x0.append(bx0); y0.append(by0); x1.append(bx1); y1.append(by1)
+    return pa.table(
+        {
+            "box_id": pa.array(ids, pa.string()),
+            "x0": pa.array(x0, pa.float64()),
+            "y0": pa.array(y0, pa.float64()),
+            "x1": pa.array(x1, pa.float64()),
+            "y1": pa.array(y1, pa.float64()),
+        }
+    )
+
+
+def _poly_bbox_sql_values() -> str:
+    t = _poly_bboxes()
+    return ",".join(
+        f"('{i}',{a!r},{b!r},{c!r},{d!r})"
+        for i, a, b, c, d in zip(
+            t.column("box_id").to_pylist(), t.column("x0").to_pylist(),
+            t.column("y0").to_pylist(), t.column("x1").to_pylist(), t.column("y1").to_pylist(),
+        )
+    )
+
+
+def q_bbox_join(sf_dir: str):
+    """BBox range join (tile-index join of gdalbuildvrt / gti; bbox pre-test
+    of ogrlayer.cpp FilterGeometry): derived doc boxes ⋈ polygon bboxes,
+    cell-partitioned with reference-point dedup (no second shuffle)."""
+    from gdal_ray.stages import joins
+
+    def boxes(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        px = b.column("px").to_numpy()
+        py = b.column("py").to_numpy()
+        dlon = 0.05 + (ids % 7) * 0.35
+        dlat = 0.04 + (ids % 5) * 0.28
+        return pa.table(
+            {
+                "box_id": pa.array(ids, pa.int64()),
+                "x0": pa.array(px, pa.float64()),
+                "y0": pa.array(py, pa.float64()),
+                "x1": pa.array(px + dlon, pa.float64()),
+                "y1": pa.array(py + dlat, pa.float64()),
+            }
+        )
+
+    a = derived_points_ds(sf_dir).map_batches(boxes, batch_format="pyarrow")
+    return joins.bbox_join(a, _poly_bboxes(), zoom=4)
+
+
+def _sql_bbox_join() -> str:
+    return f"""
+with p as ({POINT_SQL_CTE}),
+a as (select point_id as a_id, px as ax0, py as ay0,
+             px + (0.05 + (point_id % 7) * 0.35) as ax1,
+             py + (0.04 + (point_id % 5) * 0.28) as ay1
+      from p),
+b(b_id, bx0, by0, bx1, by1) as (values {_poly_bbox_sql_values()})
+select a_id, b_id from a, b
+where bx0 <= ax1 and bx1 >= ax0 and by0 <= ay1 and by1 >= ay0
+"""
+
+
+# ===========================================================================
 # DEM / contour kernels (gdaldem + gdal_contour family) over a derived
 # integer elevation grid — integer kernels have exact SQL oracles; float
 # kernels (hillshade/slope) are rows-only here and pytest-verified.
@@ -917,6 +1052,9 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "asof_join": q_asof_join,
+        "window_rank": q_window_rank,
+        "bbox_join": q_bbox_join,
         "dem_metrics": q_dem_metrics,
         "dem_reclassify": q_dem_reclassify,
         "contour": q_contour,
@@ -946,6 +1084,9 @@ def oracle_sql():
         "quality_filter": SQL_QUALITY_FILTER,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_pairs": SQL_NGRAM_PAIRS,
+        "asof_join": SQL_ASOF_JOIN,
+        "window_rank": SQL_WINDOW_RANK,
+        "bbox_join": _sql_bbox_join(),
         "dem_metrics": SQL_DEM_METRICS,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,

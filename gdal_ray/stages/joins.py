@@ -1,0 +1,213 @@
+"""Distributed join operators beyond hash-equi: as-of join, bbox range
+join, and per-group top-N (window rank).
+
+Reference parity: GDAL's only joins are the OGR SQL equi-join
+(ogr/ogrsf_frmts/generic/ogr_gensql.cpp) and the spatial filter/layer
+algebra family (ogrlayer.cpp:2129,3345) — the as-of and range joins here
+are the Ray-Data-native generalizations the north star asks for
+(point-sample "nearest lookup" of apps/gdallocationinfo.cpp; tile-index
+range join of apps/gdalbuildvrt_lib.cpp / frmts/gti).
+
+Scale notes (100 TB design point):
+- as-of join shuffles both sides ONCE by key, then merges each group with
+  a numpy searchsorted — no driver materialization, no nested loop.
+- the bbox join replicates each box to the quadkey cells it covers and
+  dedups multi-cell pairs with the *reference-point rule* (a pair is
+  reported only by the cell containing the intersection's min corner), so
+  no second dedup shuffle is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray import tilemath as tm
+
+
+# ---------------------------------------------------------------------------
+# as-of join (sorted merge per key group)
+
+def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
+              left_cols: list[str], right_cols: list[str], strict: bool = True):
+    """For each left row, the right row with the greatest ``right_ts`` that
+    is < (strict) or <= left_ts, within the same ``key`` group; inner join
+    (left rows with no match are dropped).
+
+    Both inputs are shuffled once by ``key`` (groupby); the per-group merge
+    is one np.searchsorted over the ts-sorted right side.
+    """
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in left_cols + [key, left_ts]}
+    r_types = {c: r_schema.field(c).type for c in right_cols + [right_ts]}
+
+    all_cols = (
+        [key, "side"]
+        + [f"l_{c}" for c in left_cols] + ["l_ts"]
+        + [f"r_{c}" for c in right_cols] + ["r_ts"]
+    )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {key: b.column(key), "side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = b.column(c)
+        cols["l_ts"] = b.column(left_ts).cast(pa.int64())
+        for c in right_cols:
+            cols[f"r_{c}"] = pa.nulls(n, r_types[c])
+        cols["r_ts"] = pa.nulls(n, pa.int64())
+        return pa.table({c: cols[c] for c in all_cols})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {key: b.column(key), "side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(n, l_types[c])
+        cols["l_ts"] = pa.nulls(n, pa.int64())
+        for c in right_cols:
+            cols[f"r_{c}"] = b.column(c)
+        cols["r_ts"] = b.column(right_ts).cast(pa.int64())
+        return pa.table({c: cols[c] for c in all_cols})
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["side"] == 0
+        lg, rg = g[lmask], g[~lmask]
+        out_cols = [key] + [f"l_{c}" for c in left_cols] + [f"r_{c}" for c in right_cols]
+        if len(lg) == 0 or len(rg) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+        r_ts = rg["r_ts"].to_numpy(dtype=np.int64)
+        order = np.argsort(r_ts, kind="mergesort")
+        r_ts = r_ts[order]
+        rg = rg.iloc[order]
+        l_ts = lg["l_ts"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(r_ts, l_ts, side="left" if strict else "right") - 1
+        keep = idx >= 0
+        lg = lg[keep]
+        matched = rg.iloc[idx[keep]]
+        out = {key: lg[key].to_numpy()}
+        out.update({f"l_{c}": lg[f"l_{c}"].to_numpy() for c in left_cols})
+        for c in right_cols:
+            out[f"r_{c}"] = matched[f"r_{c}"].to_numpy()
+        return pd.DataFrame(out)
+
+    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-group top-N (ORDER BY ... LIMIT N per key — the window-rank idiom)
+
+def topn_per_group(ds, *, key: str, order_cols: list[str], ascending: list[bool],
+                   n: int, rank_col: str = "rank"):
+    """row_number() <= n per key group, deterministic total order required
+    (pass tie-break columns in order_cols)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="mergesort").head(n)
+        g = g.assign(**{rank_col: np.arange(1, len(g) + 1, dtype=np.int64)})
+        return g
+
+    return ds.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# bbox range join (cell-partitioned, reference-point dedup)
+
+def _boxes_to_cells(ids, x0, y0, x1, y1, zoom: int, side: int, a_type, b_type):
+    """Replicate each box to every cell its bbox covers; emit tagged rows.
+    Each side fills only its own id column (a_id / b_id) so the union's
+    schema stays consistent even when the two sides have different id types."""
+    tx0, tx1, ty0, ty1 = tm.bbox_to_tile_range_xyz(x0, y0, x1, y1, np.int64(zoom))
+    nx = (tx1 - tx0 + 1).astype(np.int64)
+    ny = (ty1 - ty0 + 1).astype(np.int64)
+    count = nx * ny
+    idx = np.repeat(np.arange(len(ids), dtype=np.int64), count)
+    starts = np.concatenate([[0], np.cumsum(count)[:-1]])
+    ordinal = np.arange(int(count.sum()), dtype=np.int64) - np.repeat(starts, count)
+    cx = tx0[idx] + ordinal % nx[idx]
+    cy = ty0[idx] + ordinal // nx[idx]
+    cell = tm.quadkey_int(cx, cy, np.int64(zoom))
+    rep = np.asarray(ids, dtype=object)[idx]
+    n = len(idx)
+    return pa.table(
+        {
+            "cell_id": pa.array(cell, pa.int64()),
+            "side": pa.array(np.full(n, side, dtype=np.int8)),
+            "a_id": pa.array(rep, a_type) if side == 0 else pa.nulls(n, a_type),
+            "b_id": pa.array(rep, b_type) if side == 1 else pa.nulls(n, b_type),
+            "x0": pa.array(x0[idx], pa.float64()),
+            "y0": pa.array(y0[idx], pa.float64()),
+            "x1": pa.array(x1[idx], pa.float64()),
+            "y1": pa.array(y1[idx], pa.float64()),
+        }
+    )
+
+
+def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
+              a_cols=("box_id", "x0", "y0", "x1", "y1"),
+              b_cols=("box_id", "x0", "y0", "x1", "y1")):
+    """All (a, b) pairs whose bboxes intersect (closed intervals — the bbox
+    pre-test of ogrlayer.cpp FilterGeometry).  Left side is a Dataset of
+    boxes, right side a small-to-medium Arrow table that is also spread by
+    cell (NOT broadcast — this is the shuffle plan; use PIPBroadcastJoin
+    style for tiny sides).
+
+    Dedup rule: a pair is emitted only by the cell that contains the
+    intersection's min corner (max(ax0,bx0), max(ay0,by0)) — each
+    intersecting pair has exactly one such cell, so no global dedup pass.
+    """
+    import ray.data as rd
+
+    a_id_type = a_ds.schema().base_schema.field(a_cols[0]).type
+    b_id_type = b_table.schema.field(b_cols[0]).type
+
+    def tag_a(b: pa.Table) -> pa.Table:
+        return _boxes_to_cells(
+            b.column(a_cols[0]).to_numpy(zero_copy_only=False),
+            *(b.column(c).to_numpy() for c in a_cols[1:]),
+            zoom, 0, a_id_type, b_id_type,
+        )
+
+    b_cells = _boxes_to_cells(
+        b_table.column(b_cols[0]).to_numpy(zero_copy_only=False),
+        *(b_table.column(c).to_numpy() for c in b_cols[1:]),
+        zoom, 1, a_id_type, b_id_type,
+    )
+
+    a_tagged = a_ds.map_batches(tag_a, batch_format="pyarrow")
+    b_tagged = rd.from_arrow(b_cells)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        amask = g["side"] == 0
+        ag, bg = g[amask], g[~amask]
+        if len(ag) == 0 or len(bg) == 0:
+            return pd.DataFrame({"a_id": pd.Series([], dtype=object),
+                                 "b_id": pd.Series([], dtype=object)})
+        cell = np.int64(g["cell_id"].iloc[0])
+        ax0 = ag["x0"].to_numpy(); ay0 = ag["y0"].to_numpy()
+        ax1 = ag["x1"].to_numpy(); ay1 = ag["y1"].to_numpy()
+        bx0 = bg["x0"].to_numpy(); by0 = bg["y0"].to_numpy()
+        bx1 = bg["x1"].to_numpy(); by1 = bg["y1"].to_numpy()
+        zoom_ = np.int64(zoom)
+        # full pairwise bbox-overlap mask (cells bound the group sizes)
+        ov = (
+            (bx0[None, :] <= ax1[:, None]) & (bx1[None, :] >= ax0[:, None])
+            & (by0[None, :] <= ay1[:, None]) & (by1[None, :] >= ay0[:, None])
+        )
+        ai, bj = np.nonzero(ov)
+        # reference point = min corner of the intersection bbox; the pair is
+        # owned by exactly one cell — the one containing that point
+        rx = np.maximum(ax0[ai], bx0[bj])
+        ry = np.maximum(ay0[ai], by0[bj])
+        tx, ty = tm.lonlat_to_tile_xyz(rx, ry, zoom_)
+        own = tm.quadkey_int(tx, ty, zoom_) == cell
+        return pd.DataFrame({"a_id": ag["a_id"].to_numpy()[ai[own]],
+                             "b_id": bg["b_id"].to_numpy()[bj[own]]})
+
+    return a_tagged.union(b_tagged).groupby("cell_id").map_groups(
+        join_group, batch_format="pandas"
+    )
