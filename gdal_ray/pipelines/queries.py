@@ -744,6 +744,106 @@ def q_fingerprint(sf_dir: str):
 
 
 # ===========================================================================
+# Geometry measures / constructions (geometry/ops.py — OGRGeometry parity)
+# ===========================================================================
+
+def _polys_ds(n: int = 50):
+    import ray.data as rd
+
+    return rd.from_arrow(make_polygon_table(n))
+
+
+def q_geom_measures(sf_dir: str):
+    """Area (integer unit², exterior−holes) + part/ring/vertex counts per
+    polygon — OGR_G_Area / GetGeometryCount parity, map_batches only."""
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    def measure(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        wkbs = b.column("wkb").to_pylist()
+        area2, npart, nring, nvert = [], [], [], []
+        for wkb in wkbs:
+            parts = polygon_parts(wkb)
+            area2.append(ops.polygon_area2_units(parts))
+            p, r, v = ops.counts(parts)
+            npart.append(p); nring.append(r); nvert.append(v)
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "area2_u": pa.array(area2, pa.int64()),
+                "n_parts": pa.array(npart, pa.int64()),
+                "n_rings": pa.array(nring, pa.int64()),
+                "n_vertices": pa.array(nvert, pa.int64()),
+            }
+        )
+
+    return _polys_ds().map_batches(measure, batch_format="pyarrow")
+
+
+def _poly_edges_units_sql_values() -> str:
+    """Every ring edge in integer hundredth-degree units, tagged with
+    (part, ring, hole) so SQL can recompute exterior−holes area exactly."""
+    from gdal_ray.geometry.ops import to_units
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    polys = make_polygon_table(50)
+    rows = []
+    for pid, wkb in zip(polys.column("poly_id").to_pylist(), polys.column("wkb").to_pylist()):
+        for p_idx, rings in enumerate(polygon_parts(wkb)):
+            for r_idx, ring in enumerate(rings):
+                u = to_units(np.asarray(ring))
+                if not (u[0] == u[-1]).all():
+                    u = np.vstack([u, u[:1]])
+                hole = 1 if r_idx > 0 else 0
+                for (x1, y1), (x2, y2) in zip(u[:-1], u[1:]):
+                    rows.append(f"('{pid}',{p_idx},{r_idx},{hole},{x1},{y1},{x2},{y2})")
+    return ",".join(rows)
+
+
+def _sql_geom_measures() -> str:
+    return f"""
+with e(poly_id, part, ring, hole, x1, y1, x2, y2) as (values {_poly_edges_units_sql_values()}),
+ra as (select poly_id, part, ring, hole,
+              abs(sum(x1 * y2 - x2 * y1)) as a2, count(*) as n_edges
+       from e group by 1, 2, 3, 4)
+select poly_id,
+       sum(case when hole = 1 then -a2 else a2 end) as area2_u,
+       count(distinct part) as n_parts,
+       count(*) as n_rings,
+       sum(n_edges) as n_vertices
+from ra group by 1
+"""
+
+
+def q_convex_hull(sf_dir: str):
+    """Convex hull per polygon (Andrew monotone chain on integer units,
+    OGRGeometry::ConvexHull :4186 parity) — hull vertex count + hull area;
+    rows-only here, hull properties pytest-verified."""
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.wkb import polygon_rings
+
+    def hull(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        wkbs = b.column("wkb").to_pylist()
+        nv, a2 = [], []
+        for wkb in wkbs:
+            pts = np.vstack(polygon_rings(wkb))
+            h = ops.convex_hull(pts)
+            nv.append(len(h))
+            a2.append(abs(ops.ring_area2_units(h)))
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "hull_vertices": pa.array(nv, pa.int64()),
+                "hull_area2_u": pa.array(a2, pa.int64()),
+            }
+        )
+
+    return _polys_ds().map_batches(hull, batch_format="pyarrow")
+
+
+# ===========================================================================
 # Joins beyond hash-equi: as-of, window rank (top-N per group), bbox range
 # join (stages/joins.py)
 # ===========================================================================
@@ -1052,6 +1152,8 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "geom_measures": q_geom_measures,
+        "convex_hull": q_convex_hull,
         "asof_join": q_asof_join,
         "window_rank": q_window_rank,
         "bbox_join": q_bbox_join,
@@ -1084,6 +1186,7 @@ def oracle_sql():
         "quality_filter": SQL_QUALITY_FILTER,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_pairs": SQL_NGRAM_PAIRS,
+        "geom_measures": _sql_geom_measures(),
         "asof_join": SQL_ASOF_JOIN,
         "window_rank": SQL_WINDOW_RANK,
         "bbox_join": _sql_bbox_join(),
