@@ -744,6 +744,46 @@ def q_fingerprint(sf_dir: str):
 
 
 # ===========================================================================
+# Grid interpolation (gdal_grid family, stages/grid.py)
+# ===========================================================================
+
+def q_grid_metrics(sf_dir: str):
+    """Data metrics + nearest-neighbor per grid cell (GGA_Metric*/
+    GGA_NearestNeighbor): halo replication + one (cx,cy) groupby."""
+    from gdal_ray.stages import grid
+
+    return grid.grid_metrics(derived_points_ds(sf_dir))
+
+
+SQL_GRID_METRICS = f"""
+with p as ({POINT_SQL_CTE}),
+cells as (select gx.cx, gy.cy
+          from unnest(generate_series(-175, 175, 10)) as gx(cx),
+               unnest(generate_series(-85, 85, 10)) as gy(cy)),
+d as (select c.cx, c.cy, p.point_id,
+             (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) as d2
+      from cells c join p
+        on p.px between c.cx - 6 and c.cx + 6 and p.py between c.cy - 6 and c.cy + 6
+      where (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) < 36.0),
+r as (select cx, cy, point_id,
+             row_number() over (partition by cx, cy order by d2, point_id) as rn
+      from d),
+agg as (select cx, cy, count(*) as n_points, min(d2) as min_d2, max(d2) as max_d2
+        from d group by 1, 2)
+select agg.cx, agg.cy, agg.n_points, agg.min_d2, agg.max_d2, r.point_id as nearest_id
+from agg join r on r.cx = agg.cx and r.cy = agg.cy and r.rn = 1
+"""
+
+
+def q_grid_invdist(sf_dir: str):
+    """Inverse-distance interpolation per cell (float sums → rows-only
+    driver check; deterministic order fixed inside the operator)."""
+    from gdal_ray.stages import grid
+
+    return grid.grid_invdist(derived_points_ds(sf_dir))
+
+
+# ===========================================================================
 # Geometry measures / constructions (geometry/ops.py — OGRGeometry parity)
 # ===========================================================================
 
@@ -1152,6 +1192,8 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "grid_metrics": q_grid_metrics,
+        "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
         "convex_hull": q_convex_hull,
         "asof_join": q_asof_join,
@@ -1186,6 +1228,7 @@ def oracle_sql():
         "quality_filter": SQL_QUALITY_FILTER,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_pairs": SQL_NGRAM_PAIRS,
+        "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "asof_join": SQL_ASOF_JOIN,
         "window_rank": SQL_WINDOW_RANK,
