@@ -709,6 +709,48 @@ select doc_a, doc_b, n_common, n_union from j where n_common * 2 >= n_union
 """
 
 
+def q_phash_neardup(sf_dir: str):
+    """Near-dup images by phash Hamming ≤ 3 via 4-band LSH (complete for
+    dist ≤ 3 by pigeonhole → equals the SQL brute force exactly)."""
+    imgs = _images_ds(sf_dir, limit=300).map_batches(
+        lambda b: b.select(["image_id", "phash"]), batch_format="pyarrow"
+    )
+    return dedup_stage.phash_hamming_pairs(imgs, max_dist=3, bands=4)
+
+
+def _sql_phash_neardup() -> str:
+    from gdal_ray.synth import image_dims, phash64, pixels_for
+
+    vals = []
+    for i in range(300):
+        w, h, _ = image_dims(i)
+        vals.append(f"('img-{i:012d}',{phash64(pixels_for(i, w, h))})")
+    return f"""
+with p(image_id, phash) as (values {",".join(vals)}),
+pairs as (select a.image_id as a_id, b.image_id as b_id,
+                 bit_count(xor(a.phash, b.phash)) as hamming
+          from p a join p b on a.image_id < b.image_id)
+select a_id, b_id, hamming from pairs where hamming <= 3
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sim ≥ 0.4), brute-force broadcast
+    matmul (the exact baseline; IVF/LSH is the 10^12-scale path)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_stage.embedding_cosine_pairs(emb, threshold=0.4).select_columns(
+        ["a_id", "b_id"]
+    )
+
+
+SQL_EMBED_NEARDUP = """
+with e as (select vec_id, cast(embedding as double[]) as v from embeddings)
+select a.vec_id as a_id, b.vec_id as b_id
+from e a join e b on a.vec_id < b.vec_id
+where list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by exact Jaccard ≥ 0.5
     (non-SQL-expressible: LSH banding; verified in pytest vs brute force)."""
@@ -1185,6 +1227,8 @@ def queries():
         "quality_filter": q_quality_filter,
         "ann_cosine": q_ann_cosine,
         "ngram_pairs": q_ngram_pairs,
+        "phash_neardup": q_phash_neardup,
+        "embed_neardup": q_embed_neardup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
@@ -1228,6 +1272,8 @@ def oracle_sql():
         "quality_filter": SQL_QUALITY_FILTER,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_pairs": SQL_NGRAM_PAIRS,
+        "phash_neardup": _sql_phash_neardup(),
+        "embed_neardup": SQL_EMBED_NEARDUP,
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "asof_join": SQL_ASOF_JOIN,

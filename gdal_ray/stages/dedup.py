@@ -196,3 +196,117 @@ def ngram_jaccard_pairs_batch(texts: list[str], ids: np.ndarray, *, k: int = 3, 
                 out_num.append(int(inter))
                 out_den.append(int(union))
     return out_a, out_b, out_num, out_den
+
+
+# ---------------------------------------------------------------------------
+# phash Hamming near-dup (images) — 4-band LSH over the 64-bit hash.
+# Pigeonhole: any pair with Hamming distance <= 3 differs in at most 3 of
+# the 4 sixteen-bit bands, so at least one band matches exactly → the
+# banding is COMPLETE for max_dist <= 3 and the result equals brute force.
+
+def phash_band_rows(batch: pa.Table, *, bands: int = 4) -> pa.Table:
+    ids = batch.column("image_id")
+    ph = batch.column("phash").to_numpy().astype(np.uint64)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    out_band, out_hash = [], []
+    for b in range(bands):
+        out_band.append(np.full(len(ph), b, dtype=np.int64))
+        out_hash.append(((ph >> np.uint64(b * width)) & mask).astype(np.int64))
+    n = len(ph)
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(out_band), pa.int64()),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
+            "image_id": pa.concat_arrays([ids.combine_chunks()] * bands),
+            "phash": pa.array(np.tile(ph.astype(np.int64), bands), pa.int64()),
+        }
+    )
+
+
+def phash_hamming_pairs(ds, *, max_dist: int = 3, bands: int = 4):
+    """images Dataset (image_id, phash) -> (a_id, b_id, hamming) pairs with
+    Hamming(phash) <= max_dist; exact for max_dist <= 64/bands - ... see
+    band-completeness note above (max_dist < bands required)."""
+    rows = ds.map_batches(lambda b: phash_band_rows(b, bands=bands), batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a_id": pd.Series([], dtype=object), "b_id": pd.Series([], dtype=object),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("image_id")
+        ids = g["image_id"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        x = ph[:, None] ^ ph[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for s in range(64):
+            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        i, j = np.nonzero(np.triu(ham <= max_dist, k=1))
+        keep = ids[i] != ids[j]
+        return pd.DataFrame({"a_id": ids[i][keep], "b_id": ids[j][keep],
+                             "hamming": ham[i, j][keep]})
+
+    pairs = rows.groupby(["band", "band_hash"]).map_groups(verify, batch_format="pandas")
+    # a pair can match in several bands → keep one copy
+    return pairs.groupby(["a_id", "b_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup — exact blocked matmul against a broadcast
+# query matrix (the brute-force baseline; the IVF/LSH bucketed variant for
+# the 10^12 scale path lives in stages/ann.py)
+
+class CosinePairs:
+    """Actor-pool stage: holds the normalized broadcast matrix once per
+    actor; each batch does one float64 matmul and thresholds."""
+
+    def __init__(self, queries_ref=None, q_ids=None, threshold: float = 0.4):
+        import ray
+
+        q = ray.get(queries_ref[0])
+        self.q_ids = np.asarray(q_ids, dtype=np.int64)
+        qm = np.asarray(q, dtype=np.float64)
+        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ self.qn.T  # (batch, nq)
+        bi, qi = np.nonzero(sims >= self.threshold)
+        a = self.q_ids[qi]
+        b = ids[bi]
+        keep = a < b  # dedupe unordered pairs, drop self
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep], pa.int64()),
+                "b_id": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sims[bi, qi][keep], pa.float64()),
+            }
+        )
+
+
+def embedding_cosine_pairs(ds, *, threshold: float = 0.4):
+    """All-pairs cosine >= threshold where the a-side is the full (small)
+    query set broadcast via ray.put; b-side streams.  At 10^12 scale the
+    a-side becomes per-IVF-cell centroid shortlists instead."""
+    import ray
+
+    q = ds.to_pandas().sort_values("vec_id")
+    q_ids = q["vec_id"].to_numpy()
+    qm = np.stack([np.asarray(e, dtype=np.float64) for e in q["embedding"]])
+    ref = ray.put(qm)
+    return ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs={"queries_ref": [ref], "q_ids": q_ids, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
