@@ -1194,6 +1194,22 @@ def q_raster_stats(sf_dir: str):
     )
 
 
+def q_tile_render(sf_dir: str):
+    """Rendered XYZ tile pyramid z=6→3 (mosaic last-on-top + alpha-weighted
+    overview reduce, stages/render.py) — per-tile checksums; pixel semantics
+    pytest-verified (rows-only driver check)."""
+    from gdal_ray.stages.render import render_pyramid
+
+    levels = render_pyramid(
+        _images_ds(sf_dir, limit=150), base_zoom=6, min_zoom=3, tile_size=32
+    )
+    drop = lambda b: b.select(["z", "x", "y", "n_src", "checksum"])  # noqa: E731
+    out = levels[0].map_batches(drop, batch_format="pyarrow")
+    for lv in levels[1:]:
+        out = out.union(lv.map_batches(drop, batch_format="pyarrow"))
+    return out
+
+
 def q_image_tiles(sf_dir: str):
     """Flagship slice: decode + footprint + XYZ tile assignment rows."""
     return _images_ds(sf_dir, limit=300).map_batches(
@@ -1236,6 +1252,7 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "tile_render": q_tile_render,
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,

@@ -1,0 +1,211 @@
+"""Tile rendering + overview pyramid — the compute half of `gdal raster
+tile` / gdal2tiles (reference: apps/gdalalg_raster_tile.cpp GenerateTile
+:358-494 and GenerateOverviewTile :502; gdal2tiles.py create_base_tile
+:1283 and create_overview_tile :1471; overview reducers gcore/overview.cpp).
+
+Plan (SURVEY.md §2.11 "Ray mapping"):
+- base level: each image renders its *contribution* to every XYZ tile its
+  footprint covers (inverse-mapped nearest resample into mercator tile
+  grid, vectorized per tile) → `groupby((z,x,y))` mosaics contributions
+  last-on-top by explicit priority (gdalbuildvrt's input-order rule made
+  explicit — never rely on arrival order);
+- blank tiles (all-transparent) are dropped, mirroring the blank-tile
+  skip (gdalalg_raster_tile.cpp:402-410);
+- overview levels: `groupby(parent)` over ≤4 child tiles, alpha-weighted
+  2×2 average reduction (overview.cpp average semantics with nodata/alpha
+  weighting) — one Dataset stage per level, the groupby is the per-level
+  barrier the reference enforces with WaitCompletion (:3033).
+
+Tile pixels cross stages as fixed-size binary columns (tile_size²·3 rgb +
+tile_size² alpha) — tile-sized payloads keyed by (z,x,y), exactly the
+unit the reference writes to disk; raw source pixels never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray import tilemath as tm
+from gdal_ray.codecs import decode
+from gdal_ray.stages.stats import checksum_image
+
+
+def _tile_lonlat_axes(x: int, y: int, zoom: int, ts: int):
+    """(lat[ts], lon[ts]) of pixel centers of XYZ tile (x, y) at `zoom` —
+    mercator-spaced rows (the gdal2tiles tile grid), west→east cols,
+    north→south rows."""
+    ty_tms = (2**zoom - 1) - y
+    mx0, my0, mx1, my1 = tm.tile_bounds_meters(np.int64(x), np.int64(ty_tms), np.int64(zoom))
+    res = (mx1 - mx0) / ts
+    mx = mx0 + (np.arange(ts, dtype=np.float64) + 0.5) * res
+    my = my1 - (np.arange(ts, dtype=np.float64) + 0.5) * res
+    lon, _ = tm.meters_to_lonlat(mx, np.zeros_like(mx))
+    _, lat = tm.meters_to_lonlat(np.zeros_like(my), my)
+    return lat, lon
+
+
+def render_contributions(batch: pa.Table, *, zoom: int, tile_size: int = 64,
+                         max_tiles_per_image: int = 64) -> pa.Table:
+    """image rows → one contribution row per (tile × image): nearest-
+    resampled rgb + coverage alpha, with explicit mosaic priority."""
+    blobs = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    ids = batch.column("image_id").to_pylist()
+    lon0 = batch.column("lon_min").to_numpy()
+    lat0 = batch.column("lat_min").to_numpy()
+    lon1 = batch.column("lon_max").to_numpy()
+    lat1 = batch.column("lat_max").to_numpy()
+
+    out = {"z": [], "x": [], "y": [], "priority": [], "rgb": [], "alpha": []}
+    zm = np.int64(zoom)
+    for i in range(len(blobs)):
+        x0, x1, y0, y1 = tm.bbox_to_tile_range_xyz(
+            np.float64(lon0[i]), np.float64(lat0[i]), np.float64(lon1[i]), np.float64(lat1[i]), zm
+        )
+        if (x1 - x0 + 1) * (y1 - y0 + 1) > max_tiles_per_image:
+            continue  # guard: absurd zoom/footprint combos don't explode
+        img = decode(blobs[i], fmts[i])
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=2)
+        h, w = img.shape[:2]
+        dlon = lon1[i] - lon0[i]
+        dlat = lat1[i] - lat0[i]
+        prio = np.int64(int(ids[i].rsplit("-", 1)[-1]) if isinstance(ids[i], str) else i)
+        for tx in range(int(x0), int(x1) + 1):
+            for ty in range(int(y0), int(y1) + 1):
+                lat, lon = _tile_lonlat_axes(tx, ty, zoom, tile_size)
+                col = np.floor((lon - lon0[i]) / dlon * w).astype(np.int64)
+                row = np.floor((lat1[i] - lat) / dlat * h).astype(np.int64)
+                vc = (col >= 0) & (col < w)
+                vr = (row >= 0) & (row < h)
+                if not (vc.any() and vr.any()):
+                    continue
+                mask = np.outer(vr, vc)
+                rgb = img[np.clip(row, 0, h - 1)[:, None], np.clip(col, 0, w - 1)[None, :], :]
+                rgb = np.where(mask[:, :, None], rgb, 0).astype(np.uint8)
+                alpha = np.where(mask, 255, 0).astype(np.uint8)
+                out["z"].append(zoom)
+                out["x"].append(tx)
+                out["y"].append(ty)
+                out["priority"].append(prio)
+                out["rgb"].append(rgb.tobytes())
+                out["alpha"].append(alpha.tobytes())
+    return pa.table(
+        {
+            "z": pa.array(out["z"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "priority": pa.array(out["priority"], pa.int64()),
+            "rgb": pa.array(out["rgb"], pa.binary()),
+            "alpha": pa.array(out["alpha"], pa.binary()),
+        }
+    )
+
+
+def _mosaic_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:
+    """Composite contributions last-on-top by explicit priority."""
+    g = g.sort_values("priority", kind="mergesort")
+    canvas = np.zeros((ts, ts, 3), dtype=np.uint8)
+    alpha = np.zeros((ts, ts), dtype=np.uint8)
+    for rgb_b, a_b in zip(g["rgb"], g["alpha"]):
+        rgb = np.frombuffer(rgb_b, dtype=np.uint8).reshape(ts, ts, 3)
+        a = np.frombuffer(a_b, dtype=np.uint8).reshape(ts, ts)
+        m = a > 0
+        canvas[m] = rgb[m]
+        alpha[m] = 255
+    if not alpha.any():  # blank-tile skip (gdalalg_raster_tile.cpp:402)
+        return _empty_tile_frame()
+    return pd.DataFrame(
+        {
+            "z": [np.int64(g["z"].iloc[0])],
+            "x": [np.int64(g["x"].iloc[0])],
+            "y": [np.int64(g["y"].iloc[0])],
+            "n_src": [np.int64(len(g))],
+            "rgb": [canvas.tobytes()],
+            "alpha": [alpha.tobytes()],
+            "checksum": [np.int64(checksum_image(canvas))],
+        }
+    )
+
+
+def _empty_tile_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "z": pd.Series([], dtype=np.int64),
+            "x": pd.Series([], dtype=np.int64),
+            "y": pd.Series([], dtype=np.int64),
+            "n_src": pd.Series([], dtype=np.int64),
+            "rgb": pd.Series([], dtype=object),
+            "alpha": pd.Series([], dtype=object),
+            "checksum": pd.Series([], dtype=np.int64),
+        }
+    )
+
+
+def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64):
+    """images → mosaicked base tiles Dataset (z,x,y,n_src,rgb,alpha,checksum)."""
+    contrib = images_ds.map_batches(
+        lambda b: render_contributions(b, zoom=zoom, tile_size=tile_size),
+        batch_format="pyarrow",
+        batch_size=32,
+    )
+    return contrib.groupby(["z", "x", "y"]).map_groups(
+        lambda g: _mosaic_group(g, tile_size), batch_format="pandas"
+    )
+
+
+def _overview_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:
+    """≤4 children → parent tile via alpha-weighted 2×2 average
+    (overview.cpp average-with-nodata semantics)."""
+    big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
+    ba = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
+    z = int(g["z"].iloc[0])
+    px, py = int(g["px"].iloc[0]), int(g["py"].iloc[0])
+    for _, r in g.iterrows():
+        qx = (int(r["x"]) & 1) * ts
+        qy = (int(r["y"]) & 1) * ts
+        rgb = np.frombuffer(r["rgb"], dtype=np.uint8).reshape(ts, ts, 3).astype(np.float64)
+        a = np.frombuffer(r["alpha"], dtype=np.uint8).reshape(ts, ts).astype(np.float64) / 255.0
+        big[qy : qy + ts, qx : qx + ts, :] = rgb * a[:, :, None]
+        ba[qy : qy + ts, qx : qx + ts] = a
+    acc = big.reshape(ts, 2, ts, 2, 3).sum(axis=(1, 3))
+    asum = ba.reshape(ts, 2, ts, 2).sum(axis=(1, 3))
+    with np.errstate(invalid="ignore"):
+        rgb_out = np.where(asum[:, :, None] > 0, np.round(acc / np.maximum(asum, 1e-12)[:, :, None]), 0)
+    rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
+    alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
+    return pd.DataFrame(
+        {
+            "z": [np.int64(z - 1)],
+            "x": [np.int64(px)],
+            "y": [np.int64(py)],
+            "n_src": [np.int64(len(g))],
+            "rgb": [rgb_out.tobytes()],
+            "alpha": [alpha_out.tobytes()],
+            "checksum": [np.int64(checksum_image(rgb_out))],
+        }
+    )
+
+
+def overview_level(tiles_ds, *, tile_size: int = 64):
+    """One pyramid step: tiles at level z → tiles at level z-1.  The
+    groupby(parent) is the per-level barrier (WaitCompletion :3033)."""
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column("px", pa.array(b.column("x").to_numpy() >> 1, pa.int64())) \
+                .append_column("py", pa.array(b.column("y").to_numpy() >> 1, pa.int64()))
+
+    keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
+    return keyed.groupby(["px", "py"]).map_groups(
+        lambda g: _overview_group(g, tile_size), batch_format="pandas"
+    )
+
+
+def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int = 64):
+    """Full pyramid: list of per-level tile Datasets, base first — levels
+    chain lazily; each level's groupby enforces the z+1→z ordering."""
+    levels = [render_base_tiles(images_ds, zoom=base_zoom, tile_size=tile_size)]
+    for _ in range(base_zoom - min_zoom):
+        levels.append(overview_level(levels[-1], tile_size=tile_size))
+    return levels

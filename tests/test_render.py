@@ -1,0 +1,151 @@
+"""Tile rendering + pyramid semantics: mosaic priority (last-on-top),
+blank-tile skip, alpha-weighted overview average, checksum stability."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_ray import tilemath as tm
+from gdal_ray.codecs import encode
+from gdal_ray.stages import render
+from gdal_ray.stages.stats import checksum_image
+
+
+def _img_row(i, color, lon0, lat0, lon1, lat1, w=16, h=16):
+    import pyarrow as pa
+
+    img = np.full((h, w, 3), color, dtype=np.uint8)
+    return {
+        "image_id": f"img-{i:012d}",
+        "bytes": encode(img, "png"),
+        "w": w,
+        "h": h,
+        "fmt": "png",
+        "lon_min": lon0,
+        "lat_min": lat0,
+        "lon_max": lon1,
+        "lat_max": lat1,
+    }
+
+
+def _table(rows):
+    import pyarrow as pa
+
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    return pa.table(cols)
+
+
+def test_contribution_covers_expected_tiles():
+    # image spanning most of one z=2 tile → contributions only to tiles its
+    # bbox covers
+    t = _table([_img_row(1, 100, 10.0, 20.0, 30.0, 40.0)])
+    out = render.render_contributions(t, zoom=2, tile_size=16)
+    zs = out.column("z").to_numpy()
+    assert (zs == 2).all() and len(out) >= 1
+    x0, x1, y0, y1 = tm.bbox_to_tile_range_xyz(
+        np.float64(10.0), np.float64(20.0), np.float64(30.0), np.float64(40.0), np.int64(2)
+    )
+    assert set(out.column("x").to_numpy()) <= set(range(int(x0), int(x1) + 1))
+    assert set(out.column("y").to_numpy()) <= set(range(int(y0), int(y1) + 1))
+
+
+def test_mosaic_last_on_top():
+    ts = 8
+    base = np.full((ts, ts, 3), 10, np.uint8)
+    top = np.full((ts, ts, 3), 200, np.uint8)
+    full_alpha = np.full((ts, ts), 255, np.uint8)
+    half_alpha = np.zeros((ts, ts), np.uint8)
+    half_alpha[:, : ts // 2] = 255
+    g = pd.DataFrame(
+        {
+            "z": [3, 3],
+            "x": [1, 1],
+            "y": [2, 2],
+            "priority": [1, 2],
+            "rgb": [base.tobytes(), top.tobytes()],
+            "alpha": [full_alpha.tobytes(), half_alpha.tobytes()],
+        }
+    )
+    out = render._mosaic_group(g, ts)
+    canvas = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
+    assert (canvas[:, : ts // 2] == 200).all()  # higher priority wins where covered
+    assert (canvas[:, ts // 2 :] == 10).all()
+    # order reversal of input rows must not change the result (explicit priority)
+    out2 = render._mosaic_group(g.iloc[::-1], ts)
+    assert out["rgb"].iloc[0] == out2["rgb"].iloc[0]
+    assert out["checksum"].iloc[0] == checksum_image(canvas)
+
+
+def test_mosaic_blank_skip():
+    ts = 4
+    zero_alpha = np.zeros((ts, ts), np.uint8)
+    g = pd.DataFrame(
+        {
+            "z": [3], "x": [0], "y": [0], "priority": [1],
+            "rgb": [np.zeros((ts, ts, 3), np.uint8).tobytes()],
+            "alpha": [zero_alpha.tobytes()],
+        }
+    )
+    assert len(render._mosaic_group(g, ts)) == 0
+
+
+def test_overview_uniform_children():
+    ts = 8
+    rgb = np.full((ts, ts, 3), 77, np.uint8)
+    alpha = np.full((ts, ts), 255, np.uint8)
+    g = pd.DataFrame(
+        {
+            "z": [5] * 4,
+            "x": [2, 3, 2, 3],
+            "y": [4, 4, 5, 5],
+            "px": [1] * 4,
+            "py": [2] * 4,
+            "rgb": [rgb.tobytes()] * 4,
+            "alpha": [alpha.tobytes()] * 4,
+        }
+    )
+    out = render._overview_group(g, ts)
+    parent = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
+    assert (parent == 77).all()
+    pa_ = np.frombuffer(out["alpha"].iloc[0], np.uint8).reshape(ts, ts)
+    assert (pa_ == 255).all()
+    assert out["z"].iloc[0] == 4 and out["x"].iloc[0] == 1 and out["y"].iloc[0] == 2
+
+
+def test_overview_partial_children_alpha_weighting():
+    ts = 4
+    rgb = np.full((ts, ts, 3), 100, np.uint8)
+    alpha = np.full((ts, ts), 255, np.uint8)
+    # only one child (top-left quadrant) present
+    g = pd.DataFrame(
+        {
+            "z": [5], "x": [2], "y": [4], "px": [1], "py": [2],
+            "rgb": [rgb.tobytes()], "alpha": [alpha.tobytes()],
+        }
+    )
+    out = render._overview_group(g, ts)
+    parent = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
+    pa_ = np.frombuffer(out["alpha"].iloc[0], np.uint8).reshape(ts, ts)
+    h = ts // 2
+    assert (parent[:h, :h] == 100).all()  # covered quadrant: full value
+    assert (pa_[:h, :h] == 255).all()
+    assert (pa_[h:, :] == 0).all() and (pa_[:, h:] == 0).all()  # empty quadrants
+
+
+def test_pyramid_end_to_end(ray_session):
+    import ray.data as rd
+
+    rows = [
+        _img_row(1, 50, 10.0, 20.0, 30.0, 40.0),
+        _img_row(2, 150, 25.0, 30.0, 45.0, 50.0),
+    ]
+    ds = rd.from_arrow(_table(rows))
+    levels = render.render_pyramid(ds, base_zoom=3, min_zoom=1, tile_size=16)
+    base = levels[0].to_pandas()
+    assert len(base) >= 1
+    assert (base["checksum"] >= 0).all()
+    top = levels[-1].to_pandas()
+    assert len(top) >= 1
+    assert (top["z"] == 1).all()
+    # overlap region must have n_src == 2 somewhere at base zoom
+    assert base["n_src"].max() == 2
