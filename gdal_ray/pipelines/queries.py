@@ -786,6 +786,98 @@ def q_fingerprint(sf_dir: str):
 
 
 # ===========================================================================
+# Rasterize / polygonize (alg/gdalrasterize.cpp + alg/polygonize.cpp)
+# ===========================================================================
+
+RAST_N = 24  # per-polygon burn grid side
+
+
+def q_rasterize(sf_dir: str):
+    """Burned-pixel count per polygon on its own 24×24 bbox grid —
+    pixel-center even-odd rule (llrasterize.cpp:49-58), exactly mirrored
+    by the SQL crossing-count oracle."""
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.wkb import polygon_rings
+    from gdal_ray.stages.rasterize import rasterize_polygons
+
+    def burn(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        wkbs = b.column("wkb").to_pylist()
+        counts = []
+        for wkb in wkbs:
+            bx0, by0, bx1, by1 = ring_bbox(polygon_rings(wkb))
+            pw = (bx1 - bx0) / RAST_N
+            ph = (by1 - by0) / RAST_N
+            grid = rasterize_polygons(
+                [wkb], [1], width=RAST_N, height=RAST_N,
+                origin_x=bx0, origin_y=by1, pixel_w=pw, pixel_h=ph,
+            )
+            counts.append(int((grid == 1).sum()))
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "n_burned": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return _polys_ds(30).map_batches(burn, batch_format="pyarrow")
+
+
+def _sql_rasterize() -> str:
+    edges = polygon_edges_sql_values(make_polygon_table(30))
+    return f"""
+with e(poly_id, x1, y1, x2, y2) as (values {edges}),
+bb as (select poly_id, min(least(x1, x2)) as bx0, min(least(y1, y2)) as by0,
+              max(greatest(x1, x2)) as bx1, max(greatest(y1, y2)) as by1
+       from e group by 1),
+px as (select poly_id, bx0, by1,
+              (bx1 - bx0) / {RAST_N} as pw, (by1 - by0) / {RAST_N} as ph
+       from bb),
+centers as (select p.poly_id, p.bx0 + (c.c + 0.5) * p.pw as cx, p.by1 - (r.r + 0.5) * p.ph as cy
+            from px p, unnest(generate_series(0, {RAST_N - 1})) as c(c),
+                       unnest(generate_series(0, {RAST_N - 1})) as r(r)),
+crossings as (select c.poly_id, c.cx, c.cy,
+                     sum(case when ((e.y1 > c.cy) <> (e.y2 > c.cy))
+                               and (c.cx < (e.x2 - e.x1) * (c.cy - e.y1) / (e.y2 - e.y1) + e.x1)
+                         then 1 else 0 end) as n
+              from centers c join e on e.poly_id = c.poly_id and e.y1 <> e.y2
+              group by 1, 2, 3)
+select poly_id, count(*) filter (n % 2 = 1) as n_burned
+from crossings group by 1
+"""
+
+
+def q_polygonize(sf_dir: str):
+    """Connected-component polygonization stats per reclassified DEM grid
+    (GDALPolygonize two-pass CCL, alg/polygonize.cpp:500) — component
+    counts 4- vs 8-connected + largest component (rows-only; ring assembly
+    and counts pytest-verified)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.polygonize import label_components
+
+    def comp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.reclassify(dem.elevation_grids(ids))
+        n4, n8, mx = [], [], []
+        for g in grids:
+            l4 = label_components(g.astype(np.int32))
+            l8 = label_components(g.astype(np.int32), connect8=True)
+            n4.append(int(l4.max()))
+            n8.append(int(l8.max()))
+            mx.append(int(np.bincount(l4.ravel())[1:].max()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_components_4": pa.array(n4, pa.int64()),
+                "n_components_8": pa.array(n8, pa.int64()),
+                "max_component": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(comp, batch_format="pyarrow")
+
+
+# ===========================================================================
 # Grid interpolation (gdal_grid family, stages/grid.py)
 # ===========================================================================
 
@@ -1253,6 +1345,8 @@ def queries():
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
         "tile_render": q_tile_render,
+        "rasterize": q_rasterize,
+        "polygonize": q_polygonize,
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
@@ -1291,6 +1385,7 @@ def oracle_sql():
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "phash_neardup": _sql_phash_neardup(),
         "embed_neardup": SQL_EMBED_NEARDUP,
+        "rasterize": _sql_rasterize(),
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "asof_join": SQL_ASOF_JOIN,
