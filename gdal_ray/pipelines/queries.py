@@ -1286,6 +1286,87 @@ def q_raster_stats(sf_dir: str):
     )
 
 
+def q_warp(sf_dir: str):
+    """Reprojection 4326→3857 via the Reprojector actor pool (gdalwarp
+    semantics, stages/warp.py) — per-image dst checksum + grid params
+    (rows-only; warp kernels pytest-verified vs max-diff goldens)."""
+    from gdal_ray.stages.stats import checksum_image
+    from gdal_ray.stages.warp import Reprojector
+
+    warped = _images_ds(sf_dir, limit=120).map_batches(
+        Reprojector,
+        fn_constructor_kwargs={"method": "bilinear"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        from gdal_ray.codecs import decode as _dec
+
+        sums, ws, hs = [], [], []
+        for blob in b.column("bytes").to_pylist():
+            img = _dec(blob, "png")
+            sums.append(checksum_image(img))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "dst_w": pa.array(ws, pa.int64()),
+                "dst_h": pa.array(hs, pa.int64()),
+                "checksum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return warped.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_scalar_funcs(sf_dir: str):
+    """swq scalar built-ins (CONCAT/SUBSTR/LIKE/CAST/IN/BETWEEN —
+    ogr/swq_op_general.cpp) as Arrow compute kernels in one map_batches."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+
+    def fns(t: pa.Table) -> pa.Table:
+        name = t.column("p_name")
+        keep = pc.and_(
+            pc.and_(
+                pc.match_like(t.column("p_type"), "%O%"),
+                pc.is_in(t.column("p_brand"), value_set=pa.array(["Brand#1", "Brand#13", "Brand#20"])),
+            ),
+            pc.and_(
+                pc.greater_equal(t.column("p_size"), 10), pc.less_equal(t.column("p_size"), 40)
+            ),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "tag": pc.binary_join_element_wise(
+                    pc.utf8_upper(pc.utf8_slice_codeunits(t.column("p_name"), 0, 8)),
+                    pc.cast(t.column("p_size"), pa.string()),
+                    "-",
+                ),
+                "size_sq": pc.multiply(
+                    pc.cast(t.column("p_size"), pa.int64()), pc.cast(t.column("p_size"), pa.int64())
+                ),
+            }
+        )
+
+    return ds.map_batches(fns, batch_format="pyarrow")
+
+
+SQL_SCALAR_FUNCS = """
+select p_partkey,
+       concat(upper(substr(p_name, 1, 8)), '-', cast(p_size as varchar)) as tag,
+       cast(p_size as bigint) * cast(p_size as bigint) as size_sq
+from part
+where p_type like '%O%'
+  and p_brand in ('Brand#1', 'Brand#13', 'Brand#20')
+  and p_size between 10 and 40
+"""
+
+
 def q_tile_render(sf_dir: str):
     """Rendered XYZ tile pyramid z=6→3 (mosaic last-on-top + alpha-weighted
     overview reduce, stages/render.py) — per-tile checksums; pixel semantics
@@ -1345,6 +1426,8 @@ def queries():
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
         "tile_render": q_tile_render,
+        "warp": q_warp,
+        "scalar_funcs": q_scalar_funcs,
         "rasterize": q_rasterize,
         "polygonize": q_polygonize,
         "grid_metrics": q_grid_metrics,
@@ -1386,6 +1469,7 @@ def oracle_sql():
         "phash_neardup": _sql_phash_neardup(),
         "embed_neardup": SQL_EMBED_NEARDUP,
         "rasterize": _sql_rasterize(),
+        "scalar_funcs": SQL_SCALAR_FUNCS,
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "asof_join": SQL_ASOF_JOIN,
