@@ -1,0 +1,115 @@
+"""Job entry point — `ray job submit -- python -m gdal_ray.cli <cmd> ...`.
+
+The north rule requires the engine be launchable via `ray job submit` on a
+fixed-size cluster with resumable, per-partition-checkpointed execution.
+This CLI is that entry: it owns the Ray session (guarded init — under
+`ray job submit` the cluster is already up and `ray.init()` attaches),
+runs one named pipeline, and writes through the manifest sink so a
+re-submitted job skips completed partitions.
+
+Commands:
+  tiles   --images N --out DIR [--zoom Z]      tile assignments, resumable
+  render  --images N --out DIR [--base-zoom Z --min-zoom Z]  pyramid render
+  bench   (delegates to bench.py's headline run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_tiles(args) -> int:
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.pipelines.flagship import tile_assignments
+    from gdal_ray.sources import read_images, synth_images
+    from gdal_ray.state import manifest as mf
+
+    _ray_init()
+    images = read_images(args.input) if args.input else synth_images(args.images)
+    assigns = tile_assignments(images, max_zoom=args.zoom)
+
+    # partition by coarse quadkey prefix → bounded partition count, spatial
+    # locality in the output layout (COG/FlatGeobuf ordering idiom)
+    def part_key(b: pa.Table) -> pa.Table:
+        cell = b.column("cell_id").to_numpy()
+        z = b.column("z").to_numpy()
+        prefix_zoom = np.minimum(z, 3)
+        shift = 2 * (z - prefix_zoom)
+        key = (cell & ((np.int64(1) << 58) - 1)) >> shift
+        return b.append_column("part", pa.array((prefix_zoom << 58) | key, pa.int64()))
+
+    keyed = assigns.map_batches(part_key, batch_format="pyarrow")
+    lineage = mf.lineage_hash("tiles-v1", f"zoom={args.zoom}", args.input or f"synth:{args.images}")
+    res = mf.write_partitioned(keyed, args.out, "part", lineage)
+    print(json.dumps({
+        "partitions": len(res),
+        "written": int((~res["skipped"]).sum()),
+        "skipped": int(res["skipped"].sum()),
+        "rows": int(res["rows_out"].sum()),
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_render(args) -> int:
+    from gdal_ray.sources import read_images, synth_images
+    from gdal_ray.stages.render import render_pyramid
+    from gdal_ray.state import manifest as mf
+
+    _ray_init()
+    images = read_images(args.input) if args.input else synth_images(args.images)
+    levels = render_pyramid(
+        images, base_zoom=args.base_zoom, min_zoom=args.min_zoom, tile_size=args.tile_size
+    )
+    lineage = mf.lineage_hash(
+        "render-v1", f"base={args.base_zoom}", f"min={args.min_zoom}", f"ts={args.tile_size}"
+    )
+    total = 0
+    for i, lv in enumerate(levels):
+        z = args.base_zoom - i
+        res = mf.write_partitioned(lv, f"{args.out}/z{z}", "z", lineage)
+        total += int(res["rows_out"].sum())
+    print(json.dumps({"levels": len(levels), "tiles": total, "out": args.out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gdal_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tiles")
+    t.add_argument("--input", default=None, help="Lance/parquet image table (default: synth)")
+    t.add_argument("--images", type=int, default=10_000)
+    t.add_argument("--zoom", type=int, default=12)
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=cmd_tiles)
+
+    r = sub.add_parser("render")
+    r.add_argument("--input", default=None)
+    r.add_argument("--images", type=int, default=500)
+    r.add_argument("--base-zoom", type=int, default=6)
+    r.add_argument("--min-zoom", type=int, default=3)
+    r.add_argument("--tile-size", type=int, default=64)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_render)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

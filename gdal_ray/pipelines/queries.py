@@ -1247,6 +1247,77 @@ from cs group by 1, 2
 """
 
 
+def q_proximity(sf_dir: str):
+    """Exact squared-euclidean proximity to elevation-≥200 target pixels
+    (GDALComputeProximity, alg/gdalproximity.cpp:94; exact EDT here) —
+    integer d², bit-exact vs the SQL min-over-targets oracle."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages import rasterops as ro
+
+    def prox(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids)
+        out_id, out_r, out_c, out_d2 = [], [], [], []
+        n = grids.shape[1]
+        rr, cc = np.meshgrid(np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64), indexing="ij")
+        for i, d in enumerate(ids):
+            d2 = ro.proximity_sq(grids[i] >= 200)
+            keep = d2 < ro._INF
+            out_id.append(np.full(int(keep.sum()), d, dtype=np.int64))
+            out_r.append(rr[keep])
+            out_c.append(cc[keep])
+            out_d2.append(d2[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "r": pa.array(np.concatenate(out_r), pa.int64()),
+                "c": pa.array(np.concatenate(out_c), pa.int64()),
+                "d2": pa.array(np.concatenate(out_d2), pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(prox, batch_format="pyarrow")
+
+
+SQL_PROXIMITY = f"""
+with {_DEM_GRID_CTE},
+t as (select doc_id, r, c from g where e >= 200)
+select g.doc_id, g.r, g.c,
+       min((g.r - t.r) * (g.r - t.r) + (g.c - t.c) * (g.c - t.c)) as d2
+from g join t on t.doc_id = g.doc_id
+group by 1, 2, 3
+"""
+
+
+def q_sieve(sf_dir: str):
+    """Sieve small components out of the reclassified grid
+    (GDALSieveFilter, alg/gdalsievefilter.cpp:178) — component counts
+    before/after + changed pixels (rows-only; semantics pytest-verified)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages import rasterops as ro
+    from gdal_ray.stages.polygonize import label_components
+
+    def sv(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.reclassify(dem.elevation_grids(ids))
+        before, after, changed = [], [], []
+        for g in grids:
+            out = ro.sieve(g, threshold=4)
+            before.append(int(label_components(g.astype(np.int32)).max()))
+            after.append(int(label_components(out.astype(np.int32)).max()))
+            changed.append(int((out != g).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_components_before": pa.array(before, pa.int64()),
+                "n_components_after": pa.array(after, pa.int64()),
+                "n_changed": pa.array(changed, pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(sv, batch_format="pyarrow")
+
+
 def q_hillshade(sf_dir: str):
     """Horn hillshade + slope (GDALHillshadeAlg, gdaldem_lib.cpp:1003) —
     per-image checksums; float math pytest-verified vs naive reference."""
@@ -1441,6 +1512,8 @@ def queries():
         "dem_reclassify": q_dem_reclassify,
         "contour": q_contour,
         "hillshade": q_hillshade,
+        "proximity": q_proximity,
+        "sieve": q_sieve,
     }
 
 
@@ -1478,6 +1551,7 @@ def oracle_sql():
         "dem_metrics": SQL_DEM_METRICS,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
+        "proximity": SQL_PROXIMITY,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.
