@@ -573,6 +573,52 @@ select query_id, neighbor_id, "rank" from r where "rank" <= 5
 # Documents / embeddings (training-data ops)
 # ===========================================================================
 
+def q_knn_cell(sf_dir: str):
+    """Cell-bucketed exact kNN with ring expansion (quadtree-search
+    semantics of alg/gdalgrid.cpp:260-426): per-cell counts → per-query
+    nearest-cell-first selection with max-corner bound → pruned scan.
+    Same oracle as `knn` (results must be identical)."""
+    pts = derived_points_ds(sf_dir)
+    head = pts.filter(expr="point_id < 10").to_pandas().sort_values("point_id")
+    return knn_stage.knn_cell_ring(
+        pts, head[["px", "py"]].to_numpy(), head["point_id"].to_numpy(), k=5, zoom=3
+    )
+
+
+def q_json_props(sf_dir: str):
+    """JSON field extraction (HSTORE_GET_VALUE / JSON subtype of
+    ogr_core.h:818) + grouped aggregate over the extracted value."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = np.array([_json.loads(s)["k"] for s in t.column("props").to_pylist()], dtype=np.int64)
+        return pa.table({"event_type": t.column("event_type"), "k": pa.array(ks, pa.int64())})
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+select event_type, count(*) as n,
+       sum(cast(json_extract(props, '$.k') as bigint)) as sum_k,
+       min(cast(json_extract(props, '$.k') as bigint)) as min_k,
+       max(cast(json_extract(props, '$.k') as bigint)) as max_k
+from events group by 1
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup_stage.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1482,6 +1528,8 @@ def queries():
         "cell_counts": q_cell_counts,
         "pip_join": q_pip_join,
         "knn": q_knn,
+        "knn_cell": q_knn_cell,
+        "json_props": q_json_props,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_filter": q_quality_filter,
@@ -1534,6 +1582,8 @@ def oracle_sql():
         "cell_counts": _sql_cell_counts(),
         "pip_join": _sql_pip_join(),
         "knn": SQL_KNN,
+        "knn_cell": SQL_KNN,
+        "json_props": SQL_JSON_PROPS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "quality_filter": SQL_QUALITY_FILTER,
