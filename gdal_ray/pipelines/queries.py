@@ -1484,6 +1484,129 @@ where p_type like '%O%'
 """
 
 
+def q_rgb2pct(sf_dir: str):
+    """Median-cut quantization (rgb2pct: alg/gdalmediancut.cpp +
+    gdaldither.cpp): sample pixels per batch → tiny driver reduce →
+    broadcast palette → per-image nearest-index stats (rows-only; palette
+    & dither semantics pytest-verified)."""
+    import ray
+
+    from gdal_ray.stages.color import median_cut_palette, nearest_palette_index
+
+    imgs = _images_ds(sf_dir, limit=100)
+
+    def sample(b: pa.Table) -> pa.Table:
+        from gdal_ray.codecs import decode as _dec
+
+        pix = []
+        for blob, fmt in zip(b.column("bytes").to_pylist(), b.column("fmt").to_pylist()):
+            img = _dec(blob, fmt)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=2)
+            pix.append(img.reshape(-1, 3)[:: max(img.size // (3 * 256), 1)])  # stride sample
+        s = np.vstack(pix)
+        return pa.table({"r": pa.array(s[:, 0]), "g": pa.array(s[:, 1]), "b": pa.array(s[:, 2])})
+
+    samples = imgs.map_batches(sample, batch_format="pyarrow", batch_size=32).to_pandas()
+    palette = median_cut_palette(samples[["r", "g", "b"]].to_numpy().astype(np.uint8), 16)
+    pal_ref = ray.put(palette)
+
+    class Quantize:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.pal = _r.get(ref[0])
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from gdal_ray.codecs import decode as _dec
+
+            n_used, top_idx, top_n = [], [], []
+            for blob, fmt in zip(b.column("bytes").to_pylist(), b.column("fmt").to_pylist()):
+                img = _dec(blob, fmt)
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=2)
+                idx = nearest_palette_index(img, self.pal)
+                counts = np.bincount(idx.ravel(), minlength=len(self.pal))
+                n_used.append(int((counts > 0).sum()))
+                top_idx.append(int(counts.argmax()))
+                top_n.append(int(counts.max()))
+            return pa.table(
+                {
+                    "image_id": b.column("image_id"),
+                    "n_colors_used": pa.array(n_used, pa.int64()),
+                    "top_index": pa.array(top_idx, pa.int64()),
+                    "top_count": pa.array(top_n, pa.int64()),
+                }
+            )
+
+    return imgs.map_batches(
+        Quantize, fn_constructor_kwargs={"ref": [pal_ref]},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
+    )
+
+
+def q_pansharpen(sf_dir: str):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): per image,
+    2×-downsampled RGB + full-res synthetic pan → sharpened checksum
+    (rows-only; kernel pytest-verified)."""
+    from gdal_ray.stages.color import pansharpen_brovey
+    from gdal_ray.stages.resample import _box_average
+    from gdal_ray.stages.stats import checksum_image
+
+    def ps(b: pa.Table) -> pa.Table:
+        from gdal_ray.codecs import decode as _dec
+
+        sums = []
+        for blob, fmt in zip(b.column("bytes").to_pylist(), b.column("fmt").to_pylist()):
+            img = _dec(blob, fmt)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=2)
+            h, w = img.shape[:2]
+            low = _box_average(img, max(w // 2, 1), max(h // 2, 1))
+            pan = img.astype(np.float64).mean(axis=2)
+            sums.append(checksum_image(pansharpen_brovey(low, pan)))
+        return pa.table(
+            {"image_id": b.column("image_id"), "checksum": pa.array(sums, pa.int64())}
+        )
+
+    return _images_ds(sf_dir, limit=100).map_batches(ps, batch_format="pyarrow", batch_size=32)
+
+
+def q_translate(sf_dir: str):
+    """gdal_translate chain (apps/gdal_translate_lib.cpp): band select →
+    subwindow → resize half (nearest) → linear rescale to 0..100 →
+    per-image checksum (rows-only; resample kernels pytest-verified)."""
+    from gdal_ray.stages.resample import resize
+    from gdal_ray.stages.stats import checksum_plane
+
+    def tr(b: pa.Table) -> pa.Table:
+        from gdal_ray.codecs import decode as _dec
+
+        sums, ws, hs = [], [], []
+        for blob, fmt in zip(b.column("bytes").to_pylist(), b.column("fmt").to_pylist()):
+            img = _dec(blob, fmt)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=2)
+            band = img[:, :, 0]                            # -b 1
+            h, w = band.shape
+            win = band[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]  # -srcwin
+            small = resize(win, max(win.shape[1] // 2, 1), max(win.shape[0] // 2, 1), "nearest")
+            scaled = np.floor(small.astype(np.float64) * (100.0 / 255.0) + 0.5).astype(np.uint8)
+            sums.append(checksum_plane(scaled))
+            hs.append(scaled.shape[0])
+            ws.append(scaled.shape[1])
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "out_w": pa.array(ws, pa.int64()),
+                "out_h": pa.array(hs, pa.int64()),
+                "checksum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, limit=150).map_batches(tr, batch_format="pyarrow", batch_size=32)
+
+
 def q_tile_render(sf_dir: str):
     """Rendered XYZ tile pyramid z=6→3 (mosaic last-on-top + alpha-weighted
     overview reduce, stages/render.py) — per-tile checksums; pixel semantics
@@ -1547,6 +1670,9 @@ def queries():
         "tile_render": q_tile_render,
         "warp": q_warp,
         "scalar_funcs": q_scalar_funcs,
+        "rgb2pct": q_rgb2pct,
+        "pansharpen": q_pansharpen,
+        "translate": q_translate,
         "rasterize": q_rasterize,
         "polygonize": q_polygonize,
         "grid_metrics": q_grid_metrics,

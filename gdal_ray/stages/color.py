@@ -1,0 +1,96 @@
+"""Color-table ops: median-cut palette, palette application, Floyd-
+Steinberg error-diffusion dither, palette→RGB expansion, and Brovey
+pansharpening (reference: alg/gdalmediancut.cpp GDALComputeMedianCutPCT,
+alg/gdaldither.cpp GDALDitherRGB2PCT, rgb2pct.py/pct2rgb.py,
+alg/gdalpansharpen.cpp weighted-Brovey kernel).
+
+Palette computation is a global aggregate at design scale: sample pixels
+per batch (deterministic stride), reduce the histogram driver-side (tiny),
+broadcast the palette back into the per-image apply/dither stage — the
+same sample→reduce→broadcast shape as GDAL's two-pass rgb2pct."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def median_cut_palette(pixels: np.ndarray, n_colors: int = 16) -> np.ndarray:
+    """(n, 3) uint8 sample → (n_colors, 3) uint8 palette.  Classic
+    median-cut: recursively split the box with the largest channel range at
+    the median of that channel; deterministic (stable sorts, index order).
+    """
+    px = np.asarray(pixels, dtype=np.uint8).reshape(-1, 3)
+    boxes = [px]
+    while len(boxes) < n_colors:
+        # split the box with the largest single-channel range
+        ranges = [int(b.max(axis=0).astype(int).__sub__(b.min(axis=0).astype(int)).max()) if len(b) else -1
+                  for b in boxes]
+        bi = int(np.argmax(ranges))
+        b = boxes[bi]
+        if len(b) < 2 or ranges[bi] <= 0:
+            break
+        ch = int(np.argmax(b.max(axis=0).astype(int) - b.min(axis=0).astype(int)))
+        order = np.argsort(b[:, ch], kind="mergesort")
+        half = len(b) // 2
+        boxes[bi : bi + 1] = [b[order[:half]], b[order[half:]]]
+    pal = np.array([b.mean(axis=0).round() if len(b) else (0, 0, 0) for b in boxes], dtype=np.uint8)
+    # pad to n_colors for a fixed-size table (GDAL color tables are fixed)
+    if len(pal) < n_colors:
+        pal = np.vstack([pal, np.zeros((n_colors - len(pal), 3), np.uint8)])
+    return pal
+
+
+def nearest_palette_index(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """(h, w, 3) → (h, w) uint8 index of the nearest palette color
+    (euclidean, ties → smaller index)."""
+    flat = np.asarray(img, dtype=np.int64).reshape(-1, 3)
+    pal = np.asarray(palette, dtype=np.int64)
+    d2 = ((flat[:, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1).astype(np.uint8).reshape(img.shape[:2])
+
+
+def expand_palette(idx: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """pct2rgb: (h, w) index + palette → (h, w, 3) uint8."""
+    return np.asarray(palette, dtype=np.uint8)[np.asarray(idx)]
+
+
+def dither_fs(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Floyd-Steinberg error diffusion to a fixed palette → (h, w) index.
+    Serpentine OFF (left-to-right every row), the reference's layout
+    (gdaldither.cpp processes scanlines in order)."""
+    h, w = img.shape[:2]
+    work = np.asarray(img, dtype=np.float64).copy()
+    pal = np.asarray(palette, dtype=np.float64)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for r in range(h):
+        for c in range(w):
+            old = work[r, c]
+            i = int(((pal - old) ** 2).sum(axis=1).argmin())
+            out[r, c] = i
+            err = old - pal[i]
+            if c + 1 < w:
+                work[r, c + 1] += err * (7 / 16)
+            if r + 1 < h:
+                if c > 0:
+                    work[r + 1, c - 1] += err * (3 / 16)
+                work[r + 1, c] += err * (5 / 16)
+                if c + 1 < w:
+                    work[r + 1, c + 1] += err * (1 / 16)
+    return out
+
+
+def pansharpen_brovey(rgb_lowres: np.ndarray, pan: np.ndarray,
+                      weights=(1 / 3, 1 / 3, 1 / 3)) -> np.ndarray:
+    """Weighted Brovey (gdalpansharpen.cpp): out_b = in_b * pan / pseudo_pan
+    with pseudo_pan = Σ w_b · in_b, after nearest-upsampling the low-res
+    multispectral to the pan grid."""
+    from gdal_ray.stages.resample import resize
+
+    ph, pw = pan.shape[:2]
+    up = resize(rgb_lowres, pw, ph, method="nearest").astype(np.float64)
+    wts = np.asarray(weights, dtype=np.float64)
+    pseudo = (up * wts[None, None, :]).sum(axis=2)
+    pseudo[pseudo == 0] = 1.0
+    ratio = np.asarray(pan, dtype=np.float64) / pseudo
+    out = up * ratio[:, :, None]
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
