@@ -123,25 +123,35 @@ def run_headline() -> dict:
     t1 = time.time() - t0
     queries["tile_assign"] = t1
 
-    # q2: PIP join of image centers against 500 polygons (broadcast plan)
+    # q2: PIP join of image centers against 500 polygons (broadcast plan).
+    # Centers come from the footprint columns only — prune at the source
+    # (SURVEY.md: "a read that loads all columns for a 2-column transform
+    # is wrong"); no bytes are generated or decoded here.
     t0 = time.time()
     polys = make_polygon_table(500)
     pref = ray.put(polys)
 
-    def centers(b: pa.Table) -> pa.Table:
+    def centers(batch):
+        from gdal_ray.synth import footprint_for
+
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        fps = np.array(
+            [footprint_for(int(i), *BENCH_DIMS[int(i) % len(BENCH_DIMS)]) for i in ids],
+            dtype=np.float64,
+        ).reshape(-1, 4)
         return pa.table(
             {
-                "point_id": b.column("image_id"),
-                "px": pa.array(
-                    (b.column("lon_min").to_numpy() + b.column("lon_max").to_numpy()) / 2.0
-                ),
-                "py": pa.array(
-                    (b.column("lat_min").to_numpy() + b.column("lat_max").to_numpy()) / 2.0
-                ),
+                "point_id": pa.array([f"img-{i:012d}" for i in ids], pa.string()),
+                "px": pa.array((fps[:, 0] + fps[:, 2]) / 2.0),
+                "py": pa.array((fps[:, 1] + fps[:, 3]) / 2.0),
             }
         )
 
-    pts = build_images(n).map_batches(centers, batch_format="pyarrow")
+    import ray.data as rd
+
+    pts = rd.range(n, override_num_blocks=max(NUM_CPUS * 4, 8)).map_batches(
+        centers, batch_format="numpy", batch_size=4096
+    )
     matches = pts.map_batches(
         PIPBroadcastJoin,
         fn_constructor_kwargs={"polys_ref": [pref]},

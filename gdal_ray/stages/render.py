@@ -203,9 +203,15 @@ def overview_level(tiles_ds, *, tile_size: int = 64):
 
 
 def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int = 64):
-    """Full pyramid: list of per-level tile Datasets, base first — levels
-    chain lazily; each level's groupby enforces the z+1→z ordering."""
-    levels = [render_base_tiles(images_ds, zoom=base_zoom, tile_size=tile_size)]
+    """Full pyramid: list of per-level tile Datasets, base first.
+
+    Each level is MATERIALIZED before the next starts — the explicit
+    per-level barrier of the reference (WaitCompletion :3033), and it
+    keeps level z-1 from lazily re-executing the whole base render when
+    both are consumed.  What is held is tiles (bounded: 4^z × tile
+    payload), never source images; at design scale each level would
+    instead be written through the manifest sink and re-read."""
+    levels = [render_base_tiles(images_ds, zoom=base_zoom, tile_size=tile_size).materialize()]
     for _ in range(base_zoom - min_zoom):
-        levels.append(overview_level(levels[-1], tile_size=tile_size))
+        levels.append(overview_level(levels[-1], tile_size=tile_size).materialize())
     return levels

@@ -76,20 +76,22 @@ def pixels_for(i: int, w: int, h: int) -> np.ndarray:
 
 def phash64(img: np.ndarray) -> int:
     """64-bit aHash: mean of an 8x8 box-reduction of the gray image, bit per
-    cell above the mean.  Deterministic, content-derived (FIXTURES F1)."""
+    cell above the mean.  Deterministic, content-derived (FIXTURES F1).
+    Fully vectorized (np.add.reduceat over row/col boundaries)."""
     gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
-    for r in range(8):
-        for c in range(8):
-            cells[r, c] = gray[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
-    bits = (cells > cells.mean()).flatten()
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
-    return int(val.astype(np.int64))
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    # degenerate tiny images: boundaries must be strictly increasing
+    ys = np.maximum.accumulate(np.minimum(ys, h - 1))
+    xs = np.maximum.accumulate(np.minimum(xs, w - 1))
+    cells = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
+    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    cells = cells / np.outer(ycnt, xcnt)
+    bits = (cells > cells.mean()).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def footprint_for(i: int, w: int, h: int) -> tuple[float, float, float, float]:
