@@ -163,7 +163,20 @@ def run_headline() -> dict:
     t2 = time.time() - t0
     queries["pip_join"] = t2
 
-    total = t1 + t2
+    # q3: rendered tile pyramid (mosaic + 2 overview levels) on a subset —
+    # the heavy compute half of the north star (stages/render.py)
+    t0 = time.time()
+    from gdal_ray.stages.render import render_pyramid
+
+    n_render = max(n // 8, 1000)
+    levels = render_pyramid(
+        build_images(n_render), base_zoom=7, min_zoom=5, tile_size=64
+    )
+    n_rendered_tiles = sum(lv.count() for lv in levels)
+    t3 = time.time() - t0
+    queries["tile_render"] = t3
+
+    total = t1 + t2 + t3
     result = {
         "metric": "images/sec (decode+footprint+tile-assign; pip-join)",
         "value": round(total, 3),
@@ -176,6 +189,9 @@ def run_headline() -> dict:
         "pip_images_per_sec": round(n / t2, 1),
         "n_tiles": n_tiles,
         "n_matches": n_matches,
+        "n_render_images": n_render,
+        "render_images_per_sec": round(n_render / t3, 1),
+        "n_rendered_tiles": n_rendered_tiles,
     }
     ray.shutdown()
     return result

@@ -149,7 +149,7 @@ def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64):
     contrib = images_ds.map_batches(
         lambda b: render_contributions(b, zoom=zoom, tile_size=tile_size),
         batch_format="pyarrow",
-        batch_size=32,
+        batch_size=None,  # follow blocks — keeps task concurrency at num_cpus
     )
     return contrib.groupby(["z", "x", "y"]).map_groups(
         lambda g: _mosaic_group(g, tile_size), batch_format="pandas"

@@ -145,14 +145,19 @@ def make_image_batch(batch: dict, with_footprint: bool = True) -> pa.Table:
 
 
 def synth_images_dataset(n: int, *, parallelism: int = -1, with_footprint: bool = True):
-    """Distributed deterministic image table as a ray.data.Dataset."""
+    """Distributed deterministic image table as a ray.data.Dataset.
+
+    Blocks are sized so generation parallelizes across all cores
+    (batch_size=None follows the block structure — a fixed batch_size
+    would coalesce blocks and cap task concurrency below num_cpus)."""
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    blocks = parallelism if parallelism > 0 else int(np.clip(n // 64, 16, 512))
+    ds = rd.range(n, override_num_blocks=blocks)
     return ds.map_batches(
         lambda b: make_image_batch(b, with_footprint),
         batch_format="numpy",
-        batch_size=256,
+        batch_size=None,
     )
 
 
