@@ -973,6 +973,81 @@ def _polys_ds(n: int = 50):
     return rd.from_arrow(make_polygon_table(n))
 
 
+def q_first_event(sf_dir: str):
+    """Arg-min per group (first event per user+type): partial per-batch
+    arg-min combine → tiny groupby — no row shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(tus=g["ts"].astype("int64"))
+        g = g.sort_values(["tus", "event_id"], kind="mergesort")
+        out = g.groupby(["user_id", "event_type"], as_index=False).first()
+        return out[["user_id", "event_type", "event_id", "tus"]]
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tus", "event_id"], kind="mergesort").head(1)
+        return g.rename(columns={"event_id": "first_event_id", "tus": "first_tus"})
+
+    return part.groupby(["user_id", "event_type"]).map_groups(final, batch_format="pandas")
+
+
+SQL_FIRST_EVENT = """
+with r as (select user_id, event_type, event_id, epoch_us(ts) as tus,
+                  row_number() over (partition by user_id, event_type
+                                     order by epoch_us(ts), event_id) as rn
+           from events)
+select user_id, event_type, event_id as first_event_id, tus as first_tus
+from r where rn = 1
+"""
+
+
+def q_box_overlay(sf_dir: str):
+    """Layer-algebra Intersection on bbox geometries (ogrlayer.cpp:3345
+    family): intersecting pairs + exact intersection extent/area — the
+    axis-aligned overlay core, cell-partitioned with reference-point
+    dedup; floats identical cross-engine (same single-op expressions)."""
+    from gdal_ray.stages import joins
+
+    def boxes(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        px = b.column("px").to_numpy()
+        py = b.column("py").to_numpy()
+        dlon = 0.05 + (ids % 7) * 0.35
+        dlat = 0.04 + (ids % 5) * 0.28
+        return pa.table(
+            {
+                "box_id": pa.array(ids, pa.int64()),
+                "x0": pa.array(px, pa.float64()),
+                "y0": pa.array(py, pa.float64()),
+                "x1": pa.array(px + dlon, pa.float64()),
+                "y1": pa.array(py + dlat, pa.float64()),
+            }
+        )
+
+    a = derived_points_ds(sf_dir).map_batches(boxes, batch_format="pyarrow")
+    pairs = joins.bbox_join(a, _poly_bboxes(), zoom=4, emit="overlay")
+    return pairs
+
+
+def _sql_box_overlay() -> str:
+    return f"""
+with p as ({POINT_SQL_CTE}),
+a as (select point_id as a_id, px as ax0, py as ay0,
+             px + (0.05::double + (point_id % 7) * 0.35::double) as ax1,
+             py + (0.04::double + (point_id % 5) * 0.28::double) as ay1
+      from p),
+b(b_id, bx0, by0, bx1, by1) as (values {_poly_bbox_sql_values()})
+select a_id, b_id,
+       least(ax1, bx1) - greatest(ax0, bx0) as inter_w,
+       least(ay1, by1) - greatest(ay0, by0) as inter_h,
+       (least(ax1, bx1) - greatest(ax0, bx0)) * (least(ay1, by1) - greatest(ay0, by0)) as inter_area
+from a, b
+where bx0 <= ax1 and bx1 >= ax0 and by0 <= ay1 and by1 >= ay0
+"""
+
+
 def q_geom_measures(sf_dir: str):
     """Area (integer unit², exterior−holes) + part/ring/vertex counts per
     polygon — OGR_G_Area / GetGeometryCount parity, map_batches only."""
@@ -1679,6 +1754,8 @@ def queries():
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
         "convex_hull": q_convex_hull,
+        "first_event": q_first_event,
+        "box_overlay": q_box_overlay,
         "asof_join": q_asof_join,
         "window_rank": q_window_rank,
         "bbox_join": q_bbox_join,
@@ -1721,6 +1798,8 @@ def oracle_sql():
         "scalar_funcs": SQL_SCALAR_FUNCS,
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
+        "first_event": SQL_FIRST_EVENT,
+        "box_overlay": _sql_box_overlay(),
         "asof_join": SQL_ASOF_JOIN,
         "window_rank": SQL_WINDOW_RANK,
         "bbox_join": _sql_bbox_join(),

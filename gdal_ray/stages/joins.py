@@ -149,7 +149,8 @@ def _boxes_to_cells(ids, x0, y0, x1, y1, zoom: int, side: int, a_type, b_type):
 
 def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
               a_cols=("box_id", "x0", "y0", "x1", "y1"),
-              b_cols=("box_id", "x0", "y0", "x1", "y1")):
+              b_cols=("box_id", "x0", "y0", "x1", "y1"),
+              emit: str = "ids"):
     """All (a, b) pairs whose bboxes intersect (closed intervals — the bbox
     pre-test of ogrlayer.cpp FilterGeometry).  Left side is a Dataset of
     boxes, right side a small-to-medium Arrow table that is also spread by
@@ -185,8 +186,11 @@ def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
         amask = g["side"] == 0
         ag, bg = g[amask], g[~amask]
         if len(ag) == 0 or len(bg) == 0:
-            return pd.DataFrame({"a_id": pd.Series([], dtype=object),
-                                 "b_id": pd.Series([], dtype=object)})
+            cols = {"a_id": pd.Series([], dtype=object), "b_id": pd.Series([], dtype=object)}
+            if emit == "overlay":
+                for c in ("inter_w", "inter_h", "inter_area"):
+                    cols[c] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
         cell = np.int64(g["cell_id"].iloc[0])
         ax0 = ag["x0"].to_numpy(); ay0 = ag["y0"].to_numpy()
         ax1 = ag["x1"].to_numpy(); ay1 = ag["y1"].to_numpy()
@@ -205,8 +209,18 @@ def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
         ry = np.maximum(ay0[ai], by0[bj])
         tx, ty = tm.lonlat_to_tile_xyz(rx, ry, zoom_)
         own = tm.quadkey_int(tx, ty, zoom_) == cell
-        return pd.DataFrame({"a_id": ag["a_id"].to_numpy()[ai[own]],
-                             "b_id": bg["b_id"].to_numpy()[bj[own]]})
+        out = {"a_id": ag["a_id"].to_numpy()[ai[own]],
+               "b_id": bg["b_id"].to_numpy()[bj[own]]}
+        if emit == "overlay":
+            # layer-algebra Intersection on boxes: exact extent + area
+            # (each value is one identically-ordered float expression, so
+            # the SQL oracle reproduces it bit-for-bit)
+            iw = np.minimum(ax1[ai], bx1[bj]) - np.maximum(ax0[ai], bx0[bj])
+            ih = np.minimum(ay1[ai], by1[bj]) - np.maximum(ay0[ai], by0[bj])
+            out["inter_w"] = iw[own]
+            out["inter_h"] = ih[own]
+            out["inter_area"] = (iw * ih)[own]
+        return pd.DataFrame(out)
 
     return a_tagged.union(b_tagged).groupby("cell_id").map_groups(
         join_group, batch_format="pandas"
