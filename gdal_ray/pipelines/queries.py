@@ -1368,6 +1368,38 @@ from cs group by 1, 2
 """
 
 
+def q_raster_calc(sf_dir: str):
+    """Band math (`gdal raster calc`, apps/gdalalg_raster_calc.cpp /
+    muparser expressions): out = (2e + 3r − c + 97) mod 97 per cell, reduced to
+    per-doc sum/min/max — integer-exact vs the SQL twin."""
+    from gdal_ray.stages import dem
+
+    def calc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        e = dem.elevation_grids(ids)
+        n = e.shape[1]
+        r = np.arange(n, dtype=np.int64)
+        out = (2 * e + 3 * r[None, :, None] - r[None, None, :] + 97) % 97
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sum_v": pa.array(out.sum(axis=(1, 2)), pa.int64()),
+                "min_v": pa.array(out.min(axis=(1, 2)), pa.int64()),
+                "max_v": pa.array(out.max(axis=(1, 2)), pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(calc, batch_format="pyarrow")
+
+
+SQL_RASTER_CALC = f"""
+with {_DEM_GRID_CTE},
+v as (select doc_id, (2 * e + 3 * r - c + 97) % 97 as v from g)
+select doc_id, sum(v) as sum_v, min(v) as min_v, max(v) as max_v
+from v group by 1
+"""
+
+
 def q_proximity(sf_dir: str):
     """Exact squared-euclidean proximity to elevation-≥200 target pixels
     (GDALComputeProximity, alg/gdalproximity.cpp:94; exact EDT here) —
@@ -1765,6 +1797,7 @@ def queries():
         "hillshade": q_hillshade,
         "proximity": q_proximity,
         "sieve": q_sieve,
+        "raster_calc": q_raster_calc,
     }
 
 
@@ -1807,6 +1840,7 @@ def oracle_sql():
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,
+        "raster_calc": SQL_RASTER_CALC,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.
