@@ -37,8 +37,13 @@ def decode_and_footprint(batch: pa.Table) -> pa.Table:
             raise ValueError(
                 f"decoded dims {(iw, ih)} != declared {(int(ws[i]), int(hs[i]))}"
             )
-        means[i] = float(img.mean())
-        stds[i] = float(img.std())
+        # one integer pass (uint8 → int64 sums) instead of two float passes;
+        # std via E[x²]−E[x]² is exact here (sums are exact integers)
+        flat = img.reshape(-1).astype(np.int64)
+        s = int(flat.sum())
+        sq = int(np.dot(flat, flat))
+        means[i] = s / flat.size
+        stds[i] = float(np.sqrt(max(sq / flat.size - means[i] * means[i], 0.0)))
     lon0 = batch.column("lon_min").to_numpy()
     lat0 = batch.column("lat_min").to_numpy()
     lon1 = batch.column("lon_max").to_numpy()

@@ -144,16 +144,54 @@ def _empty_tile_frame() -> pd.DataFrame:
     )
 
 
-def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64):
-    """images → mosaicked base tiles Dataset (z,x,y,n_src,rgb,alpha,checksum)."""
+def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64,
+                      salt_bits: int | None = None):
+    """images → mosaicked base tiles Dataset (z,x,y,n_src,rgb,alpha,checksum).
+
+    ``salt_bits``: two-stage salted reduce for hot tiles (north rule
+    "salted shuffles for hot cells").  Salt = priority >> salt_bits —
+    CONTIGUOUS priority ranges, so partial mosaics composite in salt order
+    with last-on-top preserved exactly (overlay over ordered ranges is
+    associative; a hash salt would interleave priorities and break the
+    gdalbuildvrt order rule).  Stage 1 reduces (z,x,y,salt) partials;
+    stage 2 merges the ≤2^k partials per tile.  Results are byte-identical
+    to the single-stage plan (pytest-verified)."""
     contrib = images_ds.map_batches(
         lambda b: render_contributions(b, zoom=zoom, tile_size=tile_size),
         batch_format="pyarrow",
         batch_size=None,  # follow blocks — keeps task concurrency at num_cpus
     )
-    return contrib.groupby(["z", "x", "y"]).map_groups(
-        lambda g: _mosaic_group(g, tile_size), batch_format="pandas"
+    if salt_bits is None:
+        return contrib.groupby(["z", "x", "y"]).map_groups(
+            lambda g: _mosaic_group(g, tile_size), batch_format="pandas"
+        )
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "salt", pa.array(b.column("priority").to_numpy() >> salt_bits, pa.int64())
+        )
+
+    def partial_mosaic(g: pd.DataFrame) -> pd.DataFrame:
+        out = _mosaic_group(g, tile_size)
+        if len(out) == 0:
+            return out.assign(priority=pd.Series([], dtype=np.int64))
+        # partial keeps its salt as the priority for the stage-2 composite
+        return out.rename(columns={"n_src": "n_src"}).assign(
+            priority=np.int64(g["salt"].iloc[0])
+        )
+
+    salted = contrib.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(["z", "x", "y", "salt"]).map_groups(
+        partial_mosaic, batch_format="pandas"
     )
+
+    def final_mosaic(g: pd.DataFrame) -> pd.DataFrame:
+        out = _mosaic_group(g, tile_size)
+        if len(out):
+            out["n_src"] = np.int64(g["n_src"].sum())
+        return out
+
+    return partials.groupby(["z", "x", "y"]).map_groups(final_mosaic, batch_format="pandas")
 
 
 def _overview_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:

@@ -149,3 +149,23 @@ def test_pyramid_end_to_end(ray_session):
     assert (top["z"] == 1).all()
     # overlap region must have n_src == 2 somewhere at base zoom
     assert base["n_src"].max() == 2
+
+
+def test_salted_mosaic_equals_single_stage(ray_session):
+    import ray.data as rd
+
+    rows = [
+        _img_row(i, 30 + i * 40, 10.0 + i * 3, 20.0 + i * 2, 30.0 + i * 3, 40.0 + i * 2)
+        for i in range(5)
+    ]
+    ds = rd.from_arrow(_table(rows))
+    plain = render.render_base_tiles(ds, zoom=3, tile_size=16).to_pandas()
+    salted = render.render_base_tiles(ds, zoom=3, tile_size=16, salt_bits=1).to_pandas()
+    key = ["z", "x", "y"]
+    p = plain.sort_values(key).reset_index(drop=True)
+    s = salted.sort_values(key).reset_index(drop=True)
+    assert len(p) == len(s)
+    assert (p["checksum"].to_numpy() == s["checksum"].to_numpy()).all()
+    assert (p["n_src"].to_numpy() == s["n_src"].to_numpy()).all()
+    for a, b in zip(p["rgb"], s["rgb"]):
+        assert a == b
