@@ -245,8 +245,13 @@ def run_scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    r_lo = run(lo)
-    r_hi = run(hi)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    # best-of-k per level: the sandbox VM shows ±40% run-to-run host noise
+    # (shared-host steal); min wall is the standard noise-robust estimator
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     thr_lo = r_lo["n_images"] / r_lo["value"]
     thr_hi = r_hi["n_images"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -256,10 +261,14 @@ def run_scaling():
                 "metric": "scaling efficiency (throughput ratio / cpu ratio)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "images_per_sec_8": round(thr_lo, 1),
-                "images_per_sec_32": round(thr_hi, 1),
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "all_sec_lo": [r["value"] for r in runs_lo],
+                "all_sec_hi": [r["value"] for r in runs_hi],
+                "images_per_sec_lo": round(thr_lo, 1),
+                "images_per_sec_hi": round(thr_hi, 1),
                 "n_images": r_lo["n_images"],
                 "sf": SF_DIR,
             }

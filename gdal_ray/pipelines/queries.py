@@ -445,6 +445,39 @@ from t,
 """
 
 
+GEO_Z = 7
+
+
+def q_tile_geodetic(sf_dir: str):
+    """Geodetic (WorldCRS84Quad) tile of each derived point at z=7 —
+    GlobalGeodetic.LonLatToPixels/PixelsToTile (gdal2tiles.py:534-570),
+    the non-mercator tiling profile of tilematrixset.cpp."""
+    def tile(b: pa.Table) -> pa.Table:
+        x, y = tm.lonlat_to_tile_geodetic(
+            b.column("px").to_numpy(), b.column("py").to_numpy(), np.int64(GEO_Z)
+        )
+        return pa.table(
+            {
+                "point_id": b.column("point_id"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return derived_points_ds(sf_dir).map_batches(tile, batch_format="pyarrow")
+
+
+def _sql_tile_geodetic() -> str:
+    n = 2**GEO_Z
+    res = f"(180.0 / 256.0 / {n})"
+    tx = f"least(greatest(cast(ceil((180.0 + px) / {res} / 256.0) as bigint) - 1, 0), {2 * n - 1})"
+    ty_tms = f"least(greatest(cast(ceil((90.0 + py) / {res} / 256.0) as bigint) - 1, 0), {n - 1})"
+    return f"""
+with p as ({POINT_SQL_CTE})
+select point_id, {tx} as x, {n - 1} - {ty_tms} as y from p
+"""
+
+
 def q_pyramid_rollup(sf_dir: str):
     """Pyramid tile counts for z=8..0 from base assignments — the 4→1
     parent reduction of overview building (overview.cpp / gdal2tiles
@@ -1754,6 +1787,7 @@ def queries():
         "sessionize": q_sessionize,
         "tile_assign": q_tile_assign,
         "tile_cover": q_tile_cover,
+        "tile_geodetic": q_tile_geodetic,
         "pyramid_rollup": q_pyramid_rollup,
         "cell_counts": q_cell_counts,
         "pip_join": q_pip_join,
@@ -1814,6 +1848,7 @@ def oracle_sql():
         "sessionize": SQL_SESSIONIZE,
         "tile_assign": _sql_tile_assign(),
         "tile_cover": _sql_tile_cover(),
+        "tile_geodetic": _sql_tile_geodetic(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "cell_counts": _sql_cell_counts(),
         "pip_join": _sql_pip_join(),
