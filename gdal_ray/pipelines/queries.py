@@ -324,6 +324,53 @@ from events group by 1, 2
 """
 
 
+HOP_US = 1_800_000_000  # 30-min slide
+WIN_US = 3_600_000_000  # 1-h window
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1h window, 30min slide): each event feeds
+    the two windows covering it — vectorized flat_map + groupby (the
+    sliding-window idiom on a bounded log)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        tus = t.column("ts").cast(pa.int64()).to_numpy()
+        cents = _cents(t.column("value").to_numpy())
+        et = t.column("event_type")
+        base = (tus // HOP_US) * HOP_US
+        starts = np.concatenate([base, base - HOP_US])
+        n = len(tus)
+        keep = np.concatenate([tus, tus]) < starts + WIN_US
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et.combine_chunks()] * 2).filter(pa.array(keep)),
+                "win_start": pa.array(starts[keep], pa.int64()),
+                "value_cents": pa.array(np.concatenate([cents, cents])[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_HOPPING = f"""
+with e as (select event_type, epoch_us(ts) as tus, {_SQL_CENTS.format(col='value')} as cents
+           from events),
+w as (select event_type, cents,
+             (tus // {HOP_US}) * {HOP_US} - s.k * {HOP_US} as win_start, tus
+      from e, unnest([0, 1]) as s(k))
+select event_type, win_start, count(*) as n, sum(cents) as sum_value_cents
+from w where tus < win_start + {WIN_US}
+group by 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min gap) — groupby(user).map_groups over the
     ts-ordered log (Ray Data's streaming-window idiom)."""
@@ -1785,6 +1832,7 @@ def queries():
         "union_all": q_union_all,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "events_hopping": q_events_hopping,
         "tile_assign": q_tile_assign,
         "tile_cover": q_tile_cover,
         "tile_geodetic": q_tile_geodetic,
@@ -1846,6 +1894,7 @@ def oracle_sql():
         "union_all": SQL_UNION_ALL,
         "events_hourly": SQL_EVENTS_HOURLY,
         "sessionize": SQL_SESSIONIZE,
+        "events_hopping": SQL_EVENTS_HOPPING,
         "tile_assign": _sql_tile_assign(),
         "tile_cover": _sql_tile_cover(),
         "tile_geodetic": _sql_tile_geodetic(),
