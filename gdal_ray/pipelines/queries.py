@@ -1053,6 +1053,91 @@ def _polys_ds(n: int = 50):
     return rd.from_arrow(make_polygon_table(n))
 
 
+def q_layer_extent(sf_dir: str):
+    """Envelope-union aggregate (OGRLayer::GetExtent, ogrlayer.cpp:224):
+    bbox of derived points per id-class — Min/Max aggregate only."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        return pa.table(
+            {
+                "klass": pa.array(ids % 5, pa.int64()),
+                "px": b.column("px"),
+                "py": b.column("py"),
+            }
+        )
+
+    return (
+        derived_points_ds(sf_dir)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("klass")
+        .aggregate(
+            Min("px", alias_name="xmin"), Min("py", alias_name="ymin"),
+            Max("px", alias_name="xmax"), Max("py", alias_name="ymax"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def _sql_layer_extent() -> str:
+    return f"""
+with p as ({POINT_SQL_CTE})
+select point_id % 5 as klass, min(px) as xmin, min(py) as ymin,
+       max(px) as xmax, max(py) as ymax, count(*) as n
+from p group by 1
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT) (SWQM_DISTINCT_LIST, ogr_swq.h:322): distinct users
+    per event type — two-stage groupby (exact, shuffle only of keys)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    return (
+        pairs.select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_COUNT_DISTINCT = """
+select event_type, count(distinct user_id) as n_users from events group by 1
+"""
+
+
+def q_stride_sample(sf_dir: str):
+    """Deterministic stride sampling (the bApproxOK decimated-scan idiom,
+    gdalrasterband.cpp:6478 — GDAL samples deterministically, not
+    randomly): every 7th doc id, then an aggregate over the sample."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        keep = ids % 7 == 0
+        return pa.table(
+            {
+                "bucket": pa.array((ids[keep] // 70) % 10, pa.int64()),
+                "point_id": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    return (
+        derived_points_ds(sf_dir)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("point_id", alias_name="sum_id"))
+    )
+
+
+SQL_STRIDE_SAMPLE = """
+select (doc_id // 70) % 10 as bucket, count(*) as n, sum(doc_id) as sum_id
+from documents where doc_id % 7 = 0 group by 1
+"""
+
+
 def q_first_event(sf_dir: str):
     """Arg-min per group (first event per user+type): partial per-batch
     arg-min combine → tiny groupby — no row shuffle."""
@@ -1870,6 +1955,9 @@ def queries():
         "convex_hull": q_convex_hull,
         "first_event": q_first_event,
         "box_overlay": q_box_overlay,
+        "layer_extent": q_layer_extent,
+        "count_distinct": q_count_distinct,
+        "stride_sample": q_stride_sample,
         "asof_join": q_asof_join,
         "window_rank": q_window_rank,
         "bbox_join": q_bbox_join,
@@ -1917,6 +2005,9 @@ def oracle_sql():
         "geom_measures": _sql_geom_measures(),
         "first_event": SQL_FIRST_EVENT,
         "box_overlay": _sql_box_overlay(),
+        "layer_extent": _sql_layer_extent(),
+        "count_distinct": SQL_COUNT_DISTINCT,
+        "stride_sample": SQL_STRIDE_SAMPLE,
         "asof_join": SQL_ASOF_JOIN,
         "window_rank": SQL_WINDOW_RANK,
         "bbox_join": _sql_bbox_join(),
