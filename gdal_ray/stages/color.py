@@ -42,11 +42,13 @@ def median_cut_palette(pixels: np.ndarray, n_colors: int = 16) -> np.ndarray:
 
 def nearest_palette_index(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """(h, w, 3) → (h, w) uint8 index of the nearest palette color
-    (euclidean, ties → smaller index)."""
-    flat = np.asarray(img, dtype=np.int64).reshape(-1, 3)
-    pal = np.asarray(palette, dtype=np.int64)
-    d2 = ((flat[:, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1).astype(np.uint8).reshape(img.shape[:2])
+    (euclidean, ties → smaller index).  Expanded-square matmul form: every
+    term is an integer < 2^53 so the float64 distances are EXACT and the
+    argmin (first-min tie rule) matches integer arithmetic bit-for-bit."""
+    flat = np.asarray(img, dtype=np.float64).reshape(-1, 3)
+    pal = np.asarray(palette, dtype=np.float64)
+    d2 = (flat * flat).sum(1, keepdims=True) - 2.0 * (flat @ pal.T) + (pal * pal).sum(1)[None, :]
+    return d2.argmin(axis=1).astype(np.uint8).reshape(np.asarray(img).shape[:2])
 
 
 def expand_palette(idx: np.ndarray, palette: np.ndarray) -> np.ndarray:
