@@ -1276,6 +1276,111 @@ from ra group by 1
 """
 
 
+def q_geom_explode(sf_dir: str):
+    """explode-collections (apps/gdalalg_vector_pipeline.cpp step): one row
+    per polygon part with its ring/vertex counts — flat_map over WKB."""
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    def explode(b: pa.Table) -> pa.Table:
+        pids, parts_idx, nrings, nverts = [], [], [], []
+        for pid, wkb in zip(b.column("poly_id").to_pylist(), b.column("wkb").to_pylist()):
+            for p_idx, rings in enumerate(polygon_parts(wkb)):
+                nv = 0
+                for r in rings:
+                    r = np.asarray(r)
+                    n = len(r)
+                    if n >= 2 and (r[0] == r[-1]).all():
+                        n -= 1
+                    nv += n
+                pids.append(pid)
+                parts_idx.append(p_idx)
+                nrings.append(len(rings))
+                nverts.append(nv)
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "part": pa.array(parts_idx, pa.int64()),
+                "n_rings": pa.array(nrings, pa.int64()),
+                "n_vertices": pa.array(nverts, pa.int64()),
+            }
+        )
+
+    return _polys_ds().map_batches(explode, batch_format="pyarrow")
+
+
+def _sql_geom_explode() -> str:
+    return f"""
+with e(poly_id, part, ring, hole, x1, y1, x2, y2) as (values {_poly_edges_units_sql_values()})
+select poly_id, part, count(distinct ring) as n_rings, count(*) as n_vertices
+from e group by 1, 2
+"""
+
+
+INTERP_N = 16
+
+
+def q_interpolate_at_point(sf_dir: str):
+    """Bilinear value extraction at fractional points
+    (GDALInterpolateAtPoint, alg/gdal_interpolateatpoint.cpp): sample the
+    derived elevation grid at quarter-pixel positions — result ×16 is an
+    exact integer, matching the SQL weight expansion bit-for-bit."""
+    from gdal_ray.stages import dem
+
+    def interp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        e = dem.elevation_grids(ids, INTERP_N)
+        # fractional sample position derived from the id (quarter-pixel grid)
+        fr = (ids % 53).astype(np.float64) / 4.0 % (INTERP_N - 1)
+        fc = (ids % 59).astype(np.float64) / 4.0 % (INTERP_N - 1)
+        r0 = np.floor(fr).astype(np.int64)
+        c0 = np.floor(fc).astype(np.int64)
+        dr4 = np.round((fr - r0) * 4).astype(np.int64)  # 0..3 quarters
+        dc4 = np.round((fc - c0) * 4).astype(np.int64)
+        ar = np.arange(len(ids))
+        v00 = e[ar, r0, c0]
+        v01 = e[ar, r0, c0 + 1]
+        v10 = e[ar, r0 + 1, c0]
+        v11 = e[ar, r0 + 1, c0 + 1]
+        val16 = (
+            v00 * (4 - dr4) * (4 - dc4) + v01 * (4 - dr4) * dc4
+            + v10 * dr4 * (4 - dc4) + v11 * dr4 * dc4
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "r0": pa.array(r0, pa.int64()),
+                "c0": pa.array(c0, pa.int64()),
+                "value16": pa.array(val16, pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(interp, batch_format="pyarrow")
+
+
+def _sql_interpolate() -> str:
+    n = INTERP_N
+    return f"""
+with d as (select doc_id from documents where doc_id < {DEM_DOCS}),
+pos as (select doc_id,
+               ((doc_id % 53) / 4.0) % {n - 1} as fr,
+               ((doc_id % 59) / 4.0) % {n - 1} as fc
+        from d),
+q as (select doc_id, cast(floor(fr) as bigint) as r0, cast(floor(fc) as bigint) as c0,
+             cast(round((fr - floor(fr)) * 4) as bigint) as dr4,
+             cast(round((fc - floor(fc)) * 4) as bigint) as dc4
+      from pos),
+v as (select q.*,
+             (q.doc_id*7919 + q.r0*131 + q.c0*17) % 256 as v00,
+             (q.doc_id*7919 + q.r0*131 + (q.c0+1)*17) % 256 as v01,
+             (q.doc_id*7919 + (q.r0+1)*131 + q.c0*17) % 256 as v10,
+             (q.doc_id*7919 + (q.r0+1)*131 + (q.c0+1)*17) % 256 as v11
+      from q)
+select doc_id, r0, c0,
+       v00*(4-dr4)*(4-dc4) + v01*(4-dr4)*dc4 + v10*dr4*(4-dc4) + v11*dr4*dc4 as value16
+from v
+"""
+
+
 def q_convex_hull(sf_dir: str):
     """Convex hull per polygon (Andrew monotone chain on integer units,
     OGRGeometry::ConvexHull :4186 parity) — hull vertex count + hull area;
@@ -1952,6 +2057,8 @@ def queries():
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
+        "geom_explode": q_geom_explode,
+        "interpolate_at_point": q_interpolate_at_point,
         "convex_hull": q_convex_hull,
         "first_event": q_first_event,
         "box_overlay": q_box_overlay,
@@ -2003,6 +2110,8 @@ def oracle_sql():
         "scalar_funcs": SQL_SCALAR_FUNCS,
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
+        "geom_explode": _sql_geom_explode(),
+        "interpolate_at_point": _sql_interpolate(),
         "first_event": SQL_FIRST_EVENT,
         "box_overlay": _sql_box_overlay(),
         "layer_extent": _sql_layer_extent(),
