@@ -172,3 +172,69 @@ def buffer_point(x: float, y: float, radius: float, quadrant_segments: int = 8) 
 
 def swap_xy(xy: np.ndarray) -> np.ndarray:
     return np.asarray(xy)[:, ::-1]
+
+
+# ---------------------------------------------------------------------------
+# clip — Sutherland–Hodgman against an axis-aligned box (the `gdal vector
+# clip` / warp-cutline primitive for convex clip regions; reference
+# delegates to GEOS Intersection, ogrlayer.cpp clip path)
+
+def clip_ring_box(ring: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    """Clip one (closed or open) ring to [x0,x1]×[y0,y1]; returns the
+    clipped ring's vertices (possibly empty).  Vertices exactly on the
+    boundary are kept (closed-region convention)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cross(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return (x, a[1] + t * (b[1] - a[1]))
+
+    def y_cross(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return (a[0] + t * (b[0] - a[0]), y)
+
+    poly = [tuple(p) for p in pts]
+    for inside, intersect in (
+        (lambda p: p[0] >= x0, lambda a, b: x_cross(a, b, x0)),
+        (lambda p: p[0] <= x1, lambda a, b: x_cross(a, b, x1)),
+        (lambda p: p[1] >= y0, lambda a, b: y_cross(a, b, y0)),
+        (lambda p: p[1] <= y1, lambda a, b: y_cross(a, b, y1)),
+    ):
+        if not poly:
+            break
+        poly = clip_edge(poly, inside, intersect)
+    return np.array(poly, dtype=np.float64).reshape(-1, 2)
+
+
+def clipped_area(parts: list[list[np.ndarray]], x0, y0, x1, y1) -> float:
+    """Area of (Multi)Polygon ∩ box (exterior − holes), via per-ring clip.
+    Correct for rings whose box intersection is simply connected (our
+    fixture shapes); float area in deg²."""
+    def ring_area(r):
+        if len(r) < 3:
+            return 0.0
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+    total = 0.0
+    for rings in parts:
+        total += ring_area(clip_ring_box(rings[0], x0, y0, x1, y1))
+        for hole in rings[1:]:
+            total -= ring_area(clip_ring_box(hole, x0, y0, x1, y1))
+    return total

@@ -1381,6 +1381,76 @@ from v
 """
 
 
+CLIP_BOX = (0.0, 0.0, 50.0, 40.0)  # lon/lat clip window
+
+
+def _axis_aligned_polys() -> pa.Table:
+    """Fixture polys whose rings are all axis-aligned (kinds 0/3/4 of
+    make_polygon_table) — their box-clip areas are integer-exact."""
+    t = make_polygon_table(50)
+    keep = [i for i, pid in enumerate(t.column("poly_id").to_pylist())
+            if int(pid.rsplit("-", 1)[-1]) % 5 in (0, 3, 4)]
+    return t.take(pa.array(keep))
+
+
+def q_vector_clip(sf_dir: str):
+    """`gdal vector clip` on axis-aligned shapes: Sutherland–Hodgman clip
+    of every ring to a fixed box, clipped area (exterior−holes) in integer
+    unit² — matches the SQL box-intersection oracle exactly."""
+    import ray.data as rd
+
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    x0, y0, x1, y1 = CLIP_BOX
+
+    def clip(b: pa.Table) -> pa.Table:
+        pids, areas = [], []
+        for pid, wkb in zip(b.column("poly_id").to_pylist(), b.column("wkb").to_pylist()):
+            total = 0
+            for rings in polygon_parts(wkb):
+                ext = ops.clip_ring_box(rings[0], x0, y0, x1, y1)
+                total += abs(ops.ring_area2_units(ext)) if len(ext) >= 3 else 0
+                for hole in rings[1:]:
+                    hc = ops.clip_ring_box(hole, x0, y0, x1, y1)
+                    total -= abs(ops.ring_area2_units(hc)) if len(hc) >= 3 else 0
+            pids.append(pid)
+            areas.append(total)
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "clip_area2_u": pa.array(areas, pa.int64()),
+            }
+        )
+
+    return rd.from_arrow(_axis_aligned_polys()).map_batches(clip, batch_format="pyarrow")
+
+
+def _sql_vector_clip() -> str:
+    from gdal_ray.geometry.ops import to_units
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    ux0, uy0, ux1, uy1 = (int(round(v * 100)) for v in CLIP_BOX)
+    t = _axis_aligned_polys()
+    rows = []
+    for pid, wkb in zip(t.column("poly_id").to_pylist(), t.column("wkb").to_pylist()):
+        for rings in polygon_parts(wkb):
+            for r_idx, ring in enumerate(rings):
+                u = to_units(np.asarray(ring))
+                rows.append(
+                    f"('{pid}',{1 if r_idx else 0},{u[:,0].min()},{u[:,1].min()},{u[:,0].max()},{u[:,1].max()})"
+                )
+    return f"""
+with rb(poly_id, hole, x0, y0, x1, y1) as (values {",".join(rows)}),
+i as (select poly_id, hole,
+             greatest(0, least(x1, {ux1}) - greatest(x0, {ux0}))
+             * greatest(0, least(y1, {uy1}) - greatest(y0, {uy0})) as a
+      from rb)
+select poly_id, sum(case when hole = 1 then -2 * a else 2 * a end) as clip_area2_u
+from i group by 1
+"""
+
+
 def q_convex_hull(sf_dir: str):
     """Convex hull per polygon (Andrew monotone chain on integer units,
     OGRGeometry::ConvexHull :4186 parity) — hull vertex count + hull area;
@@ -2058,6 +2128,7 @@ def queries():
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
         "geom_explode": q_geom_explode,
+        "vector_clip": q_vector_clip,
         "interpolate_at_point": q_interpolate_at_point,
         "convex_hull": q_convex_hull,
         "first_event": q_first_event,
@@ -2111,6 +2182,7 @@ def oracle_sql():
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "geom_explode": _sql_geom_explode(),
+        "vector_clip": _sql_vector_clip(),
         "interpolate_at_point": _sql_interpolate(),
         "first_event": SQL_FIRST_EVENT,
         "box_overlay": _sql_box_overlay(),

@@ -83,3 +83,41 @@ def test_area_units_vs_float():
 def test_swap_xy():
     xy = np.array([[1.0, 2.0], [3.0, 4.0]])
     assert ops.swap_xy(xy).tolist() == [[2.0, 1.0], [4.0, 3.0]]
+
+
+def test_clip_box_fully_inside():
+    ring = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    out = ops.clip_ring_box(ring, 0, 0, 10, 10)
+    assert ops.clipped_area([[ring]], 0, 0, 10, 10) == pytest.approx(4.0)
+    assert len(out) == 4
+
+
+def test_clip_box_partial_overlap():
+    # unit-aligned box [0,4]x[0,4] clipped to [2,6]x[1,3] → 2x2 area
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    assert ops.clipped_area([[ring]], 2, 1, 6, 3) == pytest.approx(4.0)
+
+
+def test_clip_box_disjoint():
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    assert ops.clipped_area([[ring]], 5, 5, 6, 6) == 0.0
+    assert len(ops.clip_ring_box(ring, 5, 5, 6, 6)) == 0
+
+
+def test_clip_triangle_corner():
+    # right triangle clipped by half-plane-ish box: hand-computed area
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    # clip to x<=2: remaining region area = full (8) − cut triangle (x>2 part: area 2)
+    assert ops.clipped_area([[tri]], -10, -10, 2.0, 10) == pytest.approx(6.0)
+
+
+def test_clip_polygon_with_hole():
+    outer = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    hole = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    # clip to left half x<=2: outer→8, hole→2 → 6
+    assert ops.clipped_area([[outer, hole]], -1, -1, 2.0, 5) == pytest.approx(6.0)
+
+
+def test_clip_preserves_winding_independence():
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    assert ops.clipped_area([[ring[::-1]]], 1, 1, 3, 3) == pytest.approx(4.0)
