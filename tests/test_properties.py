@@ -73,7 +73,11 @@ def test_hull_contains_all_and_idempotent(pts):
        st.floats(-40, 0, allow_nan=False), st.floats(-40, 0, allow_nan=False),
        st.floats(0.5, 40, allow_nan=False), st.floats(0.5, 40, allow_nan=False))
 def test_clip_area_bounded(ring_pts, bx0, by0, w, h):
-    ring = np.array(ring_pts)
+    # star-shaped ordering around the centroid → SIMPLE polygon
+    # (Sutherland–Hodgman, like GEOS, requires valid input geometry)
+    raw = np.array(ring_pts)
+    c = raw.mean(axis=0)
+    ring = raw[np.argsort(np.arctan2(raw[:, 1] - c[1], raw[:, 0] - c[0]), kind="mergesort")]
     bx1, by1 = bx0 + w, by0 + h
     clipped = ops.clip_ring_box(ring, bx0, by0, bx1, by1)
     if len(clipped) >= 3:
