@@ -285,6 +285,8 @@ def run_scaling():
                 "sec_hi": r_hi["value"],
                 "all_sec_lo": [r["value"] for r in runs_lo],
                 "all_sec_hi": [r["value"] for r in runs_hi],
+                "queries_lo": r_lo["queries"],
+                "queries_hi": r_hi["queries"],
                 "images_per_sec_lo": round(thr_lo, 1),
                 "images_per_sec_hi": round(thr_hi, 1),
                 "n_images": r_lo["n_images"],
