@@ -1003,6 +1003,20 @@ def q_polygonize(sf_dir: str):
     return _dem_docs(sf_dir).map_batches(comp, batch_format="pyarrow")
 
 
+def q_polygonize_dist(sf_dir: str):
+    """Distributed polygonize: per-tile CCL + cross-tile boundary stitch
+    (groupby(doc) union-find over border equivalences) — global component
+    stats exactly equal to single-pass labeling (pytest-verified;
+    rows-only driver check)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.polygonize import distributed_components
+
+    grid_fn = lambda i: dem.reclassify(  # noqa: E731
+        dem.elevation_grids(np.asarray(i, dtype=np.int64), 32)
+    )
+    return distributed_components(_dem_docs(sf_dir), grid_fn=grid_fn, tile=16)
+
+
 # ===========================================================================
 # Grid interpolation (gdal_grid family, stages/grid.py)
 # ===========================================================================
@@ -2124,6 +2138,7 @@ def queries():
         "translate": q_translate,
         "rasterize": q_rasterize,
         "polygonize": q_polygonize,
+        "polygonize_dist": q_polygonize_dist,
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,

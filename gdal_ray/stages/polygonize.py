@@ -212,3 +212,155 @@ def rings_to_wkt(rings: list[list[tuple[int, int]]]) -> str:
         coords = ",".join(f"{x} {y}" for x, y in ring)
         parts.append(f"({coords})")
     return "POLYGON (" + ",".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# distributed CCL: per-tile labeling + cross-tile boundary stitching
+# (SURVEY.md §7 "hard part 2" — the label-equivalence merge GDALPolygonize
+# never needs because it is single-process; reference semantics
+# alg/gdalrasterpolygonenumerator.cpp CompleteMerges:167 generalized to a
+# tile-partitioned grid)
+
+import pandas as pd
+import pyarrow as pa
+
+
+def split_tiles_batch(batch: pa.Table, *, grid_fn, tile: int) -> pa.Table:
+    """doc rows → one row per (doc, ty, tx) tile of the doc's grid.
+    grid_fn(ids) -> (B, n, n) int array; n must be divisible by `tile`."""
+    ids = batch.column("doc_id").to_numpy()
+    grids = grid_fn(ids)
+    n = grids.shape[1]
+    nt = n // tile
+    out_doc, out_ty, out_tx, out_bytes = [], [], [], []
+    for i, d in enumerate(ids):
+        for ty in range(nt):
+            for tx in range(nt):
+                t = grids[i, ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                out_doc.append(int(d))
+                out_ty.append(ty)
+                out_tx.append(tx)
+                out_bytes.append(np.ascontiguousarray(t, dtype=np.int32).tobytes())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "ty": pa.array(out_ty, pa.int64()),
+            "tx": pa.array(out_tx, pa.int64()),
+            "tile": pa.array(out_bytes, pa.binary()),
+            "ts": pa.array([tile] * len(out_doc), pa.int64()),
+            "nt": pa.array([nt] * len(out_doc), pa.int64()),
+        }
+    )
+
+
+def tile_label_summary_batch(batch: pa.Table) -> pa.Table:
+    """Per tile: local CCL (the heavy, perfectly-parallel step) → compact
+    summary rows carrying ONLY label counts/sizes and the four border
+    (value, label) sequences — pixels never shuffle."""
+    out = {k: [] for k in ("doc_id", "ty", "tx", "nt", "n_labels", "sizes",
+                            "top_v", "top_l", "bot_v", "bot_l",
+                            "left_v", "left_l", "right_v", "right_l")}
+    for row in range(len(batch)):
+        ts = batch.column("ts")[row].as_py()
+        t = np.frombuffer(batch.column("tile")[row].as_py(), dtype=np.int32).reshape(ts, ts)
+        labels = label_components(t)
+        n_labels = int(labels.max())
+        sizes = np.bincount(labels.ravel(), minlength=n_labels + 1)[1:]
+        out["doc_id"].append(batch.column("doc_id")[row].as_py())
+        out["ty"].append(batch.column("ty")[row].as_py())
+        out["tx"].append(batch.column("tx")[row].as_py())
+        out["nt"].append(batch.column("nt")[row].as_py())
+        out["n_labels"].append(n_labels)
+        out["sizes"].append(sizes.astype(np.int64).tolist())
+        out["top_v"].append(t[0, :].astype(np.int64).tolist())
+        out["top_l"].append(labels[0, :].astype(np.int64).tolist())
+        out["bot_v"].append(t[-1, :].astype(np.int64).tolist())
+        out["bot_l"].append(labels[-1, :].astype(np.int64).tolist())
+        out["left_v"].append(t[:, 0].astype(np.int64).tolist())
+        out["left_l"].append(labels[:, 0].astype(np.int64).tolist())
+        out["right_v"].append(t[:, -1].astype(np.int64).tolist())
+        out["right_l"].append(labels[:, -1].astype(np.int64).tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "tx": pa.array(out["tx"], pa.int64()),
+            "nt": pa.array(out["nt"], pa.int64()),
+            "n_labels": pa.array(out["n_labels"], pa.int64()),
+            "sizes": pa.array(out["sizes"], pa.list_(pa.int64())),
+            **{k: pa.array(out[k], pa.list_(pa.int64()))
+               for k in ("top_v", "top_l", "bot_v", "bot_l",
+                          "left_v", "left_l", "right_v", "right_l")},
+        }
+    )
+
+
+def stitch_doc_components(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc reduce: union-find over border equivalences of the tile
+    summaries → exact global component count + size distribution (equals
+    the single-pass CCL bit-for-bit; pytest-verified)."""
+    g = g.sort_values(["ty", "tx"], kind="mergesort")
+    nt = int(g["nt"].iloc[0])
+    offsets = {}
+    total = 0
+    sizes_all = []
+    for _, r in g.iterrows():
+        offsets[(int(r["ty"]), int(r["tx"]))] = total
+        total += int(r["n_labels"])
+        sizes_all.extend(r["sizes"])
+    parent = list(range(total))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_pos = {(int(r["ty"]), int(r["tx"])): r for _, r in g.iterrows()}
+    for (ty, tx), r in by_pos.items():
+        low = by_pos.get((ty + 1, tx))
+        if low is not None:
+            bv, bl = np.array(r["bot_v"]), np.array(r["bot_l"])
+            tv, tl = np.array(low["top_v"]), np.array(low["top_l"])
+            same = bv == tv
+            for k in np.flatnonzero(same):
+                union(offsets[(ty, tx)] + int(bl[k]) - 1,
+                      offsets[(ty + 1, tx)] + int(tl[k]) - 1)
+        rgt = by_pos.get((ty, tx + 1))
+        if rgt is not None:
+            rv, rl = np.array(r["right_v"]), np.array(r["right_l"])
+            lv, ll = np.array(rgt["left_v"]), np.array(rgt["left_l"])
+            same = rv == lv
+            for k in np.flatnonzero(same):
+                union(offsets[(ty, tx)] + int(rl[k]) - 1,
+                      offsets[(ty, tx + 1)] + int(ll[k]) - 1)
+
+    root_sizes: dict[int, int] = {}
+    for i in range(total):
+        root = find(i)
+        root_sizes[root] = root_sizes.get(root, 0) + int(sizes_all[i])
+    return pd.DataFrame(
+        {
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "n_components": [np.int64(len(root_sizes))],
+            "max_component": [np.int64(max(root_sizes.values()))],
+            "n_pixels": [np.int64(sum(root_sizes.values()))],
+        }
+    )
+
+
+def distributed_components(docs_ds, *, grid_fn, tile: int):
+    """docs → tile split (flat_map) → per-tile CCL (map_batches) →
+    groupby(doc).stitch — global component stats, exactly equal to a
+    single-pass CCL of the whole grid."""
+    tiles = docs_ds.map_batches(
+        lambda b: split_tiles_batch(b, grid_fn=grid_fn, tile=tile),
+        batch_format="pyarrow",
+    )
+    summaries = tiles.map_batches(tile_label_summary_batch, batch_format="pyarrow")
+    return summaries.groupby("doc_id").map_groups(stitch_doc_components, batch_format="pandas")
