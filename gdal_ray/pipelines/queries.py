@@ -1003,6 +1003,25 @@ def q_polygonize(sf_dir: str):
     return _dem_docs(sf_dir).map_batches(comp, batch_format="pyarrow")
 
 
+def q_contour_lines(sf_dir: str):
+    """Contour polylines with distributed cross-tile chain stitching
+    (marching-squares segments + segment_merger.h chaining, union-find
+    over border endpoints) — equals single-pass assembly exactly
+    (pytest gate; rows-only driver check)."""
+    from gdal_ray.stages.contour import distributed_contours
+
+    grid_fn = lambda i: dem_grids_33(i)  # noqa: E731
+    return distributed_contours(
+        _dem_docs(sf_dir), grid_fn=grid_fn, levels=(63.5, 127.5, 191.5), tile=16
+    )
+
+
+def dem_grids_33(ids):
+    from gdal_ray.stages import dem
+
+    return dem.elevation_grids(np.asarray(ids, dtype=np.int64), 33)
+
+
 def q_polygonize_dist(sf_dir: str):
     """Distributed polygonize: per-tile CCL + cross-tile boundary stitch
     (groupby(doc) union-find over border equivalences) — global component
@@ -2139,6 +2158,7 @@ def queries():
         "rasterize": q_rasterize,
         "polygonize": q_polygonize,
         "polygonize_dist": q_polygonize_dist,
+        "contour_lines": q_contour_lines,
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
