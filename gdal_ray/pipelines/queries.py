@@ -792,6 +792,18 @@ select query_id, neighbor_id, "rank" from r where "rank" <= 5
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the 10^12-scale path): bucket shuffle by nearest
+    centroid, probe 4 of 8 buckets (rows-only; full-probe ≡ brute force
+    pytest-verified, partial-probe recall floor asserted)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    queries_m = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return ann_stage.ivf_topk(
+        emb, queries_m, head["vec_id"].to_numpy(), k=5, n_centroids=8, nprobe=4
+    )
+
+
 def q_ngram_pairs(sf_dir: str):
     """Exact 3-gram Jaccard similar pairs among the first 100 docs (the
     exact-verification kernel of near-dup dedup; LSH variants are
@@ -2139,6 +2151,7 @@ def queries():
         "token_stats": q_token_stats,
         "quality_filter": q_quality_filter,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "ngram_pairs": q_ngram_pairs,
         "phash_neardup": q_phash_neardup,
         "embed_neardup": q_embed_neardup,
