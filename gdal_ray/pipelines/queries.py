@@ -140,9 +140,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = f"""
 select l_returnflag, l_linestatus,
-       sum(cast(l_quantity as bigint)) as sum_qty,
-       sum({_SQL_CENTS.format(col='l_extendedprice')}) as sum_price_cents,
-       sum({_SQL_CENTS.format(col='l_extendedprice')} * (100 - {_SQL_CENTS.format(col='l_discount')})) as sum_disc_price_c4,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+       cast(sum({_SQL_CENTS.format(col='l_extendedprice')}) as bigint) as sum_price_cents,
+       cast(sum({_SQL_CENTS.format(col='l_extendedprice')} * (100 - {_SQL_CENTS.format(col='l_discount')})) as bigint) as sum_disc_price_c4,
        max(cast(l_quantity as bigint)) as max_qty,
        min(cast(l_quantity as bigint)) as min_qty,
        count(*) as count_order
@@ -192,7 +192,7 @@ def q_join_hash(sf_dir: str):
 SQL_JOIN_HASH = f"""
 select c_mktsegment,
        count(*) as n_orders,
-       sum({_SQL_CENTS.format(col='o_totalprice')}) as sum_price_cents
+       cast(sum({_SQL_CENTS.format(col='o_totalprice')}) as bigint) as sum_price_cents
 from orders join customer on o_custkey = c_custkey
 group by c_mktsegment
 """
@@ -232,7 +232,7 @@ def q_join_broadcast(sf_dir: str):
 
 
 SQL_JOIN_BROADCAST = """
-select p_brand, count(*) as n_items, sum(cast(l_quantity as bigint)) as sum_qty
+select p_brand, count(*) as n_items, cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty
 from lineitem join part on l_partkey = p_partkey
 group by p_brand
 """
@@ -319,7 +319,7 @@ def q_events_hourly(sf_dir: str):
 
 SQL_EVENTS_HOURLY = f"""
 select event_type, epoch_us(ts) // 3600000000 as hour,
-       count(*) as n, sum({_SQL_CENTS.format(col='value')}) as sum_value_cents
+       count(*) as n, cast(sum({_SQL_CENTS.format(col='value')}) as bigint) as sum_value_cents
 from events group by 1, 2
 """
 
@@ -365,7 +365,7 @@ with e as (select event_type, epoch_us(ts) as tus, {_SQL_CENTS.format(col='value
 w as (select event_type, cents,
              (tus // {HOP_US}) * {HOP_US} - s.k * {HOP_US} as win_start, tus
       from e, unnest([0, 1]) as s(k))
-select event_type, win_start, count(*) as n, sum(cents) as sum_value_cents
+select event_type, win_start, count(*) as n, cast(sum(cents) as bigint) as sum_value_cents
 from w where tus < win_start + {WIN_US}
 group by 1, 2
 """
@@ -407,8 +407,8 @@ def q_sessionize(sf_dir: str):
 SQL_SESSIONIZE = """
 with e as (select event_id, user_id, epoch_us(ts) as tus from events),
 o as (select *, lag(tus) over (partition by user_id order by tus, event_id) as prev from e),
-s as (select *, sum(case when prev is null or tus - prev > 1800000000 then 1 else 0 end)
-                over (partition by user_id order by tus, event_id rows unbounded preceding) as session_id
+s as (select *, cast(sum(case when prev is null or tus - prev > 1800000000 then 1 else 0 end)
+                over (partition by user_id order by tus, event_id rows unbounded preceding) as bigint) as session_id
       from o)
 select user_id, session_id, count(*) as n_events, min(event_id) as first_event
 from s group by 1, 2
@@ -692,7 +692,7 @@ def q_json_props(sf_dir: str):
 
 SQL_JSON_PROPS = """
 select event_type, count(*) as n,
-       sum(cast(json_extract(props, '$.k') as bigint)) as sum_k,
+       cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) as sum_k,
        min(cast(json_extract(props, '$.k') as bigint)) as min_k,
        max(cast(json_extract(props, '$.k') as bigint)) as max_k
 from events group by 1
@@ -733,8 +733,8 @@ with s as (
          len(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha
   from documents
 )
-select lang, count(*) as n_docs, sum(n_tokens) as sum_tokens,
-       sum(n_chars) as sum_chars, sum(n_alpha) as sum_alpha
+select lang, count(*) as n_docs, cast(sum(n_tokens) as bigint) as sum_tokens,
+       cast(sum(n_chars) as bigint) as sum_chars, cast(sum(n_alpha) as bigint) as sum_alpha
 from s group by lang
 """
 
@@ -1178,7 +1178,7 @@ def q_stride_sample(sf_dir: str):
 
 
 SQL_STRIDE_SAMPLE = """
-select (doc_id // 70) % 10 as bucket, count(*) as n, sum(doc_id) as sum_id
+select (doc_id // 70) % 10 as bucket, count(*) as n, cast(sum(doc_id) as bigint) as sum_id
 from documents where doc_id % 7 = 0 group by 1
 """
 
@@ -1313,10 +1313,10 @@ ra as (select poly_id, part, ring, hole,
               abs(sum(x1 * y2 - x2 * y1)) as a2, count(*) as n_edges
        from e group by 1, 2, 3, 4)
 select poly_id,
-       sum(case when hole = 1 then -a2 else a2 end) as area2_u,
+       cast(sum(case when hole = 1 then -a2 else a2 end) as bigint) as area2_u,
        count(distinct part) as n_parts,
        count(*) as n_rings,
-       sum(n_edges) as n_vertices
+       cast(sum(n_edges) as bigint) as n_vertices
 from ra group by 1
 """
 
@@ -1491,7 +1491,7 @@ i as (select poly_id, hole,
              greatest(0, least(x1, {ux1}) - greatest(x0, {ux0}))
              * greatest(0, least(y1, {uy1}) - greatest(y0, {uy0})) as a
       from rb)
-select poly_id, sum(case when hole = 1 then -2 * a else 2 * a end) as clip_area2_u
+select poly_id, cast(sum(case when hole = 1 then -2 * a else 2 * a end) as bigint) as clip_area2_u
 from i group by 1
 """
 
@@ -1543,6 +1543,7 @@ def q_asof_join(sf_dir: str):
     return joins.asof_join(
         left, right, key="user_id", left_ts="ts", right_ts="ts",
         left_cols=["event_id"], right_cols=["event_id"], strict=True,
+        right_tie="event_id",
     )
 
 
@@ -1550,7 +1551,8 @@ SQL_ASOF_JOIN = """
 with p as (select event_id, user_id, ts from events where event_type = 'purchase'),
 c as (select event_id, user_id, ts from events where event_type = 'click'),
 j as (select p.user_id, p.event_id as l_event_id, c.event_id as r_event_id,
-             row_number() over (partition by p.event_id order by c.ts desc) as rn
+             row_number() over (partition by p.event_id
+                                order by c.ts desc, c.event_id desc) as rn
       from p join c on c.user_id = p.user_id and c.ts < p.ts)
 select user_id, l_event_id, r_event_id from j where rn = 1
 """
@@ -1694,9 +1696,9 @@ w as (select a.doc_id, a.r, a.c, a.e as ce, b.e as ne
            and b.r between a.r - 1 and a.r + 1 and b.c between a.c - 1 and a.c + 1
       where a.r between 1 and {DEM_N - 2} and a.c between 1 and {DEM_N - 2})
 select doc_id, r, c,
-       max(ne) - min(ne) as roughness,
-       sum(abs(ce - ne)) as tri,
-       9 * max(ce) - sum(ne) as tpi9
+       cast(max(ne) - min(ne) as bigint) as roughness,
+       cast(sum(abs(ce - ne)) as bigint) as tri,
+       cast(9 * max(ce) - sum(ne) as bigint) as tpi9
 from w group by 1, 2, 3
 """
 
@@ -1747,8 +1749,8 @@ cs as (select doc_id, level,
                + case when ble >= level then 1 else 0 end) as cse
        from cell cross join lv)
 select doc_id, level,
-       sum(case when cse not in (0, 15) then 1 else 0 end) as n_cells_crossed,
-       sum(case cse when 0 then 0 when 15 then 0 when 5 then 2 when 10 then 2 else 1 end) as n_segments
+       cast(sum(case when cse not in (0, 15) then 1 else 0 end) as bigint) as n_cells_crossed,
+       cast(sum(case cse when 0 then 0 when 15 then 0 when 5 then 2 when 10 then 2 else 1 end) as bigint) as n_segments
 from cs group by 1, 2
 """
 
@@ -1780,7 +1782,7 @@ def q_raster_calc(sf_dir: str):
 SQL_RASTER_CALC = f"""
 with {_DEM_GRID_CTE},
 v as (select doc_id, (2 * e + 3 * r - c + 97) % 97 as v from g)
-select doc_id, sum(v) as sum_v, min(v) as min_v, max(v) as max_v
+select doc_id, cast(sum(v) as bigint) as sum_v, cast(min(v) as bigint) as min_v, cast(max(v) as bigint) as max_v
 from v group by 1
 """
 

@@ -30,13 +30,20 @@ from gdal_ray import tilemath as tm
 # as-of join (sorted merge per key group)
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
-              left_cols: list[str], right_cols: list[str], strict: bool = True):
+              left_cols: list[str], right_cols: list[str], strict: bool = True,
+              right_tie: str | None = None):
     """For each left row, the right row with the greatest ``right_ts`` that
     is < (strict) or <= left_ts, within the same ``key`` group; inner join
     (left rows with no match are dropped).
 
     Both inputs are shuffled once by ``key`` (groupby); the per-group merge
     is one np.searchsorted over the ts-sorted right side.
+
+    ``right_tie`` names a right column used as a deterministic secondary
+    sort key: among right rows sharing the max eligible ``right_ts``, the
+    one with the greatest tie value wins (oracle: ORDER BY ts DESC, tie
+    DESC LIMIT 1).  Without it, equal timestamps resolve by residual
+    shuffle order.
     """
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
@@ -74,28 +81,40 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["side"] == 0
-        lg, rg = g[lmask], g[~lmask]
-        out_cols = [key] + [f"l_{c}" for c in left_cols] + [f"r_{c}" for c in right_cols]
-        if len(lg) == 0 or len(rg) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
-        r_ts = rg["r_ts"].to_numpy(dtype=np.int64)
-        order = np.argsort(r_ts, kind="mergesort")
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow-native group merge: row selection via take() so int64
+        # columns that carried nulls on the other side never get promoted
+        # to float64 (the pandas path would NaN-promote them).
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        l_rows = np.nonzero(side == 0)[0]
+        r_rows = np.nonzero(side == 1)[0]
+        if len(l_rows) == 0 or len(r_rows) == 0:
+            return pa.table(
+                {key: pa.nulls(0, l_types[key])}
+                | {f"l_{c}": pa.nulls(0, l_types[c]) for c in left_cols}
+                | {f"r_{c}": pa.nulls(0, r_types[c]) for c in right_cols}
+            )
+        r_ts = g.column("r_ts").to_numpy(zero_copy_only=False)[r_rows].astype(np.int64)
+        if right_tie is not None:
+            tie = g.column(f"r_{right_tie}").to_numpy(zero_copy_only=False)[r_rows]
+            order = np.lexsort((tie, r_ts))
+        else:
+            order = np.argsort(r_ts, kind="mergesort")
+        r_rows = r_rows[order]
         r_ts = r_ts[order]
-        rg = rg.iloc[order]
-        l_ts = lg["l_ts"].to_numpy(dtype=np.int64)
+        l_ts = g.column("l_ts").to_numpy(zero_copy_only=False)[l_rows].astype(np.int64)
         idx = np.searchsorted(r_ts, l_ts, side="left" if strict else "right") - 1
         keep = idx >= 0
-        lg = lg[keep]
-        matched = rg.iloc[idx[keep]]
-        out = {key: lg[key].to_numpy()}
-        out.update({f"l_{c}": lg[f"l_{c}"].to_numpy() for c in left_cols})
+        l_keep = pa.array(l_rows[keep])
+        r_match = pa.array(r_rows[idx[keep]])
+        cols = {key: g.column(key).take(l_keep)}
+        for c in left_cols:
+            cols[f"l_{c}"] = g.column(f"l_{c}").take(l_keep)
         for c in right_cols:
-            out[f"r_{c}"] = matched[f"r_{c}"].to_numpy()
-        return pd.DataFrame(out)
+            cols[f"r_{c}"] = g.column(f"r_{c}").take(r_match)
+        return pa.table(cols)
 
-    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -182,20 +201,24 @@ def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
     a_tagged = a_ds.map_batches(tag_a, batch_format="pyarrow")
     b_tagged = rd.from_arrow(b_cells)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        amask = g["side"] == 0
-        ag, bg = g[amask], g[~amask]
-        if len(ag) == 0 or len(bg) == 0:
-            cols = {"a_id": pd.Series([], dtype=object), "b_id": pd.Series([], dtype=object)}
+    def join_group(g: pa.Table) -> pa.Table:
+        # Arrow-native merge (take() row selection) so a_id/b_id keep their
+        # declared types — the pandas path promotes null-carrying int64
+        # columns to float64.
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a_rows = np.nonzero(side == 0)[0]
+        b_rows = np.nonzero(side == 1)[0]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            cols = {"a_id": pa.nulls(0, a_id_type), "b_id": pa.nulls(0, b_id_type)}
             if emit == "overlay":
                 for c in ("inter_w", "inter_h", "inter_area"):
-                    cols[c] = pd.Series([], dtype=np.float64)
-            return pd.DataFrame(cols)
-        cell = np.int64(g["cell_id"].iloc[0])
-        ax0 = ag["x0"].to_numpy(); ay0 = ag["y0"].to_numpy()
-        ax1 = ag["x1"].to_numpy(); ay1 = ag["y1"].to_numpy()
-        bx0 = bg["x0"].to_numpy(); by0 = bg["y0"].to_numpy()
-        bx1 = bg["x1"].to_numpy(); by1 = bg["y1"].to_numpy()
+                    cols[c] = pa.nulls(0, pa.float64())
+            return pa.table(cols)
+        cell = np.int64(g.column("cell_id")[0].as_py())
+        x0 = g.column("x0").to_numpy(); y0 = g.column("y0").to_numpy()
+        x1 = g.column("x1").to_numpy(); y1 = g.column("y1").to_numpy()
+        ax0 = x0[a_rows]; ay0 = y0[a_rows]; ax1 = x1[a_rows]; ay1 = y1[a_rows]
+        bx0 = x0[b_rows]; by0 = y0[b_rows]; bx1 = x1[b_rows]; by1 = y1[b_rows]
         zoom_ = np.int64(zoom)
         # full pairwise bbox-overlap mask (cells bound the group sizes)
         ov = (
@@ -209,19 +232,21 @@ def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
         ry = np.maximum(ay0[ai], by0[bj])
         tx, ty = tm.lonlat_to_tile_xyz(rx, ry, zoom_)
         own = tm.quadkey_int(tx, ty, zoom_) == cell
-        out = {"a_id": ag["a_id"].to_numpy()[ai[own]],
-               "b_id": bg["b_id"].to_numpy()[bj[own]]}
+        cols = {
+            "a_id": g.column("a_id").take(pa.array(a_rows[ai[own]])),
+            "b_id": g.column("b_id").take(pa.array(b_rows[bj[own]])),
+        }
         if emit == "overlay":
             # layer-algebra Intersection on boxes: exact extent + area
             # (each value is one identically-ordered float expression, so
             # the SQL oracle reproduces it bit-for-bit)
             iw = np.minimum(ax1[ai], bx1[bj]) - np.maximum(ax0[ai], bx0[bj])
             ih = np.minimum(ay1[ai], by1[bj]) - np.maximum(ay0[ai], by0[bj])
-            out["inter_w"] = iw[own]
-            out["inter_h"] = ih[own]
-            out["inter_area"] = (iw * ih)[own]
-        return pd.DataFrame(out)
+            cols["inter_w"] = pa.array(iw[own], pa.float64())
+            cols["inter_h"] = pa.array(ih[own], pa.float64())
+            cols["inter_area"] = pa.array((iw * ih)[own], pa.float64())
+        return pa.table(cols)
 
     return a_tagged.union(b_tagged).groupby("cell_id").map_groups(
-        join_group, batch_format="pandas"
+        join_group, batch_format="pyarrow"
     )

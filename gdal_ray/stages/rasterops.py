@@ -109,9 +109,10 @@ def sieve(classes: np.ndarray, *, threshold: int, connect8: bool = False) -> np.
         nb_labels = labels[nb]
         if nb_labels.size == 0:
             return cls  # isolated full-image component
-        counts = np.bincount(nb_labels, minlength=nlab + 1)
-        # largest neighbor component wins; ties → smaller label (deterministic)
-        merge_into = int(np.argmax(counts))
+        # largest-by-pixel-count neighboring component wins (GDALSieveFilter,
+        # alg/gdalsievefilter.cpp); ties → smaller label (deterministic)
+        cand = np.unique(nb_labels)
+        merge_into = int(cand[np.argmax(sizes[cand - 1])])
         cls[sel] = cls[labels == merge_into].ravel()[0]
 
 

@@ -80,15 +80,26 @@ def phash64(img: np.ndarray) -> int:
     Fully vectorized (np.add.reduceat over row/col boundaries)."""
     gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
     h, w = gray.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
-    # degenerate tiny images: boundaries must be strictly increasing
-    ys = np.maximum.accumulate(np.minimum(ys, h - 1))
-    xs = np.maximum.accumulate(np.minimum(xs, w - 1))
-    cells = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
-    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
-    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
-    cells = cells / np.outer(ycnt, xcnt)
+    if h >= 8 and w >= 8:
+        # boundaries strictly increasing here, so reduceat counts are ≥1
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        cells = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+        ycnt = np.diff(np.append(ys, h)).astype(np.float64)
+        xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+        cells = cells / np.outer(ycnt, xcnt)
+    else:
+        # tiny images: duplicate reduceat boundaries would yield 0-count
+        # cells (divide by zero) — take each cell as the mean of a window
+        # clamped to at least one pixel (rows/cols shared between cells)
+        cells = np.empty((8, 8), dtype=np.float64)
+        for r in range(8):
+            y0 = min((r * h) // 8, h - 1)
+            y1 = min(max(((r + 1) * h) // 8, y0 + 1), h)
+            for c in range(8):
+                x0 = min((c * w) // 8, w - 1)
+                x1 = min(max(((c + 1) * w) // 8, x0 + 1), w)
+                cells[r, c] = gray[y0:y1, x0:x1].mean()
     bits = (cells > cells.mean()).ravel()
     val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val

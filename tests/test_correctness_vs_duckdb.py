@@ -63,6 +63,9 @@ def test_query_matches_oracle(ray_session, oracle_con, name, fn, sql):
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        # The driver's value hash is dtype-sensitive (int64 vs float64 hash
+        # differently even for identical values) — mirror that strictness.
+        assert g.dtype.kind == w.dtype.kind, f"{name}.{c}: dtype {g.dtype} != oracle {w.dtype}"
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             assert np.allclose(g.astype(np.float64), w.astype(np.float64), rtol=0, atol=0), f"{name}.{c}"
         else:

@@ -59,7 +59,7 @@ def test_sieve_merges_into_largest_neighbor():
     g[:, 4:] = 2          # 15 px of class 2
     g[2, 3] = 1           # 1 px of class 1 sandwiched: left 0-region is larger
     out = ro.sieve(g, threshold=2)
-    # neighbors of the island: class0 (3 px) vs class2 (1 px) → class 0 wins
+    # neighboring components: class-0 region (19 px) vs class-2 (15 px) → 0 wins
     assert out[2, 3] == 0
 
 
