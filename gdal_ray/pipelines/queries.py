@@ -746,9 +746,10 @@ def q_quality_filter(sf_dir: str):
 
     def score(b: pa.Table) -> pa.Table:
         t = text_stage.token_stats_batch(b)
-        nonspace = np.array(
-            [len(s.replace(" ", "")) for s in b.column("text").to_pylist()], dtype=np.int64
-        )
+        nonspace = (
+            t.column("n_chars").to_numpy()
+            - pc.count_substring(b.column("text"), " ").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
         t = t.append_column("n_nonspace", pa.array(nonspace))
         mask = (t.column("n_alpha").to_numpy() * 10 >= nonspace * 7) & (
             t.column("n_tokens").to_numpy() >= 20

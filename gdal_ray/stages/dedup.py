@@ -170,11 +170,43 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
+    """Batch SimHash, fully vectorized over the raw Arrow string buffers:
+    ASCII-whitespace token runs located with byte-class tables, all tokens
+    FNV-1a-hashed in one numpy pass per byte *position*, bits expanded with
+    np.unpackbits and sign-accumulated per doc with add.reduceat.  Bit-
+    identical to the scalar :func:`simhash64` for ASCII-whitespace text."""
+    from gdal_ray.stages.text import _WS, _cum, _per_doc, _run_starts, run_spans, string_bytes
+
+    data, offs = string_bytes(batch.column("text"))
+    ndoc = len(batch)
+    nonspace = ~_WS[data]
+    starts_mask = _run_starts(nonspace, offs)
+    counts = _per_doc(_cum(starts_mask), offs)
+    t_start, t_len = run_spans(nonspace, starts_mask, offs)
+    ntok = len(t_start)
+    acc = np.zeros((ndoc, 64), dtype=np.int32)
+    if ntok:
+        h = np.full(ntok, np.uint64(14695981039346656037), dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for p in range(int(t_len.max())):
+                m = t_len > p
+                h[m] = (h[m] ^ data[t_start[m] + p].astype(np.uint64)) * prime
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        signs = bits.astype(np.int32) * 2 - 1
+        nz = np.nonzero(counts)[0]
+        tok_doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        acc[nz] = np.add.reduceat(signs, tok_doc_starts[nz], axis=0)
+    vals = (
+        np.packbits(acc > 0, axis=1, bitorder="little")
+        .view(np.uint64)
+        .ravel()
+        .astype(np.int64)
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array([simhash64(t) for t in texts], pa.int64()),
+            "simhash": pa.array(vals, pa.int64()),
         }
     )
 
