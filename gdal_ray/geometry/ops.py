@@ -222,6 +222,120 @@ def clip_ring_box(ring: np.ndarray, x0: float, y0: float, x1: float, y1: float) 
     return np.array(poly, dtype=np.float64).reshape(-1, 2)
 
 
+def clip_ring_convex(ring: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against an arbitrary CONVEX
+    clip polygon given CCW (generalizes :func:`clip_ring_box` from the four
+    axis-aligned half-planes to any convex cell — warp cutlines, triangle
+    overlays, convex tiles).  Boundary points kept (closed region).
+
+    Reference semantics: OGRGeometry::Intersection (ogr/ogrgeometry.cpp:4893)
+    restricted to convex method geometries; like the box clip, a concave
+    subject whose intersection is multi-part comes back as one ring with
+    zero-area connectors — area-exact, not topology-exact."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    cp = np.asarray(clip, dtype=np.float64)
+    if len(cp) >= 2 and (cp[0] == cp[-1]).all():
+        cp = cp[:-1]
+    poly = [tuple(p) for p in pts]
+    for e in range(len(cp)):
+        if not poly:
+            break
+        ax, ay = cp[e]
+        bx, by = cp[(e + 1) % len(cp)]
+        ex, ey = bx - ax, by - ay
+
+        def side(p):
+            # >= 0 ⇔ p on the interior side (left of the CCW edge)
+            return ex * (p[1] - ay) - ey * (p[0] - ax)
+
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            sc, sn = side(cur), side(nxt)
+            if sc >= 0:
+                out.append(cur)
+                if sn < 0:
+                    t = sc / (sc - sn)
+                    out.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+            elif sn >= 0:
+                t = sc / (sc - sn)
+                out.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+        poly = out
+    return np.array(poly, dtype=np.float64).reshape(-1, 2)
+
+
+def ring_area2_float(r: np.ndarray) -> float:
+    """2× unsigned shoelace area of a (possibly open) float ring."""
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def centroid6_units(parts: list[list[np.ndarray]]) -> tuple[int, int, int]:
+    """Exact area-weighted polygon centroid as int64 rationals:
+    returns (sx6, sy6, a2) in hundredth-degree units with
+    Cx = sx6 / (3·a2), Cy = sy6 / (3·a2) — exterior minus holes,
+    orientation-insensitive (OGRGeometry Centroid parity, integer-exact so
+    the SQL oracle reproduces the numbers bit-for-bit)."""
+    sx6 = sy6 = a2 = 0
+    for rings in parts:
+        for ri, ring in enumerate(rings):
+            u = to_units(_closed(ring))
+            x, y = u[:-1, 0], u[:-1, 1]
+            x2, y2 = u[1:, 0], u[1:, 1]
+            cross = x * y2 - x2 * y
+            ra2 = int(cross.sum())
+            rsx = int(((x + x2) * cross).sum())
+            rsy = int(((y + y2) * cross).sum())
+            sign = 1 if ra2 >= 0 else -1
+            factor = sign * (-1 if ri > 0 else 1)  # holes subtract
+            a2 += factor * ra2
+            sx6 += factor * rsx
+            sy6 += factor * rsy
+    return sx6, sy6, a2
+
+
+def make_valid_pinch(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a self-touching ring (repeated vertices — figure-eights,
+    pinched lobes) into its simple loops: the OGRGeometry::MakeValid
+    (ogr/ogrgeometry.cpp:3922, GEOSMakeValid 'linework') behavior for the
+    self-TOUCHING subset; crossing-edge (bowtie-without-shared-vertex)
+    repair is out of scope and returns the ring unchanged.
+
+    Walk the vertices keeping a stack; when a vertex reappears, the slice
+    since its previous occurrence is a closed loop — emit it and collapse.
+    Exact match on integer-unit coordinates."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    u = to_units(pts)
+    stack: list[int] = []
+    seen: dict[tuple[int, int], int] = {}
+    loops: list[np.ndarray] = []
+    for i in range(len(u)):
+        key = (int(u[i, 0]), int(u[i, 1]))
+        if key in seen:
+            depth = seen[key]
+            loop_idx = stack[depth:]
+            if len(loop_idx) >= 3:
+                loops.append(pts[loop_idx])
+            for j in stack[depth:]:
+                seen.pop((int(u[j, 0]), int(u[j, 1])), None)
+            del stack[depth:]
+            seen[key] = len(stack)
+            stack.append(i)
+        else:
+            seen[key] = len(stack)
+            stack.append(i)
+    if len(stack) >= 3:
+        loops.append(pts[stack])
+    return loops if loops else [pts]
+
+
 def clipped_area(parts: list[list[np.ndarray]], x0, y0, x1, y1) -> float:
     """Area of (Multi)Polygon ∩ box (exterior − holes), via per-ring clip.
     Correct for rings whose box intersection is simply connected (our

@@ -103,28 +103,27 @@ def q_pricing_summary(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            qty=df["l_quantity"].to_numpy().astype(np.int64),
-            price_cents=_cents(df["l_extendedprice"].to_numpy()),
-            disc_price_c4=_cents(df["l_extendedprice"].to_numpy())
-            * (100 - _cents(df["l_discount"].to_numpy())),
-            n=np.int64(1),
+    def partial(t: pa.Table) -> pa.Table:
+        price = _cents(t.column("l_extendedprice").to_numpy())
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(t.column("l_quantity").to_numpy().astype(np.int64)),
+                "price_cents": pa.array(price),
+                "disc_price_c4": pa.array(price * (100 - _cents(t.column("l_discount").to_numpy()))),
+            }
         )
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("qty", "sum"),
-                sum_price_cents=("price_cents", "sum"),
-                sum_disc_price_c4=("disc_price_c4", "sum"),
-                max_qty=("qty", "max"),
-                min_qty=("qty", "min"),
-                count_order=("n", "sum"),
-            )
+        g = pa.TableGroupBy(tt, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("disc_price_c4", "sum"),
+             ("qty", "max"), ("qty", "min"), ("qty", "count")]
         )
-        return g
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents",
+             "sum_disc_price_c4", "max_qty", "min_qty", "count_order"]
+        )
 
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return (
         part.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -205,17 +204,25 @@ def q_join_broadcast(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     part_tbl = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(part_tbl["p_partkey"], part_tbl["p_brand"])))
+    order = np.argsort(part_tbl["p_partkey"].to_numpy(), kind="mergesort")
+    lookup_ref = ray.put(
+        (part_tbl["p_partkey"].to_numpy()[order],
+         pa.array(part_tbl["p_brand"].to_numpy()[order], pa.string()))
+    )
 
     class BrandJoin:
+        """Broadcast lookup via sorted-key searchsorted + one Arrow string
+        gather — no per-row Python dict probing."""
+
         def __init__(self, ref):
             import ray as _r
 
-            self.lookup = _r.get(ref[0])
+            self.keys, self.brands = _r.get(ref[0])
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t.column("l_partkey").to_numpy()
-            brands = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
+            idx = np.searchsorted(self.keys, keys)
+            brands = self.brands.take(pa.array(idx))
             qty = t.column("l_quantity").to_numpy().astype(np.int64)
             return pa.table({"p_brand": brands, "qty": pa.array(qty, pa.int64())})
 
@@ -1524,6 +1531,219 @@ def q_convex_hull(sf_dir: str):
     return _polys_ds().map_batches(hull, batch_format="pyarrow")
 
 
+def q_centroid(sf_dir: str):
+    """Exact area-weighted centroid per fixture polygon as int64 rationals
+    (sx6, sy6, a2 in unit coords; C = s/(3·a2)) — OGRGeometry Centroid
+    parity with a bit-exact SQL oracle (integer shoelace both sides)."""
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.wkb import polygon_parts
+
+    def cent(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        sx, sy, a2 = [], [], []
+        for wkb in b.column("wkb").to_pylist():
+            s6x, s6y, a = ops.centroid6_units(polygon_parts(wkb))
+            sx.append(s6x); sy.append(s6y); a2.append(a)
+        return pa.table(
+            {
+                "poly_id": pa.array(pids, pa.string()),
+                "sx6_u": pa.array(sx, pa.int64()),
+                "sy6_u": pa.array(sy, pa.int64()),
+                "a2_u": pa.array(a2, pa.int64()),
+            }
+        )
+
+    return _polys_ds().map_batches(cent, batch_format="pyarrow")
+
+
+def _sql_centroid() -> str:
+    return f"""
+with e(poly_id, part, ring, hole, x1, y1, x2, y2) as (values {_poly_edges_units_sql_values()}),
+c as (select poly_id, part, ring, hole,
+             cast(x1 as bigint) as x1, cast(y1 as bigint) as y1,
+             cast(x2 as bigint) as x2, cast(y2 as bigint) as y2
+      from e),
+r as (select poly_id, part, ring, hole,
+             sum(x1 * y2 - x2 * y1) as ra2,
+             sum((x1 + x2) * (x1 * y2 - x2 * y1)) as rsx,
+             sum((y1 + y2) * (x1 * y2 - x2 * y1)) as rsy
+      from c group by 1, 2, 3, 4),
+f as (select poly_id,
+             (case when ra2 >= 0 then 1 else -1 end) * (case when hole = 1 then -1 else 1 end) as fac,
+             ra2, rsx, rsy
+      from r)
+select poly_id,
+       cast(sum(fac * rsx) as bigint) as sx6_u,
+       cast(sum(fac * rsy) as bigint) as sy6_u,
+       cast(sum(fac * ra2) as bigint) as a2_u
+from f group by 1
+"""
+
+
+# triangle overlay fixture: right triangles (axis legs + 45° hypotenuse)
+# derived from doc ids, all coordinates integer hundredth-degree units so
+# triangle ∩ box areas are integer-exact on both engines
+OVERLAY_DOCS = 400
+
+
+def _tri_params(ids: np.ndarray):
+    tx0 = ((ids * 7919) % 36000) - 18000
+    ty0 = ((ids * 104729) % 17000) - 8500
+    d = 20 * (1 + ids % 50)
+    return tx0, ty0, d
+
+
+def q_vector_overlay(sf_dir: str):
+    """Layer-algebra Intersection with real intersection GEOMETRY area:
+    right triangles ⋈ fixture-polygon bboxes via the general convex clip
+    (Sutherland–Hodgman against arbitrary convex cells,
+    ogr/ogrlayer.cpp:3345 Intersection semantics); emits exact integer
+    2×area of each nonempty triangle∩box in unit².  BBox pre-test
+    vectorized per batch; clip only on surviving pairs."""
+    from gdal_ray.geometry import ops
+
+    boxes = _poly_bboxes()
+    b_ids = boxes.column("box_id").to_pylist()
+    bx0 = ops.to_units(boxes.column("x0").to_numpy())
+    by0 = ops.to_units(boxes.column("y0").to_numpy())
+    bx1 = ops.to_units(boxes.column("x1").to_numpy())
+    by1 = ops.to_units(boxes.column("y1").to_numpy())
+
+    def overlay(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        tx0, ty0, d = _tri_params(ids)
+        # bbox pre-test in integer units (triangle bbox = legs square)
+        ov = (
+            (bx0[None, :] <= (tx0 + d)[:, None]) & (bx1[None, :] >= tx0[:, None])
+            & (by0[None, :] <= (ty0 + d)[:, None]) & (by1[None, :] >= ty0[:, None])
+        )
+        ti, bj = np.nonzero(ov)
+        out_a, out_b, out_area = [], [], []
+        for t_idx, b_idx in zip(ti, bj):
+            x0 = tx0[t_idx] / 100.0; y0 = ty0[t_idx] / 100.0; dd = d[t_idx] / 100.0
+            tri = np.array([[x0, y0], [x0 + dd, y0], [x0, y0 + dd]])
+            box_ring = np.array(
+                [
+                    [bx0[b_idx] / 100.0, by0[b_idx] / 100.0],
+                    [bx1[b_idx] / 100.0, by0[b_idx] / 100.0],
+                    [bx1[b_idx] / 100.0, by1[b_idx] / 100.0],
+                    [bx0[b_idx] / 100.0, by1[b_idx] / 100.0],
+                ]
+            )
+            inter = ops.clip_ring_convex(box_ring, tri)
+            a2 = int(round(ops.ring_area2_float(inter) * 10000.0))
+            if a2 > 0:
+                out_a.append(int(ids[t_idx]))
+                out_b.append(b_ids[b_idx])
+                out_area.append(a2)
+        return pa.table(
+            {
+                "a_id": pa.array(out_a, pa.int64()),
+                "b_id": pa.array(out_b, pa.string()),
+                "inter_area2_u": pa.array(out_area, pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr=f"doc_id < {OVERLAY_DOCS}"
+    )
+    return docs.map_batches(overlay, batch_format="pyarrow")
+
+
+def _sql_vector_overlay() -> str:
+    bt = _poly_bboxes()
+    vals = ",".join(
+        f"('{i}',{int(round(a * 100))},{int(round(b * 100))},{int(round(c * 100))},{int(round(dd * 100))})"
+        for i, a, b, c, dd in zip(
+            bt.column("box_id").to_pylist(), bt.column("x0").to_pylist(),
+            bt.column("y0").to_pylist(), bt.column("x1").to_pylist(), bt.column("y1").to_pylist(),
+        )
+    )
+    return f"""
+with t as (select doc_id as a_id,
+                  ((doc_id * 7919) % 36000) - 18000 as tx0,
+                  ((doc_id * 104729) % 17000) - 8500 as ty0,
+                  20 * (1 + doc_id % 50) as d
+           from documents where doc_id < {OVERLAY_DOCS}),
+b(b_id, bx0, by0, bx1, by1) as (values {vals}),
+g as (select a_id, b_id,
+             greatest(bx0, tx0) as gx0, greatest(by0, ty0) as gy0,
+             bx1 as gx1, by1 as gy1,
+             tx0 + ty0 + d as c
+      from t, b),
+m as (select a_id, b_id,
+             greatest(gx1 - gx0, 0) as w, greatest(gy1 - gy0, 0) as h,
+             least(greatest(gx1 + gy1 - c, 0), greatest(gx1 - gx0, 0) + greatest(gy1 - gy0, 0)) as t
+      from g),
+a as (select a_id, b_id,
+             2 * w * h - (t * t - greatest(t - w, 0) * greatest(t - w, 0)
+                                - greatest(t - h, 0) * greatest(t - h, 0)) as area2
+      from m)
+select a_id, b_id, cast(area2 as bigint) as inter_area2_u
+from a where area2 > 0
+"""
+
+
+def q_make_valid(sf_dir: str):
+    """MakeValid (self-touching subset, ogr/ogrgeometry.cpp:3922): pinched
+    multi-lobe rings derived from doc ids are split into their simple
+    loops; emits per ring the loop count plus min/max/total 2×loop-area —
+    min/max prove the split actually happened (the total alone is
+    invariant under even-odd area)."""
+    from gdal_ray.geometry import ops
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        n_parts, a_min, a_max, a_sum = [], [], [], []
+        for i in ids:
+            k = 2 + int(i) % 3
+            cx = ((int(i) * 7919) % 30000) / 100.0 - 150.0
+            cy = ((int(i) * 104729) % 15000) / 100.0 - 75.0
+            ring = []
+            for j in range(k):
+                s = (1 + (int(i) + j) % 5) / 100.0
+                dx, dy = ((1, 1), (-1, 1), (-1, -1), (1, -1))[j % 4]
+                ring += [
+                    (cx, cy),
+                    (cx + dx * s, cy),
+                    (cx + dx * s, cy + dy * s),
+                    (cx, cy + dy * s),
+                ]
+            loops = ops.make_valid_pinch(np.array(ring))
+            areas = [abs(ops.ring_area2_units(lp)) for lp in loops]
+            n_parts.append(len(loops))
+            a_min.append(min(areas)); a_max.append(max(areas)); a_sum.append(sum(areas))
+        return pa.table(
+            {
+                "poly_id": pa.array(ids, pa.int64()),
+                "n_parts": pa.array(n_parts, pa.int64()),
+                "area2_min": pa.array(a_min, pa.int64()),
+                "area2_max": pa.array(a_max, pa.int64()),
+                "area2_sum": pa.array(a_sum, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .filter(expr=f"doc_id < {OVERLAY_DOCS}")
+        .map_batches(mk, batch_format="pyarrow")
+    )
+
+
+SQL_MAKE_VALID = f"""
+with d as (select doc_id, 2 + doc_id % 3 as k from documents where doc_id < {OVERLAY_DOCS}),
+lob as (select doc_id, k, j.j, 1 + (doc_id + j.j) % 5 as s_u
+        from d, unnest(generate_series(0, 4)) as j(j) where j.j < k),
+a as (select doc_id, k, 2 * s_u * s_u as a2 from lob)
+select doc_id as poly_id,
+       cast(max(k) as bigint) as n_parts,
+       cast(min(a2) as bigint) as area2_min,
+       cast(max(a2) as bigint) as area2_max,
+       cast(sum(a2) as bigint) as area2_sum
+from a group by 1
+"""
+
+
 # ===========================================================================
 # Joins beyond hash-equi: as-of, window rank (top-N per group), bbox range
 # join (stages/joins.py)
@@ -1753,6 +1973,78 @@ select doc_id, level,
        cast(sum(case when cse not in (0, 15) then 1 else 0 end) as bigint) as n_cells_crossed,
        cast(sum(case cse when 0 then 0 when 15 then 0 when 5 then 2 when 10 then 2 else 1 end) as bigint) as n_segments
 from cs group by 1, 2
+"""
+
+
+def q_warp_stats(sf_dir: str):
+    """Aggregating warp resamplers (average/sum/min/max/med/q1/q3/mode/
+    count — alg/gdalwarper.h:37-69) exercised as an identity-CRS 4×
+    reduction of the derived DEM grid; every stat has an exact SQL
+    aggregate oracle (quantile_cont interpolation is dyadic-exact here)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.warp import warp_aggregate
+
+    F = 4
+    n_out = DEM_N // F
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N).astype(np.float64)
+        src_gt = (0.0, 1.0, 0.0, float(DEM_N), 0.0, -1.0)
+        dst_gt = (0.0, float(F), 0.0, float(DEM_N), 0.0, -float(F))
+        cols = {k: [] for k in ("doc_id", "r", "c", "n", "sum_e", "min_e",
+                                "max_e", "avg_e", "med_e", "q1_e", "q3_e", "mode_e")}
+        rr, cc = np.meshgrid(np.arange(n_out), np.arange(n_out), indexing="ij")
+        for i, did in enumerate(ids):
+            g = grids[i]
+            outs = {
+                s: warp_aggregate(
+                    g, src_gt, "EPSG:4326", "EPSG:4326",
+                    dst_size=(n_out, n_out), dst_gt=dst_gt, stat=s,
+                )[0]
+                for s in ("count", "sum", "min", "max", "average", "med", "q1", "q3", "mode")
+            }
+            cols["doc_id"].append(np.full(n_out * n_out, did, np.int64))
+            cols["r"].append(rr.ravel().astype(np.int64))
+            cols["c"].append(cc.ravel().astype(np.int64))
+            cols["n"].append(outs["count"].ravel().astype(np.int64))
+            cols["sum_e"].append(outs["sum"].ravel().astype(np.int64))
+            cols["min_e"].append(outs["min"].ravel().astype(np.int64))
+            cols["max_e"].append(outs["max"].ravel().astype(np.int64))
+            cols["avg_e"].append(outs["average"].ravel())
+            cols["med_e"].append(outs["med"].ravel())
+            cols["q1_e"].append(outs["q1"].ravel())
+            cols["q3_e"].append(outs["q3"].ravel())
+            cols["mode_e"].append(outs["mode"].ravel().astype(np.int64))
+        return pa.table(
+            {k: pa.array(np.concatenate(v)) for k, v in cols.items()}
+        )
+
+    return _dem_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+SQL_WARP_STATS = f"""
+with {_DEM_GRID_CTE},
+cellv as (select doc_id, r // 4 as r, c // 4 as c, e from g),
+modes as (
+  select doc_id, r, c, e,
+         row_number() over (partition by doc_id, r, c
+                            order by count(*) desc, e asc) as rn
+  from cellv group by doc_id, r, c, e
+)
+select v.doc_id, v.r, v.c,
+       count(*) as n,
+       cast(sum(v.e) as bigint) as sum_e,
+       cast(min(v.e) as bigint) as min_e,
+       cast(max(v.e) as bigint) as max_e,
+       avg(v.e) as avg_e,
+       quantile_cont(v.e, 0.5) as med_e,
+       quantile_cont(v.e, 0.25) as q1_e,
+       quantile_cont(v.e, 0.75) as q3_e,
+       cast(min(m.e) as bigint) as mode_e
+from cellv v join modes m
+  on m.doc_id = v.doc_id and m.r = v.r and m.c = v.c and m.rn = 1
+group by v.doc_id, v.r, v.c
 """
 
 
@@ -2179,6 +2471,9 @@ def queries():
         "grid_invdist": q_grid_invdist,
         "geom_measures": q_geom_measures,
         "geom_explode": q_geom_explode,
+        "centroid": q_centroid,
+        "vector_overlay": q_vector_overlay,
+        "make_valid": q_make_valid,
         "vector_clip": q_vector_clip,
         "interpolate_at_point": q_interpolate_at_point,
         "convex_hull": q_convex_hull,
@@ -2197,6 +2492,7 @@ def queries():
         "proximity": q_proximity,
         "sieve": q_sieve,
         "raster_calc": q_raster_calc,
+        "warp_stats": q_warp_stats,
     }
 
 
@@ -2233,6 +2529,9 @@ def oracle_sql():
         "grid_metrics": SQL_GRID_METRICS,
         "geom_measures": _sql_geom_measures(),
         "geom_explode": _sql_geom_explode(),
+        "centroid": _sql_centroid(),
+        "vector_overlay": _sql_vector_overlay(),
+        "make_valid": SQL_MAKE_VALID,
         "vector_clip": _sql_vector_clip(),
         "interpolate_at_point": _sql_interpolate(),
         "first_event": SQL_FIRST_EVENT,
@@ -2248,6 +2547,7 @@ def oracle_sql():
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,
         "raster_calc": SQL_RASTER_CALC,
+        "warp_stats": SQL_WARP_STATS,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

@@ -29,33 +29,43 @@ def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
 
 
 class CosinePartial:
-    """Actor-pool stage: exact cosine top-k of broadcast queries vs batch."""
+    """Actor-pool stage: exact cosine top-k of broadcast queries vs batch.
 
-    def __init__(self, queries_ref=None, queries: np.ndarray | None = None, query_ids=None, k: int = 5):
+    With ``probe`` (a (n_queries, n_buckets) bool matrix) and a ``bucket``
+    column on the batch, each query only scores vectors living in buckets
+    it probes — the per-query IVF probe mask the nprobe semantics require."""
+
+    def __init__(self, queries_ref=None, queries: np.ndarray | None = None, query_ids=None,
+                 k: int = 5, probe: np.ndarray | None = None):
         import ray
 
         if queries is None:
-            queries, query_ids = ray.get(queries_ref[0])
+            queries, query_ids, probe = ray.get(queries_ref[0])
         q = np.asarray(queries, dtype=np.float64)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.qids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
+        self.probe = probe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _batch_matrix(batch)
         vid = batch.column("vec_id").to_numpy()
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         sims = self.qn @ vn.T  # (m, n)
+        if self.probe is not None:
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            sims = np.where(self.probe[:, buckets], sims, -np.inf)
         k = min(self.k, sims.shape[1])
         order = np.lexsort((np.broadcast_to(vid, sims.shape), -sims), axis=1)[:, :k]
         qid_out = np.repeat(self.qids, k)
         nid_out = vid[order].reshape(-1)
         sim_out = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        keep = np.isfinite(sim_out)
         return pa.table(
             {
-                "query_id": pa.array(qid_out, pa.int64()),
-                "neighbor_id": pa.array(nid_out.astype(np.int64), pa.int64()),
-                "sim": pa.array(sim_out, pa.float64()),
+                "query_id": pa.array(qid_out[keep], pa.int64()),
+                "neighbor_id": pa.array(nid_out[keep].astype(np.int64), pa.int64()),
+                "sim": pa.array(sim_out[keep], pa.float64()),
             }
         )
 
@@ -70,10 +80,13 @@ def topk_finalize(k: int):
     return fin
 
 
-def brute_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, concurrency=None):
+def brute_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, concurrency=None,
+               probe: np.ndarray | None = None):
     import ray
 
-    ref = ray.put((np.asarray(queries, dtype=np.float64), np.asarray(query_ids, dtype=np.int64)))
+    ref = ray.put(
+        (np.asarray(queries, dtype=np.float64), np.asarray(query_ids, dtype=np.int64), probe)
+    )
     partial = embeddings_ds.map_batches(
         CosinePartial,
         fn_constructor_kwargs={"queries_ref": [ref], "k": k},
@@ -103,15 +116,17 @@ class IvfAssign:
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
-def ivf_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, n_centroids: int = 16, nprobe: int = 4, seed: int = 42):
+def ivf_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, n_centroids: int = 16, nprobe: int = 4):
     """Bucketed ANN: assign vectors to nearest of `n_centroids` seeded
-    centroids, then search only the `nprobe` closest buckets per query."""
+    centroids (first-n in deterministic read order — ds.limit, NO
+    distributed sort), then each query scores only vectors in its own
+    `nprobe` closest buckets (per-query probe mask, enforced inside
+    CosinePartial)."""
     import ray
 
-    # deterministic centroids: first n_centroids vectors by vec_id (seeded
-    # sample would also do; first-k is deterministic and shuffle-free)
-    head = embeddings_ds.sort("vec_id").limit(n_centroids).to_pandas()
-    cmat = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    from gdal_ray.stages.dedup import embeddings_head_matrix
+
+    cmat = embeddings_head_matrix(embeddings_ds, n_centroids)
     cref = ray.put(cmat)
 
     assigned = embeddings_ds.map_batches(
@@ -121,14 +136,11 @@ def ivf_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, n_centro
     qn = np.asarray(queries, dtype=np.float64)
     qnorm = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-300)
     cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
-    probe = np.argsort(-(qnorm @ cn.T), axis=1)[:, :nprobe]  # (m, nprobe)
+    probe_order = np.argsort(-(qnorm @ cn.T), axis=1)[:, :nprobe]  # (m, nprobe)
+    probe = np.zeros((len(qn), len(cmat)), dtype=bool)
+    np.put_along_axis(probe, probe_order, True, axis=1)
 
-    probe_sets = {int(b) for row in probe for b in row}
-    filtered = assigned.filter(expr=f"bucket in {sorted(probe_sets)}")
-
-    # within the probed buckets run the exact partial/merge machinery, then
-    # drop results for (query, bucket) pairs the query did not probe — the
-    # partial stage sees only probed buckets so this is just brute_topk over
-    # the filtered set (per-query bucket masks omitted: recall trade-off
-    # documented).
-    return brute_topk(filtered, queries, query_ids, k=k)
+    # blocks no query probes never leave the scan
+    union_buckets = sorted({int(b) for row in probe_order for b in row})
+    filtered = assigned.filter(expr=f"bucket in {union_buckets}")
+    return brute_topk(filtered, queries, query_ids, k=k, probe=probe)

@@ -115,39 +115,117 @@ def minhash_band_rows(batch: pa.Table, *, num_hashes: int = 64, bands: int = 16,
     )
 
 
-def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.6):
-    """documents Dataset -> verified near-dup pairs (doc_a < doc_b, jac).
+def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16, k: int = 3,
+                      threshold: float = 0.6):
+    """documents Dataset -> verified near-dup pairs (doc_a < doc_b), exact
+    Jaccard >= threshold among LSH candidates.
 
-    Candidate generation by LSH banding, exact-Jaccard verification inside
-    the band groups (texts fetched via a broadcast id→text map is avoided:
-    band rows carry no text, so verification joins text back per group —
-    here we keep texts in the band rows for verification locality, which is
-    the standard space/shuffle trade; at design scale carry a short prefix
-    + re-fetch from the keyed store instead)."""
-    texts_rows = ds.map_batches(
-        lambda b: minhash_band_rows(b, num_hashes=num_hashes, bands=bands, k=k).append_column(
-            "text", pa.array(np.repeat(b.column("text").to_pylist(), bands), pa.string())
-        ),
+    Shuffle diet (the 100-TB shape):
+    1. band rows carry ONLY (band, band_hash, doc_id) — 24 B/row, never the
+       text (which would amplify the corpus x`bands` through the shuffle);
+    2. candidate pairs surfacing from several bands are deduped with a
+       partial-combinable groupby(doc_a, doc_b).aggregate(Count) — per-block
+       pre-combining, no per-group Python pass;
+    3. exact-Jaccard verification re-fetches texts by key with two
+       union+groupby exchanges (no actor-pool hash join, so the plan runs
+       at any cluster width): docs stream once into the doc_id groupby,
+       then only candidate texts move into the per-pair verify.
+    """
+    from ray.data.aggregate import Count
+
+    band_rows = ds.map_batches(
+        lambda b: minhash_band_rows(b, num_hashes=num_hashes, bands=bands, k=k),
         batch_format="pyarrow",
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        txts = g["text"].tolist()
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j] and jaccard(txts[i], txts[j], k) >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": np.array(out_a, np.int64), "doc_b": np.array(out_b, np.int64)})
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = ids[i] != ids[j]
+        return pa.table(
+            {"doc_a": pa.array(ids[i][keep], pa.int64()), "doc_b": pa.array(ids[j][keep], pa.int64())}
+        )
 
-    pairs = texts_rows.groupby(["band", "band_hash"]).map_groups(verify, batch_format="pandas")
-    # same pair can surface from multiple bands → distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    candidates = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        da = b.column("doc_a")
+        db = b.column("doc_b")
+        n = len(b)
+        return pa.table(
+            {
+                "key": pa.chunked_array([da, db]).combine_chunks(),
+                "doc_a": pa.chunked_array([da, da]).combine_chunks(),
+                "doc_b": pa.chunked_array([db, db]).combine_chunks(),
+                "side": pa.array(np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b.column("doc_id"),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "text": b.column("text"),
+            }
+        )
+
+    members = candidates.map_batches(member_rows, batch_format="pyarrow")
+    dtexts = ds.select_columns(["doc_id", "text"]).map_batches(doc_rows, batch_format="pyarrow")
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        drow = np.nonzero(side == -1)[0]
+        mrow = np.nonzero(side >= 0)[0]
+        if len(drow) == 0 or len(mrow) == 0:
+            return pa.table(
+                {"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64()),
+                 "side": pa.nulls(0, pa.int8()), "text": pa.nulls(0, pa.string())}
+            )
+        text = g.column("text")[int(drow[0])]
+        idx = pa.array(mrow)
+        return pa.table(
+            {
+                "doc_a": g.column("doc_a").take(idx),
+                "doc_b": g.column("doc_b").take(idx),
+                "side": g.column("side").take(idx),
+                "text": pa.array([text.as_py()] * len(mrow), pa.string()),
+            }
+        )
+
+    fetched = members.union(dtexts).groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    def verify(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a_rows = np.nonzero(side == 0)[0]
+        b_rows = np.nonzero(side == 1)[0]
+        empty = pa.table({"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64())})
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return empty
+        ta = g.column("text")[int(a_rows[0])].as_py()
+        tb = g.column("text")[int(b_rows[0])].as_py()
+        if jaccard(ta, tb, k) < threshold:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array([g.column("doc_a")[0].as_py()], pa.int64()),
+                "doc_b": pa.array([g.column("doc_b")[0].as_py()], pa.int64()),
+            }
+        )
+
+    return fetched.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -289,56 +367,115 @@ def phash_hamming_pairs(ds, *, max_dist: int = 3, bands: int = 4):
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup — exact blocked matmul against a broadcast
-# query matrix (the brute-force baseline; the IVF/LSH bucketed variant for
-# the 10^12 scale path lives in stages/ann.py)
+# embedding-cosine near-dup — IVF-bucketed self-join: one shuffle keyed by
+# centroid bucket, exact by construction (replication radius covers the
+# threshold angle), no driver-side materialization of the dataset.
 
-class CosinePairs:
-    """Actor-pool stage: holds the normalized broadcast matrix once per
-    actor; each batch does one float64 matmul and thresholds."""
+class IvfReplicate:
+    """Actor-pool stage: replicate each vector to every centroid bucket
+    within (its-own-primary-angle + threshold-angle); carries the primary
+    bucket + primary similarity so the pair-emission owner rule can be
+    evaluated locally inside any bucket.
 
-    def __init__(self, queries_ref=None, q_ids=None, threshold: float = 0.4):
+    Completeness: for a pair (u, v) with angle(u, v) <= θ_t, WLOG let u be
+    the member with the smaller primary angle α_u.  Then
+    angle(v, primary(u)) <= angle(v,u) + angle(u, primary(u))
+    <= θ_t + α_u <= θ_t + α_v — inside v's replication radius, so v is
+    present in u's primary bucket and the pair is emitted exactly there."""
+
+    def __init__(self, centroids_ref=None, centroids=None, threshold: float = 0.4, eps: float = 1e-9):
         import ray
 
-        q = ray.get(queries_ref[0])
-        self.q_ids = np.asarray(q_ids, dtype=np.int64)
-        qm = np.asarray(q, dtype=np.float64)
-        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        self.threshold = threshold
+        if centroids is None:
+            centroids = ray.get(centroids_ref[0])
+        c = np.asarray(centroids, dtype=np.float64)
+        self.cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+        self.theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+        self.eps = eps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy()
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-        )
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = en @ self.qn.T  # (batch, nq)
-        bi, qi = np.nonzero(sims >= self.threshold)
-        a = self.q_ids[qi]
-        b = ids[bi]
-        keep = a < b  # dedupe unordered pairs, drop self
+        from gdal_ray.stages.ann import _batch_matrix
+
+        v = _batch_matrix(batch)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = vn @ self.cn.T  # (n, C)
+        primary = np.argmax(sims, axis=1).astype(np.int64)
+        psim = sims[np.arange(len(v)), primary]
+        ang = np.arccos(np.clip(psim, -1.0, 1.0))
+        radius = np.cos(np.minimum(np.pi, ang + self.theta_t)) - self.eps
+        ii, cc = np.nonzero(sims >= radius[:, None])
+        take = pa.array(ii)
         return pa.table(
             {
-                "a_id": pa.array(a[keep], pa.int64()),
-                "b_id": pa.array(b[keep], pa.int64()),
-                "sim": pa.array(sims[bi, qi][keep], pa.float64()),
+                "bucket": pa.array(cc.astype(np.int64), pa.int64()),
+                "vec_id": batch.column("vec_id").take(take),
+                "embedding": batch.column("embedding").take(take),
+                "primary": pa.array(primary[ii], pa.int64()),
+                "psim": pa.array(psim[ii], pa.float64()),
             }
         )
 
 
-def embedding_cosine_pairs(ds, *, threshold: float = 0.4):
-    """All-pairs cosine >= threshold where the a-side is the full (small)
-    query set broadcast via ray.put; b-side streams.  At 10^12 scale the
-    a-side becomes per-IVF-cell centroid shortlists instead."""
+def embedding_cosine_pairs(ds, *, threshold: float = 0.4, n_centroids: int = 16):
+    """All (a_id < b_id) pairs with cosine >= threshold — exact, via an
+    IVF-bucketed self-join: seeded centroids from the deterministic read
+    order (ds.limit — no sort), one shuffle keyed by bucket, per-bucket
+    blocked matmul.  A pair is emitted only in the primary bucket of its
+    smaller-primary-angle member (ties by vec_id), so no dedup pass.
+
+    Pruning scales with the threshold: near-dup thresholds (≳0.8) probe
+    few buckets; loose thresholds degrade gracefully toward all-buckets
+    replication (still correct)."""
     import ray
 
-    q = ds.to_pandas().sort_values("vec_id")
-    q_ids = q["vec_id"].to_numpy()
-    qm = np.stack([np.asarray(e, dtype=np.float64) for e in q["embedding"]])
-    ref = ray.put(qm)
-    return ds.map_batches(
-        CosinePairs,
-        fn_constructor_kwargs={"queries_ref": [ref], "q_ids": q_ids, "threshold": threshold},
+    head = embeddings_head_matrix(ds, n_centroids)
+    cref = ray.put(head)
+    replicated = ds.map_batches(
+        IvfReplicate,
+        fn_constructor_kwargs={"centroids_ref": [cref], "threshold": threshold},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+    def pair_emit(g: pa.Table) -> pa.Table:
+        from gdal_ray.stages.ann import _batch_matrix
+
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        psim = g.column("psim").to_numpy(zero_copy_only=False)
+        bucket = int(g.column("bucket")[0].as_py())
+        prim_rows = np.nonzero(g.column("primary").to_numpy(zero_copy_only=False) == bucket)[0]
+        empty = pa.table(
+            {"a_id": pa.nulls(0, pa.int64()), "b_id": pa.nulls(0, pa.int64()),
+             "sim": pa.nulls(0, pa.float64())}
+        )
+        if len(prim_rows) == 0 or len(g) < 2:
+            return empty
+        v = _batch_matrix(g)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = vn[prim_rows] @ vn.T  # (P, n)
+        pi, aj = np.nonzero(sims >= threshold)
+        gi = prim_rows[pi]
+        # owner rule: the pair belongs to the member with the larger primary
+        # similarity (smaller primary angle), ties by smaller vec_id — and
+        # is emitted only from that member's primary bucket (== this one)
+        owner_is_gi = (psim[gi] > psim[aj]) | ((psim[gi] == psim[aj]) & (vid[gi] < vid[aj]))
+        keep = (vid[gi] != vid[aj]) & owner_is_gi
+        gi, aj = gi[keep], aj[keep]
+        a = np.minimum(vid[gi], vid[aj])
+        b = np.maximum(vid[gi], vid[aj])
+        return pa.table(
+            {
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "sim": pa.array(sims[pi[keep], aj], pa.float64()),
+            }
+        )
+
+    return replicated.groupby("bucket").map_groups(pair_emit, batch_format="pyarrow")
+
+
+def embeddings_head_matrix(ds, n: int) -> np.ndarray:
+    """First n embedding vectors in deterministic read order (no sort) as a
+    float64 matrix — the seeded-centroid picker shared with stages/ann.py."""
+    head = ds.limit(n).to_pandas()
+    return np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])

@@ -125,6 +125,13 @@ def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: i
 
     Equivalent to knn_topk (pytest-verified); scans a vanishing fraction
     of cells at design scale instead of every block.
+
+    Scale bound: the per-cell count directory and the per-query selection
+    run driver-side over the 4^zoom cell grid — cheap through zoom≈8
+    (65k cells); beyond that the directory itself should become a
+    hierarchy (coarse-zoom counts first, refine selected subtrees), which
+    is a straightforward extension of the same bbox bounds.  The heavy
+    data (points) never leaves the cluster either way.
     """
     import ray
     from ray.data.aggregate import Count

@@ -65,7 +65,15 @@ def render_contributions(batch: pa.Table, *, zoom: int, tile_size: int = 64,
             np.float64(lon0[i]), np.float64(lat0[i]), np.float64(lon1[i]), np.float64(lat1[i]), zm
         )
         if (x1 - x0 + 1) * (y1 - y0 + 1) > max_tiles_per_image:
-            continue  # guard: absurd zoom/footprint combos don't explode
+            # no-silent-caps: make the drop observable in worker logs
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "render: dropping image %s — footprint covers %d tiles at z=%d "
+                "(max_tiles_per_image=%d)",
+                ids[i], int((x1 - x0 + 1) * (y1 - y0 + 1)), zoom, max_tiles_per_image,
+            )
+            continue
         img = decode(blobs[i], fmts[i])
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=2)

@@ -65,6 +65,18 @@ def suggested_output(
     return dst_w, dst_h, (x0, res, 0.0, y1, 0.0, -res)
 
 
+def cutline_mask(dst_gt: tuple, dw: int, dh: int, rings) -> np.ndarray:
+    """(dh, dw) bool mask of dst pixel CENTERS inside the cutline polygon
+    (even-odd rule — same pixel-center semantics as the rasterizer,
+    alg/llrasterize.cpp:49; reference cutline: alg/gdalcutline.cpp)."""
+    from gdal_ray.geometry.predicates import points_in_rings
+
+    cx = dst_gt[0] + (np.arange(dw) + 0.5) * dst_gt[1]
+    cy = dst_gt[3] + (np.arange(dh) + 0.5) * dst_gt[5]
+    gx, gy = np.meshgrid(cx, cy)
+    return points_in_rings(gx.ravel(), gy.ravel(), rings).reshape(dh, dw)
+
+
 def warp_image(
     img: np.ndarray,
     src_gt: tuple,
@@ -75,8 +87,16 @@ def warp_image(
     dst_gt: tuple | None = None,
     method: str = "nearest",
     nodata: float = 0.0,
+    src_nodata: float | None = None,
+    cutline=None,
 ) -> tuple[np.ndarray, tuple]:
-    """Inverse-mapping warp of one image.  Returns (dst_img, dst_gt)."""
+    """Inverse-mapping warp of one image.  Returns (dst_img, dst_gt).
+
+    ``src_nodata`` masks matching source pixels out of the kernel weighting
+    (the per-band padfSrcNoDataReal of alg/gdalwarper.h:185): kernel
+    weights renormalize over valid samples; a dst pixel with no valid
+    support becomes ``nodata``.  ``cutline`` (list of rings in dst CRS)
+    masks dst pixel centers outside the polygon (alg/gdalcutline.cpp)."""
     h, w = img.shape[:2]
     if dst_gt is None or dst_size is None:
         dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs)
@@ -93,11 +113,16 @@ def warp_image(
     # epsilon absorbs projection roundtrip noise at the shared envelope edge
     eps = 1e-6
     valid = (fx >= -0.5 - eps) & (fx <= w - 0.5 + eps) & (fy >= -0.5 - eps) & (fy <= h - 0.5 + eps)
+    src_valid = None if src_nodata is None else (
+        (img != src_nodata) if img.ndim == 2 else (img != src_nodata).all(axis=2)
+    )
 
     if method == "nearest":
         xi = np.clip(np.rint(fx).astype(np.int64), 0, w - 1)
         yi = np.clip(np.rint(fy).astype(np.int64), 0, h - 1)
         out = img[yi, xi].astype(np.float64)
+        if src_valid is not None:
+            valid = valid & src_valid[yi, xi]
     elif method in _KERNELS:
         fn, radius = _KERNELS[method]
         x0 = np.floor(fx).astype(np.int64)
@@ -111,23 +136,167 @@ def warp_image(
                 wx = fn((x0 + ox - fx).astype(np.float64))
                 xi = np.clip(x0 + ox, 0, w - 1)
                 wgt = wy * wx
+                if src_valid is not None:
+                    wgt = wgt * src_valid[yi, xi]
                 sample = img[yi, xi].astype(np.float64)
                 if sample.ndim == 3:
                     acc += sample * wgt[..., None]
                 else:
                     acc += sample * wgt
                 wsum += wgt
+        if src_valid is not None:
+            valid = valid & (wsum > 0)
         wsum[wsum == 0] = 1.0
         out = acc / (wsum[..., None] if acc.ndim == 3 else wsum)
     else:
         raise ValueError(f"unknown warp method {method!r}")
 
+    if cutline is not None:
+        valid = valid & cutline_mask(dst_gt, dw, dh, cutline)
     if not valid.all():
         out[~valid] = nodata
     if np.issubdtype(img.dtype, np.integer):
         info = np.iinfo(img.dtype)
         out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
     return out, dst_gt
+
+
+_AGG_STATS = ("average", "sum", "min", "max", "mode", "med", "q1", "q3", "count")
+
+
+def warp_aggregate(
+    img: np.ndarray,
+    src_gt: tuple,
+    src_crs: str,
+    dst_crs: str,
+    *,
+    dst_size: tuple[int, int] | None = None,
+    dst_gt: tuple | None = None,
+    stat: str = "average",
+    nodata: float = 0.0,
+    src_nodata: float | None = None,
+    cutline=None,
+) -> tuple[np.ndarray, tuple]:
+    """Aggregating warp resamplers (GRA_Average/Sum/Min/Max/Mode/Med/Q1/Q3,
+    alg/gdalwarper.h:37-69): every source pixel CENTER is forward-mapped to
+    the dst cell whose footprint contains it, then each dst cell reduces
+    its contributors.  Exact for separable monotone transforms (our
+    axis-aligned CRS pairs), fully vectorized via flat-cell bincount /
+    sort+reduceat — the gather formulation of GDAL's
+    "all source pixels within the dst rect" semantics.
+
+    Quantile stats use linear interpolation (DuckDB quantile_cont
+    semantics, so SQL oracles are exact); GDAL's GRA_Med/Q1/Q3 selection
+    rule differs in the even-count case.  Mode ties resolve to the
+    smallest value (deterministic; GDAL resolves by scan order)."""
+    if stat not in _AGG_STATS:
+        raise ValueError(f"unknown aggregate stat {stat!r}")
+    h, w = img.shape[:2]
+    if dst_gt is None or dst_size is None:
+        dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs)
+    else:
+        dw, dh = dst_size
+    inv = _fwd(dst_crs, src_crs)
+    # dst cell EDGES -> src geo -> src pixel coords (separable: x'(x), y'(y))
+    xe = dst_gt[0] + np.arange(dw + 1) * dst_gt[1]
+    ye = dst_gt[3] + np.arange(dh + 1) * dst_gt[5]
+    ymid = np.full_like(xe, (ye[0] + ye[-1]) / 2)
+    xmid = np.full_like(ye, (xe[0] + xe[-1]) / 2)
+    sxe = (inv(xe, ymid)[0] - src_gt[0]) / src_gt[1]  # src px units, 0..w
+    sye = (inv(xmid, ye)[1] - src_gt[3]) / src_gt[5]
+    # monotone edges (flip if transform reverses axis direction)
+    xflip = sxe[0] > sxe[-1]
+    yflip = sye[0] > sye[-1]
+    if xflip:
+        sxe = sxe[::-1]
+    if yflip:
+        sye = sye[::-1]
+    # src pixel center k+0.5 belongs to the dst cell whose [e_i, e_{i+1})
+    # interval contains it
+    col_of = np.searchsorted(sxe, np.arange(w) + 0.5, side="right") - 1
+    row_of = np.searchsorted(sye, np.arange(h) + 0.5, side="right") - 1
+    if xflip:
+        col_of = dw - 1 - col_of
+    if yflip:
+        row_of = dh - 1 - row_of
+    okc = (col_of >= 0) & (col_of < dw)
+    okr = (row_of >= 0) & (row_of < dh)
+    cell = row_of[:, None] * dw + col_of[None, :]
+    ok = okr[:, None] & okc[None, :]
+    if src_nodata is not None:
+        sv = (img != src_nodata) if img.ndim == 2 else (img != src_nodata).all(axis=2)
+        ok = ok & sv
+    flat_cell = cell[ok]
+    ncell = dh * dw
+    counts = np.bincount(flat_cell, minlength=ncell)
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    out = np.full((ncell, nch), np.float64(nodata))
+    vals2d = img.reshape(h * w, -1)[ok.ravel()].astype(np.float64)
+    have = counts > 0
+    for ch in range(nch):
+        v = vals2d[:, ch]
+        if stat == "count":
+            out[:, ch] = counts
+            continue
+        if stat == "sum":
+            out[have, ch] = np.bincount(flat_cell, weights=v, minlength=ncell)[have]
+        elif stat == "average":
+            out[have, ch] = (
+                np.bincount(flat_cell, weights=v, minlength=ncell)[have] / counts[have]
+            )
+        else:
+            order = np.lexsort((v, flat_cell))
+            sc = flat_cell[order]
+            sval = v[order]
+            starts = np.searchsorted(sc, np.arange(ncell), side="left")
+            ends = np.searchsorted(sc, np.arange(ncell), side="right")
+            cidx = np.nonzero(have)[0]
+            s, e = starts[cidx], ends[cidx]
+            if stat == "min":
+                out[cidx, ch] = sval[s]
+            elif stat == "max":
+                out[cidx, ch] = sval[e - 1]
+            elif stat in ("med", "q1", "q3"):
+                q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[stat]
+                pos = (e - s - 1) * q
+                lo = s + np.floor(pos).astype(np.int64)
+                frac = pos - np.floor(pos)
+                hi = np.minimum(lo + 1, e - 1)
+                out[cidx, ch] = sval[lo] * (1 - frac) + sval[hi] * frac
+            elif stat == "mode":
+                # run-lengths of equal values within each sorted cell block;
+                # ties -> smallest value (first max run in sorted order)
+                n = len(sval)
+                newrun = np.ones(n, dtype=bool)
+                newrun[1:] = (sval[1:] != sval[:-1]) | (sc[1:] != sc[:-1])
+                run_id = np.cumsum(newrun) - 1
+                run_len = np.bincount(run_id)
+                run_start = np.nonzero(newrun)[0]
+                run_cell = sc[run_start]
+                run_val = sval[run_start]
+                # vectorized per-cell argmax: sort runs by (cell, len asc,
+                # val desc) and take the LAST run of each cell block — max
+                # length, ties resolved to the smallest value
+                order2 = np.lexsort((-run_val, run_len, run_cell))
+                rc = run_cell[order2]
+                last = np.searchsorted(rc, cidx, side="right") - 1
+                out[cidx, ch] = run_val[order2][last]
+    outg = out.reshape(dh, dw, nch)
+    if img.ndim == 2:
+        outg = outg[:, :, 0]
+    if cutline is not None:
+        cmask = cutline_mask(dst_gt, dw, dh, cutline)
+        outg[~cmask] = nodata
+    if np.issubdtype(img.dtype, np.integer) and stat not in ("count", "sum"):
+        info = np.iinfo(img.dtype)
+        valid_cells = have.reshape(dh, dw)
+        rounded = np.clip(np.floor(outg + 0.5), info.min, info.max).astype(img.dtype)
+        outg = np.where(
+            valid_cells[..., None] if outg.ndim == 3 else valid_cells,
+            rounded,
+            np.asarray(nodata, dtype=img.dtype),
+        )
+    return outg, dst_gt
 
 
 class Reprojector:

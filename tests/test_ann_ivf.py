@@ -43,3 +43,45 @@ def test_partial_probe_recall(emb):
     # query's own bucket neighborhood; loose but meaningful floor
     assert recall >= 0.4, recall
     assert len(ivf) == len(brute)  # k results per query either way
+
+
+def test_partial_probe_results_only_from_probed_buckets(emb):
+    """The per-query probe mask is enforced: every reported neighbor lives
+    in a bucket its query probed."""
+    from gdal_ray.stages import ann
+    from gdal_ray.stages.dedup import embeddings_head_matrix
+
+    q, qids = _queries(emb)
+    n_centroids, nprobe = 8, 2
+    ivf = ann.ivf_topk(emb, q, qids, k=5, n_centroids=n_centroids, nprobe=nprobe).to_pandas()
+
+    cmat = embeddings_head_matrix(emb, n_centroids)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    all_df = emb.to_pandas()
+    vm = np.stack([np.asarray(e, dtype=np.float64) for e in all_df["embedding"]])
+    vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+    bucket_of = dict(zip(all_df["vec_id"], np.argmax(vn @ cn.T, axis=1)))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe_order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    probed = {int(qid): set(map(int, row)) for qid, row in zip(qids, probe_order)}
+    for r in ivf.itertuples():
+        assert int(bucket_of[r.neighbor_id]) in probed[int(r.query_id)], (
+            r.query_id, r.neighbor_id)
+
+
+def test_embedding_cosine_pairs_bucketed_equals_brute(emb):
+    """IVF-bucketed self-join pair plan ≡ brute-force all-pairs at fixture
+    scale (and the pipeline never materializes the dataset on the driver)."""
+    from gdal_ray.stages import dedup
+
+    thr = 0.4
+    got = dedup.embedding_cosine_pairs(emb, threshold=thr).to_pandas()
+    all_df = emb.to_pandas()
+    ids = all_df["vec_id"].to_numpy()
+    vm = np.stack([np.asarray(e, dtype=np.float64) for e in all_df["embedding"]])
+    vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    i, j = np.nonzero(np.triu(sims >= thr, k=1))
+    want = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))) for a, b in zip(i, j)}
+    assert set(zip(got["a_id"], got["b_id"])) == want
+    assert len(got) == len(want)  # exactly-once emission (owner rule)

@@ -1,0 +1,78 @@
+"""General convex clip, exact centroid rationals, MakeValid pinch-split."""
+
+import numpy as np
+
+from gdal_ray.geometry import ops
+
+
+def test_clip_convex_matches_box_clip():
+    rng = np.random.Generator(np.random.PCG64(7))
+    box = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    for _ in range(30):
+        ring = np.round(rng.uniform(-2, 6, size=(6, 2)), 2)
+        a = ops.clip_ring_box(ring, 0.0, 0.0, 4.0, 3.0)
+        b = ops.clip_ring_convex(ring, box)
+        assert abs(ops.ring_area2_float(a) - ops.ring_area2_float(b)) < 1e-9
+
+
+def test_clip_convex_triangle_known_areas():
+    tri = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])  # CCW, hyp x+y=2
+    # box fully inside lower-left corner
+    sq = np.array([[0.0, 0.0], [0.5, 0.0], [0.5, 0.5], [0.0, 0.5]])
+    assert abs(ops.ring_area2_float(ops.clip_ring_convex(sq, tri)) - 0.5) < 1e-12
+    # unit box at origin: corner (1,1) exactly on the hypotenuse → full box
+    u = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    assert abs(ops.ring_area2_float(ops.clip_ring_convex(u, tri)) - 2.0) < 1e-12
+    # box straddling the hypotenuse: [0.5,1.5]^2 ∩ tri is the triangle
+    # (0.5,0.5),(1.5,0.5),(0.5,1.5) → area 1/2, 2A = 1
+    s = np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]])
+    assert abs(ops.ring_area2_float(ops.clip_ring_convex(s, tri)) - 1.0) < 1e-12
+    # disjoint box
+    d = np.array([[3.0, 3.0], [4.0, 3.0], [4.0, 4.0], [3.0, 4.0]])
+    assert ops.ring_area2_float(ops.clip_ring_convex(d, tri)) == 0.0
+
+
+def test_centroid6_units_simple_shapes():
+    # unit box [0,1]^2 → centroid (0.5, 0.5); a2 = 2*100*100 = 20000 units²
+    box = [[np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]]
+    sx6, sy6, a2 = ops.centroid6_units(box)
+    assert a2 == 20000
+    assert sx6 / (3 * a2) == 50.0 and sy6 / (3 * a2) == 50.0  # units = 0.5°
+    # orientation-insensitive: reversed ring gives identical result
+    rev = [[box[0][0][::-1]]]
+    assert ops.centroid6_units(rev) == (sx6, sy6, a2)
+    # box with centered hole keeps the centroid, reduces area
+    hole = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75]])
+    withhole = [[box[0][0], hole]]
+    hx6, hy6, ha2 = ops.centroid6_units(withhole)
+    assert ha2 == 20000 - 2 * 50 * 50
+    assert hx6 / (3 * ha2) == 50.0 and hy6 / (3 * ha2) == 50.0
+
+
+def test_make_valid_pinch_figure_eight():
+    ring = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+         [0.0, 0.0], [-1.0, 0.0], [-1.0, -1.0], [0.0, -1.0]]
+    )
+    loops = ops.make_valid_pinch(ring)
+    assert len(loops) == 2
+    areas = sorted(abs(ops.ring_area2_units(lp)) for lp in loops)
+    assert areas == [20000, 20000]
+
+
+def test_make_valid_simple_ring_unchanged():
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    loops = ops.make_valid_pinch(ring)
+    assert len(loops) == 1
+    assert abs(ops.ring_area2_units(loops[0])) == 80000
+
+
+def test_make_valid_three_lobes():
+    c = (0.0, 0.0)
+    ring = []
+    for (dx, dy, s) in [(1, 1, 1.0), (-1, 1, 2.0), (-1, -1, 3.0)]:
+        ring += [c, (dx * s, 0.0), (dx * s, dy * s), (0.0, dy * s)]
+    loops = ops.make_valid_pinch(np.array(ring))
+    assert len(loops) == 3
+    areas = sorted(abs(ops.ring_area2_units(lp)) for lp in loops)
+    assert areas == [2 * 100 * 100, 2 * 200 * 200, 2 * 300 * 300]
