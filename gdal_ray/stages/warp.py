@@ -10,9 +10,10 @@ Mirrors the reference pipeline (SURVEY.md §3.1):
 - inverse-mapping resample per dst pixel with the kernels of
   stages/resample.py (alg/gdalwarpkernel.cpp dispatch semantics).
 
-CRS support is the engine's two native frames — EPSG:4326 (lon/lat) and
-EPSG:3857 (spherical mercator) — implemented in closed form in
-tilemath.py (no PROJ in this sandbox).  The `Reprojector` actor holds the
+CRS support: EPSG:4326 (lon/lat), EPSG:3857 (spherical mercator,
+closed form in tilemath.py) and every WGS84 UTM zone
+(EPSG:326xx/327xx — Krüger-series transverse Mercator in crs.py;
+no PROJ in this sandbox).  The `Reprojector` actor holds the
 transform closures + kernel choice once per actor, exactly like the
 reference clones per-thread transformer state
 (apps/gdalalg_raster_tile.cpp:1887-2060).
@@ -23,20 +24,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gdal_ray import tilemath as tm
 from gdal_ray.codecs import decode, encode
 from gdal_ray.stages.resample import _KERNELS
 
 
 def _fwd(src_crs: str, dst_crs: str):
-    """Returns f(x, y) -> (x', y') mapping src CRS coords to dst CRS."""
-    if src_crs == dst_crs:
-        return lambda x, y: (x, y)
-    if (src_crs, dst_crs) == ("EPSG:4326", "EPSG:3857"):
-        return lambda lon, lat: tm.lonlat_to_meters(lon, np.clip(lat, -tm.MAX_LATITUDE, tm.MAX_LATITUDE))
-    if (src_crs, dst_crs) == ("EPSG:3857", "EPSG:4326"):
-        return tm.meters_to_lonlat
-    raise NotImplementedError(f"CRS pair {src_crs}->{dst_crs} (only 4326<->3857 in-sandbox)")
+    """Returns f(x, y) -> (x', y') mapping src CRS coords to dst CRS.
+    Supported frames: EPSG:4326, EPSG:3857, and all WGS84 UTM zones
+    (EPSG:326xx/327xx, closed-form Krüger tmerc in gdal_ray/crs.py)."""
+    from gdal_ray.crs import transform_fn
+
+    return transform_fn(src_crs, dst_crs)
 
 
 def suggested_output(

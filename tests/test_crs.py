@@ -1,0 +1,85 @@
+"""UTM (Krüger transverse Mercator) accuracy: round-trips, meridian arc vs
+numeric integration, scale factor, zone composition through warp._fwd."""
+
+import numpy as np
+import pytest
+
+from gdal_ray import crs
+
+
+def test_roundtrip_within_zone():
+    rng = np.random.Generator(np.random.PCG64(11))
+    lon0 = 3.0  # zone 31 central meridian
+    lon = rng.uniform(lon0 - 3, lon0 + 3, 500)
+    lat = rng.uniform(-80, 84, 500)
+    e, n = crs.lonlat_to_tmerc(lon, lat, lon0)
+    lon2, lat2 = crs.tmerc_to_lonlat(e, n, lon0)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_central_meridian_northing_is_scaled_meridian_arc():
+    """On the central meridian, northing = k0 × meridian arc length; check
+    against direct numeric integration of the meridian integral
+    M(φ) = ∫ a(1-e²)/(1-e²sin²t)^(3/2) dt — an independent derivation."""
+    a, f = crs.A_WGS84, crs.F_WGS84
+    e2 = f * (2 - f)
+    for lat in (15.0, 45.0, 70.0):
+        t = np.linspace(0.0, np.radians(lat), 2_000_001)
+        integrand = a * (1 - e2) / (1 - e2 * np.sin(t) ** 2) ** 1.5
+        arc = np.trapz(integrand, t)
+        east, north = crs.lonlat_to_tmerc(np.array([3.0]), np.array([lat]), 3.0)
+        assert east[0] == pytest.approx(500000.0, abs=1e-6)
+        assert north[0] == pytest.approx(crs.K0 * arc, abs=1e-3)
+
+
+def test_point_scale_factor_on_central_meridian():
+    """Scale along the central meridian is k0 = 0.9996 exactly."""
+    lat = np.array([40.0])
+    d = 1e-5
+    _, n1 = crs.lonlat_to_tmerc(np.array([3.0]), lat - d, 3.0)
+    _, n2 = crs.lonlat_to_tmerc(np.array([3.0]), lat + d, 3.0)
+    a, f = crs.A_WGS84, crs.F_WGS84
+    e2 = f * (2 - f)
+    M = a * (1 - e2) / (1 - e2 * np.sin(np.radians(lat)) ** 2) ** 1.5  # meridian radius
+    ground = M * np.radians(2 * d)
+    assert (n2 - n1)[0] / ground[0] == pytest.approx(crs.K0, rel=1e-9)
+
+
+def test_utm_epsg_parametrization():
+    # zone 31N central meridian 3°E; equator origin
+    lon0, fn = crs.utm_zone_params(32631)
+    assert lon0 == 3.0 and fn == 0.0
+    # southern hemisphere false northing
+    lon0s, fns = crs.utm_zone_params(32731)
+    assert lon0s == 3.0 and fns == 10000000.0
+    e, n = crs.utm_fwd(32731)(np.array([3.0]), np.array([-30.0]))
+    assert n[0] < 10000000.0 and n[0] > 6000000.0
+
+
+def test_transform_fn_composes_pairs():
+    from gdal_ray.stages.warp import _fwd
+
+    lon = np.array([4.5]); lat = np.array([51.2])
+    e, n = _fwd("EPSG:4326", "EPSG:32631")(lon, lat)
+    lon2, lat2 = _fwd("EPSG:32631", "EPSG:4326")(e, n)
+    assert abs(lon2[0] - 4.5) < 1e-9 and abs(lat2[0] - 51.2) < 1e-9
+    # projected -> projected composes through 4326
+    mx, my = _fwd("EPSG:32631", "EPSG:3857")(e, n)
+    from gdal_ray import tilemath as tm
+    mx2, my2 = tm.lonlat_to_meters(lon, lat)
+    assert abs(mx[0] - mx2[0]) < 1e-6 and abs(my[0] - my2[0]) < 1e-6
+
+
+def test_warp_image_utm_roundtrip_nearest():
+    """4326 → UTM31 warp of a checkerboard keeps pixel values (nearest) and
+    produces a plausibly-sized grid."""
+    from gdal_ray.stages.warp import warp_image
+
+    img = (np.indices((32, 32)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    src_gt = (2.0, 0.0625, 0.0, 52.0, 0.0, -0.0625)  # 2°..4°E, 50..52°N
+    out, dst_gt = warp_image(img, src_gt, "EPSG:4326", "EPSG:32631", method="nearest")
+    assert out.shape[0] >= 16 and out.shape[1] >= 16
+    vals = np.unique(out)
+    assert set(vals.tolist()) <= {0, 255}
+    assert (out == 255).mean() == pytest.approx(0.5, abs=0.1)
