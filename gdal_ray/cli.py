@@ -70,6 +70,8 @@ def cmd_render(args) -> int:
     from gdal_ray.stages.render import render_pyramid
     from gdal_ray.state import manifest as mf
 
+    if not args.out and not args.tree_out:
+        raise SystemExit("render: need --out and/or --tree-out")
     _ray_init()
     images = read_images(args.input) if args.input else synth_images(args.images)
     levels = render_pyramid(
@@ -79,11 +81,22 @@ def cmd_render(args) -> int:
         "render-v1", f"base={args.base_zoom}", f"min={args.min_zoom}", f"ts={args.tile_size}"
     )
     total = 0
+    written = 0
     for i, lv in enumerate(levels):
         z = args.base_zoom - i
-        res = mf.write_partitioned(lv, f"{args.out}/z{z}", "z", lineage)
-        total += int(res["rows_out"].sum())
-    print(json.dumps({"levels": len(levels), "tiles": total, "out": args.out}))
+        if args.tree_out:
+            from gdal_ray.state.tilesink import write_tile_tree
+
+            res = write_tile_tree(lv, args.tree_out, tile_size=args.tile_size).to_pandas()
+            total += len(res)
+            written += int(res["written"].sum())
+        else:
+            res = mf.write_partitioned(lv, f"{args.out}/z{z}", "z", lineage)
+            total += int(res["rows_out"].sum())
+    out = {"levels": len(levels), "tiles": total, "out": args.tree_out or args.out}
+    if args.tree_out:
+        out["written"] = written
+    print(json.dumps(out))
     return 0
 
 
@@ -104,7 +117,9 @@ def main(argv=None) -> int:
     r.add_argument("--base-zoom", type=int, default=6)
     r.add_argument("--min-zoom", type=int, default=3)
     r.add_argument("--tile-size", type=int, default=64)
-    r.add_argument("--out", required=True)
+    r.add_argument("--out", default=None)
+    r.add_argument("--tree-out", default=None,
+                   help="write a z/x/y PNG tile tree (atomic rename + file-exists resume)")
     r.set_defaults(fn=cmd_render)
 
     args = p.parse_args(argv)
