@@ -150,6 +150,11 @@ def run_headline() -> dict:
         decode_and_footprint, batch_format="pyarrow", batch_size=128
     ).count()
 
+    def strip_meta(b):
+        # parquet `pandas` schema metadata makes schemas unhashable →
+        # Ray warns per reduce task; dropping it is metadata-only
+        return b.replace_schema_metadata(None)
+
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
     def best_of(fn):
@@ -165,12 +170,20 @@ def run_headline() -> dict:
         return best, out
 
     # q1: read → decode + footprint → tile assignment → per-tile counts
+    # prune at the read: q1 never touches phash
+    Q1_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption",
+               "lon_min", "lat_min", "lon_max", "lat_max"]
+
     def q1():
-        images = rd.read_parquet(img_path)
+        images = rd.read_parquet(img_path, columns=Q1_COLS)
         assigns = images.map_batches(decode_and_footprint, batch_format="pyarrow", batch_size=128)
         assigns = assigns.map_batches(lambda b: assign_tiles(b, max_zoom=14), batch_format="pyarrow")
         tiles = assigns.map_batches(per_batch_tile_counts, batch_format="pyarrow")
-        return tiles.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n")).count()
+        from gdal_ray.stages.agg import grouped_aggregate
+
+        return grouped_aggregate(
+            tiles, ["z", "x", "y"], [("n_images", "sum", "n")], num_buckets=NUM_CPUS
+        ).count()
 
     t1, n_tiles = best_of(q1)
     queries["tile_assign"] = t1
@@ -220,7 +233,7 @@ def run_headline() -> dict:
         render_src = rd.read_parquet(
             img_path,
             columns=["image_id", "bytes", "fmt", "lon_min", "lat_min", "lon_max", "lat_max"],
-        ).limit(n_render)
+        ).map_batches(strip_meta, batch_format="pyarrow").limit(n_render)
         levels = render_pyramid(render_src, base_zoom=7, min_zoom=5, tile_size=64)
         return sum(lv.count() for lv in levels)
 

@@ -48,10 +48,14 @@ def per_batch_tile_counts(batch: pa.Table) -> pa.Table:
 
 def flagship(n_images: int = 1000, *, max_zoom: int = 12, images_ds=None):
     """Returns the per-tile image-count Dataset (small; safe to to_pandas)."""
-    from ray.data.aggregate import Sum
+    from gdal_ray.stages.agg import grouped_aggregate
 
     if images_ds is None:
         images_ds = synth_images_dataset(n_images)
     assigns = tile_assignments(images_ds, max_zoom=max_zoom)
     partial = assigns.map_batches(per_batch_tile_counts, batch_format="pyarrow")
-    return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
+    # hash-bucket aggregate: ~10x cheaper than the built-in sample-sort
+    # Aggregate for this small-partials shape (see stages/agg.py)
+    return grouped_aggregate(
+        partial, ["z", "x", "y"], [("n_images", "sum", "n_images")]
+    )

@@ -30,10 +30,19 @@ from gdal_ray.stages.tiles import assign_tiles
 from gdal_ray.synth import make_image_batch, make_polygon_table, polygon_edges_sql_values
 
 
+def _strip_meta(b: pa.Table) -> pa.Table:
+    # parquet files carry a `pandas` schema-metadata dict that makes
+    # pa.Schema unhashable — Ray then logs "Failed to hash the schemas"
+    # in every reduce task.  Dropping it is metadata-only (zero-copy).
+    return b.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow"
+    )
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -1976,6 +1985,43 @@ from cs group by 1, 2
 """
 
 
+# --- SQL string interface (gdal_ray/sql.py — the swq subset of
+# ogr/swq_expr_node.cpp + ogr_gensql.cpp): the engine EXECUTES the same
+# SQL string DuckDB runs as the oracle, so the parser/compiler itself is
+# under the correctness gate.
+
+SQL_IFACE_SELECT = (
+    "SELECT o_orderkey, CAST(o_totalprice AS BIGINT) AS cents, "
+    "CONCAT(o_orderpriority, '-', o_orderstatus) AS tag "
+    "FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000 "
+    "AND o_orderpriority LIKE '1%' ORDER BY o_orderkey LIMIT 200"
+)
+
+SQL_IFACE_GROUP = (
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "MIN(o_orderkey) AS first_key FROM orders "
+    "WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority"
+)
+
+
+def q_sql_select(sf_dir: str):
+    """swq-style SQL front end, scalar path: WHERE + CAST/CONCAT/LIKE/
+    BETWEEN + ORDER BY/LIMIT, parsed and compiled to Arrow kernels
+    (gdal_ray/sql.py; reference ogr/swq_expr_node.cpp)."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_SELECT, {"orders": _read(sf_dir, "orders")})
+
+
+def q_sql_group(sf_dir: str):
+    """swq-style SQL front end, aggregate path: GROUP BY + COUNT/SUM/MIN
+    lowered to the hash-bucket aggregate (ogr_gensql.cpp summary mode)."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_GROUP, {"orders": _read(sf_dir, "orders")})
+
+
 def q_warp_stats(sf_dir: str):
     """Aggregating warp resamplers (average/sum/min/max/med/q1/q3/mode/
     count — alg/gdalwarper.h:37-69) exercised as an identity-CRS 4×
@@ -2493,6 +2539,8 @@ def queries():
         "sieve": q_sieve,
         "raster_calc": q_raster_calc,
         "warp_stats": q_warp_stats,
+        "sql_select": q_sql_select,
+        "sql_group": q_sql_group,
     }
 
 
@@ -2548,6 +2596,8 @@ def oracle_sql():
         "proximity": SQL_PROXIMITY,
         "raster_calc": SQL_RASTER_CALC,
         "warp_stats": SQL_WARP_STATS,
+        "sql_select": SQL_IFACE_SELECT,
+        "sql_group": SQL_IFACE_GROUP,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

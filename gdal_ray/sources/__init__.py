@@ -28,6 +28,11 @@ def read_images(path: str, *, columns: list[str] | None = None):
     footprint columns])."""
     import ray.data as rd
 
+    def strip_meta(b):
+        # drop parquet `pandas` schema metadata (dict) — it makes schemas
+        # unhashable and Ray warns on every block unification
+        return b.replace_schema_metadata(None)
+
     if path.endswith(".lance"):
         try:
             return rd.read_lance(path, columns=columns)
@@ -36,7 +41,9 @@ def read_images(path: str, *, columns: list[str] | None = None):
                 "lance reader unavailable in this environment; materialize the "
                 "table as parquet and pass that path instead"
             ) from e
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns).map_batches(
+        strip_meta, batch_format="pyarrow"
+    )
 
 
 def synth_images(n: int, *, parallelism: int = -1):

@@ -1,0 +1,554 @@
+"""Minimal SQL engine over ray.data.Dataset — the swq subset.
+
+The reference parses and evaluates an SQL dialect in ogr/swq_expr_node.cpp
+(ops: ogr/ogr_swq.h:44-58 — AND/OR/NOT, comparisons, LIKE, IN, BETWEEN,
+IS NULL, CONCAT, SUBSTR, CAST, arithmetic) and executes SELECT with
+aggregates/GROUP BY/ORDER BY/LIMIT in ogr_gensql.cpp.  This module is the
+Ray-Data-native equivalent: a hand-written tokenizer + recursive-descent
+parser producing an expression tree, compiled to vectorized
+pyarrow.compute kernels inside map_batches; GROUP BY lowers to the
+hash-bucket aggregate (stages/agg.py), ORDER BY to ds.sort, LIMIT to
+ds.limit.
+
+Grammar (grows as needed):
+  SELECT item[, ...] FROM <table>
+    [WHERE expr] [GROUP BY col[, ...]]
+    [ORDER BY col [DESC][, ...]] [LIMIT n]
+  item := expr [AS name] | agg(expr) [AS name] | COUNT(*) [AS name]
+  agg  := SUM | MIN | MAX | AVG | COUNT
+  scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, CAST(e AS type)
+  predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...),
+              [NOT] BETWEEN a AND b, IS [NOT] NULL, AND, OR, NOT
+LIKE is case-sensitive (DuckDB semantics; the reference's OGR_SQL_LIKE_AS
+_ILIKE toggle maps to ILIKE).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<op><>|!=|<=|>=|\|\||[=<>+\-*/%(),.])|(?P<end>$))"
+)
+
+_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "AS", "AND",
+    "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CAST",
+    "DESC", "ASC", "DISTINCT",
+}
+
+
+def _tokenize(s: str):
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos and not m.group("end"):
+            raise ValueError(f"SQL tokenize error at {s[pos:pos+20]!r}")
+        if m.group("end") is not None and m.group("num") is None \
+           and m.group("str") is None and m.group("id") is None and m.group("op") is None:
+            break
+        pos = m.end()
+        if m.group("num"):
+            txt = m.group("num")
+            out.append(("num", float(txt) if "." in txt else int(txt)))
+        elif m.group("str"):
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("id"):
+            t = m.group("id")
+            out.append(("kw", t.upper()) if t.upper() in _KEYWORDS else ("id", t))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
+    out.append(("eof", None))
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, val=None):
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            return self.next()
+        return None
+
+    def expect(self, kind, val=None):
+        t = self.accept(kind, val)
+        if t is None:
+            raise ValueError(f"SQL parse error: expected {val or kind}, got {self.peek()}")
+        return t
+
+
+# AST nodes: ("col", name) ("lit", v) ("call", fn, args) ("cast", e, type)
+# ("bin", op, l, r) ("un", op, e) ("like", e, pat, ci, neg) ("in", e, vals, neg)
+# ("between", e, lo, hi, neg) ("isnull", e, neg) ("agg", fn, e|None)
+
+_AGG_FNS = {"SUM", "MIN", "MAX", "AVG", "COUNT"}
+
+
+def _parse_expr(p: _P):
+    return _parse_or(p)
+
+
+def _parse_or(p):
+    e = _parse_and(p)
+    while p.accept("kw", "OR"):
+        e = ("bin", "or", e, _parse_and(p))
+    return e
+
+
+def _parse_and(p):
+    e = _parse_not(p)
+    while p.accept("kw", "AND"):
+        e = ("bin", "and", e, _parse_not(p))
+    return e
+
+
+def _parse_not(p):
+    if p.accept("kw", "NOT"):
+        return ("un", "not", _parse_not(p))
+    return _parse_cmp(p)
+
+
+def _parse_cmp(p):
+    e = _parse_add(p)
+    neg = bool(p.accept("kw", "NOT"))
+    k, v = p.peek()
+    if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+        p.next()
+        return ("bin", v, e, _parse_add(p))
+    if k == "kw" and v in ("LIKE", "ILIKE"):
+        p.next()
+        pat = p.expect("str")[1]
+        return ("like", e, pat, v == "ILIKE", neg)
+    if k == "kw" and v == "IN":
+        p.next()
+        p.expect("op", "(")
+        vals = []
+        while True:
+            kk, vv = p.next()
+            if kk not in ("num", "str"):
+                raise ValueError("IN list expects literals")
+            vals.append(vv)
+            if not p.accept("op", ","):
+                break
+        p.expect("op", ")")
+        return ("in", e, vals, neg)
+    if k == "kw" and v == "BETWEEN":
+        p.next()
+        lo = _parse_add(p)
+        p.expect("kw", "AND")
+        hi = _parse_add(p)
+        return ("between", e, lo, hi, neg)
+    if k == "kw" and v == "IS":
+        p.next()
+        neg2 = bool(p.accept("kw", "NOT"))
+        p.expect("kw", "NULL")
+        return ("isnull", e, neg2)
+    if neg:
+        raise ValueError("dangling NOT")
+    return e
+
+
+def _parse_add(p):
+    e = _parse_mul(p)
+    while True:
+        k, v = p.peek()
+        if k == "op" and v in ("+", "-", "||"):
+            p.next()
+            e = ("bin", v, e, _parse_mul(p))
+        else:
+            return e
+
+
+def _parse_mul(p):
+    e = _parse_unary(p)
+    while True:
+        k, v = p.peek()
+        if k == "op" and v in ("*", "/", "%"):
+            p.next()
+            e = ("bin", v, e, _parse_unary(p))
+        else:
+            return e
+
+
+def _parse_unary(p):
+    if p.accept("op", "-"):
+        return ("un", "neg", _parse_unary(p))
+    return _parse_primary(p)
+
+
+def _parse_primary(p):
+    k, v = p.next()
+    if k == "num" or k == "str":
+        return ("lit", v)
+    if k == "kw" and v == "NULL":
+        return ("lit", None)
+    if k == "kw" and v == "CAST":
+        p.expect("op", "(")
+        e = _parse_expr(p)
+        p.expect("kw", "AS")
+        ty = p.expect("id")[1].upper()
+        p.expect("op", ")")
+        return ("cast", e, ty)
+    if k == "id":
+        if p.accept("op", "("):
+            fn = v.upper()
+            args = []
+            if fn == "COUNT" and p.accept("op", "*"):
+                p.expect("op", ")")
+                return ("agg", "COUNT", None)
+            if not p.accept("op", ")"):
+                while True:
+                    args.append(_parse_expr(p))
+                    if not p.accept("op", ","):
+                        break
+                p.expect("op", ")")
+            if fn in _AGG_FNS:
+                if len(args) != 1:
+                    raise ValueError(f"{fn} takes one argument")
+                return ("agg", fn, args[0])
+            return ("call", fn, args)
+        return ("col", v)
+    if k == "op" and v == "(":
+        e = _parse_expr(p)
+        p.expect("op", ")")
+        return e
+    raise ValueError(f"SQL parse error near {v!r}")
+
+
+def parse_select(sql: str) -> dict:
+    p = _P(_tokenize(sql))
+    p.expect("kw", "SELECT")
+    items = []
+    while True:
+        if p.accept("op", "*"):
+            items.append(("star", None))
+        else:
+            e = _parse_expr(p)
+            name = None
+            if p.accept("kw", "AS"):
+                name = p.expect("id")[1]
+            items.append((e, name))
+        if not p.accept("op", ","):
+            break
+    p.expect("kw", "FROM")
+    table = p.expect("id")[1]
+    where = group = None
+    order = []
+    limit = None
+    if p.accept("kw", "WHERE"):
+        where = _parse_expr(p)
+    if p.accept("kw", "GROUP"):
+        p.expect("kw", "BY")
+        group = []
+        while True:
+            group.append(p.expect("id")[1])
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            c = p.expect("id")[1]
+            desc = bool(p.accept("kw", "DESC"))
+            if not desc:
+                p.accept("kw", "ASC")
+            order.append((c, desc))
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "LIMIT"):
+        limit = int(p.expect("num")[1])
+    p.expect("eof")
+    return {"items": items, "table": table, "where": where,
+            "group": group, "order": order, "limit": limit}
+
+
+# ---------------------------------------------------------------------------
+# compiler: AST -> pa.Array function over a batch
+
+_CAST_TYPES = {
+    "INTEGER": pa.int64(), "INT": pa.int64(), "BIGINT": pa.int64(),
+    "DOUBLE": pa.float64(), "FLOAT": pa.float64(), "REAL": pa.float64(),
+    "VARCHAR": pa.string(), "TEXT": pa.string(), "STRING": pa.string(),
+}
+
+
+def _like_regex(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _eval(node, batch: pa.Table):
+    kind = node[0]
+    if kind == "col":
+        return batch.column(node[1])
+    if kind == "lit":
+        return pa.scalar(node[1])
+    if kind == "cast":
+        v = _eval(node[1], batch)
+        ty = _CAST_TYPES[node[2]]
+        if pa.types.is_integer(ty) and pa.types.is_floating(
+            v.type if hasattr(v, "type") else pa.float64()
+        ):
+            # DuckDB DOUBLE→int CAST uses rint (round half to even);
+            # only DECIMAL literals round half away from zero
+            return pc.round(v, round_mode="half_to_even").cast(ty)
+        return pc.cast(v, ty)
+    if kind == "un":
+        v = _eval(node[2], batch)
+        return pc.negate(v) if node[1] == "neg" else pc.invert(v)
+    if kind == "bin":
+        op, l, r = node[1], _eval(node[2], batch), _eval(node[3], batch)
+        ops = {
+            "+": pc.add, "-": pc.subtract, "*": pc.multiply,
+            "/": pc.divide, "=": pc.equal, "<>": pc.not_equal,
+            "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+            "and": pc.and_kleene, "or": pc.or_kleene,
+        }
+        if op == "%":
+            return _mod(l, r)
+        if op == "||":
+            return pc.binary_join_element_wise(pc.cast(l, pa.string()), pc.cast(r, pa.string()), "")
+        if op == "/" and pa.types.is_integer(_t(l)) and pa.types.is_integer(_t(r)):
+            return pc.divide(l, r)  # arrow int/int = int (SQL integer division)
+        return ops[op](l, r)
+    if kind == "like":
+        _, e, pat, ci, neg = node
+        v = _eval(e, batch)
+        m = pc.match_substring_regex(v, _like_regex(pat), ignore_case=ci)
+        return pc.invert(m) if neg else m
+    if kind == "in":
+        _, e, vals, neg = node
+        v = _eval(e, batch)
+        m = pc.is_in(v, value_set=pa.array(vals))
+        return pc.invert(m) if neg else m
+    if kind == "between":
+        _, e, lo, hi, neg = node
+        v = _eval(e, batch)
+        m = pc.and_(pc.greater_equal(v, _eval(lo, batch)), pc.less_equal(v, _eval(hi, batch)))
+        return pc.invert(m) if neg else m
+    if kind == "isnull":
+        _, e, neg = node
+        m = pc.is_null(_eval(e, batch))
+        return pc.invert(m) if neg else m
+    if kind == "call":
+        fn, args = node[1], [_eval(a, batch) for a in node[2]]
+        if fn == "CONCAT":
+            parts = [pc.cast(a, pa.string()) for a in args]
+            return pc.binary_join_element_wise(*parts, "")
+        if fn == "SUBSTR" or fn == "SUBSTRING":
+            start = node[2][1][1]  # literal 1-based
+            length = node[2][2][1] if len(node[2]) > 2 else None
+            stop = None if length is None else start - 1 + length
+            return pc.utf8_slice_codeunits(args[0], start - 1, stop)
+        if fn == "UPPER":
+            return pc.utf8_upper(args[0])
+        if fn == "LOWER":
+            return pc.utf8_lower(args[0])
+        if fn == "LENGTH" or fn == "LEN":
+            return pc.utf8_length(args[0]).cast(pa.int64())
+        if fn == "ABS":
+            return pc.abs(args[0])
+        if fn == "FLOOR":
+            return pc.floor(args[0])
+        if fn == "CEIL" or fn == "CEILING":
+            return pc.ceil(args[0])
+        if fn == "ROUND":
+            return pc.round(args[0])
+        raise ValueError(f"unknown function {fn}")
+    raise ValueError(f"cannot evaluate node {node[0]}")
+
+
+def _t(v):
+    return v.type if hasattr(v, "type") else pa.float64()
+
+
+def _mod(l, r):
+    # SQL % on integers: numpy-style fmod semantics match DuckDB for
+    # positive operands; use trunc-division remainder
+    lt = _t(l)
+    q = pc.cast(pc.trunc(pc.divide(pc.cast(l, pa.float64()), pc.cast(r, pa.float64()))), lt)
+    return pc.subtract(l, pc.multiply(q, r))
+
+
+def _collect_aggs(node, out):
+    if not isinstance(node, tuple):
+        return
+    if node[0] == "agg":
+        out.append(node)
+        return
+    for part in node[1:]:
+        if isinstance(part, tuple):
+            _collect_aggs(part, out)
+        elif isinstance(part, list):
+            for q in part:
+                _collect_aggs(q, out)
+
+
+def _default_name(node, idx):
+    if node[0] == "col":
+        return node[1]
+    if node[0] == "agg":
+        return f"{node[1].lower()}_{idx}"
+    return f"expr_{idx}"
+
+
+def execute_sql(sql: str, tables: dict):
+    """Run a SELECT over ray.data Datasets.  tables: name -> Dataset.
+    Returns a Dataset."""
+    q = parse_select(sql)
+    ds = tables[q["table"]]
+
+    if q["where"] is not None:
+        where = q["where"]
+
+        def filt(b: pa.Table) -> pa.Table:
+            mask = _eval(where, b)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            return b.filter(pc.fill_null(mask, False))
+
+        ds = ds.map_batches(filt, batch_format="pyarrow")
+
+    items = q["items"]
+    has_agg = any(
+        it[0] != "star" and _has_agg(it[0]) for it in items
+    )
+
+    if q["group"] or has_agg:
+        ds = _execute_aggregate(ds, q)
+    else:
+        def project(b: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for idx, (node, name) in enumerate(items):
+                if node == "star":
+                    for n in b.column_names:
+                        cols.append(b.column(n))
+                        names.append(n)
+                    continue
+                v = _eval(node, b)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(b))
+                cols.append(v)
+                names.append(name or _default_name(node, idx))
+            return pa.table(dict(zip(names, cols)))
+
+        ds = ds.map_batches(project, batch_format="pyarrow")
+
+    if q["order"]:
+        ds = ds.sort([c for c, _ in q["order"]], descending=[d for _, d in q["order"]])
+    if q["limit"] is not None:
+        ds = ds.limit(q["limit"])
+    return ds
+
+
+def _has_agg(node):
+    out = []
+    _collect_aggs(node, out)
+    return bool(out)
+
+
+def _execute_aggregate(ds, q):
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    group = q["group"] or []
+    items = q["items"]
+    # assign each agg node a materialized input column, each select item a name
+    agg_specs = []   # (input_col, fn, out_col)
+    agg_nodes = []
+    pre_cols = []    # (name, expr) computed per batch before grouping
+
+    for idx, (node, name) in enumerate(items):
+        if node == "star":
+            raise ValueError("SELECT * not supported with GROUP BY")
+        aggs_here = []
+        _collect_aggs(node, aggs_here)
+        if not aggs_here:
+            if node[0] != "col" or node[1] not in group:
+                raise ValueError("non-aggregate select item must be a GROUP BY column")
+            continue
+        post_cast = None
+        if node[0] == "cast" and node[1][0] == "agg":
+            post_cast = _CAST_TYPES[node[2]]
+            node = node[1]
+        if node[0] != "agg":
+            raise ValueError("aggregate expressions must be top-level (e.g. SUM(x))")
+        agg_nodes.append((node, name or _default_name(node, idx), post_cast))
+
+    fn_map = {"SUM": "sum", "MIN": "min", "MAX": "max", "AVG": "mean", "COUNT": "count"}
+    post_casts = {}
+    for j, (node, out_name, post_cast) in enumerate(agg_nodes):
+        _, fn, arg = node
+        if post_cast is not None:
+            post_casts[out_name] = post_cast
+        if arg is None:  # COUNT(*)
+            in_col = "__one"
+            pre_cols.append((in_col, ("lit", 1)))
+        elif arg[0] == "col":
+            in_col = arg[1]
+        else:
+            in_col = f"__a{j}"
+            pre_cols.append((in_col, arg))
+        agg_specs.append((in_col, fn_map[fn], out_name))
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols = {g: b.column(g) for g in group}
+        for name, expr in pre_cols:
+            v = _eval(expr, b)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(b), pa.int64())
+            cols[name] = v
+        for spec in agg_specs:
+            if spec[0] not in cols:
+                cols[spec[0]] = b.column(spec[0])
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    if group:
+        out = grouped_aggregate(prepped, group, agg_specs)
+    else:
+        def add_key(b: pa.Table) -> pa.Table:
+            return b.append_column("__k", pa.array(np.zeros(len(b), np.int64)))
+
+        out = grouped_aggregate(prepped.map_batches(add_key, batch_format="pyarrow"),
+                                ["__k"], agg_specs)
+        out = out.drop_columns(["__k"])
+    # order output columns as written in the SELECT list
+    names = []
+    for idx, (node, name) in enumerate(items):
+        if node[0] == "col" and not _has_agg(node):
+            names.append(node[1])
+        else:
+            names.append(name or _default_name(node, idx))
+
+    def reorder(b: pa.Table) -> pa.Table:
+        b = b.select(names)
+        for nm, ty in post_casts.items():
+            i = b.schema.get_field_index(nm)
+            b = b.set_column(i, nm, pc.cast(b.column(nm), ty))
+        return b
+
+    return out.map_batches(reorder, batch_format="pyarrow")

@@ -23,6 +23,7 @@ from gdal_ray.geometry.wkb import encode_polygon
 def decode_and_footprint(batch: pa.Table) -> pa.Table:
     """Arrow in/out: validates every blob decodes to (h, w), adds
     pixel_mean/pixel_std (float64) and footprint_wkb (binary) columns."""
+    batch = batch.replace_schema_metadata(None)  # keep schemas hashable
     blobs = batch.column("bytes").to_pylist()
     fmts = batch.column("fmt").to_pylist()
     ws = batch.column("w").to_numpy()

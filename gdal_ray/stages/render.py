@@ -112,42 +112,47 @@ def render_contributions(batch: pa.Table, *, zoom: int, tile_size: int = 64,
     )
 
 
-def _mosaic_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:
-    """Composite contributions last-on-top by explicit priority."""
-    g = g.sort_values("priority", kind="mergesort")
+def _mosaic_group(g: pa.Table, ts: int) -> pa.Table:
+    """Composite contributions last-on-top by explicit priority.
+    Arrow-native (no pandas round-trip — keeps shuffle blocks free of the
+    unhashable pandas schema metadata and its conversion cost)."""
+    prio = g.column("priority").to_numpy(zero_copy_only=False)
+    order = np.argsort(prio, kind="stable")
+    rgbs = g.column("rgb").to_pylist()
+    alphas = g.column("alpha").to_pylist()
     canvas = np.zeros((ts, ts, 3), dtype=np.uint8)
     alpha = np.zeros((ts, ts), dtype=np.uint8)
-    for rgb_b, a_b in zip(g["rgb"], g["alpha"]):
-        rgb = np.frombuffer(rgb_b, dtype=np.uint8).reshape(ts, ts, 3)
-        a = np.frombuffer(a_b, dtype=np.uint8).reshape(ts, ts)
+    for i in order:
+        rgb = np.frombuffer(rgbs[i], dtype=np.uint8).reshape(ts, ts, 3)
+        a = np.frombuffer(alphas[i], dtype=np.uint8).reshape(ts, ts)
         m = a > 0
         canvas[m] = rgb[m]
         alpha[m] = 255
     if not alpha.any():  # blank-tile skip (gdalalg_raster_tile.cpp:402)
-        return _empty_tile_frame()
-    return pd.DataFrame(
+        return _empty_tile_table()
+    return pa.table(
         {
-            "z": [np.int64(g["z"].iloc[0])],
-            "x": [np.int64(g["x"].iloc[0])],
-            "y": [np.int64(g["y"].iloc[0])],
-            "n_src": [np.int64(len(g))],
-            "rgb": [canvas.tobytes()],
-            "alpha": [alpha.tobytes()],
-            "checksum": [np.int64(checksum_image(canvas))],
+            "z": pa.array([int(g.column("z")[0].as_py())], pa.int64()),
+            "x": pa.array([int(g.column("x")[0].as_py())], pa.int64()),
+            "y": pa.array([int(g.column("y")[0].as_py())], pa.int64()),
+            "n_src": pa.array([len(g)], pa.int64()),
+            "rgb": pa.array([canvas.tobytes()], pa.binary()),
+            "alpha": pa.array([alpha.tobytes()], pa.binary()),
+            "checksum": pa.array([int(checksum_image(canvas))], pa.int64()),
         }
     )
 
 
-def _empty_tile_frame() -> pd.DataFrame:
-    return pd.DataFrame(
+def _empty_tile_table() -> pa.Table:
+    return pa.table(
         {
-            "z": pd.Series([], dtype=np.int64),
-            "x": pd.Series([], dtype=np.int64),
-            "y": pd.Series([], dtype=np.int64),
-            "n_src": pd.Series([], dtype=np.int64),
-            "rgb": pd.Series([], dtype=object),
-            "alpha": pd.Series([], dtype=object),
-            "checksum": pd.Series([], dtype=np.int64),
+            "z": pa.nulls(0, pa.int64()),
+            "x": pa.nulls(0, pa.int64()),
+            "y": pa.nulls(0, pa.int64()),
+            "n_src": pa.nulls(0, pa.int64()),
+            "rgb": pa.nulls(0, pa.binary()),
+            "alpha": pa.nulls(0, pa.binary()),
+            "checksum": pa.nulls(0, pa.int64()),
         }
     )
 
@@ -171,7 +176,7 @@ def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64,
     )
     if salt_bits is None:
         return contrib.groupby(["z", "x", "y"]).map_groups(
-            lambda g: _mosaic_group(g, tile_size), batch_format="pandas"
+            lambda g: _mosaic_group(g, tile_size), batch_format="pyarrow"
         )
 
     def add_salt(b: pa.Table) -> pa.Table:
@@ -179,41 +184,49 @@ def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64,
             "salt", pa.array(b.column("priority").to_numpy() >> salt_bits, pa.int64())
         )
 
-    def partial_mosaic(g: pd.DataFrame) -> pd.DataFrame:
+    def partial_mosaic(g: pa.Table) -> pa.Table:
         out = _mosaic_group(g, tile_size)
         if len(out) == 0:
-            return out.assign(priority=pd.Series([], dtype=np.int64))
+            return out.append_column("priority", pa.nulls(0, pa.int64()))
         # partial keeps its salt as the priority for the stage-2 composite
-        return out.rename(columns={"n_src": "n_src"}).assign(
-            priority=np.int64(g["salt"].iloc[0])
+        return out.append_column(
+            "priority", pa.array([int(g.column("salt")[0].as_py())], pa.int64())
         )
 
     salted = contrib.map_batches(add_salt, batch_format="pyarrow")
     partials = salted.groupby(["z", "x", "y", "salt"]).map_groups(
-        partial_mosaic, batch_format="pandas"
+        partial_mosaic, batch_format="pyarrow"
     )
 
-    def final_mosaic(g: pd.DataFrame) -> pd.DataFrame:
+    def final_mosaic(g: pa.Table) -> pa.Table:
         out = _mosaic_group(g, tile_size)
         if len(out):
-            out["n_src"] = np.int64(g["n_src"].sum())
+            n_src = int(np.sum(g.column("n_src").to_numpy(zero_copy_only=False)))
+            out = out.set_column(
+                out.schema.get_field_index("n_src"), "n_src", pa.array([n_src], pa.int64())
+            )
         return out
 
-    return partials.groupby(["z", "x", "y"]).map_groups(final_mosaic, batch_format="pandas")
+    return partials.groupby(["z", "x", "y"]).map_groups(final_mosaic, batch_format="pyarrow")
 
 
-def _overview_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:
+def _overview_group(g: pa.Table, ts: int) -> pa.Table:
     """≤4 children → parent tile via alpha-weighted 2×2 average
-    (overview.cpp average-with-nodata semantics)."""
+    (overview.cpp average-with-nodata semantics).  Arrow-native."""
     big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
     ba = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
-    z = int(g["z"].iloc[0])
-    px, py = int(g["px"].iloc[0]), int(g["py"].iloc[0])
-    for _, r in g.iterrows():
-        qx = (int(r["x"]) & 1) * ts
-        qy = (int(r["y"]) & 1) * ts
-        rgb = np.frombuffer(r["rgb"], dtype=np.uint8).reshape(ts, ts, 3).astype(np.float64)
-        a = np.frombuffer(r["alpha"], dtype=np.uint8).reshape(ts, ts).astype(np.float64) / 255.0
+    z = int(g.column("z")[0].as_py())
+    px = int(g.column("px")[0].as_py())
+    py = int(g.column("py")[0].as_py())
+    xs = g.column("x").to_numpy(zero_copy_only=False)
+    ys = g.column("y").to_numpy(zero_copy_only=False)
+    rgbs = g.column("rgb").to_pylist()
+    alphas = g.column("alpha").to_pylist()
+    for i in range(len(g)):
+        qx = (int(xs[i]) & 1) * ts
+        qy = (int(ys[i]) & 1) * ts
+        rgb = np.frombuffer(rgbs[i], dtype=np.uint8).reshape(ts, ts, 3).astype(np.float64)
+        a = np.frombuffer(alphas[i], dtype=np.uint8).reshape(ts, ts).astype(np.float64) / 255.0
         big[qy : qy + ts, qx : qx + ts, :] = rgb * a[:, :, None]
         ba[qy : qy + ts, qx : qx + ts] = a
     acc = big.reshape(ts, 2, ts, 2, 3).sum(axis=(1, 3))
@@ -222,15 +235,15 @@ def _overview_group(g: pd.DataFrame, ts: int) -> pd.DataFrame:
         rgb_out = np.where(asum[:, :, None] > 0, np.round(acc / np.maximum(asum, 1e-12)[:, :, None]), 0)
     rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
     alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "z": [np.int64(z - 1)],
-            "x": [np.int64(px)],
-            "y": [np.int64(py)],
-            "n_src": [np.int64(len(g))],
-            "rgb": [rgb_out.tobytes()],
-            "alpha": [alpha_out.tobytes()],
-            "checksum": [np.int64(checksum_image(rgb_out))],
+            "z": pa.array([z - 1], pa.int64()),
+            "x": pa.array([px], pa.int64()),
+            "y": pa.array([py], pa.int64()),
+            "n_src": pa.array([len(g)], pa.int64()),
+            "rgb": pa.array([rgb_out.tobytes()], pa.binary()),
+            "alpha": pa.array([alpha_out.tobytes()], pa.binary()),
+            "checksum": pa.array([int(checksum_image(rgb_out))], pa.int64()),
         }
     )
 
@@ -244,7 +257,7 @@ def overview_level(tiles_ds, *, tile_size: int = 64):
 
     keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
     return keyed.groupby(["px", "py"]).map_groups(
-        lambda g: _overview_group(g, tile_size), batch_format="pandas"
+        lambda g: _overview_group(g, tile_size), batch_format="pyarrow"
     )
 
 

@@ -3,6 +3,7 @@ blank-tile skip, alpha-weighted overview average, checksum stability."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from gdal_ray import tilemath as tm
@@ -56,34 +57,35 @@ def test_mosaic_last_on_top():
     full_alpha = np.full((ts, ts), 255, np.uint8)
     half_alpha = np.zeros((ts, ts), np.uint8)
     half_alpha[:, : ts // 2] = 255
-    g = pd.DataFrame(
+    g = pa.table(
         {
-            "z": [3, 3],
-            "x": [1, 1],
-            "y": [2, 2],
-            "priority": [1, 2],
-            "rgb": [base.tobytes(), top.tobytes()],
-            "alpha": [full_alpha.tobytes(), half_alpha.tobytes()],
+            "z": pa.array([3, 3], pa.int64()),
+            "x": pa.array([1, 1], pa.int64()),
+            "y": pa.array([2, 2], pa.int64()),
+            "priority": pa.array([1, 2], pa.int64()),
+            "rgb": pa.array([base.tobytes(), top.tobytes()], pa.binary()),
+            "alpha": pa.array([full_alpha.tobytes(), half_alpha.tobytes()], pa.binary()),
         }
     )
     out = render._mosaic_group(g, ts)
-    canvas = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
+    canvas = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
     assert (canvas[:, : ts // 2] == 200).all()  # higher priority wins where covered
     assert (canvas[:, ts // 2 :] == 10).all()
     # order reversal of input rows must not change the result (explicit priority)
-    out2 = render._mosaic_group(g.iloc[::-1], ts)
-    assert out["rgb"].iloc[0] == out2["rgb"].iloc[0]
-    assert out["checksum"].iloc[0] == checksum_image(canvas)
+    out2 = render._mosaic_group(g.take(pa.array([1, 0])), ts)
+    assert out.column("rgb")[0].as_py() == out2.column("rgb")[0].as_py()
+    assert out.column("checksum")[0].as_py() == checksum_image(canvas)
 
 
 def test_mosaic_blank_skip():
     ts = 4
     zero_alpha = np.zeros((ts, ts), np.uint8)
-    g = pd.DataFrame(
+    g = pa.table(
         {
-            "z": [3], "x": [0], "y": [0], "priority": [1],
-            "rgb": [np.zeros((ts, ts, 3), np.uint8).tobytes()],
-            "alpha": [zero_alpha.tobytes()],
+            "z": pa.array([3], pa.int64()), "x": pa.array([0], pa.int64()),
+            "y": pa.array([0], pa.int64()), "priority": pa.array([1], pa.int64()),
+            "rgb": pa.array([np.zeros((ts, ts, 3), np.uint8).tobytes()], pa.binary()),
+            "alpha": pa.array([zero_alpha.tobytes()], pa.binary()),
         }
     )
     assert len(render._mosaic_group(g, ts)) == 0
@@ -93,23 +95,24 @@ def test_overview_uniform_children():
     ts = 8
     rgb = np.full((ts, ts, 3), 77, np.uint8)
     alpha = np.full((ts, ts), 255, np.uint8)
-    g = pd.DataFrame(
+    g = pa.table(
         {
-            "z": [5] * 4,
-            "x": [2, 3, 2, 3],
-            "y": [4, 4, 5, 5],
-            "px": [1] * 4,
-            "py": [2] * 4,
-            "rgb": [rgb.tobytes()] * 4,
-            "alpha": [alpha.tobytes()] * 4,
+            "z": pa.array([5] * 4, pa.int64()),
+            "x": pa.array([2, 3, 2, 3], pa.int64()),
+            "y": pa.array([4, 4, 5, 5], pa.int64()),
+            "px": pa.array([1] * 4, pa.int64()),
+            "py": pa.array([2] * 4, pa.int64()),
+            "rgb": pa.array([rgb.tobytes()] * 4, pa.binary()),
+            "alpha": pa.array([alpha.tobytes()] * 4, pa.binary()),
         }
     )
     out = render._overview_group(g, ts)
-    parent = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
+    parent = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
     assert (parent == 77).all()
-    pa_ = np.frombuffer(out["alpha"].iloc[0], np.uint8).reshape(ts, ts)
+    pa_ = np.frombuffer(out.column("alpha")[0].as_py(), np.uint8).reshape(ts, ts)
     assert (pa_ == 255).all()
-    assert out["z"].iloc[0] == 4 and out["x"].iloc[0] == 1 and out["y"].iloc[0] == 2
+    assert out.column("z")[0].as_py() == 4
+    assert out.column("x")[0].as_py() == 1 and out.column("y")[0].as_py() == 2
 
 
 def test_overview_partial_children_alpha_weighting():
@@ -117,15 +120,18 @@ def test_overview_partial_children_alpha_weighting():
     rgb = np.full((ts, ts, 3), 100, np.uint8)
     alpha = np.full((ts, ts), 255, np.uint8)
     # only one child (top-left quadrant) present
-    g = pd.DataFrame(
+    g = pa.table(
         {
-            "z": [5], "x": [2], "y": [4], "px": [1], "py": [2],
-            "rgb": [rgb.tobytes()], "alpha": [alpha.tobytes()],
+            "z": pa.array([5], pa.int64()), "x": pa.array([2], pa.int64()),
+            "y": pa.array([4], pa.int64()), "px": pa.array([1], pa.int64()),
+            "py": pa.array([2], pa.int64()),
+            "rgb": pa.array([rgb.tobytes()], pa.binary()),
+            "alpha": pa.array([alpha.tobytes()], pa.binary()),
         }
     )
     out = render._overview_group(g, ts)
-    parent = np.frombuffer(out["rgb"].iloc[0], np.uint8).reshape(ts, ts, 3)
-    pa_ = np.frombuffer(out["alpha"].iloc[0], np.uint8).reshape(ts, ts)
+    parent = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    pa_ = np.frombuffer(out.column("alpha")[0].as_py(), np.uint8).reshape(ts, ts)
     h = ts // 2
     assert (parent[:h, :h] == 100).all()  # covered quadrant: full value
     assert (pa_[:h, :h] == 255).all()

@@ -1,0 +1,84 @@
+"""SQL engine (gdal_ray/sql.py, the swq subset) vs DuckDB on the same
+parquet tables — identical SQL string fed to both."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["orders", "customer", "documents", "events", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def ray_tables(ray_session):
+    import ray.data as rd
+
+    return {t: rd.read_parquet(f"{SF_DIR}/{t}.parquet") for t in TABLES}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame, sort=True) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if sort:
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+QUERIES = [
+    # projection + scalar funcs + where
+    "SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders WHERE o_totalprice > 100000",
+    "SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%'",
+    "SELECT o_orderkey FROM orders WHERE o_orderpriority NOT LIKE '%URGENT%'",
+    "SELECT c_custkey, UPPER(c_mktsegment) AS seg FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "SELECT c_custkey FROM customer WHERE c_acctbal BETWEEN 0 AND 1000",
+    "SELECT doc_id, SUBSTR(text, 1, 10) AS head10 FROM documents WHERE doc_id < 50",
+    "SELECT doc_id, LENGTH(text) AS n FROM documents WHERE doc_id % 7 = 0 AND doc_id < 200",
+    "SELECT o_orderkey, CAST(o_totalprice AS BIGINT) AS cents FROM orders WHERE o_orderkey < 300",
+    "SELECT c_custkey, CONCAT(c_mktsegment, '-', c_name) AS tag FROM customer WHERE c_custkey < 20",
+    "SELECT doc_id FROM documents WHERE NOT (doc_id < 450) AND lang = 'en'",
+    # aggregates
+    "SELECT o_orderpriority, COUNT(*) AS n, SUM(CAST(o_totalprice AS BIGINT)) AS s FROM orders GROUP BY o_orderpriority",
+    "SELECT lang, COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents GROUP BY lang",
+    "SELECT event_type, AVG(value) AS m FROM events GROUP BY event_type",
+    "SELECT COUNT(*) AS n, SUM(doc_id) AS s FROM documents WHERE doc_id < 123",
+    # order by + limit
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber LIMIT 40",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES, ids=range(len(QUERIES)))
+def test_sql_matches_duckdb(ray_tables, con, sql):
+    from gdal_ray.sql import execute_sql
+
+    got = execute_sql(sql, ray_tables).to_pandas()
+    want = con.execute(sql).df()
+    ordered = "ORDER BY" in sql
+    got_c, want_c = _canon(got, sort=not ordered), _canon(want, sort=not ordered)
+    assert list(got_c.columns) == list(want_c.columns)
+    assert len(got_c) == len(want_c), sql
+    for c in got_c.columns:
+        g, w = got_c[c].to_numpy(), want_c[c].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float), rtol=1e-12, atol=0), (sql, c)
+        else:
+            assert (g.astype(object) == w.astype(object)).all(), (sql, c)
+
+
+def test_sql_parse_errors():
+    from gdal_ray.sql import parse_select
+
+    with pytest.raises(ValueError):
+        parse_select("SELECT FROM t")
+    with pytest.raises(ValueError):
+        parse_select("SELECT a b c FROM t")
+    with pytest.raises(ValueError):
+        parse_select("SELECT a FROM t WHERE x ==")
