@@ -1065,6 +1065,21 @@ def q_polygonize_dist(sf_dir: str):
     return distributed_components(_dem_docs(sf_dir), grid_fn=grid_fn, tile=16)
 
 
+def q_polygonize_wkt(sf_dir: str):
+    """Distributed polygonize emitting ACTUAL cross-tile polygon geometry:
+    per-tile CCL + boundary edges, per-doc union-find stitch, global ring
+    walk → (value, n_pixels, WKT) per component — the full
+    polygonize_polygonizer.cpp output, tile-parallel (pytest-gated equal
+    to the single-pass emitter; rows-only driver check)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.polygonize import distributed_polygons
+
+    grid_fn = lambda i: dem.reclassify(  # noqa: E731
+        dem.elevation_grids(np.asarray(i, dtype=np.int64), 32)
+    )
+    return distributed_polygons(_dem_docs(sf_dir), grid_fn=grid_fn, tile=16)
+
+
 # ===========================================================================
 # Grid interpolation (gdal_grid family, stages/grid.py)
 # ===========================================================================
@@ -1985,6 +2000,90 @@ from cs group by 1, 2
 """
 
 
+def q_raster_histogram(sf_dir: str):
+    """GDALGetHistogram semantics (gcore/gdalrasterband.cpp:4133): fixed
+    [min,max) range split into n equal buckets, out-of-range pixels
+    EXCLUDED (bIncludeOutOfRange=FALSE) — per-image bucket counts over the
+    derived DEM grid, all-integer so the SQL oracle is exact."""
+    from gdal_ray.stages import dem
+
+    H_MIN, H_MAX, H_N = 32, 224, 12  # bucket width 16
+
+    def hist(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N)
+        out_id, out_b, out_n = [], [], []
+        for i, did in enumerate(ids):
+            e = grids[i].ravel()
+            sel = (e >= H_MIN) & (e < H_MAX)
+            bucket = (e[sel] - H_MIN) * H_N // (H_MAX - H_MIN)
+            counts = np.bincount(bucket, minlength=H_N)
+            out_id.append(np.full(H_N, did, np.int64))
+            out_b.append(np.arange(H_N, dtype=np.int64))
+            out_n.append(counts.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "bucket": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(hist, batch_format="pyarrow")
+
+
+SQL_RASTER_HISTOGRAM = f"""
+with {_DEM_GRID_CTE},
+k as (select unnest(generate_series(0, 11)) as bucket),
+cnt as (select doc_id, (e - 32) * 12 // 192 as bucket, count(*) as n
+        from g where e >= 32 and e < 224 group by 1, 2)
+select d.doc_id, k.bucket, cast(coalesce(cnt.n, 0) as bigint) as n
+from d cross join k left join cnt on cnt.doc_id = d.doc_id and cnt.bucket = k.bucket
+"""
+
+
+def q_stats_approx(sf_dir: str):
+    """Approx statistics via deterministic stride decimation (the
+    bApproxOK path of ComputeStatistics, gcore/gdalrasterband.cpp:6478 —
+    GDAL subsamples rows deterministically; here every 3rd row/col).
+    Integer sums/sumsq make min/max/sum/sumsq exact; mean = sum/n is the
+    identical double both engines."""
+    from gdal_ray.stages import dem
+
+    STRIDE = 3
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N)
+        sub = grids[:, ::STRIDE, ::STRIDE].reshape(len(ids), -1).astype(np.int64)
+        s = sub.sum(axis=1)
+        n = sub.shape[1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_sampled": pa.array(np.full(len(ids), n, np.int64)),
+                "min_e": pa.array(sub.min(axis=1)),
+                "max_e": pa.array(sub.max(axis=1)),
+                "sum_e": pa.array(s),
+                "sumsq_e": pa.array((sub * sub).sum(axis=1)),
+                "mean_e": pa.array(s / n, pa.float64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+SQL_STATS_APPROX = f"""
+with {_DEM_GRID_CTE},
+s as (select doc_id, e from g where r % 3 = 0 and c % 3 = 0)
+select doc_id, count(*) as n_sampled,
+       cast(min(e) as bigint) as min_e, cast(max(e) as bigint) as max_e,
+       cast(sum(e) as bigint) as sum_e, cast(sum(e * e) as bigint) as sumsq_e,
+       sum(e) / count(*) as mean_e
+from s group by 1
+"""
+
+
 # --- SQL string interface (gdal_ray/sql.py — the swq subset of
 # ogr/swq_expr_node.cpp + ogr_gensql.cpp): the engine EXECUTES the same
 # SQL string DuckDB runs as the oracle, so the parser/compiler itself is
@@ -2512,6 +2611,7 @@ def queries():
         "rasterize": q_rasterize,
         "polygonize": q_polygonize,
         "polygonize_dist": q_polygonize_dist,
+        "polygonize_wkt": q_polygonize_wkt,
         "contour_lines": q_contour_lines,
         "grid_metrics": q_grid_metrics,
         "grid_invdist": q_grid_invdist,
@@ -2541,6 +2641,8 @@ def queries():
         "warp_stats": q_warp_stats,
         "sql_select": q_sql_select,
         "sql_group": q_sql_group,
+        "raster_histogram": q_raster_histogram,
+        "stats_approx": q_stats_approx,
     }
 
 
@@ -2598,6 +2700,8 @@ def oracle_sql():
         "warp_stats": SQL_WARP_STATS,
         "sql_select": SQL_IFACE_SELECT,
         "sql_group": SQL_IFACE_GROUP,
+        "raster_histogram": SQL_RASTER_HISTOGRAM,
+        "stats_approx": SQL_STATS_APPROX,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

@@ -137,6 +137,15 @@ def component_rings(labels: np.ndarray, label: int) -> list[list[tuple[int, int]
     for r, c in zip(*np.nonzero(right)):
         add_edge((c + 1, r), (c + 1, r + 1))  # right edge, travel +y
 
+    return walk_rings(edges)
+
+
+def walk_rings(edges: dict[tuple[int, int], list[tuple[int, int]]]):
+    """Chain a directed boundary-edge multimap into closed simple rings
+    (consumes `edges`).  Deterministic: each ring starts at its
+    lexicographically smallest open vertex; at corner touches the
+    rightmost turn is preferred (keeps rings simple, as
+    polygonize_polygonizer.cpp's emitter does)."""
     rings = []
     while edges:
         start = min(edges)  # deterministic: lexicographically smallest vertex
@@ -352,6 +361,183 @@ def stitch_doc_components(g: pd.DataFrame) -> pd.DataFrame:
             "n_pixels": [np.int64(sum(root_sizes.values()))],
         }
     )
+
+
+def tile_label_geometry_batch(batch: pa.Table) -> pa.Table:
+    """Per tile: local CCL + per-label boundary EDGES in global pixel
+    coordinates — interior edges (value changes inside the tile) plus the
+    doc-grid outer boundary; seam edges are derivable in the reduce from
+    the border value sequences, so nothing here needs halo pixels.
+
+    Extends tile_label_summary_batch with (edge_l, edge_ax, edge_ay,
+    edge_bx, edge_by, label_vals) columns — the payload is boundary-sized,
+    never pixel-sized."""
+    base = tile_label_summary_batch(batch)
+    e_l, e_ax, e_ay, e_bx, e_by, lab_vals = [], [], [], [], [], []
+    for row in range(len(batch)):
+        ts = batch.column("ts")[row].as_py()
+        nt = batch.column("nt")[row].as_py()
+        ty = batch.column("ty")[row].as_py()
+        tx = batch.column("tx")[row].as_py()
+        t = np.frombuffer(batch.column("tile")[row].as_py(), dtype=np.int32).reshape(ts, ts)
+        labels = label_components(t)
+        n_labels = int(labels.max())
+        vals = np.zeros(n_labels + 1, dtype=np.int64)
+        vals[labels.ravel()] = t.ravel()
+        lab_vals.append(vals[1:].tolist())
+        offx, offy = tx * ts, ty * ts
+        is_top, is_bot = ty == 0, ty == nt - 1
+        is_left, is_right = tx == 0, tx == nt - 1
+
+        up = np.zeros((ts, ts), dtype=bool)
+        if is_top:
+            up[0] = True
+        up[1:] = t[1:] != t[:-1]
+        down = np.zeros((ts, ts), dtype=bool)
+        if is_bot:
+            down[-1] = True
+        down[:-1] = t[:-1] != t[1:]
+        left = np.zeros((ts, ts), dtype=bool)
+        if is_left:
+            left[:, 0] = True
+        left[:, 1:] = t[:, 1:] != t[:, :-1]
+        right = np.zeros((ts, ts), dtype=bool)
+        if is_right:
+            right[:, -1] = True
+        right[:, :-1] = t[:, :-1] != t[:, 1:]
+
+        ls, axs, ays, bxs, bys = [], [], [], [], []
+        for mask, mk in (
+            (up, lambda r, c: (c, r, c + 1, r)),
+            (down, lambda r, c: (c + 1, r + 1, c, r + 1)),
+            (left, lambda r, c: (c, r + 1, c, r)),
+            (right, lambda r, c: (c + 1, r, c + 1, r + 1)),
+        ):
+            rr, cc = np.nonzero(mask)
+            for r, c in zip(rr, cc):
+                ax, ay, bx, by = mk(int(r), int(c))
+                ls.append(int(labels[r, c]))
+                axs.append(ax + offx); ays.append(ay + offy)
+                bxs.append(bx + offx); bys.append(by + offy)
+        e_l.append(ls); e_ax.append(axs); e_ay.append(ays)
+        e_bx.append(bxs); e_by.append(bys)
+    for name, data in (
+        ("edge_l", e_l), ("edge_ax", e_ax), ("edge_ay", e_ay),
+        ("edge_bx", e_bx), ("edge_by", e_by), ("label_vals", lab_vals),
+    ):
+        base = base.append_column(name, pa.array(data, pa.list_(pa.int64())))
+    return base
+
+
+def stitch_doc_geometry(g: pa.Table) -> pa.Table:
+    """Per-doc reduce: union-find label equivalence + seam-edge synthesis
+    from the border value sequences + ring walk per global component →
+    actual polygon WKT (cross-tile), bit-identical to the single-pass
+    polygonize (pytest-gated).  The reference emits rings in
+    alg/polygonize_polygonizer.cpp; the distributed generalization here is
+    the §7 boundary-stitch."""
+    order = np.lexsort((g.column("tx").to_numpy(zero_copy_only=False),
+                        g.column("ty").to_numpy(zero_copy_only=False)))
+    g = g.take(pa.array(order))
+    rows = g.to_pylist()
+    offsets = {}
+    total = 0
+    sizes_all: list[int] = []
+    vals_all: list[int] = []
+    for r in rows:
+        offsets[(r["ty"], r["tx"])] = total
+        total += r["n_labels"]
+        sizes_all.extend(r["sizes"])
+        vals_all.extend(r["label_vals"])
+    parent = list(range(total))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_pos = {(r["ty"], r["tx"]): r for r in rows}
+    ts = len(rows[0]["top_v"])
+    edges_by_gl: dict[int, dict] = {}
+
+    def add_edge(gl, a, b):
+        edges_by_gl.setdefault(gl, {}).setdefault(a, []).append(b)
+
+    for (ty, tx), r in by_pos.items():
+        off = offsets[(ty, tx)]
+        # interior + outer-boundary edges from the tile stage
+        for l, ax, ay, bx, by in zip(r["edge_l"], r["edge_ax"], r["edge_ay"],
+                                     r["edge_bx"], r["edge_by"]):
+            add_edge(off + l - 1, (ax, ay), (bx, by))
+        low = by_pos.get((ty + 1, tx))
+        if low is not None:
+            bv, bl = r["bot_v"], r["bot_l"]
+            tv, tl = low["top_v"], low["top_l"]
+            y = (ty + 1) * ts
+            gx = tx * ts
+            for k in range(ts):
+                if bv[k] == tv[k]:
+                    union(off + bl[k] - 1, offsets[(ty + 1, tx)] + tl[k] - 1)
+                else:
+                    add_edge(off + bl[k] - 1, (gx + k + 1, y), (gx + k, y))
+                    add_edge(offsets[(ty + 1, tx)] + tl[k] - 1, (gx + k, y), (gx + k + 1, y))
+        rgt = by_pos.get((ty, tx + 1))
+        if rgt is not None:
+            rv, rl = r["right_v"], r["right_l"]
+            lv, ll = rgt["left_v"], rgt["left_l"]
+            x = (tx + 1) * ts
+            gy = ty * ts
+            for k in range(ts):
+                if rv[k] == lv[k]:
+                    union(off + rl[k] - 1, offsets[(ty, tx + 1)] + ll[k] - 1)
+                else:
+                    add_edge(off + rl[k] - 1, (x, gy + k), (x, gy + k + 1))
+                    add_edge(offsets[(ty, tx + 1)] + ll[k] - 1, (x, gy + k + 1), (x, gy + k))
+
+    merged_edges: dict[int, dict] = {}
+    root_sizes: dict[int, int] = {}
+    for i in range(total):
+        root = find(i)
+        root_sizes[root] = root_sizes.get(root, 0) + sizes_all[i]
+        if i in edges_by_gl:
+            dst = merged_edges.setdefault(root, {})
+            for a, bs in edges_by_gl[i].items():
+                dst.setdefault(a, []).extend(bs)
+
+    comps = []
+    for root, edges in merged_edges.items():
+        rings = walk_rings(edges)
+        key = min((p[1], p[0]) for p in rings[0])
+        comps.append((key, root, rings))
+    comps.sort(key=lambda c: c[0])
+
+    doc_id = rows[0]["doc_id"]
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_id] * len(comps), pa.int64()),
+            "comp": pa.array(np.arange(len(comps), dtype=np.int64)),
+            "value": pa.array([vals_all[root] for _, root, _ in comps], pa.int64()),
+            "n_pixels": pa.array([root_sizes[root] for _, root, _ in comps], pa.int64()),
+            "wkt": pa.array([rings_to_wkt(rings) for _, _, rings in comps], pa.string()),
+        }
+    )
+
+
+def distributed_polygons(docs_ds, *, grid_fn, tile: int):
+    """docs → tile split → per-tile CCL + boundary edges → per-doc stitch
+    emitting actual cross-tile polygon WKT (value, n_pixels, wkt)."""
+    tiles = docs_ds.map_batches(
+        lambda b: split_tiles_batch(b, grid_fn=grid_fn, tile=tile),
+        batch_format="pyarrow",
+    )
+    geo = tiles.map_batches(tile_label_geometry_batch, batch_format="pyarrow")
+    return geo.groupby("doc_id").map_groups(stitch_doc_geometry, batch_format="pyarrow")
 
 
 def distributed_components(docs_ds, *, grid_fn, tile: int):

@@ -74,3 +74,33 @@ def test_stitch_checkerboard_no_false_merges(ray_session):
     ).to_pandas()
     assert got["n_components"].iloc[0] == 64
     assert got["max_component"].iloc[0] == 1
+
+
+@pytest.mark.parametrize("tile", [16, 8])
+def test_distributed_polygons_equal_single_pass_wkt(ray_session, tile):
+    """The geometry emitter must reproduce the single-pass polygonize
+    output exactly: same component order, values, pixel counts, and WKT."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.polygonize import distributed_polygons, polygonize, rings_to_wkt
+
+    ids = np.arange(10, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    grid_fn = lambda i: dem.reclassify(dem.elevation_grids(np.asarray(i, dtype=np.int64), 32))  # noqa: E731
+    got = (
+        distributed_polygons(docs, grid_fn=grid_fn, tile=tile)
+        .to_pandas()
+        .sort_values(["doc_id", "comp"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for d, g in zip(ids, _grid_fn(ids)):
+        for comp in polygonize(g.astype(np.int32)):
+            rows.append((int(d), comp["value"], comp["pixel_count"],
+                         rings_to_wkt(comp["rings"])))
+    assert len(got) == len(rows)
+    for i, (d, v, n, wkt) in enumerate(rows):
+        r = got.iloc[i]
+        assert (int(r["doc_id"]), int(r["value"]), int(r["n_pixels"])) == (d, v, n), i
+        assert r["wkt"] == wkt, (i, r["wkt"][:80], wkt[:80])
