@@ -7,12 +7,15 @@ out, via :func:`decode` inside ``map_batches``.
 
 - ``png``  — real PNG, implemented from the PNG spec in png.py (lossless
   exact-match path).
-- ``jpeg`` / ``webp`` — **deterministic stand-ins** (see lossy.py): the
-  sandbox has no libjpeg/libwebp, so these use our own container that
-  applies a uniform quantization (PSNR ≈ 47 dB, above the ≥40 dB gate)
-  and stores the result losslessly.  The Ray-side plumbing (schema, batch
-  shapes, dispatch) is real; only the entropy codec is faked.  Swapping in
-  real codecs = replacing encode_lossy/decode_lossy.
+- ``jpeg`` — REAL baseline JPEG (ITU-T T.81), implemented from the spec
+  in jpeg.py: JFIF container, Huffman entropy coding, 4:4:4 encode, any
+  ≤2×2-sampled baseline decode.  ``decode`` dispatches on the FFD8 magic,
+  so real-world JPEG bytes in the image table decode without libjpeg.
+  The synthetic BENCH corpus still uses the fast deterministic container
+  below for its `jpeg`/`webp` rows (the pure-Python entropy decoder is a
+  conformance path, ~1 s per megapixel — see jpeg.py).
+- ``webp`` / synth ``jpeg`` — deterministic stand-in container
+  (lossy.py): uniform quantization (PSNR ≈ 47 dB) stored losslessly.
 """
 
 from __future__ import annotations
@@ -21,14 +24,21 @@ import numpy as np
 
 from gdal_ray.codecs.png import decode_png, encode_png
 from gdal_ray.codecs.lossy import FAKE_LOSSY_MAGIC, decode_lossy, encode_lossy
+from gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
 
-__all__ = ["decode", "encode", "decode_png", "encode_png", "FAKE_LOSSY_MAGIC"]
+__all__ = [
+    "decode", "encode", "decode_png", "encode_png",
+    "decode_jpeg", "encode_jpeg", "FAKE_LOSSY_MAGIC",
+]
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
+    if fmt == "jpeg-real":
+        return encode_jpeg(arr)
     if fmt in ("jpeg", "webp"):
+        # bench-corpus fast path (deterministic stand-in container)
         return encode_lossy(arr, fmt)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
@@ -38,9 +48,11 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     the container magic is authoritative."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:2] == b"\xFF\xD8":
+        return decode_jpeg(data)
     if data[:4] == FAKE_LOSSY_MAGIC:
         return decode_lossy(data)
     raise NotImplementedError(
-        f"cannot decode fmt={fmt!r}: real jpeg/webp bitstreams need libjpeg/libwebp, "
-        "which are not installed in this sandbox"
+        f"cannot decode fmt={fmt!r}: unrecognized container magic "
+        f"{data[:4]!r} (png/jpeg/fake-lossy supported)"
     )

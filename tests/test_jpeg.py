@@ -1,0 +1,75 @@
+"""Real baseline JPEG codec (codecs/jpeg.py): bitstream structure,
+round-trip PSNR at several qualities, odd dimensions, grayscale,
+determinism, and registry dispatch on the FFD8 magic."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs import decode
+from gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+from gdal_ray.synth import pixels_for
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / mse) if mse else np.inf
+
+
+def test_bitstream_markers():
+    img = pixels_for(1, 32, 24)
+    data = encode_jpeg(img)
+    assert data[:2] == b"\xFF\xD8" and data[-2:] == b"\xFF\xD9"
+    assert b"JFIF\x00" in data[:32]
+    for marker in (b"\xFF\xDB", b"\xFF\xC0", b"\xFF\xC4", b"\xFF\xDA"):
+        assert marker in data
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (64, 48), (33, 17), (8, 8), (9, 9)])
+def test_roundtrip_shapes(hw):
+    h, w = hw
+    img = pixels_for(5, w, h)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+
+
+def test_roundtrip_quality_ladder():
+    img = pixels_for(7, 64, 64)  # includes a random-noise quadrant
+    p85 = _psnr(img, decode_jpeg(encode_jpeg(img, 85)))
+    p97 = _psnr(img, decode_jpeg(encode_jpeg(img, 97)))
+    p100 = _psnr(img, decode_jpeg(encode_jpeg(img, 100)))
+    assert p85 >= 28
+    assert p97 >= 40  # the engine's lossy gate at conformance quality
+    assert p100 >= 50
+    assert p85 < p97 < p100
+
+
+def test_smooth_image_high_fidelity():
+    sm = np.zeros((64, 64, 3), np.uint8)
+    sm[:] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None]
+    assert _psnr(sm, decode_jpeg(encode_jpeg(sm, 95))) >= 42
+
+
+def test_grayscale():
+    g = pixels_for(3, 40, 40)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == g.shape and out.ndim == 2
+    assert _psnr(g, out) >= 40
+
+
+def test_deterministic():
+    img = pixels_for(11, 48, 32)
+    assert encode_jpeg(img) == encode_jpeg(img)
+
+
+def test_registry_dispatches_on_magic():
+    img = pixels_for(2, 24, 24)
+    data = encode_jpeg(img, quality=100)
+    out = decode(data, fmt="jpeg")
+    assert out.shape == img.shape
+    assert _psnr(img, out) >= 50
+
+
+def test_constant_color_block_exact():
+    img = np.full((16, 16, 3), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 85))
+    assert int(np.abs(out.astype(int) - 137).max()) <= 1
