@@ -53,4 +53,6 @@ def test_lossy_psnr_gate():
 
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode(b"\xff\xd8\xff\xe0 real jpeg soi", "jpeg")
+        decode(b"RIFF....WEBPVP8 ", "webp")  # real webp container unsupported
+    with pytest.raises(ValueError):
+        decode(b"\xff\xd8\xff\xe0 truncated jpeg", "jpeg")  # real decoder engages
