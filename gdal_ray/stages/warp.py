@@ -63,6 +63,77 @@ def suggested_output(
     return dst_w, dst_h, (x0, res, 0.0, y1, 0.0, -res)
 
 
+def approx_inverse_grid(inv, dst_gt: tuple, dw: int, dh: int, src_gt: tuple,
+                        tol_px: float = 0.125):
+    """Error-bounded approximate transformer (GDALApproxTransform,
+    alg/gdaltransformer.cpp:4315): per scanline, transform the two
+    endpoints + midpoint; where the midpoint deviates from the linear
+    interpolation by less than `tol_px` SOURCE pixels, fill the span
+    linearly; otherwise subdivide.  All candidate midpoints of a round are
+    transformed in ONE vectorized call, so the exact-transform count drops
+    from dw×dh to O(dh·log dw·nonlinearity).
+
+    Returns (fx, fy): source pixel-center coordinates for every dst pixel
+    center, each within tol_px of the exact transform."""
+    cols = dst_gt[0] + (np.arange(dw) + 0.5) * dst_gt[1]
+    rows = dst_gt[3] + (np.arange(dh) + 0.5) * dst_gt[5]
+
+    def to_src_px(gx, gy):
+        sx, sy = inv(gx, gy)
+        return ((sx - src_gt[0]) / src_gt[1] - 0.5,
+                (sy - src_gt[3]) / src_gt[5] - 0.5)
+
+    fx = np.empty((dh, dw))
+    fy = np.empty((dh, dw))
+    # segment queue: (row, ia, ib) with transformed endpoints
+    ia = np.zeros(dh, dtype=np.int64)
+    ib = np.full(dh, dw - 1, dtype=np.int64)
+    rr = np.arange(dh, dtype=np.int64)
+    ax, ay = to_src_px(cols[ia], rows[rr])
+    bx, by = to_src_px(cols[ib], rows[rr])
+    fx[rr, ia] = ax; fy[rr, ia] = ay
+    fx[rr, ib] = bx; fy[rr, ib] = by
+    segs = (rr, ia, ib, ax, ay, bx, by)
+    while len(segs[0]):
+        rr, ia, ib, ax, ay, bx, by = segs
+        gap = ib - ia
+        active = gap > 1
+        rr, ia, ib = rr[active], ia[active], ib[active]
+        ax, ay, bx, by = ax[active], ay[active], bx[active], by[active]
+        if len(rr) == 0:
+            break
+        im = (ia + ib) // 2
+        mx, my = to_src_px(cols[im], rows[rr])
+        fx[rr, im] = mx; fy[rr, im] = my
+        t = (im - ia) / (ib - ia)
+        lx = ax + t * (bx - ax)
+        ly = ay + t * (by - ay)
+        ok = (np.abs(lx - mx) <= tol_px) & (np.abs(ly - my) <= tol_px)
+        # linear-fill accepted spans (both halves)
+        for sel, lo, hi, lox, loy, hix, hiy in (
+            (ok, ia, im, ax, ay, mx, my),
+            (ok, im, ib, mx, my, bx, by),
+        ):
+            for k in np.nonzero(sel)[0]:
+                a, b = int(lo[k]), int(hi[k])
+                if b - a > 1:
+                    tt = np.arange(a + 1, b) - a
+                    frac = tt / (b - a)
+                    fx[rr[k], a + 1 : b] = lox[k] + frac * (hix[k] - lox[k])
+                    fy[rr[k], a + 1 : b] = loy[k] + frac * (hiy[k] - loy[k])
+        bad = ~ok
+        segs = (
+            np.concatenate([rr[bad], rr[bad]]),
+            np.concatenate([ia[bad], im[bad]]),
+            np.concatenate([im[bad], ib[bad]]),
+            np.concatenate([ax[bad], mx[bad]]),
+            np.concatenate([ay[bad], my[bad]]),
+            np.concatenate([mx[bad], bx[bad]]),
+            np.concatenate([my[bad], by[bad]]),
+        )
+    return fx, fy
+
+
 def cutline_mask(dst_gt: tuple, dw: int, dh: int, rings) -> np.ndarray:
     """(dh, dw) bool mask of dst pixel CENTERS inside the cutline polygon
     (even-odd rule — same pixel-center semantics as the rasterizer,
@@ -87,6 +158,7 @@ def warp_image(
     nodata: float = 0.0,
     src_nodata: float | None = None,
     cutline=None,
+    approx_tol: float | None = None,
 ) -> tuple[np.ndarray, tuple]:
     """Inverse-mapping warp of one image.  Returns (dst_img, dst_gt).
 
@@ -94,20 +166,25 @@ def warp_image(
     (the per-band padfSrcNoDataReal of alg/gdalwarper.h:185): kernel
     weights renormalize over valid samples; a dst pixel with no valid
     support becomes ``nodata``.  ``cutline`` (list of rings in dst CRS)
-    masks dst pixel centers outside the polygon (alg/gdalcutline.cpp)."""
+    masks dst pixel centers outside the polygon (alg/gdalcutline.cpp).
+    ``approx_tol`` (source pixels, GDAL default 0.125) switches the
+    coordinate transform to the error-bounded scanline approximator."""
     h, w = img.shape[:2]
     if dst_gt is None or dst_size is None:
         dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs)
     else:
         dw, dh = dst_size
     inv = _fwd(dst_crs, src_crs)
-    # dst pixel centers -> dst CRS -> src CRS -> src pixel coords
-    cols = dst_gt[0] + (np.arange(dw) + 0.5) * dst_gt[1]
-    rows = dst_gt[3] + (np.arange(dh) + 0.5) * dst_gt[5]
-    gx, gy = np.meshgrid(cols, rows)
-    sx_geo, sy_geo = inv(gx, gy)
-    fx = (sx_geo - src_gt[0]) / src_gt[1] - 0.5  # src pixel-center coords
-    fy = (sy_geo - src_gt[3]) / src_gt[5] - 0.5
+    if approx_tol is not None:
+        fx, fy = approx_inverse_grid(inv, dst_gt, dw, dh, src_gt, approx_tol)
+    else:
+        # dst pixel centers -> dst CRS -> src CRS -> src pixel coords
+        cols = dst_gt[0] + (np.arange(dw) + 0.5) * dst_gt[1]
+        rows = dst_gt[3] + (np.arange(dh) + 0.5) * dst_gt[5]
+        gx, gy = np.meshgrid(cols, rows)
+        sx_geo, sy_geo = inv(gx, gy)
+        fx = (sx_geo - src_gt[0]) / src_gt[1] - 0.5  # src pixel-center coords
+        fy = (sy_geo - src_gt[3]) / src_gt[5] - 0.5
     # epsilon absorbs projection roundtrip noise at the shared envelope edge
     eps = 1e-6
     valid = (fx >= -0.5 - eps) & (fx <= w - 0.5 + eps) & (fy >= -0.5 - eps) & (fy <= h - 0.5 + eps)

@@ -83,3 +83,60 @@ def test_warp_image_utm_roundtrip_nearest():
     vals = np.unique(out)
     assert set(vals.tolist()) <= {0, 255}
     assert (out == 255).mean() == pytest.approx(0.5, abs=0.1)
+
+
+def test_approx_transformer_error_bound_and_savings():
+    """approx_inverse_grid stays within tol of the exact transform for the
+    nonlinear 3857→UTM composition and calls the exact transform far less
+    than dw×dh times."""
+    from gdal_ray.stages.warp import _fwd, approx_inverse_grid
+
+    calls = {"n": 0}
+    base = _fwd("EPSG:3857", "EPSG:4326")
+    utm = _fwd("EPSG:4326", "EPSG:32631")
+
+    def inv(x, y):
+        calls["n"] += np.size(x)
+        lon, lat = base(x, y)
+        return utm(lon, lat)
+
+    # dst grid in 3857 over a 4°-ish window; src grid = UTM pixels
+    from gdal_ray import tilemath as tm
+    x0, y1 = tm.lonlat_to_meters(np.array([1.0]), np.array([52.0]))
+    dst_gt = (float(x0[0]), 2000.0, 0.0, float(y1[0]), 0.0, -2000.0)
+    src_gt = (300000.0, 1000.0, 0.0, 5800000.0, 0.0, -1000.0)
+    dw = dh = 160
+    fx, fy = approx_inverse_grid(inv, dst_gt, dw, dh, src_gt, tol_px=0.125)
+    approx_calls = calls["n"]
+
+    cols = dst_gt[0] + (np.arange(dw) + 0.5) * dst_gt[1]
+    rows = dst_gt[3] + (np.arange(dh) + 0.5) * dst_gt[5]
+    gx, gy = np.meshgrid(cols, rows)
+    ex, ey = inv(gx, gy)
+    efx = (ex - src_gt[0]) / src_gt[1] - 0.5
+    efy = (ey - src_gt[3]) / src_gt[5] - 0.5
+    assert np.max(np.abs(fx - efx)) <= 0.125 + 1e-9
+    assert np.max(np.abs(fy - efy)) <= 0.125 + 1e-9
+    assert approx_calls < dw * dh / 4, approx_calls  # ≥4× fewer exact points
+
+
+def test_warp_image_approx_matches_exact_within_1dn():
+    from gdal_ray.stages.warp import warp_image
+
+    img = (np.indices((64, 64)).sum(axis=0) % 17 * 15).astype(np.uint8)
+    src_gt = (2.0, 0.03125, 0.0, 52.0, 0.0, -0.03125)
+    exact, gt1 = warp_image(img, src_gt, "EPSG:4326", "EPSG:32631", method="bilinear")
+    approx, gt2 = warp_image(img, src_gt, "EPSG:4326", "EPSG:32631",
+                             method="bilinear", approx_tol=0.125)
+    assert gt1 == gt2 and exact.shape == approx.shape
+    # coordinate error ≤0.125 px; on this deliberately high-frequency
+    # pattern (steps of 15 DN per pixel) that still keeps ~99% of pixels
+    # within 1 DN — the guarantee is on coordinates, not DNs
+    diff = np.abs(exact.astype(int) - approx.astype(int))
+    assert (diff <= 1).mean() > 0.98
+    assert diff.max() <= 16
+    # tightening the tolerance tightens the pixels
+    tight, _ = warp_image(img, src_gt, "EPSG:4326", "EPSG:32631",
+                          method="bilinear", approx_tol=0.01)
+    dt = np.abs(exact.astype(int) - tight.astype(int))
+    assert (dt <= 1).mean() > 0.999
