@@ -20,6 +20,10 @@ from gdal_ray.codecs import decode
 from gdal_ray.geometry.wkb import encode_polygon
 
 
+_K = np.arange(256, dtype=np.int64)
+_K2 = _K * _K
+
+
 def decode_and_footprint(batch: pa.Table) -> pa.Table:
     """Arrow in/out: validates every blob decodes to (h, w), adds
     pixel_mean/pixel_std (float64) and footprint_wkb (binary) columns."""
@@ -38,13 +42,14 @@ def decode_and_footprint(batch: pa.Table) -> pa.Table:
             raise ValueError(
                 f"decoded dims {(iw, ih)} != declared {(int(ws[i]), int(hs[i]))}"
             )
-        # one integer pass (uint8 → int64 sums) instead of two float passes;
-        # std via E[x²]−E[x]² is exact here (sums are exact integers)
-        flat = img.reshape(-1).astype(np.int64)
-        s = int(flat.sum())
-        sq = int(np.dot(flat, flat))
-        means[i] = s / flat.size
-        stds[i] = float(np.sqrt(max(sq / flat.size - means[i] * means[i], 0.0)))
+        # histogram pass over uint8 (no int64 copy): exact integer sums
+        # from Σ k·h[k] / Σ k²·h[k]; std via E[x²]−E[x]² stays exact
+        hist = np.bincount(img.reshape(-1), minlength=256)
+        s = int(np.dot(_K, hist))
+        sq = int(np.dot(_K2, hist))
+        npx = img.size
+        means[i] = s / npx
+        stds[i] = float(np.sqrt(max(sq / npx - means[i] * means[i], 0.0)))
     lon0 = batch.column("lon_min").to_numpy()
     lat0 = batch.column("lat_min").to_numpy()
     lon1 = batch.column("lon_max").to_numpy()

@@ -175,8 +175,11 @@ def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64,
         batch_size=None,  # follow blocks — keeps task concurrency at num_cpus
     )
     if salt_bits is None:
-        return contrib.groupby(["z", "x", "y"]).map_groups(
-            lambda g: _mosaic_group(g, tile_size), batch_format="pyarrow"
+        # coarse-bucket shuffle (single small-cardinality key) + per-tile
+        # sub-grouping inside the task: same per-tile output, ~an order of
+        # magnitude less shuffle machinery than a 3-key sample-sort
+        return _per_tile_reduce(
+            contrib, ["z", "x", "y"], lambda g: _mosaic_group(g, tile_size)
         )
 
     def add_salt(b: pa.Table) -> pa.Table:
@@ -208,6 +211,47 @@ def render_base_tiles(images_ds, *, zoom: int, tile_size: int = 64,
         return out
 
     return partials.groupby(["z", "x", "y"]).map_groups(final_mosaic, batch_format="pyarrow")
+
+
+def _per_tile_reduce(ds, keys: list[str], group_fn, num_buckets: int = 64):
+    """groupby(keys).map_groups(group_fn) via a hash-bucket shuffle: rows
+    bucket by hash(keys)%B (one int64 sort key), each bucket task splits
+    its rows into exact key groups with one argsort and runs group_fn per
+    group.  Identical outputs, far cheaper shuffle."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in keys:
+            v = b.column(k).to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h ^= (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC2B2AE3D27D4EB4F)
+                h ^= h >> np.uint64(29)
+        return b.append_column("bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        cols = [g.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        order = np.lexsort(cols[::-1])
+        sorted_keys = np.stack([c[order] for c in cols], axis=1)
+        newgrp = np.ones(len(order), dtype=bool)
+        if len(order):
+            newgrp[1:] = (sorted_keys[1:] != sorted_keys[:-1]).any(axis=1)
+        starts = np.nonzero(newgrp)[0]
+        ends = np.append(starts[1:], len(order))
+        outs = []
+        for s, e in zip(starts, ends):
+            sub = g.take(pa.array(order[s:e]))
+            out = group_fn(sub)
+            if len(out):
+                outs.append(out)
+        if not outs:
+            # every group was blank-skipped — emit the group_fn's empty shape
+            return group_fn(g.slice(0, 0))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
+        reduce_bucket, batch_format="pyarrow"
+    )
 
 
 def _overview_group(g: pa.Table, ts: int) -> pa.Table:
@@ -256,8 +300,8 @@ def overview_level(tiles_ds, *, tile_size: int = 64):
                 .append_column("py", pa.array(b.column("y").to_numpy() >> 1, pa.int64()))
 
     keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
-    return keyed.groupby(["px", "py"]).map_groups(
-        lambda g: _overview_group(g, tile_size), batch_format="pyarrow"
+    return _per_tile_reduce(
+        keyed, ["px", "py"], lambda g: _overview_group(g, tile_size)
     )
 
 
