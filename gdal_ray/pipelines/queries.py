@@ -2000,6 +2000,71 @@ from cs group by 1, 2
 """
 
 
+def q_viewshed(sf_dir: str):
+    """Exact integer R2 viewshed from the grid center (alg/viewshed/
+    viewshed.cpp semantics, dominant-axis line sampling with linear
+    cross-axis interpolation — all comparisons scaled by the step count so
+    they stay in int64 and the SQL oracle reproduces them exactly)."""
+    from gdal_ray.stages import dem
+
+    def vs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N)
+        rr, cc = np.meshgrid(np.arange(DEM_N), np.arange(DEM_N), indexing="ij")
+        out_id, out_r, out_c, out_v = [], [], [], []
+        for i, did in enumerate(ids):
+            vis = dem.viewshed(grids[i], DEM_N // 2, DEM_N // 2, obs_height=2)
+            out_id.append(np.full(DEM_N * DEM_N, did, np.int64))
+            out_r.append(rr.ravel().astype(np.int64))
+            out_c.append(cc.ravel().astype(np.int64))
+            out_v.append(vis.ravel().astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "r": pa.array(np.concatenate(out_r)),
+                "c": pa.array(np.concatenate(out_c)),
+                "visible": pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(vs, batch_format="pyarrow")
+
+
+_VS_O = DEM_N // 2  # observer at grid center
+
+SQL_VIEWSHED = f"""
+with {_DEM_GRID_CTE},
+obs as (select doc_id, e + 2 as h0 from g where r = {_VS_O} and c = {_VS_O}),
+t as (select doc_id, r, c, e as h1,
+             greatest(abs(r - {_VS_O}), abs(c - {_VS_O})) as n
+      from g),
+kk as (select t.*, s.k from t, unnest(generate_series(1, {DEM_N - 2})) as s(k)
+       where s.k < t.n),
+p as (select doc_id, r, c, h1, n, k,
+             {_VS_O} * n + k * (r - {_VS_O}) as pr,
+             {_VS_O} * n + k * (c - {_VS_O}) as pc
+      from kk),
+q as (select *, pr // n as r_lo, pc // n as c_lo,
+             pr % n as mr, pc % n as mc from p),
+terr as (select q.doc_id, q.r, q.c, q.h1, q.n, q.k,
+           case when q.mr > 0 then elo.e * (q.n - q.mr) + ehir.e * q.mr
+                when q.mc > 0 then elo.e * (q.n - q.mc) + ehic.e * q.mc
+                else elo.e * q.n end as terrain
+         from q
+         join g elo on elo.doc_id = q.doc_id and elo.r = q.r_lo and elo.c = q.c_lo
+         left join g ehir on ehir.doc_id = q.doc_id and ehir.r = q.r_lo + 1 and ehir.c = q.c_lo
+         left join g ehic on ehic.doc_id = q.doc_id and ehic.r = q.r_lo and ehic.c = q.c_lo + 1),
+blocked as (select t2.doc_id, t2.r, t2.c,
+                   bool_or(t2.terrain > t2.n * o.h0 + t2.k * (t2.h1 - o.h0)) as b
+            from terr t2 join obs o on o.doc_id = t2.doc_id
+            group by 1, 2, 3)
+select g.doc_id, g.r, g.c,
+       cast(case when greatest(abs(g.r - {_VS_O}), abs(g.c - {_VS_O})) <= 1 then 1
+                 when coalesce(b.b, false) then 0 else 1 end as bigint) as visible
+from g left join blocked b on b.doc_id = g.doc_id and b.r = g.r and b.c = g.c
+"""
+
+
 def q_raster_histogram(sf_dir: str):
     """GDALGetHistogram semantics (gcore/gdalrasterband.cpp:4133): fixed
     [min,max) range split into n equal buckets, out-of-range pixels
@@ -2643,6 +2708,7 @@ def queries():
         "sql_group": q_sql_group,
         "raster_histogram": q_raster_histogram,
         "stats_approx": q_stats_approx,
+        "viewshed": q_viewshed,
     }
 
 
@@ -2702,6 +2768,7 @@ def oracle_sql():
         "sql_group": SQL_IFACE_GROUP,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
+        "viewshed": SQL_VIEWSHED,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

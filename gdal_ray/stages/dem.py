@@ -138,6 +138,56 @@ def aspect_degrees(e: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # batch adapters (pa.Table in/out, used by pipelines/queries.py)
 
+def viewshed(e: np.ndarray, r0: int, c0: int, obs_height: int = 2) -> np.ndarray:
+    """Exact integer R2 viewshed (alg/viewshed/viewshed.cpp semantics,
+    Wang et al. line-of-sight): target (r, c) is visible iff no sampled
+    terrain point along the straight sight line rises above it.
+
+    Sampling rule (integer-exact, shared with the SQL oracle): step the
+    DOMINANT axis one cell at a time (k = 1..n-1, n = max(|dr|,|dc|));
+    the cross-axis coordinate is fractional with denominator n, and the
+    terrain height there is the linear interpolation of the two adjacent
+    cells.  Scaling every height by n keeps the whole comparison in
+    integers: blocked ⇔ ∃k: e_lo·(n−m) + e_hi·m  >  n·h0 + k·(h1−h0),
+    with m = k·|cross| mod n and h0 = e[r0,c0] + obs_height.
+    """
+    e = np.asarray(e, dtype=np.int64)
+    nrows, ncols = e.shape
+    h0 = int(e[r0, c0]) + obs_height
+    out = np.zeros((nrows, ncols), dtype=bool)
+    rr, cc = np.meshgrid(np.arange(nrows), np.arange(ncols), indexing="ij")
+    dr = rr - r0
+    dc = cc - c0
+    n = np.maximum(np.abs(dr), np.abs(dc))
+    out[n <= 1] = True  # observer + adjacent cells always visible
+    # vectorize over targets with the same n (ring) — k loop is ≤ n-1
+    for nv in range(2, int(n.max()) + 1):
+        sel = n == nv
+        tr = rr[sel]; tc = cc[sel]
+        h1 = e[tr, tc]
+        visible = np.ones(len(tr), dtype=bool)
+        for k in range(1, nv):
+            # position along the line at parameter k/nv (scaled by nv)
+            pr = r0 * nv + k * (tr - r0)   # row * nv
+            pc = c0 * nv + k * (tc - c0)   # col * nv
+            r_lo = pr // nv
+            c_lo = pc // nv
+            mr = pr - r_lo * nv
+            mc = pc - c_lo * nv
+            # at most one axis is fractional (dominant axis steps integer)
+            e_lo = e[np.clip(r_lo, 0, nrows - 1), np.clip(c_lo, 0, ncols - 1)]
+            e_hi_r = e[np.clip(r_lo + 1, 0, nrows - 1), np.clip(c_lo, 0, ncols - 1)]
+            e_hi_c = e[np.clip(r_lo, 0, nrows - 1), np.clip(c_lo + 1, 0, ncols - 1)]
+            terrain = np.where(
+                mr > 0, e_lo * (nv - mr) + e_hi_r * mr,
+                np.where(mc > 0, e_lo * (nv - mc) + e_hi_c * mc, e_lo * nv),
+            )
+            sight = nv * h0 + k * (h1 - h0)
+            visible &= terrain <= sight
+        out[tr, tc] = visible
+    return out
+
+
 def dem_metrics_batch(batch: pa.Table, n: int = GRID_N) -> pa.Table:
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
     e = elevation_grids(ids, n)

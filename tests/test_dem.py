@@ -93,3 +93,26 @@ def test_contour_cases_bruteforce(grids):
 def test_reclassify_bins():
     e = np.array([[[0, 49, 50, 119, 120, 199, 200, 255]]], dtype=np.int64)
     assert dem.reclassify(e).tolist() == [[[0, 0, 1, 1, 2, 2, 3, 3]]]
+
+
+def test_viewshed_flat_terrain_all_visible():
+    e = np.full((16, 16), 50, np.int64)
+    vis = dem.viewshed(e, 8, 8, obs_height=2)
+    assert vis.all()
+
+
+def test_viewshed_wall_blocks_shadow():
+    e = np.zeros((16, 16), np.int64)
+    e[8, 10] = 100  # wall east of the observer
+    vis = dem.viewshed(e, 8, 8, obs_height=2)
+    assert vis[8, 10]            # the wall itself is visible
+    assert not vis[8, 12:].any()  # cells straight behind it are shadowed
+    assert vis[8, :10].all()     # west side unaffected
+
+
+def test_viewshed_grazing_ties_visible():
+    # terrain exactly on the sight line is visible (<= rule)
+    e = np.zeros((16, 16), np.int64)
+    e[8, 10] = 2   # equals observer height (0 + 2): line to (8,12) at h=2
+    vis = dem.viewshed(e, 8, 8, obs_height=2)
+    assert vis[8, 10]
