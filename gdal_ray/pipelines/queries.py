@@ -2000,6 +2000,34 @@ from cs group by 1, 2
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Audio multimodal plumbing (decode STUB + real actor-pool stage):
+    per-clip sample counts / RMS / zero-crossings / peak over the
+    deterministic media fixture (rows-only; semantics pytest-gated)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import multimodal as mm
+
+    audio, _ = mm.synth_media_tables()
+    return rd.from_arrow(audio).map_batches(
+        mm.AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Video multimodal plumbing (decode STUB + real actor-pool stage):
+    uniform frame sampling -> per-frame phash rows (rows-only;
+    distributed ≡ local pytest-gated)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import multimodal as mm
+
+    _, video = mm.synth_media_tables()
+    return rd.from_arrow(video).map_batches(
+        mm.VideoFrameSample, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+    )
+
+
 def q_viewshed(sf_dir: str):
     """Exact integer R2 viewshed from the grid center (alg/viewshed/
     viewshed.cpp semantics, dominant-axis line sampling with linear
@@ -2709,6 +2737,8 @@ def queries():
         "raster_histogram": q_raster_histogram,
         "stats_approx": q_stats_approx,
         "viewshed": q_viewshed,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 

@@ -1,0 +1,164 @@
+"""Multimodal columns beyond images: audio / video as opaque binary
+columns with typed metadata, processed by actor-pool map_batches stages.
+
+The sandbox has no audio/video codec libraries, so the DECODE step is a
+clearly-marked deterministic stub (`_stub_decode_audio` /
+`_stub_decode_video`) that synthesizes samples/frames from the byte
+content — swap those two functions for real libsndfile/ffmpeg bindings
+and every downstream stage (schema, batch shapes, actor signatures,
+output layout) keeps working unchanged.  That Ray-side plumbing is the
+real, tested deliverable here; the reference analog is the format-driver
+boundary (frmts/...) which this engine deliberately treats as a
+pluggable leaf.
+
+Stages (all callable classes for map_batches actor pools — state built
+once per actor in __init__, SURVEY.md §2.3):
+
+- AudioFeatures: bytes → (n_samples, rms1000, zero_crossings, peak)
+- VideoFrameSample: bytes → one row per sampled frame with the frame's
+  phash (uniform stride sampling, the gdal2tiles task-table idiom)
+
+Batch-size note: binary payloads dominate row size — callers should pass
+small batch_size (8-64) exactly like the image decode stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_channels", pa.int32()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float64()),
+    ]
+)
+
+
+def _stub_decode_audio(data: bytes, sample_rate: int, n_channels: int) -> np.ndarray:
+    """STUB (no libsndfile in sandbox): deterministic int16 samples derived
+    from the byte content.  Replace with a real decoder; the contract is
+    (n_samples, n_channels) int16."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = max(len(raw) // (2 * n_channels), 1)
+    base = raw[: n * 2 * n_channels]
+    if len(base) < n * 2 * n_channels:
+        base = np.pad(base, (0, n * 2 * n_channels - len(base)))
+    return base.view("<i2").reshape(n, n_channels)
+
+
+def _stub_decode_video(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
+    """STUB (no ffmpeg in sandbox): deterministic uint8 frames derived from
+    the byte content.  Contract: (n_frames, h, w) grayscale uint8."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    need = n_frames * h * w
+    reps = -(-need // max(len(raw), 1))
+    return np.tile(raw, reps)[:need].reshape(n_frames, h, w)
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode + per-clip features in one fused pass
+    (payloads never leave the task undecoded+decoded twice)."""
+
+    def __init__(self, frame: int = 1000):
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column("media_id")
+        blobs = batch.column("bytes").to_pylist()
+        srs = batch.column("sample_rate").to_numpy()
+        chs = batch.column("n_channels").to_numpy()
+        n_samples = np.empty(n, np.int64)
+        rms = np.empty(n, np.float64)
+        zc = np.empty(n, np.int64)
+        peak = np.empty(n, np.int64)
+        for i in range(n):
+            s = _stub_decode_audio(blobs[i], int(srs[i]), int(chs[i]))
+            mono = s.astype(np.float64).mean(axis=1)
+            n_samples[i] = len(mono)
+            head = mono[: self.frame]
+            rms[i] = float(np.sqrt(np.mean(head * head))) if len(head) else 0.0
+            zc[i] = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            peak[i] = int(np.abs(s).max()) if s.size else 0
+        return pa.table(
+            {
+                "media_id": ids,
+                "n_samples": pa.array(n_samples),
+                "rms1000": pa.array(rms),
+                "zero_crossings": pa.array(zc),
+                "peak": pa.array(peak),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: uniform-stride frame sampling → one output row per
+    sampled frame with its phash — frames never shuffle, only the
+    64-bit hashes do (the render-contribution idiom)."""
+
+    def __init__(self, every: int = 10):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gdal_ray.synth import phash64
+
+        out_id, out_f, out_h = [], [], []
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        nf = batch.column("n_frames").to_numpy()
+        for i in range(len(ids)):
+            frames = _stub_decode_video(blobs[i], int(ws[i]), int(hs[i]), int(nf[i]))
+            for f in range(0, len(frames), self.every):
+                out_id.append(ids[i])
+                out_f.append(f)
+                out_h.append(phash64(frames[f]))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame": pa.array(out_f, pa.int64()),
+                "phash": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
+    """Deterministic fixture tables conforming to AUDIO_SCHEMA/VIDEO_SCHEMA."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a_rows = {k: [] for k in ("media_id", "bytes", "sample_rate", "n_channels")}
+    for i in range(n_audio):
+        a_rows["media_id"].append(f"aud-{i:06d}")
+        a_rows["bytes"].append(rng.integers(0, 256, size=int(rng.integers(2000, 6000)), dtype=np.uint8).tobytes())
+        a_rows["sample_rate"].append(16000)
+        a_rows["n_channels"].append(1 + i % 2)
+    v_rows = {k: [] for k in ("media_id", "bytes", "w", "h", "n_frames", "fps")}
+    for i in range(n_video):
+        w, h, nf = 32, 24, 25 + i % 10
+        v_rows["media_id"].append(f"vid-{i:06d}")
+        v_rows["bytes"].append(rng.integers(0, 256, size=w * h * 4, dtype=np.uint8).tobytes())
+        v_rows["w"].append(w)
+        v_rows["h"].append(h)
+        v_rows["n_frames"].append(nf)
+        v_rows["fps"].append(25.0)
+    audio = pa.table(
+        {f.name: pa.array(a_rows[f.name], f.type) for f in AUDIO_SCHEMA}
+    )
+    video = pa.table(
+        {f.name: pa.array(v_rows[f.name], f.type) for f in VIDEO_SCHEMA}
+    )
+    return audio, video
