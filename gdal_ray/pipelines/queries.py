@@ -2214,6 +2214,51 @@ def q_sql_group(sf_dir: str):
     return execute_sql(SQL_IFACE_GROUP, {"orders": _read(sf_dir, "orders")})
 
 
+def q_warp_utm(sf_dir: str):
+    """gdalwarp breadth in one pipeline: 4326→UTM warp (Krüger closed
+    form) with the error-bounded approx transformer, per-band src-nodata
+    masking, and a triangular cutline — per-image dst dims + bit-exact
+    GDALChecksumImage of the result (rows-only; kernels pytest-gated)."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.stats import checksum_plane
+    from gdal_ray.stages.warp import warp_image
+
+    def wrp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N).astype(np.uint8)
+        out = {k: [] for k in ("doc_id", "dst_w", "dst_h", "checksum")}
+        for i, did in enumerate(ids):
+            # each doc gets its own small footprint inside UTM zone 31
+            lon0 = 2.0 + (int(did) % 8) * 0.05
+            lat0 = 50.0 + (int(did) // 8) * 0.05
+            src_gt = (lon0, 0.04 / DEM_N, 0.0, lat0 + 0.04, 0.0, -0.04 / DEM_N)
+            cut = [np.array([[lon0, lat0], [lon0 + 0.04, lat0], [lon0, lat0 + 0.04]])]
+            # cutline is in dst CRS — transform the triangle to UTM
+            from gdal_ray.crs import transform_fn
+
+            f = transform_fn("EPSG:4326", "EPSG:32631")
+            cx, cy = f(cut[0][:, 0], cut[0][:, 1])
+            warped, gt = warp_image(
+                grids[i], src_gt, "EPSG:4326", "EPSG:32631",
+                method="bilinear", src_nodata=0.0, nodata=0.0,
+                cutline=[np.stack([cx, cy], axis=1)], approx_tol=0.125,
+            )
+            out["doc_id"].append(int(did))
+            out["dst_h"].append(warped.shape[0])
+            out["dst_w"].append(warped.shape[1])
+            out["checksum"].append(int(checksum_plane(warped)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "dst_w": pa.array(out["dst_w"], pa.int64()),
+                "dst_h": pa.array(out["dst_h"], pa.int64()),
+                "checksum": pa.array(out["checksum"], pa.int64()),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(wrp, batch_format="pyarrow")
+
+
 def q_warp_stats(sf_dir: str):
     """Aggregating warp resamplers (average/sum/min/max/med/q1/q3/mode/
     count — alg/gdalwarper.h:37-69) exercised as an identity-CRS 4×
@@ -2739,6 +2784,7 @@ def queries():
         "viewshed": q_viewshed,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "warp_utm": q_warp_utm,
     }
 
 
