@@ -170,6 +170,44 @@ def buffer_point(x: float, y: float, radius: float, quadrant_segments: int = 8) 
     return np.stack([x + radius * np.cos(ang), y + radius * np.sin(ang)], axis=1)
 
 
+def buffer_convex(ring: np.ndarray, radius: float, quadrant_segments: int = 8) -> np.ndarray:
+    """Positive buffer of a CONVEX ring — Minkowski sum with the
+    quadrant_segments·4-gon circle approximation GEOS uses
+    (OGRGeometry::Buffer, ogr/ogrgeometry.cpp:4526, round joins): each
+    edge shifts outward along its normal; each vertex gains arc points
+    subdividing its exterior-angle turn.  Concave inputs need the full
+    GEOS machinery and are rejected."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        raise ValueError("buffer_convex needs a ring with >= 3 vertices")
+    # enforce CCW
+    x, y = pts[:, 0], pts[:, 1]
+    area2 = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+    if area2 < 0:
+        pts = pts[::-1]
+    edges = np.roll(pts, -1, axis=0) - pts
+    cross = edges[:, 0] * np.roll(edges, -1, axis=0)[:, 1] - edges[:, 1] * np.roll(edges, -1, axis=0)[:, 0]
+    if (cross < 0).any():
+        raise ValueError("buffer_convex: ring is not convex")
+    step = np.pi / (2 * quadrant_segments)
+    out = []
+    for i in range(n):
+        e_prev = edges[i - 1]
+        e_next = edges[i]
+        # outward normals (right of a CCW edge)
+        a0 = np.arctan2(-e_prev[0], e_prev[1])
+        a1 = np.arctan2(-e_next[0], e_next[1])
+        turn = (a1 - a0) % (2 * np.pi)
+        m = int(np.ceil(turn / step))
+        for j in range(m + 1):
+            a = a0 + turn * j / max(m, 1)
+            out.append((pts[i, 0] + radius * np.cos(a), pts[i, 1] + radius * np.sin(a)))
+    return np.array(out, dtype=np.float64)
+
+
 def swap_xy(xy: np.ndarray) -> np.ndarray:
     return np.asarray(xy)[:, ::-1]
 

@@ -76,3 +76,27 @@ def test_make_valid_three_lobes():
     assert len(loops) == 3
     areas = sorted(abs(ops.ring_area2_units(lp)) for lp in loops)
     assert areas == [2 * 100 * 100, 2 * 200 * 200, 2 * 300 * 300]
+
+
+def test_buffer_convex_square():
+    sq = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    r = 0.5
+    buf = ops.buffer_convex(sq, r, quadrant_segments=16)
+    a = ops.ring_area2_float(buf) / 2.0
+    # A + P·r + πr² with the k-gon circle shortfall
+    expect = 4.0 + 8.0 * r + np.pi * r * r
+    assert abs(a - expect) < 0.01
+    # buffered ring contains the original (every original vertex strictly inside)
+    from gdal_ray.geometry.predicates import points_in_rings
+    assert points_in_rings(sq[:, 0], sq[:, 1], [buf]).all()
+    # CW input gives the same result
+    buf2 = ops.buffer_convex(sq[::-1], r, quadrant_segments=16)
+    assert abs(ops.ring_area2_float(buf2) - ops.ring_area2_float(buf)) < 1e-12
+
+
+def test_buffer_convex_rejects_concave():
+    import pytest as _pt
+
+    c = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 1.0], [0.0, 4.0]])
+    with _pt.raises(ValueError):
+        ops.buffer_convex(c, 0.3)
