@@ -374,6 +374,103 @@ def make_valid_pinch(ring: np.ndarray) -> list[np.ndarray]:
     return loops if loops else [pts]
 
 
+def ear_clip(ring: np.ndarray) -> list[np.ndarray]:
+    """Triangulate a simple (concave OK, no holes) ring by ear clipping.
+    Orientation tests run on integer units → robust for the fixture
+    coordinate grid.  Returns (3,2) float triangles whose disjoint union
+    is the polygon."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    u = to_units(pts)
+    n = len(pts)
+    if n < 3:
+        return []
+    # normalize to CCW
+    x, y = u[:, 0], u[:, 1]
+    if int(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        pts = pts[::-1]
+        u = u[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b):
+        return int((u[a, 0] - u[o, 0]) * (u[b, 1] - u[o, 1])
+                   - (u[a, 1] - u[o, 1]) * (u[b, 0] - u[o, 0]))
+
+    def point_in_tri(p, a, b, c):
+        d1 = cross(a, b, p)
+        d2 = cross(b, c, p)
+        d3 = cross(c, a, p)
+        return d1 > 0 and d2 > 0 and d3 > 0
+
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        for k in range(m):
+            a, b, c = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or degenerate corner
+            if any(point_in_tri(j, a, b, c) for j in idx if j not in (a, b, c)):
+                continue
+            tris.append(pts[[a, b, c]])
+            idx.pop(k)
+            break
+        else:
+            break  # no ear found (degenerate input) — bail with partial fan
+    if len(idx) == 3:
+        a, b, c = idx
+        if cross(a, b, c) != 0:
+            tris.append(pts[[a, b, c]])
+    return tris
+
+
+def polygon_intersection_area2_units(parts_a, parts_b) -> int:
+    """Exact 2×area (integer unit², rounded) of (Multi)Polygon ∩
+    (Multi)Polygon for arbitrary simple rings incl. concave parts and
+    holes — OGRLayer::Intersection area semantics (ogr/ogrlayer.cpp:3345)
+    without GEOS:
+
+    Triangulate every ring of both sides (ear clipping) and sum
+    triangle∩triangle areas (each pair via the convex Sutherland–Hodgman
+    clip).  Triangles of one ring are interior-disjoint, so areas add;
+    holes enter with inclusion–exclusion
+    (ext∩ext − ext∩hole − hole∩ext + hole∩hole)."""
+    def ring_tris(parts):
+        ext, hol = [], []
+        for rings in parts:
+            ext.extend(ear_clip(rings[0]))
+            for h in rings[1:]:
+                hol.extend(ear_clip(h))
+        return ext, hol
+
+    ea, ha = ring_tris(parts_a)
+    eb, hb = ring_tris(parts_b)
+
+    def tri_bbox(ts):
+        if not ts:
+            return np.empty((0, 4))
+        arr = np.stack([np.concatenate([t.min(axis=0), t.max(axis=0)]) for t in ts])
+        return arr
+
+    def pair_area2(ta, tb) -> float:
+        ba, bb = tri_bbox(ta), tri_bbox(tb)
+        total = 0.0
+        for i, t1 in enumerate(ta):
+            x0, y0, x1, y1 = ba[i]
+            for j, t2 in enumerate(tb):
+                if bb[j, 0] > x1 or bb[j, 2] < x0 or bb[j, 1] > y1 or bb[j, 3] < y0:
+                    continue
+                inter = clip_ring_convex(t1, t2)
+                total += ring_area2_float(inter)
+        return total
+
+    a2 = (pair_area2(ea, eb) - pair_area2(ea, hb)
+          - pair_area2(ha, eb) + pair_area2(ha, hb))
+    return int(round(a2 * UNIT * UNIT))
+
+
 def clipped_area(parts: list[list[np.ndarray]], x0, y0, x1, y1) -> float:
     """Area of (Multi)Polygon ∩ box (exterior − holes), via per-ring clip.
     Correct for rings whose box intersection is simply connected (our

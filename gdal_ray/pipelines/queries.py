@@ -1555,6 +1555,70 @@ def q_convex_hull(sf_dir: str):
     return _polys_ds().map_batches(hull, batch_format="pyarrow")
 
 
+def q_overlay_concave(sf_dir: str):
+    """General polygon∩polygon intersection AREA — concave parts and holes
+    included (OGRLayer::Intersection, ogr/ogrlayer.cpp:3345, sans GEOS):
+    ear-clip both sides, sum convex triangle∩triangle clips.  All
+    bbox-intersecting fixture pairs with positive area (rows-only;
+    pytest gates vs an exact cell-count oracle + the S–H convex clip)."""
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.wkb import polygon_parts, polygon_rings
+
+    polys = make_polygon_table(50)
+    pref = ray.put(polys)
+
+    class Overlay:
+        def __init__(self, ref):
+            import ray as _r
+
+            t = _r.get(ref[0])
+            self.ids = t.column("poly_id").to_pylist()
+            self.wkbs = t.column("wkb").to_pylist()
+            self.parts = [polygon_parts(w) for w in self.wkbs]
+            self.bbox = [ring_bbox(polygon_rings(w)) for w in self.wkbs]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out_a, out_b, out_area = [], [], []
+            for pid, wkb in zip(b.column("poly_id").to_pylist(), b.column("wkb").to_pylist()):
+                i = self.ids.index(pid)
+                x0, y0, x1, y1 = self.bbox[i]
+                for j in range(i + 1, len(self.ids)):
+                    bx0, by0, bx1, by1 = self.bbox[j]
+                    if bx0 > x1 or bx1 < x0 or by0 > y1 or by1 < y0:
+                        continue
+                    a2 = ops.polygon_intersection_area2_units(self.parts[i], self.parts[j])
+                    if a2 > 0:
+                        out_a.append(pid)
+                        out_b.append(self.ids[j])
+                        out_area.append(a2)
+                # every shape also meets a (+0.5°, +0.3°) shifted copy of
+                # itself — exercises concave rings and holes on all kinds
+                shifted = [
+                    [r + np.array([0.5, 0.3]) for r in rings] for rings in self.parts[i]
+                ]
+                a2 = ops.polygon_intersection_area2_units(self.parts[i], shifted)
+                if a2 > 0:
+                    out_a.append(pid)
+                    out_b.append(pid + "+shift")
+                    out_area.append(a2)
+            return pa.table(
+                {
+                    "a_id": pa.array(out_a, pa.string()),
+                    "b_id": pa.array(out_b, pa.string()),
+                    "inter_area2_u": pa.array(out_area, pa.int64()),
+                }
+            )
+
+    return rd.from_arrow(polys).map_batches(
+        Overlay, fn_constructor_kwargs={"ref": [pref]},
+        batch_format="pyarrow", batch_size=10, concurrency=(1, 4),
+    )
+
+
 def q_centroid(sf_dir: str):
     """Exact area-weighted centroid per fixture polygon as int64 rationals
     (sx6, sy6, a2 in unit coords; C = s/(3·a2)) — OGRGeometry Centroid
@@ -2757,6 +2821,7 @@ def queries():
         "geom_explode": q_geom_explode,
         "centroid": q_centroid,
         "vector_overlay": q_vector_overlay,
+        "overlay_concave": q_overlay_concave,
         "make_valid": q_make_valid,
         "vector_clip": q_vector_clip,
         "interpolate_at_point": q_interpolate_at_point,

@@ -100,3 +100,83 @@ def test_buffer_convex_rejects_concave():
     c = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 1.0], [0.0, 4.0]])
     with _pt.raises(ValueError):
         ops.buffer_convex(c, 0.3)
+
+
+def _cell_count_area2(parts_a, parts_b, lo=-20, hi=20):
+    """Independent oracle for integer-coordinate AXIS-ALIGNED shapes:
+    2x area of the intersection = 2x number of unit cells whose center
+    (half-integer) lies inside both — exact because boundaries sit on
+    integer lines."""
+    from gdal_ray.geometry.predicates import points_in_rings
+
+    xs = np.arange(lo, hi) + 0.5
+    gx, gy = np.meshgrid(xs, xs)
+    fx, fy = gx.ravel(), gy.ravel()
+
+    def inside(parts):
+        acc = np.zeros(len(fx), dtype=bool)
+        for rings in parts:
+            m = points_in_rings(fx, fy, [rings[0]])
+            for h in rings[1:]:
+                m &= ~points_in_rings(fx, fy, [h])
+            acc |= m
+        return acc
+
+    # each unit cell is 1°×1° = 100×100 unit²
+    return 2 * 100 * 100 * int((inside(parts_a) & inside(parts_b)).sum())
+
+
+def test_intersection_area_squares():
+    a = [[np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])]]
+    b = [[np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])]]
+    got = ops.polygon_intersection_area2_units(a, b)
+    assert got == 2 * 2 * 100 * 2 * 100  # 2x (2°x2°) in unit²
+
+
+def test_intersection_area_concave_concave():
+    def cshape(ox, oy):  # 6x6 "C" with a 2-wide mouth on the right
+        return np.array([
+            [ox, oy], [ox + 6, oy], [ox + 6, oy + 2], [ox + 2, oy + 2],
+            [ox + 2, oy + 4], [ox + 6, oy + 4], [ox + 6, oy + 6], [ox, oy + 6],
+        ])
+    a = [[cshape(0.0, 0.0)]]
+    b = [[cshape(3.0, 1.0)]]
+    got = ops.polygon_intersection_area2_units(a, b)
+    want = _cell_count_area2(a, b)
+    assert got == want and want > 0
+
+
+def test_intersection_area_with_holes():
+    outer = np.array([[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]])
+    hole = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+    a = [[outer, hole]]
+    b = [[np.array([[1.0, 1.0], [7.0, 1.0], [7.0, 7.0], [1.0, 7.0]])]]
+    got = ops.polygon_intersection_area2_units(a, b)
+    want = _cell_count_area2(a, b)
+    assert got == want == 2 * (36 - 16) * 100 * 100
+
+
+def test_intersection_area_cross_checks_sh_clip():
+    """Concave ∩ convex: triangulated area must match the per-ring
+    Sutherland–Hodgman convex-clip area on the fixture polygons."""
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.synth import make_polygon_table
+
+    polys = make_polygon_table(30)
+    checked = 0
+    for wkb in polys.column("wkb").to_pylist():
+        parts = polygon_parts(wkb)
+        bx0 = min(r[:, 0].min() for rings in parts for r in rings[:1])
+        by0 = min(r[:, 1].min() for rings in parts for r in rings[:1])
+        clip = np.array([[bx0 + 0.5, by0 + 0.5], [bx0 + 3.5, by0 + 0.7],
+                         [bx0 + 3.1, by0 + 3.9], [bx0 + 0.4, by0 + 3.2]])
+        tri_area = ops.polygon_intersection_area2_units(parts, [[clip]])
+        sh = 0.0
+        for rings in parts:
+            sh += ops.ring_area2_float(ops.clip_ring_convex(rings[0], clip))
+            for h in rings[1:]:
+                sh -= ops.ring_area2_float(ops.clip_ring_convex(h, clip))
+        sh_units = int(round(sh * ops.UNIT * ops.UNIT))
+        assert abs(tri_area - sh_units) <= 1, (tri_area, sh_units)
+        checked += 1
+    assert checked == 30
