@@ -130,6 +130,8 @@ def _parse_cmp(p):
     neg = bool(p.accept("kw", "NOT"))
     k, v = p.peek()
     if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+        if neg:
+            raise ValueError("dangling NOT before comparison operator")
         p.next()
         return ("bin", v, e, _parse_add(p))
     if k == "kw" and v in ("LIKE", "ILIKE"):
@@ -360,6 +362,9 @@ def _eval(node, batch: pa.Table):
             parts = [pc.cast(a, pa.string()) for a in args]
             return pc.binary_join_element_wise(*parts, "")
         if fn == "SUBSTR" or fn == "SUBSTRING":
+            for a in node[2][1:]:
+                if not (isinstance(a, tuple) and a[0] == "lit" and isinstance(a[1], int)):
+                    raise ValueError("SUBSTR start/length must be integer literals")
             start = node[2][1][1]  # literal 1-based
             length = node[2][2][1] if len(node[2]) > 2 else None
             stop = None if length is None else start - 1 + length
@@ -536,16 +541,21 @@ def _execute_aggregate(ds, q):
         out = grouped_aggregate(prepped.map_batches(add_key, batch_format="pyarrow"),
                                 ["__k"], agg_specs)
         out = out.drop_columns(["__k"])
-    # order output columns as written in the SELECT list
-    names = []
+    # order output columns as written in the SELECT list; honour aliases on
+    # plain group columns ("SELECT g AS grp ... GROUP BY g" emits "grp")
+    names, renames = [], {}
     for idx, (node, name) in enumerate(items):
         if node[0] == "col" and not _has_agg(node):
             names.append(node[1])
+            if name is not None and name != node[1]:
+                renames[node[1]] = name
         else:
             names.append(name or _default_name(node, idx))
 
     def reorder(b: pa.Table) -> pa.Table:
         b = b.select(names)
+        if renames:
+            b = b.rename_columns([renames.get(n, n) for n in b.column_names])
         for nm, ty in post_casts.items():
             i = b.schema.get_field_index(nm)
             b = b.set_column(i, nm, pc.cast(b.column(nm), ty))

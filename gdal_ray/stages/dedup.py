@@ -20,6 +20,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -334,36 +335,104 @@ def phash_band_rows(batch: pa.Table, *, bands: int = 4) -> pa.Table:
     )
 
 
+def _hamming_pairs_among_uniques(uph: np.ndarray, max_dist: int):
+    """uph: (m,) uint64 DISTINCT hashes -> (i, j, ham) with i < j and
+    Hamming <= max_dist.  Popcount via the bit-matrix identity
+    ham = |x| + |y| - 2·x·y in chunked float32 BLAS (exact: values <= 64),
+    so a skewed LSH bucket costs a matmul, not a 64-step Python loop, and
+    peak memory stays bounded regardless of bucket size."""
+    m = len(uph)
+    if m < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    bits = np.unpackbits(uph[:, None].view(np.uint8), axis=1)  # (m, 64)
+    f = bits.astype(np.float32)
+    s = f.sum(axis=1)
+    chunk = max(64, min(2048, (1 << 26) // m))  # chunk*m <= 64M floats
+    oi, oj, oh = [], [], []
+    for c0 in range(0, m, chunk):
+        c1 = min(c0 + chunk, m)
+        ham = s[c0:c1, None] + s[None, :] - 2.0 * (f[c0:c1] @ f.T)
+        ii, jj = np.nonzero(ham <= max_dist + 0.5)
+        gi = ii + c0
+        keep = jj > gi
+        oi.append(gi[keep])
+        oj.append(jj[keep])
+        oh.append(ham[ii[keep], jj[keep]].astype(np.int64))
+    return np.concatenate(oi), np.concatenate(oj), np.concatenate(oh)
+
+
 def phash_hamming_pairs(ds, *, max_dist: int = 3, bands: int = 4):
     """images Dataset (image_id, phash) -> (a_id, b_id, hamming) pairs with
-    Hamming(phash) <= max_dist; exact for max_dist <= 64/bands - ... see
-    band-completeness note above (max_dist < bands required)."""
-    rows = ds.map_batches(lambda b: phash_band_rows(b, bands=bands), batch_format="pyarrow")
+    Hamming(phash) <= max_dist; exact for max_dist < bands (band
+    completeness, see note above).
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a_id": pd.Series([], dtype=object), "b_id": pd.Series([], dtype=object),
-             "hamming": pd.Series([], dtype=np.int64)}
-        )
+    Skew-safe by construction: each (band, band_hash) group first collapses
+    to UNIQUE hashes — the near-black-crawl adversary (one constant phash
+    repeated n times) costs O(1) distance work plus the genuinely required
+    O(n^2) pair EMISSION, never an O(n^2) distance matrix.  Cross-band
+    duplicates are eliminated locally by a first-matching-band owner rule
+    (a pair is emitted only by the lowest band index where its two hashes
+    agree — computable from the two hashes alone), so there is no second
+    (a_id, b_id) groupby shuffle."""
+    width = 64 // bands
+    bmask = np.uint64((1 << width) - 1)
+    empty = pa.table(
+        {"a_id": pa.array([], pa.string()), "b_id": pa.array([], pa.string()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
+    def verify(g: pa.Table) -> pa.Table:
         if len(g) < 2:
             return empty
-        g = g.sort_values("image_id")
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy().astype(np.uint64)
-        x = ph[:, None] ^ ph[None, :]
-        ham = np.zeros(x.shape, dtype=np.int64)
-        for s in range(64):
-            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
-        i, j = np.nonzero(np.triu(ham <= max_dist, k=1))
-        keep = ids[i] != ids[j]
-        return pd.DataFrame({"a_id": ids[i][keep], "b_id": ids[j][keep],
-                             "hamming": ham[i, j][keep]})
+        band = g.column("band")[0].as_py()
+        order = pc.sort_indices(g, sort_keys=[("image_id", "ascending")])
+        g = g.take(order)  # position order == id order → a_id < b_id below
+        ids = g.column("image_id").combine_chunks()
+        ph = np.ascontiguousarray(g.column("phash").to_numpy()).view(np.uint64)
+        uph, inv, counts = np.unique(ph, return_inverse=True, return_counts=True)
+        # positions of each unique's members, CSR over the id-sorted rows
+        member = np.argsort(inv, kind="stable")
+        start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # candidate unique pairs: distinct-hash pairs within threshold,
+        # plus (u, u) self-pairs for duplicated hashes (ham = 0)
+        pi, pj, pham = _hamming_pairs_among_uniques(uph, max_dist)
+        dup = np.nonzero(counts > 1)[0]
+        pi = np.concatenate([pi, dup])
+        pj = np.concatenate([pj, dup])
+        pham = np.concatenate([pham, np.zeros(len(dup), dtype=np.int64)])
+        if len(pi) == 0:
+            return empty
+        # owner rule: emit only if THIS band is the first matching band
+        xorv = uph[pi] ^ uph[pj]
+        first = np.full(len(pi), bands, dtype=np.int64)
+        for b in range(bands - 1, -1, -1):
+            hit = ((xorv >> np.uint64(b * width)) & bmask) == 0
+            first[hit] = b
+        own = first == band
+        pi, pj, pham = pi[own], pj[own], pham[own]
+        if len(pi) == 0:
+            return empty
+        # ragged cross-product expansion uniques -> id pairs, fully vectorized
+        sizes = counts[pi] * counts[pj]
+        total = int(sizes.sum())
+        k_rep = np.repeat(np.arange(len(pi), dtype=np.int64), sizes)
+        base = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        off = np.arange(total, dtype=np.int64) - np.repeat(base, sizes)
+        cj = counts[pj][k_rep]
+        p = member[start[pi][k_rep] + off // cj]
+        q = member[start[pj][k_rep] + off % cj]
+        intra = (pi == pj)[k_rep]
+        keep = ~intra | (p < q)  # self-pairs: each unordered pair once
+        p, q = p[keep], q[keep]
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        return pa.table(
+            {"a_id": ids.take(pa.array(lo)), "b_id": ids.take(pa.array(hi)),
+             "hamming": pa.array(np.repeat(pham, sizes)[keep], pa.int64())}
+        )
 
-    pairs = rows.groupby(["band", "band_hash"]).map_groups(verify, batch_format="pandas")
-    # a pair can match in several bands → keep one copy
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    rows = ds.map_batches(lambda b: phash_band_rows(b, bands=bands), batch_format="pyarrow")
+    return rows.groupby(["band", "band_hash"]).map_groups(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,9 @@ class PolyBucketIndex:
         b = bx * _IDX_NY + by
         s, e = self.csr_ptr[b], self.csr_ptr[b + 1]
         counts = e - s
+        if len(px) == 0 or int(counts.sum()) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty
         pt = np.repeat(np.arange(len(px), dtype=np.int64), counts)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         flat = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)

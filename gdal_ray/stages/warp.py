@@ -266,6 +266,15 @@ def warp_aggregate(
     smallest value (deterministic; GDAL resolves by scan order)."""
     if stat not in _AGG_STATS:
         raise ValueError(f"unknown aggregate stat {stat!r}")
+    # The edge-midline sampling below is exact only for SEPARABLE transforms
+    # (x'(x), y'(y) independently).  4326<->3857 is separable; UTM (tmerc)
+    # is not — refuse instead of silently mis-assigning source pixels.
+    _sep = {"EPSG:4326", "EPSG:3857"}
+    if src_crs != dst_crs and not (src_crs in _sep and dst_crs in _sep):
+        raise NotImplementedError(
+            f"warp_aggregate requires a separable CRS pair; got {src_crs}->{dst_crs} "
+            "(use warp() with a point-wise resampler for non-separable transforms)"
+        )
     h, w = img.shape[:2]
     if dst_gt is None or dst_size is None:
         dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs)
