@@ -1778,6 +1778,127 @@ from a where area2 > 0
 """
 
 
+# layer-algebra fixture: B = 150 pairwise-DISJOINT lattice boxes (1800×1200
+# units on a 2400×1700 pitch) so Union residual areas are exact without
+# inclusion–exclusion (see stages/algebra.py contract)
+_UNION_BOXES = 150
+
+
+def _union_grid_boxes():
+    k = np.arange(_UNION_BOXES, dtype=np.int64)
+    bx0 = -18000 + (k % 15) * 2400
+    by0 = -8500 + (k // 15) * 1700
+    ids = [f"box-{int(i):03d}" for i in k]
+    return ids, bx0, by0, bx0 + 1800, by0 + 1200
+
+
+class _UnionPieces:
+    """map_batches stage for the layer-algebra fixture: triangle batch →
+    (a_id, b_id, cls='both'|'a_only', area2_u) rows per stages/algebra.py's
+    contract.  Piece areas via the general convex S–H clip; each A feature
+    is whole in its batch so a_only residuals are local."""
+
+    def __init__(self):
+        self.ids, self.x0, self.y0, self.x1, self.y1 = _union_grid_boxes()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from gdal_ray.geometry import ops
+        from gdal_ray.stages.algebra import _SCHEMA, B_NULL, _rows
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        tx0, ty0, d = _tri_params(ids)
+        ov = (
+            (self.x0[None, :] <= (tx0 + d)[:, None]) & (self.x1[None, :] >= tx0[:, None])
+            & (self.y0[None, :] <= (ty0 + d)[:, None]) & (self.y1[None, :] >= ty0[:, None])
+        )
+        ti, bj = np.nonzero(ov)
+        inter_sum = np.zeros(len(ids), np.int64)
+        pa_ids, pb_ids, pareas = [], [], []
+        for t_idx, b_idx in zip(ti, bj):
+            x0 = tx0[t_idx] / 100.0; y0 = ty0[t_idx] / 100.0; dd = d[t_idx] / 100.0
+            tri = np.array([[x0, y0], [x0 + dd, y0], [x0, y0 + dd]])
+            box = np.array(
+                [[self.x0[b_idx] / 100.0, self.y0[b_idx] / 100.0],
+                 [self.x1[b_idx] / 100.0, self.y0[b_idx] / 100.0],
+                 [self.x1[b_idx] / 100.0, self.y1[b_idx] / 100.0],
+                 [self.x0[b_idx] / 100.0, self.y1[b_idx] / 100.0]]
+            )
+            a2 = int(round(ops.ring_area2_float(ops.clip_ring_convex(box, tri)) * 10000.0))
+            if a2 > 0:
+                pa_ids.append(int(ids[t_idx])); pb_ids.append(self.ids[b_idx])
+                pareas.append(a2)
+                inter_sum[t_idx] += a2
+        both = _rows(pa_ids, pb_ids, "both", pareas)
+        res = d * d - inter_sum  # tri area2 = d² unit²
+        sel = np.nonzero(res > 0)[0]
+        a_only = _rows([int(ids[i]) for i in sel], [B_NULL] * len(sel),
+                       "a_only", res[sel])
+        return pa.concat_tables([both, a_only]).cast(_SCHEMA)
+
+
+def _overlay_algebra_plan(sf_dir: str, op: str):
+    from gdal_ray.stages.algebra import layer_algebra
+
+    b_ids = _union_grid_boxes()[0]
+    b_area2 = np.full(_UNION_BOXES, 2 * 1800 * 1200, np.int64)
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr=f"doc_id < {OVERLAY_DOCS}"
+    )
+    return layer_algebra(docs, _UnionPieces, b_ids, b_area2, op)
+
+
+def q_union_overlay(sf_dir: str):
+    """Layer-algebra UNION (OGRLayer::Union, ogrlayer.cpp:3763): triangles
+    from doc ids ⋈ a disjoint broadcast box lattice, emitting all three
+    OGR feature classes with exact integer 2×areas — 'both' = a∩b pieces,
+    'a_only' = a \\ ∪b residuals, 'b_only' = b \\ ∪a residuals (via one
+    zero-row-union'd partial-combinable aggregate keyed by b_id; boxes
+    intersecting nothing still surface).  Erase/Identity/SymDifference are
+    the class subsets (stages/algebra.py, pytest-gated)."""
+    return _overlay_algebra_plan(sf_dir, "union")
+
+
+def _sql_union_overlay() -> str:
+    return f"""
+with t as (select doc_id as a_id,
+                  ((doc_id * 7919) % 36000) - 18000 as tx0,
+                  ((doc_id * 104729) % 17000) - 8500 as ty0,
+                  20 * (1 + doc_id % 50) as d
+           from documents where doc_id < {OVERLAY_DOCS}),
+b as (select 'box-' || lpad(cast(k as varchar), 3, '0') as b_id,
+             -18000 + (k % 15) * 2400 as bx0,
+             -8500 + (k // 15) * 1700 as by0,
+             -18000 + (k % 15) * 2400 + 1800 as bx1,
+             -8500 + (k // 15) * 1700 + 1200 as by1
+      from range({_UNION_BOXES}) r(k)),
+g as (select a_id, b_id,
+             greatest(bx0, tx0) as gx0, greatest(by0, ty0) as gy0,
+             bx1 as gx1, by1 as gy1,
+             tx0 + ty0 + d as c
+      from t, b),
+m as (select a_id, b_id,
+             greatest(gx1 - gx0, 0) as w, greatest(gy1 - gy0, 0) as h,
+             least(greatest(gx1 + gy1 - c, 0), greatest(gx1 - gx0, 0) + greatest(gy1 - gy0, 0)) as t
+      from g),
+i as (select a_id, b_id,
+             2 * w * h - (t * t - greatest(t - w, 0) * greatest(t - w, 0)
+                                - greatest(t - h, 0) * greatest(t - h, 0)) as area2
+      from m where 2 * w * h - (t * t - greatest(t - w, 0) * greatest(t - w, 0)
+                                      - greatest(t - h, 0) * greatest(t - h, 0)) > 0)
+select a_id, b_id, 'both' as cls, cast(area2 as bigint) as area2_u from i
+union all
+select t.a_id, '' as b_id, 'a_only' as cls,
+       cast(d * d - coalesce(s.si, 0) as bigint) as area2_u
+from t left join (select a_id, sum(area2) as si from i group by 1) s using (a_id)
+where d * d - coalesce(s.si, 0) > 0
+union all
+select cast(-1 as bigint) as a_id, b.b_id, 'b_only' as cls,
+       cast(2 * 1800 * 1200 - coalesce(s.si, 0) as bigint) as area2_u
+from b left join (select b_id, sum(area2) as si from i group by 1) s using (b_id)
+where 2 * 1800 * 1200 - coalesce(s.si, 0) > 0
+"""
+
+
 def q_make_valid(sf_dir: str):
     """MakeValid (self-touching subset, ogr/ogrgeometry.cpp:3922): pinched
     multi-lobe rings derived from doc ids are split into their simple
@@ -2813,6 +2934,7 @@ def queries():
         "geom_measures": q_geom_measures,
         "centroid": q_centroid,
         "vector_overlay": q_vector_overlay,
+        "union_overlay": q_union_overlay,
         "make_valid": q_make_valid,
         "vector_clip": q_vector_clip,
         "interpolate_at_point": q_interpolate_at_point,
@@ -2833,8 +2955,8 @@ def queries():
         "raster_histogram": q_raster_histogram,
         "stats_approx": q_stats_approx,
         "viewshed": q_viewshed,
-        "geom_explode": q_geom_explode,
         # ---- 50-slot window boundary (entries below are driver-unchecked)
+        "geom_explode": q_geom_explode,
         "first_event": q_first_event,
         "stride_sample": q_stride_sample,
         "events_hopping": q_events_hopping,
@@ -2904,6 +3026,7 @@ def oracle_sql():
         "geom_explode": _sql_geom_explode(),
         "centroid": _sql_centroid(),
         "vector_overlay": _sql_vector_overlay(),
+        "union_overlay": _sql_union_overlay(),
         "make_valid": SQL_MAKE_VALID,
         "vector_clip": _sql_vector_clip(),
         "interpolate_at_point": _sql_interpolate(),

@@ -42,6 +42,12 @@ _SCHEMA = pa.schema(
      ("cls", pa.string()), ("area2_u", pa.int64())]
 )
 
+# OGR emits NULL for the absent side's attributes; we use sentinels instead
+# so results hash identically across engines (pandas silently converts
+# int64-with-null to float64 NaN, which breaks value-hash comparison)
+A_NULL = -1
+B_NULL = ""
+
 
 def _rows(a_ids, b_ids, cls, areas) -> pa.Table:
     return pa.table(
@@ -72,7 +78,10 @@ def layer_algebra(ds_a, pieces_cls, b_ids: list, b_areas2: np.ndarray, op: str,
         batch_format="pyarrow", concurrency=concurrency,
     )
     keep = [c for c in ("both", "a_only") if c in want]
-    out = pieces.filter(expr=f"cls in {list(keep)}") if keep != ["both", "a_only"] else pieces
+    if keep == ["both", "a_only"]:
+        out = pieces
+    else:
+        out = pieces.filter(expr=" or ".join(f"cls == '{c}'" for c in keep))
     if "b_only" not in want:
         return out
 
@@ -92,8 +101,7 @@ def layer_algebra(ds_a, pieces_cls, b_ids: list, b_areas2: np.ndarray, op: str,
     def residual(t: pa.Table) -> pa.Table:
         ids = t.column("b_id").to_pylist()
         res = np.array([lut[b] for b in ids], np.int64) - t.column("inter2").to_numpy()
-        m = res > 0
-        sel = np.nonzero(m)[0]
-        return _rows([None] * len(sel), [ids[i] for i in sel], "b_only", res[sel])
+        sel = np.nonzero(res > 0)[0]
+        return _rows([A_NULL] * len(sel), [ids[i] for i in sel], "b_only", res[sel])
 
     return out.union(sums.map_batches(residual, batch_format="pyarrow"))
