@@ -2405,6 +2405,31 @@ def q_sql_group(sf_dir: str):
     return execute_sql(SQL_IFACE_GROUP, {"orders": _read(sf_dir, "orders")})
 
 
+SQL_IFACE_JOIN = (
+    "SELECT n_name, o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cents "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "GROUP BY n_name, o_orderpriority"
+)
+
+
+def q_sql_join(sf_dir: str):
+    """swq-style SQL front end, JOIN path (ogr/ogr_swq.h:411-413,
+    ogr_gensql.cpp indexed secondary lookup): a two-step join chain with
+    qualified refs lowered to broadcast ``pc.index_in`` lookup stages, then
+    the aggregate path — the IDENTICAL string runs on DuckDB (secondary
+    keys unique, so OGR first-match ≡ SQL join)."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_JOIN,
+        {"orders": _read(sf_dir, "orders"),
+         "customer": _read(sf_dir, "customer"),
+         "nation": _read(sf_dir, "nation")},
+    )
+
+
 def q_warp_utm(sf_dir: str):
     """gdalwarp breadth in one pipeline: 4326→UTM warp (Krüger closed
     form) with the error-bounded approx transformer, per-band src-nodata
@@ -2952,10 +2977,11 @@ def queries():
         "warp_stats": q_warp_stats,
         "sql_select": q_sql_select,
         "sql_group": q_sql_group,
+        "sql_join": q_sql_join,
         "raster_histogram": q_raster_histogram,
-        "stats_approx": q_stats_approx,
         "viewshed": q_viewshed,
         # ---- 50-slot window boundary (entries below are driver-unchecked)
+        "stats_approx": q_stats_approx,
         "geom_explode": q_geom_explode,
         "first_event": q_first_event,
         "stride_sample": q_stride_sample,
@@ -3046,6 +3072,7 @@ def oracle_sql():
         "warp_stats": SQL_WARP_STATS,
         "sql_select": SQL_IFACE_SELECT,
         "sql_group": SQL_IFACE_GROUP,
+        "sql_join": SQL_IFACE_JOIN,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

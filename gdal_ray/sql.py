@@ -40,7 +40,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "AS", "AND",
     "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CAST",
-    "DESC", "ASC", "DISTINCT",
+    "DESC", "ASC", "DISTINCT", "JOIN", "LEFT", "INNER", "ON",
 }
 
 
@@ -226,6 +226,8 @@ def _parse_primary(p):
                     raise ValueError(f"{fn} takes one argument")
                 return ("agg", fn, args[0])
             return ("call", fn, args)
+        if p.accept("op", "."):  # qualified column: table.col
+            return ("col", v + "." + p.expect("id")[1])
         return ("col", v)
     if k == "op" and v == "(":
         e = _parse_expr(p)
@@ -251,6 +253,25 @@ def parse_select(sql: str) -> dict:
             break
     p.expect("kw", "FROM")
     table = p.expect("id")[1]
+    joins = []  # (kind, table, left_key, right_key) — swq LEFT JOIN ON equality
+    while True:
+        if p.accept("kw", "LEFT"):
+            p.expect("kw", "JOIN")
+            kind = "left"
+        elif p.accept("kw", "INNER"):
+            p.expect("kw", "JOIN")
+            kind = "inner"
+        elif p.accept("kw", "JOIN"):
+            kind = "inner"
+        else:
+            break
+        t2 = p.expect("id")[1]
+        p.expect("kw", "ON")
+        cond = _parse_expr(p)
+        if not (isinstance(cond, tuple) and cond[0] == "bin" and cond[1] == "="
+                and cond[2][0] == "col" and cond[3][0] == "col"):
+            raise ValueError("JOIN ON requires column = column (swq subset)")
+        joins.append((kind, t2, cond[2][1], cond[3][1]))
     where = group = None
     order = []
     limit = None
@@ -276,7 +297,7 @@ def parse_select(sql: str) -> dict:
     if p.accept("kw", "LIMIT"):
         limit = int(p.expect("num")[1])
     p.expect("eof")
-    return {"items": items, "table": table, "where": where,
+    return {"items": items, "table": table, "joins": joins, "where": where,
             "group": group, "order": order, "limit": limit}
 
 
@@ -421,11 +442,129 @@ def _default_name(node, idx):
     return f"expr_{idx}"
 
 
+class _BroadcastLookupJoin:
+    """swq JOIN lowering (ogr/ogr_swq.h:411-413, ogr_gensql.cpp indexed
+    secondary lookup): the joined table is the SMALL side, shipped once per
+    actor via ray.put as an Arrow table; each primary batch probes it with
+    one vectorized ``pc.index_in`` (first match — OGR SQL JOIN semantics)
+    and gathers the secondary columns with ``take`` (null index → null row,
+    which IS the LEFT JOIN fill)."""
+
+    def __init__(self, ref, key_col, sec_key, out_names, kind):
+        import ray
+
+        self.sec = ray.get(ref[0])
+        self.key_col = key_col
+        self.sec_key = self.sec.column(sec_key).combine_chunks()
+        self.out_names = out_names  # [(sec_col, out_name)]
+        self.kind = kind
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        probe = b.column(self.key_col)
+        vs = self.sec_key
+        if probe.type != vs.type:
+            vs = pc.cast(vs, probe.type)
+        idx = pc.index_in(probe, value_set=vs)
+        if self.kind == "inner":
+            valid = pc.is_valid(idx)
+            b = b.filter(valid)
+            idx = pc.filter(idx, valid)
+        for sec_col, out_name in self.out_names:
+            b = b.append_column(out_name, pc.take(self.sec.column(sec_col), idx))
+        return b
+
+
+def _rewrite_cols(node, resolve):
+    if isinstance(node, list):
+        return [_rewrite_cols(x, resolve) for x in node]
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "col":
+        return ("col", resolve(node[1]))
+    return tuple(_rewrite_cols(x, resolve) for x in node)
+
+
+def _apply_joins(ds, q, tables):
+    """Lower the FROM join chain; returns (ds, resolve) where resolve maps
+    a possibly-qualified column reference to its output column name."""
+    import ray
+
+    scope: dict[str, dict[str, str]] = {}  # alias -> {col: out_name}
+    out_cols: list[str] = list(ds.schema().names)
+    scope[q["table"]] = {c: c for c in out_cols}
+
+    def resolve(name: str) -> str:
+        if "." in name:
+            tbl, c = name.split(".", 1)
+            if tbl not in scope or c not in scope[tbl]:
+                raise ValueError(f"unknown column reference {name!r}")
+            return scope[tbl][c]
+        hits = [m[name] for m in scope.values() if name in m]
+        if len(set(hits)) == 1:
+            return hits[0]
+        if not hits:
+            raise ValueError(f"unknown column {name!r}")
+        raise ValueError(f"ambiguous column {name!r}; qualify with table name")
+
+    for kind, t2, lk, rk in q["joins"]:
+        if t2 not in tables:
+            raise ValueError(f"unknown table {t2!r} in JOIN")
+        # the ON keys may be written either way round — the one resolving in
+        # the current scope is the primary-side key
+        def _side(k):
+            try:
+                return resolve(k), True
+            except ValueError:
+                return k.split(".", 1)[-1], False
+
+        l_name, l_in_scope = _side(lk)
+        if l_in_scope:
+            probe_col, sec_key = l_name, rk.split(".", 1)[-1]
+        else:
+            probe_col, sec_key = resolve(rk), l_name
+        refs = tables[t2].to_arrow_refs()
+        blocks = [t.replace_schema_metadata(None) for t in ray.get(refs)]
+        # empty blocks can carry a degenerate schema — drop them
+        blocks = [t for t in blocks if len(t)] or blocks[:1]
+        sec = pa.concat_tables(blocks).combine_chunks()
+        if sec_key not in sec.column_names:
+            raise ValueError(f"unknown join key {sec_key!r} in table {t2!r}")
+        out_names = []
+        scope[t2] = {}
+        for c in sec.column_names:
+            out = c if c not in out_cols else f"{t2}.{c}"
+            out_names.append((c, out))
+            scope[t2][c] = out
+            out_cols.append(out)
+        ref = ray.put(sec)
+        ds = ds.map_batches(
+            _BroadcastLookupJoin,
+            fn_constructor_kwargs={"ref": [ref], "key_col": probe_col,
+                                   "sec_key": sec_key, "out_names": out_names,
+                                   "kind": kind},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+    return ds, resolve
+
+
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT over ray.data Datasets.  tables: name -> Dataset.
     Returns a Dataset."""
     q = parse_select(sql)
     ds = tables[q["table"]]
+
+    if q["joins"]:
+        ds, resolve = _apply_joins(ds, q, tables)
+        q = dict(q)
+        q["items"] = [
+            ((node if node == "star" else _rewrite_cols(node, resolve)), name)
+            for node, name in q["items"]
+        ]
+        if q["where"] is not None:
+            q["where"] = _rewrite_cols(q["where"], resolve)
+        if q["group"]:
+            q["group"] = [resolve(g) for g in q["group"]]
+        q["order"] = [(resolve(c), d) for c, d in q["order"]]
 
     if q["where"] is not None:
         where = q["where"]

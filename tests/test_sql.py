@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["orders", "customer", "documents", "events", "lineitem"]
+TABLES = ["orders", "customer", "documents", "events", "lineitem", "nation"]
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +52,12 @@ QUERIES = [
     # order by + limit
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber LIMIT 40",
+    # joins (secondary keys unique → OGR first-match lookup ≡ SQL join)
+    "SELECT o_orderkey, c_name FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey WHERE o_orderkey < 100",
+    "SELECT o_orderkey, n_name FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON customer.c_nationkey = nation.n_nationkey WHERE o_orderkey < 200",
+    "SELECT doc_id, c_name FROM documents LEFT JOIN customer ON doc_id = c_custkey WHERE doc_id < 400 AND c_name IS NOT NULL",
+    "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    "SELECT n_name, o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey ORDER BY o_orderkey LIMIT 30",
 ]
 
 
@@ -82,3 +88,23 @@ def test_sql_parse_errors():
         parse_select("SELECT a b c FROM t")
     with pytest.raises(ValueError):
         parse_select("SELECT a FROM t WHERE x ==")
+    with pytest.raises(ValueError):  # non-equality ON (swq subset)
+        parse_select("SELECT a FROM t JOIN u ON t.a < u.b")
+    with pytest.raises(ValueError):  # dangling NOT before comparison
+        parse_select("SELECT a FROM t WHERE a NOT = 5")
+
+
+def test_sql_join_errors(ray_tables):
+    from gdal_ray.sql import execute_sql
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        execute_sql(
+            "SELECT c_name FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN customer2 ON o_custkey = c_custkey",
+            {**ray_tables, "customer2": ray_tables["customer"]},
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_sql(
+            "SELECT o_orderkey FROM orders JOIN nosuch ON o_custkey = x",
+            ray_tables,
+        )
