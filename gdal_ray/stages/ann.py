@@ -14,8 +14,8 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -71,11 +71,14 @@ class CosinePartial:
 
 
 def topk_finalize(k: int):
-    def fin(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
+    # Arrow-native finalizer (pandas round-trips re-attach unhashable
+    # schema metadata and warn per reduce task — see BASELINE notes)
+    def fin(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")]
+        )[:k]
+        g = g.take(idx).select(["query_id", "neighbor_id"])
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1, dtype=np.int64)))
 
     return fin
 
@@ -94,7 +97,7 @@ def brute_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, concur
         batch_size=4096,
         concurrency=concurrency or (1, 4),
     )
-    return partial.groupby("query_id").map_groups(topk_finalize(k), batch_format="pandas")
+    return partial.groupby("query_id").map_groups(topk_finalize(k), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,6 @@ skewed cells split fine because contributions are associative.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 # default lattice: centers every 10° starting at -175/-85 (exact integer
@@ -67,22 +66,22 @@ def grid_metrics(points_ds, *, radius: float = RADIUS):
         lambda b: scatter_contributions(b, radius=radius), batch_format="pyarrow"
     )
 
-    def reduce_cell(g: pd.DataFrame) -> pd.DataFrame:
-        d2 = g["d2"].to_numpy()
-        pid = g["point_id"].to_numpy()
+    def reduce_cell(g: pa.Table) -> pa.Table:
+        d2 = g.column("d2").to_numpy()
+        pid = g.column("point_id").to_numpy()
         order = np.lexsort((pid, d2))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cx": [np.int64(g["cx"].iloc[0])],
-                "cy": [np.int64(g["cy"].iloc[0])],
-                "n_points": [np.int64(len(g))],
-                "min_d2": [d2[order[0]]],
-                "max_d2": [d2.max()],
-                "nearest_id": [np.int64(pid[order[0]])],
+                "cx": pa.array([g.column("cx")[0].as_py()], pa.int64()),
+                "cy": pa.array([g.column("cy")[0].as_py()], pa.int64()),
+                "n_points": pa.array([len(g)], pa.int64()),
+                "min_d2": pa.array([float(d2[order[0]])], pa.float64()),
+                "max_d2": pa.array([float(d2.max())], pa.float64()),
+                "nearest_id": pa.array([int(pid[order[0]])], pa.int64()),
             }
         )
 
-    return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pandas")
+    return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pyarrow")
 
 
 def grid_invdist(points_ds, *, radius: float = RADIUS, power: float = 2.0):
@@ -94,22 +93,23 @@ def grid_invdist(points_ds, *, radius: float = RADIUS, power: float = 2.0):
         lambda b: scatter_contributions(b, radius=radius), batch_format="pyarrow"
     )
 
-    def reduce_cell(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["point_id"], kind="mergesort")  # deterministic sum order
-        d2 = g["d2"].to_numpy()
-        z = (g["point_id"].to_numpy() % 100).astype(np.float64)
+    def reduce_cell(g: pa.Table) -> pa.Table:
+        pid_all = g.column("point_id").to_numpy()
+        order0 = np.argsort(pid_all, kind="stable")  # deterministic sum order
+        d2 = g.column("d2").to_numpy()[order0]
+        z = (pid_all[order0] % 100).astype(np.float64)
         w = np.where(d2 == 0.0, np.inf, d2 ** (-power / 2.0))
         if np.isinf(w).any():  # exact hit: GDAL returns the point value
-            val = z[np.argmax(np.isinf(w))]
+            val = float(z[np.argmax(np.isinf(w))])
         else:
             val = float(np.dot(w, z) / w.sum())
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cx": [np.int64(g["cx"].iloc[0])],
-                "cy": [np.int64(g["cy"].iloc[0])],
-                "n_points": [np.int64(len(g))],
-                "value": [val],
+                "cx": pa.array([g.column("cx")[0].as_py()], pa.int64()),
+                "cy": pa.array([g.column("cy")[0].as_py()], pa.int64()),
+                "n_points": pa.array([len(g)], pa.int64()),
+                "value": pa.array([val], pa.float64()),
             }
         )
 
-    return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pandas")
+    return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pyarrow")

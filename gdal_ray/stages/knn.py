@@ -18,8 +18,8 @@ only cells within the query's current search ring are scanned.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class KnnPartial:
@@ -59,13 +59,18 @@ class KnnPartial:
 
 
 def knn_finalize(k: int):
-    """groupby(query_id).map_groups reducer: merge per-batch partials."""
+    """groupby(query_id).map_groups reducer: merge per-batch partials.
 
-    def fin(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["d2", "neighbor_id"], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
+    Arrow-native (pandas round-trips re-attach unhashable schema metadata
+    and warn per reduce task — see BASELINE notes).
+    """
+
+    def fin(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")]
+        )[:k]
+        g = g.take(idx).select(["query_id", "neighbor_id"])
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1, dtype=np.int64)))
 
     return fin
 
@@ -83,7 +88,7 @@ def knn_topk(points_ds, queries: np.ndarray, query_ids, k: int = 5, concurrency:
         batch_size=8192,
         concurrency=concurrency or (1, 4),
     )
-    return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pandas")
+    return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -178,30 +183,34 @@ def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: i
 
     sel_ref = ray.put((q, qids, selected))
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
         qm, qid_arr, sel = ray.get(sel_ref)
-        cell = int(g["cell_id"].iloc[0])
+        cell = int(g.column("cell_id")[0].as_py()) if len(g) else -1
         qis = sel.get(cell, [])
         if not qis:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype=np.int64),
-                 "neighbor_id": pd.Series([], dtype=np.int64),
-                 "d2": pd.Series([], dtype=np.float64)}
-            )
-        px = g["px"].to_numpy(dtype=np.float64)
-        py = g["py"].to_numpy(dtype=np.float64)
-        pid = g["point_id"].to_numpy()
+            return _empty
+        px = g.column("px").to_numpy().astype(np.float64)
+        py = g.column("py").to_numpy().astype(np.float64)
+        pid = g.column("point_id").to_numpy()
         sub = qm[qis]
         d2 = (sub[:, 0:1] - px[None, :]) ** 2 + (sub[:, 1:2] - py[None, :]) ** 2
         kk = min(k, d2.shape[1])
         order = np.lexsort((np.broadcast_to(pid, d2.shape), d2), axis=1)[:, :kk]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": np.repeat(qid_arr[qis], kk),
-                "neighbor_id": pid[order].reshape(-1).astype(np.int64),
-                "d2": np.take_along_axis(d2, order, axis=1).reshape(-1),
+                "query_id": pa.array(np.repeat(qid_arr[qis], kk), pa.int64()),
+                "neighbor_id": pa.array(pid[order].reshape(-1).astype(np.int64), pa.int64()),
+                "d2": pa.array(np.take_along_axis(d2, order, axis=1).reshape(-1), pa.float64()),
             }
         )
 
-    partial = keyed.groupby("cell_id").map_groups(scan, batch_format="pandas")
-    return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pandas")
+    partial = keyed.groupby("cell_id").map_groups(scan, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pyarrow")

@@ -257,6 +257,10 @@ def _per_tile_reduce(ds, keys: list[str], group_fn, num_buckets: int = 64):
 def _overview_group(g: pa.Table, ts: int) -> pa.Table:
     """≤4 children → parent tile via alpha-weighted 2×2 average
     (overview.cpp average-with-nodata semantics).  Arrow-native."""
+    if len(g) == 0:
+        # typed empty table — preserves the operator's output schema so Ray
+        # never sees a schema-less RefBundle from an all-blank bucket
+        return _empty_tile_table()
     big = np.zeros((2 * ts, 2 * ts, 3), dtype=np.float64)
     ba = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
     z = int(g.column("z")[0].as_py())
