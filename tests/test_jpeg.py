@@ -73,3 +73,18 @@ def test_constant_color_block_exact():
     img = np.full((16, 16, 3), 137, np.uint8)
     out = decode_jpeg(encode_jpeg(img, 85))
     assert int(np.abs(out.astype(int) - 137).max()) <= 1
+
+
+def test_decode_throughput():
+    """Round-3 gate: the O(1) sliding-window bit reader decodes a 256×256
+    RGB image in well under the round-2 per-bit loop's ~1 s (≥10× there);
+    generous wall bound to stay robust under host throttling."""
+    import time
+
+    img = pixels_for(5, 256, 256)
+    data = encode_jpeg(img, quality=85)
+    t0 = time.time()
+    out = decode_jpeg(data)
+    dt = time.time() - t0
+    assert out.shape == img.shape
+    assert dt < 0.6, f"decode took {dt:.2f}s — Huffman path regressed"
