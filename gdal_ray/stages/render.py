@@ -254,9 +254,63 @@ def _per_tile_reduce(ds, keys: list[str], group_fn, num_buckets: int = 64):
     )
 
 
-def _overview_group(g: pa.Table, ts: int) -> pa.Table:
-    """≤4 children → parent tile via alpha-weighted 2×2 average
-    (overview.cpp average-with-nodata semantics).  Arrow-native."""
+def _overview_reduce(big: np.ndarray, ba: np.ndarray, ts: int, method: str):
+    """2ts×2ts assembled quad (raw rgb `big`, alpha weight `ba` in [0,1]) →
+    ts×ts (rgb uint8, alpha uint8) per `method`, mirroring the
+    gcore/overview.cpp resampler dispatch (:4223):
+
+    - ``average``: alpha-weighted 2×2 mean (GDALResampleChunk_AverageOrRMS
+      average branch, :1787) — nodata/alpha-weighted, round-half-up.
+    - ``rms``: alpha-weighted root-mean-square of the window (same
+      function's RMS branch — used for terrain/elevation overviews).
+    - ``nearest``: top-left pixel of each 2×2 window
+      (GDALResampleChunk_Near :158 — floor(dst·ratio) source index).
+    - ``mode``: most frequent valid value per band in the window
+      (GDALResampleChunk_Mode :2129); ties break to the value first seen
+      in row-major scan order, like the reference's first-max-count rule.
+    """
+    asum = ba.reshape(ts, 2, ts, 2).sum(axis=(1, 3))
+    if method == "nearest":
+        rgb_out = big[::2, ::2, :].astype(np.uint8)
+        alpha_out = np.round(ba[::2, ::2] * 255.0).astype(np.uint8)
+        return rgb_out, alpha_out
+    if method in ("average", "rms"):
+        vals = big * ba[:, :, None]
+        if method == "rms":
+            vals = big * big * ba[:, :, None]
+        acc = vals.reshape(ts, 2, ts, 2, 3).sum(axis=(1, 3))
+        with np.errstate(invalid="ignore"):
+            mean = acc / np.maximum(asum, 1e-12)[:, :, None]
+            if method == "rms":
+                mean = np.sqrt(mean)
+            rgb_out = np.where(asum[:, :, None] > 0, np.round(mean), 0)
+        rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
+        alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
+        return rgb_out, alpha_out
+    if method == "mode":
+        # candidates in row-major window order (0,0),(0,1),(1,0),(1,1)
+        q = big.reshape(ts, 2, ts, 2, 3)
+        m = (ba.reshape(ts, 2, ts, 2) > 0)
+        cand = np.stack([q[:, dy, :, dx, :] for dy in (0, 1) for dx in (0, 1)])  # (4,ts,ts,3)
+        valid = np.stack([m[:, dy, :, dx] for dy in (0, 1) for dx in (0, 1)])    # (4,ts,ts)
+        # count_i = Σ_j valid_j ∧ (v_j == v_i); invalid candidates count -1
+        eq = cand[:, None, ...] == cand[None, ...]                # (4,4,ts,ts,3)
+        counts = (eq & valid[None, :, :, :, None]).sum(axis=1)    # (4,ts,ts,3)
+        counts = np.where(valid[:, :, :, None], counts, -1)
+        # first max-count in scan order: argmax picks the lowest index on ties
+        pick = counts.argmax(axis=0)                              # (ts,ts,3)
+        rgb_out = np.take_along_axis(cand, pick[None, ...], axis=0)[0].astype(np.uint8)
+        any_valid = valid.any(axis=0)
+        rgb_out = np.where(any_valid[:, :, None], rgb_out, 0).astype(np.uint8)
+        alpha_out = np.where(any_valid, 255, 0).astype(np.uint8)
+        return rgb_out, alpha_out
+    raise ValueError(f"unknown overview resampler {method!r} "
+                     "(supported: average, rms, nearest, mode)")
+
+
+def _overview_group(g: pa.Table, ts: int, method: str = "average") -> pa.Table:
+    """≤4 children → parent tile via the selected 2×2 reducer
+    (overview.cpp resampler dispatch).  Arrow-native."""
     if len(g) == 0:
         # typed empty table — preserves the operator's output schema so Ray
         # never sees a schema-less RefBundle from an all-blank bucket
@@ -275,14 +329,9 @@ def _overview_group(g: pa.Table, ts: int) -> pa.Table:
         qy = (int(ys[i]) & 1) * ts
         rgb = np.frombuffer(rgbs[i], dtype=np.uint8).reshape(ts, ts, 3).astype(np.float64)
         a = np.frombuffer(alphas[i], dtype=np.uint8).reshape(ts, ts).astype(np.float64) / 255.0
-        big[qy : qy + ts, qx : qx + ts, :] = rgb * a[:, :, None]
+        big[qy : qy + ts, qx : qx + ts, :] = rgb
         ba[qy : qy + ts, qx : qx + ts] = a
-    acc = big.reshape(ts, 2, ts, 2, 3).sum(axis=(1, 3))
-    asum = ba.reshape(ts, 2, ts, 2).sum(axis=(1, 3))
-    with np.errstate(invalid="ignore"):
-        rgb_out = np.where(asum[:, :, None] > 0, np.round(acc / np.maximum(asum, 1e-12)[:, :, None]), 0)
-    rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
-    alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
+    rgb_out, alpha_out = _overview_reduce(big, ba, ts, method)
     return pa.table(
         {
             "z": pa.array([z - 1], pa.int64()),
@@ -296,20 +345,23 @@ def _overview_group(g: pa.Table, ts: int) -> pa.Table:
     )
 
 
-def overview_level(tiles_ds, *, tile_size: int = 64):
+def overview_level(tiles_ds, *, tile_size: int = 64, method: str = "average"):
     """One pyramid step: tiles at level z → tiles at level z-1.  The
-    groupby(parent) is the per-level barrier (WaitCompletion :3033)."""
+    groupby(parent) is the per-level barrier (WaitCompletion :3033).
+    ``method`` selects the 2×2 reducer per gcore/overview.cpp:4223
+    dispatch: average (default) | rms | nearest | mode."""
     def key(b: pa.Table) -> pa.Table:
         return b.append_column("px", pa.array(b.column("x").to_numpy() >> 1, pa.int64())) \
                 .append_column("py", pa.array(b.column("y").to_numpy() >> 1, pa.int64()))
 
     keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
     return _per_tile_reduce(
-        keyed, ["px", "py"], lambda g: _overview_group(g, tile_size)
+        keyed, ["px", "py"], lambda g: _overview_group(g, tile_size, method)
     )
 
 
-def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int = 64):
+def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int = 64,
+                   method: str = "average"):
     """Full pyramid: list of per-level tile Datasets, base first.
 
     Each level is MATERIALIZED before the next starts — the explicit
@@ -320,5 +372,7 @@ def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int =
     instead be written through the manifest sink and re-read."""
     levels = [render_base_tiles(images_ds, zoom=base_zoom, tile_size=tile_size).materialize()]
     for _ in range(base_zoom - min_zoom):
-        levels.append(overview_level(levels[-1], tile_size=tile_size).materialize())
+        levels.append(
+            overview_level(levels[-1], tile_size=tile_size, method=method).materialize()
+        )
     return levels

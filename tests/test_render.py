@@ -175,3 +175,113 @@ def test_salted_mosaic_equals_single_stage(ray_session):
     assert (p["n_src"].to_numpy() == s["n_src"].to_numpy()).all()
     for a, b in zip(p["rgb"], s["rgb"]):
         assert a == b
+
+
+def _quad_group(ts, rng, n_children=4, alpha_mode="mixed"):
+    """4-child group with random pixels; alpha per pixel in {0,255}."""
+    xs = [2, 3, 2, 3][:n_children]
+    ys = [4, 4, 5, 5][:n_children]
+    rgbs, alphas = [], []
+    for _ in range(n_children):
+        rgbs.append(rng.integers(0, 4, (ts, ts, 3)).astype(np.uint8) * 60)
+        if alpha_mode == "full":
+            alphas.append(np.full((ts, ts), 255, np.uint8))
+        else:
+            alphas.append((rng.integers(0, 2, (ts, ts)) * 255).astype(np.uint8))
+    g = pa.table(
+        {
+            "z": pa.array([5] * n_children, pa.int64()),
+            "x": pa.array(xs, pa.int64()),
+            "y": pa.array(ys, pa.int64()),
+            "px": pa.array([1] * n_children, pa.int64()),
+            "py": pa.array([2] * n_children, pa.int64()),
+            "rgb": pa.array([r.tobytes() for r in rgbs], pa.binary()),
+            "alpha": pa.array([a.tobytes() for a in alphas], pa.binary()),
+        }
+    )
+    # assemble the naive 2ts×2ts quad
+    big = np.zeros((2 * ts, 2 * ts, 3), np.float64)
+    ba = np.zeros((2 * ts, 2 * ts), np.float64)
+    for i in range(n_children):
+        qx, qy = (xs[i] & 1) * ts, (ys[i] & 1) * ts
+        big[qy:qy + ts, qx:qx + ts] = rgbs[i]
+        ba[qy:qy + ts, qx:qx + ts] = alphas[i] / 255.0
+    return g, big, ba
+
+
+def test_overview_nearest_matches_naive():
+    ts = 8
+    rng = np.random.default_rng(3)
+    g, big, ba = _quad_group(ts, rng)
+    out = render._overview_group(g, ts, "nearest")
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    ga = np.frombuffer(out.column("alpha")[0].as_py(), np.uint8).reshape(ts, ts)
+    assert (got == big[::2, ::2].astype(np.uint8)).all()
+    assert (ga == (ba[::2, ::2] * 255).astype(np.uint8)).all()
+
+
+def test_overview_rms_matches_naive():
+    ts = 8
+    rng = np.random.default_rng(4)
+    g, big, ba = _quad_group(ts, rng)
+    out = render._overview_group(g, ts, "rms")
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    for oy in range(ts):
+        for ox in range(ts):
+            w = ba[2 * oy:2 * oy + 2, 2 * ox:2 * ox + 2]
+            v = big[2 * oy:2 * oy + 2, 2 * ox:2 * ox + 2]
+            for b in range(3):
+                if w.sum() > 0:
+                    exp = int(np.clip(np.round(np.sqrt((v[:, :, b] ** 2 * w).sum() / w.sum())), 0, 255))
+                else:
+                    exp = 0
+                assert got[oy, ox, b] == exp, (oy, ox, b)
+
+
+def test_overview_mode_matches_naive():
+    ts = 8
+    rng = np.random.default_rng(5)
+    g, big, ba = _quad_group(ts, rng)
+    out = render._overview_group(g, ts, "mode")
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    for oy in range(ts):
+        for ox in range(ts):
+            w = ba[2 * oy:2 * oy + 2, 2 * ox:2 * ox + 2].reshape(-1)
+            v = big[2 * oy:2 * oy + 2, 2 * ox:2 * ox + 2].reshape(4, 3)
+            for b in range(3):
+                if w.sum() == 0:
+                    exp = 0
+                else:
+                    # first max-count valid value in scan order
+                    best, bestc = None, -1
+                    for i in range(4):
+                        if w[i] == 0:
+                            continue
+                        cnt = sum(1 for j in range(4) if w[j] > 0 and v[j, b] == v[i, b])
+                        if cnt > bestc:
+                            best, bestc = v[i, b], cnt
+                    exp = int(best)
+                assert got[oy, ox, b] == exp, (oy, ox, b)
+
+
+def test_overview_average_unchanged_by_refactor():
+    # golden: average method must produce the same result as the historical
+    # premultiplied-accumulate implementation
+    ts = 8
+    rng = np.random.default_rng(6)
+    g, big, ba = _quad_group(ts, rng)
+    out = render._overview_group(g, ts)
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    acc = (big * ba[:, :, None]).reshape(ts, 2, ts, 2, 3).sum(axis=(1, 3))
+    asum = ba.reshape(ts, 2, ts, 2).sum(axis=(1, 3))
+    exp = np.where(asum[:, :, None] > 0,
+                   np.round(acc / np.maximum(asum, 1e-12)[:, :, None]), 0)
+    assert (got == np.clip(exp, 0, 255).astype(np.uint8)).all()
+
+
+def test_overview_bad_method_raises():
+    ts = 4
+    rng = np.random.default_rng(7)
+    g, _, _ = _quad_group(ts, rng)
+    with pytest.raises(ValueError):
+        render._overview_group(g, ts, "lanczos")
