@@ -95,21 +95,6 @@ def knn_topk(points_ds, queries: np.ndarray, query_ids, k: int = 5, concurrency:
 # cell-bucketed kNN with ring expansion (the design-scale path: per-cell
 # candidate pruning mirroring CPLQuadTree search, alg/gdalgrid.cpp:260-426)
 
-def _cell_bounds_deg(zoom: int):
-    """bbox (lon0, lat0, lon1, lat1) of every XYZ cell at `zoom` (mercator
-    tiles → lat edges vary per row)."""
-    from gdal_ray import tilemath as tm
-
-    n = 2**zoom
-    xs = np.arange(n, dtype=np.int64)
-    out = {}
-    for y in range(n):
-        lon0, lat0, lon1, lat1 = tm.tile_bounds_lonlat_xyz(xs, np.full(n, y, dtype=np.int64), np.int64(zoom))
-        for x in range(n):
-            out[(x, y)] = (lon0[x], lat0[x], lon1[x], lat1[x])
-    return out
-
-
 def _bbox_dist2(qx, qy, b):
     dx = np.maximum(np.maximum(b[0] - qx, qx - b[2]), 0.0)
     dy = np.maximum(np.maximum(b[1] - qy, qy - b[3]), 0.0)
@@ -122,22 +107,26 @@ def _bbox_maxdist2(qx, qy, b):
     return dx * dx + dy * dy
 
 
-def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: int = 3):
-    """Exact kNN via cell pruning: (1) tiny per-cell count aggregate;
-    (2) per query select cells nearest-bbox-first until ≥k candidates, then
-    extend by the max-corner bound so the prefix provably contains the true
-    top-k; (3) per-cell groupby scans only cells some query selected.
+def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: int = 3,
+                  coarse_step: int = 4):
+    """Exact kNN via hierarchical cell pruning: (1) tiny per-cell count
+    aggregate — NON-EMPTY cells only, never the full 4^zoom grid; (2) per
+    query, best-first search over a two-level directory (coarse parents at
+    ``zoom - coarse_step`` → fine cells) pops cells nearest-bbox-first,
+    expanding a coarse node only when its bbox distance is reached, until
+    the accumulated candidate count ≥ k and every remaining node's min
+    bbox distance exceeds the max-corner bound of the accepted prefix —
+    the prefix then provably contains the true top-k; (3) a per-cell
+    groupby scans only cells some query selected.
 
-    Equivalent to knn_topk (pytest-verified); scans a vanishing fraction
-    of cells at design scale instead of every block.
-
-    Scale bound: the per-cell count directory and the per-query selection
-    run driver-side over the 4^zoom cell grid — cheap through zoom≈8
-    (65k cells); beyond that the directory itself should become a
-    hierarchy (coarse-zoom counts first, refine selected subtrees), which
-    is a straightforward extension of the same bbox bounds.  The heavy
-    data (points) never leaves the cluster either way.
+    Equivalent to knn_topk (pytest-verified, incl. zoom 10); driver-side
+    work is O(non-empty cells) with coarse pruning (≈4^coarse_step fan-in
+    per expanded node), not O(4^zoom) — the round-2 driver-side grid
+    enumeration is gone.  The heavy data (points) never leaves the
+    cluster either way.
     """
+    import heapq
+
     import ray
     from ray.data.aggregate import Count
 
@@ -148,36 +137,52 @@ def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: i
     qids = np.asarray(query_ids, dtype=np.int64)
 
     keyed = points_ds.map_batches(lambda b: points_with_cell(b, zoom=zoom), batch_format="pyarrow")
-    counts = {
-        int(r["cell_id"]): int(r["n"])
-        for r in keyed.groupby("cell_id").aggregate(Count(alias_name="n")).take_all()
-    }
-    bounds = _cell_bounds_deg(zoom)
-    cell_ids = {
-        (x, y): int(tm.quadkey_int(np.int64(x), np.int64(y), np.int64(zoom)))
-        for (x, y) in bounds
-    }
+    count_rows = keyed.groupby("cell_id").aggregate(Count(alias_name="n")).take_all()
+    cids = np.array([int(r["cell_id"]) for r in count_rows], dtype=np.int64)
+    ns = np.array([int(r["n"]) for r in count_rows], dtype=np.int64)
+    fx, fy, _ = tm.quadkey_decode(cids)
+    flon0, flat0, flon1, flat1 = tm.tile_bounds_lonlat_xyz(fx, fy, np.int64(zoom))
+    fbounds = np.stack([flon0, flat0, flon1, flat1], axis=1)  # (F, 4)
 
-    # per-query cell selection (driver-side over ≤4^zoom cells — tiny)
+    # coarse parents of the non-empty fine cells
+    cz = max(zoom - coarse_step, 0)
+    shift = zoom - cz
+    pxy = (fx >> shift) * (np.int64(1) << np.int64(30)) + (fy >> shift)
+    uniq, inv = np.unique(pxy, return_inverse=True)
+    cxs = (uniq // (1 << 30)).astype(np.int64)
+    cys = (uniq % (1 << 30)).astype(np.int64)
+    clon0, clat0, clon1, clat1 = tm.tile_bounds_lonlat_xyz(cxs, cys, np.int64(cz))
+    children: list[list[int]] = [[] for _ in range(len(uniq))]
+    for j, p in enumerate(inv):
+        children[p].append(j)
+
+    # per-query best-first selection over the directory
     selected: dict[int, list[int]] = {}
     for qi in range(len(q)):
         qx, qy = q[qi]
-        items = []
-        for xy, b in bounds.items():
-            cid = cell_ids[xy]
-            if counts.get(cid, 0) == 0:
-                continue
-            items.append((_bbox_dist2(qx, qy, b), _bbox_maxdist2(qx, qy, b), cid))
-        items.sort()
-        acc, bound = 0, np.inf
+        cmind2 = np.maximum(np.maximum(clon0 - qx, qx - clon1), 0.0) ** 2 + \
+                 np.maximum(np.maximum(clat0 - qy, qy - clat1), 0.0) ** 2
+        # (mind2, tiebreak, is_fine, idx): parents sort before equal-dist
+        # children via tiebreak -1, so fine cells still pop in global
+        # mind2 order (parent bbox ⊇ child bbox ⇒ parent mind2 ≤ child's)
+        heap = [(float(cmind2[p]), -1, 0, p) for p in range(len(uniq))]
+        heapq.heapify(heap)
+        acc, bound, prefix_max = 0, np.inf, 0.0
         prefix = []
-        for mind2, maxd2, cid in items:
+        while heap:
+            mind2, _, is_fine, idx = heapq.heappop(heap)
             if acc >= k and mind2 > bound:
                 break
-            prefix.append(cid)
-            acc += counts[cid]
+            if not is_fine:
+                for j in children[idx]:
+                    fm = _bbox_dist2(qx, qy, fbounds[j])
+                    heapq.heappush(heap, (float(fm), 0, 1, j))
+                continue
+            prefix.append(int(cids[idx]))
+            acc += int(ns[idx])
+            prefix_max = max(prefix_max, float(_bbox_maxdist2(qx, qy, fbounds[idx])))
             if acc >= k:
-                bound = min(bound, max(m2 for _, m2, c in items if c in set(prefix)))
+                bound = min(bound, prefix_max)
         for cid in prefix:
             selected.setdefault(cid, []).append(qi)
 

@@ -148,6 +148,22 @@ def quadkey_int(x, y, zoom):
     return (z << np.int64(58)) | key
 
 
+def quadkey_decode(key):
+    """Inverse of quadkey_int: packed int64 quadkey -> (x, y, zoom).
+    Vectorized bit de-interleave."""
+    key = np.asarray(key, dtype=np.int64)
+    z = key >> np.int64(58)
+    body = key & ((np.int64(1) << np.int64(58)) - 1)
+    x = np.zeros_like(key)
+    y = np.zeros_like(key)
+    zmax = int(np.max(z)) if z.size else 0
+    for i in range(zmax):
+        bit = np.int64(i)
+        x |= ((body >> (2 * bit)) & 1) << bit
+        y |= ((body >> (2 * bit + 1)) & 1) << bit
+    return x, y, z
+
+
 def quadkey_str(x, y, zoom: int) -> str:
     """XYZ tile -> Microsoft quadkey string (gdal2tiles QuadTree semantics)."""
     out = []

@@ -81,3 +81,17 @@ def test_tile_bounds_roundtrip():
 def test_parent_tile():
     x, y, z = tm.parent_tile(np.int64(5), np.int64(7), np.int64(4))
     assert (int(x), int(y), int(z)) == (2, 3, 3)
+
+
+def test_quadkey_decode_roundtrip():
+    import numpy as np
+    from gdal_ray import tilemath as tm
+
+    rng = np.random.default_rng(2)
+    for zoom in (0, 1, 5, 12, 29):
+        n = 2**min(zoom, 10)
+        xs = rng.integers(0, max(n, 1), 50).astype(np.int64)
+        ys = rng.integers(0, max(n, 1), 50).astype(np.int64)
+        keys = tm.quadkey_int(xs, ys, np.int64(zoom))
+        dx, dy, dz = tm.quadkey_decode(keys)
+        assert (dx == xs).all() and (dy == ys).all() and (dz == zoom).all()
