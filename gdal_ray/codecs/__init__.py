@@ -14,8 +14,16 @@ out, via :func:`decode` inside ``map_batches``.
   The synthetic BENCH corpus still uses the fast deterministic container
   below for its `jpeg`/`webp` rows (the pure-Python entropy decoder is a
   conformance path, ~1 s per megapixel — see jpeg.py).
-- ``webp`` / synth ``jpeg`` — deterministic stand-in container
-  (lossy.py): uniform quantization (PSNR ≈ 47 dB) stored losslessly.
+- ``webp`` — REAL VP8L (WebP lossless), implemented from the public
+  WebP Lossless Bitstream Specification in webp.py: RIFF container,
+  canonical Huffman codes, LZ77 + color cache, predictor/subtract-green/
+  color-indexing transforms.  ``decode`` dispatches on the RIFF magic, so
+  real-world lossless WebP bytes decode without libwebp (lossy VP8
+  payloads are gated — that's a video-intra codec).
+- synth ``jpeg``/``webp`` — deterministic stand-in container (lossy.py):
+  uniform quantization (PSNR ≈ 47 dB) stored losslessly; kept as the
+  BENCH corpus's fast path (the from-spec entropy decoders above are
+  conformance paths, not vectorizable to PNG-path speed).
 """
 
 from __future__ import annotations
@@ -25,10 +33,12 @@ import numpy as np
 from gdal_ray.codecs.png import decode_png, encode_png
 from gdal_ray.codecs.lossy import FAKE_LOSSY_MAGIC, decode_lossy, encode_lossy
 from gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
+from gdal_ray.codecs.webp import decode_webp, encode_webp
 
 __all__ = [
     "decode", "encode", "decode_png", "encode_png",
-    "decode_jpeg", "encode_jpeg", "FAKE_LOSSY_MAGIC",
+    "decode_jpeg", "encode_jpeg", "decode_webp", "encode_webp",
+    "FAKE_LOSSY_MAGIC",
 ]
 
 
@@ -37,6 +47,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "jpeg-real":
         return encode_jpeg(arr)
+    if fmt == "webp-real":
+        return encode_webp(arr)
     if fmt in ("jpeg", "webp"):
         # bench-corpus fast path (deterministic stand-in container)
         return encode_lossy(arr, fmt)
@@ -50,9 +62,11 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(data)
     if data[:2] == b"\xFF\xD8":
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return decode_webp(data)
     if data[:4] == FAKE_LOSSY_MAGIC:
         return decode_lossy(data)
     raise NotImplementedError(
         f"cannot decode fmt={fmt!r}: unrecognized container magic "
-        f"{data[:4]!r} (png/jpeg/fake-lossy supported)"
+        f"{data[:4]!r} (png/jpeg/webp/fake-lossy supported)"
     )

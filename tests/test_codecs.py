@@ -52,7 +52,14 @@ def test_lossy_psnr_gate():
 
 
 def test_unknown_format_raises():
+    # real WebP container now dispatches to the VP8L decoder; a lossy VP8
+    # payload is gated, a truncated container errors
+    fake_vp8 = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\0\0\0\0"
     with pytest.raises(NotImplementedError):
-        decode(b"RIFF....WEBPVP8 ", "webp")  # real webp container unsupported
+        decode(fake_vp8, "webp")
+    with pytest.raises(ValueError):
+        decode(b"RIFF....WEBP", "webp")  # no chunk at all
     with pytest.raises(ValueError):
         decode(b"\xff\xd8\xff\xe0 truncated jpeg", "jpeg")  # real decoder engages
+    with pytest.raises(NotImplementedError):
+        decode(b"GIF89a not supported", "gif")

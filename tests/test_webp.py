@@ -1,0 +1,94 @@
+"""VP8L (WebP lossless) codec: exact round-trips across every supported
+feature (transforms, palette bundling, RLE backrefs, huffman code forms),
+container structure, registry dispatch, and the honest gates."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs import decode
+from gdal_ray.codecs.webp import decode_webp, encode_webp
+
+
+def _rt(img, **kw):
+    out = decode_webp(encode_webp(img, **kw))
+    ref = np.stack([img] * 3, axis=2) if img.ndim == 2 else img
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+    return out
+
+
+def test_roundtrip_random_rgb():
+    rng = np.random.default_rng(1)
+    _rt(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+
+
+def test_roundtrip_no_subtract_green():
+    rng = np.random.default_rng(2)
+    _rt(rng.integers(0, 256, (33, 47, 3)).astype(np.uint8),
+        subtract_green=False, palette="off")
+
+
+def test_rle_backrefs_compress_flat_regions():
+    flat = np.zeros((48, 48, 3), np.uint8)
+    flat[10:30, 5:40] = (10, 200, 30)
+    data = encode_webp(flat, palette="off")
+    assert len(data) < 48 * 48 * 3 // 10  # far below raw
+    assert np.array_equal(decode_webp(data), flat)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_modes_roundtrip(mode):
+    rng = np.random.default_rng(40 + mode)
+    smooth = np.cumsum(rng.integers(0, 3, (32, 29, 3)), axis=1).astype(np.uint8)
+    _rt(smooth, predictor_mode=mode, palette="off")
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 5, 16, 17, 256])
+def test_palette_bundling_roundtrip(ncol):
+    rng = np.random.default_rng(60 + ncol)
+    vals = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+    img = vals[rng.integers(0, ncol, (33, 29))]
+    data = encode_webp(img)
+    assert np.array_equal(decode_webp(data), img)
+    if ncol <= 16:  # bundling: ≥2 pixels per green byte
+        assert len(data) < 33 * 29
+
+
+def test_gray_and_degenerate_sizes():
+    rng = np.random.default_rng(8)
+    _rt(rng.integers(0, 256, (17, 23)).astype(np.uint8))
+    _rt(rng.integers(0, 256, (1, 1, 3)).astype(np.uint8))
+    _rt(rng.integers(0, 256, (1, 40, 3)).astype(np.uint8))
+    _rt(rng.integers(0, 256, (40, 1, 3)).astype(np.uint8))
+
+
+def test_container_structure():
+    img = np.full((8, 8, 3), 9, np.uint8)
+    data = encode_webp(img)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    assert data[12:16] == b"VP8L"
+    assert int.from_bytes(data[4:8], "little") == len(data) - 8
+
+
+def test_registry_dispatch_on_riff_magic():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode(encode_webp(img), fmt="webp")
+    assert np.array_equal(out, img)
+
+
+def test_deterministic():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    assert encode_webp(img) == encode_webp(img)
+
+
+def test_lossy_vp8_gated():
+    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\0\0\0\0"
+    with pytest.raises(NotImplementedError):
+        decode_webp(fake)
+
+
+def test_not_webp_raises():
+    with pytest.raises(ValueError):
+        decode_webp(b"\x89PNG\r\n\x1a\nnope")
