@@ -1,11 +1,18 @@
 """Closed-form coordinate reference systems: WGS84 UTM zones via the
 Krüger series transverse Mercator (6th order in the third flattening —
-sub-millimeter vs PROJ's tmerc over a zone's width).
+sub-millimeter vs PROJ's tmerc over a zone's width), plus Lambert
+conformal conic (2SP), polar stereographic (variant B) and Albers
+equal-area conic from Snyder's *Map Projections — A Working Manual*
+(USGS PP 1395, public), with a parameter table for the common projected
+EPSG codes (Lambert-93, Canada Atlas Lambert, CONUS Albers, NSIDC /
+Antarctic polar stereographic).
 
 Reference semantics: OGRProjCT::Transform (ogr/ogrct.cpp:2323) for the
-EPSG:4326 ↔ EPSG:326xx/327xx pairs used throughout autotest/alg/warp.py;
-no PROJ exists in this sandbox, so the projection math is implemented
-from the published Krüger/Karney series (public formulas).
+EPSG pairs used throughout autotest/alg/warp.py; no PROJ exists in this
+sandbox, so the projection math is implemented from the published
+Krüger/Karney series and Snyder closed forms (public formulas).  Datum
+shifts between WGS84 and GRS80-based frames (RGF93, NAD83) are treated
+as identity — the same zero-shift PROJ applies absent a grid.
 
 All functions are vectorized over numpy arrays.
 """
@@ -129,6 +136,179 @@ def utm_inv(epsg: int):
     return f
 
 
+# --- Snyder closed-form conic / azimuthal projections ---------------------
+# Formulas: Snyder, Map Projections — A Working Manual (USGS PP 1395):
+# Lambert conformal conic 2SP pp. 104-110, polar stereographic pp. 160-163,
+# Albers equal-area conic pp. 98-103.  GRS80 differs from WGS84 only in
+# 1/f (298.257222101 vs .257223563) — kept exact per ellipsoid anyway.
+
+F_GRS80 = 1.0 / 298.257222101
+
+
+def _ecc(f: float) -> float:
+    return float(np.sqrt(f * (2.0 - f)))
+
+
+def _m(phi, e):
+    """Snyder (14-15): radius of the parallel / (a·cosφ normalisation)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _t(phi, e):
+    """Snyder (15-9): isometric co-latitude parameter."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _phi_from_t(t, e, iters: int = 15):
+    """Invert Snyder (15-9) by fixed point (7-9); converges ~1e-12 rad."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    return phi
+
+
+def _wrap_lon(lon):
+    """Wrap degrees longitude to (-180, 180]."""
+    return 180.0 - np.mod(180.0 - np.asarray(lon, dtype=np.float64), 360.0)
+
+
+def lcc_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
+            fe: float, fn: float, a: float = A_WGS84, f: float = F_GRS80):
+    """Lambert conformal conic, 2 standard parallels (EPSG method 9802).
+    Returns (fwd, inv) with fwd(lon, lat) -> (E, N)."""
+    e = _ecc(f)
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _m(p1, e), _m(p2, e)
+    t1, t2, t0 = _t(p1, e), _t(p2, e), _t(p0, e)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)) if lat1 != lat2 else np.sin(p1)
+    F_ = m1 / (n * t1 ** n)
+    rho0 = a * F_ * t0 ** n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * F_ * _t(phi, e) ** n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.hypot(x, y)
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        t = (rho / (a * F_)) ** (1.0 / n)
+        return _wrap_lon(np.degrees(th / n) + lon0), np.degrees(_phi_from_t(t, e))
+
+    return fwd, inv
+
+
+def polar_stereographic(lat_ts: float, lon0: float, fe: float, fn: float,
+                        a: float = A_WGS84, f: float = F_WGS84):
+    """Polar stereographic variant B (EPSG method 9829): standard parallel
+    lat_ts; north aspect when lat_ts > 0, south otherwise."""
+    e = _ecc(f)
+    south = lat_ts < 0
+    pf = np.radians(-lat_ts if south else lat_ts)
+    # scale at the standard parallel: rho(ts) = a * m(ts)
+    kf = _m(pf, e) / _t(pf, e)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        if south:
+            phi, lam = -phi, -lam
+        rho = a * kf * _t(phi, e)
+        x, y = rho * np.sin(lam), -rho * np.cos(lam)
+        if south:
+            x, y = -x, -y
+        return fe + x, fn + y
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        if south:
+            x, y = -x, -y
+        rho = np.hypot(x, y)
+        phi = _phi_from_t(rho / (a * kf), e)
+        lam = np.arctan2(x, -y)
+        if south:
+            phi, lam = -phi, -lam
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+def albers_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
+               fe: float, fn: float, a: float = A_WGS84, f: float = F_GRS80):
+    """Albers equal-area conic, 2 standard parallels (EPSG method 9822)."""
+    e = _ecc(f)
+    e2 = e * e
+
+    def q(phi):  # Snyder (3-12)
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _m(p1, e), _m(p2, e)
+    q1, q2, q0 = q(p1), q(p2), q(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1) if lat1 != lat2 else np.sin(p1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * np.sqrt(C - n * q(phi)) / n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+        rho = np.hypot(x, y)
+        qv = (C - (rho * n / a) ** 2) / n
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        # invert q(φ) by Newton (Snyder 3-16)
+        beta = np.arcsin(np.clip(qv / q(np.pi / 2), -1.0, 1.0))
+        phi = beta.copy()
+        for _ in range(10):
+            s = np.sin(phi)
+            dq = 2.0 * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+            phi = phi + (qv - q(phi)) / np.where(dq == 0, 1e-12, dq)
+        return _wrap_lon(np.degrees(th / n) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+# EPSG parameter table (public EPSG registry values):
+#   code: (kind, lat1, lat2, lat0/lat_ts, lon0, FE, FN, f)
+_CONIC_EPSG = {
+    2154: ("lcc", 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, F_GRS80),     # RGF93 / Lambert-93
+    3978: ("lcc", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0, F_GRS80),              # NAD83 / Canada Atlas Lambert
+    3347: ("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0, F_GRS80),  # NAD83 / Stats-Canada Lambert
+    5070: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, F_GRS80),              # NAD83 / Conus Albers
+    3577: ("aea", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0, F_GRS80),             # GDA94 / Australian Albers
+    3413: ("pst", None, None, 70.0, -45.0, 0.0, 0.0, F_WGS84),              # WGS84 / NSIDC polar stereo North
+    3976: ("pst", None, None, -70.0, 0.0, 0.0, 0.0, F_WGS84),               # WGS84 / NSIDC polar stereo South
+    3031: ("pst", None, None, -71.0, 0.0, 0.0, 0.0, F_WGS84),               # WGS84 / Antarctic polar stereo
+}
+
+
+def conic_pair(epsg: int):
+    """(fwd, inv) lon/lat↔projected for a table-registered conic/azimuthal
+    EPSG code; raises KeyError for codes outside the table."""
+    kind, lat1, lat2, lat0, lon0, fe, fn, f = _CONIC_EPSG[epsg]
+    if kind == "lcc":
+        return lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
+    if kind == "aea":
+        return albers_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
+    return polar_stereographic(lat0, lon0, fe, fn, f=f)
+
+
 def parse_epsg(crs: str) -> int:
     if not crs.upper().startswith("EPSG:"):
         raise ValueError(f"expected EPSG:<code>, got {crs!r}")
@@ -150,6 +330,8 @@ def transform_fn(src_crs: str, dst_crs: str):
             return lambda x, y: (x, y)
         if code == 3857:
             return tm.meters_to_lonlat
+        if code in _CONIC_EPSG:
+            return conic_pair(code)[1]
         return utm_inv(code)
 
     def from4326(crs):
@@ -160,6 +342,8 @@ def transform_fn(src_crs: str, dst_crs: str):
             return lambda lon, lat: tm.lonlat_to_meters(
                 lon, np.clip(lat, -tm.MAX_LATITUDE, tm.MAX_LATITUDE)
             )
+        if code in _CONIC_EPSG:
+            return conic_pair(code)[0]
         return utm_fwd(code)
 
     inv = to4326(src_crs)

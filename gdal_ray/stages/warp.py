@@ -38,14 +38,17 @@ def _fwd(src_crs: str, dst_crs: str):
 
 
 def suggested_output(
-    w: int, h: int, gt: tuple, src_crs: str, dst_crs: str, samples: int = 21
+    w: int, h: int, gt: tuple, src_crs: str, dst_crs: str, samples: int = 21,
+    fwd=None,
 ) -> tuple[int, int, tuple]:
     """GDALSuggestedWarpOutput2-style dst grid: sample grid → envelope →
     resolution preserving diagonal pixel count (gdaltransformer.cpp:342).
 
     gt = (x0, px_w, 0, y0, 0, -px_h) north-up affine GeoTransform.
+    ``fwd`` overrides the CRS-pair transform (GCP/TPS transformers).
     Returns (dst_w, dst_h, dst_gt)."""
-    fwd = _fwd(src_crs, dst_crs)
+    if fwd is None:
+        fwd = _fwd(src_crs, dst_crs)
     xs = np.linspace(0, w, samples)
     ys = np.linspace(0, h, samples)
     gx, gy = np.meshgrid(xs, ys)
@@ -159,6 +162,7 @@ def warp_image(
     src_nodata: float | None = None,
     cutline=None,
     approx_tol: float | None = None,
+    transformer=None,
 ) -> tuple[np.ndarray, tuple]:
     """Inverse-mapping warp of one image.  Returns (dst_img, dst_gt).
 
@@ -168,13 +172,18 @@ def warp_image(
     support becomes ``nodata``.  ``cutline`` (list of rings in dst CRS)
     masks dst pixel centers outside the polygon (alg/gdalcutline.cpp).
     ``approx_tol`` (source pixels, GDAL default 0.125) switches the
-    coordinate transform to the error-bounded scanline approximator."""
+    coordinate transform to the error-bounded scanline approximator.
+    ``transformer=(fwd, inv)`` overrides the CRS pair with explicit
+    georef transforms (GCP polynomial / TPS — see warp_image_gcp)."""
     h, w = img.shape[:2]
+    if transformer is not None:
+        fwd_t, inv = transformer
+    else:
+        fwd_t, inv = None, _fwd(dst_crs, src_crs)
     if dst_gt is None or dst_size is None:
-        dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs)
+        dw, dh, dst_gt = suggested_output(w, h, src_gt, src_crs, dst_crs, fwd=fwd_t)
     else:
         dw, dh = dst_size
-    inv = _fwd(dst_crs, src_crs)
     if approx_tol is not None:
         fx, fy = approx_inverse_grid(inv, dst_gt, dw, dh, src_gt, approx_tol)
     else:
@@ -234,6 +243,36 @@ def warp_image(
         info = np.iinfo(img.dtype)
         out = np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
     return out, dst_gt
+
+
+def warp_image_gcp(
+    img: np.ndarray,
+    gcps,
+    *,
+    order: int | None = None,
+    tps: bool = False,
+    dst_size: tuple[int, int] | None = None,
+    dst_gt: tuple | None = None,
+    method: str = "nearest",
+    nodata: float = 0.0,
+    src_nodata: float | None = None,
+) -> tuple[np.ndarray, tuple]:
+    """gdalwarp with GCPs: georeference an unreferenced image from ground
+    control points (pixel, line, X, Y) and resample it onto a north-up
+    grid.  ``tps=True`` uses the thin-plate-spline transformer
+    (GDALCreateTPSTransformer, alg/gdal_tps.cpp); otherwise a least-squares
+    polynomial of ``order`` 1-3 (GDALCreateGCPTransformer, alg/gdal_crs.c;
+    None = auto).  The GCP transformer replaces the source GeoTransform —
+    pixel space IS the source frame — so the warp runs with an identity
+    src_gt and the fitted (fwd, inv) pair."""
+    from gdal_ray.transformer import gcp_polynomial, tps_transformer
+
+    pair = tps_transformer(gcps) if tps else gcp_polynomial(gcps, order=order)
+    return warp_image(
+        img, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "GCP", "GCP",
+        dst_size=dst_size, dst_gt=dst_gt, method=method, nodata=nodata,
+        src_nodata=src_nodata, transformer=pair,
+    )
 
 
 _AGG_STATS = ("average", "sum", "min", "max", "mode", "med", "q1", "q3", "count")
