@@ -1,0 +1,441 @@
+"""Named-step raster pipeline: the `gdal raster pipeline` surface
+(apps/gdalalg_raster_pipeline.cpp — step registry at :360-387, `!`-chained
+CLI form "read [opts] ( ! <step> [opts] )* ! write [opts]" at :711-722)
+re-expressed as a registry of Ray Data stages.
+
+Each step is a named transform over a stream of RASTER ROWS — an Arrow
+batch with columns (image_id, data, w, h, bands, dtype, gt, crs) where
+``data`` is the C-order ndarray payload.  `read` decodes the image table
+into raster rows; interior steps are pure per-image numpy kernels wrapped
+in one `map_batches`; `write` re-encodes to PNG and sinks to parquet.
+The whole chain stays lazy — Ray's streaming executor pipelines and
+spills; nothing materializes driver-side.
+
+User extension (the GDALAlgorithmRegistry::Register analogue): decorate a
+``f(img: np.ndarray, **opts) -> np.ndarray`` with ``@register_step(name)``
+and it becomes addressable from the pipeline string.  ``kind="dataset"``
+registers a ``f(ds, ctx, **opts) -> ds`` with full Dataset control.
+
+Steps mirroring the reference registry: read, write, aspect, clip,
+color-map, fill-nodata, hillshade, proximity, reclassify, reproject,
+resize, rgb-to-palette, roughness, scale, select, set-type, sieve, slope,
+tpi, tri, unscale, viewshed.  Multi-input steps (mosaic, stack,
+pansharpen, color-merge) need a second stream and raise a clear
+NotImplementedError naming the standalone API that covers them.
+"""
+
+from __future__ import annotations
+
+import shlex
+
+import numpy as np
+import pyarrow as pa
+
+_REGISTRY: dict[str, tuple[str, object]] = {}
+
+_RASTER_SCHEMA = pa.schema([
+    ("image_id", pa.int64()),
+    ("data", pa.binary()),
+    ("w", pa.int64()),
+    ("h", pa.int64()),
+    ("bands", pa.int64()),
+    ("dtype", pa.string()),
+    ("gt", pa.list_(pa.float64(), 6)),
+    ("crs", pa.string()),
+])
+
+
+def register_step(name: str, kind: str = "raster"):
+    """Register a pipeline step. kind='raster': f(img, **opts) -> img;
+    kind='dataset': f(ds, ctx, **opts) -> ds."""
+    def deco(fn):
+        _REGISTRY[name] = (kind, fn)
+        return fn
+    return deco
+
+
+def step_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _unpack(row_data: bytes, w: int, h: int, bands: int, dtype: str) -> np.ndarray:
+    arr = np.frombuffer(row_data, dtype=np.dtype(dtype))
+    return arr.reshape((h, w) if bands == 1 else (h, w, bands))
+
+
+def _pack_rows(ids, imgs, gts, crss) -> pa.Table:
+    data, ws, hs, bs, dts = [], [], [], [], []
+    for img in imgs:
+        img = np.ascontiguousarray(img)
+        h, w = img.shape[:2]
+        data.append(img.tobytes())
+        ws.append(w)
+        hs.append(h)
+        bs.append(1 if img.ndim == 2 else img.shape[2])
+        dts.append(img.dtype.name)
+    return pa.table({
+        "image_id": pa.array(ids, pa.int64()),
+        "data": pa.array(data, pa.binary()),
+        "w": pa.array(ws, pa.int64()),
+        "h": pa.array(hs, pa.int64()),
+        "bands": pa.array(bs, pa.int64()),
+        "dtype": pa.array(dts, pa.string()),
+        "gt": pa.array(gts, pa.list_(pa.float64(), 6)),
+        "crs": pa.array(crss, pa.string()),
+    })
+
+
+def _raster_map(fn, opts):
+    """Wrap a per-image kernel into a pyarrow map_batches callable."""
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _RASTER_SCHEMA.empty_table()
+        ids = batch.column("image_id").to_pylist()
+        gts = batch.column("gt").to_pylist()
+        crss = batch.column("crs").to_pylist()
+        out = []
+        for i in range(batch.num_rows):
+            img = _unpack(
+                batch.column("data")[i].as_py(),
+                batch.column("w")[i].as_py(), batch.column("h")[i].as_py(),
+                batch.column("bands")[i].as_py(), batch.column("dtype")[i].as_py(),
+            )
+            res = fn(img, **opts)
+            if isinstance(res, tuple):  # (img, gt) or (img, gt, crs)
+                img = res[0]
+                gts[i] = list(res[1])
+                if len(res) > 2:
+                    crss[i] = res[2]
+            else:
+                img = res
+            out.append(img)
+        return _pack_rows(ids, out, gts, crss)
+    return apply
+
+
+# --- parsing ---------------------------------------------------------------
+
+def _coerce(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def parse_pipeline(text: str) -> list[tuple[str, list, dict]]:
+    """'read --limit=64 ! hillshade --azimuth=315 ! write /tmp/out' ->
+    [(name, positional_args, options), ...] (same grammar as the
+    reference's `!` form; `--k=v` and `--k v` both accepted)."""
+    stages = []
+    for part in text.split("!"):
+        toks = shlex.split(part.strip())
+        if not toks:
+            continue
+        name, args, opts = toks[0], [], {}
+        i = 1
+        while i < len(toks):
+            t = toks[i]
+            if t.startswith("--"):
+                if "=" in t:
+                    k, v = t[2:].split("=", 1)
+                else:
+                    k = t[2:]
+                    i += 1
+                    if i >= len(toks):
+                        raise ValueError(f"option --{k} missing a value in step {name!r}")
+                    v = toks[i]
+                opts[k.replace("-", "_")] = _coerce(v)
+            else:
+                args.append(_coerce(t))
+            i += 1
+        stages.append((name, args, opts))
+    if not stages:
+        raise ValueError("empty pipeline")
+    return stages
+
+
+def run_pipeline(text: str, sf_dir: str, **ctx_extra):
+    """Build (lazily) the Ray Dataset for a `!`-chained pipeline string.
+    Returns the final Dataset; a trailing `write` step appends the sink
+    stage and returns the written-manifest dataset."""
+    stages = parse_pipeline(text)
+    if stages[0][0] != "read":
+        raise ValueError("pipeline must start with 'read'")
+    ctx = {"sf_dir": sf_dir, **ctx_extra}
+    ds = None
+    for name, args, opts in stages:
+        if name not in _REGISTRY:
+            raise ValueError(f"unknown step {name!r}; known: {', '.join(step_names())}")
+        kind, fn = _REGISTRY[name]
+        if kind == "dataset":
+            ds = fn(ds, ctx, *args, **opts)
+        else:
+            ds = ds.map_batches(_raster_map(fn, opts), batch_format="pyarrow",
+                                batch_size=opts.pop("batch_size", 32))
+    return ds
+
+
+# --- reference-registry steps ----------------------------------------------
+
+@register_step("read", kind="dataset")
+def _read(ds, ctx, *args, limit: int = 256, kind: str = "images"):
+    """Decode the synthesized image table (or DEM grids) into raster rows
+    (GDALRasterReadAlgorithm).  Default gt/crs: unit pixel grid, 4326."""
+    from gdal_ray.pipelines.queries import _read as read_table
+    from gdal_ray.codecs import decode as _dec
+    from gdal_ray.synth import make_image_batch
+    from gdal_ray.stages.dem import elevation_grids
+
+    docs = read_table(ctx["sf_dir"], "documents", columns=["doc_id"])
+
+    def to_rasters(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"))
+        ids = ids[ids < limit]  # in-batch filter: no schema-less empty blocks
+        if len(ids) == 0:
+            return _RASTER_SCHEMA.empty_table()
+        if kind == "dem":
+            imgs = [elevation_grids(np.array([i]))[0] for i in ids]
+        else:
+            enc = make_image_batch({"id": ids})
+            imgs = [_dec(blob, fmt) for blob, fmt in
+                    zip(enc.column("bytes").to_pylist(), enc.column("fmt").to_pylist())]
+        gts = [[0.0, 1.0, 0.0, 0.0, 0.0, -1.0]] * len(ids)
+        return _pack_rows(ids.tolist(), imgs, gts, ["EPSG:4326"] * len(ids))
+
+    return docs.map_batches(to_rasters, batch_format="pyarrow", batch_size=64)
+
+
+@register_step("write", kind="dataset")
+def _write(ds, ctx, out: str | None = None, format: str = "png-parquet"):
+    """Re-encode rasters to PNG and sink to partitioned parquet
+    (GDALRasterWriteAlgorithm).  Without ``out``, returns per-image
+    checksum rows instead of writing (dry-run/inspection form)."""
+    from gdal_ray.codecs.png import encode_png
+    from gdal_ray.stages.stats import checksum_plane
+
+    def enc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            fields = [("image_id", pa.int64()), ("checksum", pa.int64())]
+            if out is not None:
+                fields.append(("png", pa.binary()))
+            return pa.schema(fields).empty_table()
+        ids, blobs, sums = [], [], []
+        for i in range(b.num_rows):
+            img = _unpack(b.column("data")[i].as_py(), b.column("w")[i].as_py(),
+                          b.column("h")[i].as_py(), b.column("bands")[i].as_py(),
+                          b.column("dtype")[i].as_py())
+            plane = img if img.ndim == 2 else img[:, :, 0]
+            sums.append(int(checksum_plane(np.ascontiguousarray(plane))))
+            if out is not None:
+                u8 = np.clip(img, 0, 255).astype(np.uint8)
+                blobs.append(encode_png(u8))
+            ids.append(b.column("image_id")[i].as_py())
+        cols = {"image_id": pa.array(ids, pa.int64()),
+                "checksum": pa.array(sums, pa.int64())}
+        if out is not None:
+            cols["png"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)
+
+    res = ds.map_batches(enc, batch_format="pyarrow", batch_size=32)
+    if out is not None:
+        res.write_parquet(out)
+        import ray.data
+        return ray.data.read_parquet(out, columns=["image_id", "checksum"])
+    return res
+
+
+def _first_band(img):
+    return img if img.ndim == 2 else img[:, :, 0]
+
+
+@register_step("hillshade")
+def _hillshade(img, azimuth: float = 315.0, altitude: float = 45.0,
+               z_factor: float = 1.0):
+    from gdal_ray.stages.dem import hillshade
+    return hillshade(_first_band(img).astype(np.float64)[None], azimuth,
+                     altitude, z=z_factor)[0]
+
+
+@register_step("slope")
+def _slope(img, z_factor: float = 1.0, scale: float = 1.0):
+    from gdal_ray.stages.dem import slope_degrees
+    return slope_degrees(_first_band(img).astype(np.float64)[None], z=z_factor,
+                         scale=scale)[0]
+
+
+@register_step("aspect")
+def _aspect(img):
+    from gdal_ray.stages.dem import aspect_degrees
+    return aspect_degrees(_first_band(img).astype(np.float64)[None])[0]
+
+
+@register_step("roughness")
+def _roughness(img):
+    from gdal_ray.stages.dem import window_metrics
+    return window_metrics(_first_band(img).astype(np.int64)[None])[0][0]
+
+
+@register_step("tri")
+def _tri(img):
+    from gdal_ray.stages.dem import window_metrics
+    return window_metrics(_first_band(img).astype(np.int64)[None])[1][0]
+
+
+@register_step("tpi")
+def _tpi(img):
+    from gdal_ray.stages.dem import window_metrics
+    return window_metrics(_first_band(img).astype(np.int64)[None])[2][0]
+
+
+@register_step("reclassify")
+def _reclassify(img, bins: str | None = None):
+    from gdal_ray.stages.dem import reclassify, RECLASS_BINS
+    b = RECLASS_BINS if bins is None else tuple(float(x) for x in str(bins).split(","))
+    return reclassify(_first_band(img), bins=b)
+
+
+@register_step("fill-nodata")
+def _fill(img, nodata: float = 0.0):
+    from gdal_ray.stages.rasterops import fill_nodata
+    band = _first_band(img)
+    return fill_nodata(band, band == nodata)
+
+
+@register_step("sieve")
+def _sieve(img, threshold: int = 4, connect8: int = 0):
+    from gdal_ray.stages.rasterops import sieve
+    return sieve(_first_band(img).astype(np.int64), threshold=int(threshold),
+                 connect8=bool(connect8)).astype(img.dtype if img.ndim == 2 else np.int64)
+
+
+@register_step("proximity")
+def _proximity(img, target: float = 255.0):
+    from gdal_ray.stages.rasterops import proximity_sq
+    return np.sqrt(proximity_sq(_first_band(img) == target))
+
+
+@register_step("viewshed")
+def _viewshed(img, row: int = 0, col: int = 0, height: int = 2):
+    from gdal_ray.stages.dem import viewshed
+    return viewshed(_first_band(img).astype(np.int64), int(row), int(col),
+                    obs_height=int(height)).astype(np.uint8)
+
+
+@register_step("reproject", kind="dataset")
+def _reproject_ds(ds, ctx, dst_crs: str = "EPSG:3857",
+                  resampling: str = "nearest", batch_size: int = 16):
+    """GDALRasterReprojectAlgorithm: per-image warp with the row's own
+    gt/crs, emitting the new grid + crs."""
+    from gdal_ray.stages.warp import warp_image
+
+    def rp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _RASTER_SCHEMA.empty_table()
+        ids, imgs, gts, crss = [], [], [], []
+        for i in range(b.num_rows):
+            img = _unpack(b.column("data")[i].as_py(), b.column("w")[i].as_py(),
+                          b.column("h")[i].as_py(), b.column("bands")[i].as_py(),
+                          b.column("dtype")[i].as_py())
+            gt = tuple(b.column("gt")[i].as_py())
+            crs = b.column("crs")[i].as_py()
+            warped, dst_gt = warp_image(img, gt, crs, dst_crs, method=resampling)
+            ids.append(b.column("image_id")[i].as_py())
+            imgs.append(warped)
+            gts.append(list(dst_gt))
+            crss.append(dst_crs)
+        return _pack_rows(ids, imgs, gts, crss)
+
+    return ds.map_batches(rp, batch_format="pyarrow", batch_size=batch_size)
+
+
+@register_step("resize")
+def _resize(img, size: str = "32,32", resampling: str = "nearest"):
+    from gdal_ray.stages.resample import resize
+    w, h = (int(x) for x in str(size).split(","))
+    return resize(_first_band(img), w, h, resampling)
+
+
+@register_step("scale")
+def _scale(img, src_min: float = 0.0, src_max: float = 255.0,
+           dst_min: float = 0.0, dst_max: float = 255.0):
+    """Linear rescale (GDALRasterScaleAlgorithm / -scale of translate)."""
+    f = img.astype(np.float64)
+    span = (src_max - src_min) or 1.0
+    out = (f - src_min) * (dst_max - dst_min) / span + dst_min
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+@register_step("unscale")
+def _unscale(img, scale: float = 1.0, offset: float = 0.0):
+    """Apply band scale/offset: phys = raw * scale + offset."""
+    return img.astype(np.float64) * scale + offset
+
+
+@register_step("select")
+def _select(img, bands: str = "1"):
+    """Band select, 1-based (GDALRasterSelectAlgorithm)."""
+    idx = [int(x) - 1 for x in str(bands).split(",")]
+    if img.ndim == 2:
+        if idx != [0]:
+            raise ValueError("single-band raster has only band 1")
+        return img
+    sel = img[:, :, idx]
+    return sel[:, :, 0] if sel.shape[2] == 1 else sel
+
+
+@register_step("set-type")
+def _set_type(img, ot: str = "float64"):
+    dt = np.dtype(str(ot).lower())
+    if np.issubdtype(dt, np.integer) and np.issubdtype(img.dtype, np.floating):
+        info = np.iinfo(dt)
+        return np.clip(np.floor(img + 0.5), info.min, info.max).astype(dt)
+    return img.astype(dt)
+
+
+@register_step("clip")
+def _clip(img, bbox: str = "0,0,16,16"):
+    """Pixel-space subwindow x0,y0,x1,y1 (GDALRasterClipAlgorithm's
+    --bbox, expressed in the row's pixel grid)."""
+    x0, y0, x1, y1 = (int(v) for v in str(bbox).split(","))
+    return img[y0:y1, x0:x1]
+
+
+@register_step("rgb-to-palette")
+def _rgb2pct(img, colors: int = 16):
+    from gdal_ray.stages.color import median_cut_palette, nearest_palette_index
+    if img.ndim != 3:
+        raise ValueError("rgb-to-palette needs an RGB raster")
+    pal = median_cut_palette(img.reshape(-1, 3), n_colors=int(colors))
+    return nearest_palette_index(img, pal).astype(np.uint8)
+
+
+@register_step("color-map")
+def _color_map(img, ramp: str = "0:0,0,0;255:255,255,255"):
+    """gdaldem color-relief-style linear ramp gray -> RGB."""
+    stops = []
+    for part in str(ramp).split(";"):
+        v, rgb = part.split(":")
+        stops.append((float(v), tuple(int(c) for c in rgb.split(","))))
+    stops.sort()
+    band = _first_band(img).astype(np.float64)
+    vals = np.array([s[0] for s in stops])
+    cols = np.array([s[1] for s in stops], dtype=np.float64)
+    out = np.empty(band.shape + (3,), dtype=np.uint8)
+    for c in range(3):
+        out[:, :, c] = np.clip(
+            np.floor(np.interp(band, vals, cols[:, c]) + 0.5), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+for _multi in ("mosaic", "stack", "pansharpen", "color-merge"):
+    def _needs_two(_img, _name=_multi, **_opts):
+        raise NotImplementedError(
+            f"step {_name!r} takes multiple input streams; use the standalone "
+            "APIs (stages.render for mosaic, stages.color.pansharpen_brovey)"
+        )
+    _REGISTRY[_multi] = ("raster", _needs_two)

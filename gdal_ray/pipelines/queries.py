@@ -2920,6 +2920,63 @@ def q_image_tiles(sf_dir: str):
 # Registry
 # ===========================================================================
 
+def q_pipeline_steps(sf_dir: str):
+    """Named-step pipeline string (`gdal raster pipeline` surface,
+    apps/gdalalg_raster_pipeline.cpp registry + `!` grammar): a
+    translate-style chain over the synthesized image table; per-image
+    checksums (rows-only; step kernels pytest-verified in
+    tests/test_pipeline.py against the standalone stages)."""
+    from gdal_ray.pipeline import run_pipeline
+
+    return run_pipeline(
+        "read --limit=150 ! select --bands=1 ! clip --bbox=2,2,30,30 ! "
+        "resize --size=14,14 --resampling=bilinear ! scale --dst-max=100 ! "
+        "set-type --ot=uint8 ! write",
+        sf_dir=sf_dir,
+    )
+
+
+def q_pipeline_gcp_warp(sf_dir: str):
+    """GCP/TPS georeferencing warp (GDALCreateGCPTransformer alg/gdal_crs.c,
+    GDALCreateTPSTransformer alg/gdal_tps.cpp): each synthesized image gets
+    a deterministic affine+bend GCP set, is warped by the fitted TPS, and
+    reports output grid + checksum (rows-only; transformer math
+    pytest-verified in tests/test_conic_crs.py)."""
+    import numpy as np
+    import pyarrow as pa
+    from gdal_ray.stages.warp import warp_image_gcp
+    from gdal_ray.stages.stats import checksum_plane
+    from gdal_ray.codecs import decode as _dec
+
+    def gw(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("image_id", pa.string()), ("out_w", pa.int64()),
+                              ("out_h", pa.int64()), ("checksum", pa.int64())]).empty_table()
+        ids, ws, hs, sums = [], [], [], []
+        for i in range(b.num_rows):
+            img = _dec(b.column("bytes")[i].as_py(), b.column("fmt")[i].as_py())
+            band = img if img.ndim == 2 else img[:, :, 0]
+            h, w = band.shape
+            iid = b.column("image_id")[i].as_py()  # "img-%012d"
+            num = int(str(iid).rsplit("-", 1)[-1])
+            px = np.array([0.0, w, 0, w, w / 2, w / 4])
+            ln = np.array([0.0, 0, h, h, h / 2, 3 * h / 4])
+            bend = 0.05 * (num % 7)
+            X = 10.0 + 2.0 * px + bend * np.sin(ln / 9.0)
+            Y = 90.0 - 2.0 * ln + bend * np.cos(px / 7.0)
+            out, _gt = warp_image_gcp(
+                band, np.stack([px, ln, X, Y], -1), tps=True, method="bilinear")
+            ids.append(iid)
+            hs.append(out.shape[0]); ws.append(out.shape[1])
+            sums.append(int(checksum_plane(np.ascontiguousarray(out))))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "out_w": pa.array(ws, pa.int64()),
+                         "out_h": pa.array(hs, pa.int64()),
+                         "checksum": pa.array(sums, pa.int64())})
+
+    return _images_ds(sf_dir, limit=100).map_batches(gw, batch_format="pyarrow", batch_size=16)
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-2), so
@@ -3014,6 +3071,8 @@ def queries():
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "warp_utm": q_warp_utm,
+        "pipeline_steps": q_pipeline_steps,
+        "gcp_warp": q_pipeline_gcp_warp,
     }
 
 
