@@ -2920,6 +2920,32 @@ def q_image_tiles(sf_dir: str):
 # Registry
 # ===========================================================================
 
+SQL_IFACE_UNION = (
+    "SELECT o_orderkey AS k, CAST(o_totalprice AS BIGINT) AS v FROM orders "
+    "WHERE o_orderpriority LIKE '1%' "
+    "UNION ALL "
+    "SELECT c_custkey AS k, CAST(c_acctbal AS BIGINT) AS v FROM customer "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "ORDER BY k, v LIMIT 500 OFFSET 10"
+)
+
+
+def q_sql_union(sf_dir: str):
+    """swq-style SQL front end, set-op path: UNION ALL chaining
+    (swq_parser.y:840) + ORDER BY/LIMIT/OFFSET (:1128-1143) — arms execute
+    as independent Dataset streams merged by Dataset.union; OFFSET lowers
+    to split_at_indices (no driver materialization).  IDENTICAL string on
+    DuckDB.  NOTE: the trailing ORDER BY applies to the union result in
+    both engines."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_UNION,
+        {"orders": _read(sf_dir, "orders"),
+         "customer": _read(sf_dir, "customer")},
+    )
+
+
 def q_pipeline_steps(sf_dir: str):
     """Named-step pipeline string (`gdal raster pipeline` surface,
     apps/gdalalg_raster_pipeline.cpp registry + `!` grammar): a
@@ -3071,6 +3097,7 @@ def queries():
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "warp_utm": q_warp_utm,
+        "sql_union": q_sql_union,
         "pipeline_steps": q_pipeline_steps,
         "gcp_warp": q_pipeline_gcp_warp,
     }
@@ -3132,6 +3159,7 @@ def oracle_sql():
         "sql_select": SQL_IFACE_SELECT,
         "sql_group": SQL_IFACE_GROUP,
         "sql_join": SQL_IFACE_JOIN,
+        "sql_union": SQL_IFACE_UNION,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

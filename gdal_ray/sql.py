@@ -11,10 +11,12 @@ hash-bucket aggregate (stages/agg.py), ORDER BY to ds.sort, LIMIT to
 ds.limit.
 
 Grammar (grows as needed):
-  SELECT item[, ...] FROM <table>
+  SELECT item[, ...] FROM <table> [LEFT|INNER JOIN t2 ON a = b ...]
     [WHERE expr] [GROUP BY col[, ...]]
-    [ORDER BY col [DESC][, ...]] [LIMIT n]
-  item := expr [AS name] | agg(expr) [AS name] | COUNT(*) [AS name]
+    [ORDER BY col [DESC][, ...]] [LIMIT n] [OFFSET m]
+    [UNION ALL SELECT ...]
+  item := expr [AS name] | * | * EXCEPT (col[, ...])
+       | agg(expr) [AS name] | COUNT(*) [AS name]
   agg  := SUM | MIN | MAX | AVG | COUNT
   scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, CAST(e AS type)
   predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...),
@@ -41,6 +43,7 @@ _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "AS", "AND",
     "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CAST",
     "DESC", "ASC", "DISTINCT", "JOIN", "LEFT", "INNER", "ON",
+    "UNION", "ALL", "OFFSET", "EXCEPT", "EXCLUDE",
 }
 
 
@@ -238,11 +241,25 @@ def _parse_primary(p):
 
 def parse_select(sql: str) -> dict:
     p = _P(_tokenize(sql))
+    q = _parse_select_body(p)
+    p.expect("eof")
+    return q
+
+
+def _parse_select_body(p: _P) -> dict:
     p.expect("kw", "SELECT")
     items = []
     while True:
         if p.accept("op", "*"):
-            items.append(("star", None))
+            if p.accept("kw", "EXCEPT") or p.accept("kw", "EXCLUDE"):
+                p.expect("op", "(")
+                excl = [p.expect("id")[1]]
+                while p.accept("op", ","):
+                    excl.append(p.expect("id")[1])
+                p.expect("op", ")")
+                items.append((("star_except", tuple(excl)), None))
+            else:
+                items.append(("star", None))
         else:
             e = _parse_expr(p)
             name = None
@@ -296,9 +313,16 @@ def parse_select(sql: str) -> dict:
                 break
     if p.accept("kw", "LIMIT"):
         limit = int(p.expect("num")[1])
-    p.expect("eof")
-    return {"items": items, "table": table, "joins": joins, "where": where,
-            "group": group, "order": order, "limit": limit}
+    offset = 0
+    if p.accept("kw", "OFFSET"):
+        offset = int(p.expect("num")[1])
+    q = {"items": items, "table": table, "joins": joins, "where": where,
+         "group": group, "order": order, "limit": limit, "offset": offset}
+    if p.accept("kw", "UNION"):
+        p.expect("kw", "ALL")
+        rest = _parse_select_body(p)
+        return {"union": [q] + (rest["union"] if "union" in rest else [rest])}
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -549,8 +573,31 @@ def _apply_joins(ds, q, tables):
 
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT over ray.data Datasets.  tables: name -> Dataset.
-    Returns a Dataset."""
+    Returns a Dataset.  UNION ALL chains execute each arm and
+    Dataset.union the streams (swq_parser.y:840)."""
     q = parse_select(sql)
+    return _execute_one(q, tables)
+
+
+def _execute_one(q: dict, tables: dict):
+    if "union" in q:
+        # trailing ORDER BY/LIMIT/OFFSET bind to the whole union (ANSI /
+        # DuckDB semantics); the parser attached them to the last arm —
+        # hoist them to the union level before executing the arms
+        arms = [dict(part) for part in q["union"]]
+        tail = {"order": arms[-1]["order"], "limit": arms[-1]["limit"],
+                "offset": arms[-1].get("offset", 0)}
+        arms[-1].update(order=[], limit=None, offset=0)
+        parts = [_execute_one(part, tables) for part in arms]
+        ds = parts[0].union(*parts[1:])
+        if tail["order"]:
+            ds = ds.sort([c for c, _ in tail["order"]],
+                         descending=[d for _, d in tail["order"]])
+        if tail["offset"]:
+            ds = ds.split_at_indices([tail["offset"]])[1]
+        if tail["limit"] is not None:
+            ds = ds.limit(tail["limit"])
+        return ds
     ds = tables[q["table"]]
 
     if q["joins"]:
@@ -588,8 +635,11 @@ def execute_sql(sql: str, tables: dict):
         def project(b: pa.Table) -> pa.Table:
             cols, names = [], []
             for idx, (node, name) in enumerate(items):
-                if node == "star":
+                if node == "star" or (isinstance(node, tuple) and node[0] == "star_except"):
+                    skip = set(node[1]) if node != "star" else ()
                     for n in b.column_names:
+                        if n in skip:
+                            continue
                         cols.append(b.column(n))
                         names.append(n)
                     continue
@@ -604,6 +654,10 @@ def execute_sql(sql: str, tables: dict):
 
     if q["order"]:
         ds = ds.sort([c for c, _ in q["order"]], descending=[d for _, d in q["order"]])
+    if q.get("offset"):
+        # OFFSET skips rows of the (ordered) result: split the stream at the
+        # row index — distributed, no driver materialization
+        ds = ds.split_at_indices([q["offset"]])[1]
     if q["limit"] is not None:
         ds = ds.limit(q["limit"])
     return ds

@@ -58,6 +58,11 @@ QUERIES = [
     "SELECT doc_id, c_name FROM documents LEFT JOIN customer ON doc_id = c_custkey WHERE doc_id < 400 AND c_name IS NOT NULL",
     "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
     "SELECT n_name, o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey ORDER BY o_orderkey LIMIT 30",
+    # OFFSET (swq_parser.y:1137), UNION ALL (:840), * EXCEPT (:861)
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5",
+    "SELECT doc_id FROM documents WHERE doc_id < 5 UNION ALL SELECT doc_id FROM documents WHERE doc_id >= 495 AND doc_id < 500",
+    "SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 10 UNION ALL SELECT c_custkey AS k FROM customer WHERE c_custkey < 10 UNION ALL SELECT doc_id AS k FROM documents WHERE doc_id < 10",
+    "SELECT * EXCLUDE (source, lang) FROM documents WHERE doc_id < 30",
 ]
 
 
