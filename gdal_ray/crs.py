@@ -1,11 +1,12 @@
 """Closed-form coordinate reference systems: WGS84 UTM zones via the
 Krüger series transverse Mercator (6th order in the third flattening —
 sub-millimeter vs PROJ's tmerc over a zone's width), plus Lambert
-conformal conic (2SP), polar stereographic (variant B) and Albers
-equal-area conic from Snyder's *Map Projections — A Working Manual*
-(USGS PP 1395, public), with a parameter table for the common projected
-EPSG codes (Lambert-93, Canada Atlas Lambert, CONUS Albers, NSIDC /
-Antarctic polar stereographic).
+conformal conic (2SP), polar stereographic (variant B), Albers
+equal-area conic and Lambert azimuthal equal-area (oblique + polar) from
+Snyder's *Map Projections — A Working Manual* (USGS PP 1395, public),
+with a parameter table for the common projected EPSG codes (Lambert-93,
+Canada Atlas Lambert, CONUS Albers, NSIDC / Antarctic polar
+stereographic, LAEA Europe).
 
 Reference semantics: OGRProjCT::Transform (ogr/ogrct.cpp:2323) for the
 EPSG pairs used throughout autotest/alg/warp.py; no PROJ exists in this
@@ -284,6 +285,92 @@ def albers_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
     return fwd, inv
 
 
+def laea(lat0: float, lon0: float, fe: float, fn: float,
+         a: float = A_WGS84, f: float = F_GRS80):
+    """Lambert azimuthal equal-area, ellipsoidal (EPSG method 9820;
+    Snyder pp. 182-190, oblique + polar aspects via authalic latitude)."""
+    e = _ecc(f)
+    e2 = e * e
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+
+    qp = float(q(np.pi / 2))
+    Rq = a * np.sqrt(qp / 2.0)
+    p0 = np.radians(lat0)
+    polar = abs(lat0) >= 89.999
+
+    def beta_of(phi):
+        return np.arcsin(np.clip(q(phi) / qp, -1.0, 1.0))
+
+    def phi_of_beta(beta):
+        qv = qp * np.sin(beta)
+        phi = np.asarray(beta, dtype=np.float64).copy()
+        for _ in range(10):
+            s = np.sin(phi)
+            dq = 2.0 * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+            phi = phi + (qv - q(phi)) / np.where(dq == 0, 1e-12, dq)
+        return phi
+
+    if polar:
+        north = lat0 > 0
+
+        def fwd(lon, lat):
+            lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+            phi = np.radians(np.asarray(lat, dtype=np.float64))
+            b = beta_of(phi)
+            rho = a * np.sqrt(qp - q(phi)) if north else a * np.sqrt(qp + q(phi))
+            x = rho * np.sin(lam)
+            y = -rho * np.cos(lam) if north else rho * np.cos(lam)
+            return fe + x, fn + y
+
+        def inv(E, N):
+            x = np.asarray(E, dtype=np.float64) - fe
+            y = np.asarray(N, dtype=np.float64) - fn
+            rho = np.hypot(x, y)
+            qv = qp - (rho / a) ** 2 if north else (rho / a) ** 2 - qp
+            beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+            lam = np.arctan2(x, -y) if north else np.arctan2(x, y)
+            return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi_of_beta(beta))
+
+        return fwd, inv
+
+    b0 = float(beta_of(p0))
+    m0 = float(_m(p0, e))
+    D = a * m0 / (Rq * np.cos(b0))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        b = beta_of(phi)
+        B = Rq * np.sqrt(2.0 / (1 + np.sin(b0) * np.sin(b)
+                                + np.cos(b0) * np.cos(b) * np.cos(lam)))
+        x = B * D * np.cos(b) * np.sin(lam)
+        y = (B / D) * (np.cos(b0) * np.sin(b) - np.sin(b0) * np.cos(b) * np.cos(lam))
+        return fe + x, fn + y
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        rho = np.hypot(x / D, D * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = np.arcsin(np.clip(
+                np.cos(ce) * np.sin(b0)
+                + np.where(rho > 0, D * y * np.sin(ce) * np.cos(b0) / rho, 0.0),
+                -1.0, 1.0))
+            lam = np.arctan2(x * np.sin(ce),
+                             D * rho * np.cos(b0) * np.cos(ce)
+                             - D * D * y * np.sin(b0) * np.sin(ce))
+        lam = np.where(rho > 0, lam, 0.0)
+        beta = np.where(rho > 0, beta, b0)
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi_of_beta(beta))
+
+    return fwd, inv
+
+
 # EPSG parameter table (public EPSG registry values):
 #   code: (kind, lat1, lat2, lat0/lat_ts, lon0, FE, FN, f)
 _CONIC_EPSG = {
@@ -295,6 +382,9 @@ _CONIC_EPSG = {
     3413: ("pst", None, None, 70.0, -45.0, 0.0, 0.0, F_WGS84),              # WGS84 / NSIDC polar stereo North
     3976: ("pst", None, None, -70.0, 0.0, 0.0, 0.0, F_WGS84),               # WGS84 / NSIDC polar stereo South
     3031: ("pst", None, None, -71.0, 0.0, 0.0, 0.0, F_WGS84),               # WGS84 / Antarctic polar stereo
+    3035: ("laea", None, None, 52.0, 10.0, 4321000.0, 3210000.0, F_GRS80),  # ETRS89-extended / LAEA Europe
+    3575: ("laea", None, None, 90.0, 10.0, 0.0, 0.0, F_WGS84),              # WGS84 / North Pole LAEA Europe
+    3574: ("laea", None, None, 90.0, -40.0, 0.0, 0.0, F_WGS84),             # WGS84 / North Pole LAEA Atlantic
 }
 
 
@@ -306,6 +396,8 @@ def conic_pair(epsg: int):
         return lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
     if kind == "aea":
         return albers_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
+    if kind == "laea":
+        return laea(lat0, lon0, fe, fn, f=f)
     return polar_stereographic(lat0, lon0, fe, fn, f=f)
 
 

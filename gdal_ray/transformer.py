@@ -1,4 +1,5 @@
-"""GCP-based geotransformers: polynomial orders 1-3 and thin-plate spline.
+"""GCP-based geotransformers (polynomial orders 1-3, thin-plate spline)
+and the RPC camera model.
 
 Reference semantics: GDALCreateGCPTransformer (alg/gdal_crs.c — least-squares
 polynomial fit over ground control points, orders 1..3, forward and inverse
@@ -65,6 +66,84 @@ def gcp_polynomial(gcps, order: int | None = None):
     def inv(x, y):
         T = _poly_terms(x, y, order)
         return T @ ci[:, 0], T @ ci[:, 1]
+
+    return fwd, inv
+
+
+# RPC00B 20-term cubic basis order (public NITF RPC00B spec; same ordering
+# GDALRPCTransform evaluates in alg/gdal_rpc.cpp RPCEvaluate):
+def _rpc_terms(L, P, H):
+    one = np.ones_like(L)
+    return np.stack([
+        one, L, P, H, L * P, L * H, P * H, L * L, P * P, H * H,
+        P * L * H, L**3, L * P * P, L * H * H, L * L * P, P**3,
+        P * H * H, L * L * H, P * P * H, H**3,
+    ], axis=-1)
+
+
+_RPC_KEYS = ("LINE_OFF", "SAMP_OFF", "LAT_OFF", "LONG_OFF", "HEIGHT_OFF",
+             "LINE_SCALE", "SAMP_SCALE", "LAT_SCALE", "LONG_SCALE",
+             "HEIGHT_SCALE")
+
+
+def rpc_transformer(rpc: dict, height: float = 0.0, tol: float = 1e-10,
+                    max_iter: int = 20):
+    """Rational polynomial coefficient transformer (GDALCreateRPCTransformer,
+    alg/gdal_rpc.cpp; the RPC00B camera model).  ``rpc`` carries the ten
+    offset/scale keys plus LINE_NUM_COEFF / LINE_DEN_COEFF / SAMP_NUM_COEFF /
+    SAMP_DEN_COEFF (20 floats each).  Returns (fwd, inv):
+
+    - fwd(pixel, line) -> (lon, lat): the iterative direction — Newton on
+      the native model with a finite-difference Jacobian, exactly the
+      reference's RPCInverseTransformPoint strategy;
+    - inv(lon, lat) -> (pixel, line): the native closed-form direction
+      (what an inverse-mapping warp consumes).
+
+    ``height`` is the fixed terrain height (RPC_HEIGHT); no DEM path in
+    this sandbox."""
+    for k in _RPC_KEYS:
+        if k not in rpc:
+            raise ValueError(f"rpc missing {k}")
+    coef = {k: np.asarray(rpc[k], dtype=np.float64)
+            for k in ("LINE_NUM_COEFF", "LINE_DEN_COEFF",
+                      "SAMP_NUM_COEFF", "SAMP_DEN_COEFF")}
+    if any(c.shape != (20,) for c in coef.values()):
+        raise ValueError("RPC coefficient vectors must have 20 terms")
+
+    def native(lon, lat):
+        L = (np.asarray(lon, dtype=np.float64) - rpc["LONG_OFF"]) / rpc["LONG_SCALE"]
+        P = (np.asarray(lat, dtype=np.float64) - rpc["LAT_OFF"]) / rpc["LAT_SCALE"]
+        H = (height - rpc["HEIGHT_OFF"]) / rpc["HEIGHT_SCALE"] * np.ones_like(L)
+        T = _rpc_terms(L, P, H)
+        line = (T @ coef["LINE_NUM_COEFF"]) / (T @ coef["LINE_DEN_COEFF"])
+        samp = (T @ coef["SAMP_NUM_COEFF"]) / (T @ coef["SAMP_DEN_COEFF"])
+        return (samp * rpc["SAMP_SCALE"] + rpc["SAMP_OFF"],
+                line * rpc["LINE_SCALE"] + rpc["LINE_OFF"])
+
+    def inv(lon, lat):
+        return native(lon, lat)
+
+    def fwd(pixel, line):
+        pixel = np.asarray(pixel, dtype=np.float64)
+        line = np.asarray(line, dtype=np.float64)
+        lon = np.full_like(pixel, float(rpc["LONG_OFF"]))
+        lat = np.full_like(line, float(rpc["LAT_OFF"]))
+        dl = 1e-7 * rpc["LONG_SCALE"]
+        dp = 1e-7 * rpc["LAT_SCALE"]
+        for _ in range(max_iter):
+            px, ln = native(lon, lat)
+            ex, ey = px - pixel, ln - line
+            if max(np.abs(ex).max(initial=0), np.abs(ey).max(initial=0)) < tol:
+                break
+            pxl, lnl = native(lon + dl, lat)
+            pxp, lnp = native(lon, lat + dp)
+            j11, j21 = (pxl - px) / dl, (lnl - ln) / dl   # d/dlon
+            j12, j22 = (pxp - px) / dp, (lnp - ln) / dp   # d/dlat
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            lon = lon - (j22 * ex - j12 * ey) / det
+            lat = lat - (-j21 * ex + j11 * ey) / det
+        return lon, lat
 
     return fwd, inv
 

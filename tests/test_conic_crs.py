@@ -159,6 +159,73 @@ def test_warp_image_gcp_affine_is_identity_resample():
     np.testing.assert_array_equal(out, img)
 
 
+def test_laea_roundtrip_and_equal_area():
+    fwd, inv = crs.conic_pair(3035)
+    rng = np.random.default_rng(3)
+    lon, lat = rng.uniform(-10, 40, 2000), rng.uniform(35, 70, 2000)
+    x, y = fwd(lon, lat)
+    lo, la = inv(x, y)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    # natural origin (10E, 52N) -> false origin (EPSG:3035)
+    x, y = fwd(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    # polar aspect: the pole is the origin for EPSG:3575
+    pf, pi = crs.conic_pair(3575)
+    x, y = pf(np.array([33.0]), np.array([90.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    lon, lat = rng.uniform(-180, 180, 1000), rng.uniform(45, 89, 1000)
+    x, y = pf(lon, lat)
+    lo, la = pi(x, y)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+
+
+def _toy_rpc():
+    line_num = np.zeros(20); samp_num = np.zeros(20); den = np.zeros(20)
+    line_num[2] = -1.0; line_num[4] = 0.02; line_num[7] = 0.005
+    samp_num[1] = 1.0; samp_num[4] = -0.015; samp_num[8] = 0.004
+    den[0] = 1.0; den[1] = 0.001; den[2] = -0.0005
+    return {
+        "LINE_OFF": 2048.0, "SAMP_OFF": 2048.0,
+        "LAT_OFF": 45.0, "LONG_OFF": 7.0, "HEIGHT_OFF": 500.0,
+        "LINE_SCALE": 2048.0, "SAMP_SCALE": 2048.0,
+        "LAT_SCALE": 0.1, "LONG_SCALE": 0.1, "HEIGHT_SCALE": 500.0,
+        "LINE_NUM_COEFF": line_num, "LINE_DEN_COEFF": den,
+        "SAMP_NUM_COEFF": samp_num, "SAMP_DEN_COEFF": den,
+    }
+
+
+def test_rpc_transformer_roundtrip_and_validation():
+    from gdal_ray.transformer import rpc_transformer
+
+    fwd, inv = rpc_transformer(_toy_rpc(), height=500.0)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(6.92, 7.08, 500)
+    lat = rng.uniform(44.92, 45.08, 500)
+    px, ln = inv(lon, lat)
+    lo, la = fwd(px, ln)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    bad = dict(_toy_rpc()); del bad["LAT_OFF"]
+    with pytest.raises(ValueError):
+        rpc_transformer(bad)
+    bad = dict(_toy_rpc()); bad["LINE_NUM_COEFF"] = np.zeros(19)
+    with pytest.raises(ValueError):
+        rpc_transformer(bad)
+
+
+def test_warp_image_with_rpc_transformer():
+    # georeference a raw sensor grid through the RPC camera model: the
+    # warp machinery consumes (fwd, inv) directly (gdalwarp -rpc path)
+    from gdal_ray.transformer import rpc_transformer
+
+    pair = rpc_transformer(_toy_rpc(), height=500.0)
+    img = ((np.add.outer(np.arange(64), np.arange(64))) % 17).astype(np.uint8) * 15
+    out, gt = warp_image(img, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "RPC", "RPC",
+                         method="bilinear", transformer=pair)
+    assert out.ndim == 2 and out.size > 0
+    # output grid is in degrees near the RPC offsets
+    assert 6.8 < gt[0] < 7.2 and abs(gt[1]) < 0.01
+
+
 def test_warp_image_conic_roundtrip_preserves_content():
     # 4326 -> Lambert-93 -> back: interior pixels survive (same machinery
     # as the UTM round-trip gate in test_crs.py, via the conic path)
