@@ -413,6 +413,18 @@ def _rgb2pct(img, colors: int = 16):
     return nearest_palette_index(img, pal).astype(np.uint8)
 
 
+@register_step("pixfun")
+def _pixfun(img, fn: str = "sum", **kwargs):
+    """VRT pixel function over the raster's bands (derived-band semantics,
+    frmts/vrt/vrtderivedrasterband.cpp; registry in
+    gdal_ray/pixelfunctions.py).  A 2-D raster is a single source band;
+    an (h, w, b) raster feeds each band as one source."""
+    from gdal_ray.pixelfunctions import apply_pixel_function
+
+    bands = [img] if img.ndim == 2 else [img[:, :, i] for i in range(img.shape[2])]
+    return apply_pixel_function(str(fn), bands, **kwargs)
+
+
 @register_step("color-map")
 def _color_map(img, ramp: str = "0:0,0,0;255:255,255,255"):
     """gdaldem color-relief-style linear ramp gray -> RGB."""

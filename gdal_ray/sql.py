@@ -347,6 +347,32 @@ def _like_regex(pat: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+# User-registered SQL functions — the SWQCF_CUSTOM extension surface
+# (ogr/ogr_swq.h:334, swq_op_registrar.cpp): fn(*arrow_args) -> Array.
+_CUSTOM_FUNCS: dict[str, object] = {}
+
+
+def register_sql_function(name: str, fn=None):
+    """Register a custom scalar SQL function, callable from any SQL string
+    run by execute_sql.  Usable as a decorator or a direct call."""
+    key = name.upper()
+
+    def _add(f):
+        _CUSTOM_FUNCS[key] = f
+        return f
+
+    return _add if fn is None else _add(fn)
+
+
+def _eval_with_funcs(node, batch, funcs):
+    """Entry point used inside map_batches closures: Ray workers re-import
+    this module, so driver-side register_sql_function state must travel in
+    the serialized closure — `funcs` is the plan-time snapshot."""
+    if funcs:
+        _CUSTOM_FUNCS.update(funcs)
+    return _eval(node, batch)
+
+
 def _eval(node, batch: pa.Table):
     kind = node[0]
     if kind == "col":
@@ -428,6 +454,11 @@ def _eval(node, batch: pa.Table):
             return pc.ceil(args[0])
         if fn == "ROUND":
             return pc.round(args[0])
+        if fn in _CUSTOM_FUNCS:  # SWQCF_CUSTOM (ogr/ogr_swq.h:334)
+            out = _CUSTOM_FUNCS[fn](*args)
+            if not isinstance(out, (pa.Array, pa.ChunkedArray, pa.Scalar)):
+                out = pa.array(np.asarray(out))
+            return out
         raise ValueError(f"unknown function {fn}")
     raise ValueError(f"cannot evaluate node {node[0]}")
 
@@ -599,6 +630,7 @@ def _execute_one(q: dict, tables: dict):
             ds = ds.limit(tail["limit"])
         return ds
     ds = tables[q["table"]]
+    funcs = dict(_CUSTOM_FUNCS)  # snapshot for worker-side closures
 
     if q["joins"]:
         ds, resolve = _apply_joins(ds, q, tables)
@@ -617,7 +649,7 @@ def _execute_one(q: dict, tables: dict):
         where = q["where"]
 
         def filt(b: pa.Table) -> pa.Table:
-            mask = _eval(where, b)
+            mask = _eval_with_funcs(where, b, funcs)
             if isinstance(mask, pa.ChunkedArray):
                 mask = mask.combine_chunks()
             return b.filter(pc.fill_null(mask, False))
@@ -630,7 +662,7 @@ def _execute_one(q: dict, tables: dict):
     )
 
     if q["group"] or has_agg:
-        ds = _execute_aggregate(ds, q)
+        ds = _execute_aggregate(ds, q, funcs)
     else:
         def project(b: pa.Table) -> pa.Table:
             cols, names = [], []
@@ -643,7 +675,7 @@ def _execute_one(q: dict, tables: dict):
                         cols.append(b.column(n))
                         names.append(n)
                     continue
-                v = _eval(node, b)
+                v = _eval_with_funcs(node, b, funcs)
                 if isinstance(v, pa.Scalar):
                     v = pa.array([v.as_py()] * len(b))
                 cols.append(v)
@@ -669,7 +701,7 @@ def _has_agg(node):
     return bool(out)
 
 
-def _execute_aggregate(ds, q):
+def _execute_aggregate(ds, q, funcs=None):
     from gdal_ray.stages.agg import grouped_aggregate
 
     group = q["group"] or []
@@ -715,7 +747,7 @@ def _execute_aggregate(ds, q):
     def prep(b: pa.Table) -> pa.Table:
         cols = {g: b.column(g) for g in group}
         for name, expr in pre_cols:
-            v = _eval(expr, b)
+            v = _eval_with_funcs(expr, b, funcs)
             if isinstance(v, pa.Scalar):
                 v = pa.array([v.as_py()] * len(b), pa.int64())
             cols[name] = v
