@@ -46,6 +46,23 @@ def encode_multipolygon(polygons: list[list[np.ndarray]]) -> bytes:
     return body + b"".join(encode_polygon(p) for p in polygons)
 
 
+def encode_linestring(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    return (struct.pack("<BII", 1, GeomType.LINESTRING, len(pts))
+            + pts.astype("<f8").tobytes())
+
+
+def encode_multipoint(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    body = struct.pack("<BII", 1, GeomType.MULTIPOINT, len(pts))
+    return body + b"".join(encode_point(x, y) for x, y in pts)
+
+
+def encode_multilinestring(lines: list[np.ndarray]) -> bytes:
+    body = struct.pack("<BII", 1, GeomType.MULTILINESTRING, len(lines))
+    return body + b"".join(encode_linestring(l) for l in lines)
+
+
 def _read_u32(buf: memoryview, off: int, bo: str) -> tuple[int, int]:
     return struct.unpack_from(bo + "I", buf, off)[0], off + 4
 
