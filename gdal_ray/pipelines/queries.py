@@ -2946,6 +2946,43 @@ def q_sql_union(sf_dir: str):
     )
 
 
+def q_vector_translate(sf_dir: str):
+    """ogr2ogr chain (apps/ogr2ogr_lib.cpp; gdal_ray/vector.py):
+    -where + -clipsrc + -t_srs 3857 + -select in ONE map_batches stage;
+    outputs integer vertex/ring counts + extent per surviving feature
+    (rows-only; composition and reprojection pytest-verified in
+    tests/test_vector_translate.py)."""
+    import ray.data
+    from gdal_ray.vector import vector_translate
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.synth import make_polygon_table
+
+    ds = ray.data.from_arrow(make_polygon_table(50))
+    out = vector_translate(ds, where="poly_id LIKE 'poly-0%'",
+                           clip_bbox=(-90.0, -60.0, 90.0, 60.0),
+                           t_srs="EPSG:3857", select=["poly_id"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("poly_id", pa.string()), ("n_rings", pa.int64()),
+                              ("n_vertices", pa.int64()), ("x_span_m", pa.int64())]).empty_table()
+        pids, nr, nv, span = [], [], [], []
+        for i in range(b.num_rows):
+            parts = polygon_parts(b.column("wkb")[i].as_py())
+            rings = [r for rs in parts for r in rs]
+            pids.append(b.column("poly_id")[i].as_py())
+            nr.append(len(rings))
+            nv.append(int(sum(len(r) for r in rings)))
+            xs = np.concatenate([r[:, 0] for r in rings])
+            span.append(int(round(xs.max() - xs.min())))
+        return pa.table({"poly_id": pa.array(pids, pa.string()),
+                         "n_rings": pa.array(nr, pa.int64()),
+                         "n_vertices": pa.array(nv, pa.int64()),
+                         "x_span_m": pa.array(span, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_pipeline_steps(sf_dir: str):
     """Named-step pipeline string (`gdal raster pipeline` surface,
     apps/gdalalg_raster_pipeline.cpp registry + `!` grammar): a
@@ -3098,6 +3135,7 @@ def queries():
         "video_frames": q_video_frames,
         "warp_utm": q_warp_utm,
         "sql_union": q_sql_union,
+        "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,
         "gcp_warp": q_pipeline_gcp_warp,
     }
