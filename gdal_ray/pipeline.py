@@ -113,6 +113,38 @@ def _raster_map(fn, opts):
     return apply
 
 
+def _vector_map(fn, opts):
+    """Wrap a per-feature geometry kernel into a map_batches callable over
+    vector rows (wkb + attribute columns).  fn(parts, **opts) returns new
+    parts, None (drop the feature), or a list of parts-lists (explode —
+    one output feature per element, attributes duplicated)."""
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.vector import _encode_parts
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        attr_cols = [c for c in batch.column_names if c != "wkb"]
+        idx, out_wkb = [], []
+        for i in range(batch.num_rows):
+            res = fn(polygon_parts(batch.column("wkb")[i].as_py()), **opts)
+            if res is None:
+                continue
+            if isinstance(res, tuple) and res and res[0] == "explode":
+                for parts in res[1]:
+                    idx.append(i)
+                    out_wkb.append(_encode_parts(parts))
+            else:
+                idx.append(i)
+                out_wkb.append(_encode_parts(res))
+        taken = batch.take(pa.array(idx, pa.int64()))
+        cols = {"wkb": pa.array(out_wkb, pa.binary())}
+        for c in attr_cols:
+            cols[c] = taken.column(c)
+        return pa.table(cols)
+    return apply
+
+
 # --- parsing ---------------------------------------------------------------
 
 def _coerce(v: str):
@@ -163,8 +195,8 @@ def run_pipeline(text: str, sf_dir: str, **ctx_extra):
     Returns the final Dataset; a trailing `write` step appends the sink
     stage and returns the written-manifest dataset."""
     stages = parse_pipeline(text)
-    if stages[0][0] != "read":
-        raise ValueError("pipeline must start with 'read'")
+    if stages[0][0] not in ("read", "read-vector"):
+        raise ValueError("pipeline must start with 'read' or 'read-vector'")
     ctx = {"sf_dir": sf_dir, **ctx_extra}
     ds = None
     for name, args, opts in stages:
@@ -173,6 +205,9 @@ def run_pipeline(text: str, sf_dir: str, **ctx_extra):
         kind, fn = _REGISTRY[name]
         if kind == "dataset":
             ds = fn(ds, ctx, *args, **opts)
+        elif kind == "vector":
+            ds = ds.map_batches(_vector_map(fn, opts), batch_format="pyarrow",
+                                batch_size=opts.pop("batch_size", 1024))
         else:
             ds = ds.map_batches(_raster_map(fn, opts), batch_format="pyarrow",
                                 batch_size=opts.pop("batch_size", 32))
@@ -442,6 +477,161 @@ def _color_map(img, ramp: str = "0:0,0,0;255:255,255,255"):
             np.floor(np.interp(band, vals, cols[:, c]) + 0.5), 0, 255
         ).astype(np.uint8)
     return out
+
+
+# --- vector steps (gdalalg_vector_pipeline.cpp registry, :324-341) ---------
+
+@register_step("read-vector", kind="dataset")
+def _read_vector(ds, ctx, *args, n: int = 50, geojson: str | None = None,
+                 csv: str | None = None):
+    """Vector stream source: the synthetic polygon table by default, or a
+    GeoJSON(-Seq)/CSV-WKT layer (GDALVectorReadAlgorithm)."""
+    import ray.data
+
+    if geojson is not None:
+        from gdal_ray.sources.geojson import read_geojson, read_geojsonseq
+        return (read_geojsonseq(geojson) if str(geojson).endswith("l")
+                else read_geojson(geojson))
+    if csv is not None:
+        from gdal_ray.sources.csvwkt import read_csv_wkt
+        return read_csv_wkt(csv)
+    from gdal_ray.synth import make_polygon_table
+    return ray.data.from_arrow(make_polygon_table(int(n)))
+
+
+@register_step("write-vector", kind="dataset")
+def _write_vector(ds, ctx, out: str | None = None, format: str = "geojsonseq"):
+    """Vector sink (GDALVectorWriteAlgorithm): GeoJSONSeq or CSV/WKT; with
+    no ``out``, returns per-feature area/vertex stats for inspection."""
+    if out is not None:
+        if format == "csv":
+            from gdal_ray.sources.csvwkt import write_csv_wkt
+            write_csv_wkt(ds, out)
+        else:
+            from gdal_ray.sources.geojson import write_geojsonseq
+            write_geojsonseq(ds, out)
+        import ray.data
+        return ds
+
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.geometry.ops import counts, ring_area2_float
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, nparts, nverts, area = [], [], [], []
+        for i in range(b.num_rows):
+            parts = polygon_parts(b.column("wkb")[i].as_py())
+            p, r, v = counts(parts)
+            ids.append(i)
+            nparts.append(p)
+            nverts.append(v)
+            area.append(float(sum(abs(ring_area2_float(rr)) / 2.0
+                                  for rs in parts for rr in rs[:1])))
+        out_cols = {"n_parts": pa.array(nparts, pa.int64()),
+                    "n_vertices": pa.array(nverts, pa.int64()),
+                    "area": pa.array(area, pa.float64())}
+        for c in b.column_names:
+            if c != "wkb":
+                out_cols[c] = b.column(c)
+        return pa.table(out_cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+@register_step("filter", kind="dataset")
+def _filter_vector(ds, ctx, where: str = "1 = 1"):
+    """Attribute filter (GDALVectorFilterAlgorithm; swq WHERE string)."""
+    from gdal_ray.vector import vector_translate
+    return vector_translate(ds, where=str(where))
+
+
+@register_step("select-fields", kind="dataset")
+def _select_vector(ds, ctx, fields: str = ""):
+    """Attribute projection (GDALVectorSelectAlgorithm)."""
+    from gdal_ray.vector import vector_translate
+    sel = [f for f in str(fields).split(",") if f]
+    return vector_translate(ds, select=sel)
+
+
+@register_step("reproject-vector", kind="dataset")
+def _reproject_vector(ds, ctx, dst_crs: str = "EPSG:3857",
+                      src_crs: str = "EPSG:4326"):
+    """Per-vertex reprojection (GDALVectorReprojectAlgorithm)."""
+    from gdal_ray.vector import vector_translate
+    return vector_translate(ds, s_srs=src_crs, t_srs=dst_crs)
+
+
+@register_step("clip-vector", kind="dataset")
+def _clip_vector(ds, ctx, bbox: str = "-180,-90,180,90"):
+    """Rectangle clip (GDALVectorClipAlgorithm); empty features drop."""
+    from gdal_ray.vector import vector_translate
+    x0, y0, x1, y1 = (float(v) for v in str(bbox).split(","))
+    return vector_translate(ds, clip_bbox=(x0, y0, x1, y1))
+
+
+@register_step("simplify", kind="vector")
+def _simplify(parts, tolerance: float = 0.1):
+    """Douglas-Peucker per ring (GDALVectorSimplifyAlgorithm /
+    OGRGeometry::Simplify)."""
+    from gdal_ray.geometry.ops import douglas_peucker
+    out = []
+    for rings in parts:
+        new = [douglas_peucker(r, float(tolerance)) for r in rings]
+        out.append([r for r in new if len(r) >= 3] or [new[0]])
+    return out
+
+
+@register_step("segmentize", kind="vector")
+def _segmentize(parts, max_length: float = 1.0):
+    """Densify edges to a max segment length (GDALVectorSegmentize /
+    OGRGeometry::Segmentize)."""
+    from gdal_ray.geometry.ops import segmentize
+    return [[segmentize(r, float(max_length)) for r in rings] for rings in parts]
+
+
+@register_step("swap-xy", kind="vector")
+def _swap_xy(parts):
+    """(GDALVectorSwapXYAlgorithm / OGRGeometry::swapXY)."""
+    from gdal_ray.geometry.ops import swap_xy
+    return [[swap_xy(r) for r in rings] for rings in parts]
+
+
+@register_step("make-valid", kind="vector")
+def _make_valid_step(parts):
+    """Split self-touching rings into simple loops (GDALVectorMakeValid /
+    OGRGeometry::MakeValid, pinch-point subset)."""
+    from gdal_ray.geometry.ops import make_valid_pinch
+    out = []
+    for rings in parts:
+        for r in rings:
+            for loop in make_valid_pinch(r):
+                out.append([loop])
+    return out
+
+
+@register_step("explode-collections", kind="vector")
+def _explode(parts):
+    """MultiPolygon -> one feature per part
+    (GDALVectorExplodeCollectionsAlgorithm)."""
+    if len(parts) <= 1:
+        return parts
+    return ("explode", [[p] for p in parts])
+
+
+@register_step("buffer", kind="vector")
+def _buffer(parts, distance: float = 1.0, quadrant_segments: int = 8):
+    """Convex-polygon buffer (GDALVectorBufferAlgorithm scope note: the
+    Minkowski-sum kernel in geometry/ops.py covers convex exteriors)."""
+    from gdal_ray.geometry.ops import buffer_convex
+    return [[buffer_convex(rings[0], float(distance), int(quadrant_segments))]
+            for rings in parts]
+
+
+@register_step("sql-vector", kind="dataset")
+def _sql_vector(ds, ctx, query: str = "SELECT * FROM layer"):
+    """Full SQL over the stream, table name `layer`
+    (GDALVectorSQLAlgorithm / ExecuteSQL)."""
+    from gdal_ray.sql import execute_sql
+    return execute_sql(str(query), {"layer": ds})
 
 
 for _multi in ("mosaic", "stack", "pansharpen", "color-merge"):
