@@ -34,10 +34,12 @@ from gdal_ray.codecs.png import decode_png, encode_png
 from gdal_ray.codecs.lossy import FAKE_LOSSY_MAGIC, decode_lossy, encode_lossy
 from gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
 from gdal_ray.codecs.webp import decode_webp, encode_webp
+from gdal_ray.codecs.tiff import decode_tiff, encode_geotiff, read_geotiff
 
 __all__ = [
     "decode", "encode", "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg", "decode_webp", "encode_webp",
+    "decode_tiff", "encode_geotiff", "read_geotiff",
     "FAKE_LOSSY_MAGIC",
 ]
 
@@ -45,6 +47,8 @@ __all__ = [
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
+    if fmt in ("tiff", "gtiff"):
+        return encode_geotiff(arr)
     if fmt == "jpeg-real":
         return encode_jpeg(arr)
     if fmt == "webp-real":
@@ -64,6 +68,8 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_jpeg(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return decode_webp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        return decode_tiff(data)
     if data[:4] == FAKE_LOSSY_MAGIC:
         return decode_lossy(data)
     raise NotImplementedError(

@@ -1,0 +1,581 @@
+"""GeoTIFF codec, implemented from the public TIFF 6.0 and GeoTIFF 1.1
+specifications (no libtiff).  Mirrors the capability core of the
+reference's flagship driver (frmts/gtiff/geotiff.cpp, gt_wkt_srs.cpp):
+
+- classic TIFF and BigTIFF containers, both byte orders;
+- strip and tile layouts, chunky (PlanarConfiguration=1) and separate
+  (PlanarConfiguration=2) plane order;
+- sample types uint8/16/32, int8/16/32, float32/64 (SampleFormat tag);
+- compression: none (1), LZW (5, with horizontal predictor 2 and the
+  spec's early-change code-width bump), Deflate (8 / old 32946, zlib),
+  PackBits (32773);
+- GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint (or the full
+  ModelTransformation matrix) -> the 6-term GDAL geotransform, and the
+  GeoKey directory -> EPSG code (GeographicTypeGeoKey 2048 /
+  ProjectedCSTypeGeoKey 3072);
+- the GDAL-specific ASCII tags: GDAL_NODATA (42113), GDAL_METADATA
+  (42112).
+
+Decode returns (H, W) or (H, W, C) numpy in the native sample dtype;
+``read_geotiff`` additionally returns the georeferencing/metadata dict.
+The encoder writes a single-IFD striped (or tiled) file and is used by
+the tile/translate sinks; encode->decode round-trips are bit-exact for
+every supported dtype/compression/predictor combination (test_tiff.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --- tag ids (TIFF 6.0 §8, GeoTIFF §7, GDAL extensions) ---
+T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
+T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_PLANAR, T_PREDICTOR, T_SAMPLE_FORMAT = 284, 317, 339
+T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_EXTRASAMPLES = 338
+T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
+T_GEO_KEYS, T_GEO_DOUBLES, T_GEO_ASCII = 34735, 34736, 34737
+T_GDAL_METADATA, T_GDAL_NODATA = 42112, 42113
+
+GK_MODEL_TYPE, GK_RASTER_TYPE = 1024, 1025
+GK_GEOGRAPHIC_TYPE, GK_PROJECTED_CS = 2048, 3072
+
+# field type -> (struct code, byte size)
+_FIELD = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+          11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
+
+_DTYPES = {  # (bits, sample_format) -> numpy dtype
+    (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
+    (8, 2): np.int8, (16, 2): np.int16, (32, 2): np.int32,
+    (32, 3): np.float32, (64, 3): np.float64,
+}
+_SF_OF = {"u": 1, "i": 2, "f": 3}
+
+
+# ---------------------------------------------------------------- container
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.d = data
+        if data[:2] == b"II":
+            self.e = "<"
+        elif data[:2] == b"MM":
+            self.e = ">"
+        else:
+            raise ValueError("not a TIFF: bad byte-order mark")
+        magic = struct.unpack(self.e + "H", data[2:4])[0]
+        if magic == 42:  # classic
+            self.big = False
+            self.first_ifd = struct.unpack(self.e + "I", data[4:8])[0]
+        elif magic == 43:  # BigTIFF
+            self.big = True
+            off_size, _ = struct.unpack(self.e + "HH", data[4:8])
+            if off_size != 8:
+                raise ValueError("BigTIFF with non-8-byte offsets")
+            self.first_ifd = struct.unpack(self.e + "Q", data[8:16])[0]
+        else:
+            raise ValueError(f"not a TIFF: magic {magic}")
+
+    def ifd_tags(self, off: int) -> dict[int, list]:
+        d, e = self.d, self.e
+        if self.big:
+            n = struct.unpack(e + "Q", d[off:off + 8])[0]
+            entry0, esz, cnt_fmt = off + 8, 20, "Q"
+            inline = 8
+        else:
+            n = struct.unpack(e + "H", d[off:off + 2])[0]
+            entry0, esz, cnt_fmt = off + 2, 12, "I"
+            inline = 4
+        tags: dict[int, list] = {}
+        for i in range(n):
+            p = entry0 + i * esz
+            tag, ftype = struct.unpack(e + "HH", d[p:p + 4])
+            count = struct.unpack(e + cnt_fmt, d[p + 4:p + 4 + (8 if self.big else 4)])[0]
+            voff = p + 4 + (8 if self.big else 4)
+            if ftype not in _FIELD:
+                continue
+            code, size = _FIELD[ftype]
+            total = size * count
+            if total <= inline:
+                raw = d[voff:voff + total]
+            else:
+                ptr = struct.unpack(e + ("Q" if self.big else "I"), d[voff:voff + inline])[0]
+                raw = d[ptr:ptr + total]
+            if ftype == 2:
+                tags[tag] = [raw.split(b"\0")[0].decode("latin-1", "replace")]
+            elif ftype in (5, 10):  # rational pairs
+                flat = struct.unpack(e + code[0] * 2 * count, raw)
+                tags[tag] = [flat[2 * k] / (flat[2 * k + 1] or 1) for k in range(count)]
+            else:
+                tags[tag] = list(struct.unpack(e + code * count, raw))
+        return tags
+
+
+def _unpackbits(src: bytes, expected: int) -> bytes:
+    """PackBits (TIFF 6.0 §9) decode."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expected:
+        c = src[i]
+        i += 1
+        if c < 128:
+            out += src[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += src[i:i + 1] * (257 - c)
+            i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def _packbits(src: bytes) -> bytes:
+    """PackBits encode: literal runs broken at repeats of >=3."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        # find run length of identical bytes
+        j = i + 1
+        while j < n and j - i < 128 and src[j] == src[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(src[i])
+            i = j
+        else:
+            # literal run until next repeat-of-3 or 128 bytes
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and src[k] == src[k + 1] == src[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += src[i:k]
+            i = k
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- LZW (§13)
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(src: bytes, expected: int) -> bytes:
+    """TIFF LZW: MSB-first variable-width codes 9..12 bits, early change
+    (width bumps when the NEXT code would not fit, i.e. at table size
+    2^w - 1)."""
+    bits = np.unpackbits(np.frombuffer(src, dtype=np.uint8))
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    pos = 0
+    prev: bytes | None = None
+    nbits = len(bits)
+    while pos + width <= nbits:
+        code = 0
+        for b in bits[pos:pos + width]:
+            code = (code << 1) | int(b)
+        pos += width
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    return bytes(out)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int):
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _lzw_encode(src: bytes) -> bytes:
+    w = _BitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    w.put(_CLEAR, width)
+    s = b""
+    for ch in src:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        w.put(table[s], width)
+        table[sc] = nxt
+        nxt += 1
+        # width sync: the decoder's table add lags one code behind ours,
+        # so it widens (at table length 2^w - 1, the spec's early change)
+        # exactly when OUR next free code passes 2^w
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4094:  # table full -> clear
+            w.put(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        s = bytes([ch])
+    if s:
+        w.put(table[s], width)
+    w.put(_EOI, width)
+    return w.done()
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):
+        return zlib.decompress(raw)
+    if comp == 5:
+        return _lzw_decode(raw, expected)
+    if comp == 32773:
+        return _unpackbits(raw, expected)
+    raise NotImplementedError(f"TIFF compression {comp} not supported "
+                              "(none/LZW/Deflate/PackBits implemented)")
+
+
+def _undo_predictor2(block: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (tag 317 = 2): cumulative sum along rows,
+    per sample channel, in the sample's integer width (mod 2^bits)."""
+    return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
+    """-> (array, info).  info keys: geotransform (6-tuple or None), epsg
+    (int or None), nodata (float or None), metadata (raw GDAL xml str or
+    None), model_type ('projected'|'geographic'|None)."""
+    r = _Reader(data)
+    tags = r.ifd_tags(r.first_ifd)
+    w = int(tags[T_WIDTH][0])
+    h = int(tags[T_LENGTH][0])
+    spp = int(tags.get(T_SAMPLES, [1])[0])
+    bits_l = tags.get(T_BITS, [8] * spp)
+    bits = int(bits_l[0])
+    if any(int(b) != bits for b in bits_l):
+        raise NotImplementedError("mixed BitsPerSample")
+    sf = int(tags.get(T_SAMPLE_FORMAT, [1])[0])
+    if (bits, sf) not in _DTYPES:
+        raise NotImplementedError(f"sample type bits={bits} format={sf}")
+    dt = np.dtype(_DTYPES[(bits, sf)]).newbyteorder(r.e)
+    comp = int(tags.get(T_COMPRESSION, [1])[0])
+    planar = int(tags.get(T_PLANAR, [1])[0])
+    predictor = int(tags.get(T_PREDICTOR, [1])[0])
+    bpp = bits // 8
+
+    tiled = T_TILE_OFFSETS in tags
+    if tiled:
+        tw, th = int(tags[T_TILE_W][0]), int(tags[T_TILE_H][0])
+        offs, cnts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
+        tx = (w + tw - 1) // tw
+        ty = (h + th - 1) // th
+        per_plane = tx * ty
+        nplanes = spp if planar == 2 else 1
+        cpp = spp if planar == 1 else 1  # channels per chunk
+        out = np.empty((h, w, spp), dtype=dt.newbyteorder("="))
+        k = 0
+        for plane in range(nplanes):
+            for j in range(ty):
+                for i in range(tx):
+                    raw = data[int(offs[k]):int(offs[k]) + int(cnts[k])]
+                    k += 1
+                    exp = tw * th * cpp * bpp
+                    buf = _decompress(raw, comp, exp)
+                    blk = np.frombuffer(buf[:exp], dtype=dt).reshape(th, tw, cpp)
+                    if predictor == 2:
+                        blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                    y0, x0 = j * th, i * tw
+                    hh, ww = min(th, h - y0), min(tw, w - x0)
+                    if planar == 2:
+                        out[y0:y0 + hh, x0:x0 + ww, plane] = blk[:hh, :ww, 0]
+                    else:
+                        out[y0:y0 + hh, x0:x0 + ww, :] = blk[:hh, :ww, :]
+        arr = out
+    else:
+        rps = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
+        offs, cnts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
+        strips_per_plane = (h + rps - 1) // rps
+        nplanes = spp if planar == 2 else 1
+        cpp = spp if planar == 1 else 1
+        arr = np.empty((h, w, spp), dtype=dt.newbyteorder("="))
+        k = 0
+        for plane in range(nplanes):
+            for s in range(strips_per_plane):
+                y0 = s * rps
+                hh = min(rps, h - y0)
+                raw = data[int(offs[k]):int(offs[k]) + int(cnts[k])]
+                k += 1
+                exp = hh * w * cpp * bpp
+                buf = _decompress(raw, comp, exp)
+                blk = np.frombuffer(buf[:exp], dtype=dt).reshape(hh, w, cpp)
+                if predictor == 2:
+                    blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                if planar == 2:
+                    arr[y0:y0 + hh, :, plane] = blk[:, :, 0]
+                else:
+                    arr[y0:y0 + hh, :, :] = blk
+    if spp == 1:
+        arr = arr[:, :, 0]
+
+    info: dict = {"geotransform": None, "epsg": None, "nodata": None,
+                  "metadata": None, "model_type": None}
+    if T_MODEL_TRANSFORM in tags:
+        m = tags[T_MODEL_TRANSFORM]
+        info["geotransform"] = (m[3], m[0], m[1], m[7], m[4], m[5])
+    elif T_MODEL_PIXEL_SCALE in tags and T_MODEL_TIEPOINT in tags:
+        sx, sy = tags[T_MODEL_PIXEL_SCALE][0], tags[T_MODEL_PIXEL_SCALE][1]
+        tp = tags[T_MODEL_TIEPOINT]
+        # tiepoint: (i, j, k, X, Y, Z) — raster point -> model point
+        i0, j0, gx, gy = tp[0], tp[1], tp[3], tp[4]
+        info["geotransform"] = (gx - i0 * sx, sx, 0.0, gy + j0 * sy, 0.0, -sy)
+    if T_GEO_KEYS in tags:
+        gk = tags[T_GEO_KEYS]
+        # directory header: version, rev, minor, count; then 4-shorts per key
+        nkeys = int(gk[3])
+        for ki in range(nkeys):
+            key, loc, cnt, val = gk[4 + 4 * ki: 8 + 4 * ki]
+            if key == GK_MODEL_TYPE and loc == 0:
+                info["model_type"] = {1: "projected", 2: "geographic"}.get(int(val))
+            elif key in (GK_GEOGRAPHIC_TYPE, GK_PROJECTED_CS) and loc == 0:
+                if 1024 <= int(val) < 32767:
+                    info["epsg"] = int(val)
+    if T_GDAL_NODATA in tags:
+        try:
+            info["nodata"] = float(tags[T_GDAL_NODATA][0].strip())
+        except ValueError:
+            pass
+    if T_GDAL_METADATA in tags:
+        info["metadata"] = tags[T_GDAL_METADATA][0]
+    return arr, info
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    return read_geotiff(data)[0]
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _do_predictor2(block: np.ndarray) -> np.ndarray:
+    out = block.copy()
+    out[:, 1:] = block[:, 1:] - block[:, :-1]
+    return out
+
+
+def encode_geotiff(
+    arr: np.ndarray,
+    *,
+    geotransform=None,
+    epsg: int | None = None,
+    nodata: float | None = None,
+    metadata: str | None = None,
+    compression: str = "deflate",
+    predictor: bool = False,
+    tile_size: int | None = None,
+    rows_per_strip: int | None = None,
+    big: bool = False,
+) -> bytes:
+    """Write a single-IFD little-endian (Geo)TIFF.  compression in
+    {'none','deflate','lzw','packbits'}; predictor=True applies
+    horizontal differencing (integer dtypes only); tile_size writes a
+    tiled layout instead of strips."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    dt = arr.dtype
+    if dt.kind not in _SF_OF:
+        raise NotImplementedError(f"dtype {dt} not supported")
+    sf = _SF_OF[dt.kind]
+    bits = dt.itemsize * 8
+    if (bits, sf) not in _DTYPES:
+        raise NotImplementedError(f"dtype {dt} not supported")
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
+    if predictor and dt.kind == "f":
+        raise NotImplementedError("predictor=2 is integer-only")
+    arr_le = np.ascontiguousarray(arr, dtype=dt.newbyteorder("<"))
+
+    def _compress(block: np.ndarray) -> bytes:
+        if predictor:
+            block = _do_predictor2(block)
+        raw = block.tobytes()
+        if comp_id == 1:
+            return raw
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        if comp_id == 5:
+            return _lzw_encode(raw)
+        return _packbits(raw)
+
+    chunks: list[bytes] = []
+    if tile_size:
+        tw = th = int(tile_size)
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        tx, ty = (w + tw - 1) // tw, (h + th - 1) // th
+        for j in range(ty):
+            for i in range(tx):
+                blk = np.zeros((th, tw, spp), dtype=arr_le.dtype)
+                hh, ww = min(th, h - j * th), min(tw, w - i * tw)
+                blk[:hh, :ww] = arr_le[j * th:j * th + hh, i * tw:i * tw + ww]
+                chunks.append(_compress(blk))
+    else:
+        rps = int(rows_per_strip or max(1, (1 << 16) // max(1, w * spp * dt.itemsize)))
+        for y0 in range(0, h, rps):
+            chunks.append(_compress(arr_le[y0:y0 + rps]))
+
+    # --- assemble tags ---
+    tags: list[tuple[int, int, int, list]] = []  # (tag, ftype, count, values)
+
+    def add(tag, ftype, vals):
+        tags.append((tag, ftype, len(vals), vals))
+
+    add(T_WIDTH, 4, [w])
+    add(T_LENGTH, 4, [h])
+    add(T_BITS, 3, [bits] * spp)
+    add(T_COMPRESSION, 3, [comp_id])
+    add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+    add(T_SAMPLES, 3, [spp])
+    if spp in (2, 4):
+        add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))
+    if predictor:
+        add(T_PREDICTOR, 3, [2])
+    add(T_SAMPLE_FORMAT, 3, [sf] * spp)
+    if tile_size:
+        add(T_TILE_W, 3, [tw])
+        add(T_TILE_H, 3, [th])
+    else:
+        add(T_ROWS_PER_STRIP, 4, [rps])
+    if geotransform is not None:
+        gt = geotransform
+        if abs(gt[2]) > 0 or abs(gt[4]) > 0:
+            add(T_MODEL_TRANSFORM, 12,
+                [gt[1], gt[2], 0.0, gt[0], gt[4], gt[5], 0.0, gt[3],
+                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+        else:
+            add(T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
+            add(T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+    if epsg is not None:
+        model = 2 if 4000 <= epsg < 5000 else 1
+        keydir = [1, 1, 1, 3,
+                  GK_MODEL_TYPE, 0, 1, model,
+                  GK_RASTER_TYPE, 0, 1, 1,  # PixelIsArea
+                  (GK_GEOGRAPHIC_TYPE if model == 2 else GK_PROJECTED_CS), 0, 1, epsg]
+        add(T_GEO_KEYS, 3, keydir)
+    if metadata is not None:
+        add(T_GDAL_METADATA, 2, [metadata])
+    if nodata is not None:
+        txt = repr(float(nodata))
+        add(T_GDAL_NODATA, 2, [txt])
+
+    # --- layout: header | IFD | overflow values | chunk data ---
+    e = "<"
+    if big:
+        hdr_len, entry_sz, cnt_fmt, off_fmt, inline = 16, 20, "Q", "Q", 8
+    else:
+        hdr_len, entry_sz, cnt_fmt, off_fmt, inline = 8, 12, "I", "I", 4
+    count_ft = 16 if big else 4  # LONG8 / LONG for offsets+counts
+    # chunk offset/count tags appended last (values known after layout)
+    off_tag = T_TILE_OFFSETS if tile_size else T_STRIP_OFFSETS
+    cnt_tag = T_TILE_COUNTS if tile_size else T_STRIP_COUNTS
+    add(off_tag, count_ft, [0] * len(chunks))
+    add(cnt_tag, count_ft, [len(c) for c in chunks])
+    tags.sort(key=lambda t: t[0])
+
+    n = len(tags)
+    ifd_off = hdr_len
+    ifd_size = (8 + n * entry_sz + 8) if big else (2 + n * entry_sz + 4)
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def encode_vals(ftype, vals) -> bytes:
+        code, _ = _FIELD[ftype]
+        if ftype == 2:
+            return vals[0].encode("latin-1") + b"\0"
+        return struct.pack(e + code * len(vals), *vals)
+
+    # first pass: compute overflow sizes to find data start
+    sizes = []
+    for tag, ftype, count, vals in tags:
+        b = encode_vals(ftype, vals)
+        if ftype == 2:
+            count = len(b)
+        sizes.append((len(b), count))
+    data_off = overflow_off + sum(sz for sz, _ in sizes if sz > inline)
+    if data_off % 2:
+        data_off += 1
+    # chunk offsets now known
+    pos = data_off
+    chunk_offsets = []
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
+    tags = [(t, f, c, chunk_offsets if t == off_tag else v) for t, f, c, v in tags]
+
+    out = bytearray()
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_off)
+    entries = bytearray()
+    ov_cursor = overflow_off
+    for (tag, ftype, count, vals), (sz, cnt2) in zip(tags, sizes):
+        b = encode_vals(ftype, vals)
+        count = cnt2
+        ent = struct.pack(e + "HH", tag, ftype) + struct.pack(e + cnt_fmt, count)
+        if len(b) <= inline:
+            ent += b + b"\0" * (inline - len(b))
+        else:
+            ent += struct.pack(e + off_fmt, ov_cursor)
+            overflow += b
+            ov_cursor += len(b)
+        entries += ent
+    if big:
+        out += struct.pack("<Q", n) + entries + struct.pack("<Q", 0)
+    else:
+        out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
+    out += overflow
+    out += b"\0" * (data_off - len(out))
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def encode_tiff(arr: np.ndarray, **kw) -> bytes:
+    return encode_geotiff(arr, **kw)

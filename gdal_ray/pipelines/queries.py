@@ -2114,7 +2114,17 @@ g as (select d.doc_id, r.r, c.c, (d.doc_id*7919 + r.r*131 + c.c*17) % 256 as e
 
 
 def _dem_docs(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id"]).filter(expr=f"doc_id < {DEM_DOCS}")
+    # predicate pushdown: row-groups past DEM_DOCS never leave the reader
+    # (doc_id is written sorted), so no block empties downstream — avoids
+    # the schema-less-RefBundle warning an expression Filter causes and
+    # reads less at 100 TB anyway
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        filter=pc.field("doc_id") < DEM_DOCS,
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def q_dem_metrics(sf_dir: str):

@@ -1,0 +1,164 @@
+"""GeoTIFF codec conformance (codecs/tiff.py vs TIFF 6.0 / GeoTIFF 1.1).
+
+Reference behavior: frmts/gtiff/geotiff.cpp (driver), libtiff LZW/predictor
+semantics (tif_lzw.c, tif_predict.c), gt_wkt_srs.cpp geokey parsing — all
+reimplemented from the public specs, round-trip and hand-vector tested."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.tiff import (
+    _lzw_decode, _lzw_encode, _packbits, _unpackbits,
+    decode_tiff, encode_geotiff, read_geotiff,
+)
+
+RNG = np.random.default_rng(7)
+
+
+DTYPES = [np.uint8, np.uint16, np.uint32, np.int8, np.int16, np.int32,
+          np.float32, np.float64]
+
+
+def _img(dt, h=37, w=23, c=1):
+    if np.dtype(dt).kind == "f":
+        a = RNG.normal(size=(h, w, c)).astype(dt)
+    else:
+        info = np.iinfo(dt)
+        a = RNG.integers(info.min, info.max, size=(h, w, c), endpoint=True).astype(dt)
+    return a[:, :, 0] if c == 1 else a
+
+
+@pytest.mark.parametrize("dt", DTYPES)
+def test_roundtrip_dtypes_deflate(dt):
+    a = _img(dt)
+    out = decode_tiff(encode_geotiff(a, compression="deflate"))
+    assert out.dtype == a.dtype and np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+def test_roundtrip_compressions_rgb(comp):
+    a = _img(np.uint8, 50, 41, 3)
+    out = decode_tiff(encode_geotiff(a, compression=comp))
+    assert np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("comp", ["deflate", "lzw"])
+def test_roundtrip_predictor(comp):
+    # smooth ramp — the case predictor 2 exists for
+    x = (np.arange(64)[None, :] + np.arange(48)[:, None]).astype(np.uint16)
+    out = decode_tiff(encode_geotiff(x, compression=comp, predictor=True))
+    assert np.array_equal(out, x)
+
+
+def test_roundtrip_tiled():
+    a = _img(np.uint8, 70, 90, 4)
+    data = encode_geotiff(a, compression="deflate", tile_size=32)
+    out = decode_tiff(data)
+    assert np.array_equal(out, a)
+
+
+def test_roundtrip_multi_strip():
+    a = _img(np.int16, 100, 30)
+    out = decode_tiff(encode_geotiff(a, compression="lzw", rows_per_strip=7))
+    assert np.array_equal(out, a)
+
+
+def test_roundtrip_bigtiff():
+    a = _img(np.float32, 33, 44, 2)
+    data = encode_geotiff(a, big=True, compression="deflate")
+    assert data[2:4] == b"+\x00"  # magic 43
+    out = decode_tiff(data)
+    assert np.array_equal(out, a)
+
+
+def test_geotags_roundtrip():
+    a = _img(np.uint8, 16, 16)
+    gt = (100.0, 0.5, 0.0, 200.0, 0.0, -0.25)
+    data = encode_geotiff(a, geotransform=gt, epsg=32633, nodata=7.0,
+                          metadata="<GDALMetadata/>")
+    arr, info = read_geotiff(data)
+    assert np.array_equal(arr, a)
+    assert info["geotransform"] == pytest.approx(gt)
+    assert info["epsg"] == 32633 and info["model_type"] == "projected"
+    assert info["nodata"] == 7.0
+    assert info["metadata"] == "<GDALMetadata/>"
+
+
+def test_geographic_geokey():
+    a = _img(np.uint8, 4, 4)
+    _, info = read_geotiff(encode_geotiff(a, epsg=4326))
+    assert info["epsg"] == 4326 and info["model_type"] == "geographic"
+
+
+def test_rotated_geotransform_uses_matrix():
+    a = _img(np.uint8, 8, 8)
+    gt = (10.0, 1.0, 0.25, 20.0, -0.5, -2.0)
+    _, info = read_geotiff(encode_geotiff(a, geotransform=gt))
+    assert info["geotransform"] == pytest.approx(gt)
+
+
+def test_big_endian_decode():
+    """Hand-build a minimal big-endian (MM) striped file and decode it."""
+    import struct
+
+    a = np.arange(12, dtype=">u2").reshape(3, 4)
+    px = a.tobytes()
+    # header + 8 IFD entries + next-ptr, then pixel data
+    n = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+
+    def ent(tag, ftype, count, val):
+        return struct.pack(">HHI", tag, ftype, count) + struct.pack(">I", val)
+
+    ifd = struct.pack(">H", n)
+    ifd += ent(256, 3, 1, 4 << 16)   # width (SHORT packed left-justified)
+    ifd += ent(257, 3, 1, 3 << 16)
+    ifd += ent(258, 3, 1, 16 << 16)
+    ifd += ent(259, 3, 1, 1 << 16)
+    ifd += ent(262, 3, 1, 1 << 16)
+    ifd += ent(273, 4, 1, data_off)
+    ifd += ent(278, 4, 1, 3)
+    ifd += ent(279, 4, 1, len(px))
+    ifd += struct.pack(">I", 0)
+    blob = b"MM" + struct.pack(">HI", 42, ifd_off) + ifd + px
+    out = decode_tiff(blob)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, a.astype(np.uint16))
+
+
+def test_lzw_hand_vector():
+    """The worked example from the TIFF 6.0 spec's LZW section
+    (7 bytes: 7 7 7 8 8 7 7 6) compresses and re-expands exactly."""
+    src = bytes([7, 7, 7, 8, 8, 7, 7, 6])
+    assert _lzw_decode(_lzw_encode(src), len(src)) == src
+
+
+def test_lzw_width_transition():
+    """Cross the 9->10 and 10->11 bit boundaries: incompressible bytes
+    force one table add per ~byte, so 3000 random bytes pass both."""
+    src = RNG.integers(0, 256, size=3000).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(src), len(src)) == src
+
+
+def test_lzw_table_clear():
+    """>4094 table adds forces a mid-stream CLEAR."""
+    src = RNG.integers(0, 256, size=9000).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(src), len(src)) == src
+
+
+def test_packbits_vectors():
+    """Decode the packed example from the TIFF 6.0 PackBits section, and
+    round-trip our own encoder over the same plaintext."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    plain = (b"\xaa" * 3 + b"\x80\x00\x2a" + b"\xaa" * 4
+             + b"\x80\x00\x2a\x22" + b"\xaa" * 10)
+    assert _unpackbits(packed, len(plain)) == plain
+    assert _unpackbits(_packbits(plain), len(plain)) == plain
+
+
+def test_decode_dispatch():
+    from gdal_ray.codecs import decode
+
+    a = _img(np.uint8, 9, 9, 3)
+    assert np.array_equal(decode(encode_geotiff(a), "tiff"), a)
