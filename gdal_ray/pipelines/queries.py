@@ -2202,9 +2202,10 @@ from cs group by 1, 2
 
 
 def q_audio_features(sf_dir: str):
-    """Audio multimodal plumbing (decode STUB + real actor-pool stage):
-    per-clip sample counts / RMS / zero-crossings / peak over the
-    deterministic media fixture (rows-only; semantics pytest-gated)."""
+    """Audio multimodal: REAL RIFF/WAVE decode (codecs/riff.py, PCM +
+    IEEE float) in an actor-pool stage — per-clip sample counts / RMS /
+    zero-crossings / peak over deterministic WAV clips (rows-only;
+    round-trip + feature semantics pytest-gated)."""
     import ray.data as rd
 
     from gdal_ray.stages import multimodal as mm
@@ -2216,9 +2217,10 @@ def q_audio_features(sf_dir: str):
 
 
 def q_video_frames(sf_dir: str):
-    """Video multimodal plumbing (decode STUB + real actor-pool stage):
-    uniform frame sampling -> per-frame phash rows (rows-only;
-    distributed ≡ local pytest-gated)."""
+    """Video multimodal: REAL RIFF/AVI decode (codecs/riff.py — MJPEG
+    frames via the from-spec ITU-T T.81 codec, plus BI_RGB DIB streams)
+    in an actor-pool stage — uniform frame sampling -> per-frame phash
+    rows (rows-only; distributed ≡ local pytest-gated)."""
     import ray.data as rd
 
     from gdal_ray.stages import multimodal as mm

@@ -1,15 +1,17 @@
 """Multimodal columns beyond images: audio / video as opaque binary
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The sandbox has no audio/video codec libraries, so the DECODE step is a
-clearly-marked deterministic stub (`_stub_decode_audio` /
+Decode is REAL for RIFF containers — WAVE (PCM/IEEE float) and AVI
+(MJPEG via our from-spec ITU-T T.81 codec, or uncompressed DIB) via
+:mod:`gdal_ray.codecs.riff` — covering the two media containers that
+need no external codec library.  Payloads that are not RIFF fall back to
+a clearly-marked deterministic stub (`_stub_decode_audio` /
 `_stub_decode_video`) that synthesizes samples/frames from the byte
-content — swap those two functions for real libsndfile/ffmpeg bindings
-and every downstream stage (schema, batch shapes, actor signatures,
-output layout) keeps working unchanged.  That Ray-side plumbing is the
-real, tested deliverable here; the reference analog is the format-driver
-boundary (frmts/...) which this engine deliberately treats as a
-pluggable leaf.
+content; swap those two fallbacks for libsndfile/ffmpeg bindings for
+MP3/H.264-class formats and every downstream stage (schema, batch
+shapes, actor signatures, output layout) keeps working unchanged.  The
+reference analog is the format-driver boundary (frmts/...) which this
+engine deliberately treats as a pluggable leaf.
 
 Stages (all callable classes for map_batches actor pools — state built
 once per actor in __init__, SURVEY.md §2.3):
@@ -46,6 +48,32 @@ VIDEO_SCHEMA = pa.schema(
         ("fps", pa.float64()),
     ]
 )
+
+
+def decode_audio(data: bytes, sample_rate: int, n_channels: int) -> np.ndarray:
+    """bytes → int16 samples (n, channels).  RIFF/WAVE decodes for real
+    (PCM 8/16/32 + IEEE float, codecs/riff.py); anything else hits the
+    deterministic stub fallback (no MP3/AAC codec libs in sandbox)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        from gdal_ray.codecs.riff import decode_wav
+
+        return decode_wav(data)[0]
+    return _stub_decode_audio(data, sample_rate, n_channels)
+
+
+def decode_video(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
+    """bytes → grayscale uint8 frames (n, h, w).  RIFF/AVI decodes for
+    real (MJPEG / BI_RGB DIB, codecs/riff.py), reduced to ITU-R 601 luma;
+    anything else hits the deterministic stub fallback."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from gdal_ray.codecs.riff import decode_avi
+
+        rgb, _fps = decode_avi(data)
+        luma = (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        )
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    return _stub_decode_video(data, w, h, n_frames)
 
 
 def _stub_decode_audio(data: bytes, sample_rate: int, n_channels: int) -> np.ndarray:
@@ -87,7 +115,7 @@ class AudioFeatures:
         zc = np.empty(n, np.int64)
         peak = np.empty(n, np.int64)
         for i in range(n):
-            s = _stub_decode_audio(blobs[i], int(srs[i]), int(chs[i]))
+            s = decode_audio(blobs[i], int(srs[i]), int(chs[i]))
             mono = s.astype(np.float64).mean(axis=1)
             n_samples[i] = len(mono)
             head = mono[: self.frame]
@@ -123,7 +151,7 @@ class VideoFrameSample:
         hs = batch.column("h").to_numpy()
         nf = batch.column("n_frames").to_numpy()
         for i in range(len(ids)):
-            frames = _stub_decode_video(blobs[i], int(ws[i]), int(hs[i]), int(nf[i]))
+            frames = decode_video(blobs[i], int(ws[i]), int(hs[i]), int(nf[i]))
             for f in range(0, len(frames), self.every):
                 out_id.append(ids[i])
                 out_f.append(f)
@@ -138,19 +166,35 @@ class VideoFrameSample:
 
 
 def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
-    """Deterministic fixture tables conforming to AUDIO_SCHEMA/VIDEO_SCHEMA."""
+    """Deterministic fixture tables conforming to AUDIO_SCHEMA/VIDEO_SCHEMA.
+
+    Payloads are REAL containers — PCM16 WAVE clips and MJPEG/DIB AVI
+    clips (codecs/riff.py) — so the decode path exercised in tests and
+    queries is the production one, not the stub fallback."""
+    from gdal_ray.codecs.riff import encode_avi, encode_wav
+
     rng = np.random.Generator(np.random.PCG64(seed))
     a_rows = {k: [] for k in ("media_id", "bytes", "sample_rate", "n_channels")}
     for i in range(n_audio):
+        ch = 1 + i % 2
+        n = int(rng.integers(1000, 3000))
+        t = np.arange(n)[:, None]
+        tone = 8000.0 * np.sin(2 * np.pi * (110.0 + 13.0 * i) * t / 16000.0)
+        noise = rng.normal(0.0, 600.0, size=(n, ch))
+        samples = np.clip(tone + noise, -32768, 32767).astype(np.int16)
         a_rows["media_id"].append(f"aud-{i:06d}")
-        a_rows["bytes"].append(rng.integers(0, 256, size=int(rng.integers(2000, 6000)), dtype=np.uint8).tobytes())
+        a_rows["bytes"].append(encode_wav(samples, 16000))
         a_rows["sample_rate"].append(16000)
-        a_rows["n_channels"].append(1 + i % 2)
+        a_rows["n_channels"].append(ch)
     v_rows = {k: [] for k in ("media_id", "bytes", "w", "h", "n_frames", "fps")}
     for i in range(n_video):
         w, h, nf = 32, 24, 25 + i % 10
+        yy, xx = np.mgrid[0:h, 0:w]
+        f = np.arange(nf)[:, None, None]
+        frames = ((xx + yy + 7 * f + 31 * i) % 256).astype(np.uint8)
+        codec = "MJPG" if i % 4 else "DIB "  # mix both stream types
         v_rows["media_id"].append(f"vid-{i:06d}")
-        v_rows["bytes"].append(rng.integers(0, 256, size=w * h * 4, dtype=np.uint8).tobytes())
+        v_rows["bytes"].append(encode_avi(frames, 25.0, codec=codec))
         v_rows["w"].append(w)
         v_rows["h"].append(h)
         v_rows["n_frames"].append(nf)
