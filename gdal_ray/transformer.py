@@ -1,5 +1,5 @@
-"""GCP-based geotransformers (polynomial orders 1-3, thin-plate spline)
-and the RPC camera model.
+"""GCP-based geotransformers (polynomial orders 1-3, thin-plate spline),
+the RPC camera model, projective homography, and geolocation arrays.
 
 Reference semantics: GDALCreateGCPTransformer (alg/gdal_crs.c — least-squares
 polynomial fit over ground control points, orders 1..3, forward and inverse
@@ -144,6 +144,158 @@ def rpc_transformer(rpc: dict, height: float = 0.0, tol: float = 1e-10,
             lon = lon - (j22 * ex - j12 * ey) / det
             lat = lat - (-j21 * ex + j11 * ey) / det
         return lon, lat
+
+    return fwd, inv
+
+
+def homography_transformer(gcps):
+    """(fwd, inv) projective (homography) transformer fitted to >= 4 GCPs
+    by normalized DLT least squares.
+
+    Reference semantics: GDALCreateHomographyTransformerFromGCPs
+    (alg/gdal_homography.cpp) — a 3x3 matrix H maps (pixel, line, 1) to
+    homogeneous (X, Y, W) with perspective divide; the inverse transform
+    is H⁻¹.  Exact for 4 GCPs, least-squares for more."""
+    g = np.asarray(gcps, dtype=np.float64)
+    if g.ndim != 2 or g.shape[1] != 4:
+        raise ValueError("gcps must be (n, 4): pixel, line, X, Y")
+    if len(g) < 4:
+        raise ValueError("homography needs >= 4 GCPs")
+    px, ln, X, Y = g.T
+
+    def _norm(u, v):
+        """Hartley normalization: translate to centroid, scale to RMS √2."""
+        cu, cv = u.mean(), v.mean()
+        s = np.sqrt(2.0) / max(np.sqrt(((u - cu) ** 2 + (v - cv) ** 2).mean()), 1e-300)
+        T = np.array([[s, 0, -s * cu], [0, s, -s * cv], [0, 0, 1.0]])
+        return T
+
+    Ts, Td = _norm(px, ln), _norm(X, Y)
+    sxn = Ts[0, 0] * px + Ts[0, 2]
+    syn = Ts[1, 1] * ln + Ts[1, 2]
+    dxn = Td[0, 0] * X + Td[0, 2]
+    dyn = Td[1, 1] * Y + Td[1, 2]
+    n = len(g)
+    A = np.zeros((2 * n, 9))
+    A[0::2, 0] = sxn; A[0::2, 1] = syn; A[0::2, 2] = 1.0
+    A[0::2, 6] = -dxn * sxn; A[0::2, 7] = -dxn * syn; A[0::2, 8] = -dxn
+    A[1::2, 3] = sxn; A[1::2, 4] = syn; A[1::2, 5] = 1.0
+    A[1::2, 6] = -dyn * sxn; A[1::2, 7] = -dyn * syn; A[1::2, 8] = -dyn
+    _, _, Vt = np.linalg.svd(A)
+    Hn = Vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Td) @ Hn @ Ts
+    H = H / H[2, 2]
+    Hi = np.linalg.inv(H)
+    Hi = Hi / Hi[2, 2]
+
+    def _apply(M):
+        def f(x, y):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            w = M[2, 0] * x + M[2, 1] * y + M[2, 2]
+            w = np.where(np.abs(w) < 1e-300, 1e-300, w)
+            return ((M[0, 0] * x + M[0, 1] * y + M[0, 2]) / w,
+                    (M[1, 0] * x + M[1, 1] * y + M[1, 2]) / w)
+
+        return f
+
+    return _apply(H), _apply(Hi)
+
+
+def geoloc_transformer(geo_x: np.ndarray, geo_y: np.ndarray, *,
+                       pixel_offset: float = 0.0, line_offset: float = 0.0,
+                       pixel_step: float = 1.0, line_step: float = 1.0,
+                       tol: float = 1e-9, max_iter: int = 30):
+    """(fwd, inv) geolocation-array transformer.
+
+    Reference semantics: GDALCreateGeoLocTransformer (alg/gdalgeoloc.cpp)
+    — two 2-D arrays give the georeferenced X/Y of sampled source pixels;
+    geoloc cell (r, c) corresponds to source pixel
+    ``x = PIXEL_OFFSET + c·PIXEL_STEP``, ``y = LINE_OFFSET + r·LINE_STEP``.
+
+    - fwd(pixel, line) -> (X, Y): bilinear interpolation inside the
+      arrays, linear extrapolation at the edges (the reference's
+      GDALGeoLocTransform forward path);
+    - inv(X, Y) -> (pixel, line): Newton iteration on the bilinear
+      surface with an analytic per-cell Jacobian, seeded by a global
+      affine fit — replacing the reference's backmap/quadtree inverse
+      (gdalgeolocquadtree.cpp) with an iterative solver that needs no
+      precomputed raster.  Requires a locally invertible (non-folding)
+      geolocation field, as the reference does.
+    """
+    gx = np.ascontiguousarray(geo_x, dtype=np.float64)
+    gy = np.ascontiguousarray(geo_y, dtype=np.float64)
+    if gx.shape != gy.shape or gx.ndim != 2 or min(gx.shape) < 2:
+        raise ValueError("geo_x/geo_y must be equal-shape 2-D arrays (>=2x2)")
+    nr, nc = gx.shape
+
+    def _sample(arr, c, r):
+        """Bilinear with linear edge extrapolation (cells clamped, fractions
+        left unclamped)."""
+        c0 = np.clip(np.floor(c).astype(np.int64), 0, nc - 2)
+        r0 = np.clip(np.floor(r).astype(np.int64), 0, nr - 2)
+        fc = c - c0
+        fr = r - r0
+        a = arr[r0, c0]
+        b = arr[r0, c0 + 1]
+        d = arr[r0 + 1, c0]
+        e = arr[r0 + 1, c0 + 1]
+        return (a * (1 - fc) * (1 - fr) + b * fc * (1 - fr)
+                + d * (1 - fc) * fr + e * fc * fr)
+
+    def _grad(arr, c, r):
+        """d/dc and d/dr of the bilinear surface (exact within a cell)."""
+        c0 = np.clip(np.floor(c).astype(np.int64), 0, nc - 2)
+        r0 = np.clip(np.floor(r).astype(np.int64), 0, nr - 2)
+        fc = c - c0
+        fr = r - r0
+        a = arr[r0, c0]
+        b = arr[r0, c0 + 1]
+        d = arr[r0 + 1, c0]
+        e = arr[r0 + 1, c0 + 1]
+        dc = (b - a) * (1 - fr) + (e - d) * fr
+        dr = (d - a) * (1 - fc) + (e - b) * fc
+        return dc, dr
+
+    def _to_arr(pixel, line):
+        c = (np.asarray(pixel, dtype=np.float64) - pixel_offset) / pixel_step
+        r = (np.asarray(line, dtype=np.float64) - line_offset) / line_step
+        return c, r
+
+    def fwd(pixel, line):
+        c, r = _to_arr(pixel, line)
+        return _sample(gx, c, r), _sample(gy, c, r)
+
+    # global affine seed for the inverse: X,Y ~ A·(c,r) least squares
+    rr, cc = np.meshgrid(np.arange(nr, dtype=np.float64),
+                         np.arange(nc, dtype=np.float64), indexing="ij")
+    P = np.stack([np.ones(gx.size), cc.ravel(), rr.ravel()], axis=-1)
+    coefx, *_ = np.linalg.lstsq(P, gx.ravel(), rcond=None)
+    coefy, *_ = np.linalg.lstsq(P, gy.ravel(), rcond=None)
+    Aff = np.array([[coefx[1], coefx[2]], [coefy[1], coefy[2]]])
+    det = Aff[0, 0] * Aff[1, 1] - Aff[0, 1] * Aff[1, 0]
+    if abs(det) < 1e-300:
+        raise ValueError("degenerate geolocation arrays (affine seed singular)")
+    Ainv = np.array([[Aff[1, 1], -Aff[0, 1]], [-Aff[1, 0], Aff[0, 0]]]) / det
+
+    def inv(X, Y):
+        X = np.asarray(X, dtype=np.float64)
+        Y = np.asarray(Y, dtype=np.float64)
+        c = Ainv[0, 0] * (X - coefx[0]) + Ainv[0, 1] * (Y - coefy[0])
+        r = Ainv[1, 0] * (X - coefx[0]) + Ainv[1, 1] * (Y - coefy[0])
+        for _ in range(max_iter):
+            ex = _sample(gx, c, r) - X
+            ey = _sample(gy, c, r) - Y
+            if max(np.abs(ex).max(initial=0.0), np.abs(ey).max(initial=0.0)) < tol:
+                break
+            j11, j12 = _grad(gx, c, r)
+            j21, j22 = _grad(gy, c, r)
+            dj = j11 * j22 - j12 * j21
+            dj = np.where(np.abs(dj) < 1e-30, 1e-30, dj)
+            c = c - (j22 * ex - j12 * ey) / dj
+            r = r - (-j21 * ex + j11 * ey) / dj
+        return (pixel_offset + c * pixel_step,
+                line_offset + r * line_step)
 
     return fwd, inv
 
