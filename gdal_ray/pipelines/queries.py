@@ -1126,6 +1126,40 @@ def q_grid_invdist(sf_dir: str):
     return grid.grid_invdist(derived_points_ds(sf_dir))
 
 
+def q_grid_average(sf_dir: str):
+    """Moving-average interpolation (GGA_MovingAverage,
+    alg/gdalgrid.cpp): per-cell count + integer Σ(point_id % 100) —
+    integer-exact, so the oracle hash-matches bit-for-bit."""
+    from gdal_ray.stages import grid
+
+    return grid.grid_average(derived_points_ds(sf_dir))
+
+
+SQL_GRID_AVERAGE = f"""
+with p as ({POINT_SQL_CTE}),
+cells as (select gx.cx, gy.cy
+          from unnest(generate_series(-175, 175, 10)) as gx(cx),
+               unnest(generate_series(-85, 85, 10)) as gy(cy)),
+d as (select c.cx, c.cy, p.point_id
+      from cells c join p
+        on p.px between c.cx - 6 and c.cx + 6 and p.py between c.cy - 6 and c.cy + 6
+      where (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) < 36.0)
+select cx, cy, count(*) as n_points, cast(sum(point_id % 100) as bigint) as sum_z
+from d group by 1, 2
+"""
+
+
+def q_grid_linear(sf_dir: str):
+    """Triangulated linear interpolation (GGA_Linear — reference
+    triangulates via vendored qhull alg/delaunay.c): block-partitioned
+    Bowyer–Watson Delaunay + barycentric cell interpolation (rows-only;
+    exact distributed ≡ single-pass equality pytest-gated in
+    tests/test_grid_linear.py)."""
+    from gdal_ray.stages import grid
+
+    return grid.grid_linear(derived_points_ds(sf_dir))
+
+
 # ===========================================================================
 # Geometry measures / constructions (geometry/ops.py — OGRGeometry parity)
 # ===========================================================================
@@ -3177,6 +3211,7 @@ def queries():
         # ---- 50-slot window boundary (entries below are driver-unchecked)
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
+        "grid_average": q_grid_average,
         "geom_explode": q_geom_explode,
         "first_event": q_first_event,
         "stride_sample": q_stride_sample,
@@ -3202,6 +3237,7 @@ def queries():
         "polygonize_wkt": q_polygonize_wkt,
         "contour_lines": q_contour_lines,
         "grid_invdist": q_grid_invdist,
+        "grid_linear": q_grid_linear,
         "overlay_concave": q_overlay_concave,
         "convex_hull": q_convex_hull,
         "hillshade": q_hillshade,
@@ -3277,6 +3313,7 @@ def oracle_sql():
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
         "gpkg_roundtrip": SQL_GPKG_ROUNDTRIP,
+        "grid_average": SQL_GRID_AVERAGE,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

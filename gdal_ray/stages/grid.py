@@ -84,6 +84,139 @@ def grid_metrics(points_ds, *, radius: float = RADIUS):
     return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pyarrow")
 
 
+def grid_average(points_ds, *, radius: float = RADIUS):
+    """Moving average (GGA_MovingAverage, alg/gdalgrid.cpp
+    GDALGridMovingAverage): per cell → point count and Σz with
+    z = point_id % 100 (deterministic synthetic observable).  The sum is
+    integer-exact, so the SQL oracle hash-matches bit-for-bit; the float
+    average is sum_z / n_points."""
+    contrib = points_ds.map_batches(
+        lambda b: scatter_contributions(b, radius=radius), batch_format="pyarrow"
+    )
+
+    def reduce_cell(g: pa.Table) -> pa.Table:
+        pid = g.column("point_id").to_numpy()
+        return pa.table(
+            {
+                "cx": pa.array([g.column("cx")[0].as_py()], pa.int64()),
+                "cy": pa.array([g.column("cy")[0].as_py()], pa.int64()),
+                "n_points": pa.array([len(g)], pa.int64()),
+                "sum_z": pa.array([int((pid % 100).sum())], pa.int64()),
+            }
+        )
+
+    return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pyarrow")
+
+
+# ---- GGA_Linear: block-partitioned Delaunay --------------------------------
+#
+# PARTITIONING ASSUMPTION (documented per SURVEY.md §2 custom-operator
+# rule): the lattice is split into coarse blocks of cells; every point
+# within `halo` degrees of a block's bbox is replicated to that block,
+# and the block triangulates only its replicated neighborhood.  The
+# per-block triangles covering the block's own cells equal the global
+# Delaunay triangles iff every such triangle's circumcircle lies within
+# the halo'd bbox (Delaunay is a local property: a triangle is Delaunay
+# iff its circumcircle is point-free).  `halo` must therefore exceed the
+# largest circumradius of any triangle that touches a block boundary —
+# i.e. points must be dense at the halo scale.  pytest gates exact
+# distributed ≡ single-pass equality on the fixture.
+
+BLOCK = 6  # lattice cells per block side
+
+
+def _linear_block(block_id: int, pts: np.ndarray, ids: np.ndarray):
+    """Triangulate one block's neighborhood and interpolate its cells."""
+    from gdal_ray.stages.delaunay import delaunay, linear_interpolate
+
+    bx = block_id % ((NX + BLOCK - 1) // BLOCK)
+    by = block_id // ((NX + BLOCK - 1) // BLOCK)
+    ix = np.arange(bx * BLOCK, min((bx + 1) * BLOCK, NX))
+    iy = np.arange(by * BLOCK, min((by + 1) * BLOCK, NY))
+    gx, gy = np.meshgrid(X0 + ix * STEP, Y0 + iy * STEP)
+    centers = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float64)
+    if len(pts) < 3:
+        return centers[:0], np.empty(0)
+    # deterministic point order -> deterministic triangulation
+    order = np.argsort(ids, kind="stable")
+    pts, ids = pts[order], ids[order]
+    tris = delaunay(pts)
+    z = (ids % 100).astype(np.float64)
+    vals, inside = linear_interpolate(pts, z, tris, centers)
+    return centers[inside], vals[inside]
+
+
+def grid_linear(points_ds, *, halo: float = 3.0 * STEP):
+    """Triangulated linear interpolation (GGA_Linear, alg/gdalgrid.cpp —
+    reference triangulates via vendored qhull alg/delaunay.c): scatter
+    points to lattice blocks with a `halo`-degree margin, per-block
+    Bowyer–Watson Delaunay + barycentric interpolation of the block's
+    cell centers; outside-hull cells are not emitted.  See the
+    partitioning assumption above."""
+    nbx = (NX + BLOCK - 1) // BLOCK
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        ids = batch.column("point_id").to_numpy()
+        w = BLOCK * STEP
+        bx0 = np.maximum(np.floor((px - halo - X0) / w).astype(np.int64), 0)
+        bx1 = np.minimum(np.floor((px + halo - X0) / w).astype(np.int64), nbx - 1)
+        by0 = np.maximum(np.floor((py - halo - Y0) / w).astype(np.int64), 0)
+        nby = (NY + BLOCK - 1) // BLOCK
+        by1 = np.minimum(np.floor((py + halo - Y0) / w).astype(np.int64), nby - 1)
+        nx = np.maximum(bx1 - bx0 + 1, 0)
+        ny = np.maximum(by1 - by0 + 1, 0)
+        count = nx * ny
+        keep = count > 0
+        px, py, ids = px[keep], py[keep], ids[keep]
+        bx0, by0, nx, ny, count = bx0[keep], by0[keep], nx[keep], ny[keep], count[keep]
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), count)
+        starts = np.concatenate([[0], np.cumsum(count)[:-1]])
+        ordn = np.arange(int(count.sum()), dtype=np.int64) - np.repeat(starts, count)
+        bid = (by0[idx] + ordn // nx[idx]) * nbx + (bx0[idx] + ordn % nx[idx])
+        return pa.table(
+            {
+                "block": pa.array(bid, pa.int64()),
+                "point_id": pa.array(ids[idx], pa.int64()),
+                "px": pa.array(px[idx], pa.float64()),
+                "py": pa.array(py[idx], pa.float64()),
+            }
+        )
+
+    def reduce_block(g: pa.Table) -> pa.Table:
+        bid = int(g.column("block")[0].as_py())
+        pts = np.stack(
+            [g.column("px").to_numpy(), g.column("py").to_numpy()], axis=1
+        )
+        centers, vals = _linear_block(bid, pts, g.column("point_id").to_numpy())
+        return pa.table(
+            {
+                "cx": pa.array(centers[:, 0].astype(np.int64), pa.int64()),
+                "cy": pa.array(centers[:, 1].astype(np.int64), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    contrib = points_ds.map_batches(scatter, batch_format="pyarrow")
+    return contrib.groupby("block").map_groups(reduce_block, batch_format="pyarrow")
+
+
+def grid_linear_single(points: np.ndarray, ids: np.ndarray):
+    """Single-pass GGA_Linear over the full lattice (test oracle path)."""
+    from gdal_ray.stages.delaunay import delaunay, linear_interpolate
+
+    order = np.argsort(ids, kind="stable")
+    pts, ids = np.asarray(points, np.float64)[order], np.asarray(ids)[order]
+    gx, gy = np.meshgrid(X0 + np.arange(NX) * STEP, Y0 + np.arange(NY) * STEP)
+    centers = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float64)
+    tris = delaunay(pts)
+    vals, inside = linear_interpolate(
+        pts, (ids % 100).astype(np.float64), tris, centers
+    )
+    return centers[inside], vals[inside]
+
+
 def grid_invdist(points_ds, *, radius: float = RADIUS, power: float = 2.0):
     """Inverse-distance-weighted interpolation (GGA_InverseDistanceToAPower,
     alg/gdalgridsse.cpp inner loop): value = Σ w·z / Σ w, w = d^-power,
