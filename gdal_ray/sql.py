@@ -101,7 +101,7 @@ class _P:
 # ("bin", op, l, r) ("un", op, e) ("like", e, pat, ci, neg) ("in", e, vals, neg)
 # ("between", e, lo, hi, neg) ("isnull", e, neg) ("agg", fn, e|None)
 
-_AGG_FNS = {"SUM", "MIN", "MAX", "AVG", "COUNT"}
+_AGG_FNS = {"SUM", "MIN", "MAX", "AVG", "COUNT", "STDDEV_POP", "STDDEV_SAMP"}
 
 
 def _parse_expr(p: _P):
@@ -218,6 +218,11 @@ def _parse_primary(p):
             if fn == "COUNT" and p.accept("op", "*"):
                 p.expect("op", ")")
                 return ("agg", "COUNT", None)
+            if fn == "COUNT" and p.accept("kw", "DISTINCT"):
+                # SWQM_DISTINCT_LIST (ogr/ogr_swq.h:322)
+                e = _parse_expr(p)
+                p.expect("op", ")")
+                return ("agg", "COUNT_DISTINCT", e)
             if not p.accept("op", ")"):
                 while True:
                     args.append(_parse_expr(p))
@@ -454,6 +459,20 @@ def _eval(node, batch: pa.Table):
             return pc.ceil(args[0])
         if fn == "ROUND":
             return pc.round(args[0])
+        if fn == "HSTORE_GET_VALUE":
+            # swq_op_general.cpp OGRHStoreGetValue: value of `key` in an
+            # hstore string ('a=>1, "b"=>"x y"'); simple-value subset —
+            # no commas/quotes inside values
+            keynode = node[2][1]
+            if not (isinstance(keynode, tuple) and keynode[0] == "lit"
+                    and isinstance(keynode[1], str)):
+                raise ValueError("HSTORE_GET_VALUE key must be a string literal")
+            import re as _re
+
+            pat = (r'(?:^|,)\s*"?' + _re.escape(keynode[1])
+                   + r'"?\s*=>\s*"?(?P<v>[^,"]*)"?')
+            st = pc.extract_regex(pc.cast(args[0], pa.string()), pat)
+            return pc.utf8_trim_whitespace(pc.struct_field(st, "v"))
         if fn in _CUSTOM_FUNCS:  # SWQCF_CUSTOM (ogr/ogr_swq.h:334)
             out = _CUSTOM_FUNCS[fn](*args)
             if not isinstance(out, (pa.Array, pa.ChunkedArray, pa.Scalar)):
@@ -730,10 +749,32 @@ def _execute_aggregate(ds, q, funcs=None):
 
     fn_map = {"SUM": "sum", "MIN": "min", "MAX": "max", "AVG": "mean", "COUNT": "count"}
     post_casts = {}
+    stddev_posts = []   # (out_name, s_col, q_col, n_col, sample)
+    distinct_nodes = [n for n in agg_nodes if n[0][1] == "COUNT_DISTINCT"]
+    if distinct_nodes:
+        # SWQM_DISTINCT_LIST: two-stage exact distinct (group ∪ value,
+        # then count per group).  Scoped to the sole aggregate in the
+        # SELECT — matching the reference's single-target DISTINCT mode.
+        if len(agg_nodes) != 1:
+            raise ValueError(
+                "COUNT(DISTINCT ...) must be the only aggregate in the SELECT"
+            )
+        return _execute_count_distinct(ds, q, agg_nodes[0], funcs)
     for j, (node, out_name, post_cast) in enumerate(agg_nodes):
         _, fn, arg = node
         if post_cast is not None:
             post_casts[out_name] = post_cast
+        if fn in ("STDDEV_POP", "STDDEV_SAMP"):
+            # lowered to (Σx, Σx², n) partials — the same decomposition
+            # ogr_gensql.cpp uses for its streaming STDDEV evaluation
+            s, qq, n = f"__sd{j}_s", f"__sd{j}_q", f"__sd{j}_n"
+            pre_cols.append((s, ("cast", arg, "DOUBLE")))
+            pre_cols.append((qq, ("cast", ("bin", "*", arg, arg), "DOUBLE")))
+            agg_specs.append((s, "sum", s))
+            agg_specs.append((qq, "sum", qq))
+            agg_specs.append((s, "count", n))
+            stddev_posts.append((out_name, s, qq, n, fn == "STDDEV_SAMP"))
+            continue
         if arg is None:  # COUNT(*)
             in_col = "__one"
             pre_cols.append((in_col, ("lit", 1)))
@@ -778,12 +819,77 @@ def _execute_aggregate(ds, q, funcs=None):
             names.append(name or _default_name(node, idx))
 
     def reorder(b: pa.Table) -> pa.Table:
+        for out_name, s, qq, n, sample in stddev_posts:
+            sv = b.column(s).to_numpy().astype(np.float64)
+            qv = b.column(qq).to_numpy().astype(np.float64)
+            nv = b.column(n).to_numpy().astype(np.float64)
+            m2 = qv - sv * sv / nv
+            denom = np.maximum(nv - 1.0, 1.0) if sample else nv
+            var = np.maximum(m2, 0.0) / denom
+            if sample:  # STDDEV_SAMP of a single row is NULL
+                var = np.where(nv > 1.0, var, np.nan)
+            b = b.append_column(out_name, pa.array(np.sqrt(var), pa.float64()))
         b = b.select(names)
         if renames:
             b = b.rename_columns([renames.get(n, n) for n in b.column_names])
         for nm, ty in post_casts.items():
             i = b.schema.get_field_index(nm)
             b = b.set_column(i, nm, pc.cast(b.column(nm), ty))
+        return b
+
+    return out.map_batches(reorder, batch_format="pyarrow")
+
+
+def _execute_count_distinct(ds, q, agg_node, funcs=None):
+    """COUNT(DISTINCT expr) [GROUP BY g...]: exact two-stage distinct —
+    groupby(group ∪ value) first-wins, then count per group (the plan
+    q_count_distinct uses; one extra exchange, no per-group sets)."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    group = q["group"] or []
+    node, out_name, post_cast = agg_node
+    arg = node[2]
+    items = q["items"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols = {g: b.column(g) for g in group}
+        v = _eval_with_funcs(arg, b, funcs)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * len(b))
+        cols["__dv"] = v
+        cols["__one"] = pa.array(np.ones(len(b), np.int64))
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d1 = grouped_aggregate(prepped, group + ["__dv"], [("__one", "count", "__c")])
+    if group:
+        out = grouped_aggregate(d1, group, [("__c", "count", out_name)])
+    else:
+        def add_key(b: pa.Table) -> pa.Table:
+            return b.append_column("__k", pa.array(np.zeros(len(b), np.int64)))
+
+        out = grouped_aggregate(
+            d1.map_batches(add_key, batch_format="pyarrow"),
+            ["__k"], [("__c", "count", out_name)],
+        ).drop_columns(["__k"])
+
+    names, renames = [], {}
+    for idx, (n_node, name) in enumerate(items):
+        if n_node[0] == "col" and not _has_agg(n_node):
+            names.append(n_node[1])
+            if name is not None and name != n_node[1]:
+                renames[n_node[1]] = name
+        else:
+            names.append(name or _default_name(n_node, idx))
+
+    def reorder(b: pa.Table) -> pa.Table:
+        b = b.select(names)
+        if renames:
+            b = b.rename_columns([renames.get(n, n) for n in b.column_names])
+        if post_cast is not None:
+            i = b.schema.get_field_index(renames.get(out_name, out_name))
+            nm = b.column_names[i]
+            b = b.set_column(i, nm, pc.cast(b.column(nm), post_cast))
         return b
 
     return out.map_batches(reorder, batch_format="pyarrow")

@@ -63,6 +63,10 @@ QUERIES = [
     "SELECT doc_id FROM documents WHERE doc_id < 5 UNION ALL SELECT doc_id FROM documents WHERE doc_id >= 495 AND doc_id < 500",
     "SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 10 UNION ALL SELECT c_custkey AS k FROM customer WHERE c_custkey < 10 UNION ALL SELECT doc_id AS k FROM documents WHERE doc_id < 10",
     "SELECT * EXCLUDE (source, lang) FROM documents WHERE doc_id < 30",
+    # COUNT(DISTINCT ...) — SWQM_DISTINCT_LIST (ogr/ogr_swq.h:322)
+    "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n FROM orders GROUP BY o_orderpriority",
+    "SELECT COUNT(DISTINCT lang) AS n FROM documents",
+    "SELECT lang, COUNT(DISTINCT source) AS n FROM documents WHERE doc_id < 300 GROUP BY lang",
 ]
 
 
@@ -82,6 +86,62 @@ def test_sql_matches_duckdb(ray_tables, con, sql):
             assert np.allclose(g.astype(float), w.astype(float), rtol=1e-12, atol=0), (sql, c)
         else:
             assert (g.astype(object) == w.astype(object)).all(), (sql, c)
+
+
+STDDEV_QUERIES = [
+    # swq STDDEV_POP/STDDEV_SAMP (ogr/ogr_swq.h:326-334); compared at
+    # 1e-9 — our (Σx, Σx²) decomposition vs DuckDB's single-pass variance
+    "SELECT event_type, STDDEV_POP(value) AS sd FROM events GROUP BY event_type",
+    "SELECT STDDEV_SAMP(o_totalprice) AS sd, COUNT(*) AS n FROM orders",
+    "SELECT lang, STDDEV_SAMP(doc_id) AS sd, AVG(doc_id) AS m FROM documents GROUP BY lang",
+]
+
+
+@pytest.mark.parametrize("sql", STDDEV_QUERIES, ids=range(len(STDDEV_QUERIES)))
+def test_sql_stddev_matches_duckdb(ray_tables, con, sql):
+    from gdal_ray.sql import execute_sql
+
+    got = _canon(execute_sql(sql, ray_tables).to_pandas())
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float), rtol=1e-9), (sql, c)
+        else:
+            assert (g.astype(object) == w.astype(object)).all(), (sql, c)
+
+
+def test_sql_count_distinct_guard(ray_tables):
+    from gdal_ray.sql import execute_sql
+
+    with pytest.raises(ValueError, match="only aggregate"):
+        execute_sql(
+            "SELECT COUNT(DISTINCT lang) AS a, COUNT(*) AS b FROM documents",
+            ray_tables,
+        )
+
+
+def test_sql_hstore_get_value(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sql import execute_sql
+
+    t = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "tags": pa.array(
+            ['a=>1, b=>two', '"a"=>"x y", c=>3', 'b=>only', None],
+            pa.string()),
+    })
+    out = execute_sql(
+        "SELECT k, HSTORE_GET_VALUE(tags, 'a') AS a, "
+        "HSTORE_GET_VALUE(tags, 'b') AS b FROM tt",
+        {"tt": rd.from_arrow(t)},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["a"]) == ["1", "x y", None, None]
+    assert list(out["b"]) == ["two", None, "only", None]
 
 
 def test_sql_parse_errors():
