@@ -287,6 +287,34 @@ def _overview_reduce(big: np.ndarray, ba: np.ndarray, ts: int, method: str):
         rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
         alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
         return rgb_out, alpha_out
+    if method == "gauss":
+        # GDALResampleChunk_Gauss (gcore/overview.cpp:1842): for a 2×
+        # reduction, each dst pixel is the [1 2 1; 2 4 2; 1 2 1]/16-
+        # weighted mean of the 3×3 source window centered at (2i, 2j);
+        # out-of-window/transparent samples drop out and the remaining
+        # weights renormalize (alpha-weighted like the reference's
+        # nodata handling).  Window clips at the quad edge exactly as
+        # the reference clips at the raster edge.
+        kw = np.array([1.0, 2.0, 1.0])
+        pad_v = np.zeros((2 * ts + 2, 2 * ts + 2, 3))
+        pad_a = np.zeros((2 * ts + 2, 2 * ts + 2))
+        pad_v[1:-1, 1:-1] = big * ba[:, :, None]
+        pad_a[1:-1, 1:-1] = ba
+        acc = np.zeros((ts, ts, 3))
+        wacc = np.zeros((ts, ts))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                w = kw[dy + 1] * kw[dx + 1]
+                ys = slice(1 + dy, 1 + dy + 2 * ts, 2)
+                xs = slice(1 + dx, 1 + dx + 2 * ts, 2)
+                acc += w * pad_v[ys, xs]
+                wacc += w * pad_a[ys, xs]
+        with np.errstate(invalid="ignore"):
+            mean = acc / np.maximum(wacc, 1e-12)[:, :, None]
+        rgb_out = np.where(wacc[:, :, None] > 0, np.round(mean), 0)
+        rgb_out = np.clip(rgb_out, 0, 255).astype(np.uint8)
+        alpha_out = np.round(asum / 4.0 * 255.0).astype(np.uint8)
+        return rgb_out, alpha_out
     if method == "mode":
         # candidates in row-major window order (0,0),(0,1),(1,0),(1,1)
         q = big.reshape(ts, 2, ts, 2, 3)
@@ -305,7 +333,7 @@ def _overview_reduce(big: np.ndarray, ba: np.ndarray, ts: int, method: str):
         alpha_out = np.where(any_valid, 255, 0).astype(np.uint8)
         return rgb_out, alpha_out
     raise ValueError(f"unknown overview resampler {method!r} "
-                     "(supported: average, rms, nearest, mode)")
+                     "(supported: average, rms, nearest, mode, gauss)")
 
 
 def _overview_group(g: pa.Table, ts: int, method: str = "average") -> pa.Table:
@@ -349,7 +377,7 @@ def overview_level(tiles_ds, *, tile_size: int = 64, method: str = "average"):
     """One pyramid step: tiles at level z → tiles at level z-1.  The
     groupby(parent) is the per-level barrier (WaitCompletion :3033).
     ``method`` selects the 2×2 reducer per gcore/overview.cpp:4223
-    dispatch: average (default) | rms | nearest | mode."""
+    dispatch: average (default) | rms | nearest | mode | gauss."""
     def key(b: pa.Table) -> pa.Table:
         return b.append_column("px", pa.array(b.column("x").to_numpy() >> 1, pa.int64())) \
                 .append_column("py", pa.array(b.column("y").to_numpy() >> 1, pa.int64()))

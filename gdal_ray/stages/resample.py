@@ -45,9 +45,22 @@ def _bilinear_weight(x: np.ndarray) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(x))
 
 
+def _bspline_weight(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline B₃ (GRA_CubicSpline — alg/gdalresamplingkernels.h
+    CubicSplineKernel): smoothing, not interpolating; partition of unity."""
+    ax = np.abs(x)
+    w = np.zeros_like(ax)
+    m1 = ax < 1
+    m2 = (ax >= 1) & (ax < 2)
+    w[m1] = (4.0 - 6.0 * ax[m1] ** 2 + 3.0 * ax[m1] ** 3) / 6.0
+    w[m2] = (2.0 - ax[m2]) ** 3 / 6.0
+    return w
+
+
 _KERNELS = {
     "bilinear": (_bilinear_weight, 1),
     "cubic": (_cubic_weight, 2),
+    "cubicspline": (_bspline_weight, 2),
     "lanczos": (_lanczos_weight, 3),
 }
 

@@ -285,3 +285,46 @@ def test_overview_bad_method_raises():
     g, _, _ = _quad_group(ts, rng)
     with pytest.raises(ValueError):
         render._overview_group(g, ts, "lanczos")
+
+
+def test_overview_gauss_matches_naive():
+    ts = 8
+    rng = np.random.default_rng(6)
+    g, big, ba = _quad_group(ts, rng)
+    out = render._overview_group(g, ts, "gauss")
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8).reshape(ts, ts, 3)
+    k = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+    for oy in range(ts):
+        for ox in range(ts):
+            acc = np.zeros(3)
+            wacc = 0.0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    sy, sx = 2 * oy + dy, 2 * ox + dx
+                    if 0 <= sy < 2 * ts and 0 <= sx < 2 * ts and ba[sy, sx] > 0:
+                        w = k[dy + 1, dx + 1] * ba[sy, sx]
+                        acc += w * big[sy, sx]
+                        wacc += w
+            exp = (np.clip(np.round(acc / wacc), 0, 255).astype(np.uint8)
+                   if wacc > 0 else np.zeros(3, np.uint8))
+            assert (got[oy, ox] == exp).all(), (oy, ox)
+
+
+def test_overview_gauss_constant_preserved():
+    ts = 8
+    rgb = np.full((2 * ts, 2 * ts, 3), 77, np.uint8)
+    g = pa.table(
+        {
+            "z": pa.array([3] * 4, pa.int64()),
+            "x": pa.array([0, 1, 0, 1], pa.int64()),
+            "y": pa.array([0, 0, 1, 1], pa.int64()),
+            "px": pa.array([0] * 4, pa.int64()),
+            "py": pa.array([0] * 4, pa.int64()),
+            "rgb": pa.array([rgb[:ts, :ts].tobytes()] * 4, pa.binary()),
+            "alpha": pa.array([np.full((ts, ts), 255, np.uint8).tobytes()] * 4,
+                              pa.binary()),
+        }
+    )
+    out = render._overview_group(g, ts, "gauss")
+    got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8)
+    assert (got == 77).all()

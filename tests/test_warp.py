@@ -51,3 +51,33 @@ def test_warp_nodata_outside_source():
         img, gt, "EPSG:4326", "EPSG:4326", dst_size=(32, 32), dst_gt=dst_gt, method="nearest", nodata=7
     )
     assert out[0, 0] == 7 and out[16, 16] == 50
+
+
+def test_cubicspline_constant_preserved_and_matches_naive():
+    """GRA_CubicSpline (B-spline B3, alg/gdalresamplingkernels.h): kernel
+    is a partition of unity (constant preserved); vectorized separable
+    path must match a naive direct evaluation."""
+    import numpy as np
+
+    from gdal_ray.stages.resample import _bspline_weight, resize
+
+    const = np.full((10, 14), 99, np.uint8)
+    out = resize(const, 7, 5, method="cubicspline")
+    assert (out == 99).all()
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, size=(9, 11)).astype(np.float64)
+    out = resize(img, 22, 18, method="cubicspline")  # upsample (ksc=1)
+    oh, ow = out.shape
+    for oy in (0, 5, 17):
+        for ox in (0, 7, 21):
+            cy = (oy + 0.5) * (9 / 18) - 0.5
+            cx = (ox + 0.5) * (11 / 22) - 0.5
+            acc = wsum = 0.0
+            for iy in range(int(np.floor(cy)) - 2, int(np.floor(cy)) + 4):
+                for ix in range(int(np.floor(cx)) - 2, int(np.floor(cx)) + 4):
+                    w = (_bspline_weight(np.array([iy - cy]))
+                         * _bspline_weight(np.array([ix - cx])))[0]
+                    acc += w * img[np.clip(iy, 0, 8), np.clip(ix, 0, 10)]
+                    wsum += w
+            assert abs(out[oy, ox] - acc / wsum) < 1e-9
