@@ -289,10 +289,20 @@ def _first_band(img):
 
 @register_step("hillshade")
 def _hillshade(img, azimuth: float = 315.0, altitude: float = 45.0,
-               z_factor: float = 1.0):
-    from gdal_ray.stages.dem import hillshade
-    return hillshade(_first_band(img).astype(np.float64)[None], azimuth,
-                     altitude, z=z_factor)[0]
+               z_factor: float = 1.0, variant: str = "regular"):
+    """variant mirrors gdaldem hillshade -combined/-igor/-multidirectional
+    (apps/gdaldem_lib.cpp:943,1140,1253)."""
+    from gdal_ray.stages import dem
+    band = _first_band(img).astype(np.float64)[None]
+    if variant == "regular":
+        return dem.hillshade(band, azimuth, altitude, z=z_factor)[0]
+    if variant == "combined":
+        return dem.hillshade_combined(band, azimuth, altitude, z=z_factor)[0]
+    if variant == "igor":
+        return dem.hillshade_igor(band, azimuth, z=z_factor)[0]
+    if variant == "multidirectional":
+        return dem.hillshade_multidirectional(band, altitude, z=z_factor)[0]
+    raise ValueError(f"unknown hillshade variant {variant!r}")
 
 
 @register_step("slope")

@@ -120,6 +120,80 @@ def hillshade(e: np.ndarray, azimuth: float = 315.0, altitude: float = 45.0,
     return np.clip(np.round(val), 1, 255).astype(np.uint8)
 
 
+def hillshade_combined(e: np.ndarray, azimuth: float = 315.0,
+                       altitude: float = 45.0, z: float = 1.0,
+                       scale: float = 1.0) -> np.ndarray:
+    """Combined shading (gdaldem hillshade -combined,
+    GDALHillshadeCombinedAlg apps/gdaldem_lib.cpp:1140): the oblique
+    shade angle modulated by slope —
+    ``1 − arccos(cos_incidence) · slope_rad · (2/π)²``, then the usual
+    1+254 byte mapping with ≤0 → 1."""
+    gx, gy = _horn_gradients(e)
+    gx, gy = gx * z / scale, gy * z / scale
+    az = np.deg2rad(360.0 - azimuth + 90.0)
+    alt = np.deg2rad(altitude)
+    slope_rad = np.arctan(np.hypot(gx, gy))
+    aspect = np.arctan2(gy, -gx)
+    cosinc = np.clip(
+        np.sin(alt) * np.cos(slope_rad)
+        + np.cos(alt) * np.sin(slope_rad) * np.cos(az - aspect),
+        -1.0, 1.0,
+    )
+    cang = 1.0 - np.arccos(cosinc) * slope_rad * (4.0 / np.pi**2)
+    val = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    return np.clip(np.round(val), 1, 255).astype(np.uint8)
+
+
+def hillshade_igor(e: np.ndarray, azimuth: float = 315.0, z: float = 1.0,
+                   scale: float = 1.0) -> np.ndarray:
+    """Igor's shading (gdaldem hillshade -igor, GDALHillshadeIgorAlg
+    apps/gdaldem_lib.cpp:943): shadowness = slope/90° weighted by how
+    directly the aspect faces away from the sun;
+    value = 255·(1 − slopeStrength·aspectStrength)."""
+    gx, gy = _horn_gradients(e)
+    slope_deg = np.rad2deg(np.arctan(np.hypot(gx * z / scale, gy * z / scale)))
+    aspect = np.arctan2(gy, -gx)
+    az = np.deg2rad(azimuth)
+    target = 1.5 * np.pi - az
+    diff = np.abs(np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi))
+    diff = np.where(diff > np.pi, 2 * np.pi - diff, diff)
+    aspect_strength = 1.0 - diff / np.pi
+    shadow = 1.0 - (slope_deg / 90.0) * aspect_strength
+    return np.clip(np.round(255.0 * shadow), 0, 255).astype(np.uint8)
+
+
+def hillshade_multidirectional(e: np.ndarray, altitude: float = 45.0,
+                               z: float = 1.0, scale: float = 1.0) -> np.ndarray:
+    """Multidirectional hillshade (gdaldem hillshade -multidirectional,
+    GDALHillshadeMultiDirectionalAlg apps/gdaldem_lib.cpp:1253; USGS
+    OF 92-422): aspect-weighted blend of the 225/270/315/360° azimuth
+    shades — weights W(az) = sin²(aspect − az) folded to gradient
+    products, flat cells = 1 + 254·sin(alt)."""
+    gx, gy = _horn_gradients(e)
+    x, y = gx * z / scale, gy * z / scale
+    alt = np.deg2rad(altitude)
+    sin_alt = np.sin(alt)
+    cos_alt = np.cos(alt)
+    cos225 = np.cos(np.deg2rad(225.0))  # = -√2/2, shared by 225 and 315
+    xx, yy = x * x, y * y
+    xxyy = xx + yy
+    v225 = np.maximum(sin_alt + (x - y) * cos225 * cos_alt, 0.0)
+    v270 = np.maximum(sin_alt - x * cos_alt, 0.0)
+    v315 = np.maximum(sin_alt + (x + y) * cos225 * cos_alt, 0.0)
+    v360 = np.maximum(sin_alt - y * cos_alt, 0.0)
+    w225 = 0.5 * xxyy - x * y
+    w270 = xx
+    w315 = xxyy - w225
+    w360 = yy
+    denom = np.where(xxyy == 0.0, 1.0, xxyy)
+    # Σweights = 2·(x²+y²), so the blend is ≈ 2·mean-shade and the byte
+    # scale is 127 (the reference's *_mul_127 constants), not 254
+    cang = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / denom
+    cang = cang / np.sqrt(1.0 + xxyy)
+    val = np.where(xxyy == 0.0, 1.0 + 254.0 * sin_alt, 1.0 + 127.0 * cang)
+    return np.clip(np.round(val), 1, 255).astype(np.uint8)
+
+
 def slope_degrees(e: np.ndarray, z: float = 1.0, scale: float = 1.0) -> np.ndarray:
     gx, gy = _horn_gradients(e)
     return np.rad2deg(np.arctan(np.hypot(gx * z / scale, gy * z / scale)))

@@ -101,3 +101,23 @@ def test_write_to_parquet_roundtrip(ray_session, tmp_path):
     from gdal_ray.codecs.png import decode_png
     blob = full.column("png")[0].as_py()
     assert decode_png(blob).ndim >= 2
+
+
+def test_hillshade_variant_option_parity():
+    import numpy as np
+
+    from gdal_ray.pipeline import _REGISTRY
+    from gdal_ray.stages import dem
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(12, 12)).astype(np.uint8)
+    step = _REGISTRY["hillshade"][1]
+    band = img.astype(np.float64)[None]
+    assert (step(img, variant="combined")
+            == dem.hillshade_combined(band)[0]).all()
+    assert (step(img, variant="igor") == dem.hillshade_igor(band)[0]).all()
+    assert (step(img, variant="multidirectional")
+            == dem.hillshade_multidirectional(band)[0]).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        step(img, variant="nope")
