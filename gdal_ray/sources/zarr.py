@@ -1,0 +1,278 @@
+"""Zarr v2 raster store driver — directory of JSON metadata + compressed
+C-order chunks, implemented from the public Zarr v2 spec (no zarr-python).
+
+Reference semantics: frmts/zarr (zarrdriver.cpp / zarrv2group.cpp) — the
+reference reads/writes the same on-disk layout: a `.zarray` JSON document
+(shape, chunks, dtype, compressor, fill_value, order) beside chunk files
+named ``<i>.<j>`` (dimension_separator "." by default, "/" supported).
+
+Scope: 2-D (and 2-D + trailing channel) arrays, C order, compressor
+``zlib``/``gzip`` or null (raw) — the subset that needs no external
+codec library.  Edge chunks are stored full-size, padded with
+fill_value, per the v2 spec.
+
+Scale shape: chunks are the parallel unit in both directions — a read
+enumerates chunk indices driver-side (pure arithmetic on shape/chunks)
+and each Ray task opens only its chunk files; a write fans chunks out
+via map_batches so every task writes its own files (atomic tmp+rename)
+and only the tiny per-chunk summary returns to the driver.  The .zarray
+metadata is one tiny driver-side JSON write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_SUPPORTED_COMPRESSORS = ("zlib", "gzip", None)
+
+
+def _dtype_str(dt: np.dtype) -> str:
+    """numpy dtype -> zarr v2 dtype string ('<f8', '>i4', '|u1', ...)."""
+    return np.dtype(dt).str
+
+
+def _compress(raw: bytes, compressor: str | None, level: int) -> bytes:
+    if compressor is None:
+        return raw
+    if compressor == "zlib":
+        return zlib.compress(raw, level)
+    if compressor == "gzip":
+        import gzip
+
+        return gzip.compress(raw, compresslevel=level)
+    raise NotImplementedError(f"compressor {compressor!r}")
+
+
+def _decompress(blob: bytes, compressor: str | None) -> bytes:
+    if compressor is None:
+        return blob
+    if compressor == "zlib":
+        return zlib.decompress(blob)
+    if compressor == "gzip":
+        import gzip
+
+        return gzip.decompress(blob)
+    raise NotImplementedError(f"compressor {compressor!r}")
+
+
+def _meta(path: str) -> dict:
+    with open(os.path.join(path, ".zarray")) as f:
+        m = json.load(f)
+    if m.get("zarr_format") != 2:
+        raise NotImplementedError(f"zarr_format {m.get('zarr_format')}")
+    if m.get("order", "C") != "C":
+        raise NotImplementedError("only C-order zarr arrays")
+    if m.get("filters"):
+        raise NotImplementedError("zarr filters not supported")
+    comp = m.get("compressor")
+    cid = comp["id"] if comp else None
+    if cid not in _SUPPORTED_COMPRESSORS:
+        raise NotImplementedError(f"compressor {cid!r} (no codec lib in sandbox)")
+    return m
+
+
+def _chunk_name(idx: tuple[int, ...], sep: str) -> str:
+    return sep.join(str(i) for i in idx)
+
+
+def _grid(shape, chunks):
+    return [(s + c - 1) // c for s, c in zip(shape, chunks)]
+
+
+# ---------------------------------------------------------------- write
+
+
+def write_zarr(arr: np.ndarray, path: str, *, chunks=None,
+               compressor: str | None = "zlib", level: int = 1,
+               fill_value=0, attrs: dict | None = None,
+               dimension_separator: str = ".") -> None:
+    """Driver-side sink for a small in-memory array (atomic per file)."""
+    arr = np.asarray(arr)
+    if chunks is None:
+        chunks = tuple(min(s, 256) for s in arr.shape)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_str(arr.dtype),
+        "compressor": ({"id": compressor, "level": level}
+                       if compressor else None),
+        "fill_value": (None if fill_value is None
+                       else (fill_value if not isinstance(fill_value, float)
+                             or np.isfinite(fill_value) else "NaN")),
+        "order": "C",
+        "filters": None,
+        "dimension_separator": dimension_separator,
+    }
+    _atomic_write(os.path.join(path, ".zarray"),
+                  json.dumps(meta, indent=1).encode())
+    if attrs:
+        _atomic_write(os.path.join(path, ".zattrs"),
+                      json.dumps(attrs, indent=1).encode())
+    grid = _grid(arr.shape, chunks)
+    for idx in np.ndindex(*grid):
+        block = _pad_chunk(arr, idx, chunks, fill_value)
+        name = _chunk_name(idx, dimension_separator)
+        if dimension_separator == "/":
+            os.makedirs(os.path.join(path, *name.split("/")[:-1]), exist_ok=True)
+        _atomic_write(os.path.join(path, *name.split("/")) if
+                      dimension_separator == "/" else os.path.join(path, name),
+                      _compress(block.tobytes(), compressor, level))
+
+
+def _pad_chunk(arr, idx, chunks, fill_value) -> np.ndarray:
+    sl = tuple(slice(i * c, min((i + 1) * c, s))
+               for i, c, s in zip(idx, chunks, arr.shape))
+    block = arr[sl]
+    if block.shape != tuple(chunks):  # edge chunk: stored full-size padded
+        full = np.full(chunks, fill_value if fill_value is not None else 0,
+                       dtype=arr.dtype)
+        full[tuple(slice(0, e) for e in block.shape)] = block
+        block = full
+    return np.ascontiguousarray(block)
+
+
+def _atomic_write(final: str, data: bytes) -> None:
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, final)
+
+
+def write_zarr_tiles(tiles_ds, path: str, *, shape, chunks, dtype,
+                     compressor: str | None = "zlib", level: int = 1,
+                     fill_value=0) -> int:
+    """Scale path: a Dataset of chunk rows (cy:int64, cx:int64,
+    data:binary — raw C-order full-chunk bytes) writes in parallel, one
+    file per chunk per task, atomic rename; the driver writes only the
+    metadata.  Returns chunks written."""
+    dt = np.dtype(dtype)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_str(dt),
+        "compressor": ({"id": compressor, "level": level}
+                       if compressor else None),
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    _atomic_write(os.path.join(path, ".zarray"),
+                  json.dumps(meta, indent=1).encode())
+    nbytes = int(np.prod(chunks)) * dt.itemsize
+
+    def sink(b: pa.Table) -> pa.Table:
+        cys = b.column("cy").to_numpy()
+        cxs = b.column("cx").to_numpy()
+        blobs = b.column("data").to_pylist()
+        for i in range(len(cys)):
+            if len(blobs[i]) != nbytes:
+                raise ValueError(
+                    f"chunk ({cys[i]},{cxs[i]}): got {len(blobs[i])} bytes, "
+                    f"expected full chunk {nbytes}"
+                )
+            _atomic_write(os.path.join(path, f"{int(cys[i])}.{int(cxs[i])}"),
+                          _compress(blobs[i], compressor, level))
+        return pa.table({"cy": b.column("cy"), "cx": b.column("cx"),
+                         "written": pa.array([True] * len(cys))})
+
+    out = tiles_ds.map_batches(sink, batch_format="pyarrow").to_pandas()
+    return int(out["written"].sum())
+
+
+# ---------------------------------------------------------------- read
+
+
+def read_zarr_meta(path: str) -> dict:
+    return _meta(path)
+
+
+def read_zarr(path: str):
+    """-> ray.data.Dataset of chunk rows (cy, cx, h, w, data:binary raw
+    bytes cropped to the in-bounds window).  Chunk indices enumerate
+    driver-side from the metadata; each task reads only its files."""
+    import ray.data as rd
+
+    m = _meta(path)
+    if len(m["shape"]) != 2:
+        raise NotImplementedError("read_zarr handles 2-D arrays")
+    sep = m.get("dimension_separator", ".")
+    comp = m["compressor"]["id"] if m["compressor"] else None
+    dt = np.dtype(m["dtype"])
+    ch, cw = m["chunks"]
+    H, W = m["shape"]
+    fill = m.get("fill_value", 0)
+    if fill == "NaN":
+        fill = np.nan
+    gy, gx = _grid(m["shape"], m["chunks"])
+    items = [{"cy": y, "cx": x} for y in range(gy) for x in range(gx)]
+
+    def load(b: pa.Table) -> pa.Table:
+        rows = {"cy": [], "cx": [], "h": [], "w": [], "data": []}
+        for r in b.to_pylist():
+            y, x = r["cy"], r["cx"]
+            name = _chunk_name((y, x), sep)
+            fp = os.path.join(path, *name.split("/")) if sep == "/" \
+                else os.path.join(path, name)
+            h = min(ch, H - y * ch)
+            w = min(cw, W - x * cw)
+            if os.path.exists(fp):
+                with open(fp, "rb") as f:
+                    raw = _decompress(f.read(), comp)
+                block = np.frombuffer(raw, dtype=dt).reshape(ch, cw)[:h, :w]
+            else:  # missing chunk = fill_value per spec
+                block = np.full((h, w), fill, dtype=dt)
+            rows["cy"].append(y)
+            rows["cx"].append(x)
+            rows["h"].append(h)
+            rows["w"].append(w)
+            rows["data"].append(np.ascontiguousarray(block).tobytes())
+        return pa.table({
+            "cy": pa.array(rows["cy"], pa.int64()),
+            "cx": pa.array(rows["cx"], pa.int64()),
+            "h": pa.array(rows["h"], pa.int64()),
+            "w": pa.array(rows["w"], pa.int64()),
+            "data": pa.array(rows["data"], pa.binary()),
+        })
+
+    return rd.from_items(items).map_batches(load, batch_format="pyarrow")
+
+
+def read_zarr_array(path: str) -> np.ndarray:
+    """Driver-side full assembly (small arrays / tests)."""
+    m = _meta(path)
+    if len(m["shape"]) != 2:
+        raise NotImplementedError("read_zarr_array handles 2-D arrays")
+    sep = m.get("dimension_separator", ".")
+    comp = m["compressor"]["id"] if m["compressor"] else None
+    dt = np.dtype(m["dtype"])
+    ch, cw = m["chunks"]
+    H, W = m["shape"]
+    fill = m.get("fill_value", 0)
+    if fill == "NaN":
+        fill = np.nan
+    out = np.full((H, W), fill if fill is not None else 0, dtype=dt)
+    gy, gx = _grid(m["shape"], m["chunks"])
+    for y in range(gy):
+        for x in range(gx):
+            name = _chunk_name((y, x), sep)
+            fp = os.path.join(path, *name.split("/")) if sep == "/" \
+                else os.path.join(path, name)
+            if not os.path.exists(fp):
+                continue
+            with open(fp, "rb") as f:
+                raw = _decompress(f.read(), comp)
+            block = np.frombuffer(raw, dtype=dt).reshape(ch, cw)
+            h = min(ch, H - y * ch)
+            w = min(cw, W - x * cw)
+            out[y * ch:y * ch + h, x * cw:x * cw + w] = block[:h, :w]
+    return out
