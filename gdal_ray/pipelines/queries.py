@@ -761,6 +761,33 @@ from s group by lang
 """
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (training-data brief: 'whitespace + a
+    BPE-ish regex'): GPT-2-style pre-tokenizer match counts per language
+    — one vectorized RE2 pass (pc.count_substring_regex); the oracle
+    runs the IDENTICAL pattern through DuckDB's RE2."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    stats = docs.map_batches(
+        lambda b: text_stage.bpe_token_batch(b).append_column("lang", b.column("lang")),
+        batch_format="pyarrow",
+    )
+    return stats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_bpe", alias_name="sum_bpe"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+select lang, count(*) as n_docs,
+       cast(sum(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+           as bigint) as sum_bpe
+from documents group by lang
+"""
+
+
 def q_quality_filter(sf_dir: str):
     """Quality gate: keep docs whose alpha-char share is >= 70% of non-space
     chars and that have >= 20 tokens — integer predicate, exact both sides."""
@@ -3212,6 +3239,7 @@ def queries():
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
+        "bpe_tokens": q_bpe_tokens,
         "geom_explode": q_geom_explode,
         "first_event": q_first_event,
         "stride_sample": q_stride_sample,
@@ -3314,6 +3342,7 @@ def oracle_sql():
         "viewshed": SQL_VIEWSHED,
         "gpkg_roundtrip": SQL_GPKG_ROUNDTRIP,
         "grid_average": SQL_GRID_AVERAGE,
+        "bpe_tokens": SQL_BPE_TOKENS,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.

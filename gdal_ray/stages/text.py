@@ -83,6 +83,25 @@ def run_spans(member: np.ndarray, starts_mask: np.ndarray, offs: np.ndarray):
     return w_start, w_end - w_start + 1
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead): contraction
+# suffixes, space-prefixed letter/digit/punct runs, whitespace runs.
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all both run
+# RE2, so the IDENTICAL pattern is the exact oracle (pytest-pinned).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe) — BPE-ish pre-tokenizer match counts, one
+    vectorized RE2 pass over the Arrow string column (no Python loop)."""
+    n = pc.count_substring_regex(batch.column("text"), BPE_PATTERN)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe": pc.cast(n, pa.int64()),
+        }
+    )
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_chars, n_alpha) — whitespace-run token counts
     (no empty tokens), mirrored exactly by the oracle SQL's
