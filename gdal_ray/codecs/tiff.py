@@ -278,12 +278,13 @@ def _undo_predictor2(block: np.ndarray) -> np.ndarray:
     return np.cumsum(block, axis=1, dtype=block.dtype)
 
 
-def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
+def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, dict]:
     """-> (array, info).  info keys: geotransform (6-tuple or None), epsg
     (int or None), nodata (float or None), metadata (raw GDAL xml str or
-    None), model_type ('projected'|'geographic'|None)."""
+    None), model_type ('projected'|'geographic'|None).  ``ifd_off``
+    decodes a specific IFD of a multi-IFD (COG) file."""
     r = _Reader(data)
-    tags = r.ifd_tags(r.first_ifd)
+    tags = r.ifd_tags(r.first_ifd if ifd_off is None else ifd_off)
     w = int(tags[T_WIDTH][0])
     h = int(tags[T_LENGTH][0])
     spp = int(tags.get(T_SAMPLES, [1])[0])
@@ -579,3 +580,208 @@ def encode_geotiff(
 
 def encode_tiff(arr: np.ndarray, **kw) -> bytes:
     return encode_geotiff(arr, **kw)
+
+
+# --------------------------------------------------------------------- COG
+
+T_SUBFILETYPE = 254
+
+
+def _ifd_chain(r: _Reader) -> list[int]:
+    """Offsets of every IFD, following the next-IFD pointers."""
+    offs = []
+    off = r.first_ifd
+    while off:
+        offs.append(off)
+        if r.big:
+            n = struct.unpack(r.e + "Q", r.d[off:off + 8])[0]
+            ptr = off + 8 + n * 20
+            off = struct.unpack(r.e + "Q", r.d[ptr:ptr + 8])[0]
+        else:
+            n = struct.unpack(r.e + "H", r.d[off:off + 2])[0]
+            ptr = off + 2 + n * 12
+            off = struct.unpack(r.e + "I", r.d[ptr:ptr + 4])[0]
+    return offs
+
+
+def read_cog(data: bytes) -> list[tuple[np.ndarray, dict]]:
+    """Decode every IFD of a (COG-style) multi-IFD TIFF — [(array, info)]
+    per level, full resolution first."""
+    r = _Reader(data)
+    return [read_geotiff(data, off) for off in _ifd_chain(r)]
+
+
+def _2x_reduce(a: np.ndarray, method: str) -> np.ndarray:
+    """2× overview reduction (gcore/overview.cpp average/nearest for the
+    COG pyramid).  Edge rows/cols replicate to even dimensions first."""
+    h, w = a.shape[:2]
+    if h % 2:
+        a = np.concatenate([a, a[-1:]], axis=0)
+    if w % 2:
+        a = np.concatenate([a, a[:, -1:]], axis=1)
+    if method == "nearest":
+        return a[::2, ::2]
+    q = a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2, *a.shape[2:])
+    m = q.astype(np.float64).mean(axis=(1, 3))
+    if np.issubdtype(a.dtype, np.integer):
+        return np.floor(m + 0.5).astype(a.dtype)
+    return m.astype(a.dtype)
+
+
+def encode_cog(
+    arr: np.ndarray,
+    *,
+    geotransform=None,
+    epsg: int | None = None,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    tile_size: int = 256,
+    resampler: str = "average",
+) -> bytes:
+    """Cloud-Optimized GeoTIFF writer (frmts/gtiff/cogdriver.cpp layout):
+    classic little-endian TIFF with ALL IFDs up front (full-resolution
+    IFD0 chained to NewSubfileType=1 overview IFDs), tiled chunks, and
+    the tile data section ordered smallest-overview-first with the
+    full-resolution tiles LAST — so a range reader gets header + all
+    metadata in one initial fetch and overview zooms stream before full
+    data.  Overviews reduce 2× until the level fits one tile."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.dtype.kind not in _SF_OF:
+        raise NotImplementedError(f"dtype {arr.dtype} not supported")
+    if tile_size % 16:
+        raise ValueError("TIFF tile size must be a multiple of 16")
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
+
+    levels = [arr]
+    while max(levels[-1].shape[0], levels[-1].shape[1]) > tile_size:
+        levels.append(_2x_reduce(levels[-1], resampler))
+
+    def _compress(block: np.ndarray) -> bytes:
+        raw = block.tobytes()
+        if comp_id == 1:
+            return raw
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        if comp_id == 5:
+            return _lzw_encode(raw)
+        return _packbits(raw)
+
+    e = "<"
+    hdr_len, entry_sz, inline = 8, 12, 4
+
+    def encode_vals(ftype, vals) -> bytes:
+        code, _ = _FIELD[ftype]
+        if ftype == 2:
+            return vals[0].encode("latin-1") + b"\0"
+        return struct.pack(e + code * len(vals), *vals)
+
+    # per-level tags + compressed tile chunks
+    level_tags: list[list] = []
+    level_chunks: list[list[bytes]] = []
+    tw = th = tile_size
+    for li, a in enumerate(levels):
+        h, w, spp = a.shape
+        dt = a.dtype
+        sf = _SF_OF[dt.kind]
+        bits = dt.itemsize * 8
+        a_le = np.ascontiguousarray(a, dtype=dt.newbyteorder("<"))
+        chunks = []
+        for j in range((h + th - 1) // th):
+            for i in range((w + tw - 1) // tw):
+                blk = np.zeros((th, tw, spp), dtype=a_le.dtype)
+                hh, ww = min(th, h - j * th), min(tw, w - i * tw)
+                blk[:hh, :ww] = a_le[j * th:j * th + hh, i * tw:i * tw + ww]
+                chunks.append(_compress(blk))
+        tags: list[tuple[int, int, int, list]] = []
+
+        def add(tag, ftype, vals, tags=tags):
+            tags.append((tag, ftype, len(vals), vals))
+
+        if li > 0:
+            add(T_SUBFILETYPE, 4, [1])  # reduced-resolution subfile
+        add(T_WIDTH, 4, [w])
+        add(T_LENGTH, 4, [h])
+        add(T_BITS, 3, [bits] * spp)
+        add(T_COMPRESSION, 3, [comp_id])
+        add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+        add(T_SAMPLES, 3, [spp])
+        if spp in (2, 4):
+            add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))
+        add(T_SAMPLE_FORMAT, 3, [sf] * spp)
+        add(T_TILE_W, 3, [tw])
+        add(T_TILE_H, 3, [th])
+        if li == 0:
+            if geotransform is not None:
+                gt = geotransform
+                add(T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
+                add(T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+            if epsg is not None:
+                model = 2 if 4000 <= epsg < 5000 else 1
+                add(T_GEO_KEYS, 3,
+                    [1, 1, 1, 3, GK_MODEL_TYPE, 0, 1, model,
+                     GK_RASTER_TYPE, 0, 1, 1,
+                     (GK_GEOGRAPHIC_TYPE if model == 2 else GK_PROJECTED_CS),
+                     0, 1, epsg])
+            if nodata is not None:
+                add(T_GDAL_NODATA, 2, [repr(float(nodata))])
+        add(T_TILE_OFFSETS, 4, [0] * len(chunks))
+        add(T_TILE_COUNTS, 4, [len(c) for c in chunks])
+        tags.sort(key=lambda t: t[0])
+        level_tags.append(tags)
+        level_chunks.append(chunks)
+
+    # layout pass: header | IFD0 block | IFD1 block | ... | tile data
+    # (data ordered smallest level first, level 0 LAST — the COG rule)
+    ifd_offs = []
+    pos = hdr_len
+    block_overflow_sizes = []
+    for tags in level_tags:
+        ifd_offs.append(pos)
+        n = len(tags)
+        ov = 0
+        for tag, ftype, count, vals in tags:
+            b = encode_vals(ftype, vals)
+            if len(b) > inline:
+                ov += len(b)
+        block_overflow_sizes.append(ov)
+        pos += 2 + n * entry_sz + 4 + ov
+    data_off = pos + (pos % 2)
+    # assign chunk offsets, smallest overview first
+    chunk_offsets: list[list[int]] = [None] * len(levels)
+    p = data_off
+    for li in range(len(levels) - 1, -1, -1):
+        offs = []
+        for c in level_chunks[li]:
+            offs.append(p)
+            p += len(c)
+        chunk_offsets[li] = offs
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_offs[0])
+    for li, tags in enumerate(level_tags):
+        tags = [(t, f, c, chunk_offsets[li] if t == T_TILE_OFFSETS else v)
+                for t, f, c, v in tags]
+        n = len(tags)
+        entries = bytearray()
+        ov_cursor = ifd_offs[li] + 2 + n * entry_sz + 4
+        overflow = bytearray()
+        for tag, ftype, count, vals in tags:
+            b = encode_vals(ftype, vals)
+            cnt = len(b) if ftype == 2 else count
+            ent = struct.pack(e + "HH", tag, ftype) + struct.pack(e + "I", cnt)
+            if len(b) <= inline:
+                ent += b + b"\0" * (inline - len(b))
+            else:
+                ent += struct.pack(e + "I", ov_cursor)
+                overflow += b
+                ov_cursor += len(b)
+            entries += ent
+        next_ifd = ifd_offs[li + 1] if li + 1 < len(levels) else 0
+        out += struct.pack("<H", n) + entries + struct.pack("<I", next_ifd)
+        out += overflow
+    out += b"\0" * (data_off - len(out))
+    for li in range(len(levels) - 1, -1, -1):
+        for c in level_chunks[li]:
+            out += c
+    return bytes(out)

@@ -162,3 +162,78 @@ def test_decode_dispatch():
 
     a = _img(np.uint8, 9, 9, 3)
     assert np.array_equal(decode(encode_geotiff(a), "tiff"), a)
+
+
+# --------------------------------------------------------------------- COG
+
+
+def _cog_src(h=600, w=900):
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_cog_levels_and_roundtrip():
+    from gdal_ray.codecs.tiff import encode_cog, read_cog
+
+    arr = _cog_src()
+    data = encode_cog(arr, tile_size=256,
+                      geotransform=(10.0, 0.5, 0, 60.0, 0, -0.5), epsg=4326)
+    levels = read_cog(data)
+    # 900x600 -> 450x300 -> 225x150 fits one 256 tile: 3 levels
+    assert len(levels) == 3
+    a0, info0 = levels[0]
+    assert np.array_equal(a0, arr)
+    assert info0["geotransform"] == (10.0, 0.5, 0, 60.0, 0, -0.5)
+    assert info0["epsg"] == 4326
+    a1, _ = levels[1]
+    assert a1.shape == (300, 450, 3)
+    # overview equals the documented 2x average reduction
+    from gdal_ray.codecs.tiff import _2x_reduce
+    assert np.array_equal(a1, _2x_reduce(arr, "average"))
+    a2, _ = levels[2]
+    assert np.array_equal(a2, _2x_reduce(a1, "average"))
+
+
+def test_cog_layout_rules():
+    """COG structural invariants: IFD chain entirely before tile data,
+    and data ordered smallest-overview-first / full-res LAST."""
+    import struct as _s
+
+    from gdal_ray.codecs.tiff import _Reader, _ifd_chain, encode_cog
+
+    arr = _cog_src()
+    data = encode_cog(arr, tile_size=256)
+    r = _Reader(data)
+    offs = _ifd_chain(r)
+    assert len(offs) == 3
+    all_tile_offs = []
+    per_level = []
+    for off in offs:
+        t = r.ifd_tags(off)
+        per_level.append(t[324])  # TileOffsets
+        all_tile_offs += t[324]
+    first_data = min(all_tile_offs)
+    # every IFD (incl. its overflow values) sits before any tile data
+    assert max(offs) < first_data
+    # smallest level's tiles come first, level 0's last
+    assert max(per_level[2]) < min(per_level[1]) < min(per_level[0])
+
+
+def test_cog_nearest_resampler_and_single_level():
+    from gdal_ray.codecs.tiff import encode_cog, read_cog
+
+    arr = np.arange(64 * 48, dtype=np.uint8).reshape(48, 64)
+    data = encode_cog(arr, tile_size=64, resampler="nearest")
+    levels = read_cog(data)
+    assert len(levels) == 1  # already fits one tile
+    assert np.array_equal(levels[0][0].squeeze(), arr)
+
+
+def test_cog_plain_reader_sees_full_res():
+    """A single-IFD reader must decode a COG as the full-res image."""
+    from gdal_ray.codecs.tiff import encode_cog, read_geotiff
+
+    arr = _cog_src(300, 500)
+    data = encode_cog(arr, tile_size=256)
+    a, _ = read_geotiff(data)
+    assert np.array_equal(a, arr)
