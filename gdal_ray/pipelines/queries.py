@@ -2357,6 +2357,83 @@ from g left join blocked b on b.doc_id = g.doc_id and b.r = g.r and b.c = g.c
 """
 
 
+_CV_O1, _CV_O2 = DEM_N // 4, 3 * DEM_N // 4  # 4 and 12 on the 16-grid
+
+
+def q_viewshed_cumulative(sf_dir: str):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp: sum of per-
+    observer visibility over an observer grid): four quarter-point
+    observers per DEM, per-cell count of observers that see it.  The
+    observers share the doc's grid, so the sum is LOCAL to the task —
+    no shuffle at any scale (the reference aggregates per-chunk the
+    same way).  Same integer R2 line-of-sight rule as `viewshed`."""
+    from gdal_ray.stages import dem
+
+    obs = [(_CV_O1, _CV_O1), (_CV_O1, _CV_O2), (_CV_O2, _CV_O1), (_CV_O2, _CV_O2)]
+
+    def vs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        grids = dem.elevation_grids(ids, DEM_N)
+        rr, cc = np.meshgrid(np.arange(DEM_N), np.arange(DEM_N), indexing="ij")
+        out_id, out_r, out_c, out_v = [], [], [], []
+        for i, did in enumerate(ids):
+            total = np.zeros((DEM_N, DEM_N), np.int64)
+            for orr, occ in obs:
+                total += dem.viewshed(grids[i], orr, occ, obs_height=2)
+            out_id.append(np.full(DEM_N * DEM_N, did, np.int64))
+            out_r.append(rr.ravel().astype(np.int64))
+            out_c.append(cc.ravel().astype(np.int64))
+            out_v.append(total.ravel())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "r": pa.array(np.concatenate(out_r)),
+                "c": pa.array(np.concatenate(out_c)),
+                "n_visible": pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return _dem_docs(sf_dir).map_batches(vs, batch_format="pyarrow")
+
+
+SQL_VIEWSHED_CUMULATIVE = f"""
+with {_DEM_GRID_CTE},
+ob as (select * from (values ({_CV_O1},{_CV_O1}),({_CV_O1},{_CV_O2}),
+                             ({_CV_O2},{_CV_O1}),({_CV_O2},{_CV_O2})) o(orr, occ)),
+obs as (select g.doc_id, ob.orr, ob.occ, g.e + 2 as h0
+        from g join ob on g.r = ob.orr and g.c = ob.occ),
+t as (select g.doc_id, o.orr, o.occ, o.h0, g.r, g.c, g.e as h1,
+             greatest(abs(g.r - o.orr), abs(g.c - o.occ)) as n
+      from g join obs o on o.doc_id = g.doc_id),
+kk as (select t.*, s.k from t, unnest(generate_series(1, {DEM_N - 2})) as s(k)
+       where s.k < t.n),
+p as (select doc_id, orr, occ, h0, r, c, h1, n, k,
+             orr * n + k * (r - orr) as pr,
+             occ * n + k * (c - occ) as pc
+      from kk),
+q as (select *, pr // n as r_lo, pc // n as c_lo,
+             pr % n as mr, pc % n as mc from p),
+terr as (select q.doc_id, q.orr, q.occ, q.h0, q.r, q.c, q.h1, q.n, q.k,
+           case when q.mr > 0 then elo.e * (q.n - q.mr) + ehir.e * q.mr
+                when q.mc > 0 then elo.e * (q.n - q.mc) + ehic.e * q.mc
+                else elo.e * q.n end as terrain
+         from q
+         join g elo on elo.doc_id = q.doc_id and elo.r = q.r_lo and elo.c = q.c_lo
+         left join g ehir on ehir.doc_id = q.doc_id and ehir.r = q.r_lo + 1 and ehir.c = q.c_lo
+         left join g ehic on ehic.doc_id = q.doc_id and ehic.r = q.r_lo and ehic.c = q.c_lo + 1),
+blocked as (select doc_id, orr, occ, r, c,
+                   bool_or(terrain > n * h0 + k * (h1 - h0)) as b
+            from terr group by 1, 2, 3, 4, 5),
+vis as (select t.doc_id, t.orr, t.occ, t.r, t.c,
+           case when greatest(abs(t.r - t.orr), abs(t.c - t.occ)) <= 1 then 1
+                when coalesce(b.b, false) then 0 else 1 end as v
+        from t left join blocked b on b.doc_id = t.doc_id and b.orr = t.orr
+           and b.occ = t.occ and b.r = t.r and b.c = t.c)
+select doc_id, r, c, cast(sum(v) as bigint) as n_visible
+from vis group by 1, 2, 3
+"""
+
+
 def q_raster_histogram(sf_dir: str):
     """GDALGetHistogram semantics (gcore/gdalrasterband.cpp:4133): fixed
     [min,max) range split into n equal buckets, out-of-range pixels
@@ -3240,6 +3317,7 @@ def queries():
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
         "bpe_tokens": q_bpe_tokens,
+        "viewshed_cumulative": q_viewshed_cumulative,
         "geom_explode": q_geom_explode,
         "first_event": q_first_event,
         "stride_sample": q_stride_sample,
@@ -3343,6 +3421,7 @@ def oracle_sql():
         "gpkg_roundtrip": SQL_GPKG_ROUNDTRIP,
         "grid_average": SQL_GRID_AVERAGE,
         "bpe_tokens": SQL_BPE_TOKENS,
+        "viewshed_cumulative": SQL_VIEWSHED_CUMULATIVE,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.
