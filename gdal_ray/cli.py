@@ -100,9 +100,23 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """gdalinfo / ogrinfo analogue — no Ray session needed."""
+    from gdal_ray.info import describe
+
+    print(json.dumps(describe(args.path, stats=args.stats), indent=2,
+                     default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gdal_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    i = sub.add_parser("info", help="describe any supported file/store (gdalinfo/ogrinfo)")
+    i.add_argument("path")
+    i.add_argument("--stats", action="store_true", help="compute band min/max/mean/checksum")
+    i.set_defaults(fn=cmd_info)
 
     t = sub.add_parser("tiles")
     t.add_argument("--input", default=None, help="Lance/parquet image table (default: synth)")

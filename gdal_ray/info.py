@@ -1,0 +1,234 @@
+"""`gdalinfo` / `ogrinfo` analogue: one inspection door over every
+format this engine reads (reference: apps/gdalinfo_lib.cpp,
+apps/ogrinfo_lib.cpp — both emit a structured summary; ours is a JSON-
+ready dict).  Driver-side by design: inspection reads headers and
+metadata, not data (except small raster stats, mirroring gdalinfo
+-stats' explicit opt-in)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+
+def describe(path: str, *, stats: bool = False) -> dict:
+    """-> format-tagged summary dict for any supported file/store."""
+    low = path.lower()
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, ".zarray")):
+            return _zarr(path)
+        raise ValueError(f"unrecognized directory store: {path}")
+    if low.endswith((".tif", ".tiff")):
+        return _tiff(path, stats)
+    if low.endswith((".png", ".jpg", ".jpeg", ".webp")):
+        return _image(path, stats)
+    if low.endswith(".gpkg"):
+        return _gpkg(path)
+    if low.endswith(".shp"):
+        return _shapefile(path)
+    if low.endswith((".geojson", ".json", ".geojsonl", ".ndjson")):
+        return _geojson(path)
+    if low.endswith(".parquet"):
+        return _parquet(path)
+    if low.endswith(".mbtiles"):
+        return _mbtiles(path)
+    if low.endswith(".pmtiles"):
+        return _pmtiles(path)
+    if low.endswith(".nc"):
+        return _netcdf(path)
+    if low.endswith(".csv"):
+        return _csv(path)
+    raise ValueError(f"unrecognized format: {path}")
+
+
+def _raster_common(arr: np.ndarray, stats: bool) -> dict:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    out = {
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "bands": int(arr.shape[2]),
+        "dtype": str(arr.dtype),
+    }
+    if stats:
+        from gdal_ray.stages.stats import checksum_plane
+
+        out["stats"] = [
+            {
+                "band": b + 1,
+                "min": float(arr[:, :, b].min()),
+                "max": float(arr[:, :, b].max()),
+                "mean": float(arr[:, :, b].mean()),
+                "checksum": int(checksum_plane(
+                    np.ascontiguousarray(arr[:, :, b]))),
+            }
+            for b in range(arr.shape[2])
+        ]
+    return out
+
+
+def _tiff(path: str, stats: bool) -> dict:
+    from gdal_ray.codecs.tiff import read_cog
+
+    data = open(path, "rb").read()
+    levels = read_cog(data)
+    arr, info = levels[0]
+    out = {"driver": "GTiff" if len(levels) == 1 else "COG",
+           **_raster_common(arr, stats)}
+    out["geotransform"] = list(info["geotransform"]) if info.get("geotransform") else None
+    out["epsg"] = info.get("epsg")
+    out["nodata"] = info.get("nodata")
+    out["overviews"] = [
+        {"width": a.shape[1], "height": a.shape[0]} for a, _ in levels[1:]
+    ]
+    return out
+
+
+def _image(path: str, stats: bool) -> dict:
+    from gdal_ray.codecs import decode
+
+    ext = path.rsplit(".", 1)[-1].lower().replace("jpeg", "jpg")
+    arr = decode(open(path, "rb").read(), ext)
+    return {"driver": {"png": "PNG", "jpg": "JPEG", "webp": "WEBP"}[ext],
+            **_raster_common(arr, stats)}
+
+
+def _gpkg(path: str) -> dict:
+    import sqlite3
+
+    from gdal_ray.sources.gpkg import list_layers
+
+    layers = list_layers(path)
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        for l in layers:
+            row = con.execute(
+                "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+                " WHERE table_name = ?", (l["name"],)).fetchone()
+            l["extent"] = list(row) if row and row[0] is not None else None
+    finally:
+        con.close()
+    return {"driver": "GPKG", "layers": layers}
+
+
+def _shapefile(path: str) -> dict:
+    from gdal_ray.sources.shapefile import read_dbf_bytes, read_shx_offsets
+
+    base = path[:-4]
+    with open(path, "rb") as f:
+        hdr = f.read(100)
+    stype = struct.unpack("<i", hdr[32:36])[0]
+    bbox = struct.unpack("<4d", hdr[36:68])
+    n = 0
+    if os.path.exists(base + ".shx"):
+        n = len(read_shx_offsets(open(base + ".shx", "rb").read()))
+    fields = []
+    if os.path.exists(base + ".dbf"):
+        t = read_dbf_bytes(open(base + ".dbf", "rb").read(), rows=np.array([], np.int64))
+        fields = [{"name": nm, "type": str(t.schema.field(nm).type)}
+                  for nm in t.schema.names]
+    names = {0: "Null", 1: "Point", 3: "PolyLine", 5: "Polygon", 8: "MultiPoint"}
+    return {"driver": "ESRI Shapefile", "shape_type": names.get(stype, str(stype)),
+            "features": n, "extent": list(bbox), "fields": fields}
+
+
+def _geojson(path: str) -> dict:
+    seq = path.lower().endswith((".geojsonl", ".ndjson"))
+    with open(path) as f:
+        types: dict[str, int] = {}
+        n = 0
+        if not seq:
+            doc = json.load(f)
+            feats = doc.get("features", [doc])
+            for ft in feats:
+                g = (ft.get("geometry") or {}).get("type", "None")
+                types[g] = types.get(g, 0) + 1
+                n += 1
+            drv = "GeoJSON"
+        else:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ft = json.loads(line)
+                g = (ft.get("geometry") or {}).get("type", "None")
+                types[g] = types.get(g, 0) + 1
+                n += 1
+            drv = "GeoJSONSeq"
+    return {"driver": drv, "features": n, "geometry_types": types}
+
+
+def _parquet(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    return {
+        "driver": "Parquet",
+        "rows": f.metadata.num_rows,
+        "row_groups": f.metadata.num_row_groups,
+        "columns": [{"name": c, "type": str(f.schema_arrow.field(c).type)}
+                    for c in f.schema_arrow.names],
+    }
+
+
+def _mbtiles(path: str) -> dict:
+    import sqlite3
+
+    from gdal_ray.state.mbtiles import read_metadata
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        n, zmin, zmax = con.execute(
+            "SELECT count(*), min(zoom_level), max(zoom_level) FROM tiles"
+        ).fetchone()
+    finally:
+        con.close()
+    return {"driver": "MBTiles", "metadata": read_metadata(path),
+            "tiles": n, "min_zoom": zmin, "max_zoom": zmax}
+
+
+def _pmtiles(path: str) -> dict:
+    from gdal_ray.state.pmtiles import read_header, read_metadata
+
+    h = read_header(path)
+    return {"driver": "PMTiles", "metadata": read_metadata(path),
+            "tiles": h["n_entries"], "min_zoom": h["min_zoom"],
+            "max_zoom": h["max_zoom"], "clustered": h["clustered"]}
+
+
+def _zarr(path: str) -> dict:
+    from gdal_ray.sources.zarr import read_zarr_meta
+
+    m = read_zarr_meta(path)
+    return {"driver": "Zarr", "shape": m["shape"], "chunks": m["chunks"],
+            "dtype": m["dtype"],
+            "compressor": (m["compressor"] or {}).get("id") if m["compressor"] else None,
+            "fill_value": m.get("fill_value")}
+
+
+def _netcdf(path: str) -> dict:
+    from gdal_ray.sources.netcdf3 import read_netcdf_meta
+
+    m = read_netcdf_meta(path)
+    return {
+        "driver": "netCDF",
+        "version": f"CDF-{m['version']}",
+        "dimensions": {k: (v if v else f"UNLIMITED ({m['numrecs']})")
+                       for k, v in m["dims"]},
+        "variables": {
+            k: {"dims": v["dims"], "shape": list(v["shape"])}
+            for k, v in m["vars"].items()
+        },
+        "global_attributes": {k: (v if isinstance(v, str) else list(np.asarray(v).tolist()))
+                              for k, v in m["gatts"].items()},
+    }
+
+
+def _csv(path: str) -> dict:
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split(",")
+        n = sum(1 for _ in f)
+    return {"driver": "CSV", "features": n, "fields": header}
