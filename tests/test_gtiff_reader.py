@@ -1,0 +1,75 @@
+"""Parallel GeoTIFF/COG reader (sources/gtiff_reader.py): header-region
+parse + per-task tile range reads.  Reference idiom: COG range reads
+(frmts/gtiff/cogdriver.cpp layout)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.tiff import encode_cog, encode_geotiff
+from gdal_ray.sources.gtiff_reader import (
+    assemble,
+    read_geotiff_tiles,
+    tiff_levels,
+)
+
+
+def _src(h, w, bands=3, dtype=np.uint8, seed=3):
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(dtype, np.integer):
+        a = rng.integers(0, 255, size=(h, w, bands)).astype(dtype)
+    else:
+        a = rng.normal(size=(h, w, bands)).astype(dtype)
+    return a
+
+
+def test_levels_metadata_without_data_read(tmp_path):
+    p = str(tmp_path / "c.tif")
+    open(p, "wb").write(encode_cog(_src(600, 900), tile_size=256))
+    lv = tiff_levels(p)
+    assert [l["width"] for l in lv] == [900, 450, 225]
+    assert lv[0]["tiled"] and lv[0]["tile_w"] == 256
+    assert len(lv[0]["offsets"]) == 4 * 3
+
+
+@pytest.mark.parametrize("compression", ["deflate", "lzw", "packbits", "none"])
+def test_parallel_tiled_read(ray_session, tmp_path, compression):
+    arr = _src(300, 500)
+    p = str(tmp_path / f"t_{compression}.tif")
+    open(p, "wb").write(encode_geotiff(arr, tile_size=128,
+                                       compression=compression))
+    meta = tiff_levels(p)[0]
+    rows = read_geotiff_tiles(p).to_pandas()
+    assert len(rows) == 3 * 4  # ceil(300/128) x ceil(500/128)
+    assert np.array_equal(assemble(rows, meta), arr)
+
+
+def test_parallel_striped_read_with_predictor(ray_session, tmp_path):
+    arr = _src(200, 77, bands=1, dtype=np.uint16)
+    p = str(tmp_path / "s.tif")
+    open(p, "wb").write(encode_geotiff(arr, rows_per_strip=37,
+                                       compression="deflate", predictor=True))
+    meta = tiff_levels(p)[0]
+    rows = read_geotiff_tiles(p).to_pandas()
+    assert len(rows) == (200 + 36) // 37
+    assert np.array_equal(assemble(rows, meta).squeeze(), arr.squeeze())
+
+
+def test_overview_level_read(ray_session, tmp_path):
+    from gdal_ray.codecs.tiff import _2x_reduce
+
+    arr = _src(600, 600)
+    p = str(tmp_path / "c2.tif")
+    open(p, "wb").write(encode_cog(arr, tile_size=256))
+    meta1 = tiff_levels(p)[1]
+    rows = read_geotiff_tiles(p, level=1).to_pandas()
+    got = assemble(rows, meta1)
+    assert np.array_equal(got, _2x_reduce(arr, "average"))
+
+
+def test_float_dtype(ray_session, tmp_path):
+    arr = _src(100, 90, bands=1, dtype=np.float32)
+    p = str(tmp_path / "f.tif")
+    open(p, "wb").write(encode_geotiff(arr, tile_size=64))
+    meta = tiff_levels(p)[0]
+    rows = read_geotiff_tiles(p).to_pandas()
+    assert np.array_equal(assemble(rows, meta), arr)
