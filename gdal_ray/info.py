@@ -37,6 +37,8 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _mbtiles(path)
     if low.endswith(".pmtiles"):
         return _pmtiles(path)
+    if low.endswith(".fgb"):
+        return _flatgeobuf(path)
     if low.endswith(".nc"):
         return _netcdf(path)
     if low.endswith(".csv"):
@@ -207,6 +209,18 @@ def _zarr(path: str) -> dict:
             "dtype": m["dtype"],
             "compressor": (m["compressor"] or {}).get("id") if m["compressor"] else None,
             "fill_value": m.get("fill_value")}
+
+
+def _flatgeobuf(path: str) -> dict:
+    from gdal_ray.sources.flatgeobuf import read_header
+
+    h = read_header(path)
+    return {"driver": "FlatGeobuf", "name": h["name"],
+            "features": h["features_count"],
+            "geometry_type": h["geometry_type"],
+            "envelope": h["envelope"],
+            "fields": [{"name": c["name"], "type": c["type"]}
+                       for c in h["columns"]]}
 
 
 def _netcdf(path: str) -> dict:

@@ -1,0 +1,655 @@
+"""FlatGeobuf vector driver, implemented from the public FlatGeobuf v3
+specification (flatbuffers wire format + packed Hilbert R-tree) — no
+flatbuffers or fgb library.
+
+Reference semantics: ogr/ogrsf_frmts/flatgeobuf (ogrflatgeobuflayer.cpp,
+packedrtree.h:120) — file layout:
+
+    magic  = 0x66 0x67 0x62 0x03 0x66 0x67 0x62 0x01  ("fgb", v3, "fgb", patch 1)
+    header = u32 size + flatbuffer Header table
+             (name, envelope, geometry_type, columns, features_count,
+              index_node_size)
+    index  = packed Hilbert R-tree: 40-byte nodes (4×f8 bbox + u64 offset),
+             levels stored root→leaves; leaf offsets point into the
+             features section (features are Hilbert-sorted, the
+             "spatial ordering" idiom SURVEY §2.6 cites)
+    data   = per feature: u32 size + flatbuffer Feature table
+             (Geometry{ends,xy,type}, properties byte-buffer of
+              (u16 column-index, value) pairs)
+
+Scope: 2-D Point/LineString/Polygon/Multi* geometries; Bool/Int/Long/
+Double/String/Binary columns; node_size-16 index always written.
+
+Scale shape: the reader decodes ONLY header + index leaf level
+driver-side (tiny), splits the Hilbert-ordered feature offsets into
+ranges, and each Ray task range-reads and decodes its span — same as a
+cloud FGB client.  Writing is a driver-side sink (single Hilbert-sorted
+file by format definition); shard files for web-scale output.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.geometry.wkb import (
+    GeomType,
+    decode_wkb,
+    encode_linestring,
+    encode_multilinestring,
+    encode_multipoint,
+    encode_multipolygon,
+    encode_point,
+    encode_polygon,
+)
+
+MAGIC = bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01])
+NODE_SIZE = 16
+NODE_BYTES = 40
+
+# FlatGeobuf GeometryType enum (spec)
+GT_UNKNOWN, GT_POINT, GT_LINESTRING, GT_POLYGON = 0, 1, 2, 3
+GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON = 4, 5, 6
+_WKB2FGB = {GeomType.POINT: GT_POINT, GeomType.LINESTRING: GT_LINESTRING,
+            GeomType.POLYGON: GT_POLYGON, GeomType.MULTIPOINT: GT_MULTIPOINT,
+            GeomType.MULTILINESTRING: GT_MULTILINESTRING,
+            GeomType.MULTIPOLYGON: GT_MULTIPOLYGON}
+
+# ColumnType enum (spec)
+CT_BOOL, CT_INT, CT_LONG, CT_DOUBLE, CT_STRING, CT_BINARY = 2, 5, 7, 10, 11, 14
+
+
+# ======================================================== flatbuffers core
+
+
+class _FBBuilder:
+    """Minimal flatbuffers builder (little-endian, bottom-up buffer).
+
+    Supports exactly what the FGB tables need: scalar fields, offset
+    fields, strings, scalar vectors, and offset vectors."""
+
+    def __init__(self):
+        self.buf = bytearray()  # grows from the END (we prepend)
+
+    # position = length from END of buffer (flatbuffers addresses grow down)
+    def _offset(self) -> int:
+        return len(self.buf)
+
+    def _prepend(self, b: bytes):
+        self.buf[:0] = b
+
+    def _align(self, size: int):
+        while (len(self.buf) % size) != 0:
+            self._prepend(b"\x00")
+
+    def string(self, s: str) -> int:
+        b = s.encode()
+        tail = b + b"\x00"
+        # pad at the object TAIL so [len][bytes][\0] stay contiguous and
+        # the u32 length lands 4-aligned
+        self._prepend(b"\x00" * ((-(len(self.buf) + len(tail))) % 4))
+        self._prepend(tail)
+        self._prepend(struct.pack("<I", len(b)))
+        return self._offset()
+
+    def vector_scalar(self, fmt: str, vals, elem_size: int) -> int:
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        align = max(4, elem_size)
+        self._prepend(b"\x00" * ((-(len(self.buf) + len(raw))) % align))
+        self._prepend(raw)
+        self._prepend(struct.pack("<I", len(vals)))
+        return self._offset()
+
+    def vector_offsets(self, offs: list[int]) -> int:
+        # relative u32 offsets, each from its own location forward
+        self._align(4)
+        for o in reversed(offs):
+            rel = self._offset() + 4 - o
+            self._prepend(struct.pack("<I", rel))
+        self._prepend(struct.pack("<I", len(offs)))
+        return self._offset()
+
+    def table(self, fields: list[tuple[int, str, object]]) -> int:
+        """fields: (slot_id, kind, value) — kind in {'u8','u16','u32','u64',
+        'bool', 'off'}; value None skips the slot.  Returns table position."""
+        fields = [f for f in fields if f[2] is not None]
+        n_slots = (max((f[0] for f in fields), default=-1)) + 1
+        # lay out inline data: offsets (4 bytes) and scalars
+        sizes = {"u8": 1, "bool": 1, "u16": 2, "u32": 4, "u64": 8, "off": 4}
+        # table: [i32 vtable soffset][field data...]; build field layout
+        order = sorted(fields, key=lambda f: -sizes[f[1]])  # big first: packing
+        pos = 4
+        slots = {}
+        for sid, kind, val in order:
+            sz = sizes[kind]
+            pad = (-pos) % sz
+            pos += pad
+            slots[sid] = (pos, kind, val)
+            pos += sz
+        table_len = pos
+        # vtable
+        vt = struct.pack("<HH", 4 + 2 * n_slots, table_len)
+        vt += b"".join(struct.pack("<H", slots[s][0] if s in slots else 0)
+                       for s in range(n_slots))
+        # emit table body from end: write fields into a bytearray
+        body = bytearray(table_len)
+        self._align(4)
+        for sid, (fpos, kind, val) in slots.items():
+            if kind == "off":
+                rel = (self._offset() - fpos + table_len) + 0 - val
+                # filled below once table start is known — compute after
+                body[fpos:fpos + 4] = struct.pack("<i", 0)
+            elif kind in ("u8", "bool"):
+                body[fpos:fpos + 1] = struct.pack("<B", int(val))
+            elif kind == "u16":
+                body[fpos:fpos + 2] = struct.pack("<H", int(val))
+            elif kind == "u32":
+                body[fpos:fpos + 4] = struct.pack("<I", int(val))
+            elif kind == "u64":
+                body[fpos:fpos + 8] = struct.pack("<Q", int(val))
+        self._prepend(bytes(body))
+        table_pos = self._offset()
+        # now patch offset fields (they point from field location DOWN to target)
+        start = len(self.buf) - table_pos  # byte index of table start
+        for sid, (fpos, kind, val) in slots.items():
+            if kind == "off":
+                field_pos_from_end = table_pos - fpos
+                rel = field_pos_from_end - val
+                self.buf[start + fpos:start + fpos + 4] = struct.pack("<I", rel)
+        # vtable sits just above (prepended after) the table; soffset = vt - table
+        self._prepend(vt)
+        vt_pos = self._offset()
+        soff = vt_pos - table_pos
+        self.buf[len(self.buf) - table_pos:len(self.buf) - table_pos + 4] = \
+            struct.pack("<i", soff)
+        return table_pos
+
+    def finish(self, root: int) -> bytes:
+        self._align(4)
+        rel = self._offset() + 4 - root
+        self._prepend(struct.pack("<I", rel))
+        return bytes(self.buf)
+
+
+class _FBTable:
+    """Minimal flatbuffers table reader."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        soff = struct.unpack_from("<i", buf, pos)[0]
+        self.vt = pos - soff
+        self.vt_len = struct.unpack_from("<H", buf, self.vt)[0]
+
+    @classmethod
+    def root(cls, buf: bytes) -> "_FBTable":
+        return cls(buf, struct.unpack_from("<I", buf, 0)[0])
+
+    def _field(self, slot: int) -> int:
+        off = 4 + 2 * slot
+        if off >= self.vt_len:
+            return 0
+        rel = struct.unpack_from("<H", self.buf, self.vt + off)[0]
+        return self.pos + rel if rel else 0
+
+    def scalar(self, slot: int, fmt: str, default=0):
+        p = self._field(slot)
+        return struct.unpack_from("<" + fmt, self.buf, p)[0] if p else default
+
+    def _indirect(self, p: int) -> int:
+        return p + struct.unpack_from("<I", self.buf, p)[0]
+
+    def string(self, slot: int) -> str | None:
+        p = self._field(slot)
+        if not p:
+            return None
+        sp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, sp)[0]
+        return self.buf[sp + 4:sp + 4 + n].decode()
+
+    def vector(self, slot: int, fmt: str, size: int):
+        p = self._field(slot)
+        if not p:
+            return None
+        vp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, vp)[0]
+        return np.frombuffer(self.buf, dtype="<" + fmt, count=n, offset=vp + 4)
+
+    def vector_tables(self, slot: int) -> list["_FBTable"]:
+        p = self._field(slot)
+        if not p:
+            return []
+        vp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, vp)[0]
+        out = []
+        for i in range(n):
+            ep = vp + 4 + 4 * i
+            out.append(_FBTable(self.buf, self._indirect(ep)))
+        return out
+
+    def table(self, slot: int) -> "_FBTable | None":
+        p = self._field(slot)
+        if not p:
+            return None
+        return _FBTable(self.buf, self._indirect(p))
+
+    def vector_bytes(self, slot: int) -> bytes | None:
+        v = self.vector(slot, "u1", 1)
+        return None if v is None else v.tobytes()
+
+
+# ======================================================== geometry codec
+
+
+def _wkb_to_fgb(wkb: bytes) -> tuple[int, np.ndarray, np.ndarray]:
+    """WKB -> (fgb type, xy (n,2), ends u32 array)."""
+    gt, payload = decode_wkb(wkb)
+    if gt == GeomType.POINT:
+        return GT_POINT, np.asarray([payload], np.float64), np.empty(0, "<u4")
+    if gt == GeomType.LINESTRING:
+        return GT_LINESTRING, np.asarray(payload, np.float64), np.empty(0, "<u4")
+    if gt == GeomType.POLYGON:
+        rings = [np.asarray(r, np.float64) for r in payload]
+        ends = np.cumsum([len(r) for r in rings]).astype("<u4")
+        return GT_POLYGON, np.vstack(rings), ends
+    if gt == GeomType.MULTIPOINT:
+        pts = np.asarray([p for _, p in payload], np.float64)
+        return GT_MULTIPOINT, pts, np.empty(0, "<u4")
+    if gt == GeomType.MULTILINESTRING:
+        parts = [np.atleast_2d(np.asarray(p, np.float64)) for _, p in payload]
+        ends = np.cumsum([len(p) for p in parts]).astype("<u4")
+        return GT_MULTILINESTRING, np.vstack(parts), ends
+    if gt == GeomType.MULTIPOLYGON:
+        # spec: MultiPolygon flattens rings into ends; ring grouping by
+        # polygon is reconstructed via ring orientation (outer CW in our
+        # writer's WKB is not guaranteed) — we store parts-less flat form
+        # like the reference does for single-polygon members, and keep
+        # exterior-first order per polygon
+        rings = []
+        for _, rs in payload:
+            rings += [np.asarray(r, np.float64) for r in rs]
+        ends = np.cumsum([len(r) for r in rings]).astype("<u4")
+        return GT_MULTIPOLYGON, np.vstack(rings), ends
+    raise NotImplementedError(f"fgb geometry for WKB type {gt}")
+
+
+def _fgb_to_wkb(gtype: int, xy: np.ndarray, ends: np.ndarray | None) -> bytes:
+    pts = xy.reshape(-1, 2)
+    if gtype == GT_POINT:
+        return encode_point(float(pts[0, 0]), float(pts[0, 1]))
+    if gtype == GT_LINESTRING:
+        return encode_linestring(pts)
+    if gtype == GT_MULTIPOINT:
+        return encode_multipoint(pts)
+    ends = (ends if ends is not None and len(ends) else
+            np.array([len(pts)], "<u4"))
+    parts = []
+    s = 0
+    for e in ends:
+        parts.append(pts[s:int(e)])
+        s = int(e)
+    if gtype == GT_POLYGON:
+        return encode_polygon(parts)
+    if gtype == GT_MULTILINESTRING:
+        return encode_multilinestring(parts)
+    if gtype == GT_MULTIPOLYGON:
+        # rings regrouped by containment is the reader's job in the flat
+        # form; we group exterior = ring not inside the previous exterior.
+        # Simplest faithful inverse of our writer: each CCW..? -> treat
+        # every ring whose bbox is not inside the previous exterior bbox
+        # as a new polygon
+        polys: list[list[np.ndarray]] = []
+        for r in parts:
+            if polys:
+                o = polys[-1][0]
+                if (r[:, 0].min() >= o[:, 0].min() and r[:, 0].max() <= o[:, 0].max()
+                        and r[:, 1].min() >= o[:, 1].min() and r[:, 1].max() <= o[:, 1].max()):
+                    polys[-1].append(r)
+                    continue
+            polys.append([r])
+        return encode_multipolygon(polys)
+    raise NotImplementedError(f"fgb geometry type {gtype}")
+
+
+# ======================================================== properties codec
+
+
+_COL_FMT = {CT_BOOL: ("<B", 1), CT_INT: ("<i", 4), CT_LONG: ("<q", 8),
+            CT_DOUBLE: ("<d", 8)}
+
+
+def _arrow_to_coltype(t: pa.DataType) -> int:
+    if pa.types.is_boolean(t):
+        return CT_BOOL
+    if pa.types.is_int32(t):
+        return CT_INT
+    if pa.types.is_integer(t):
+        return CT_LONG
+    if pa.types.is_floating(t):
+        return CT_DOUBLE
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return CT_BINARY
+    return CT_STRING
+
+
+def _encode_props(cols: list[tuple[int, int]], values: list) -> bytes:
+    """cols: (column index, column type); values aligned with cols."""
+    out = bytearray()
+    for (idx, ct), v in zip(cols, values):
+        if v is None:
+            continue
+        out += struct.pack("<H", idx)
+        if ct in _COL_FMT:
+            fmt, _ = _COL_FMT[ct]
+            out += struct.pack(fmt, v)
+        elif ct == CT_STRING:
+            b = str(v).encode()
+            out += struct.pack("<I", len(b)) + b
+        elif ct == CT_BINARY:
+            out += struct.pack("<I", len(v)) + bytes(v)
+        else:
+            raise NotImplementedError(f"column type {ct}")
+    return bytes(out)
+
+
+def _decode_props(buf: bytes | None, col_types: list[int]) -> dict[int, object]:
+    out: dict[int, object] = {}
+    if not buf:
+        return out
+    p = 0
+    while p < len(buf):
+        idx = struct.unpack_from("<H", buf, p)[0]
+        p += 2
+        ct = col_types[idx]
+        if ct in _COL_FMT:
+            fmt, sz = _COL_FMT[ct]
+            v = struct.unpack_from(fmt, buf, p)[0]
+            if ct == CT_BOOL:
+                v = bool(v)
+            p += sz
+        else:
+            n = struct.unpack_from("<I", buf, p)[0]
+            p += 4
+            raw = buf[p:p + n]
+            p += n
+            v = raw if ct == CT_BINARY else raw.decode()
+        out[idx] = v
+    return out
+
+
+# ======================================================== hilbert + rtree
+
+
+def _hilbert_u16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert index at order 16 (packedrtree.h HILBERT_MAX)."""
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros(len(x), np.uint64)
+    x = x.astype(np.uint32).copy()
+    y = y.astype(np.uint32).copy()
+    s = np.uint32(1 << 15)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint32)
+        ry = ((y & s) > 0).astype(np.uint32)
+        d += np.uint64(s) * np.uint64(s) * ((3 * rx) ^ ry).astype(np.uint64)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x2 = np.where(swap, y_f, x_f)
+        y2 = np.where(swap, x_f, y_f)
+        x, y = x2, y2
+        s >>= 1
+    return d
+
+
+def _level_counts(n_items: int) -> list[int]:
+    """Node counts per level, leaves first (packedrtree.h generateLevelBounds)."""
+    counts = [n_items]
+    while counts[-1] > 1:
+        counts.append((counts[-1] + NODE_SIZE - 1) // NODE_SIZE)
+    return counts
+
+
+# ======================================================== write
+
+
+def write_flatgeobuf(table: pa.Table, path: str, *, name: str = "layer",
+                     geometry_col: str = "wkb") -> None:
+    """Single-file Hilbert-sorted sink with packed R-tree index."""
+    attr_names = [n for n in table.schema.names if n != geometry_col]
+    col_types = [_arrow_to_coltype(table.schema.field(n).type)
+                 for n in attr_names]
+    wkbs = [v.as_py() if v.is_valid else None
+            for v in table.column(geometry_col)]
+    geoms = [None if w is None else _wkb_to_fgb(w) for w in wkbs]
+    gtypes = {g[0] for g in geoms if g is not None}
+    layer_gt = gtypes.pop() if len(gtypes) == 1 else GT_UNKNOWN
+
+    # bboxes + hilbert sort
+    n = table.num_rows
+    boxes = np.zeros((n, 4))
+    for i, g in enumerate(geoms):
+        if g is None:
+            continue
+        xy = g[1]
+        boxes[i] = [xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()]
+    ext = [boxes[:, 0].min(), boxes[:, 1].min(), boxes[:, 2].max(), boxes[:, 3].max()] \
+        if n else [0, 0, 0, 0]
+    w_ext = max(ext[2] - ext[0], 1e-300)
+    h_ext = max(ext[3] - ext[1], 1e-300)
+    cx = ((boxes[:, 0] + boxes[:, 2]) / 2 - ext[0]) / w_ext * 0xFFFF
+    cy = ((boxes[:, 1] + boxes[:, 3]) / 2 - ext[1]) / h_ext * 0xFFFF
+    order = np.argsort(_hilbert_u16(cx, cy), kind="stable") if n else np.array([], np.int64)
+
+    attr_cols = [[v.as_py() if v.is_valid else None for v in table.column(nm)]
+                 for nm in attr_names]
+
+    # feature records (hilbert order)
+    feats = []
+    for i in order:
+        fb = _FBBuilder()
+        g = geoms[int(i)]
+        goff = None
+        if g is not None:
+            gt, xy, ends = g
+            fields = [(1, "off", fb.vector_scalar("d", xy.ravel().tolist(), 8)),
+                      (6, "u8", gt if layer_gt == GT_UNKNOWN else None)]
+            if len(ends):
+                fields.insert(0, (0, "off", fb.vector_scalar("I", ends.tolist(), 4)))
+            goff = fb.table(fields)
+        props = _encode_props(list(zip(range(len(attr_names)), col_types)),
+                              [c[int(i)] for c in attr_cols])
+        poff = fb.vector_scalar("B", list(props), 1) if props else None
+        froot = fb.table([(0, "off", goff), (1, "off", poff)])
+        body = fb.finish(froot)
+        feats.append(struct.pack("<I", len(body)) + body)
+
+    feat_offsets = np.zeros(n, np.uint64)
+    pos = 0
+    for j, fbytes in enumerate(feats):
+        feat_offsets[j] = pos
+        pos += len(fbytes)
+
+    # packed hilbert R-tree (levels root→leaves; leaf offsets = feature bytes)
+    sorted_boxes = boxes[order] if n else boxes
+    counts = _level_counts(n) if n else [0]
+    levels = []  # leaves..root, each (n,5) [minx,miny,maxx,maxy,off]
+    leaf = np.zeros((n, 5))
+    leaf[:, :4] = sorted_boxes
+    leaf[:, 4] = feat_offsets.astype(np.float64)  # stored as u64 on disk
+    leaf_off = feat_offsets
+    levels.append((sorted_boxes, leaf_off))
+    node_counts = counts[1:]
+    child_boxes, child_offs = sorted_boxes, leaf_off
+    # byte positions of each level within the index (root level first)
+    total_nodes = sum(counts)
+    level_start_nodes = []
+    acc = 0
+    for cnt in reversed(counts):  # root..leaves
+        level_start_nodes.append(acc)
+        acc += cnt
+    level_start_nodes = list(reversed(level_start_nodes))  # leaves..root
+    for li, cnt in enumerate(node_counts):
+        nb = np.zeros((cnt, 4))
+        no = np.zeros(cnt, np.uint64)
+        child_start = level_start_nodes[li]
+        for k in range(cnt):
+            s, e = k * NODE_SIZE, min((k + 1) * NODE_SIZE, len(child_boxes))
+            nb[k] = [child_boxes[s:e, 0].min(), child_boxes[s:e, 1].min(),
+                     child_boxes[s:e, 2].max(), child_boxes[s:e, 3].max()]
+            no[k] = (child_start + s) * NODE_BYTES
+        levels.append((nb, no))
+        child_boxes, child_offs = nb, no
+    index = bytearray(total_nodes * NODE_BYTES) if n else bytearray()
+    for li, (nb, no) in enumerate(levels):
+        start = level_start_nodes[li]
+        for k in range(len(nb)):
+            struct.pack_into("<4dQ", index, (start + k) * NODE_BYTES,
+                             nb[k][0], nb[k][1], nb[k][2], nb[k][3], int(no[k]))
+
+    # header
+    hb = _FBBuilder()
+    col_offs = []
+    for nm, ct in zip(attr_names, col_types):
+        noff = hb.string(nm)
+        col_offs.append(hb.table([(0, "off", noff), (1, "u8", ct)]))
+    cols_vec = hb.vector_offsets(col_offs) if col_offs else None
+    name_off = hb.string(name)
+    env_off = hb.vector_scalar("d", [float(v) for v in ext], 8)
+    header_root = hb.table([
+        (0, "off", name_off),
+        (1, "off", env_off),
+        (2, "u8", layer_gt),
+        (7, "off", cols_vec),
+        (8, "u64", n),
+        (9, "u16", NODE_SIZE),
+    ])
+    header = hb.finish(header_root)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(bytes(index))
+        for fbytes in feats:
+            f.write(fbytes)
+    os.replace(tmp, path)
+
+
+# ======================================================== read
+
+
+def read_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        if f.read(8) != MAGIC:
+            raise ValueError("not a FlatGeobuf v3 file")
+        hlen = struct.unpack("<I", f.read(4))[0]
+        hbuf = f.read(hlen)
+    t = _FBTable.root(hbuf)
+    cols = [{"name": c.string(0), "type": c.scalar(1, "B", 0)}
+            for c in t.vector_tables(7)]
+    n = t.scalar(8, "Q", 0)
+    node_size = t.scalar(9, "H", 16)
+    counts = _level_counts(n) if n else [0]
+    if node_size != NODE_SIZE:
+        # level math below assumes our writer's node size
+        raise NotImplementedError(f"index node size {node_size}")
+    env = t.vector(1, "f8", 8)
+    return {
+        "name": t.string(0), "geometry_type": t.scalar(2, "B", 0),
+        "columns": cols, "features_count": n, "index_node_size": node_size,
+        "envelope": None if env is None else [float(v) for v in env],
+        "header_end": 12 + hlen,
+        "index_bytes": sum(counts) * NODE_BYTES if n else 0,
+        "leaf_node_start": (sum(counts) - n) * NODE_BYTES if n else 0,
+    }
+
+
+def _leaf_offsets(path: str, h: dict) -> np.ndarray:
+    """Feature byte offsets (within the data section), Hilbert order."""
+    n = h["features_count"]
+    with open(path, "rb") as f:
+        f.seek(h["header_end"] + h["leaf_node_start"])
+        raw = f.read(n * NODE_BYTES)
+    nodes = np.frombuffer(raw, dtype=np.dtype([("box", "<f8", 4), ("off", "<u8")]))
+    return nodes["off"].astype(np.int64)
+
+
+def _decode_feature(buf: bytes, layer_gt: int, col_types: list[int]):
+    t = _FBTable.root(buf)
+    g = t.table(0)
+    wkb = None
+    if g is not None:
+        xy = g.vector(1, "f8", 8)
+        ends = g.vector(0, "u4", 4)
+        gt = g.scalar(6, "B", 0) or layer_gt
+        if xy is not None:
+            wkb = _fgb_to_wkb(gt, np.asarray(xy, np.float64).reshape(-1, 2),
+                              None if ends is None else np.asarray(ends))
+    props = _decode_props(t.vector_bytes(1), col_types)
+    return wkb, props
+
+
+def read_flatgeobuf(path: str, *, features_per_block: int = 65536):
+    """-> ray.data.Dataset (fid:int64 in Hilbert order, wkb:binary +
+    attribute columns).  Header + index-leaf offsets decode driver-side;
+    each Ray task range-reads only its span of the data section."""
+    import ray.data as rd
+
+    h = read_header(path)
+    n = h["features_count"]
+    offs = _leaf_offsets(path, h) if n else np.empty(0, np.int64)
+    data_start = h["header_end"] + h["index_bytes"]
+    file_end = os.path.getsize(path)
+    col_names = [c["name"] for c in h["columns"]]
+    col_types = [c["type"] for c in h["columns"]]
+    layer_gt = h["geometry_type"]
+
+    items = []
+    for s in range(0, max(n, 1), features_per_block):
+        e = min(s + features_per_block, n)
+        if s >= n:
+            items.append({"fid0": 0, "start": 0, "end": 0})
+            break
+        end_byte = (offs[e] if e < n else file_end - data_start)
+        items.append({"fid0": s, "start": int(offs[s]), "end": int(end_byte)})
+
+    def load(b: pa.Table) -> pa.Table:
+        outs = []
+        with open(path, "rb") as f:
+            for it in b.to_pylist():
+                f.seek(data_start + it["start"])
+                span = f.read(it["end"] - it["start"])
+                p = 0
+                fids, wkbs = [], []
+                attrs: list[list] = [[] for _ in col_names]
+                fid = it["fid0"]
+                while p < len(span):
+                    ln = struct.unpack_from("<I", span, p)[0]
+                    p += 4
+                    wkb, props = _decode_feature(span[p:p + ln], layer_gt,
+                                                 col_types)
+                    p += ln
+                    fids.append(fid)
+                    wkbs.append(wkb)
+                    for ci in range(len(col_names)):
+                        attrs[ci].append(props.get(ci))
+                    fid += 1
+                cols = {"fid": pa.array(fids, pa.int64()),
+                        "wkb": pa.array(wkbs, pa.binary())}
+                for ci, nm in enumerate(col_names):
+                    ct = col_types[ci]
+                    ty = {CT_BOOL: pa.bool_(), CT_INT: pa.int32(),
+                          CT_LONG: pa.int64(), CT_DOUBLE: pa.float64(),
+                          CT_STRING: pa.string(), CT_BINARY: pa.binary()}[ct]
+                    cols[nm] = pa.array(attrs[ci], ty)
+                outs.append(pa.table(cols))
+        return pa.concat_tables(outs) if outs else pa.table({})
+
+    return rd.from_items(items).map_batches(load, batch_format="pyarrow")
