@@ -214,6 +214,37 @@ def run_pipeline(text: str, sf_dir: str, **ctx_extra):
     return ds
 
 
+def save_gdalg(text: str, path: str) -> None:
+    """Serialize a pipeline string as a .gdalg.json document — the GDALG
+    driver idiom (frmts/gdalg/gdalgdriver.cpp: a whole CLI pipeline saved
+    as JSON, re-executed lazily on open)."""
+    import json
+    import os
+
+    stages = parse_pipeline(text)  # validate before persisting
+    if stages[0][0] not in ("read", "read-vector"):
+        raise ValueError("pipeline must start with 'read' or 'read-vector'")
+    doc = {"type": "gdal_streamed_alg", "command_line": text,
+           "relative_paths_relative_to_this_file": False}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, path)
+
+
+def open_gdalg(path: str, sf_dir: str, **ctx_extra):
+    """Open a .gdalg.json document: re-parse the stored pipeline and
+    return its lazy Dataset — nothing executes until consumed, exactly
+    the reference's deferred-on-open semantics."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("type") != "gdal_streamed_alg":
+        raise ValueError(f"{path}: not a gdal_streamed_alg document")
+    return run_pipeline(doc["command_line"], sf_dir, **ctx_extra)
+
+
 # --- reference-registry steps ----------------------------------------------
 
 @register_step("read", kind="dataset")

@@ -52,3 +52,70 @@ def synth_images(n: int, *, parallelism: int = -1):
     from gdal_ray.synth import synth_images_dataset
 
     return synth_images_dataset(n, parallelism=parallelism)
+
+
+# -------------------------------------------------------- driver registry
+#
+# GDALOpen / OGROpen analogue (gcore/gdal_priv.h:2621 GDALDriverManager,
+# frmts/gdalallregister.cpp): extension-dispatched open over every vector
+# and raster store driver this engine implements.  Each opener returns a
+# ray.data.Dataset; vector drivers share the (fid, wkb, attrs…) schema,
+# raster/chunk drivers the (row0/col0 or cy/cx, h, w, data) chunk schema.
+
+
+def open_vector(path: str, **kw):
+    """Vector table -> Dataset (fid:int64, wkb:binary, + attributes)."""
+    low = path.lower()
+    if low.endswith(".gpkg"):
+        from gdal_ray.sources.gpkg import read_gpkg
+
+        return read_gpkg(path, **kw)
+    if low.endswith(".shp"):
+        from gdal_ray.sources.shapefile import read_shapefile
+
+        return read_shapefile(path, **kw)
+    if low.endswith(".fgb"):
+        from gdal_ray.sources.flatgeobuf import read_flatgeobuf
+
+        return read_flatgeobuf(path, **kw)
+    if low.endswith((".geojsonl", ".ndjson")):
+        from gdal_ray.sources.geojson import read_geojsonseq
+
+        return read_geojsonseq(path, **kw)
+    if low.endswith((".geojson", ".json")):
+        from gdal_ray.sources.geojson import read_geojson
+
+        return read_geojson(path, **kw)
+    if low.endswith(".csv"):
+        from gdal_ray.sources.csvwkt import read_csv_wkt
+
+        return read_csv_wkt(path, **kw)
+    raise ValueError(f"no vector driver for {path}")
+
+
+def open_raster(path: str, **kw):
+    """Chunked raster store -> Dataset of decoded chunk rows."""
+    low = path.lower()
+    if low.endswith((".tif", ".tiff")):
+        from gdal_ray.sources.gtiff_reader import read_geotiff_tiles
+
+        return read_geotiff_tiles(path, **kw)
+    import os as _os
+
+    if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, ".zarray")):
+        from gdal_ray.sources.zarr import read_zarr
+
+        return read_zarr(path, **kw)
+    if low.endswith(".nc"):
+        from gdal_ray.sources.netcdf3 import read_netcdf
+
+        return read_netcdf(path, **kw)
+    if low.endswith(".mbtiles"):
+        from gdal_ray.state.mbtiles import read_mbtiles
+
+        return read_mbtiles(path, **kw)
+    if low.endswith(".pmtiles"):
+        from gdal_ray.state.pmtiles import read_pmtiles
+
+        return read_pmtiles(path, **kw)
+    raise ValueError(f"no raster driver for {path}")
