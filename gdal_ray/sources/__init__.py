@@ -100,6 +100,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.gtiff_reader import read_geotiff_tiles
 
         return read_geotiff_tiles(path, **kw)
+    if low.endswith(".vrt"):
+        from gdal_ray.sources.vrt import read_vrt
+
+        return read_vrt(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, ".zarray")):

@@ -18,7 +18,11 @@ import pyarrow as pa
 from gdal_ray.codecs.tiff import (
     T_BITS,
     T_COMPRESSION,
+    T_GDAL_NODATA,
     T_LENGTH,
+    T_MODEL_PIXEL_SCALE,
+    T_MODEL_TIEPOINT,
+    T_MODEL_TRANSFORM,
     T_PLANAR,
     T_PREDICTOR,
     T_ROWS_PER_STRIP,
@@ -82,7 +86,22 @@ def tiff_levels(path: str) -> list[dict]:
             "dtype": _DTYPES[(bits, sf)], "endian": r.e,
             "compression": int(tags.get(T_COMPRESSION, [1])[0]),
             "predictor": int(tags.get(T_PREDICTOR, [1])[0]),
+            "geotransform": None, "nodata": None,
         }
+        if T_MODEL_TRANSFORM in tags:
+            m = tags[T_MODEL_TRANSFORM]
+            meta["geotransform"] = (m[3], m[0], m[1], m[7], m[4], m[5])
+        elif T_MODEL_PIXEL_SCALE in tags and T_MODEL_TIEPOINT in tags:
+            sx, sy = tags[T_MODEL_PIXEL_SCALE][0], tags[T_MODEL_PIXEL_SCALE][1]
+            tp = tags[T_MODEL_TIEPOINT]
+            i0, j0, gx, gy = tp[0], tp[1], tp[3], tp[4]
+            meta["geotransform"] = (gx - i0 * sx, sx, 0.0,
+                                    gy + j0 * sy, 0.0, -sy)
+        if T_GDAL_NODATA in tags:
+            try:
+                meta["nodata"] = float(tags[T_GDAL_NODATA][0].strip())
+            except ValueError:
+                pass
         if T_TILE_OFFSETS in tags:
             meta.update(tiled=True,
                         tile_w=int(tags[T_TILE_W][0]),
