@@ -3252,6 +3252,80 @@ from nation
 """
 
 
+def q_raster_xyz(sf_dir: str):
+    """gdal2xyz (apps/gdal2xyz.py): raster -> (x, y, value) point table at
+    pixel centers of the geotransform (0, 2, 0, 1000, 0, -2) — integer
+    geo coords, bit-exact vs the SQL grid twin.  Pure per-image flat map,
+    no shuffle."""
+    from gdal_ray.stages import dem
+
+    def xyz(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        e = dem.elevation_grids(ids)
+        n = e.shape[1]
+        r = np.arange(n, dtype=np.int64)
+        x = (2 * r + 1)[None, None, :]          # x0 + (c+0.5)*px
+        y = (1000 - (2 * r + 1))[None, :, None]  # y0 + (r+0.5)*py
+        B = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n * n), pa.int64()),
+            "x": pa.array(np.broadcast_to(x, (B, n, n)).ravel(), pa.int64()),
+            "y": pa.array(np.broadcast_to(y, (B, n, n)).ravel(), pa.int64()),
+            "e": pa.array(e.ravel(), pa.int64()),
+        })
+
+    return _dem_docs(sf_dir).map_batches(xyz, batch_format="pyarrow")
+
+
+SQL_RASTER_XYZ = f"""
+with {_DEM_GRID_CTE}
+select doc_id, cast(2 * c + 1 as bigint) as x,
+       cast(1000 - (2 * r + 1) as bigint) as y, cast(e as bigint) as e
+from g
+"""
+
+
+def q_color_relief(sf_dir: str):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp ColorAssociation
+    piecewise-linear ramp): elevation -> RGB, reduced to per-doc channel
+    sums — integer-exact (non-negative floor form) vs the SQL twin."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.color import color_relief
+
+    ramp = [(0, (0, 0, 255)), (100, (0, 255, 0)),
+            (200, (255, 255, 0)), (255, (255, 0, 0))]
+
+    def relief(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        rgb = color_relief(dem.elevation_grids(ids), ramp)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sum_r": pa.array(rgb[..., 0].sum(axis=(1, 2)), pa.int64()),
+            "sum_g": pa.array(rgb[..., 1].sum(axis=(1, 2)), pa.int64()),
+            "sum_b": pa.array(rgb[..., 2].sum(axis=(1, 2)), pa.int64()),
+        })
+
+    return _dem_docs(sf_dir).map_batches(relief, batch_format="pyarrow")
+
+
+SQL_COLOR_RELIEF = f"""
+with {_DEM_GRID_CTE},
+v as (select doc_id,
+  case when e < 100 then 0
+       when e < 200 then (255 * (e - 100)) // 100
+       else 255 end as r,
+  case when e < 100 then (255 * e) // 100
+       when e < 200 then 255
+       else (255 * (255 - e)) // 55 end as g,
+  case when e < 100 then (255 * (100 - e)) // 100
+       else 0 end as b
+from g)
+select doc_id, cast(sum(r) as bigint) as sum_r,
+       cast(sum(g) as bigint) as sum_g, cast(sum(b) as bigint) as sum_b
+from v group by 1
+"""
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-2), so
@@ -3313,6 +3387,8 @@ def queries():
         "viewshed": q_viewshed,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         # ---- 50-slot window boundary (entries below are driver-unchecked)
+        "raster_xyz": q_raster_xyz,
+        "color_relief": q_color_relief,
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
@@ -3406,6 +3482,8 @@ def oracle_sql():
         "window_rank": SQL_WINDOW_RANK,
         "bbox_join": _sql_bbox_join(),
         "dem_metrics": SQL_DEM_METRICS,
+        "raster_xyz": SQL_RASTER_XYZ,
+        "color_relief": SQL_COLOR_RELIEF,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,

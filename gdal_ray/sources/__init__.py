@@ -104,6 +104,14 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.vrt import read_vrt
 
         return read_vrt(path, **kw)
+    if low.endswith(".asc"):
+        from gdal_ray.sources.aaigrid import read_aaigrid
+
+        return read_aaigrid(path, **kw)
+    if low.endswith(".xyz"):
+        from gdal_ray.sources.xyzgrid import read_xyz
+
+        return read_xyz(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, ".zarray")):

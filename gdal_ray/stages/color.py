@@ -96,3 +96,25 @@ def pansharpen_brovey(rgb_lowres: np.ndarray, pan: np.ndarray,
     ratio = np.asarray(pan, dtype=np.float64) / pseudo
     out = up * ratio[:, :, None]
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def color_relief(e: np.ndarray, ramp) -> np.ndarray:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp GDALColorRelief /
+    ColorAssociation piecewise-linear interpolation): map elevation to RGB
+    through a sorted ``[(elev, (r, g, b)), ...]`` ramp.  Integer-exact
+    variant: each channel is ``(lo_c*(hi-e) + hi_c*(e-lo)) // (hi-lo)``
+    (all terms non-negative, so floor == truncate and a SQL twin
+    reproduces the values bit-exactly).  Elevations outside the ramp
+    clamp to the end colors, as the reference does."""
+    elevs = np.asarray([v for v, _ in ramp], dtype=np.int64)
+    cols = np.asarray([c for _, c in ramp], dtype=np.int64)  # (K, 3)
+    ec = np.clip(np.asarray(e, dtype=np.int64), elevs[0], elevs[-1])
+    idx = np.clip(np.searchsorted(elevs, ec, side="right") - 1,
+                  0, len(elevs) - 2)
+    lo, hi = elevs[idx], elevs[idx + 1]
+    den = hi - lo
+    out = np.empty(ec.shape + (3,), dtype=np.int64)
+    for ch in range(3):
+        lc, hc = cols[idx, ch], cols[idx + 1, ch]
+        out[..., ch] = (lc * (hi - ec) + hc * (ec - lo)) // den
+    return out
