@@ -90,6 +90,14 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.csvwkt import read_csv_wkt
 
         return read_csv_wkt(path, **kw)
+    if low.endswith(".kml"):
+        from gdal_ray.sources.kmlgpx import read_kml
+
+        return read_kml(path, **kw)
+    if low.endswith(".gpx"):
+        from gdal_ray.sources.kmlgpx import read_gpx
+
+        return read_gpx(path, **kw)
     raise ValueError(f"no vector driver for {path}")
 
 
