@@ -3326,6 +3326,45 @@ from v group by 1
 """
 
 
+def q_equalize(sf_dir: str):
+    """Histogram equalization (gdalenhance -equalize,
+    apps/gdalenhance.cpp): per-image CDF LUT with integer floor division,
+    reduced to per-doc sum/min/max — bit-exact vs the SQL window-function
+    twin.  Pure per-image map, no shuffle."""
+    from gdal_ray.stages import dem
+    from gdal_ray.stages.stats import equalize
+
+    def eq(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        out = equalize(dem.elevation_grids(ids))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sum_eq": pa.array(out.sum(axis=(1, 2)), pa.int64()),
+            "min_eq": pa.array(out.min(axis=(1, 2)), pa.int64()),
+            "max_eq": pa.array(out.max(axis=(1, 2)), pa.int64()),
+        })
+
+    return _dem_docs(sf_dir).map_batches(eq, batch_format="pyarrow")
+
+
+SQL_EQUALIZE = f"""
+with {_DEM_GRID_CTE},
+cnt as (select doc_id, e, count(*) as n from g group by 1, 2),
+cdf as (select doc_id, e,
+               sum(n) over (partition by doc_id order by e) as cdf
+        from cnt),
+mn as (select doc_id, min(cdf) as cdfmin from cdf group by 1),
+lut as (select c.doc_id, c.e,
+               ((c.cdf - m.cdfmin) * 255) // ({DEM_N * DEM_N} - m.cdfmin) as v
+        from cdf c join mn m using (doc_id)),
+px as (select g.doc_id, l.v from g join lut l
+       on l.doc_id = g.doc_id and l.e = g.e)
+select doc_id, cast(sum(v) as bigint) as sum_eq,
+       cast(min(v) as bigint) as min_eq, cast(max(v) as bigint) as max_eq
+from px group by 1
+"""
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-2), so
@@ -3389,6 +3428,7 @@ def queries():
         # ---- 50-slot window boundary (entries below are driver-unchecked)
         "raster_xyz": q_raster_xyz,
         "color_relief": q_color_relief,
+        "equalize": q_equalize,
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
@@ -3484,6 +3524,7 @@ def oracle_sql():
         "dem_metrics": SQL_DEM_METRICS,
         "raster_xyz": SQL_RASTER_XYZ,
         "color_relief": SQL_COLOR_RELIEF,
+        "equalize": SQL_EQUALIZE,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,

@@ -139,3 +139,51 @@ def open_raster(path: str, **kw):
 
         return read_pmtiles(path, **kw)
     raise ValueError(f"no raster driver for {path}")
+
+
+def read_image_dir(paths, *, decode: bool = False, concurrency=(1, 8)):
+    """Directory/glob of image FILES (.png/.jpg/.webp/.tif) -> Dataset with
+    the input_hint column shape (image_id from the file path, bytes, w, h,
+    fmt; full pixel payload kept as 'pixels' only when decode=True).
+    The file-per-image ingest door (gdal_translate batch idiom); Ray
+    splits files across tasks, decode runs in an actor pool."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    _EXT_FMT = {".png": "png", ".jpg": "jpeg", ".jpeg": "jpeg",
+                ".webp": "webp", ".tif": "gtiff", ".tiff": "gtiff"}
+
+    class Decode:
+        def __init__(self):
+            from gdal_ray.codecs import decode as _dec
+
+            self._dec = _dec
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, fmts, ws, hs, pix = [], [], [], [], []
+            blobs = b.column("bytes").to_pylist()
+            for path, blob in zip(b.column("path").to_pylist(), blobs):
+                ids.append(_os.path.splitext(_os.path.basename(path))[0])
+                fmts.append(_EXT_FMT.get(
+                    _os.path.splitext(path)[1].lower(), "unknown"))
+                arr = self._dec(bytes(blob))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                if decode:
+                    pix.append(np.ascontiguousarray(arr).tobytes())
+            cols = {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": b.column("bytes").cast(pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+            if decode:
+                cols["pixels"] = pa.array(pix, pa.binary())
+            return pa.table(cols)
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        Decode, batch_format="pyarrow", concurrency=concurrency)

@@ -85,3 +85,31 @@ def image_stats_batch(batch: pa.Table) -> pa.Table:
             "px_count": pa.array(counts),
         }
     )
+
+
+def equalization_lut(grids: np.ndarray, levels: int = 256) -> np.ndarray:
+    """Histogram-equalization LUT per image (gdalenhance -equalize,
+    apps/gdalenhance.cpp ComputeLUT): the classic
+    ``lut[v] = (cdf[v] - cdf_min) * (L-1) // (N - cdf_min)`` with integer
+    floor division so a SQL window-function twin reproduces it exactly.
+
+    grids: (B, h, w) non-negative ints < levels -> (B, levels) int64."""
+    if grids.ndim != 3:
+        raise ValueError("expected a (B, h, w) stack")
+    B = grids.shape[0]
+    total = grids.shape[1] * grids.shape[2]
+    idx = (np.arange(B, dtype=np.int64)[:, None, None] * levels
+           + grids.astype(np.int64)).ravel()
+    counts = np.bincount(idx, minlength=B * levels).reshape(B, levels)
+    cdf = counts.cumsum(axis=1)
+    occupied = np.where(counts > 0, cdf, total + 1)
+    cdfmin = occupied.min(axis=1)[:, None]
+    den = np.maximum(total - cdfmin, 1)  # constant image -> all zeros
+    return (cdf - cdfmin) * (levels - 1) // den
+
+
+def equalize(grids: np.ndarray, levels: int = 256) -> np.ndarray:
+    """Apply the per-image equalization LUT: (B, h, w) -> (B, h, w)."""
+    lut = equalization_lut(grids, levels)
+    B = grids.shape[0]
+    return lut[np.arange(B)[:, None, None], grids.astype(np.int64)]
