@@ -596,15 +596,89 @@ def _decode_feature(buf: bytes, layer_gt: int, col_types: list[int]):
     return wkb, props
 
 
-def read_flatgeobuf(path: str, *, features_per_block: int = 65536):
+_NODE_DT = np.dtype([("box", "<f8", 4), ("off", "<u8")])
+
+
+def search_index(path: str, h: dict, bbox) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-Hilbert-R-tree bbox search (packedrtree.h StreamSearch
+    analogue): traverse root->leaves, range-reading ONLY intersecting
+    nodes' child spans — O(hits + depth) index bytes touched, never the
+    whole leaf level.  -> (fids, feature_offsets), Hilbert order.  Leaf
+    boxes are exact per-feature envelopes, so hits need no re-check."""
+    n = h["features_count"]
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    counts = _level_counts(n)  # leaves..root
+    starts, acc = [], 0
+    for cnt in reversed(counts):  # root..leaves byte layout
+        starts.append(acc)
+        acc += cnt
+    starts = list(reversed(starts))  # leaves..root node-index starts
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    idx_base = h["header_end"]
+    leaf_start = starts[0]
+    cur = [(starts[-1], starts[-1] + 1)]  # root
+    hit_fids: list[np.ndarray] = []
+    hit_offs: list[np.ndarray] = []
+    with open(path, "rb") as f:
+        for li in range(len(counts) - 1, -1, -1):
+            nxt: list[tuple[int, int]] = []
+            for s, e in cur:
+                f.seek(idx_base + s * NODE_BYTES)
+                nodes = np.frombuffer(f.read((e - s) * NODE_BYTES), _NODE_DT)
+                b = nodes["box"]
+                inter = ((b[:, 0] <= maxx) & (b[:, 2] >= minx)
+                         & (b[:, 1] <= maxy) & (b[:, 3] >= miny))
+                hits = np.flatnonzero(inter)
+                if li == 0:
+                    hit_fids.append(s - leaf_start + hits)
+                    hit_offs.append(nodes["off"][hits].astype(np.int64))
+                else:
+                    cls, ccnt = starts[li - 1], counts[li - 1]
+                    for k in hits:
+                        c0 = int(nodes["off"][k]) // NODE_BYTES
+                        nxt.append((c0, min(c0 + NODE_SIZE, cls + ccnt)))
+            # coalesce adjacent child ranges into single reads
+            nxt.sort()
+            merged: list[tuple[int, int]] = []
+            for s, e in nxt:
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            cur = merged
+    fids = np.concatenate(hit_fids) if hit_fids else np.empty(0, np.int64)
+    offs = np.concatenate(hit_offs) if hit_offs else np.empty(0, np.int64)
+    order = np.argsort(fids, kind="stable")
+    return fids[order], offs[order]
+
+
+def _feature_offset(path: str, h: dict, fid: int) -> int:
+    """Byte offset (within the data section) of one feature — a single
+    40-byte leaf-node read."""
+    leaf_nodes = (sum(_level_counts(h["features_count"]))
+                  - h["features_count"])
+    with open(path, "rb") as f:
+        f.seek(h["header_end"] + (leaf_nodes + fid) * NODE_BYTES)
+        node = np.frombuffer(f.read(NODE_BYTES), _NODE_DT)
+    return int(node["off"][0])
+
+
+def read_flatgeobuf(path: str, *, features_per_block: int = 65536,
+                    bbox=None):
     """-> ray.data.Dataset (fid:int64 in Hilbert order, wkb:binary +
     attribute columns).  Header + index-leaf offsets decode driver-side;
-    each Ray task range-reads only its span of the data section."""
+    each Ray task range-reads only its span of the data section.
+
+    ``bbox=(minx, miny, maxx, maxy)`` pushes the spatial filter into the
+    packed R-tree (OGR SetSpatialFilter at the driver level): the driver
+    walks only intersecting index nodes, tasks range-read only runs of
+    hit features — a selective filter over a planet-scale file touches
+    O(result) bytes."""
     import ray.data as rd
 
     h = read_header(path)
     n = h["features_count"]
-    offs = _leaf_offsets(path, h) if n else np.empty(0, np.int64)
     data_start = h["header_end"] + h["index_bytes"]
     file_end = os.path.getsize(path)
     col_names = [c["name"] for c in h["columns"]]
@@ -612,13 +686,32 @@ def read_flatgeobuf(path: str, *, features_per_block: int = 65536):
     layer_gt = h["geometry_type"]
 
     items = []
-    for s in range(0, max(n, 1), features_per_block):
-        e = min(s + features_per_block, n)
-        if s >= n:
+    if bbox is not None and n:
+        fids, offs = search_index(path, h, bbox)
+        i = 0
+        while i < len(fids):
+            j = i  # grow a run of consecutive fids, capped per block
+            while (j + 1 < len(fids) and fids[j + 1] == fids[j] + 1
+                   and j + 1 - i < features_per_block):
+                j += 1
+            last = int(fids[j])
+            end_byte = (file_end - data_start if last == n - 1
+                        else _feature_offset(path, h, last + 1))
+            items.append({"fid0": int(fids[i]), "start": int(offs[i]),
+                          "end": int(end_byte)})
+            i = j + 1
+        if not items:
             items.append({"fid0": 0, "start": 0, "end": 0})
-            break
-        end_byte = (offs[e] if e < n else file_end - data_start)
-        items.append({"fid0": s, "start": int(offs[s]), "end": int(end_byte)})
+    else:
+        offs = _leaf_offsets(path, h) if n else np.empty(0, np.int64)
+        for s in range(0, max(n, 1), features_per_block):
+            e = min(s + features_per_block, n)
+            if s >= n:
+                items.append({"fid0": 0, "start": 0, "end": 0})
+                break
+            end_byte = (offs[e] if e < n else file_end - data_start)
+            items.append({"fid0": s, "start": int(offs[s]),
+                          "end": int(end_byte)})
 
     def load(b: pa.Table) -> pa.Table:
         outs = []

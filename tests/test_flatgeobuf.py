@@ -161,3 +161,62 @@ def test_bad_magic(tmp_path):
     open(p, "wb").write(b"notfgb__" + b"\x00" * 10)
     with pytest.raises(ValueError):
         read_header(p)
+
+
+def test_bbox_pushdown_matches_full_scan(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.sources.flatgeobuf import (
+        read_flatgeobuf, read_header, search_index, write_flatgeobuf)
+    from gdal_ray.sources.geojson import geometry_to_wkb, wkb_to_geometry
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 100, (500, 2))
+    t = pa.table({
+        "wkb": pa.array([geometry_to_wkb(
+            {"type": "Point", "coordinates": [float(x), float(y)]})
+            for x, y in pts], pa.binary()),
+        "tag": pa.array([f"f{i}" for i in range(500)], pa.string()),
+    })
+    p = str(tmp_path / "pts.fgb")
+    write_flatgeobuf(t, p)
+
+    bbox = (20.0, 30.0, 45.0, 60.0)
+    got = read_flatgeobuf(p, bbox=bbox).to_pandas()
+    full = read_flatgeobuf(p).to_pandas()
+
+    def inside(w):
+        x, y = wkb_to_geometry(w)["coordinates"]
+        return bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]
+
+    exp = full[full["wkb"].map(inside)]
+    assert len(got) == len(exp) > 10
+    assert set(got["tag"]) == set(exp["tag"])
+    assert set(got["fid"]) == set(exp["fid"])
+
+    # the index search touches only O(hits) leaves, exact envelopes
+    h = read_header(p)
+    fids, offs = search_index(p, h, bbox)
+    assert len(fids) == len(exp)
+    # empty-result bbox
+    assert len(read_flatgeobuf(p, bbox=(200, 200, 300, 300)).to_pandas()) == 0
+
+
+def test_bbox_pushdown_small_blocks(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+    from gdal_ray.sources.geojson import geometry_to_wkb
+
+    # grid of points; tiny features_per_block exercises run splitting
+    xs, ys = np.meshgrid(np.arange(20.0), np.arange(20.0))
+    t = pa.table({"wkb": pa.array([geometry_to_wkb(
+        {"type": "Point", "coordinates": [float(x), float(y)]})
+        for x, y in zip(xs.ravel(), ys.ravel())], pa.binary())})
+    p = str(tmp_path / "grid.fgb")
+    write_flatgeobuf(t, p)
+    got = read_flatgeobuf(p, bbox=(5.0, 5.0, 9.0, 9.0),
+                          features_per_block=7).to_pandas()
+    assert len(got) == 25  # 5x5 inclusive grid window
