@@ -3365,6 +3365,54 @@ from px group by 1
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the exact 3-gram
+    Jaccard pair graph (the step after pair generation every dedup
+    pipeline needs — keep min-id per component).  Distributed join-free
+    min-label propagation (stages/dedup.connected_components); oracle =
+    recursive transitive closure in SQL."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import connected_components
+
+    pairs = q_ngram_pairs(sf_dir)  # exact pair kernel (pa.Table)
+    edges = rd.from_arrow(pairs.select(["doc_a", "doc_b"]))
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 100")
+    return connected_components(edges, nodes)
+
+
+SQL_DEDUP_CLUSTERS = """
+with recursive
+d as (select doc_id from documents where doc_id < 100),
+g as (
+  select distinct doc_id, substr(text, s.i, 3) as gram
+  from (select doc_id, text from documents where doc_id < 100),
+       unnest(generate_series(1, len(text) - 2)) as s(i)
+),
+sizes as (select doc_id, count(*) as n from g group by 1),
+common as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2
+),
+e as (
+  select doc_a, doc_b
+  from common join sizes sa on sa.doc_id = doc_a
+              join sizes sb on sb.doc_id = doc_b
+  where 2 * n_common >= sa.n + sb.n - n_common
+),
+e2 as (select doc_a as a, doc_b as b from e
+       union select doc_b, doc_a from e),
+reach(a, b) as (
+  select doc_id, doc_id from d
+  union
+  select r.a, e2.b from reach r join e2 on e2.a = r.b
+)
+select a as doc_id, cast(min(b) as bigint) as label from reach group by 1
+"""
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-2), so
@@ -3429,6 +3477,7 @@ def queries():
         "raster_xyz": q_raster_xyz,
         "color_relief": q_color_relief,
         "equalize": q_equalize,
+        "dedup_clusters": q_dedup_clusters,
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
@@ -3525,6 +3574,7 @@ def oracle_sql():
         "raster_xyz": SQL_RASTER_XYZ,
         "color_relief": SQL_COLOR_RELIEF,
         "equalize": SQL_EQUALIZE,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,

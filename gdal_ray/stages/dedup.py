@@ -548,3 +548,82 @@ def embeddings_head_matrix(ds, n: int) -> np.ndarray:
     float64 matrix — the seeded-centroid picker shared with stages/ann.py."""
     head = ds.limit(n).to_pandas()
     return np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+
+
+def connected_components(edges, nodes, *, col_a: str = "doc_a",
+                         col_b: str = "doc_b", node_col: str = "doc_id",
+                         max_rounds: int = 50):
+    """Distributed connected components over a near-dup pair graph ->
+    Dataset(doc_id, label) with label = min node id in the component (the
+    canonical-representative rule dedup pipelines key their keep/drop
+    decision on).
+
+    Min-label propagation, join-free: each round is two hash exchanges —
+    (1) union(label rows, edge rows both directions) grouped by node
+    scatters every node's current label to its neighbors; (2) a
+    groupby-min gathers the smallest candidate per node.  Labels only
+    ever decrease, so Σlabel strictly decreases until the fixpoint —
+    the convergence test is one cheap aggregate, no old-vs-new join.
+    Rounds needed = graph diameter; near-dup clusters are shallow
+    (dozens of rounds bound components of any practical size).  The
+    label table — the only per-round materialized state — is O(nodes in
+    the pair graph), tiny next to the corpus at 100 TB.
+    """
+    import ray.data as rd
+
+    e = edges.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([
+                t.column(col_a).combine_chunks().cast(pa.int64()),
+                t.column(col_b).combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                t.column(col_b).combine_chunks().cast(pa.int64()),
+                t.column(col_a).combine_chunks().cast(pa.int64())]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({
+            "node": t.column(node_col).combine_chunks().cast(pa.int64()),
+            "label": t.column(node_col).combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def scatter(g: pa.Table) -> pa.Table:
+        lab = pc.min(g.column("label")).as_py()
+        if lab is None:  # edge rows whose node has no label row (impossible
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        dst = g.column("dst").drop_null()
+        n = g.column("node")[0].as_py()
+        return pa.table({
+            "node": pa.array([n] + dst.to_pylist(), pa.int64()),
+            "label": pa.array([lab] * (1 + len(dst)), pa.int64()),
+        })
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda t: t.append_column("dst", pa.nulls(len(t), pa.int64())),
+            batch_format="pyarrow")
+        edge_rows = e.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": pa.nulls(len(t), pa.int64()),
+                                "dst": t.column("dst")}),
+            batch_format="pyarrow")
+        cand = lab_rows.union(edge_rows).groupby("node").map_groups(
+            scatter, batch_format="pyarrow")
+        from gdal_ray.stages.agg import grouped_aggregate
+
+        labels = grouped_aggregate(
+            cand, ["node"], [("label", "min", "label")]).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "label": t.column("label")}),
+        batch_format="pyarrow")

@@ -99,3 +99,29 @@ def test_quality_score_matches_python_reference(docs_table):
                 punct_re.findall(t)
             ) / max(len(t), 1)
             assert got.column("mean_word_len")[i].as_py() == sum(len(w) for w in words) / nw
+
+
+def test_connected_components_chain_and_stars(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import connected_components
+
+    # component 1: a 30-node chain (diameter 29 — exercises convergence);
+    # component 2: a star around 100; plus isolated nodes 200..204
+    chain = [(i, i + 1) for i in range(30)]
+    star = [(100, 100 + k) for k in range(1, 8)]
+    edges = pa.table({
+        "doc_a": pa.array([a for a, _ in chain + star], pa.int64()),
+        "doc_b": pa.array([b for _, b in chain + star], pa.int64()),
+    })
+    node_ids = sorted({v for e in chain + star for v in e}
+                      | {200, 201, 202, 203, 204})
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array(node_ids, pa.int64())}))
+    out = connected_components(rd.from_arrow(edges), nodes).to_pandas()
+    lab = dict(zip(out["doc_id"], out["label"]))
+    assert all(lab[i] == 0 for i in range(31))
+    assert all(lab[100 + k] == 100 for k in range(8))
+    assert all(lab[n] == n for n in (200, 201, 202, 203, 204))
+    assert len(out) == len(node_ids)
