@@ -43,7 +43,54 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _netcdf(path)
     if low.endswith(".csv"):
         return _csv(path)
+    if low.endswith(".vrt"):
+        return _vrt(path)
+    if low.endswith(".asc"):
+        return _aaigrid(path)
+    if low.endswith(".kml"):
+        return _kml(path)
+    if low.endswith(".gpx"):
+        return _gpx(path)
     raise ValueError(f"unrecognized format: {path}")
+
+
+def _vrt(path: str) -> dict:
+    from gdal_ray.sources.vrt import parse_vrt
+
+    with open(path) as f:
+        doc = parse_vrt(f.read())
+    return {"format": "VRT", "width": doc["width"], "height": doc["height"],
+            "bands": doc["spp"], "dtype": doc["dtype"],
+            "geotransform": list(doc["geotransform"]),
+            "nodata": doc["nodata"], "n_sources": len(doc["sources"]),
+            "sources": [s["path"] for s in doc["sources"]]}
+
+
+def _aaigrid(path: str) -> dict:
+    from gdal_ray.sources.aaigrid import aaigrid_header
+
+    h = aaigrid_header(path)
+    return {"format": "AAIGrid", "width": h["ncols"], "height": h["nrows"],
+            "bands": 1, "dtype": "float64",
+            "geotransform": [h["xll"], h["cellsize"], 0.0,
+                             h["yll"] + h["nrows"] * h["cellsize"], 0.0,
+                             -h["cellsize"]],
+            "nodata": h["nodata"]}
+
+
+def _kml(path: str) -> dict:
+    from gdal_ray.sources.kmlgpx import _element_spans
+
+    return {"format": "KML",
+            "n_features": len(_element_spans(path, "Placemark"))}
+
+
+def _gpx(path: str) -> dict:
+    from gdal_ray.sources.kmlgpx import _element_spans
+
+    return {"format": "GPX",
+            "layers": {"waypoints": len(_element_spans(path, "wpt")),
+                       "tracks": len(_element_spans(path, "trk"))}}
 
 
 def _raster_common(arr: np.ndarray, stats: bool) -> dict:

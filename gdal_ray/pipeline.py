@@ -520,6 +520,16 @@ def _color_map(img, ramp: str = "0:0,0,0;255:255,255,255"):
     return out
 
 
+@register_step("equalize")
+def _equalize(img, levels: int = 256):
+    """Histogram equalization (gdalenhance -equalize)."""
+    from gdal_ray.stages.stats import equalize
+
+    band = _first_band(img).astype(np.int64)
+    out = equalize(band[None], int(levels))[0]
+    return out.astype(np.uint8) if levels <= 256 else out
+
+
 # --- vector steps (gdalalg_vector_pipeline.cpp registry, :324-341) ---------
 
 @register_step("read-vector", kind="dataset")

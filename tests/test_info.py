@@ -165,3 +165,47 @@ def test_cli_info(tmp_path, capsys):
     assert main(["info", p]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["driver"] == "PNG"
+
+
+def test_describe_vrt_and_aaigrid(tmp_path):
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.info import describe
+    from gdal_ray.sources.aaigrid import write_aaigrid
+    from gdal_ray.sources.vrt import save_vrt
+
+    p = str(tmp_path / "a.tif")
+    open(p, "wb").write(encode_geotiff(
+        np.zeros((10, 20), np.uint8),
+        geotransform=(0.0, 1.0, 0.0, 10.0, 0.0, -1.0)))
+    vp = str(tmp_path / "m.vrt")
+    save_vrt([p], vp)
+    d = describe(vp)
+    assert d["format"] == "VRT" and (d["width"], d["height"]) == (20, 10)
+    assert d["n_sources"] == 1
+
+    ap = str(tmp_path / "g.asc")
+    write_aaigrid(np.ones((5, 7)), ap, xll=2.0, yll=3.0, cellsize=0.5,
+                  nodata=-9.0)
+    d = describe(ap)
+    assert d["format"] == "AAIGrid" and (d["width"], d["height"]) == (7, 5)
+    assert d["geotransform"] == [2.0, 0.5, 0.0, 5.5, 0.0, -0.5]
+    assert d["nodata"] == -9.0
+
+
+def test_describe_kml_gpx(tmp_path):
+    import pyarrow as pa
+
+    from gdal_ray.info import describe
+    from gdal_ray.sources.geojson import geometry_to_wkb
+    from gdal_ray.sources.kmlgpx import write_gpx, write_kml
+
+    t = pa.table({"wkb": pa.array([geometry_to_wkb(
+        {"type": "Point", "coordinates": [1.0, 2.0]})] * 3, pa.binary())})
+    write_kml(t, str(tmp_path / "v.kml"))
+    assert describe(str(tmp_path / "v.kml")) == {
+        "format": "KML", "n_features": 3}
+    write_gpx(t, str(tmp_path / "v.gpx"))
+    assert describe(str(tmp_path / "v.gpx"))["layers"] == {
+        "waypoints": 3, "tracks": 0}
