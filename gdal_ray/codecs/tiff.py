@@ -657,18 +657,55 @@ def encode_cog(
     while max(levels[-1].shape[0], levels[-1].shape[1]) > tile_size:
         levels.append(_2x_reduce(levels[-1], resampler))
 
-    def _compress(block: np.ndarray) -> bytes:
-        raw = block.tobytes()
-        if comp_id == 1:
-            return raw
-        if comp_id == 8:
-            return zlib.compress(raw, 6)
-        if comp_id == 5:
-            return _lzw_encode(raw)
-        return _packbits(raw)
+    level_chunks = []
+    for a in levels:
+        level_chunks.append([
+            compress_cog_tile(blk, compression)
+            for blk in iter_cog_tiles(a, tile_size)])
+    return _cog_assemble(
+        [a.shape for a in levels], [a.dtype for a in levels], level_chunks,
+        tile_size=tile_size, comp_id=comp_id, geotransform=geotransform,
+        epsg=epsg, nodata=nodata)
 
+
+def iter_cog_tiles(a: np.ndarray, tile_size: int):
+    """Row-major padded (tile_size, tile_size, spp) tiles of one level."""
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    a_le = np.ascontiguousarray(a, dtype=a.dtype.newbyteorder("<"))
+    th = tw = tile_size
+    for j in range((h + th - 1) // th):
+        for i in range((w + tw - 1) // tw):
+            blk = np.zeros((th, tw, spp), dtype=a_le.dtype)
+            hh, ww = min(th, h - j * th), min(tw, w - i * tw)
+            blk[:hh, :ww] = a_le[j * th:j * th + hh, i * tw:i * tw + ww]
+            yield blk
+
+
+def compress_cog_tile(blk: np.ndarray, compression: str) -> bytes:
+    """Compress one padded tile — the CPU-heavy kernel the distributed
+    COG sink (state/cogsink.py) runs inside map_batches."""
+    raw = np.ascontiguousarray(blk, dtype=blk.dtype.newbyteorder("<")).tobytes()
+    if compression == "none":
+        return raw
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    return _packbits(raw)
+
+
+def _cog_assemble(level_shapes, level_dtypes, level_chunks, *, tile_size,
+                  comp_id, geotransform=None, epsg=None, nodata=None) -> bytes:
+    """COG layout pass over PRE-COMPRESSED tiles: IFD chain fully before
+    tile data, data smallest-overview-first / full-res last
+    (cogdriver.cpp).  level_shapes: [(h, w, spp)] full-res first;
+    level_chunks: row-major compressed tile bytes per level."""
     e = "<"
     hdr_len, entry_sz, inline = 8, 12, 4
+    tw = th = tile_size
+    levels = level_shapes
 
     def encode_vals(ftype, vals) -> bytes:
         code, _ = _FIELD[ftype]
@@ -676,23 +713,12 @@ def encode_cog(
             return vals[0].encode("latin-1") + b"\0"
         return struct.pack(e + code * len(vals), *vals)
 
-    # per-level tags + compressed tile chunks
     level_tags: list[list] = []
-    level_chunks: list[list[bytes]] = []
-    tw = th = tile_size
-    for li, a in enumerate(levels):
-        h, w, spp = a.shape
-        dt = a.dtype
+    for li, ((h, w, spp), dt, chunks) in enumerate(
+            zip(level_shapes, level_dtypes, level_chunks)):
+        dt = np.dtype(dt)
         sf = _SF_OF[dt.kind]
         bits = dt.itemsize * 8
-        a_le = np.ascontiguousarray(a, dtype=dt.newbyteorder("<"))
-        chunks = []
-        for j in range((h + th - 1) // th):
-            for i in range((w + tw - 1) // tw):
-                blk = np.zeros((th, tw, spp), dtype=a_le.dtype)
-                hh, ww = min(th, h - j * th), min(tw, w - i * tw)
-                blk[:hh, :ww] = a_le[j * th:j * th + hh, i * tw:i * tw + ww]
-                chunks.append(_compress(blk))
         tags: list[tuple[int, int, int, list]] = []
 
         def add(tag, ftype, vals, tags=tags):
@@ -729,7 +755,6 @@ def encode_cog(
         add(T_TILE_COUNTS, 4, [len(c) for c in chunks])
         tags.sort(key=lambda t: t[0])
         level_tags.append(tags)
-        level_chunks.append(chunks)
 
     # layout pass: header | IFD0 block | IFD1 block | ... | tile data
     # (data ordered smallest level first, level 0 LAST — the COG rule)

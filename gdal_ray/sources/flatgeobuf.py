@@ -743,6 +743,14 @@ def read_flatgeobuf(path: str, *, features_per_block: int = 65536,
                           CT_STRING: pa.string(), CT_BINARY: pa.binary()}[ct]
                     cols[nm] = pa.array(attrs[ci], ty)
                 outs.append(pa.table(cols))
-        return pa.concat_tables(outs) if outs else pa.table({})
+        if outs:
+            return pa.concat_tables(outs)
+        # typed empty (never a schema-less block)
+        fields = [("fid", pa.int64()), ("wkb", pa.binary())]
+        fields += [(nm, {CT_BOOL: pa.bool_(), CT_INT: pa.int32(),
+                         CT_LONG: pa.int64(), CT_DOUBLE: pa.float64(),
+                         CT_STRING: pa.string(), CT_BINARY: pa.binary()}[ct])
+                   for nm, ct in zip(col_names, col_types)]
+        return pa.schema(fields).empty_table()
 
     return rd.from_items(items).map_batches(load, batch_format="pyarrow")

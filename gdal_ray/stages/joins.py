@@ -125,12 +125,18 @@ def topn_per_group(ds, *, key: str, order_cols: list[str], ascending: list[bool]
     """row_number() <= n per key group, deterministic total order required
     (pass tie-break columns in order_cols)."""
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, ascending=ascending, kind="mergesort").head(n)
-        g = g.assign(**{rank_col: np.arange(1, len(g) + 1, dtype=np.int64)})
-        return g
+    import pyarrow.compute as _pc
 
-    return ds.groupby(key).map_groups(pick, batch_format="pandas")
+    keys = [(c, "ascending" if a else "descending")
+            for c, a in zip(order_cols, ascending)]
+
+    def pick(g: pa.Table) -> pa.Table:
+        idx = _pc.sort_indices(g, sort_keys=keys)[:n]  # Arrow sort is stable
+        out = g.take(idx)
+        return out.append_column(
+            rank_col, pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+
+    return ds.groupby(key).map_groups(pick, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
