@@ -109,6 +109,31 @@ def cmd_info(args) -> int:
     return 0
 
 
+
+def cmd_cog(args) -> int:
+    """gdalbuildvrt + translate-to-COG flow: VRT mosaic -> one COG, with
+    the pyramid + tile compression on the cluster (state/cogsink.py)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    from gdal_ray.sources.vrt import parse_vrt, read_vrt
+    from gdal_ray.state.cogsink import write_cog_distributed
+
+    with open(args.vrt) as f:
+        doc = parse_vrt(f.read())
+    gt = doc["geotransform"]
+    info = write_cog_distributed(
+        read_vrt(args.vrt, tile=args.tile_size), args.out,
+        width=doc["width"], height=doc["height"], spp=doc["spp"],
+        dtype=doc["dtype"], tile_size=args.tile_size,
+        compression=args.compression, nodata=doc["nodata"],
+        geotransform=gt)
+    print(json.dumps({"out": args.out, **info}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gdal_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,6 +160,14 @@ def main(argv=None) -> int:
     r.add_argument("--tree-out", default=None,
                    help="write a z/x/y PNG tile tree (atomic rename + file-exists resume)")
     r.set_defaults(fn=cmd_render)
+
+    c = sub.add_parser("cog", help="VRT mosaic -> Cloud-Optimized GeoTIFF (distributed encode)")
+    c.add_argument("vrt")
+    c.add_argument("--out", required=True)
+    c.add_argument("--tile-size", type=int, default=256)
+    c.add_argument("--compression", default="deflate",
+                   choices=["none", "deflate", "lzw", "packbits"])
+    c.set_defaults(fn=cmd_cog)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -51,3 +51,39 @@ def test_incomplete_level_raises(ray_session, tmp_path):
         write_cog_distributed(rd.from_items(items),
                               str(tmp_path / "x.tif"),
                               width=200, height=200, tile_size=64)
+
+
+def test_vrt_to_cog_end_to_end(ray_session, tmp_path):
+    """gdalbuildvrt -> distributed COG: mosaic two overlapping sources and
+    verify the written COG's full-res level equals the composed mosaic."""
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.vrt import read_vrt, save_vrt
+    from gdal_ray.state.cogsink import write_cog_distributed
+    from gdal_ray.sources.vrt import parse_vrt
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, 255, (100, 150, 3)).astype(np.uint8)
+    b = rng.integers(1, 255, (80, 120, 3)).astype(np.uint8)
+    p1 = str(tmp_path / "a.tif")
+    p2 = str(tmp_path / "b.tif")
+    open(p1, "wb").write(encode_geotiff(
+        a, geotransform=(0.0, 1.0, 0.0, 200.0, 0.0, -1.0), tile_size=64))
+    open(p2, "wb").write(encode_geotiff(
+        b, geotransform=(100.0, 1.0, 0.0, 160.0, 0.0, -1.0),
+        rows_per_strip=32))
+    vp = str(tmp_path / "m.vrt")
+    save_vrt([p1, p2], vp)
+    doc = parse_vrt(open(vp).read())
+
+    out = str(tmp_path / "m.tif")
+    write_cog_distributed(read_vrt(vp, tile=64), out,
+                          width=doc["width"], height=doc["height"],
+                          spp=3, dtype="u1", tile_size=64)
+    lv0, info0 = read_cog(open(out, "rb").read())[0]
+
+    # union extent: x 0..220, y 80..200 -> 220 x 120
+    assert (doc["width"], doc["height"]) == (220, 120)
+    exp = np.zeros((120, 220, 3), np.uint8)
+    exp[0:100, 0:150] = a        # y 200..100 -> rows 0..100
+    exp[40:120, 100:220] = b     # y 160..80  -> rows 40..120, last on top
+    assert np.array_equal(lv0, exp)
