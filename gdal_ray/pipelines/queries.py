@@ -854,6 +854,18 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """PQ-compressed ANN (memory scale path: m-byte codes, 32× smaller
+    than float32; ADC lookup-table scoring — rows-only; lossless-codebook
+    ≡ brute and recall floor pytest-verified)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    queries_m = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return ann_stage.pq_topk(
+        emb, queries_m, head["vec_id"].to_numpy(), k=5, m=8, ks=16
+    )
+
+
 def q_ngram_pairs(sf_dir: str):
     """Exact 3-gram Jaccard similar pairs among the first 100 docs (the
     exact-verification kernel of near-dup dedup; LSH variants are
@@ -945,6 +957,24 @@ def q_minhash_pairs(sf_dir: str):
     return dedup_stage.minhash_lsh_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
     )
+
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash-LSH pairs -> near-dup CLUSTERS via distributed connected
+    components (label = min doc_id per component — the canonical keep/drop
+    rule).  Non-SQL-expressible (LSH banding); the CC stage itself is
+    oracle-checked in `dedup_clusters` and pytest-checked on adversarial
+    graphs."""
+    from gdal_ray.stages.dedup import connected_components
+
+    edges = q_minhash_pairs(sf_dir).materialize()
+    nodes = edges.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays([
+            t.column("doc_a").combine_chunks(),
+            t.column("doc_b").combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, nodes)
 
 
 def q_simhash(sf_dir: str):
@@ -3491,7 +3521,9 @@ def queries():
         "knn_cell": q_knn_cell,
         # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

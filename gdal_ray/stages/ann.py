@@ -147,3 +147,130 @@ def ivf_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5, n_centro
     union_buckets = sorted({int(b) for row in probe_order for b in row})
     filtered = assigned.filter(expr=f"bucket in {union_buckets}")
     return brute_topk(filtered, queries, query_ids, k=k, probe=probe)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (memory-compressed scale path)
+
+def train_pq_codebooks(sample: np.ndarray, m: int = 8, ks: int = 16,
+                       iters: int = 10) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks -> (m, ks, dsub) float64.
+    Deterministic: init = the first ks DISTINCT subvectors of the sample
+    (so a dataset with <= ks distinct patterns per subspace trains a
+    LOSSLESS codebook — the pytest exactness gate)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        uniq, first = np.unique(sub.round(12), axis=0, return_index=True)
+        init_idx = np.sort(first)[:ks]
+        cent = sub[init_idx].copy()
+        if len(cent) < ks:  # pad with repeats of the first row
+            cent = np.vstack([cent, np.repeat(cent[:1], ks - len(cent), 0)])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+class PqEncode:
+    """Actor-pool stage: codebooks broadcast once; encode each vector to
+    m uint8 codes (m bytes/vector — 32x smaller than 64-dim float32)."""
+
+    def __init__(self, books_ref=None, books: np.ndarray | None = None):
+        import ray
+
+        if books is None:
+            books = ray.get(books_ref[0])
+        self.books = np.asarray(books, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _batch_matrix(batch)
+        m, ks, dsub = self.books.shape
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for j in range(m):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - self.books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "codes": pa.array(list(codes), pa.list_(pa.uint8(), m)),
+        })
+
+
+class PqAdcPartial:
+    """ADC scoring: per-query lookup tables LUT[j, c] = <q_j, books[j, c]>
+    built once per actor; scoring a batch is a uint8 gather + row sum —
+    no float matmul against full vectors (the PQ speed/memory win)."""
+
+    def __init__(self, ref=None, k: int = 5):
+        import ray
+
+        queries, query_ids, books = ray.get(ref[0])
+        self.qids = np.asarray(query_ids, dtype=np.int64)
+        q = np.asarray(queries, dtype=np.float64)
+        self.qnorm = np.maximum(np.linalg.norm(q, axis=1), 1e-300)
+        m, ks, dsub = books.shape
+        self.m = m
+        # dot-product LUTs (n_q, m, ks) and code norm contributions (m, ks)
+        self.lut = np.einsum("qjd,jkd->qjk",
+                             q.reshape(len(q), m, dsub), books)
+        self.cnorm2 = (books ** 2).sum(axis=2)  # (m, ks)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column("codes")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = arr.values.to_numpy(zero_copy_only=False).reshape(
+            len(arr), self.m).astype(np.int64)
+        ids = batch.column("vec_id").to_numpy()
+        j = np.arange(self.m)
+        dots = self.lut[:, j, codes].sum(axis=2)           # (n_q, n_vec)
+        xnorm = np.sqrt(np.maximum(self.cnorm2[j, codes].sum(axis=1), 1e-300))
+        sims = dots / (self.qnorm[:, None] * xnorm[None, :])
+        kk = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q = np.repeat(self.qids, kk)
+        out_n = ids[top].ravel()
+        out_s = np.take_along_axis(sims, top, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n.astype(np.int64), pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def pq_topk(embeddings_ds, queries: np.ndarray, query_ids, k: int = 5,
+            m: int = 8, ks: int = 16, sample_n: int = 256):
+    """PQ-compressed approximate cosine top-k: train codebooks on a
+    deterministic head sample, encode the corpus to m-byte codes (one
+    map_batches — the corpus floats never shuffle), score via ADC lookup
+    tables, merge with the same tiny groupby as brute_topk."""
+    import ray
+
+    from gdal_ray.stages.dedup import embeddings_head_matrix
+
+    sample = embeddings_head_matrix(embeddings_ds, sample_n)
+    books = train_pq_codebooks(sample, m=m, ks=ks)
+    bref = ray.put(books)
+    codes = embeddings_ds.map_batches(
+        PqEncode, fn_constructor_kwargs={"books_ref": [bref]},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    qref = ray.put((np.asarray(queries, dtype=np.float64),
+                    np.asarray(query_ids, dtype=np.int64), books))
+    partial = codes.map_batches(
+        PqAdcPartial, fn_constructor_kwargs={"ref": [qref], "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    )
+    return partial.groupby("query_id").map_groups(
+        topk_finalize(k), batch_format="pyarrow")

@@ -85,3 +85,64 @@ def test_embedding_cosine_pairs_bucketed_equals_brute(emb):
     want = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))) for a, b in zip(i, j)}
     assert set(zip(got["a_id"], got["b_id"])) == want
     assert len(got) == len(want)  # exactly-once emission (owner rule)
+
+
+def test_pq_lossless_when_codebook_covers(ray_session):
+    """<= ks distinct subvectors per subspace -> PQ encode is lossless and
+    pq_topk equals brute_topk exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import brute_topk, pq_topk
+
+    rng = np.random.default_rng(4)
+    m, dsub, ks = 4, 4, 8
+    patterns = rng.normal(size=(m, ks, dsub))  # the only subvectors used
+    n = 200
+    choice = rng.integers(0, ks, size=(n, m))
+    vecs = np.concatenate(
+        [patterns[j, choice[:, j]] for j in range(m)], axis=1)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    }))
+    q = vecs[:5]
+    qi = np.arange(5)
+    exact = brute_topk(ds, q, qi, k=5).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    approx = pq_topk(ds, q, qi, k=5, m=m, ks=ks, sample_n=n).to_pandas(
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # lossless codes -> identical similarity values -> identical top-k sets;
+    # compare per-query neighbor sets (ties may order differently)
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        assert e == a
+
+
+def test_pq_recall_on_clustered_data(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.ann import brute_topk, pq_topk
+
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(8, 16)) * 5
+    vecs = np.concatenate(
+        [c + rng.normal(size=(40, 16)) * 0.3 for c in centers])
+    n = len(vecs)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    }))
+    q, qi = vecs[:4], np.arange(4)
+    exact = brute_topk(ds, q, qi, k=10).to_pandas()
+    approx = pq_topk(ds, q, qi, k=10, m=4, ks=16, sample_n=n).to_pandas()
+    recalls = []
+    for qid in range(4):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # documented approximation, honest floor
