@@ -63,3 +63,82 @@ def test_unknown_format_raises():
         decode(b"\xff\xd8\xff\xe0 truncated jpeg", "jpeg")  # real decoder engages
     with pytest.raises(NotImplementedError):
         decode(b"GIF89a not supported", "gif")
+
+
+def test_png_16bit_roundtrip():
+    import numpy as np
+
+    from gdal_ray.codecs.png import decode_png, encode_png
+
+    rng = np.random.default_rng(6)
+    for shape in [(20, 30), (15, 10, 3), (8, 8, 4)]:
+        arr = rng.integers(0, 65535, shape).astype(np.uint16)
+        got = decode_png(encode_png(arr))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, arr)
+
+
+def test_png_palette_roundtrip():
+    import numpy as np
+
+    from gdal_ray.codecs.png import decode_png, encode_png_palette
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (20, 25)).astype(np.uint8)
+    got = decode_png(encode_png_palette(idx, pal))
+    assert got.shape == (20, 25, 3)
+    assert np.array_equal(got, pal[idx])
+
+    # tRNS: entry 0 transparent -> RGBA output
+    got = decode_png(encode_png_palette(idx, pal, transparent=0))
+    assert got.shape == (20, 25, 4)
+    assert np.array_equal(got[:, :, :3], pal[idx])
+    assert np.array_equal(got[:, :, 3] == 0, idx == 0)
+
+
+def test_png_filters_defilter_16bit():
+    """Hand-built 16-bit PNG using Sub/Up/Average/Paeth filters decodes to
+    the same pixels as the filter-0 encoding (spec byte-wise semantics)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gdal_ray.codecs.png import _MAGIC, _chunk, decode_png, encode_png
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 65535, (6, 5)).astype(np.uint16)
+    bpp = 2
+    body = arr.astype(">u2").view(np.uint8).reshape(6, 10).astype(np.int32)
+    lines = []
+    filters = [0, 1, 2, 3, 4, 1]
+    prev = np.zeros(10, np.int32)
+    for y, f in enumerate(filters):
+        cur = body[y]
+        enc = np.zeros(10, np.int32)
+        for x in range(10):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = (body[y - 1][x - bpp] if (y and x >= bpp) else 0)
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - left
+            elif f == 2:
+                v = cur[x] - up
+            elif f == 3:
+                v = cur[x] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb_ and pa_ <= pc_) else (up if pb_ <= pc_ else ul)
+                v = cur[x] - pred
+            enc[x] = v & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0)
+    png = (_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), arr)
