@@ -115,7 +115,8 @@ def cmd_cog(args) -> int:
     the pyramid + tile compression on the cluster (state/cogsink.py)."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(address="local", include_dashboard=False)
     from gdal_ray.sources.vrt import parse_vrt, read_vrt
     from gdal_ray.state.cogsink import write_cog_distributed
@@ -130,7 +131,45 @@ def cmd_cog(args) -> int:
         compression=args.compression, nodata=doc["nodata"],
         geotransform=gt)
     print(json.dumps({"out": args.out, **info}))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+
+def cmd_sql(args) -> int:
+    """ogrinfo -sql / ogr2ogr -sql door: run the swq-subset SQL string
+    over any opened vector/parquet sources (sources.open_vector)."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", include_dashboard=False)
+    import ray.data as rd
+
+    from gdal_ray.sources import open_vector
+    from gdal_ray.sql import execute_sql
+
+    tables = {}
+    for spec in args.table:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--table expects name=path, got {spec!r}")
+        if path.endswith(".parquet"):
+            tables[name] = rd.read_parquet(path).map_batches(
+                lambda t: t.replace_schema_metadata(None),
+                batch_format="pyarrow")
+        else:
+            tables[name] = open_vector(path)
+    out = execute_sql(args.query, tables)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if args.out:
+        df.to_csv(args.out, index=False)
+        print(json.dumps({"rows": len(df), "out": args.out}))
+    else:
+        print(df.to_csv(index=False), end="")
+    if owns:
+        ray.shutdown()
     return 0
 
 
@@ -168,6 +207,13 @@ def main(argv=None) -> int:
     c.add_argument("--compression", default="deflate",
                    choices=["none", "deflate", "lzw", "packbits"])
     c.set_defaults(fn=cmd_cog)
+
+    q = sub.add_parser("sql", help="run swq-subset SQL over opened sources (ogrinfo -sql)")
+    q.add_argument("query")
+    q.add_argument("--table", action="append", default=[],
+                   help="name=path (repeatable; vector file or parquet)")
+    q.add_argument("--out", default=None, help="write CSV instead of stdout")
+    q.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -86,3 +86,19 @@ def test_gdalg_rejects_bad_docs(tmp_path):
     json.dump({"type": "other"}, open(p, "w"))
     with pytest.raises(ValueError):
         open_gdalg(p, "/root/testdata/sf0.001")
+
+
+def test_cli_sql_over_vector_file(ray_session, tmp_path, capsys):
+    from gdal_ray.cli import main
+    from gdal_ray.sources.gpkg import write_gpkg
+
+    t = _pts_table(6)
+    write_gpkg(t, str(tmp_path / "v.gpkg"))
+    rc = main(["sql",
+               "SELECT tag, LENGTH(tag) AS n FROM v WHERE tag <> 't0' "
+               "ORDER BY tag LIMIT 3",
+               "--table", f"v={tmp_path}/v.gpkg"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "tag,n"
+    assert out[1:] == ["t1,2", "t2,2", "t3,2"]
