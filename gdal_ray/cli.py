@@ -173,6 +173,53 @@ def cmd_sql(args) -> int:
     return 0
 
 
+
+def cmd_ogr2ogr(args) -> int:
+    """ogr2ogr (apps/ogr2ogr_lib.cpp): open any vector driver, apply
+    -where/-select/-clipsrc/-t_srs in one distributed stage, write any
+    vector sink."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", include_dashboard=False)
+    from gdal_ray.sources import open_vector, save_vector
+    from gdal_ray.vector import vector_translate
+
+    ds = open_vector(args.src)
+    clip = tuple(float(v) for v in args.clipsrc.split(",")) if args.clipsrc else None
+    out = vector_translate(
+        ds, where=args.where,
+        select=args.select.split(",") if args.select else None,
+        clip_bbox=clip, s_srs=args.s_srs, t_srs=args.t_srs)
+    save_vector(out, args.dst)
+    print(json.dumps({"src": args.src, "dst": args.dst}))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """`gdal pipeline` analogue: run a !-chained pipeline string (or a
+    saved .gdalg.json document) and print the result row count."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", include_dashboard=False)
+    from gdal_ray.pipeline import open_gdalg, run_pipeline
+
+    if args.text.endswith(".gdalg.json"):
+        ds = open_gdalg(args.text, args.sf_dir)
+    else:
+        ds = run_pipeline(args.text, args.sf_dir)
+    n = ds.count()
+    print(json.dumps({"rows": n}))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gdal_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -214,6 +261,21 @@ def main(argv=None) -> int:
                    help="name=path (repeatable; vector file or parquet)")
     q.add_argument("--out", default=None, help="write CSV instead of stdout")
     q.set_defaults(fn=cmd_sql)
+
+    o = sub.add_parser("ogr2ogr", help="vector translate between any two drivers")
+    o.add_argument("src")
+    o.add_argument("dst")
+    o.add_argument("--where", default=None)
+    o.add_argument("--select", default=None, help="comma-separated columns")
+    o.add_argument("--clipsrc", default=None, help="minx,miny,maxx,maxy")
+    o.add_argument("--s-srs", default="EPSG:4326")
+    o.add_argument("--t-srs", default=None)
+    o.set_defaults(fn=cmd_ogr2ogr)
+
+    pl = sub.add_parser("pipeline", help="run a !-chained pipeline string or .gdalg.json")
+    pl.add_argument("text")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -187,3 +187,63 @@ def read_image_dir(paths, *, decode: bool = False, concurrency=(1, 8)):
 
     return rd.read_binary_files(paths, include_paths=True).map_batches(
         Decode, batch_format="pyarrow", concurrency=concurrency)
+
+
+def save_vector(ds_or_table, path: str, **kw) -> None:
+    """Inverse of open_vector: write a vector table/Dataset to the driver
+    the extension names.  Single-file containers (gpkg/shp/fgb/kml/gpx/
+    geojson/parquet) are inherently one writer — a Dataset input is
+    collected to one Arrow table first (use the *_parts sinks or
+    write_geojsonseq for the partitioned scale path)."""
+    import pyarrow as pa
+
+    t = ds_or_table
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(
+            [b.replace_schema_metadata(None)
+             for b in t.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+    low = path.lower()
+    if low.endswith(".gpkg"):
+        from gdal_ray.sources.gpkg import write_gpkg
+
+        return write_gpkg(t, path, **kw)
+    if low.endswith(".shp"):
+        from gdal_ray.sources.shapefile import write_shapefile
+
+        return write_shapefile(t, path[:-4], **kw)
+    if low.endswith(".fgb"):
+        from gdal_ray.sources.flatgeobuf import write_flatgeobuf
+
+        return write_flatgeobuf(t, path, **kw)
+    if low.endswith(".kml"):
+        from gdal_ray.sources.kmlgpx import write_kml
+
+        return write_kml(t, path, **kw)
+    if low.endswith(".gpx"):
+        from gdal_ray.sources.kmlgpx import write_gpx
+
+        return write_gpx(t, path, **kw)
+    if low.endswith(".parquet"):
+        from gdal_ray.sources.geoparquet import write_geoparquet_table
+
+        return write_geoparquet_table(t, path, **kw)
+    if low.endswith((".geojson", ".json")):
+        import json as _json
+        import os as _os
+
+        from gdal_ray.sources.geojson import wkb_to_geometry
+
+        feats = []
+        attrs = [c for c in t.column_names if c != "wkb"]
+        cols = {c: t.column(c).to_pylist() for c in attrs}
+        for i, w in enumerate(t.column("wkb").to_pylist()):
+            feats.append({"type": "Feature",
+                          "geometry": wkb_to_geometry(w),
+                          "properties": {c: cols[c][i] for c in attrs}})
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": feats}, f)
+        _os.replace(tmp, path)
+        return None
+    raise ValueError(f"no vector sink for {path}")

@@ -86,7 +86,36 @@ def vector_translate(
             attr_cols = list(select)
         keep_rows, out_wkb = [], []
         for i in range(b.num_rows):
-            parts = polygon_parts(b.column(geometry_col)[i].as_py())
+            raw = b.column(geometry_col)[i].as_py()
+            code = int.from_bytes(raw[1:5], "little" if raw[0] == 1 else "big") % 1000
+            if code in (1, 4):  # (Multi)Point: clip = inside test, transform = map coords
+                from gdal_ray.sources.geojson import (geometry_to_wkb,
+                                                      wkb_to_geometry)
+
+                g = wkb_to_geometry(raw)
+                pts = [g["coordinates"]] if code == 1 else g["coordinates"]
+                if clip_bbox is not None:
+                    x0, y0, x1, y1 = clip_bbox
+                    pts = [p for p in pts
+                           if x0 <= p[0] <= x1 and y0 <= p[1] <= y1]
+                    if not pts:
+                        continue
+                if fwd is not None:
+                    import numpy as _np
+
+                    xs, ys = fwd(_np.array([p[0] for p in pts]),
+                                 _np.array([p[1] for p in pts]))
+                    pts = [[float(x), float(y)] for x, y in zip(xs, ys)]
+                g = ({"type": "Point", "coordinates": pts[0]} if code == 1
+                     else {"type": "MultiPoint", "coordinates": pts})
+                keep_rows.append(i)
+                out_wkb.append(geometry_to_wkb(g))
+                continue
+            if code in (2, 5) and clip_bbox is None and fwd is None:
+                keep_rows.append(i)  # (Multi)LineString untouched: pass through
+                out_wkb.append(raw)
+                continue
+            parts = polygon_parts(raw)
             if clip_bbox is not None:
                 x0, y0, x1, y1 = clip_bbox
                 clipped = []

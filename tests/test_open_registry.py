@@ -102,3 +102,36 @@ def test_cli_sql_over_vector_file(ray_session, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "tag,n"
     assert out[1:] == ["t1,2", "t2,2", "t3,2"]
+
+
+def test_cli_ogr2ogr_gpkg_to_fgb(ray_session, tmp_path, capsys):
+    from gdal_ray.cli import main
+    from gdal_ray.sources import open_vector
+    from gdal_ray.sources.gpkg import write_gpkg
+
+    write_gpkg(_pts_table(8), str(tmp_path / "s.gpkg"))
+    rc = main(["ogr2ogr", str(tmp_path / "s.gpkg"), str(tmp_path / "d.fgb"),
+               "--where", "tag <> 't0'"])
+    assert rc == 0
+    got = open_vector(str(tmp_path / "d.fgb")).to_pandas()
+    assert len(got) == 7 and "t0" not in set(got["tag"])
+
+
+def test_save_vector_geojson_roundtrip(ray_session, tmp_path):
+    from gdal_ray.sources import open_vector, save_vector
+
+    t = _pts_table(5)
+    p = str(tmp_path / "o.geojson")
+    save_vector(t, p)
+    got = open_vector(p).to_pandas()
+    assert len(got) == 5 and set(got["tag"]) == {f"t{i}" for i in range(5)}
+
+
+def test_cli_pipeline_string(ray_session, capsys):
+    from gdal_ray.cli import main
+
+    rc = main(["pipeline", "read --limit=4 --kind=dem ! hillshade",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
