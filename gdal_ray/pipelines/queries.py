@@ -3443,6 +3443,77 @@ select a as doc_id, cast(min(b) as bigint) as label from reach group by 1
 """
 
 
+def q_vrt_mosaic(sf_dir: str):
+    """End-to-end FILE-DRIVER path with an exact oracle: write two
+    deterministic GeoTIFFs (doc-0 / doc-1 elevation grids), gdalbuildvrt
+    them (sources/vrt.py XML), read the mosaic back through the parallel
+    per-tile composer, and emit every pixel — the SQL twin rebuilds the
+    identical last-on-top compose from generate_series.  Exercises the
+    TIFF codec, header-region parse, range reads and VRT placement in one
+    driver-checked query."""
+    import os
+    import tempfile
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.vrt import read_vrt, save_vrt
+    from gdal_ray.stages import dem
+
+    n = dem.GRID_N  # 16
+    d = os.path.join(tempfile.gettempdir(), "gdal_ray_vrtq")
+    os.makedirs(d, exist_ok=True)
+    grids = dem.elevation_grids(np.array([0, 1], dtype=np.int64), n)
+    p0, p1 = os.path.join(d, "a.tif"), os.path.join(d, "b.tif")
+    for p, g, x0, y0 in ((p0, grids[0], 0.0, float(2 * n - 8)),
+                         (p1, grids[1], 8.0, float(n))):
+        blob = encode_geotiff(g.astype(np.uint8), tile_size=16,
+                              geotransform=(x0, 1.0, 0.0, y0, 0.0, -1.0))
+        tmp = p + ".tmp"
+        open(tmp, "wb").write(blob)
+        os.replace(tmp, p)
+    vp = os.path.join(d, "m.vrt")
+    save_vrt([p0, p1], vp)
+    # union: x 0..24, y 0..24 (A rows 0..16 cols 0..16; B rows 8..24
+    # cols 8..24, painted last)
+    ds = read_vrt(vp, tile=8)
+
+    def explode(b: pa.Table) -> pa.Table:
+        rs, cs, vs = [], [], []
+        for it in b.to_pylist():
+            blk = np.frombuffer(it["data"], np.uint8).reshape(
+                it["h"], it["w"])
+            rr, cc = np.meshgrid(
+                np.arange(it["h"], dtype=np.int64) + it["row0"],
+                np.arange(it["w"], dtype=np.int64) + it["col0"],
+                indexing="ij")
+            rs.append(rr.ravel())
+            cs.append(cc.ravel())
+            vs.append(blk.astype(np.int64).ravel())
+        return pa.table({
+            "r": pa.array(np.concatenate(rs), pa.int64()),
+            "c": pa.array(np.concatenate(cs), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_VRT_MOSAIC = f"""
+with cells as (
+  select r.r, c.c
+  from unnest(generate_series(0, 23)) as r(r),
+       unnest(generate_series(0, 23)) as c(c)
+)
+select cast(r as bigint) as r, cast(c as bigint) as c,
+  cast(case
+    when r between 8 and 23 and c between 8 and 23
+      then (1 * 7919 + (r - 8) * 131 + (c - 8) * 17) % 256
+    when r < 16 and c < 16
+      then (r * 131 + c * 17) % 256
+    else 0 end as bigint) as v
+from cells
+"""
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-2), so
@@ -3508,6 +3579,7 @@ def queries():
         "color_relief": q_color_relief,
         "equalize": q_equalize,
         "dedup_clusters": q_dedup_clusters,
+        "vrt_mosaic": q_vrt_mosaic,
         "sql_group": q_sql_group,
         "stats_approx": q_stats_approx,
         "grid_average": q_grid_average,
@@ -3607,6 +3679,7 @@ def oracle_sql():
         "color_relief": SQL_COLOR_RELIEF,
         "equalize": SQL_EQUALIZE,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "vrt_mosaic": SQL_VRT_MOSAIC,
         "dem_reclassify": SQL_DEM_RECLASSIFY,
         "contour": SQL_CONTOUR,
         "proximity": SQL_PROXIMITY,

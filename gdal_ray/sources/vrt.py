@@ -184,9 +184,10 @@ def read_vrt(vrt_path: str, *, tile: int = 512, tiles_per_block: int = 4):
                    and s["dst_xoff"] + s["meta"]["width"] > c0
                    and s["dst_yoff"] < r0 + th
                    and s["dst_yoff"] + s["meta"]["height"] > r0]
-            if hit:
-                items.append({"row0": r0, "col0": c0, "h": th, "w": tw,
-                              "hit": hit})
+            # no-source tiles still emit (fill value) — the VRT covers its
+            # whole declared extent, like the reference
+            items.append({"row0": r0, "col0": c0, "h": th, "w": tw,
+                          "hit": hit})
 
     class ComposeTile:
         def __init__(self, ref):
