@@ -133,7 +133,8 @@ def write_kml(table: pa.Table, path: str, *, name_col: str | None = None,
                 for c in attrs:
                     v = cols[c][i]
                     if v is not None:
-                        f.write(f'<Data name="{escape(c)}">'
+                        nm = escape(c, {'"': "&quot;"})
+                        f.write(f'<Data name="{nm}">'
                                 f"<value>{escape(str(v))}</value></Data>")
                 f.write("</ExtendedData>")
             f.write(_kml_geometry_xml(wkb_to_geometry(wkb)))
