@@ -22,6 +22,8 @@ def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:  # Ray can deliver empty blocks (e.g. post-filter)
+        return np.zeros((0, 0), dtype=np.float64)
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offsets = arr.offsets.to_numpy()
     dim = offsets[1] - offsets[0]
@@ -49,6 +51,10 @@ class CosinePartial:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _batch_matrix(batch)
+        if len(v) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         vid = batch.column("vec_id").to_numpy()
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         sims = self.qn @ vn.T  # (m, n)
@@ -114,6 +120,8 @@ class IvfAssign:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _batch_matrix(batch)
+        if len(v) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         bucket = np.argmax(vn @ self.cn.T, axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
@@ -195,6 +203,11 @@ class PqEncode:
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _batch_matrix(batch)
         m, ks, dsub = self.books.shape
+        if len(v) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "codes": pa.array([], pa.list_(pa.uint8(), m)),
+            })
         codes = np.empty((len(v), m), dtype=np.uint8)
         for j in range(m):
             sub = v[:, j * dsub:(j + 1) * dsub]
@@ -227,6 +240,10 @@ class PqAdcPartial:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # Ray can deliver empty blocks (e.g. post-filter)
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         arr = batch.column("codes")
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
