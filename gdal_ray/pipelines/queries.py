@@ -3516,65 +3516,16 @@ from cells
 
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
-    # FIRST 50 entries in registration order (verified rounds 1-2), so
-    # oracle-backed queries come first.  The tail of the oracle block holds
-    # the most family-redundant entries (knn_cell duplicates knn's oracle,
-    # tile_geodetic the tile family, ...) so that adding a new oracle query
-    # inside the window only demotes a redundant one.  Rows-only queries
-    # (no SQL oracle; pytest-verified) follow after.
+    # FIRST 50 entries in registration order (verified rounds 1-3), so
+    # oracle-backed queries come first.  ROUND-4 ROTATION (VERDICT.md #8):
+    # the 17 oracle queries that had never been inside the driver window
+    # (judge-verified only, via tools/parity.py) now lead the registry so
+    # they get official CORRECTNESS rows; 17 twice-driver-green stalwarts
+    # moved just below the boundary (still oracle-backed, re-verifiable
+    # via tools/parity.py).  Rows-only queries (no SQL oracle;
+    # pytest-verified) follow after the full oracle block.
     return {
-        # -- oracle-backed (all 55 verified vs DuckDB at sf0.01) ----------
-        "pricing_summary": q_pricing_summary,
-        "filter_project": q_filter_project,
-        "join_hash": q_join_hash,
-        "join_broadcast": q_join_broadcast,
-        "topk_orders": q_topk_orders,
-        "distinct_pairs": q_distinct_pairs,
-        "union_all": q_union_all,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "tile_assign": q_tile_assign,
-        "tile_cover": q_tile_cover,
-        "pyramid_rollup": q_pyramid_rollup,
-        "cell_counts": q_cell_counts,
-        "pip_join": q_pip_join,
-        "knn": q_knn,
-        "json_props": q_json_props,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "quality_filter": q_quality_filter,
-        "ann_cosine": q_ann_cosine,
-        "ngram_pairs": q_ngram_pairs,
-        "phash_neardup": q_phash_neardup,
-        "embed_neardup": q_embed_neardup,
-        "scalar_funcs": q_scalar_funcs,
-        "rasterize": q_rasterize,
-        "grid_metrics": q_grid_metrics,
-        "geom_measures": q_geom_measures,
-        "centroid": q_centroid,
-        "vector_overlay": q_vector_overlay,
-        "union_overlay": q_union_overlay,
-        "make_valid": q_make_valid,
-        "vector_clip": q_vector_clip,
-        "interpolate_at_point": q_interpolate_at_point,
-        "box_overlay": q_box_overlay,
-        "layer_extent": q_layer_extent,
-        "count_distinct": q_count_distinct,
-        "asof_join": q_asof_join,
-        "window_rank": q_window_rank,
-        "bbox_join": q_bbox_join,
-        "dem_metrics": q_dem_metrics,
-        "dem_reclassify": q_dem_reclassify,
-        "contour": q_contour,
-        "proximity": q_proximity,
-        "raster_calc": q_raster_calc,
-        "warp_stats": q_warp_stats,
-        "sql_select": q_sql_select,
-        "sql_join": q_sql_join,
-        "raster_histogram": q_raster_histogram,
-        "viewshed": q_viewshed,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
-        # ---- 50-slot window boundary (entries below are driver-unchecked)
+        # -- oracle-backed, never driver-checked before round 4 -----------
         "raster_xyz": q_raster_xyz,
         "color_relief": q_color_relief,
         "equalize": q_equalize,
@@ -3591,6 +3542,61 @@ def queries():
         "events_hopping": q_events_hopping,
         "tile_geodetic": q_tile_geodetic,
         "knn_cell": q_knn_cell,
+        "sql_union": q_sql_union,
+        # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "join_hash": q_join_hash,
+        "topk_orders": q_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
+        "union_all": q_union_all,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "tile_assign": q_tile_assign,
+        "pyramid_rollup": q_pyramid_rollup,
+        "cell_counts": q_cell_counts,
+        "pip_join": q_pip_join,
+        "json_props": q_json_props,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_filter": q_quality_filter,
+        "ann_cosine": q_ann_cosine,
+        "ngram_pairs": q_ngram_pairs,
+        "phash_neardup": q_phash_neardup,
+        "embed_neardup": q_embed_neardup,
+        "scalar_funcs": q_scalar_funcs,
+        "rasterize": q_rasterize,
+        "grid_metrics": q_grid_metrics,
+        "geom_measures": q_geom_measures,
+        "vector_overlay": q_vector_overlay,
+        "union_overlay": q_union_overlay,
+        "make_valid": q_make_valid,
+        "interpolate_at_point": q_interpolate_at_point,
+        "count_distinct": q_count_distinct,
+        "asof_join": q_asof_join,
+        "window_rank": q_window_rank,
+        "bbox_join": q_bbox_join,
+        "dem_metrics": q_dem_metrics,
+        # ---- 50-slot window boundary (entries below are driver-unchecked
+        # this round; all were driver-green in rounds 1-3 and stay
+        # re-verifiable via tools/parity.py) ------------------------------
+        "join_broadcast": q_join_broadcast,
+        "tile_cover": q_tile_cover,
+        "knn": q_knn,
+        "centroid": q_centroid,
+        "vector_clip": q_vector_clip,
+        "box_overlay": q_box_overlay,
+        "layer_extent": q_layer_extent,
+        "dem_reclassify": q_dem_reclassify,
+        "contour": q_contour,
+        "proximity": q_proximity,
+        "raster_calc": q_raster_calc,
+        "warp_stats": q_warp_stats,
+        "sql_select": q_sql_select,
+        "sql_join": q_sql_join,
+        "raster_histogram": q_raster_histogram,
+        "viewshed": q_viewshed,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3620,7 +3626,6 @@ def queries():
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "warp_utm": q_warp_utm,
-        "sql_union": q_sql_union,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,
         "gcp_warp": q_pipeline_gcp_warp,
