@@ -37,7 +37,7 @@ from gdal_ray.codecs.webp import decode_webp, encode_webp
 from gdal_ray.codecs.tiff import decode_tiff, encode_geotiff, read_geotiff
 
 __all__ = [
-    "decode", "encode", "decode_png", "encode_png",
+    "decode", "decode_batch", "encode", "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg", "decode_webp", "encode_webp",
     "decode_tiff", "encode_geotiff", "read_geotiff",
     "FAKE_LOSSY_MAGIC",
@@ -76,3 +76,21 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         f"cannot decode fmt={fmt!r}: unrecognized container magic "
         f"{data[:4]!r} (png/jpeg/webp/fake-lossy supported)"
     )
+
+
+def decode_batch(datas: list[bytes], fmts: list[str] | None = None) -> list:
+    """Decode a batch of image blobs (the hot-path entry for map_batches
+    stages).  JPEG rows are routed through the pooled vectorized engine
+    (:func:`decode_jpeg_batch` — one SIMD lane per restart segment across
+    the WHOLE batch); every other container decodes per row."""
+    from gdal_ray.codecs.jpeg import decode_jpeg_batch
+
+    out: list = [None] * len(datas)
+    jpeg_idx = [i for i, d in enumerate(datas) if d[:2] == b"\xFF\xD8"]
+    if jpeg_idx:
+        for i, img in zip(jpeg_idx, decode_jpeg_batch([datas[i] for i in jpeg_idx])):
+            out[i] = img
+    for i, d in enumerate(datas):
+        if out[i] is None:
+            out[i] = decode(d, fmts[i] if fmts is not None else None)
+    return out

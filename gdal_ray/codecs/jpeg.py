@@ -12,13 +12,17 @@ this is the sandbox's from-spec implementation of the same bitstream
 (PSNR of an encode→decode round trip is ≈40-55 dB depending on quality —
 the engine's lossy-codec gate).
 
-Performance note: Huffman symbol decoding steps a 2^16 fast lookup
-table with O(1) sliding-window bit peeks (precomputed 32-bit windows,
-Python-int lists — ~0.1 s for a 256×256 RGB image, 10× the round-2
-per-bit loop).  Dequantization/unzigzag run once vectorized after the
-scan; block DCT/IDCT, upsampling and color conversion are fully
-vectorized.  This is the conformance path for real data; the synthetic
-bench corpus keeps the fast deterministic container (codecs/lossy.py).
+Performance note (round 4): entropy decode is VECTORIZED ACROSS RESTART
+SEGMENTS — ``decode_jpeg_batch`` pools every restart interval of every
+image in a batch into one numpy lane array and steps a SIMD-style state
+machine (one Huffman symbol per lane per step: 16-bit sliding-window
+peek → stacked 2^16 LUT gather → masked DC/AC/EOB/ZRL transitions).
+The encoder now emits DRI/RSTn (default: one restart per MCU row), so a
+batch of B images with R segments each decodes with B×R parallel lanes;
+foreign JPEGs without restart markers still decode (one lane per image,
+amortized across the batch).  Dequantization/unzigzag/IDCT/upsample/
+color stay fully vectorized per image.  The scalar per-symbol engine is
+kept as ``decode_jpeg_scalar`` (parity reference for tests).
 """
 
 from __future__ import annotations
@@ -172,13 +176,26 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
     # blocks (n, 8, 8) float; forward 2-D DCT: Y = C X C^T (orthonormal C,
-    # identical scaling to T.81's (1/4)C(u)C(v) double sum)
-    return np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    # identical scaling to T.81's (1/4)C(u)C(v) double sum).
+    # Two BLAS matmuls instead of a naive 3-operand einsum contraction:
+    # U = X @ C^T per block, then Y = C @ U via the transpose identity.
+    n = blocks.shape[0]
+    u = (blocks.reshape(-1, 8) @ _C.T).reshape(n, 8, 8)
+    return (u.transpose(0, 2, 1).reshape(-1, 8) @ _C.T).reshape(n, 8, 8).transpose(0, 2, 1)
+
+
+_C32 = _C.astype(np.float32)
 
 
 def _idct_blocks(coef: np.ndarray) -> np.ndarray:
-    # inverse: X = C^T Y C
-    return np.einsum("ji,njk,kl->nil", _C, coef, _C)
+    # inverse: X = C^T Y C (same two-matmul scheme); float32 inputs stay
+    # float32 (decode tail precision ~2e-4 abs, far below the 0.5 LSB)
+    C = _C32 if coef.dtype == np.float32 else _C
+    n = coef.shape[0]
+    u = (coef.reshape(-1, 8) @ C).reshape(n, 8, 8)
+    return np.ascontiguousarray(
+        (u.transpose(0, 2, 1).reshape(-1, 8) @ C).reshape(n, 8, 8).transpose(0, 2, 1)
+    )
 
 
 def _encode_component(bw: _BitWriter, blocks_q: np.ndarray, dc_tab, ac_tab, pred: int) -> int:
@@ -225,12 +242,23 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
+_YCC2RGB = np.array([
+    [1.0, 0.0, 1.402],
+    [1.0, -0.344136, -0.714136],
+    [1.0, 1.772, 0.0],
+]).T
+_YCC_OFF = np.array([-1.402 * 128.0,
+                     (0.344136 + 0.714136) * 128.0,
+                     -1.772 * 128.0])
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    # one BLAS matmul instead of five elementwise passes
+    if ycc.dtype == np.float32:
+        rgb = ycc @ _YCC2RGB.astype(np.float32) + _YCC_OFF.astype(np.float32)
+    else:
+        rgb = ycc @ _YCC2RGB + _YCC_OFF
+    return np.clip(np.round(rgb, out=rgb), 0, 255).astype(np.uint8)
 
 
 def _component_blocks(plane: np.ndarray) -> np.ndarray:
@@ -244,8 +272,14 @@ def _component_blocks(plane: np.ndarray) -> np.ndarray:
     return p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline 4:4:4 JFIF encoder; arr uint8 (H,W) or (H,W,3)."""
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                restart_interval: int | None = None) -> bytes:
+    """Baseline 4:4:4 JFIF encoder; arr uint8 (H,W) or (H,W,3).
+
+    ``restart_interval`` is the DRI value in MCUs; default one MCU row
+    (restart markers bound error propagation AND give the vectorized
+    decoder one parallel lane per row).  Pass 0 to disable.
+    """
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -277,6 +311,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     )[: 2 if gray else 4]:
         payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(values)
         out += b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+    nby = (h + 7) // 8
+    nbx = (w + 7) // 8
+    if restart_interval is None:
+        restart_interval = nbx if nby > 1 else 0  # one MCU row
+    # DRI (before SOS, T.81 B.2.4.4)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -289,9 +330,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_c = _huff_codes(*HT_DC_CHROMA)
     ac_c = _huff_codes(*HT_AC_CHROMA)
 
-    bw = _BitWriter()
-    nby = (h + 7) // 8
-    nbx = (w + 7) // 8
     qcoef = []
     for ci, plane in enumerate(planes):
         blocks = _component_blocks(plane) - 128.0
@@ -300,8 +338,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         qc = np.round(coef / q).astype(np.int64)
         qcoef.append(qc)
     # interleaved MCU order = one block per component per MCU (4:4:4)
+    bw = _BitWriter()
     preds = [0] * len(planes)
-    for m in range(nby * nbx):
+    n_mcu = nby * nbx
+    rst_no = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst_no])
+            rst_no = (rst_no + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * len(planes)
         for ci in range(len(planes)):
             dc_tab = dc_l if ci == 0 else dc_c
             ac_tab = ac_l if ci == 0 else ac_c
@@ -328,13 +376,16 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _parse_headers(data: bytes) -> dict:
+    """Marker-segment parse up to (and including) SOS.  Returns frame,
+    scan components, quant tables, raw Huffman tables (bits, values),
+    restart interval, and the byte offset of the entropy-coded data."""
     buf = memoryview(data)
     if bytes(buf[:2]) != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    huff_luts: dict[tuple[int, int], np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None
     restart_interval = 0
     while pos < len(buf):
@@ -362,7 +413,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 values = list(seg[i + 17 : i + 17 + n])
-                huff_luts[(cls, tid)] = _huff_lut(bits, values)
+                huff[(cls, tid)] = (bits, values)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -382,9 +433,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scomp.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 15})
             pos += seglen
-            return _decode_scan(buf, pos, frame, scomp, qtables, huff_luts, restart_interval)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return {
+                "frame": frame, "scomp": scomp, "qtables": qtables,
+                "huff": huff, "dri": restart_interval, "scan_off": pos,
+            }
         pos += seglen
     raise ValueError("no scan found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode one baseline JPEG (vectorized engine, single-image batch)."""
+    return decode_jpeg_batch([data])[0]
+
+
+def decode_jpeg_scalar(data: bytes) -> np.ndarray:
+    """Scalar per-symbol reference engine (parity baseline for tests)."""
+    m = _parse_headers(data)
+    huff_luts = {k: _huff_lut(*v) for k, v in m["huff"].items()}
+    return _decode_scan(
+        memoryview(data), m["scan_off"], m["frame"], m["scomp"],
+        m["qtables"], huff_luts, m["dri"],
+    )
 
 
 def _decode_scan(buf, pos, frame, scomp, qtables, huff_luts, restart_interval):
@@ -490,11 +561,20 @@ def _decode_scan(buf, pos, frame, scomp, qtables, huff_luts, restart_interval):
                     coef_zz[row * nbx + col] = zz
             c["pred"] = pred
 
+    coefs = [c["coef_zz"] for c in comps]
+    return _reconstruct(coefs, comps, h, w, mcux, mcuy, hmax, vmax,
+                        [c["q"] for c in comps])
+
+
+def _reconstruct(coefs_zz, comps, h, w, mcux, mcuy, hmax, vmax, qs) -> np.ndarray:
+    """Shared tail: zigzag coefficient rows per component → dequant →
+    IDCT → upsample → crop → color conversion (all vectorized)."""
     planes = []
-    for c in comps:
+    for c, zz, q in zip(comps, coefs_zz, qs):
         bw_ = mcux * c["h"]
         bh_ = mcuy * c["v"]
-        coef = c["coef_zz"][:, UNZIGZAG].reshape(-1, 8, 8) * c["q"]
+        coef = (np.asarray(zz, dtype=np.float32)[:, UNZIGZAG].reshape(-1, 8, 8)
+                * q.astype(np.float32))
         blocks = _idct_blocks(coef) + 128.0
         plane = blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
         # upsample to full resolution
@@ -505,3 +585,341 @@ def _decode_scan(buf, pos, frame, scomp, qtables, huff_luts, restart_interval):
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch decoder (round 4)
+#
+# One "lane" per restart segment, pooled across every image in the batch.
+# Each state-machine step decodes exactly one Huffman symbol in every
+# active lane with pure numpy gathers/masked updates — no Python work per
+# symbol.  Lane state: bit position, current block, coefficient index k
+# (0 ⇒ DC expected), per-component DC predictors.
+
+_LUT_CACHE: dict = {}
+
+
+def _lut_id(registry: dict, bits, values) -> int:
+    key = (bytes(bits), bytes(values))
+    if key not in registry:
+        if key not in _LUT_CACHE:
+            _LUT_CACHE[key] = _huff_lut(list(bits), list(values))
+        registry[key] = (len(registry), _LUT_CACHE[key])
+    return registry[key][0]
+
+
+def _split_entropy(raw: np.ndarray):
+    """Vectorized de-stuffing + restart split of the entropy-coded bytes.
+
+    raw: uint8 array starting right after the SOS header.  Returns
+    (clean bytes uint8, segment start offsets incl. final end) where
+    stuffed 0x00 bytes and RSTn markers are removed and each RSTn is a
+    segment boundary (clean coordinates).
+    """
+    ff = np.flatnonzero(raw[:-1] == 0xFF)
+    nxt = raw[ff + 1]
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    stop_idx = np.flatnonzero(~is_stuff & ~is_rst)
+    if stop_idx.size:
+        stop = int(ff[stop_idx[0]])          # first real marker (EOI/next)
+        in_scan = ff < stop
+        ff, is_stuff, is_rst = ff[in_scan], is_stuff[in_scan], is_rst[in_scan]
+    else:
+        stop = len(raw)
+    delete = np.zeros(stop, dtype=bool)
+    delete[ff[is_stuff] + 1] = True          # drop the stuffed 0x00
+    rst = ff[is_rst]
+    delete[rst] = True                       # drop both marker bytes
+    delete[rst + 1] = True
+    keep = ~delete
+    clean = raw[:stop][keep]
+    csum = np.cumsum(keep)
+    # kept bytes strictly before each RSTn == segment boundary
+    bounds = csum[rst] if rst.size else np.empty(0, dtype=np.int64)
+    offs = np.concatenate([[0], bounds, [len(clean)]]).astype(np.int64)
+    return clean, offs
+
+
+def _words32(buf: np.ndarray) -> np.ndarray:
+    """Sliding 32-bit big-endian window per byte offset (zero-padded).
+    In-place accumulation — no intermediate temporaries."""
+    b = np.empty(len(buf) + 8, dtype=np.uint32)
+    b[:len(buf)] = buf
+    b[len(buf):] = 0
+    w = b[:-3] << 8
+    w |= b[1:-2]
+    w <<= 8
+    w |= b[2:-1]
+    w <<= 8
+    w |= b[3:]
+    return w
+
+
+def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of baseline JPEGs with pooled-lane entropy decode."""
+    if not datas:
+        return []
+    # bound pooled coefficient memory (~36x the compressed bytes): split
+    # oversized batches; int32 lane state also requires pool < 2^31 bytes
+    total = sum(len(d) for d in datas)
+    if total > (4 << 20) and len(datas) > 1:
+        mid = len(datas) // 2
+        return decode_jpeg_batch(datas[:mid]) + decode_jpeg_batch(datas[mid:])
+    registry: dict = {}          # (bits,values) bytes key -> (id, lut)
+    images = []                  # per-image geometry + lane bookkeeping
+    clean_parts: list[np.ndarray] = []   # shared entropy buffer (no per-lane copy)
+    base_parts: list[np.ndarray] = []    # lane byte bases
+    lo_parts: list[np.ndarray] = []      # lane first-block indices
+    hi_parts: list[np.ndarray] = []
+    tab_parts: list[tuple[int, np.ndarray, np.ndarray]] = []  # (n_seg, dc, ac)
+    blk_comp_parts: list[np.ndarray] = []
+    blk_dst_parts: list[np.ndarray] = []
+    byte_cursor = 0
+    block_cursor = 0             # global block index (scan order)
+    row_cursor = 0               # global coefficient-row index (dst order)
+
+    for data in datas:
+        m = _parse_headers(data)
+        frame, scomp, dri = m["frame"], m["scomp"], m["dri"]
+        comps = frame["comps"]
+        h, w = frame["h"], frame["w"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        n_mcu = mcux * mcuy
+        by_id = {c["id"]: c for c in comps}
+        dc_ids, ac_ids = [], []
+        for sc in scomp:
+            c = by_id[sc["id"]]
+            bits_dc, vals_dc = m["huff"][(0, sc["dc"])]
+            bits_ac, vals_ac = m["huff"][(1, sc["ac"])]
+            dc_ids.append(_lut_id(registry, bits_dc, vals_dc))
+            ac_ids.append(_lut_id(registry, bits_ac, vals_ac))
+            c["q"] = m["qtables"][c["tq"]].astype(np.float64)
+
+        # per-MCU block template: (comp_idx, v_i, h_i) in interleave order
+        tmpl = [(ci, vi, hi)
+                for ci, c in enumerate(comps)
+                for vi in range(c["v"]) for hi in range(c["h"])]
+        bpm = len(tmpl)
+        # component coefficient-row bases (contiguous, per image)
+        comp_rows = [mcuy * c["v"] * mcux * c["h"] for c in comps]
+        comp_base = np.cumsum([0] + comp_rows[:-1]) + row_cursor
+        # vectorized block→(comp, dst-row) maps in scan order
+        mm = np.arange(n_mcu, dtype=np.int64)
+        my, mx = mm // mcux, mm % mcux
+        bc = np.empty((n_mcu, bpm), dtype=np.int16)
+        bd = np.empty((n_mcu, bpm), dtype=np.int64)
+        for j, (ci, vi, hi) in enumerate(tmpl):
+            c = comps[ci]
+            nbx_c = mcux * c["h"]
+            bc[:, j] = ci
+            bd[:, j] = comp_base[ci] + (my * c["v"] + vi) * nbx_c + (mx * c["h"] + hi)
+        blk_comp_parts.append(bc.reshape(-1))
+        blk_dst_parts.append(bd.reshape(-1))
+
+        # entropy bytes → segments (lanes); lanes index a SHARED clean
+        # buffer (prefix-property LUT peeks past a lane's end are harmless
+        # — the symbol is fully determined by the lane's own bits)
+        raw = np.frombuffer(data, dtype=np.uint8)[m["scan_off"]:]
+        clean, offs = _split_entropy(raw)
+        n_seg = len(offs) - 1
+        R = dri if dri else n_mcu
+        expect = (n_mcu + R - 1) // R
+        if n_seg != expect:
+            raise ValueError(f"restart segment count {n_seg} != expected {expect}")
+        clean_parts.append(clean)
+        base_parts.append(byte_cursor + offs[:-1])
+        mcu_lo = np.arange(n_seg, dtype=np.int64) * R
+        lo_parts.append(block_cursor + mcu_lo * bpm)
+        hi_parts.append(block_cursor + np.minimum(mcu_lo + R, n_mcu) * bpm)
+        tab_parts.append((n_seg,
+                          np.asarray(dc_ids, dtype=np.int64),
+                          np.asarray(ac_ids, dtype=np.int64)))
+        byte_cursor += len(clean)
+
+        images.append({
+            "comps": comps, "h": h, "w": w, "mcux": mcux, "mcuy": mcuy,
+            "hmax": hmax, "vmax": vmax, "comp_base": comp_base,
+            "comp_rows": comp_rows,
+        })
+        block_cursor += n_mcu * bpm
+        row_cursor += sum(comp_rows)
+
+    # ---- pooled arrays ----------------------------------------------------
+    words = _words32(np.concatenate(clean_parts) if clean_parts else
+                     np.empty(0, dtype=np.uint8))
+    nt = len(registry)
+    luts = np.empty(nt << 16, dtype=np.int32)
+    for _, (tid, lut) in registry.items():
+        luts[tid << 16:(tid + 1) << 16] = lut
+    blk_comp = np.concatenate(blk_comp_parts).astype(np.int64)
+    blk_dst = np.concatenate(blk_dst_parts)
+    seg_base = np.concatenate(base_parts)
+    blk_lo = np.concatenate(lo_parts)
+    blk_hi = np.concatenate(hi_parts)
+    ncomp_max = max(t[1].size for t in tab_parts)
+    nlanes = seg_base.size
+    dc_tab = np.zeros((nlanes, ncomp_max), dtype=np.int64)
+    ac_tab = np.zeros((nlanes, ncomp_max), dtype=np.int64)
+    i = 0
+    for n_seg, d, a_ in tab_parts:
+        dc_tab[i:i + n_seg, :d.size] = d
+        ac_tab[i:i + n_seg, :a_.size] = a_
+        i += n_seg
+
+    coef = np.zeros((row_cursor, 64), dtype=np.int16)
+    _vector_scan(words, luts, seg_base, blk_lo, blk_hi, blk_comp, blk_dst,
+                 dc_tab, ac_tab, coef)
+
+    # ---- grouped reconstruction (one IDCT/color pass per distinct shape) ---
+    groups: dict = {}
+    for idx, im in enumerate(images):
+        key = (im["h"], im["w"], tuple(
+            (c["h"], c["v"], c["q"].tobytes()) for c in im["comps"]))
+        groups.setdefault(key, []).append(idx)
+    out: list = [None] * len(images)
+    for allmembers in groups.values():
+        im0 = images[allmembers[0]]
+        # bound the float64 IDCT temporaries to stay cache/bandwidth
+        # friendly: ≤ ~24k blocks (≈12 MB) per reconstruction pass
+        rows_per_img = max(sum(im0["comp_rows"]), 1)
+        step = max(1, 24576 // rows_per_img)
+        chunks = [allmembers[i:i + step] for i in range(0, len(allmembers), step)]
+        for members in chunks:
+            _reconstruct_members(images, members, im0, coef, out)
+    return out
+
+
+def _reconstruct_members(images, members, im0, coef, out):
+    gcoefs = [
+        np.concatenate([
+            coef[images[i]["comp_base"][ci]:
+                 images[i]["comp_base"][ci] + images[i]["comp_rows"][ci]]
+            for i in members
+        ])
+        for ci in range(len(im0["comps"]))
+    ]
+    planes = _reconstruct_planes(
+        gcoefs, im0["comps"], len(members), im0["h"], im0["w"],
+        im0["mcux"], im0["mcuy"], im0["hmax"], im0["vmax"],
+    )
+    if planes.ndim == 3:  # grayscale (G, H, W)
+        np.clip(np.round(planes, out=planes), 0, 255, out=planes)
+        imgs8 = planes.astype(np.uint8)
+        for j, i in enumerate(members):
+            out[i] = imgs8[j]
+    else:  # (G, H, W, 3)
+        imgs8 = ycbcr_to_rgb(planes)
+        for j, i in enumerate(members):
+            out[i] = imgs8[j]
+
+
+def _reconstruct_planes(gcoefs, comps, G, h, w, mcux, mcuy, hmax, vmax):
+    """Grouped tail: per-component zigzag coefficient rows (stacked over G
+    same-shape images) -> dequant -> IDCT -> plane assembly -> upsample.
+    Returns (G, h, w) for grayscale or (G, h, w, ncomp) stacked YCbCr."""
+    planes = []
+    for ci, c in enumerate(comps):
+        bw_ = mcux * c["h"]
+        bh_ = mcuy * c["v"]
+        z = (gcoefs[ci][:, UNZIGZAG].reshape(-1, 8, 8)
+             * c["q"].astype(np.float32))
+        blocks = _idct_blocks(z) + 128.0
+        plane = (blocks.reshape(G, bh_, bw_, 8, 8)
+                 .transpose(0, 1, 3, 2, 4).reshape(G, bh_ * 8, bw_ * 8))
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=1), rx, axis=2)
+        planes.append(plane[:, :h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    return np.stack(planes, axis=-1)
+
+
+def _vector_scan(words, luts, seg_base, blk_lo, blk_hi, blk_comp, blk_dst,
+                 dc_tab, ac_tab, coef):
+    """Pooled SIMD-style Huffman scan: one symbol per live lane per step.
+
+    State arrays stay COMPACTED to live lanes (finished lanes are sliced
+    out immediately), so every step is a fixed ~30 numpy kernel calls
+    over contiguous arrays with no per-step index re-gather."""
+    keep0 = blk_lo < blk_hi
+    # int32 lane state: halves the memory traffic of the hot loop
+    # (pool byte/block counts are bounded by the batch-split guard)
+    base = seg_base[keep0].astype(np.int32) * 8  # bit address of lane start
+    gblk = blk_lo[keep0].astype(np.int32)
+    bhi = blk_hi[keep0].astype(np.int32)
+    dct = dc_tab[keep0].astype(np.int32)
+    act = ac_tab[keep0].astype(np.int32)
+    nC = dc_tab.shape[1]
+    n = base.size
+    pos = base.copy()                      # absolute bit position
+    k = np.zeros(n, dtype=np.int32)
+    pred = np.zeros((n, nC), dtype=np.int32)
+    rows = np.arange(n, dtype=np.int32) * nC
+    # hard bound: <=64 symbols per block (DC + 63 AC/ZRL/EOB advances >=1)
+    max_steps = int((bhi - gblk).max(initial=0)) * 66 + 16
+    for _ in range(max_steps):
+        if not n:
+            return
+        peek = (words[pos >> 3] >> (16 - (pos & 7))).astype(np.int32) & 0xFFFF
+        comp = blk_comp[gblk]
+        isdc = k == 0
+        lane_comp = rows + comp
+        tabs = np.where(isdc, dct.reshape(-1)[lane_comp], act.reshape(-1)[lane_comp])
+        lu = luts[(tabs << 16) + peek]
+        length = lu & 31
+        if not length.all():
+            raise ValueError("bad Huffman code in entropy scan")
+        rs = lu >> 5
+        pos2 = pos + length
+        size = np.where(isdc, rs, rs & 15)
+        run = rs >> 4  # meaningful for AC lanes only (masked below)
+        raw = ((words[pos2 >> 3] >> (16 - (pos2 & 7))).astype(np.int32) & 0xFFFF) >> (16 - size)
+        pos = pos2 + size
+        hasval = size > 0
+        half = np.int32(1) << np.maximum(size - 1, 0)
+        ext = np.where(hasval, np.where(raw >= half, raw, raw - 2 * half + 1), 0)
+
+        pf = pred.reshape(-1)
+        dcv = pf[lane_comp] + ext             # candidate DC value per lane
+        val = np.where(isdc, dcv, ext)
+        col = np.where(isdc, 0, k + run)
+        wl = np.flatnonzero(isdc | (hasval & ~isdc))
+        colw = col[wl]
+        if colw.size and int(colw.max()) > 63:
+            raise ValueError("AC coefficient run overflow")
+        coef[blk_dst[gblk[wl]], colw] = val[wl]
+        dc_idx = np.flatnonzero(isdc)
+        pf[lane_comp[dc_idx]] = dcv[dc_idx]
+
+        iszero_ac = ~isdc & ~hasval
+        zrl = iszero_ac & (run == 15)
+        eob = iszero_ac & (run == 0)
+        if (iszero_ac & ~zrl & ~eob).any():
+            raise ValueError("invalid AC symbol (size 0, run not 0/15)")
+        k = np.where(isdc, 1,
+                     np.where(hasval, col + 1, np.where(zrl, k + 16, 64)))
+
+        done = k > 63
+        if done.any():
+            k = np.where(done, 0, k)
+            gblk = gblk + done
+            finished = done & (gblk >= bhi)
+            if finished.any():
+                keep = ~finished
+                base = base[keep]
+                gblk = gblk[keep]
+                bhi = bhi[keep]
+                k = k[keep]
+                pos = pos[keep]
+                dct = dct[keep]
+                act = act[keep]
+                pred = pred[keep]
+                n = base.size
+                rows = np.arange(n, dtype=np.int64) * nC
+    if n:
+        raise ValueError("entropy scan did not terminate (corrupt stream)")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gdal_ray.codecs import decode
+from gdal_ray.codecs import decode_batch
 from gdal_ray.geometry.wkb import encode_polygon
 
 
@@ -35,8 +35,10 @@ def decode_and_footprint(batch: pa.Table) -> pa.Table:
     n = len(blobs)
     means = np.empty(n, dtype=np.float64)
     stds = np.empty(n, dtype=np.float64)
+    # batch decode: JPEG rows share one pooled vectorized entropy scan
+    imgs = decode_batch(blobs, fmts)
     for i in range(n):
-        img = decode(blobs[i], fmts[i])
+        img = imgs[i]
         ih, iw = img.shape[:2]
         if (iw, ih) != (int(ws[i]), int(hs[i])):
             raise ValueError(

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from gdal_ray import tilemath as tm
-from gdal_ray.codecs import decode
+from gdal_ray.codecs import decode_batch
 from gdal_ray.stages.stats import checksum_image
 
 
@@ -60,6 +60,8 @@ def render_contributions(batch: pa.Table, *, zoom: int, tile_size: int = 64,
 
     out = {"z": [], "x": [], "y": [], "priority": [], "rgb": [], "alpha": []}
     zm = np.int64(zoom)
+    # batch decode up front: JPEG rows share one pooled vectorized scan
+    imgs = decode_batch(blobs, fmts)
     for i in range(len(blobs)):
         x0, x1, y0, y1 = tm.bbox_to_tile_range_xyz(
             np.float64(lon0[i]), np.float64(lat0[i]), np.float64(lon1[i]), np.float64(lat1[i]), zm
@@ -74,7 +76,7 @@ def render_contributions(batch: pa.Table, *, zoom: int, tile_size: int = 64,
                 ids[i], int((x1 - x0 + 1) * (y1 - y0 + 1)), zoom, max_tiles_per_image,
             )
             continue
-        img = decode(blobs[i], fmts[i])
+        img = imgs[i]
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=2)
         h, w = img.shape[:2]

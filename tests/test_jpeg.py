@@ -88,3 +88,71 @@ def test_decode_throughput():
     dt = time.time() - t0
     assert out.shape == img.shape
     assert dt < 0.6, f"decode took {dt:.2f}s — Huffman path regressed"
+
+
+# ---------------------------------------------------------------------------
+# round 4: vectorized pooled-lane decoder
+
+def test_vectorized_matches_scalar_exactly():
+    """The SIMD lane engine must be BIT-IDENTICAL to the scalar reference
+    across shapes, quality, grayscale, and restart-interval settings."""
+    from gdal_ray.codecs.jpeg import decode_jpeg_scalar
+
+    cases = [
+        (16, 16, 85, False, None), (64, 48, 90, False, None),
+        (33, 17, 85, False, 1), (8, 8, 95, False, None),
+        (9, 9, 90, False, 4), (64, 64, 85, True, None),
+        (128, 96, 85, False, 0),   # no restart markers (foreign-style)
+        (256, 255, 92, False, 2),
+    ]
+    for (w, h, q, gray, ri) in cases:
+        img = pixels_for(7, w, h)
+        if gray:
+            img = img[:, :, 0]
+        data = encode_jpeg(img, q, restart_interval=ri)
+        a = decode_jpeg_scalar(data)
+        b = decode_jpeg(data)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b), (w, h, q, gray, ri)
+
+
+def test_batch_decode_matches_per_image():
+    from gdal_ray.codecs.jpeg import decode_jpeg_batch, decode_jpeg_scalar
+
+    imgs = [pixels_for(i, [64, 96, 33][i % 3], [48, 64, 57][i % 3]) for i in range(12)]
+    imgs[5] = imgs[5][:, :, 0]  # one grayscale in the pool
+    datas = [encode_jpeg(im, 85) for im in imgs]
+    outs = decode_jpeg_batch(datas)
+    assert len(outs) == len(datas)
+    for o, d in zip(outs, datas):
+        assert np.array_equal(o, decode_jpeg_scalar(d))
+
+
+def test_dri_restart_markers_emitted_and_consumed():
+    img = pixels_for(3, 64, 64)
+    data = encode_jpeg(img, 85, restart_interval=2)
+    assert b"\xFF\xDD" in data            # DRI segment
+    assert b"\xFF\xD0" in data            # at least RST0
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    # restart markers must not change the decoded pixels
+    no_rst = encode_jpeg(img, 85, restart_interval=0)
+    assert np.array_equal(out, decode_jpeg(no_rst))
+
+
+def test_batch_throughput():
+    """Round-4 gate: the pooled vectorized engine decodes a 64-image
+    bench-dims batch well inside the old ~0.1 s/image scalar bill
+    (generous wall bound for host throttling)."""
+    import time
+
+    dims = [(64, 64), (128, 128), (256, 255), (96, 128), (128, 96)]
+    datas = [encode_jpeg(pixels_for(i, *dims[i % 5]), 85) for i in range(64)]
+    from gdal_ray.codecs.jpeg import decode_jpeg_batch
+
+    decode_jpeg_batch(datas[:4])  # warm LUT cache
+    t0 = time.time()
+    out = decode_jpeg_batch(datas)
+    dt = time.time() - t0
+    assert len(out) == 64
+    assert dt < 2.5, f"batch decode took {dt:.2f}s (>39 ms/img) — engine regressed"
