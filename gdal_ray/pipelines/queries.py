@@ -547,6 +547,75 @@ select point_id, {tx} as x, {n - 1} - {ty_tms} as y from p
 """
 
 
+MVT_Z = 3
+
+
+def q_mvt_tiles(sf_dir: str):
+    """Mapbox Vector Tile pipeline (mvt_tile.cpp / mvtutils.cpp semantics):
+    derived points are quantized to tile-local integer coordinates
+    (extent 4096), every (x, y) tile is encoded as a REAL MVT protobuf
+    blob (layer 'points', feature ids, tag key/value tables), then each
+    blob is DECODED back and reduced to per-tile aggregates — so the
+    oracle comparison exercises the full wire round trip."""
+    from gdal_ray.stages import mvt as mvt_stage
+
+    def quant(b: pa.Table) -> pa.Table:
+        q = mvt_stage.quantize_points_batch(
+            b, zoom=MVT_Z, keep=["point_id"])
+        m3 = b.column("point_id").to_numpy() % 3
+        return q.append_column("m3", pa.array(m3, pa.int64()))
+
+    pts = derived_points_ds(sf_dir).map_batches(quant, batch_format="pyarrow")
+    tiles = mvt_stage.encode_point_tiles(
+        pts, zoom=MVT_Z, props_cols={"m3": "m3"})
+
+    def agg(b: pa.Table) -> pa.Table:
+        rows = {"x": [], "y": [], "n_features": [], "sum_id": [],
+                "sum_qx": [], "sum_qy": [], "n_values": []}
+        for i in range(len(b)):
+            layers = mvt_stage.decode_tile(b.column("mvt")[i].as_py())
+            (layer,) = layers
+            feats = layer["features"]
+            qpts = np.concatenate([f["parts"][0] for f in feats], axis=0)
+            rows["x"].append(b.column("x")[i].as_py())
+            rows["y"].append(b.column("y")[i].as_py())
+            rows["n_features"].append(len(feats))
+            rows["sum_id"].append(sum(f["id"] for f in feats))
+            rows["sum_qx"].append(int(qpts[:, 0].sum()))
+            rows["sum_qy"].append(int(qpts[:, 1].sum()))
+            rows["n_values"].append(len(layer["values"]))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    return tiles.map_batches(agg, batch_format="pyarrow")
+
+
+def _sql_mvt_tiles() -> str:
+    n = 2**MVT_Z
+    e = mvt_ext = 4096
+    res = f"({tm.INITIAL_RESOLUTION!r} / {n})"
+    clat = f"greatest(-{tm.MAX_LATITUDE!r}, least(py, {tm.MAX_LATITUDE!r}))"
+    mx = f"(px * {tm.ORIGIN_SHIFT!r} / 180.0)"
+    my = f"((ln(tan((90.0 + {clat}) * pi() / 360.0)) / (pi() / 180.0)) * {tm.ORIGIN_SHIFT!r} / 180.0)"
+    pgx = f"(({mx} + {tm.ORIGIN_SHIFT!r}) / {res} / 256.0)"
+    pgy = f"(({my} + {tm.ORIGIN_SHIFT!r}) / {res} / 256.0)"
+    return f"""
+with p as ({POINT_SQL_CTE}),
+g as (select point_id, {pgx} as pgx, {pgy} as pgy from p),
+t as (select point_id, pgx, pgy,
+             greatest(0, least(cast(ceil(pgx) as bigint) - 1, {n - 1})) as x,
+             {n - 1} - greatest(0, least(cast(ceil(pgy) as bigint) - 1, {n - 1})) as y
+      from g),
+q as (select point_id, x, y,
+             greatest(0, least(cast(floor((pgx - x) * {e}) as bigint), {e - 1})) as qx,
+             greatest(0, least(cast(floor((({n} - pgy) - y) * {e}) as bigint), {e - 1})) as qy
+      from t)
+select x, y, count(*) as n_features, cast(sum(point_id) as bigint) as sum_id,
+       cast(sum(qx) as bigint) as sum_qx, cast(sum(qy) as bigint) as sum_qy,
+       count(distinct point_id % 3) as n_values
+from q group by 1, 2
+"""
+
+
 def q_pyramid_rollup(sf_dir: str):
     """Pyramid tile counts for z=8..0 from base assignments — the 4→1
     parent reduction of overview building (overview.cpp / gdal2tiles
@@ -1987,6 +2056,158 @@ select cast(-1 as bigint) as a_id, b.b_id, 'b_only' as cls,
        cast(2 * 1800 * 1200 - coalesce(s.si, 0) as bigint) as area2_u
 from b left join (select b_id, sum(area2) as si from i group by 1) s using (b_id)
 where 2 * 1800 * 1200 - coalesce(s.si, 0) > 0
+"""
+
+
+# overlapping-B layer-algebra fixture (round 4, VERDICT #4): same lattice
+# pitch but boxes WIDENED to 3000 so horizontal row-neighbors overlap in a
+# 600-wide strip.  Overlaps are strictly pairwise (no triples: 2*2400 >
+# 3000; rows stay disjoint: 1200 < 1700), so the exact a_only residual is
+# one inclusion–exclusion term: area(a ∩ ∪B) = Σ area(a∩bᵢ) −
+# Σ_pairs area(a∩bᵢ∩bⱼ), with each bᵢ∩bⱼ itself a box (same clip kernel).
+_OVL_BOXES = 150
+_OVL_W, _OVL_H = 3000, 1200
+
+
+def _ovl_grid_boxes():
+    k = np.arange(_OVL_BOXES, dtype=np.int64)
+    bx0 = -18000 + (k % 15) * 2400
+    by0 = -8500 + (k // 15) * 1700
+    ids = [f"box-{int(i):03d}" for i in k]
+    return ids, bx0, by0, bx0 + _OVL_W, by0 + _OVL_H
+
+
+class _UnionPiecesOverlap:
+    """Overlapping-B variant of _UnionPieces (OGRLayer::Union on a method
+    layer with OVERLAPPING features, ogrlayer.cpp:3763 — the reference
+    unions the matching B geometries per A feature; here ∪B within each A
+    is computed exactly by pairwise inclusion–exclusion since B overlaps
+    are strictly pairwise).  'both' rows stay per-(a,b) pieces exactly as
+    OGR emits them; a_only = area(a) − [Σ pieces − Σ pair corrections]."""
+
+    def __init__(self):
+        self.ids, self.x0, self.y0, self.x1, self.y1 = _ovl_grid_boxes()
+        # horizontal neighbor-pair intersection boxes (k, k+1 in-row)
+        k = np.arange(_OVL_BOXES, dtype=np.int64)
+        sel = np.nonzero((k % 15) < 14)[0]
+        sel = sel[sel + 1 < _OVL_BOXES]
+        self.px0 = self.x0[sel + 1]           # right box's left edge
+        self.px1 = self.x1[sel]               # left box's right edge
+        self.py0 = self.y0[sel]
+        self.py1 = self.y1[sel]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from gdal_ray.geometry import ops
+        from gdal_ray.stages.algebra import _SCHEMA, B_NULL, _rows
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        tx0, ty0, d = _tri_params(ids)
+
+        def tri_box_pieces(x0b, y0b, x1b, y1b):
+            """(tri_idx, box_idx, area2) for every positive triangle∩box."""
+            ov = (
+                (x0b[None, :] <= (tx0 + d)[:, None]) & (x1b[None, :] >= tx0[:, None])
+                & (y0b[None, :] <= (ty0 + d)[:, None]) & (y1b[None, :] >= ty0[:, None])
+            )
+            ti, bj = np.nonzero(ov)
+            areas = np.empty(len(ti), np.int64)
+            for n, (t_idx, b_idx) in enumerate(zip(ti, bj)):
+                x0 = tx0[t_idx] / 100.0; y0 = ty0[t_idx] / 100.0
+                dd = d[t_idx] / 100.0
+                tri = np.array([[x0, y0], [x0 + dd, y0], [x0, y0 + dd]])
+                box = np.array(
+                    [[x0b[b_idx] / 100.0, y0b[b_idx] / 100.0],
+                     [x1b[b_idx] / 100.0, y0b[b_idx] / 100.0],
+                     [x1b[b_idx] / 100.0, y1b[b_idx] / 100.0],
+                     [x0b[b_idx] / 100.0, y1b[b_idx] / 100.0]]
+                )
+                areas[n] = int(round(
+                    ops.ring_area2_float(ops.clip_ring_convex(box, tri)) * 10000.0))
+            keep = areas > 0
+            return ti[keep], bj[keep], areas[keep]
+
+        ti, bj, piece_a2 = tri_box_pieces(self.x0, self.y0, self.x1, self.y1)
+        both = _rows([int(ids[i]) for i in ti],
+                     [self.ids[j] for j in bj], "both", piece_a2)
+        inter_sum = np.zeros(len(ids), np.int64)
+        np.add.at(inter_sum, ti, piece_a2)
+        pi, _, pair_a2 = tri_box_pieces(self.px0, self.py0, self.px1, self.py1)
+        np.subtract.at(inter_sum, pi, pair_a2)  # inclusion–exclusion
+        res = d * d - inter_sum
+        sel = np.nonzero(res > 0)[0]
+        a_only = _rows([int(ids[i]) for i in sel], [B_NULL] * len(sel),
+                       "a_only", res[sel])
+        return pa.concat_tables([both, a_only]).cast(_SCHEMA)
+
+
+def q_union_overlap(sf_dir: str):
+    """Layer-algebra UNION with an OVERLAPPING method layer (lifts the
+    round-3 pairwise-disjoint-B contract): a_only residuals subtract the
+    exact pairwise inclusion–exclusion term for B-neighbor overlaps;
+    'both' pieces are per-(a,b) as OGR emits them; b_only residuals remain
+    Σ-piece-based (exact where A features are pairwise disjoint within b —
+    the same caveat the SQL oracle mirrors term-for-term)."""
+    from gdal_ray.stages.algebra import layer_algebra
+
+    b_ids = _ovl_grid_boxes()[0]
+    b_area2 = np.full(_OVL_BOXES, 2 * _OVL_W * _OVL_H, np.int64)
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr=f"doc_id < {OVERLAY_DOCS}"
+    )
+    return layer_algebra(docs, _UnionPiecesOverlap, b_ids, b_area2, "union")
+
+
+def _sql_union_overlap() -> str:
+    tri_box_area2 = """
+             2 * w * h - (t * t - greatest(t - w, 0) * greatest(t - w, 0)
+                                - greatest(t - h, 0) * greatest(t - h, 0))"""
+    return f"""
+with t as (select doc_id as a_id,
+                  ((doc_id * 7919) % 36000) - 18000 as tx0,
+                  ((doc_id * 104729) % 17000) - 8500 as ty0,
+                  20 * (1 + doc_id % 50) as d
+           from documents where doc_id < {OVERLAY_DOCS}),
+b as (select k,
+             'box-' || lpad(cast(k as varchar), 3, '0') as b_id,
+             -18000 + (k % 15) * 2400 as bx0,
+             -8500 + (k // 15) * 1700 as by0,
+             -18000 + (k % 15) * 2400 + {_OVL_W} as bx1,
+             -8500 + (k // 15) * 1700 + {_OVL_H} as by1
+      from range({_OVL_BOXES}) r(k)),
+pb as (select b1.b_id as id1, b2.bx0 as bx0, b1.by0 as by0,
+              b1.bx1 as bx1, b1.by1 as by1
+       from b b1 join b b2 on b2.k = b1.k + 1 and (b1.k % 15) < 14),
+m as (select a_id, b_id,
+             greatest(bx1 - greatest(bx0, tx0), 0) as w,
+             greatest(by1 - greatest(by0, ty0), 0) as h,
+             least(greatest(bx1 + by1 - (tx0 + ty0 + d), 0),
+                   greatest(bx1 - greatest(bx0, tx0), 0)
+                   + greatest(by1 - greatest(by0, ty0), 0)) as t
+      from t, b),
+i as (select a_id, b_id, {tri_box_area2} as area2
+      from m where {tri_box_area2} > 0),
+mp as (select a_id,
+              greatest(bx1 - greatest(bx0, tx0), 0) as w,
+              greatest(by1 - greatest(by0, ty0), 0) as h,
+              least(greatest(bx1 + by1 - (tx0 + ty0 + d), 0),
+                    greatest(bx1 - greatest(bx0, tx0), 0)
+                    + greatest(by1 - greatest(by0, ty0), 0)) as t
+       from t, pb),
+j as (select a_id, {tri_box_area2} as area2
+      from mp where {tri_box_area2} > 0)
+select a_id, b_id, 'both' as cls, cast(area2 as bigint) as area2_u from i
+union all
+select t.a_id, '' as b_id, 'a_only' as cls,
+       cast(d * d - (coalesce(s.si, 0) - coalesce(p.sj, 0)) as bigint) as area2_u
+from t
+left join (select a_id, sum(area2) as si from i group by 1) s using (a_id)
+left join (select a_id, sum(area2) as sj from j group by 1) p using (a_id)
+where d * d - (coalesce(s.si, 0) - coalesce(p.sj, 0)) > 0
+union all
+select cast(-1 as bigint) as a_id, b.b_id, 'b_only' as cls,
+       cast(2 * {_OVL_W} * {_OVL_H} - coalesce(s.si, 0) as bigint) as area2_u
+from b left join (select b_id, sum(area2) as si from i group by 1) s using (b_id)
+where 2 * {_OVL_W} * {_OVL_H} - coalesce(s.si, 0) > 0
 """
 
 
@@ -3543,6 +3764,9 @@ def queries():
         "tile_geodetic": q_tile_geodetic,
         "knn_cell": q_knn_cell,
         "sql_union": q_sql_union,
+        # -- new in round 4 (oracle-backed) --------------------------------
+        "mvt_tiles": q_mvt_tiles,
+        "union_overlap": q_union_overlap,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -3645,6 +3869,7 @@ def oracle_sql():
         "sessionize": SQL_SESSIONIZE,
         "events_hopping": SQL_EVENTS_HOPPING,
         "tile_assign": _sql_tile_assign(),
+        "mvt_tiles": _sql_mvt_tiles(),
         "tile_cover": _sql_tile_cover(),
         "tile_geodetic": _sql_tile_geodetic(),
         "pyramid_rollup": _sql_pyramid_rollup(),
@@ -3668,6 +3893,7 @@ def oracle_sql():
         "centroid": _sql_centroid(),
         "vector_overlay": _sql_vector_overlay(),
         "union_overlay": _sql_union_overlay(),
+        "union_overlap": _sql_union_overlap(),
         "make_valid": SQL_MAKE_VALID,
         "vector_clip": _sql_vector_clip(),
         "interpolate_at_point": _sql_interpolate(),

@@ -18,12 +18,16 @@ across ALL A batches — a partial-combinable aggregate: zero rows for every
 B feature union'd with the per-pair pieces, then one small
 ``grouped_aggregate`` shuffle keyed by ``b_id``.
 
-Exactness contract: B features must be pairwise disjoint (the common
-tile-grid / admin-boundary case), so residual areas reduce to
-``area(x) − Σ pairwise-piece-areas`` with no inclusion–exclusion tail.
-The per-pair piece areas come from the caller's clip kernel (convex S–H
-clip or the ear-clip triangle machinery in geometry/ops.py), so concave A
-features work wherever that kernel does."""
+Exactness contract (round 4): the pieces stage OWNS a_only exactness —
+it sees every matching B per A feature locally, so it can union the B
+pieces geometrically or apply inclusion–exclusion for overlapping B
+(see queries._UnionPiecesOverlap: strictly-pairwise box overlaps handled
+with one exact correction term; oracle-verified).  The b_only residual
+computed here is ``area(b) − Σ piece-areas over A`` — exact when A
+features are pairwise disjoint within b (disjoint-B is no longer
+required anywhere).  The per-pair piece areas come from the caller's
+clip kernel (convex S–H clip or the ear-clip triangle machinery in
+geometry/ops.py), so concave A features work wherever that kernel does."""
 
 from __future__ import annotations
 

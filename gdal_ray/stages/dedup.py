@@ -549,81 +549,197 @@ def embeddings_head_matrix(ds, n: int) -> np.ndarray:
     head = ds.limit(n).to_pandas()
     return np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
 
+def _bucket_i64(v: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket of int64 node ids — same mix as agg._bucket_of's
+    integer path so CC shards and the engine's aggregates agree on owners."""
+    from gdal_ray.stages.agg import _MIX
+
+    h = np.zeros(len(v), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h ^= (v.astype(np.uint64) + np.uint64(_MIX[0])) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+class _CCShard:
+    """One hash-bucket shard of the pair graph: holds its edge partition
+    (src sorted) and the mutable label partition — the 'shared mutable
+    index' case where raw Ray actors beat re-shuffling a Dataset per
+    round (SURVEY §3: actor state in __init__, vectorized work per call).
+
+    All messages are numpy arrays through the object store; every kernel
+    is searchsorted / unique / minimum.reduceat — no per-node Python."""
+
+    def __init__(self, bucket: int, num_buckets: int, edge_refs, node_refs,
+                 col_a: str, col_b: str, node_col: str):
+        import ray
+
+        srcs, dsts = [], []
+        for ref in edge_refs:
+            t = ray.get(ref)
+            if not len(t) or col_a not in t.column_names:  # empty-schema block
+                continue
+            a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+            for s, d in ((a, b), (b, a)):  # both directions
+                mine = _bucket_i64(s, num_buckets) == bucket
+                srcs.append(s[mine])
+                dsts.append(d[mine])
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        order = np.argsort(src, kind="stable")
+        self.esrc, self.edst = src[order], dst[order]
+
+        ns = []
+        for ref in node_refs:
+            t = ray.get(ref)
+            if not len(t) or node_col not in t.column_names:
+                continue
+            n = t.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ns.append(n[_bucket_i64(n, num_buckets) == bucket])
+        nodes = np.unique(np.concatenate(ns) if ns else np.empty(0, np.int64))
+        self.nodes = nodes                      # sorted unique
+        self.labels = nodes.copy()              # label := own id
+        self.num_buckets = num_buckets
+
+    def _part(self, keys: np.ndarray, payload: np.ndarray):
+        """Split (keys, payload) by owner bucket -> 2*B interleaved arrays."""
+        b = _bucket_i64(keys, self.num_buckets)
+        out = []
+        for o in range(self.num_buckets):
+            m = b == o
+            out.append(keys[m])
+            out.append(payload[m])
+        return tuple(out)
+
+    def propagate_out(self):
+        """Candidates (dst, label[src]) for every edge, owner-partitioned."""
+        lab = self.labels[np.searchsorted(self.nodes, self.esrc)]
+        return self._part(self.edst, lab)
+
+    def propagate_in(self, *parts):
+        """parts: interleaved (keys, labels) pairs from all shards; apply
+        min candidate per owned node.  Returns nothing."""
+        ks = [parts[i] for i in range(0, len(parts), 2)]
+        vs = [parts[i] for i in range(1, len(parts), 2)]
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        if not len(k):
+            return
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        idx = np.searchsorted(self.nodes, k)
+        starts = np.unique(idx, return_index=True)
+        mins = np.minimum.reduceat(v, starts[1])
+        self.labels[starts[0]] = np.minimum(self.labels[starts[0]], mins)
+
+    def jump_out(self):
+        """Distinct label values this shard needs resolved (label(label(v))),
+        owner-partitioned.  Payload slot carries the same keys (unused)."""
+        need = np.unique(self.labels)
+        return self._part(need, need)
+
+    def resolve(self, *key_arrays):
+        """For each requester's key array, return label[key] (keys are node
+        ids owned here).  Returns len(key_arrays) aligned arrays."""
+        out = []
+        for keys in key_arrays:
+            out.append(self.labels[np.searchsorted(self.nodes, keys)]
+                       if len(keys) else np.empty(0, np.int64))
+        return tuple(out) if len(out) > 1 else out[0]
+
+    def jump_in(self, *keys_and_vals):
+        """Interleaved (keys, resolved) arrays covering every distinct
+        label value; apply label := resolved[label]."""
+        k = np.concatenate(keys_and_vals[0::2])
+        v = np.concatenate(keys_and_vals[1::2])
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        self.labels = v[np.searchsorted(k, self.labels)]
+
+    def label_sum(self) -> int:
+        return int(self.labels.sum())
+
+    def table(self) -> pa.Table:
+        return pa.table({"doc_id": pa.array(self.nodes, pa.int64()),
+                         "label": pa.array(self.labels, pa.int64())})
+
 
 def connected_components(edges, nodes, *, col_a: str = "doc_a",
                          col_b: str = "doc_b", node_col: str = "doc_id",
-                         max_rounds: int = 50):
+                         max_rounds: int = 50, num_buckets: int = 16,
+                         stats_out: dict | None = None):
     """Distributed connected components over a near-dup pair graph ->
     Dataset(doc_id, label) with label = min node id in the component (the
     canonical-representative rule dedup pipelines key their keep/drop
     decision on).
 
-    Min-label propagation, join-free: each round is two hash exchanges —
-    (1) union(label rows, edge rows both directions) grouped by node
-    scatters every node's current label to its neighbors; (2) a
-    groupby-min gathers the smallest candidate per node.  Labels only
-    ever decrease, so Σlabel strictly decreases until the fixpoint —
-    the convergence test is one cheap aggregate, no old-vs-new join.
-    Rounds needed = graph diameter; near-dup clusters are shallow
-    (dozens of rounds bound components of any practical size).  The
-    label table — the only per-round materialized state — is O(nodes in
-    the pair graph), tiny next to the corpus at 100 TB.
+    Round-4 algorithm (VERDICT #5): min-label propagation + POINTER
+    JUMPING on hash-bucket actor shards.  Each round:
+
+      1. propagate — every shard emits (dst, label[src]) candidates for
+         its edges, partitioned by owner; owners min-reduce
+         (searchsorted + minimum.reduceat, no per-node Python).
+      2. jump — label'(v) = label(label(v)): shards request their distinct
+         label values from the owners and remap.  Knowledge radius ~doubles
+         per round, so a diameter-d component converges in ~log2(d) rounds
+         (pytest pins ceil(log2 d)+2 on a 10k-node path graph).
+
+    Why raw actors, not Dataset ops: the per-round state is a tiny O(nodes
+    in the pair graph) label table — a shared mutable index.  Re-shuffling
+    a Dataset 3× per round pays seconds of job overhead per iteration;
+    the shards exchange numpy arrays through the object store in
+    milliseconds instead (the brief's sanctioned actor carve-out).  The
+    static edge partitions are built ONCE from Dataset block refs (each
+    shard scans the blocks and keeps its hash share — reads scale with
+    edge bytes × 1, held state with edges/B).  Labels only ever decrease,
+    so the Σlabel fixpoint test is one cheap reduce over shards.
     """
+    import ray
     import ray.data as rd
 
-    e = edges.map_batches(
-        lambda t: pa.table({
-            "node": pa.concat_arrays([
-                t.column(col_a).combine_chunks().cast(pa.int64()),
-                t.column(col_b).combine_chunks().cast(pa.int64())]),
-            "dst": pa.concat_arrays([
-                t.column(col_b).combine_chunks().cast(pa.int64()),
-                t.column(col_a).combine_chunks().cast(pa.int64())]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-
-    labels = nodes.map_batches(
-        lambda t: pa.table({
-            "node": t.column(node_col).combine_chunks().cast(pa.int64()),
-            "label": t.column(node_col).combine_chunks().cast(pa.int64()),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def scatter(g: pa.Table) -> pa.Table:
-        lab = pc.min(g.column("label")).as_py()
-        if lab is None:  # edge rows whose node has no label row (impossible
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64())})
-        dst = g.column("dst").drop_null()
-        n = g.column("node")[0].as_py()
+    def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table({
-            "node": pa.array([n] + dst.to_pylist(), pa.int64()),
-            "label": pa.array([lab] * (1 + len(dst)), pa.int64()),
+            col_a: t.column(col_a).combine_chunks().cast(pa.int64()),
+            col_b: t.column(col_b).combine_chunks().cast(pa.int64()),
         })
 
-    prev_sum = None
-    for _ in range(max_rounds):
-        lab_rows = labels.map_batches(
-            lambda t: t.append_column("dst", pa.nulls(len(t), pa.int64())),
-            batch_format="pyarrow")
-        edge_rows = e.map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "label": pa.nulls(len(t), pa.int64()),
-                                "dst": t.column("dst")}),
-            batch_format="pyarrow")
-        cand = lab_rows.union(edge_rows).groupby("node").map_groups(
-            scatter, batch_format="pyarrow")
-        from gdal_ray.stages.agg import grouped_aggregate
+    edge_refs = edges.map_batches(both_dirs, batch_format="pyarrow").to_arrow_refs()
+    node_refs = nodes.map_batches(
+        lambda t: pa.table({node_col: t.column(node_col).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").to_arrow_refs()
 
-        labels = grouped_aggregate(
-            cand, ["node"], [("label", "min", "label")]).materialize()
-        s = labels.sum("label")
+    # num_cpus=0: shards idle between sub-millisecond RPCs; reserving whole
+    # cores would deadlock small sessions (16 shards > 4-CPU test session)
+    Shard = ray.remote(num_cpus=0)(_CCShard)
+    shards = [Shard.remote(b, num_buckets, edge_refs, node_refs,
+                           col_a, col_b, node_col)
+              for b in range(num_buckets)]
+    B = num_buckets
+    prev_sum = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        outs = [s.propagate_out.options(num_returns=2 * B).remote()
+                for s in shards]
+        ray.get([shards[o].propagate_in.remote(
+                    *[r for s_out in outs for r in s_out[2 * o:2 * o + 2]])
+                 for o in range(B)])
+        reqs = [s.jump_out.options(num_returns=2 * B).remote() for s in shards]
+        # resolved[b][o] = labels for shard b's keys owned by shard o
+        resolved = [[shards[o].resolve.remote(reqs[b][2 * o])
+                     for o in range(B)] for b in range(B)]
+        ray.get([shards[b].jump_in.remote(
+                    *[r for o in range(B)
+                      for r in (reqs[b][2 * o], resolved[b][o])])
+                 for b in range(B)])
+        s = sum(ray.get([sh.label_sum.remote() for sh in shards]))
         if s == prev_sum:
             break
         prev_sum = s
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t.column("node"),
-                            "label": t.column("label")}),
-        batch_format="pyarrow")
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+    tables = ray.get([s.table.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    return rd.from_arrow(pa.concat_tables(tables))

@@ -62,6 +62,8 @@ def write_mbtiles(
     tile_size: int,
     name: str = "gdal_ray tiles",
     already_encoded: bool = False,
+    fmt: str = "png",
+    blob_col: str = "png",
 ) -> int:
     """Rendered-tiles Dataset (z, x, y, rgb, alpha — or z, x, y, png when
     `already_encoded`) -> one .mbtiles file, atomic tmp+rename.  XYZ y is
@@ -70,6 +72,7 @@ def write_mbtiles(
         tiles_ds = tiles_ds.map_batches(
             lambda b: _encode_batch(b, tile_size), batch_format="pyarrow"
         )
+        blob_col = "png"
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         os.remove(tmp)
@@ -91,7 +94,7 @@ def write_mbtiles(
             zs = b.column("z").to_numpy()
             xs = b.column("x").to_numpy()
             ys = b.column("y").to_numpy()
-            blobs = b.column("png").to_pylist()
+            blobs = b.column(blob_col).to_pylist()
             rows = [
                 (int(zs[i]), int(xs[i]), (1 << int(zs[i])) - 1 - int(ys[i]),
                  blobs[i])
@@ -107,7 +110,7 @@ def write_mbtiles(
             ("type", "overlay"),
             ("version", "1.1"),
             ("description", name),
-            ("format", "png"),
+            ("format", fmt),
         ]
         if n:
             meta += [("minzoom", str(zmin)), ("maxzoom", str(zmax))]

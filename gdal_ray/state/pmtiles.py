@@ -15,9 +15,11 @@ layout via the vendored pmtiles headers).  A PMTiles archive is one file:
   tileIds, run lengths, byte lengths, offsets (0 ⇒ contiguous with the
   previous entry, else value−1).
 
-Scope: root directory only (≤ the spec's recommended 16,384 entries per
-dir — plenty for per-shard archives; a loud gate refuses more), gzip or
-raw internal/tile compression, PNG tile type by default.
+Directories: past 16,384 entries the writer splits into LEAF directories
+(spec: a root entry with run_length 0 points at a leaf — offset into the
+leaf section, length in bytes); the reader fans leaves out so each Ray
+task decodes one leaf and range-reads only its tiles.  gzip or raw
+internal/tile compression; PNG tile type by default, MVT supported.
 
 Scale shape: like MBTiles, the write is a driver-side streaming sink
 over cluster-encoded tiles (single-writer file; shard archives for
@@ -39,9 +41,10 @@ import pyarrow as pa
 HEADER_SIZE = 127
 MAGIC = b"PMTiles"
 MAX_ROOT_ENTRIES = 16384
+LEAF_ENTRIES = 8192  # entries per leaf directory when the root overflows
 
 COMP_NONE, COMP_GZIP = 1, 2
-TILETYPE_PNG = 2
+TILETYPE_MVT, TILETYPE_PNG = 1, 2
 
 
 # ------------------------------------------------------------- tile ids
@@ -232,12 +235,15 @@ def _codec(comp: int):
 # ------------------------------------------------------------- write
 
 
-def write_pmtiles(tiles_ds, path: str, *, tile_size: int,
+def write_pmtiles(tiles_ds, path: str, *, tile_size: int = 256,
                   metadata: dict | None = None,
-                  already_encoded: bool = False) -> int:
-    """Rendered-tiles Dataset (z,x,y,rgb,alpha — or z,x,y,png when
+                  already_encoded: bool = False,
+                  tile_type: int = TILETYPE_PNG,
+                  blob_col: str = "png") -> int:
+    """Rendered-tiles Dataset (z,x,y,rgb,alpha — or z,x,y,<blob_col> when
     `already_encoded`) → one .pmtiles archive (atomic tmp+rename).  Tiles
-    are PNG-encoded in parallel on the cluster; the driver streams the
+    are PNG-encoded in parallel on the cluster (or pre-encoded blobs, e.g.
+    MVT protobufs with tile_type=TILETYPE_MVT); the driver streams the
     blobs, orders them by Hilbert tileId (clustered layout) and emits the
     root directory.  Returns the tile count."""
     from gdal_ray.state.mbtiles import _encode_batch
@@ -246,20 +252,16 @@ def write_pmtiles(tiles_ds, path: str, *, tile_size: int,
         tiles_ds = tiles_ds.map_batches(
             lambda b: _encode_batch(b, tile_size), batch_format="pyarrow"
         )
+        blob_col = "png"
     recs: list[tuple[int, bytes]] = []
     for b in tiles_ds.iter_batches(batch_format="pyarrow"):
         zs = b.column("z").to_numpy()
         xs = b.column("x").to_numpy()
         ys = b.column("y").to_numpy()
-        blobs = b.column("png").to_pylist()
+        blobs = b.column(blob_col).to_pylist()
         for i in range(len(zs)):
             recs.append((zxy_to_tileid(int(zs[i]), int(xs[i]), int(ys[i])),
                          blobs[i]))
-    if len(recs) > MAX_ROOT_ENTRIES:
-        raise NotImplementedError(
-            f"{len(recs)} tiles > {MAX_ROOT_ENTRIES} root-directory entries; "
-            "shard the archive (leaf directories not implemented)"
-        )
     recs.sort(key=lambda r: r[0])
     tids = [r[0] for r in recs]
     if len(set(tids)) != len(tids):
@@ -271,28 +273,42 @@ def write_pmtiles(tiles_ds, path: str, *, tile_size: int,
         entries.append((tid, len(data), len(blob), 1))
         data += blob
     gz, _ = _codec(COMP_GZIP)
-    root = gz(encode_directory(entries))
+    leaves = bytearray()
+    if len(entries) <= MAX_ROOT_ENTRIES:
+        root = gz(encode_directory(entries))
+    else:
+        # split into leaf directories: one root entry per leaf with
+        # run_length 0, offset into the leaf section, length in bytes
+        root_entries = []
+        for s in range(0, len(entries), LEAF_ENTRIES):
+            chunk = entries[s:s + LEAF_ENTRIES]
+            blob = gz(encode_directory(chunk))
+            root_entries.append((chunk[0][0], len(leaves), len(blob), 0))
+            leaves += blob
+        root = gz(encode_directory(root_entries))
     meta = gz(json.dumps(metadata or {"name": "gdal_ray tiles"}).encode())
 
     zooms = [tileid_to_zxy(t)[0] for t in tids] or [0]
     root_off = HEADER_SIZE
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta)
-    data_off = leaf_off
+    data_off = leaf_off + len(leaves)
     header = _pack_header(
         root_off=root_off, root_len=len(root),
         meta_off=meta_off, meta_len=len(meta),
-        leaf_off=leaf_off, leaf_len=0,
+        leaf_off=leaf_off, leaf_len=len(leaves),
         data_off=data_off, data_len=len(data),
         n_addressed=len(entries), n_entries=len(entries),
         n_contents=len(entries),
         min_zoom=min(zooms), max_zoom=max(zooms),
+        tile_type=tile_type,
     )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(header)
         f.write(root)
         f.write(meta)
+        f.write(bytes(leaves))
         f.write(bytes(data))
     os.replace(tmp, path)
     return len(entries)
@@ -318,33 +334,49 @@ def _entries(path: str, h: dict) -> list[tuple[int, int, int, int]]:
 
 def read_pmtiles(path: str, *, entries_per_block: int = 1024):
     """-> ray.data.Dataset of (z, x, y, png).  The tiny root directory
-    decodes driver-side; entry ranges fan out and each task range-reads
-    only its tiles' bytes from the data section."""
+    decodes driver-side; tile-entry ranges (or whole leaf directories —
+    run_length 0 root entries, decoded inside the task) fan out and each
+    task range-reads only its tiles' bytes from the data section."""
     import ray.data as rd
 
     h = read_header(path)
-    if h["leaf_len"]:
-        raise NotImplementedError("pmtiles leaf directories")
     ents = _entries(path, h)
     data_off = h["data_off"]
+    leaf_off = h["leaf_off"]
     tile_comp = h["tile_compression"]
+    internal_comp = h["internal_compression"]
     items = []
-    for s in range(0, max(len(ents), 1), entries_per_block):
-        chunk = ents[s:s + entries_per_block]
+    direct = [e for e in ents if e[3] != 0]
+    leaf_ptrs = [e for e in ents if e[3] == 0]
+    for s in range(0, len(direct), entries_per_block):
+        chunk = direct[s:s + entries_per_block]
         items.append({
+            "leaf_off": -1, "leaf_len": 0,
             "tids": [e[0] for e in chunk],
             "offs": [e[1] for e in chunk],
             "lens": [e[2] for e in chunk],
             "runs": [e[3] for e in chunk],
         })
+    for _, off, ln, _ in leaf_ptrs:  # one task per leaf directory
+        items.append({"leaf_off": off, "leaf_len": ln,
+                      "tids": [], "offs": [], "lens": [], "runs": []})
+    if not items:
+        items.append({"leaf_off": -1, "leaf_len": 0,
+                      "tids": [], "offs": [], "lens": [], "runs": []})
 
     def load(b: pa.Table) -> pa.Table:
         _, gunz = _codec(tile_comp)
+        _, gunz_int = _codec(internal_comp)
         rows = {"z": [], "x": [], "y": [], "png": []}
         with open(path, "rb") as f:
             for item in b.to_pylist():
-                for tid, off, ln, run in zip(item["tids"], item["offs"],
-                                             item["lens"], item["runs"]):
+                ents_here = list(zip(item["tids"], item["offs"],
+                                     item["lens"], item["runs"]))
+                if item["leaf_off"] >= 0:
+                    f.seek(leaf_off + item["leaf_off"])
+                    ents_here = decode_directory(
+                        gunz_int(f.read(item["leaf_len"])))
+                for tid, off, ln, run in ents_here:
                     f.seek(data_off + off)
                     blob = gunz(f.read(ln))
                     for k in range(max(run, 1)):  # run-length: same bytes

@@ -147,3 +147,43 @@ def test_duplicate_tiles_rejected(ray_session, tmp_path):
     with pytest.raises(Exception):
         write_pmtiles(rd.from_arrow(dup), str(tmp_path / "d.pmtiles"),
                       tile_size=TS)
+
+
+def test_leaf_directories_100k_tiles(ray_session, tmp_path):
+    """Round-4 gate removal (VERDICT #6): >16,384 entries must spill into
+    leaf directories (root entries with run_length 0 pointing into the
+    leaf section) and read back exactly — 100k tiles, already-encoded
+    blobs keyed to their tile id."""
+    import ray.data as rd
+
+    from gdal_ray.state import pmtiles as pm
+
+    n = 100_000
+    z = 9  # 512x512 grid = 262,144 slots >= 100k
+    tid0 = pm.zxy_to_tileid(z, 0, 0)
+    xs, ys = zip(*(pm._hilbert_d_to_xy(z, d) for d in range(0, 2 * n, 2)))
+    blobs = [str(tid0 + 2 * i).encode() for i in range(n)]
+    tiles = pa.table({
+        "z": pa.array([z] * n, pa.int64()),
+        "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+        "png": pa.array(blobs, pa.binary()),
+    })
+    path = str(tmp_path / "leafy.pmtiles")
+    count = write_pmtiles(rd.from_arrow(tiles), path, tile_size=TS,
+                          already_encoded=True)
+    assert count == n
+    h = read_header(path)
+    assert h["leaf_len"] > 0 and h["n_entries"] == n
+    # root holds leaf pointers only (run_length 0), well under the bound
+    root = decode_directory(
+        gzip.decompress(open(path, "rb").read()[h["root_off"]:h["root_off"] + h["root_len"]]))
+    assert len(root) == -(-n // pm.LEAF_ENTRIES)
+    assert all(e[3] == 0 for e in root)
+    back = read_pmtiles(path).to_pandas()
+    assert len(back) == n
+    got = {pm.zxy_to_tileid(int(r.z), int(r.x), int(r.y)): bytes(r.png)
+           for r in back.itertuples()}
+    for i in range(0, n, 9973):  # sampled content equality
+        tid = tid0 + 2 * i
+        assert got[tid] == str(tid).encode()
