@@ -41,6 +41,8 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _flatgeobuf(path)
     if low.endswith(".nc"):
         return _netcdf(path)
+    if low.endswith((".grib2", ".grb2", ".grib")):
+        return _grib2(path)
     if low.endswith(".csv"):
         return _csv(path)
     if low.endswith(".vrt"):
@@ -285,6 +287,26 @@ def _netcdf(path: str) -> dict:
         },
         "global_attributes": {k: (v if isinstance(v, str) else list(np.asarray(v).tolist()))
                               for k, v in m["gatts"].items()},
+    }
+
+
+def _grib2(path: str) -> dict:
+    from gdal_ray.sources.grib2 import read_grib2_meta
+
+    m = read_grib2_meta(path)
+    return {
+        "driver": "GRIB2",
+        "n_messages": m["n_messages"],
+        "messages": [
+            {
+                "discipline": msg["discipline"], "category": msg["category"],
+                "number": msg["number"], "size": [msg["nj"], msg["ni"]],
+                "grid": [msg["lat0"], msg["lon0"], msg["dlat"], msg["dlon"]],
+                "packing": {"nbits": msg["nbits"], "E": msg["E"], "D": msg["D"]},
+                "ref_time": list(msg["ref_time"]),
+            }
+            for msg in m["messages"]
+        ],
     }
 
 

@@ -14,7 +14,6 @@ bit-exact between numpy and DuckDB over 200k points (tests/test_oracle_exact.py)
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -407,22 +406,31 @@ def q_sessionize(sf_dir: str):
             }
         )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tus", "event_id"], kind="mergesort")
-        gap = g["tus"].diff().fillna(np.inf)
-        sid = (gap > 1_800_000_000).cumsum().astype(np.int64)
-        g = g.assign(session_id=sid)
-        out = g.groupby("session_id", as_index=False).agg(
-            n_events=("event_id", "size"), first_event=("event_id", "min")
+    def sessions(g: pa.Table) -> pa.Table:
+        tus = g.column("tus").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, tus))
+        tus, eid = tus[order], eid[order]
+        new = np.ones(len(tus), dtype=bool)
+        new[1:] = (tus[1:] - tus[:-1]) > 1_800_000_000
+        sid = np.cumsum(new)  # 1-based, matching the SQL window form
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(tus)))
+        first = np.minimum.reduceat(eid, starts)
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(starts), g.column("user_id").type),
+                "session_id": pa.array(sid[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "first_event": pa.array(first, pa.int64()),
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -1386,19 +1394,43 @@ def q_first_event(sf_dir: str):
     arg-min combine → tiny groupby — no row shuffle."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(tus=g["ts"].astype("int64"))
-        g = g.sort_values(["tus", "event_id"], kind="mergesort")
-        out = g.groupby(["user_id", "event_type"], as_index=False).first()
-        return out[["user_id", "event_type", "event_id", "tus"]]
+    def partial(b: pa.Table) -> pa.Table:
+        tus = b.column("ts").cast(pa.int64()).to_numpy()
+        eid = b.column("event_id").to_numpy()
+        uid = b.column("user_id").to_numpy()
+        # dictionary-encode event_type so the group key is integral
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        eti = et.indices.to_numpy()
+        order = np.lexsort((eid, tus, eti, uid))
+        u, t = uid[order], eti[order]
+        firsts = np.ones(len(order), dtype=bool)
+        firsts[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        take = order[firsts]
+        return pa.table(
+            {
+                "user_id": b.column("user_id").take(take),
+                "event_type": b.column("event_type").take(take),
+                "event_id": b.column("event_id").take(take),
+                "tus": pa.array(tus[take], pa.int64()),
+            }
+        )
 
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tus", "event_id"], kind="mergesort").head(1)
-        return g.rename(columns={"event_id": "first_event_id", "tus": "first_tus"})
+    def final(g: pa.Table) -> pa.Table:
+        tus = g.column("tus").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        i = int(np.lexsort((eid, tus))[0])
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(i, 1),
+                "event_type": g.column("event_type").slice(i, 1),
+                "first_event_id": g.column("event_id").slice(i, 1),
+                "first_tus": g.column("tus").slice(i, 1),
+            }
+        )
 
-    return part.groupby(["user_id", "event_type"]).map_groups(final, batch_format="pandas")
+    return part.groupby(["user_id", "event_type"]).map_groups(final, batch_format="pyarrow")
 
 
 SQL_FIRST_EVENT = """

@@ -130,6 +130,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.netcdf3 import read_netcdf
 
         return read_netcdf(path, **kw)
+    if low.endswith((".grib2", ".grb2", ".grib")):
+        from gdal_ray.sources.grib2 import read_grib2
+
+        return read_grib2(path, **kw)
     if low.endswith(".mbtiles"):
         from gdal_ray.state.mbtiles import read_mbtiles
 

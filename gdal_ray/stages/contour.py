@@ -169,7 +169,6 @@ def distributed_contours(docs_ds, *, grid_fn, levels, tile: int):
     same purpose).  Tiles overlap by one VERTEX row/col (cells are
     disjoint), so facing tiles compute identical border crossings.
     """
-    import pandas as pd
     import pyarrow as pa
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -213,7 +212,7 @@ def distributed_contours(docs_ds, *, grid_fn, levels, tile: int):
             }
         )
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+    def stitch(g: pa.Table) -> pa.Table:
         from collections import defaultdict
 
         nodes = {}
@@ -236,20 +235,26 @@ def distributed_contours(docs_ds, *, grid_fn, levels, tile: int):
         local_closed = 0
         n_segments = 0
         matches = defaultdict(list)
-        for _, r in g.iterrows():
-            t = int(r["tidx"])
-            local_closed += int(r["n_closed"])
-            n_segments += int(r["n_segments"])
+        tidxs = g.column("tidx").to_numpy()
+        closeds = g.column("n_closed").to_numpy()
+        segs = g.column("n_segments").to_numpy()
+        b_chains = g.column("b_chain").to_pylist()
+        b_xs = g.column("b_x").to_pylist()
+        b_ys = g.column("b_y").to_pylist()
+        for i in range(len(g)):
+            t = int(tidxs[i])
+            local_closed += int(closeds[i])
+            n_segments += int(segs[i])
             # nodes only for chains that reach a shared border; other
             # chains never merge and are covered by the totals below
-            for ci, x, y in zip(r["b_chain"], r["b_x"], r["b_y"]):
+            for ci, x, y in zip(b_chains[i], b_xs[i], b_ys[i]):
                 key = (t, int(ci))
                 if key not in nodes:
                     nodes[key] = len(parent)
                     parent.append(len(parent))
                     node_ep.append(2)
                 matches[(float(x), float(y))].append(nodes[key])
-        total_chains = int(g["n_chains"].sum())
+        total_chains = int(g.column("n_chains").to_numpy().sum())
         merges = 0
         matched_ep = defaultdict(int)  # node -> matched endpoint count
         for pt, lst in matches.items():
@@ -269,16 +274,16 @@ def distributed_contours(docs_ds, *, grid_fn, levels, tile: int):
             comp_matched[root] += matched_ep[node]
         closed_by_stitch = sum(1 for rt in comp_ep if comp_ep[rt] == comp_matched[rt])
         n_closed = local_closed + closed_by_stitch
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": [np.int64(g["doc_id"].iloc[0])],
-                "level": [float(g["level"].iloc[0])],
-                "n_chains": [np.int64(n_chains_global)],
-                "n_closed": [np.int64(n_closed)],
-                "n_open": [np.int64(n_chains_global - n_closed)],
-                "n_segments": [np.int64(n_segments)],
+                "doc_id": pa.array([g.column("doc_id")[0].as_py()], pa.int64()),
+                "level": pa.array([float(g.column("level")[0].as_py())], pa.float64()),
+                "n_chains": pa.array([n_chains_global], pa.int64()),
+                "n_closed": pa.array([n_closed], pa.int64()),
+                "n_open": pa.array([n_chains_global - n_closed], pa.int64()),
+                "n_segments": pa.array([n_segments], pa.int64()),
             }
         )
 
     summaries = docs_ds.map_batches(extract, batch_format="pyarrow")
-    return summaries.groupby(["doc_id", "level"]).map_groups(stitch, batch_format="pandas")
+    return summaries.groupby(["doc_id", "level"]).map_groups(stitch, batch_format="pyarrow")

@@ -20,7 +20,6 @@ Two physical plans, chosen by polygon-side size (SURVEY.md §2.4):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from gdal_ray import tilemath as tm
@@ -230,33 +229,32 @@ def pip_join_cell_partitioned(points_ds, polys: pa.Table, *, zoom: int = 6):
     pts = points_ds.map_batches(as_point_rows, batch_format="pyarrow")
     polys_ds = rd.from_arrow(poly_cells).map_batches(as_poly_rows, batch_format="pyarrow")
 
-    id_np_dtype = np.int64 if pa.types.is_integer(pid_type) else object
-
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        pmask = g["side"] == 0
-        pts_g = g[pmask]
-        polys_g = g[~pmask]
-        if len(pts_g) == 0 or len(polys_g) == 0:
-            return pd.DataFrame(
-                {
-                    "point_id": pd.Series([], dtype=id_np_dtype),
-                    "poly_id": pd.Series([], dtype=object),
-                }
-            )
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        pmask = side == 0
+        empty = pa.table(
+            {"point_id": pa.array([], pid_type), "poly_id": pa.array([], pa.string())}
+        )
+        if not pmask.any() or pmask.all():
+            return empty
+        pts_idx = np.flatnonzero(pmask)
+        poly_idx = np.flatnonzero(~pmask)
+        poly_ids = g.column("poly_id").take(poly_idx).to_pylist()
+        wkbs = g.column("wkb").take(poly_idx).to_pylist()
         prepared = []
-        for pid, wkb in zip(polys_g["poly_id"].tolist(), polys_g["wkb"].tolist()):
+        for pid, wkb in zip(poly_ids, wkbs):
             rings = polygon_rings(bytes(wkb))
             prepared.append((pid, ring_bbox(rings), rings))
-        px = pts_g["px"].to_numpy(dtype=np.float64)
-        py = pts_g["py"].to_numpy(dtype=np.float64)
-        ids = pts_g["point_id"].tolist()
+        px = g.column("px").to_numpy(zero_copy_only=False)[pts_idx]
+        py = g.column("py").to_numpy(zero_copy_only=False)[pts_idx]
+        ids = g.column("point_id").take(pts_idx).to_pylist()
         out_pid, out_poly = _match_points(px, py, ids, prepared)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "point_id": np.array(out_pid, dtype=id_np_dtype),
-                "poly_id": np.array(out_poly, dtype=object),
+                "point_id": pa.array(out_pid, pid_type),
+                "poly_id": pa.array(out_poly, pa.string()),
             }
         )
 
     unioned = pts.union(polys_ds)
-    return unioned.groupby("cell_id").map_groups(join_group, batch_format="pandas")
+    return unioned.groupby("cell_id").map_groups(join_group, batch_format="pyarrow")

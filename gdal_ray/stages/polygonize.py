@@ -304,16 +304,15 @@ def tile_label_summary_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def stitch_doc_components(g: pd.DataFrame) -> pd.DataFrame:
+def stitch_doc_components(g: pa.Table) -> pa.Table:
     """Per-doc reduce: union-find over border equivalences of the tile
     summaries → exact global component count + size distribution (equals
     the single-pass CCL bit-for-bit; pytest-verified)."""
-    g = g.sort_values(["ty", "tx"], kind="mergesort")
-    nt = int(g["nt"].iloc[0])
+    rows = sorted(g.to_pylist(), key=lambda r: (r["ty"], r["tx"]))
     offsets = {}
     total = 0
     sizes_all = []
-    for _, r in g.iterrows():
+    for r in rows:
         offsets[(int(r["ty"]), int(r["tx"]))] = total
         total += int(r["n_labels"])
         sizes_all.extend(r["sizes"])
@@ -330,7 +329,7 @@ def stitch_doc_components(g: pd.DataFrame) -> pd.DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    by_pos = {(int(r["ty"]), int(r["tx"])): r for _, r in g.iterrows()}
+    by_pos = {(int(r["ty"]), int(r["tx"])): r for r in rows}
     for (ty, tx), r in by_pos.items():
         low = by_pos.get((ty + 1, tx))
         if low is not None:
@@ -353,12 +352,12 @@ def stitch_doc_components(g: pd.DataFrame) -> pd.DataFrame:
     for i in range(total):
         root = find(i)
         root_sizes[root] = root_sizes.get(root, 0) + int(sizes_all[i])
-    return pd.DataFrame(
+    return pa.table(
         {
-            "doc_id": [np.int64(g["doc_id"].iloc[0])],
-            "n_components": [np.int64(len(root_sizes))],
-            "max_component": [np.int64(max(root_sizes.values()))],
-            "n_pixels": [np.int64(sum(root_sizes.values()))],
+            "doc_id": pa.array([rows[0]["doc_id"]], pa.int64()),
+            "n_components": pa.array([len(root_sizes)], pa.int64()),
+            "max_component": pa.array([max(root_sizes.values())], pa.int64()),
+            "n_pixels": pa.array([sum(root_sizes.values())], pa.int64()),
         }
     )
 
@@ -549,4 +548,4 @@ def distributed_components(docs_ds, *, grid_fn, tile: int):
         batch_format="pyarrow",
     )
     summaries = tiles.map_batches(tile_label_summary_batch, batch_format="pyarrow")
-    return summaries.groupby("doc_id").map_groups(stitch_doc_components, batch_format="pandas")
+    return summaries.groupby("doc_id").map_groups(stitch_doc_components, batch_format="pyarrow")

@@ -95,20 +95,31 @@ def write_partitioned(ds, out_dir: str, partition_col: str, lineage: str, *, ski
     the write itself is distributed; only the skip-set is driver-side.
     Returns the list of partitions written this run.
     """
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     done = completed_partitions(out_dir, lineage) if skip_complete else set()
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        key = str(g[partition_col].iloc[0])
+    def write_group(g: pa.Table) -> pa.Table:
+        key = str(g.column(partition_col)[0].as_py())
+
+        def result(rows_out: int, skipped: bool) -> pa.Table:
+            return pa.table(
+                {
+                    "partition": pa.array([key], pa.string()),
+                    "rows_out": pa.array([rows_out], pa.int64()),
+                    "skipped": pa.array([skipped], pa.bool_()),
+                }
+            )
+
         if key in done:
-            return pd.DataFrame({"partition": [key], "rows_out": [0], "skipped": [True]})
+            return result(0, True)
         t0 = time.time()
         pdir = os.path.join(out_dir, f"part-{key}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, "data.parquet.tmp")
         final = os.path.join(pdir, "data.parquet")
-        g.to_parquet(tmp, index=False)
+        pq.write_table(g, tmp)
         os.replace(tmp, final)
         write_manifest(
             out_dir,
@@ -122,6 +133,6 @@ def write_partitioned(ds, out_dir: str, partition_col: str, lineage: str, *, ski
                 finished_at=time.time(),
             ),
         )
-        return pd.DataFrame({"partition": [key], "rows_out": [len(g)], "skipped": [False]})
+        return result(len(g), False)
 
-    return ds.groupby(partition_col).map_groups(write_group, batch_format="pandas").to_pandas()
+    return ds.groupby(partition_col).map_groups(write_group, batch_format="pyarrow").to_pandas()
