@@ -29,45 +29,50 @@ K0 = 0.9996
 E0 = 500000.0  # false easting
 N0_SOUTH = 10000000.0
 
-_n = F_WGS84 / (2.0 - F_WGS84)
-_e = np.sqrt(F_WGS84 * (2.0 - F_WGS84))  # first eccentricity
-# rectifying radius
-_A = A_WGS84 / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+def _kruger_coeffs(f: float):
+    """Krüger series machinery for an arbitrary ellipsoid flattening:
+    (n, e, A/a, alpha[6], beta[6], delta[6]) — 6th order in the third
+    flattening n (Karney 2011, public)."""
+    n = f / (2.0 - f)
+    e = np.sqrt(f * (2.0 - f))  # first eccentricity
+    rect = 1.0 / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ])
+    delta = np.array([
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45 + 26 * n**5 / 45
+        - 2854 * n**6 / 675,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45 + 2704 * n**5 / 315
+        + 2323 * n**6 / 945,
+        56 * n**3 / 15 - 136 * n**4 / 35 - 1262 * n**5 / 105 + 73814 * n**6 / 2835,
+        4279 * n**4 / 630 - 332 * n**5 / 35 - 399572 * n**6 / 14175,
+        4174 * n**5 / 315 - 144838 * n**6 / 6237,
+        601676 * n**6 / 22275,
+    ])
+    return n, e, rect, alpha, beta, delta
 
-# Krüger series coefficients (6th order in n) — forward (alpha),
-# inverse (beta), and inverse conformal latitude (delta)
-_ALPHA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
-    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
-    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
-    - 1983433 * _n**6 / 1935360,
-    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
-    + 167603 * _n**6 / 181440,
-    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
-    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
-    212378941 * _n**6 / 319334400,
-])
-_BETA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
-    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
-    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
-    - 1118711 * _n**6 / 3870720,
-    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
-    + 5569 * _n**6 / 90720,
-    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
-    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
-    20648693 * _n**6 / 638668800,
-])
-_DELTA = np.array([
-    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45 + 26 * _n**5 / 45
-    - 2854 * _n**6 / 675,
-    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315
-    + 2323 * _n**6 / 945,
-    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105 + 73814 * _n**6 / 2835,
-    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
-    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
-    601676 * _n**6 / 22275,
-])
+
+_n, _e, _rect, _ALPHA, _BETA, _DELTA = _kruger_coeffs(F_WGS84)
+_A = A_WGS84 * _rect  # rectifying radius
 
 
 def utm_zone_params(epsg: int) -> tuple[float, float]:
@@ -409,14 +414,17 @@ def parse_epsg(crs: str) -> int:
 
 def transform_fn(src_crs: str, dst_crs: str):
     """f(x, y) -> (x', y') for any pair of {EPSG:4326, EPSG:3857, WGS84 UTM
-    zones} — the closed-form subset of OGRCreateCoordinateTransformation.
-    Composes through 4326 for projected↔projected pairs."""
+    zones, table conics, arbitrary '+proj=…' strings} — the closed-form
+    subset of OGRCreateCoordinateTransformation.  Composes through 4326
+    for projected↔projected pairs."""
     from gdal_ray import tilemath as tm
 
     if src_crs == dst_crs:
         return lambda x, y: (x, y)
 
     def to4326(crs):
+        if crs.lstrip().startswith("+"):
+            return proj_pair(crs)[1]
         code = parse_epsg(crs)
         if code == 4326:
             return lambda x, y: (x, y)
@@ -427,6 +435,8 @@ def transform_fn(src_crs: str, dst_crs: str):
         return utm_inv(code)
 
     def from4326(crs):
+        if crs.lstrip().startswith("+"):
+            return proj_pair(crs)[0]
         code = parse_epsg(crs)
         if code == 4326:
             return lambda x, y: (x, y)
@@ -446,3 +456,200 @@ def transform_fn(src_crs: str, dst_crs: str):
         return fwd(lon, lat)
 
     return f
+
+
+# --- PROJ-string front end -------------------------------------------------
+# The reference resolves arbitrary CRS through PROJ (ogr/ogrct.cpp:2323);
+# here a "+proj=..." string is parsed into the same closed-form kernels
+# above, so any CRS expressible in the longlat/merc/webmerc/eqc/tmerc/utm/
+# lcc/stere(polar)/aea/laea families — with arbitrary ellipsoid, central
+# meridian, standard parallels, scale and false origin — transforms without
+# an enumerated EPSG table entry.  Unsupported projections raise loudly.
+
+_ELLPS = {
+    "WGS84": (A_WGS84, F_WGS84),
+    "GRS80": (6378137.0, F_GRS80),
+    "intl": (6378388.0, 1.0 / 297.0),          # International 1924
+    "clrk66": (6378206.4, 1.0 / 294.978698214),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def parse_proj_params(s: str) -> dict:
+    """'+proj=lcc +lat_1=49 …' -> {key: float|str|True}."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"bad proj token {tok!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+        else:
+            out[body] = True
+    return out
+
+
+def _proj_ellipsoid(p: dict) -> tuple[float, float]:
+    if "a" in p:
+        a = float(p["a"])
+        if "rf" in p:
+            return a, 1.0 / float(p["rf"])
+        if "f" in p:
+            return a, float(p["f"])
+        if "b" in p:
+            return a, (a - float(p["b"])) / a
+        return a, 0.0  # sphere of radius a
+    if "R" in p:
+        return float(p["R"]), 0.0
+    name = p.get("ellps", p.get("datum", "WGS84"))
+    if name not in _ELLPS:
+        raise NotImplementedError(f"ellipsoid {name!r} not in table "
+                                  f"(give +a/+rf explicitly)")
+    return _ELLPS[name]
+
+
+def tmerc_pair(lat0: float, lon0: float, k0: float, fe: float, fn: float,
+               a: float = A_WGS84, f: float = F_WGS84):
+    """Generic ellipsoidal transverse Mercator (Krüger 6th order) with
+    arbitrary origin/scale/ellipsoid.  Returns (fwd, inv)."""
+    n_, e_, rect, alpha, beta, delta = _kruger_coeffs(f)
+    A_ = a * rect
+
+    def _xi_eta(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        t = (np.sinh(np.arctanh(s) - e_ * np.arctanh(e_ * s)) if f > 0
+             else np.tan(phi))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi, eta = xi_p.copy(), eta_p.copy()
+        for j in range(6):
+            w = 2.0 * (j + 1)
+            xi = xi + alpha[j] * np.sin(w * xi_p) * np.cosh(w * eta_p)
+            eta = eta + alpha[j] * np.cos(w * xi_p) * np.sinh(w * eta_p)
+        return xi, eta
+
+    # meridian-arc offset so northing(lat0) == fn on the central meridian
+    m0 = float(_xi_eta(lon0, lat0)[0]) * A_ if lat0 else 0.0
+
+    def fwd(lon, lat):
+        xi, eta = _xi_eta(lon, lat)
+        return fe + k0 * A_ * eta, fn + k0 * (A_ * xi - m0)
+
+    def inv(E, N):
+        xi = (np.asarray(N, dtype=np.float64) - fn + k0 * m0) / (k0 * A_)
+        eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * A_)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j in range(6):
+            w = 2.0 * (j + 1)
+            xi_p = xi_p - beta[j] * np.sin(w * xi) * np.cosh(w * eta)
+            eta_p = eta_p - beta[j] * np.cos(w * xi) * np.sinh(w * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for j in range(6):
+            w = 2.0 * (j + 1)
+            phi = phi + delta[j] * np.sin(w * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+def mercator_1sp(lat_ts: float, lon0: float, k0: float, fe: float, fn: float,
+                 a: float = A_WGS84, f: float = F_WGS84):
+    """Ellipsoidal Mercator (EPSG 9804/9805; Snyder 7-6..7-8): scale from
+    +k_0 or a standard parallel +lat_ts (k0 = m(lat_ts))."""
+    e = _ecc(f)
+    k = _m(np.radians(lat_ts), e) if lat_ts else k0
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return fe + a * k * lam, fn - a * k * np.log(_t(phi, e))
+
+    def inv(E, N):
+        lam = (np.asarray(E, dtype=np.float64) - fe) / (a * k)
+        t = np.exp(-(np.asarray(N, dtype=np.float64) - fn) / (a * k))
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(_phi_from_t(t, e))
+
+    return fwd, inv
+
+
+def eqc(lat_ts: float, lon0: float, fe: float, fn: float,
+        a: float = A_WGS84):
+    """Equidistant cylindrical / plate carrée (+proj=eqc, EPSG 1028/1029
+    spherical form — what PROJ uses for EPSG:4087/32662)."""
+    c = np.cos(np.radians(lat_ts))
+
+    def fwd(lon, lat):
+        lon = _wrap_lon(np.asarray(lon, dtype=np.float64) - lon0)
+        return fe + a * np.radians(lon) * c, fn + a * np.radians(
+            np.asarray(lat, dtype=np.float64))
+
+    def inv(E, N):
+        lon = np.degrees((np.asarray(E, dtype=np.float64) - fe) / (a * c))
+        lat = np.degrees((np.asarray(N, dtype=np.float64) - fn) / a)
+        return _wrap_lon(lon + lon0), lat
+
+    return fwd, inv
+
+
+def proj_pair(s: str):
+    """'+proj=…' string -> (fwd, inv) lon/lat(deg) ↔ projected, built on
+    the closed-form kernels above.  Raises NotImplementedError for
+    projections outside the supported families."""
+    p = parse_proj_params(s)
+    proj = p.get("proj")
+    a, f = _proj_ellipsoid(p)
+    lat0 = float(p.get("lat_0", 0.0))
+    lon0 = float(p.get("lon_0", 0.0))
+    k0 = float(p.get("k_0", p.get("k", 1.0)))
+    fe = float(p.get("x_0", 0.0))
+    fn = float(p.get("y_0", 0.0))
+    if proj in ("longlat", "latlong", "lonlat"):
+        ident = lambda x, y: (x, y)  # noqa: E731
+        return ident, ident
+    if proj == "utm":
+        zone = int(p["zone"])
+        lon0_z = -183.0 + 6.0 * zone
+        fn_z = N0_SOUTH if p.get("south") else 0.0
+        return tmerc_pair(0.0, lon0_z, 0.9996, 500000.0, fn_z, a, f)
+    if proj == "tmerc":
+        return tmerc_pair(lat0, lon0, k0, fe, fn, a, f)
+    if proj == "merc":
+        return mercator_1sp(float(p.get("lat_ts", 0.0)), lon0, k0, fe, fn, a, f)
+    if proj == "webmerc":
+        from gdal_ray import tilemath as tm
+
+        def fwd(lon, lat):
+            return tm.lonlat_to_meters(
+                lon, np.clip(lat, -tm.MAX_LATITUDE, tm.MAX_LATITUDE))
+
+        return fwd, tm.meters_to_lonlat
+    if proj == "eqc":
+        return eqc(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a)
+    if proj == "lcc":
+        lat1 = float(p["lat_1"])
+        lat2 = float(p.get("lat_2", lat1))
+        if k0 != 1.0:
+            raise NotImplementedError("lcc with k_0 != 1 (1SP scaled form)")
+        return lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "aea":
+        return albers_2sp(float(p["lat_1"]), float(p["lat_2"]), lat0, lon0,
+                          fe, fn, a=a, f=f)
+    if proj == "laea":
+        return laea(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "stere":
+        if abs(lat0) < 89.999:
+            raise NotImplementedError("oblique stereographic (+lat_0 not ±90)")
+        lat_ts = float(p.get("lat_ts", lat0))
+        return polar_stereographic(lat_ts, lon0, fe, fn, a=a, f=f)
+    raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
+                              "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
+                              "polar stere)")
