@@ -24,8 +24,8 @@ unit the reference writes to disk; raw source pixels never shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from gdal_ray import tilemath as tm
 from gdal_ray.codecs import decode_batch
@@ -390,19 +390,88 @@ def overview_level(tiles_ds, *, tile_size: int = 64, method: str = "average"):
     )
 
 
+def overview_levels_fused(tiles_ds, *, n_levels: int, tile_size: int = 64,
+                          method: str = "average"):
+    """`n_levels` pyramid steps in ONE shuffle: tiles bucket by their
+    level-(z−n) ancestor (x≫n, y≫n), and each group builds its whole
+    sub-pyramid locally by calling the identical per-parent reducer
+    (_overview_group) level by level — outputs are byte-identical to n
+    chained overview_level calls (pytest-pinned) at 1/n the shuffle count.
+
+    Why: each overview level holds 4× fewer tiles than the last, so by
+    level 2 a cluster-wide Sort + materialize barrier is pure fixed
+    overhead — the per-level plan's wall time stops scaling with CPUs.
+    Group sizes are bounded by 4^n child tiles (callers chunk deep
+    pyramids into fused spans, render_pyramid's fuse_span)."""
+    n = n_levels
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ax", pa.array(b.column("x").to_numpy() >> n, pa.int64())
+        ).append_column("ay", pa.array(b.column("y").to_numpy() >> n, pa.int64()))
+
+    def sub_pyramid(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _empty_tile_table()
+        g = g.drop_columns(["ax", "ay"])
+        outs = []
+        cur = g
+        for _ in range(n):
+            xs = cur.column("x").to_numpy(zero_copy_only=False)
+            ys = cur.column("y").to_numpy(zero_copy_only=False)
+            px, py = xs >> 1, ys >> 1
+            order = np.lexsort((py, px))
+            newg = np.ones(len(order), dtype=bool)
+            newg[1:] = (px[order][1:] != px[order][:-1]) | (py[order][1:] != py[order][:-1])
+            starts = np.flatnonzero(newg)
+            ends = np.append(starts[1:], len(order))
+            keyed = cur.append_column("px", pa.array(px, pa.int64())) \
+                       .append_column("py", pa.array(py, pa.int64()))
+            parents = [
+                _overview_group(keyed.take(pa.array(order[s:e])), tile_size, method)
+                for s, e in zip(starts, ends)
+            ]
+            cur = pa.concat_tables(parents)
+            outs.append(cur)
+        return pa.concat_tables(outs)
+
+    keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
+    combined = _per_tile_reduce(keyed, ["ax", "ay"], sub_pyramid).materialize()
+    base_z = None
+    for b in combined.iter_batches(batch_format="pyarrow", batch_size=1):
+        base_z = int(pc.max(b.column("z")).as_py())
+        break
+    if base_z is None:  # empty input
+        return [combined for _ in range(n)]
+    return [combined.filter(expr=f"z == {base_z - i}") for i in range(n)]
+
+
 def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int = 64,
-                   method: str = "average"):
+                   method: str = "average", fuse_span: int = 4):
     """Full pyramid: list of per-level tile Datasets, base first.
 
-    Each level is MATERIALIZED before the next starts — the explicit
-    per-level barrier of the reference (WaitCompletion :3033), and it
-    keeps level z-1 from lazily re-executing the whole base render when
-    both are consumed.  What is held is tiles (bounded: 4^z × tile
-    payload), never source images; at design scale each level would
-    instead be written through the manifest sink and re-read."""
+    Overview levels are computed in FUSED spans of ≤`fuse_span` levels —
+    one shuffle per span (overview_levels_fused) instead of one per level.
+    Each span is materialized before the next starts — the explicit
+    barrier of the reference (WaitCompletion :3033), and it keeps level
+    z-1 from lazily re-executing the whole base render when both are
+    consumed.  What is held is tiles (bounded: 4^z × tile payload), never
+    source images; at design scale each span would instead be written
+    through the manifest sink and re-read.  fuse_span bounds the local
+    group to 4^span child tiles (span 4 ⇒ ≤256 tiles ≈ 3 MB at ts=64)."""
     levels = [render_base_tiles(images_ds, zoom=base_zoom, tile_size=tile_size).materialize()]
-    for _ in range(base_zoom - min_zoom):
-        levels.append(
-            overview_level(levels[-1], tile_size=tile_size, method=method).materialize()
-        )
+    remaining = base_zoom - min_zoom
+    while remaining > 0:
+        span = min(fuse_span, remaining)
+        if span == 1:
+            levels.append(
+                overview_level(levels[-1], tile_size=tile_size, method=method).materialize()
+            )
+        else:
+            levels.extend(
+                overview_levels_fused(
+                    levels[-1], n_levels=span, tile_size=tile_size, method=method
+                )
+            )
+        remaining -= span
     return levels

@@ -328,3 +328,54 @@ def test_overview_gauss_constant_preserved():
     out = render._overview_group(g, ts, "gauss")
     got = np.frombuffer(out.column("rgb")[0].as_py(), np.uint8)
     assert (got == 77).all()
+
+
+def test_fused_overviews_equal_per_level(ray_session):
+    """overview_levels_fused must be byte-identical to chained
+    overview_level calls — same reducer, one shuffle instead of n."""
+    import ray.data as rd
+
+    rows = [
+        _img_row(1, 50, 10.0, 20.0, 30.0, 40.0),
+        _img_row(2, 150, 25.0, 30.0, 45.0, 50.0),
+        _img_row(3, 220, -60.0, -20.0, -30.0, 10.0),
+    ]
+    ds = rd.from_arrow(_table(rows))
+    base = render.render_base_tiles(ds, zoom=4, tile_size=16).materialize()
+
+    per_level = []
+    cur = base
+    for _ in range(3):
+        cur = render.overview_level(cur, tile_size=16).materialize()
+        per_level.append(cur)
+    fused = render.overview_levels_fused(base, n_levels=3, tile_size=16)
+
+    for lv_ref, lv_fused in zip(per_level, fused):
+        a = lv_ref.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        b = lv_fused.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) >= 1
+        for col in ["z", "x", "y", "n_src", "checksum"]:
+            assert (a[col] == b[col]).all(), col
+        assert all(x == y for x, y in zip(a["rgb"], b["rgb"]))
+        assert all(x == y for x, y in zip(a["alpha"], b["alpha"]))
+
+
+def test_pyramid_fuse_span_chunking(ray_session):
+    """render_pyramid with a small fuse_span (span chunking for deep
+    pyramids) returns the same levels as one big fused span."""
+    import ray.data as rd
+
+    rows = [
+        _img_row(1, 50, 10.0, 20.0, 30.0, 40.0),
+        _img_row(2, 150, 25.0, 30.0, 45.0, 50.0),
+    ]
+    ds = rd.from_arrow(_table(rows))
+    lv_a = render.render_pyramid(ds, base_zoom=4, min_zoom=1, tile_size=16, fuse_span=4)
+    lv_b = render.render_pyramid(ds, base_zoom=4, min_zoom=1, tile_size=16, fuse_span=1)
+    assert len(lv_a) == len(lv_b) == 4
+    for da, db in zip(lv_a, lv_b):
+        a = da.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        b = db.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a["checksum"] == b["checksum"]).all()
+        assert all(x == y for x, y in zip(a["rgb"], b["rgb"]))
