@@ -602,9 +602,37 @@ def eqc(lat_ts: float, lon0: float, fe: float, fn: float,
 
 def proj_pair(s: str):
     """'+proj=…' string -> (fwd, inv) lon/lat(deg) ↔ projected, built on
-    the closed-form kernels above.  Raises NotImplementedError for
-    projections outside the supported families."""
+    the closed-form kernels above.  With +towgs84 the lon/lat side is
+    WGS84: the 3/7-parameter Helmert datum shift (helmert_fns) composes
+    with the projection through geocentric coordinates, as PROJ does.
+    Raises NotImplementedError for projections outside the supported
+    families."""
     p = parse_proj_params(s)
+    pair = _proj_pair_raw(p)
+    tow = p.get("towgs84")
+    if tow in (None, True):
+        return pair
+    params = [float(v) for v in str(tow).split(",")]
+    if all(v == 0.0 for v in params):
+        return pair
+    a, f = _proj_ellipsoid(p)
+    h_fwd, h_inv = helmert_fns(params)
+    raw_fwd, raw_inv = pair
+
+    def fwd(lon, lat):  # WGS84 lon/lat -> projected on the local datum
+        X, Y, Z = geodetic_to_geocentric(lon, lat, A_WGS84, F_WGS84)
+        lo, la = geocentric_to_geodetic(*h_inv(X, Y, Z), a, f)
+        return raw_fwd(lo, la)
+
+    def inv(E, N):  # projected -> WGS84 lon/lat
+        lo, la = raw_inv(E, N)
+        X, Y, Z = geodetic_to_geocentric(lo, la, a, f)
+        return geocentric_to_geodetic(*h_fwd(X, Y, Z), A_WGS84, F_WGS84)
+
+    return fwd, inv
+
+
+def _proj_pair_raw(p: dict):
     proj = p.get("proj")
     a, f = _proj_ellipsoid(p)
     lat0 = float(p.get("lat_0", 0.0))
@@ -653,3 +681,71 @@ def proj_pair(s: str):
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
                               "polar stere)")
+
+
+# --- datum shifts (+towgs84) -------------------------------------------------
+# EPSG method 9606 (position-vector 7-parameter Helmert) / 9603 (3-param
+# geocentric translation) — the convention PROJ's +towgs84 uses.  The chain
+# is geodetic → geocentric on the source ellipsoid → Helmert → geodetic on
+# WGS84 (Snyder/EPSG guidance note 7-2 formulas, public).
+
+
+def geodetic_to_geocentric(lon, lat, a: float = A_WGS84, f: float = F_WGS84):
+    """(deg, deg, h=0) → ECEF metres on the given ellipsoid."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    e2 = f * (2.0 - f)
+    s = np.sin(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    return (N * np.cos(phi) * np.cos(lam),
+            N * np.cos(phi) * np.sin(lam),
+            N * (1.0 - e2) * s)
+
+
+def geocentric_to_geodetic(X, Y, Z, a: float = A_WGS84, f: float = F_WGS84,
+                           iters: int = 12):
+    """ECEF → (lon deg, lat deg) at h=0 surface (fixed-point in φ)."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * s * s)
+        h = p / np.cos(phi) - N
+        phi = np.arctan2(Z, p * (1.0 - e2 * N / (N + h)))
+    return np.degrees(np.arctan2(Y, X)), np.degrees(phi)
+
+
+def helmert_fns(params):
+    """3- or 7-parameter position-vector Helmert → (fwd, inv) over ECEF
+    triples.  params = (dx, dy, dz[, rx", ry", rz", s_ppm])."""
+    params = [float(v) for v in params]
+    if len(params) == 3:
+        dx, dy, dz = params
+        rx = ry = rz = s = 0.0
+    elif len(params) == 7:
+        dx, dy, dz, rx, ry, rz, s = params
+    else:
+        raise ValueError("towgs84 expects 3 or 7 parameters")
+    arc = np.pi / 180.0 / 3600.0
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    m = 1.0 + s * 1e-6
+    R = m * np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    Rinv = np.linalg.inv(R)  # exact inverse — round trips to fp precision
+    d = np.array([dx, dy, dz])
+
+    def fwd(X, Y, Z):
+        return (R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z + d[0],
+                R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z + d[1],
+                R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z + d[2])
+
+    def inv(X, Y, Z):
+        X, Y, Z = X - d[0], Y - d[1], Z - d[2]
+        return (Rinv[0, 0] * X + Rinv[0, 1] * Y + Rinv[0, 2] * Z,
+                Rinv[1, 0] * X + Rinv[1, 1] * Y + Rinv[1, 2] * Z,
+                Rinv[2, 0] * X + Rinv[2, 1] * Y + Rinv[2, 2] * Z)
+
+    return fwd, inv

@@ -139,3 +139,68 @@ def test_unsupported_projections_raise():
         crs.proj_pair("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel")
     with pytest.raises(NotImplementedError, match="ellipsoid"):
         crs.proj_pair("+proj=merc +ellps=airy")
+
+
+def test_geocentric_anchors_and_roundtrip():
+    a, f = crs.A_WGS84, crs.F_WGS84
+    b = a * (1 - f)
+    X, Y, Z = crs.geodetic_to_geocentric(np.array([0.0]), np.array([0.0]), a, f)
+    np.testing.assert_allclose([X[0], Y[0], Z[0]], [a, 0.0, 0.0], atol=1e-9)
+    X, Y, Z = crs.geodetic_to_geocentric(np.array([0.0]), np.array([90.0]), a, f)
+    np.testing.assert_allclose(Z[0], b, atol=1e-6)
+    lon = np.linspace(-179.0, 179.0, 37)
+    lat = np.linspace(-89.0, 89.0, 37)
+    lo, la = crs.geocentric_to_geodetic(*crs.geodetic_to_geocentric(lon, lat, a, f), a, f)
+    np.testing.assert_allclose(lo, lon, atol=1e-10)
+    np.testing.assert_allclose(la, lat, atol=1e-10)
+
+
+def test_helmert_translation_and_inverse():
+    fwd, inv = crs.helmert_fns([100.0, -200.0, 50.0])
+    X, Y, Z = fwd(np.array([1e6]), np.array([2e6]), np.array([3e6]))
+    np.testing.assert_allclose([X[0], Y[0], Z[0]], [1e6 + 100, 2e6 - 200, 3e6 + 50])
+    fwd7, inv7 = crs.helmert_fns(
+        [446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894])
+    P = (np.array([3.9e6]), np.array([-1.0e5]), np.array([5.0e6]))
+    Q = fwd7(*P)
+    R = inv7(*Q)
+    for p, r in zip(P, R):
+        np.testing.assert_allclose(r, p, atol=1e-9)  # exact matrix inverse
+    with pytest.raises(ValueError, match="3 or 7"):
+        crs.helmert_fns([1.0, 2.0])
+
+
+def test_towgs84_in_proj_string():
+    """+towgs84 makes the lon/lat side WGS84: a pure translation moves the
+    geocentric frame by exactly (dx,dy,dz), and the full chain round-trips."""
+    base = "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 " \
+           "+x_0=400000 +y_0=-100000 +ellps=intl"
+    fwd0, inv0 = crs.proj_pair(base)
+    fwd1, inv1 = crs.proj_pair(base + " +towgs84=100,200,-300")
+    lon = np.linspace(-6.0, 2.0, 11)
+    lat = np.linspace(50.0, 58.0, 11)
+    # datum shift changes the projected coords…
+    X0, Y0 = fwd0(lon, lat)
+    X1, Y1 = fwd1(lon, lat)
+    assert np.abs(X1 - X0).max() > 10.0
+    # …and round-trips through the full chain.  2D shifts drop ellipsoidal
+    # height on DIFFERENT ellipsoids in the two directions (h=0 enforced on
+    # the source each way), so the round trip is cm-level, not fp-exact —
+    # the same asymmetry PROJ's 2D +towgs84 pipeline has.
+    lo, la = inv1(X1, Y1)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # zero params short-circuit to the raw pair
+    fwdz, _ = crs.proj_pair(base + " +towgs84=0,0,0")
+    np.testing.assert_array_equal(np.array(fwdz(lon, lat)), np.array([X0, Y0]))
+    # 7-param OSGB-style chain round-trips too
+    fwd7, inv7 = crs.proj_pair(
+        base + " +towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")
+    X7, Y7 = fwd7(lon, lat)
+    lo, la = inv7(X7, Y7)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
+    np.testing.assert_allclose(la, lat, atol=1e-6)
+    # transform_fn composes the shifted CRS with plain EPSG:4326
+    g = crs.transform_fn(base + " +towgs84=100,200,-300", "EPSG:4326")
+    lo, la = g(X1, Y1)
+    np.testing.assert_allclose(lo, lon, atol=1e-6)
