@@ -2838,6 +2838,39 @@ def q_sql_group(sf_dir: str):
     return execute_sql(SQL_IFACE_GROUP, {"orders": _read(sf_dir, "orders")})
 
 
+SQL_IFACE_HAVING = (
+    "SELECT o_orderpriority, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderpriority "
+    "HAVING COUNT(*) > 50 AND MIN(o_orderkey) < 1000"
+)
+
+
+def q_sql_having(sf_dir: str):
+    """SQL front end round 4: HAVING (aggregates rewritten to computed
+    columns, hidden aggregates for predicates outside the SELECT list) +
+    searched CASE WHEN compiled to pc.if_else chains — the IDENTICAL
+    string runs on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_HAVING, {"orders": _read(sf_dir, "orders")})
+
+
+SQL_IFACE_DISTINCT = (
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders "
+    "ORDER BY o_orderpriority, o_orderstatus"
+)
+
+
+def q_sql_distinct(sf_dir: str):
+    """SQL front end round 4: SELECT DISTINCT (SWQM_DISTINCT_LIST,
+    ogr_swq.h:322, generalized to the full select list) — exact dedup via
+    one hash-bucket group exchange."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_DISTINCT, {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_JOIN = (
     "SELECT n_name, o_orderpriority, COUNT(*) AS n, "
     "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cents "
@@ -3799,6 +3832,8 @@ def queries():
         # -- new in round 4 (oracle-backed) --------------------------------
         "mvt_tiles": q_mvt_tiles,
         "union_overlap": q_union_overlap,
+        "sql_having": q_sql_having,
+        "sql_distinct": q_sql_distinct,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -3952,6 +3987,8 @@ def oracle_sql():
         "sql_group": SQL_IFACE_GROUP,
         "sql_join": SQL_IFACE_JOIN,
         "sql_union": SQL_IFACE_UNION,
+        "sql_having": SQL_IFACE_HAVING,
+        "sql_distinct": SQL_IFACE_DISTINCT,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -44,6 +44,7 @@ _KEYWORDS = {
     "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "CAST",
     "DESC", "ASC", "DISTINCT", "JOIN", "LEFT", "INNER", "ON",
     "UNION", "ALL", "OFFSET", "EXCEPT", "EXCLUDE",
+    "HAVING", "CASE", "WHEN", "THEN", "ELSE", "END",
 }
 
 
@@ -211,6 +212,18 @@ def _parse_primary(p):
         ty = p.expect("id")[1].upper()
         p.expect("op", ")")
         return ("cast", e, ty)
+    if k == "kw" and v == "CASE":
+        # CASE WHEN cond THEN val [WHEN ...] [ELSE val] END (searched CASE)
+        whens = []
+        while p.accept("kw", "WHEN"):
+            cond = _parse_expr(p)
+            p.expect("kw", "THEN")
+            whens.append((cond, _parse_expr(p)))
+        if not whens:
+            raise ValueError("CASE requires at least one WHEN branch")
+        els = _parse_expr(p) if p.accept("kw", "ELSE") else None
+        p.expect("kw", "END")
+        return ("case", tuple(whens), els)
     if k == "id":
         if p.accept("op", "("):
             fn = v.upper()
@@ -253,6 +266,7 @@ def parse_select(sql: str) -> dict:
 
 def _parse_select_body(p: _P) -> dict:
     p.expect("kw", "SELECT")
+    distinct = bool(p.accept("kw", "DISTINCT"))
     items = []
     while True:
         if p.accept("op", "*"):
@@ -299,6 +313,7 @@ def _parse_select_body(p: _P) -> dict:
     limit = None
     if p.accept("kw", "WHERE"):
         where = _parse_expr(p)
+    having = None
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
         group = []
@@ -306,6 +321,8 @@ def _parse_select_body(p: _P) -> dict:
             group.append(p.expect("id")[1])
             if not p.accept("op", ","):
                 break
+        if p.accept("kw", "HAVING"):
+            having = _parse_expr(p)
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
@@ -322,7 +339,8 @@ def _parse_select_body(p: _P) -> dict:
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num")[1])
     q = {"items": items, "table": table, "joins": joins, "where": where,
-         "group": group, "order": order, "limit": limit, "offset": offset}
+         "group": group, "having": having, "order": order, "limit": limit,
+         "offset": offset, "distinct": distinct}
     if p.accept("kw", "UNION"):
         p.expect("kw", "ALL")
         rest = _parse_select_body(p)
@@ -394,6 +412,20 @@ def _eval(node, batch: pa.Table):
             # only DECIMAL literals round half away from zero
             return pc.round(v, round_mode="half_to_even").cast(ty)
         return pc.cast(v, ty)
+    if kind == "case":
+        # searched CASE: evaluate branches last-to-first under pc.if_else;
+        # a NULL condition does not match (ANSI), hence the fill_null
+        out = _eval(node[2], batch) if node[2] is not None else None
+        for cond, val in reversed(node[1]):
+            c = _eval(cond, batch)
+            if not isinstance(c, pa.Scalar):
+                c = pc.fill_null(c, False)
+            v = _eval(val, batch)
+            if out is None:
+                vt = v.type if hasattr(v, "type") else pa.float64()
+                out = pa.nulls(len(batch), vt)
+            out = pc.if_else(c, v, out)
+        return out
     if kind == "un":
         v = _eval(node[2], batch)
         return pc.negate(v) if node[1] == "neg" else pc.invert(v)
@@ -495,17 +527,15 @@ def _mod(l, r):
 
 
 def _collect_aggs(node, out):
-    if not isinstance(node, tuple):
-        return
-    if node[0] == "agg":
-        out.append(node)
-        return
-    for part in node[1:]:
-        if isinstance(part, tuple):
+    if isinstance(node, tuple):
+        if node and node[0] == "agg":
+            out.append(node)
+            return
+        for part in node:
             _collect_aggs(part, out)
-        elif isinstance(part, list):
-            for q in part:
-                _collect_aggs(q, out)
+    elif isinstance(node, list):
+        for part in node:
+            _collect_aggs(part, out)
 
 
 def _default_name(node, idx):
@@ -546,6 +576,18 @@ class _BroadcastLookupJoin:
         for sec_col, out_name in self.out_names:
             b = b.append_column(out_name, pc.take(self.sec.column(sec_col), idx))
         return b
+
+
+def _rewrite_agg_nodes(node, rewrites: dict):
+    """Replace aggregate sub-nodes with column refs to their computed
+    output columns (HAVING evaluation over the aggregated table)."""
+    if isinstance(node, tuple):
+        if node and node[0] == "agg":
+            return ("col", rewrites[node])
+        return tuple(_rewrite_agg_nodes(part, rewrites) for part in node)
+    if isinstance(node, list):
+        return [_rewrite_agg_nodes(part, rewrites) for part in node]
+    return node
 
 
 def _rewrite_cols(node, resolve):
@@ -660,6 +702,8 @@ def _execute_one(q: dict, tables: dict):
         ]
         if q["where"] is not None:
             q["where"] = _rewrite_cols(q["where"], resolve)
+        if q.get("having") is not None:
+            q["having"] = _rewrite_cols(q["having"], resolve)
         if q["group"]:
             q["group"] = [resolve(g) for g in q["group"]]
         q["order"] = [(resolve(c), d) for c, d in q["order"]]
@@ -681,7 +725,11 @@ def _execute_one(q: dict, tables: dict):
     )
 
     if q["group"] or has_agg:
+        if q.get("distinct"):
+            raise NotImplementedError("SELECT DISTINCT with aggregates")
         ds = _execute_aggregate(ds, q, funcs)
+    elif q.get("having") is not None:
+        raise ValueError("HAVING requires GROUP BY")
     else:
         def project(b: pa.Table) -> pa.Table:
             cols, names = [], []
@@ -702,6 +750,19 @@ def _execute_one(q: dict, tables: dict):
             return pa.table(dict(zip(names, cols)))
 
         ds = ds.map_batches(project, batch_format="pyarrow")
+        if q.get("distinct"):
+            # SWQM_DISTINCT_LIST (ogr_swq.h:322) generalized to the full
+            # select list: exact dedup via one hash-bucket group exchange
+            from gdal_ray.stages.agg import grouped_aggregate
+
+            if any(it[0] == "star" or (isinstance(it[0], tuple) and it[0][0] == "star_except")
+                   for it in items):
+                raise NotImplementedError("SELECT DISTINCT * (name the columns)")
+            names = [name or _default_name(node, idx)
+                     for idx, (node, name) in enumerate(items)]
+            ds = grouped_aggregate(ds, names, [(names[0], "count", "__n")])
+            ds = ds.drop_columns(["__n"]).map_batches(
+                lambda b: b.select(names), batch_format="pyarrow")
 
     if q["order"]:
         ds = ds.sort([c for c, _ in q["order"]], descending=[d for _, d in q["order"]])
@@ -736,9 +797,15 @@ def _execute_aggregate(ds, q, funcs=None):
         aggs_here = []
         _collect_aggs(node, aggs_here)
         if not aggs_here:
-            if node[0] != "col" or node[1] not in group:
-                raise ValueError("non-aggregate select item must be a GROUP BY column")
-            continue
+            if node[0] == "col" and node[1] in group:
+                continue
+            # GROUP BY <select alias> of an expression: materialize the
+            # expression as a column under the alias before grouping
+            alias = name or _default_name(node, idx)
+            if alias in group:
+                pre_cols.append((alias, node))
+                continue
+            raise ValueError("non-aggregate select item must be a GROUP BY column")
         post_cast = None
         if node[0] == "cast" and node[1][0] == "agg":
             post_cast = _CAST_TYPES[node[2]]
@@ -746,6 +813,22 @@ def _execute_aggregate(ds, q, funcs=None):
         if node[0] != "agg":
             raise ValueError("aggregate expressions must be top-level (e.g. SUM(x))")
         agg_nodes.append((node, name or _default_name(node, idx), post_cast))
+
+    # HAVING: rewrite each aggregate in the predicate to the output column
+    # of a matching SELECT aggregate, adding hidden aggregates (__h{i},
+    # dropped by the final select) for ones the SELECT list doesn't compute
+    having = q.get("having")
+    if having is not None:
+        h_aggs: list = []
+        _collect_aggs(having, h_aggs)
+        rewrites = {}
+        for i, hn in enumerate(h_aggs):
+            match = next((out for n2, out, _ in agg_nodes if n2 == hn), None)
+            if match is None:
+                match = f"__h{i}"
+                agg_nodes.append((hn, match, None))
+            rewrites[hn] = match
+        having = _rewrite_agg_nodes(having, rewrites)
 
     fn_map = {"SUM": "sum", "MIN": "min", "MAX": "max", "AVG": "mean", "COUNT": "count"}
     post_casts = {}
@@ -786,12 +869,15 @@ def _execute_aggregate(ds, q, funcs=None):
         agg_specs.append((in_col, fn_map[fn], out_name))
 
     def prep(b: pa.Table) -> pa.Table:
-        cols = {g: b.column(g) for g in group}
+        cols = {}
         for name, expr in pre_cols:
             v = _eval_with_funcs(expr, b, funcs)
             if isinstance(v, pa.Scalar):
                 v = pa.array([v.as_py()] * len(b), pa.int64())
             cols[name] = v
+        for g in group:
+            if g not in cols:  # plain source column (vs select-alias exprs)
+                cols[g] = b.column(g)
         for spec in agg_specs:
             if spec[0] not in cols:
                 cols[spec[0]] = b.column(spec[0])
@@ -829,6 +915,11 @@ def _execute_aggregate(ds, q, funcs=None):
             if sample:  # STDDEV_SAMP of a single row is NULL
                 var = np.where(nv > 1.0, var, np.nan)
             b = b.append_column(out_name, pa.array(np.sqrt(var), pa.float64()))
+        if having is not None:
+            mask = _eval_with_funcs(having, b, funcs)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            b = b.filter(pc.fill_null(mask, False))
         b = b.select(names)
         if renames:
             b = b.rename_columns([renames.get(n, n) for n in b.column_names])

@@ -67,6 +67,19 @@ QUERIES = [
     "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n FROM orders GROUP BY o_orderpriority",
     "SELECT COUNT(DISTINCT lang) AS n FROM documents",
     "SELECT lang, COUNT(DISTINCT source) AS n FROM documents WHERE doc_id < 300 GROUP BY lang",
+    # SELECT DISTINCT (SWQM_DISTINCT_LIST, round 4 full-select-list form)
+    "SELECT DISTINCT lang FROM documents",
+    "SELECT DISTINCT lang, source FROM documents WHERE doc_id < 250",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority LIMIT 3",
+    # HAVING — aggregates rewritten to computed columns, hidden aggs allowed
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 40",
+    "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang HAVING MIN(doc_id) < 10 AND COUNT(*) >= 5",
+    "SELECT o_orderpriority, SUM(CAST(o_totalprice AS BIGINT)) AS s FROM orders GROUP BY o_orderpriority HAVING SUM(CAST(o_totalprice AS BIGINT)) > 1000000",
+    # CASE WHEN — searched case over pc.if_else chains
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'fizz' WHEN doc_id % 5 = 0 THEN 'buzz' ELSE 'n' END AS fb FROM documents WHERE doc_id < 60",
+    "SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz, COUNT(*) AS n FROM orders GROUP BY sz",
+    "SELECT o_orderpriority, SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf FROM orders GROUP BY o_orderpriority",
+    "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 END AS is_en FROM documents WHERE doc_id < 40",
 ]
 
 
@@ -83,7 +96,8 @@ def test_sql_matches_duckdb(ray_tables, con, sql):
     for c in got_c.columns:
         g, w = got_c[c].to_numpy(), want_c[c].to_numpy()
         if g.dtype.kind == "f" or w.dtype.kind == "f":
-            assert np.allclose(g.astype(float), w.astype(float), rtol=1e-12, atol=0), (sql, c)
+            assert np.allclose(g.astype(float), w.astype(float), rtol=1e-12,
+                               atol=0, equal_nan=True), (sql, c)
         else:
             assert (g.astype(object) == w.astype(object)).all(), (sql, c)
 
