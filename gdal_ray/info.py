@@ -18,7 +18,8 @@ def describe(path: str, *, stats: bool = False) -> dict:
     """-> format-tagged summary dict for any supported file/store."""
     low = path.lower()
     if os.path.isdir(path):
-        if os.path.exists(os.path.join(path, ".zarray")):
+        if os.path.exists(os.path.join(path, ".zarray")) or \
+                os.path.exists(os.path.join(path, "zarr.json")):
             return _zarr(path)
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
@@ -254,7 +255,8 @@ def _zarr(path: str) -> dict:
     from gdal_ray.sources.zarr import read_zarr_meta
 
     m = read_zarr_meta(path)
-    return {"driver": "Zarr", "shape": m["shape"], "chunks": m["chunks"],
+    return {"driver": "Zarr", "zarr_format": m.get("zarr_format", 2),
+            "shape": m["shape"], "chunks": m["chunks"],
             "dtype": m["dtype"],
             "compressor": (m["compressor"] or {}).get("id") if m["compressor"] else None,
             "fill_value": m.get("fill_value")}

@@ -122,7 +122,8 @@ def open_raster(path: str, **kw):
         return read_xyz(path, **kw)
     import os as _os
 
-    if _os.path.isdir(path) and _os.path.exists(_os.path.join(path, ".zarray")):
+    if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))
+                             or _os.path.exists(_os.path.join(path, "zarr.json"))):
         from gdal_ray.sources.zarr import read_zarr
 
         return read_zarr(path, **kw)

@@ -60,7 +60,59 @@ def _decompress(blob: bytes, compressor: str | None) -> bytes:
     raise NotImplementedError(f"compressor {compressor!r}")
 
 
+_V3_DTYPES = {
+    "bool": "|b1", "int8": "|i1", "uint8": "|u1",
+    "int16": "<i2", "uint16": "<u2", "int32": "<i4", "uint32": "<u4",
+    "int64": "<i8", "uint64": "<u8", "float32": "<f4", "float64": "<f8",
+}
+_V3_NAMES = {np.dtype(v).str.lstrip("|<>="): k for k, v in _V3_DTYPES.items()}
+
+
+def _meta_v3(path: str, m: dict) -> dict:
+    """zarr.json (v3 spec) -> the normalized dict the readers consume
+    (v2-shaped: shape/chunks/dtype/compressor/fill_value/separator)."""
+    if m.get("node_type") != "array":
+        raise NotImplementedError(f"zarr v3 node_type {m.get('node_type')!r}")
+    grid = m["chunk_grid"]
+    if grid["name"] != "regular":
+        raise NotImplementedError(f"chunk_grid {grid['name']!r}")
+    kenc = m.get("chunk_key_encoding", {"name": "default"})
+    if kenc["name"] not in ("default", "v2"):
+        raise NotImplementedError(f"chunk_key_encoding {kenc['name']!r}")
+    sep = kenc.get("configuration", {}).get(
+        "separator", "/" if kenc["name"] == "default" else ".")
+    dt = m["data_type"]
+    if dt not in _V3_DTYPES:
+        raise NotImplementedError(f"zarr v3 data_type {dt!r}")
+    dtype = _V3_DTYPES[dt]
+    comp = None
+    for codec in m.get("codecs", [{"name": "bytes"}]):
+        name = codec["name"]
+        if name == "bytes":
+            endian = codec.get("configuration", {}).get("endian", "little")
+            if np.dtype(dtype).itemsize > 1:
+                dtype = ("<" if endian == "little" else ">") + dtype[1:]
+        elif name == "gzip":
+            comp = {"id": "gzip", "level": codec.get("configuration", {}).get("level", 1)}
+        else:
+            raise NotImplementedError(f"zarr v3 codec {name!r} "
+                                      "(no codec lib in sandbox)")
+    return {
+        "zarr_format": 3, "shape": m["shape"],
+        "chunks": grid["configuration"]["chunk_shape"],
+        "dtype": dtype, "compressor": comp,
+        "fill_value": m.get("fill_value", 0),
+        "dimension_separator": sep,
+        "key_encoding": kenc["name"],
+        "attributes": m.get("attributes", {}),
+    }
+
+
 def _meta(path: str) -> dict:
+    v3 = os.path.join(path, "zarr.json")
+    if os.path.exists(v3):
+        with open(v3) as f:
+            return _meta_v3(path, json.load(f))
     with open(os.path.join(path, ".zarray")) as f:
         m = json.load(f)
     if m.get("zarr_format") != 2:
@@ -73,11 +125,28 @@ def _meta(path: str) -> dict:
     cid = comp["id"] if comp else None
     if cid not in _SUPPORTED_COMPRESSORS:
         raise NotImplementedError(f"compressor {cid!r} (no codec lib in sandbox)")
+    m["key_encoding"] = "v2"
     return m
 
 
 def _chunk_name(idx: tuple[int, ...], sep: str) -> str:
     return sep.join(str(i) for i in idx)
+
+
+def _chunk_relpath(m: dict, idx: tuple[int, ...]) -> str:
+    """Relative chunk key per the store's encoding: v2 '<i>.<j>' (or '/'),
+    v3 default 'c/<i>/<j>' (or 'c.<i>.<j>')."""
+    sep = m.get("dimension_separator", ".")
+    name = _chunk_name(idx, sep)
+    if m.get("zarr_format") == 3 and m.get("key_encoding") == "default":
+        return "c" + sep + name
+    return name
+
+
+def _chunk_fspath(path: str, m: dict, idx: tuple[int, ...]) -> str:
+    rel = _chunk_relpath(m, idx)
+    return os.path.join(path, *rel.split("/")) if "/" in rel \
+        else os.path.join(path, rel)
 
 
 def _grid(shape, chunks):
@@ -124,6 +193,54 @@ def write_zarr(arr: np.ndarray, path: str, *, chunks=None,
         _atomic_write(os.path.join(path, *name.split("/")) if
                       dimension_separator == "/" else os.path.join(path, name),
                       _compress(block.tobytes(), compressor, level))
+
+
+def write_zarr_v3(arr: np.ndarray, path: str, *, chunks=None,
+                  compressor: str | None = "gzip", level: int = 1,
+                  fill_value=0, attrs: dict | None = None,
+                  separator: str = "/") -> None:
+    """Zarr v3 driver-side sink: one `zarr.json` (array node, regular
+    chunk grid, default chunk-key encoding, bytes[+gzip] codec chain) +
+    `c/<i>/<j>` chunk files — the v3 layout frmts/zarr's V3 group reads."""
+    arr = np.asarray(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    name = _V3_NAMES.get(arr.dtype.str.lstrip("|<>="))
+    if name is None:
+        raise NotImplementedError(f"zarr v3 data_type for {arr.dtype}")
+    if chunks is None:
+        chunks = tuple(min(s, 256) for s in arr.shape)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compressor == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": level}})
+    elif compressor is not None:
+        raise NotImplementedError(f"zarr v3 codec {compressor!r}")
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": name,
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": separator}},
+        "fill_value": (fill_value if fill_value is None
+                       or not isinstance(fill_value, float)
+                       or np.isfinite(fill_value) else "NaN"),
+        "codecs": codecs,
+        "attributes": attrs or {},
+    }
+    os.makedirs(path, exist_ok=True)
+    _atomic_write(os.path.join(path, "zarr.json"),
+                  json.dumps(meta, indent=1).encode())
+    m = {"zarr_format": 3, "key_encoding": "default",
+         "dimension_separator": separator}
+    comp = "gzip" if compressor == "gzip" else None
+    for idx in np.ndindex(*_grid(arr.shape, chunks)):
+        block = _pad_chunk(arr, idx, chunks, fill_value)
+        fp = _chunk_fspath(path, m, idx)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        _atomic_write(fp, _compress(block.tobytes(), comp, level))
 
 
 def _pad_chunk(arr, idx, chunks, fill_value) -> np.ndarray:
@@ -205,7 +322,6 @@ def read_zarr(path: str):
     m = _meta(path)
     if len(m["shape"]) != 2:
         raise NotImplementedError("read_zarr handles 2-D arrays")
-    sep = m.get("dimension_separator", ".")
     comp = m["compressor"]["id"] if m["compressor"] else None
     dt = np.dtype(m["dtype"])
     ch, cw = m["chunks"]
@@ -220,9 +336,7 @@ def read_zarr(path: str):
         rows = {"cy": [], "cx": [], "h": [], "w": [], "data": []}
         for r in b.to_pylist():
             y, x = r["cy"], r["cx"]
-            name = _chunk_name((y, x), sep)
-            fp = os.path.join(path, *name.split("/")) if sep == "/" \
-                else os.path.join(path, name)
+            fp = _chunk_fspath(path, m, (y, x))
             h = min(ch, H - y * ch)
             w = min(cw, W - x * cw)
             if os.path.exists(fp):
@@ -252,7 +366,6 @@ def read_zarr_array(path: str) -> np.ndarray:
     m = _meta(path)
     if len(m["shape"]) != 2:
         raise NotImplementedError("read_zarr_array handles 2-D arrays")
-    sep = m.get("dimension_separator", ".")
     comp = m["compressor"]["id"] if m["compressor"] else None
     dt = np.dtype(m["dtype"])
     ch, cw = m["chunks"]
@@ -264,9 +377,7 @@ def read_zarr_array(path: str) -> np.ndarray:
     gy, gx = _grid(m["shape"], m["chunks"])
     for y in range(gy):
         for x in range(gx):
-            name = _chunk_name((y, x), sep)
-            fp = os.path.join(path, *name.split("/")) if sep == "/" \
-                else os.path.join(path, name)
+            fp = _chunk_fspath(path, m, (y, x))
             if not os.path.exists(fp):
                 continue
             with open(fp, "rb") as f:

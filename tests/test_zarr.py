@@ -133,3 +133,99 @@ def test_tile_write_size_guard(ray_session, tmp_path):
     with pytest.raises(Exception):
         write_zarr_tiles(rd.from_arrow(t), str(tmp_path / "bad.zarr"),
                          shape=(16, 16), chunks=(16, 16), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- zarr v3
+
+
+def test_v3_roundtrip_gzip_and_raw(tmp_path):
+    from gdal_ray.sources.zarr import read_zarr_array, read_zarr_meta, write_zarr_v3
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 1000, (37, 53)).astype(np.int32)
+    for comp in ("gzip", None):
+        p = str(tmp_path / f"a3_{comp}")
+        write_zarr_v3(arr, p, chunks=(16, 16), compressor=comp)
+        m = read_zarr_meta(p)
+        assert m["zarr_format"] == 3
+        assert m["chunks"] == [16, 16]
+        np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_v3_layout_on_disk(tmp_path):
+    """Spec anchors: one zarr.json array node, default chunk-key encoding
+    'c/<i>/<j>', edge chunks stored full-size."""
+    import json
+
+    from gdal_ray.sources.zarr import write_zarr_v3
+
+    arr = np.arange(20 * 30, dtype=np.float64).reshape(20, 30)
+    p = str(tmp_path / "a3")
+    write_zarr_v3(arr, p, chunks=(16, 16), compressor=None)
+    meta = json.load(open(f"{p}/zarr.json"))
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+    assert meta["chunk_grid"] == {
+        "name": "regular", "configuration": {"chunk_shape": [16, 16]}}
+    assert meta["codecs"][0]["name"] == "bytes"
+    assert os.path.exists(f"{p}/c/0/0") and os.path.exists(f"{p}/c/1/1")
+    # full-size padded edge chunk: 16*16 float64 raw
+    assert os.path.getsize(f"{p}/c/1/1") == 16 * 16 * 8
+
+
+def test_v3_dot_separator_and_missing_chunk_fill(tmp_path):
+    from gdal_ray.sources.zarr import read_zarr_array, write_zarr_v3
+
+    arr = np.full((10, 10), 7.5)
+    p = str(tmp_path / "a3dot")
+    write_zarr_v3(arr, p, chunks=(8, 8), compressor=None, separator=".",
+                  fill_value=-1.0)
+    assert os.path.exists(f"{p}/c.0.1")
+    os.remove(f"{p}/c.1.1")  # missing chunk reads as fill_value per spec
+    got = read_zarr_array(p)
+    np.testing.assert_array_equal(got[:8, :8], 7.5)
+    np.testing.assert_array_equal(got[8:, 8:], -1.0)
+
+
+def test_v3_matches_v2_content(tmp_path, ray_session):
+    """Same array through both formats -> identical Ray chunk rows."""
+    from gdal_ray.sources import open_raster
+    from gdal_ray.sources.zarr import write_zarr, write_zarr_v3
+
+    rng = np.random.default_rng(6)
+    arr = rng.normal(size=(25, 41))
+    p2, p3 = str(tmp_path / "v2"), str(tmp_path / "v3")
+    write_zarr(arr, p2, chunks=(16, 16))
+    write_zarr_v3(arr, p3, chunks=(16, 16))
+    rows2 = {(r["cy"], r["cx"]): r["data"]
+             for r in open_raster(p2).take_all()}
+    rows3 = {(r["cy"], r["cx"]): r["data"]
+             for r in open_raster(p3).take_all()}
+    assert rows2.keys() == rows3.keys() and len(rows2) == 6
+    for k in rows2:
+        assert rows2[k] == rows3[k]
+
+
+def test_v3_info_door(tmp_path):
+    from gdal_ray.info import describe
+    from gdal_ray.sources.zarr import write_zarr_v3
+
+    arr = np.zeros((5, 5), np.uint8)
+    p = str(tmp_path / "a3i")
+    write_zarr_v3(arr, p)
+    d = describe(p)
+    assert d["driver"] == "Zarr" and d["zarr_format"] == 3
+    assert d["shape"] == [5, 5]
+
+
+def test_v3_unsupported_codec_raises(tmp_path):
+    import json
+
+    from gdal_ray.sources.zarr import read_zarr_meta, write_zarr_v3
+
+    p = str(tmp_path / "a3bad")
+    write_zarr_v3(np.zeros((4, 4)), p)
+    meta = json.load(open(f"{p}/zarr.json"))
+    meta["codecs"].append({"name": "zstd", "configuration": {"level": 3}})
+    open(f"{p}/zarr.json", "w").write(json.dumps(meta))
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_zarr_meta(p)
