@@ -44,6 +44,8 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _netcdf(path)
     if low.endswith((".grib2", ".grb2", ".grib")):
         return _grib2(path)
+    if low.endswith((".h5", ".hdf5", ".he5")):
+        return _hdf5(path)
     if low.endswith(".csv"):
         return _csv(path)
     if low.endswith(".vrt"):
@@ -309,6 +311,21 @@ def _grib2(path: str) -> dict:
             }
             for msg in m["messages"]
         ],
+    }
+
+
+def _hdf5(path: str) -> dict:
+    from gdal_ray.sources.hdf5 import read_hdf5_meta
+
+    m = read_hdf5_meta(path)
+    return {
+        "driver": "HDF5",
+        "superblock_version": m["superblock_version"],
+        "datasets": {
+            k: {"shape": list(v["shape"]), "dtype": v["dtype"],
+                "nbytes": v["nbytes"]}
+            for k, v in m["datasets"].items()
+        },
     }
 
 

@@ -135,6 +135,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.grib2 import read_grib2
 
         return read_grib2(path, **kw)
+    if low.endswith((".h5", ".hdf5", ".he5")):
+        from gdal_ray.sources.hdf5 import read_hdf5
+
+        return read_hdf5(path, **kw)
     if low.endswith(".mbtiles"):
         from gdal_ray.state.mbtiles import read_mbtiles
 
