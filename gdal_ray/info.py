@@ -24,7 +24,7 @@ def describe(path: str, *, stats: bool = False) -> dict:
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
         return _tiff(path, stats)
-    if low.endswith((".png", ".jpg", ".jpeg", ".webp")):
+    if low.endswith((".png", ".jpg", ".jpeg", ".webp", ".gif")):
         return _image(path, stats)
     if low.endswith(".gpkg"):
         return _gpkg(path)
@@ -146,7 +146,8 @@ def _image(path: str, stats: bool) -> dict:
 
     ext = path.rsplit(".", 1)[-1].lower().replace("jpeg", "jpg")
     arr = decode(open(path, "rb").read(), ext)
-    return {"driver": {"png": "PNG", "jpg": "JPEG", "webp": "WEBP"}[ext],
+    return {"driver": {"png": "PNG", "jpg": "JPEG", "webp": "WEBP",
+                       "gif": "GIF"}[ext],
             **_raster_common(arr, stats)}
 
 

@@ -163,7 +163,8 @@ def read_image_dir(paths, *, decode: bool = False, concurrency=(1, 8)):
     import ray.data as rd
 
     _EXT_FMT = {".png": "png", ".jpg": "jpeg", ".jpeg": "jpeg",
-                ".webp": "webp", ".tif": "gtiff", ".tiff": "gtiff"}
+                ".webp": "webp", ".tif": "gtiff", ".tiff": "gtiff",
+                ".gif": "gif"}
 
     class Decode:
         def __init__(self):
