@@ -3,9 +3,10 @@ columns with typed metadata, processed by actor-pool map_batches stages.
 
 Decode is REAL for RIFF containers — WAVE (PCM/IEEE float) and AVI
 (MJPEG via our from-spec ITU-T T.81 codec, or uncompressed DIB) via
-:mod:`gdal_ray.codecs.riff` — covering the two media containers that
-need no external codec library.  Payloads that are not RIFF fall back to
-a clearly-marked deterministic stub (`_stub_decode_audio` /
+:mod:`gdal_ray.codecs.riff` — and for FLAC (from-spec RFC 9639 decoder
+incl. LPC subframes, rice partitions and stereo decorrelation,
+:mod:`gdal_ray.codecs.flac`).  Payloads that are none of those fall back
+to a clearly-marked deterministic stub (`_stub_decode_audio` /
 `_stub_decode_video`) that synthesizes samples/frames from the byte
 content; swap those two fallbacks for libsndfile/ffmpeg bindings for
 MP3/H.264-class formats and every downstream stage (schema, batch
@@ -51,13 +52,18 @@ VIDEO_SCHEMA = pa.schema(
 
 
 def decode_audio(data: bytes, sample_rate: int, n_channels: int) -> np.ndarray:
-    """bytes → int16 samples (n, channels).  RIFF/WAVE decodes for real
-    (PCM 8/16/32 + IEEE float, codecs/riff.py); anything else hits the
-    deterministic stub fallback (no MP3/AAC codec libs in sandbox)."""
+    """bytes → int samples (n, channels).  RIFF/WAVE decodes for real
+    (PCM 8/16/32 + IEEE float, codecs/riff.py), as does FLAC
+    (codecs/flac.py); anything else hits the deterministic stub fallback
+    (no MP3/AAC codec libs in sandbox)."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         from gdal_ray.codecs.riff import decode_wav
 
         return decode_wav(data)[0]
+    if data[:4] == b"fLaC":
+        from gdal_ray.codecs.flac import decode_flac
+
+        return decode_flac(data)[0]
     return _stub_decode_audio(data, sample_rate, n_channels)
 
 
@@ -168,9 +174,12 @@ class VideoFrameSample:
 def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
     """Deterministic fixture tables conforming to AUDIO_SCHEMA/VIDEO_SCHEMA.
 
-    Payloads are REAL containers — PCM16 WAVE clips and MJPEG/DIB AVI
-    clips (codecs/riff.py) — so the decode path exercised in tests and
-    queries is the production one, not the stub fallback."""
+    Payloads are REAL containers — PCM16 WAVE and FLAC clips (every 3rd
+    clip is FLAC; lossless, so features are container-invariant) and
+    MJPEG/DIB AVI clips (codecs/riff.py, codecs/flac.py) — so the decode
+    path exercised in tests and queries is the production one, not the
+    stub fallback."""
+    from gdal_ray.codecs.flac import encode_flac
     from gdal_ray.codecs.riff import encode_avi, encode_wav
 
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -183,7 +192,8 @@ def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
         noise = rng.normal(0.0, 600.0, size=(n, ch))
         samples = np.clip(tone + noise, -32768, 32767).astype(np.int16)
         a_rows["media_id"].append(f"aud-{i:06d}")
-        a_rows["bytes"].append(encode_wav(samples, 16000))
+        a_rows["bytes"].append(encode_flac(samples, 16000) if i % 3 == 2
+                               else encode_wav(samples, 16000))
         a_rows["sample_rate"].append(16000)
         a_rows["n_channels"].append(ch)
     v_rows = {k: [] for k in ("media_id", "bytes", "w", "h", "n_frames", "fps")}

@@ -82,8 +82,11 @@ def test_schemas_and_fixtures():
     assert audio.schema.equals(mm.AUDIO_SCHEMA)
     assert video.schema.equals(mm.VIDEO_SCHEMA)
     assert len(audio) == 64 and len(video) == 16
-    # fixture payloads are real containers, not raw bytes
-    assert all(b[:4] == b"RIFF" for b in audio.column("bytes").to_pylist())
+    # fixture payloads are real containers, not raw bytes (WAV/FLAC mix)
+    blobs = audio.column("bytes").to_pylist()
+    assert all(b[:4] in (b"RIFF", b"fLaC") for b in blobs)
+    assert any(b[:4] == b"RIFF" for b in blobs)
+    assert any(b[:4] == b"fLaC" for b in blobs)
     assert all(b[8:12] == b"AVI " for b in video.column("bytes").to_pylist())
 
 
@@ -93,10 +96,11 @@ def test_audio_features_deterministic():
     b = mm.AudioFeatures()(audio)
     assert a.equals(b)
     assert a.column_names == ["media_id", "n_samples", "rms1000", "zero_crossings", "peak"]
-    # n_samples matches the WAV container's actual frame count
+    # n_samples matches the container's actual frame count (WAV or FLAC)
     ns = a.column("n_samples").to_numpy()
     want = np.array(
-        [len(riff.decode_wav(x)[0]) for x in audio.column("bytes").to_pylist()]
+        [len(mm.decode_audio(x, 16000, 1))
+         for x in audio.column("bytes").to_pylist()]
     )
     assert (ns == want).all()
     assert (a.column("peak").to_numpy() > 0).all()
