@@ -324,7 +324,11 @@ def _hdf5(path: str) -> dict:
         "superblock_version": m["superblock_version"],
         "datasets": {
             k: {"shape": list(v["shape"]), "dtype": v["dtype"],
-                "nbytes": v["nbytes"]}
+                "layout": v["layout"],
+                **({"nbytes": v["nbytes"]} if v["layout"] == "contiguous"
+                   else {"chunk_shape": list(v["chunk_shape"]),
+                         "n_chunks": len(v["chunks"]),
+                         "filters": [f[0] for f in v["filters"]]})}
             for k, v in m["datasets"].items()
         },
     }

@@ -17,15 +17,24 @@ file with contiguous datasets:
     dataset OHDR v1   — Dataspace (0x0001 v1), Datatype (0x0003 v1,
                         fixed-point class 0 / IEEE float class 1),
                         Data Layout (0x0008 v3 class 1 contiguous:
-                        address + byte size)
+                        address + byte size — OR class 2 chunked:
+                        v1 chunk B-tree address + chunk dims), Filter
+                        Pipeline (0x000B v1: deflate id 1 / shuffle id 2)
+
+Chunked datasets (the netCDF-4/h5py storage reality) are supported end
+to end: the writer chunks along the leading dimension, optionally
+shuffle+deflate filters each chunk, pads edge chunks to full size (the
+libhdf5 default for filtered data) and indexes them with a node-type-1
+v1 B-tree; the reader walks the chunk B-tree (any level) and range-reads
++ defilters each chunk independently.
 
 Scale shape (same as netcdf3/zarr/grib2 here): the header graph is tiny
-and parses driver-side; datasets are contiguous extents, so `read_hdf5`
-splits a dataset's leading dimension into slabs and each Ray task seeks
-straight to its byte range — a terabyte dataset reads as parallel as its
-slab count.  Chunked/compressed layouts and nested groups raise with the
-feature name (classic scientific archives that need them go through the
-Zarr/NetCDF doors).
+and parses driver-side; contiguous datasets split their leading
+dimension into slabs and chunked datasets fan out one task per chunk —
+each Ray task seeks straight to its byte range, so a terabyte dataset
+reads as parallel as its slab/chunk count.  Nested groups and
+non-leading-dim chunk grids raise with the feature name (archives that
+need them go through the Zarr/NetCDF doors).
 """
 
 from __future__ import annotations
@@ -43,6 +52,7 @@ _MSG_DATASPACE = 0x0001
 _MSG_DATATYPE = 0x0003
 _MSG_FILLVALUE = 0x0005
 _MSG_LAYOUT = 0x0008
+_MSG_FILTERS = 0x000B
 _MSG_SYMTAB = 0x0011
 
 
@@ -105,12 +115,61 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
 
 
-def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
+def _filter_pipeline_message(deflate: int | None, shuffle_elsize: int | None
+                             ) -> bytes:
+    """Filter Pipeline message v1 (spec IV.A.2.l): shuffle (id 2) then
+    deflate (id 1), matching write-side application order."""
+    filters = []
+    if shuffle_elsize is not None:
+        filters.append((2, [shuffle_elsize]))
+    if deflate is not None:
+        filters.append((1, [deflate]))
+    body = struct.pack("<BB6x", 1, len(filters))
+    for fid, vals in filters:
+        body += struct.pack("<HHHH", fid, 0, 0, len(vals))
+        body += b"".join(struct.pack("<I", v) for v in vals)
+        if len(vals) % 2:
+            body += b"\x00" * 4
+    return body
+
+
+def _chunk_payloads(arr: np.ndarray, chunk_rows: int,
+                    deflate: int | None, shuffle: bool) -> list[bytes]:
+    """Split along dim 0, pad edge chunks to full chunk shape (libhdf5
+    pads filtered edge chunks), apply shuffle then deflate."""
+    import zlib
+
+    out = []
+    lead = arr.shape[0]
+    for lo in range(0, lead, chunk_rows):
+        c = arr[lo:lo + chunk_rows]
+        if c.shape[0] < chunk_rows:
+            pad = np.zeros((chunk_rows - c.shape[0],) + arr.shape[1:],
+                           dtype=arr.dtype)
+            c = np.concatenate([c, pad], axis=0)
+        raw = np.ascontiguousarray(c).tobytes()
+        if shuffle:
+            el = arr.dtype.itemsize
+            raw = np.frombuffer(raw, np.uint8).reshape(-1, el).T.tobytes()
+        if deflate is not None:
+            raw = zlib.compress(raw, deflate)
+        out.append(raw)
+    return out
+
+
+def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
+               chunk_rows: int | None = None, deflate: int | None = None,
+               shuffle: bool = False) -> None:
     """{name: ndarray} -> one classic HDF5 file (atomic tmp+rename):
     v0 superblock, root group, one leaf B-tree/SNOD level (≤8 links —
-    a loud gate, not silent truncation), contiguous dataset storage."""
+    a loud gate, not silent truncation).  Default layout is contiguous;
+    pass `chunk_rows` for chunked storage along the leading dimension
+    (v1 chunk B-tree), optionally with `deflate` (zlib level) and/or
+    byte `shuffle` filters per chunk."""
     if not datasets:
         raise ValueError("write_hdf5 needs at least one dataset")
+    if (deflate is not None or shuffle) and chunk_rows is None:
+        raise ValueError("filters require chunked layout (pass chunk_rows)")
     names = sorted(datasets)
     if len(names) > 8:
         raise NotImplementedError(
@@ -145,24 +204,59 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     heap_hdr_addr = alloc(heap_hdr_size)
     heap_data_addr = alloc(len(heap_data))
 
-    ds_headers: dict[str, bytes] = {}
-    ds_oh_addr: dict[str, int] = {}
-    ds_data_addr: dict[str, int] = {}
-    for n in names:
+    _BTREE_GATE = 4096
+
+    def _ds_messages(n: str, btree_or_data_addr: int) -> list[bytes]:
         arr = np.ascontiguousarray(datasets[n])
-        space = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
-            struct.pack("<Q", d) for d in arr.shape)
-        placeholder_layout = struct.pack("<BBQQ", 3, 1, 0, arr.nbytes)
-        oh = _object_header([
-            _message(_MSG_DATASPACE, space),
+        msgs = [
+            _message(_MSG_DATASPACE,
+                     struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+                         struct.pack("<Q", d) for d in arr.shape)),
             _message(_MSG_DATATYPE, _dt_message(arr.dtype)),
-            _message(_MSG_LAYOUT, placeholder_layout),
-        ])
-        ds_headers[n] = oh
+        ]
+        if chunk_rows is None:
+            msgs.append(_message(_MSG_LAYOUT, struct.pack(
+                "<BBQQ", 3, 1, btree_or_data_addr, arr.nbytes)))
+        else:
+            cr = min(chunk_rows, max(arr.shape[0], 1))
+            body = struct.pack("<BBB", 3, 2, arr.ndim + 1)
+            body += struct.pack("<Q", btree_or_data_addr)
+            for d in (cr,) + arr.shape[1:]:
+                body += struct.pack("<I", d)
+            body += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(_message(_MSG_LAYOUT, body))
+            if deflate is not None or shuffle:
+                msgs.append(_message(_MSG_FILTERS, _filter_pipeline_message(
+                    deflate, arr.dtype.itemsize if shuffle else None)))
+        return msgs
+
+    ds_oh_addr: dict[str, int] = {}
+    ds_oh_len: dict[str, int] = {}
+    for n in names:
+        oh = _object_header(_ds_messages(n, 0))
+        ds_oh_len[n] = len(oh)
         ds_oh_addr[n] = alloc(len(oh))
+
+    # data extents: contiguous blob per dataset, or (chunk btree + chunks)
+    ds_data_addr: dict[str, int] = {}
+    ds_chunks: dict[str, list] = {}   # name -> [(payload, addr, offset0)]
+    ds_btree_addr: dict[str, int] = {}
     for n in names:
         arr = np.ascontiguousarray(datasets[n])
-        ds_data_addr[n] = alloc(arr.nbytes)
+        if chunk_rows is None:
+            ds_data_addr[n] = alloc(arr.nbytes)
+            continue
+        cr = min(chunk_rows, max(arr.shape[0], 1))
+        payloads = _chunk_payloads(arr, cr, deflate, shuffle)
+        if len(payloads) > _BTREE_GATE:
+            raise NotImplementedError(
+                f"{len(payloads)} chunks > {_BTREE_GATE} (single-leaf chunk "
+                f"B-tree; raise chunk_rows or shard the file)")
+        keysize = 8 + 8 * (arr.ndim + 1)
+        ds_btree_addr[n] = alloc(
+            24 + (len(payloads) + 1) * keysize + len(payloads) * 8)
+        ds_chunks[n] = [(p, alloc(len(p)), i * cr)
+                        for i, p in enumerate(payloads)]
     eof = cursor
 
     # ---- emit -----------------------------------------------------------
@@ -194,19 +288,35 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     out += heap_data
 
     for n in names:
-        arr = np.ascontiguousarray(datasets[n])
-        oh = _object_header([
-            _message(_MSG_DATASPACE,
-                     struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
-                         struct.pack("<Q", d) for d in arr.shape)),
-            _message(_MSG_DATATYPE, _dt_message(arr.dtype)),
-            _message(_MSG_LAYOUT,
-                     struct.pack("<BBQQ", 3, 1, ds_data_addr[n], arr.nbytes)),
-        ])
-        assert len(oh) == len(ds_headers[n])
+        oh = _object_header(_ds_messages(
+            n, ds_btree_addr[n] if chunk_rows is not None else ds_data_addr[n]))
+        assert len(oh) == ds_oh_len[n]
+        assert len(out) == ds_oh_addr[n]
         out += oh
     for n in names:
-        out += np.ascontiguousarray(datasets[n]).tobytes()
+        arr = np.ascontiguousarray(datasets[n])
+        if chunk_rows is None:
+            assert len(out) == ds_data_addr[n]
+            out += arr.tobytes()
+            continue
+        chunks = ds_chunks[n]
+        keydims = arr.ndim + 1
+        assert len(out) == ds_btree_addr[n]
+        bt = struct.pack("<4sBBHQQ", b"TREE", 1, 0, len(chunks), UNDEF, UNDEF)
+
+        def _key(nbytes: int, off0: int) -> bytes:
+            offs = (off0,) + (0,) * (keydims - 1)
+            return struct.pack("<II", nbytes, 0) + b"".join(
+                struct.pack("<Q", o) for o in offs)
+
+        for payload, addr, off0 in chunks:
+            bt += _key(len(payload), off0) + struct.pack("<Q", addr)
+        cr = min(chunk_rows, max(arr.shape[0], 1))
+        bt += _key(0, len(chunks) * cr)  # final "past-the-end" key
+        out += bt
+        for payload, addr, _off0 in chunks:
+            assert len(out) == addr
+            out += payload
     assert len(out) == eof
 
     tmp = path + ".tmp"
@@ -239,14 +349,82 @@ def _heap_string(buf: bytes, heap_data_addr: int, offset: int) -> str:
     return buf[heap_data_addr + offset:end].decode()
 
 
+def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
+    """Filter Pipeline message v1 -> [(filter_id, client_values)]."""
+    ver, nf = body[0], body[1]
+    if ver != 1:
+        raise NotImplementedError(f"filter pipeline version {ver}")
+    off = 8
+    filters = []
+    for _ in range(nf):
+        fid, namelen, _flags, nvals = struct.unpack_from("<HHHH", body, off)
+        off += 8
+        off += (namelen + 7) & ~7 if namelen else 0
+        vals = [struct.unpack_from("<I", body, off + 4 * i)[0]
+                for i in range(nvals)]
+        off += 4 * nvals + (4 if nvals % 2 else 0)
+        filters.append((fid, vals))
+    return filters
+
+
+def _walk_chunk_btree(fetch, addr: int, keydims: int) -> list[dict]:
+    """Node-type-1 v1 B-tree -> [{offset, nbytes, mask, addr}] (any level)."""
+    sig, ntype, level, nused = struct.unpack_from("<4sBBH", fetch(addr, 8), 0)
+    if sig != b"TREE" or ntype != 1:
+        raise ValueError("bad chunk B-tree node")
+    keysize = 8 + 8 * keydims
+    body = fetch(addr + 24, nused * (keysize + 8))
+    chunks = []
+    off = 0
+    for _ in range(nused):
+        nbytes, mask = struct.unpack_from("<II", body, off)
+        offs = struct.unpack_from(f"<{keydims}Q", body, off + 8)
+        child = struct.unpack_from("<Q", body, off + keysize)[0]
+        off += keysize + 8
+        if level > 0:
+            chunks += _walk_chunk_btree(fetch, child, keydims)
+        else:
+            chunks.append({"offset": offs[:-1], "nbytes": nbytes,
+                           "mask": mask, "addr": child})
+    return chunks
+
+
+def _defilter(raw: bytes, filters: list[tuple[int, list[int]]],
+              mask: int) -> bytes:
+    """Undo the filter pipeline (applied in reverse write order); mask bit
+    i set = filter i was skipped for this chunk."""
+    import zlib
+
+    for idx in range(len(filters) - 1, -1, -1):
+        if mask & (1 << idx):
+            continue
+        fid, vals = filters[idx]
+        if fid == 1:        # deflate
+            raw = zlib.decompress(raw)
+        elif fid == 2:      # shuffle
+            el = vals[0] if vals else 1
+            raw = np.frombuffer(raw, np.uint8).reshape(el, -1).T.tobytes()
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
 def read_hdf5_meta(path: str) -> dict:
     """Driver-side header-graph parse -> {format, datasets: {name:
     {shape, dtype, data_addr, nbytes}}}.  Reads headers only, never data
     (the data extents are range-read per slab cluster-side)."""
     size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        buf = f.read(min(size, 1 << 20))  # header graph lives up front
+    fh = open(path, "rb")
+    buf = fh.read(min(size, 1 << 20))  # header graph lives up front
+
+    def fetch(addr: int, n: int) -> bytes:
+        if addr + n <= len(buf):
+            return buf[addr:addr + n]
+        fh.seek(addr)
+        return fh.read(n)
+
     if buf[:8] != MAGIC:
+        fh.close()
         raise ValueError("not an HDF5 file")
     sb_ver = buf[8]
     if sb_ver != 0:
@@ -283,6 +461,8 @@ def read_hdf5_meta(path: str) -> dict:
             name_ofs, oh_addr = struct.unpack_from("<QQ", buf, e)
             name = _heap_string(buf, heap_data_addr, name_ofs)
             shape = dtype = layout = None
+            chunk_shape = btree = None
+            filters: list = []
             for mtype, body in _read_object_header(buf, oh_addr):
                 if mtype == _MSG_DATASPACE:
                     ver, ndim, flags = struct.unpack_from("<BBB", body, 0)
@@ -293,18 +473,43 @@ def read_hdf5_meta(path: str) -> dict:
                         for i in range(ndim))
                 elif mtype == _MSG_DATATYPE:
                     dtype = _parse_dt(body)
+                elif mtype == _MSG_FILTERS:
+                    filters = _parse_filters(body)
                 elif mtype == _MSG_LAYOUT:
                     ver, cls = body[0], body[1]
                     if ver != 3:
                         raise NotImplementedError(f"data layout version {ver}")
-                    if cls != 1:
+                    if cls == 1:
+                        layout = struct.unpack_from("<QQ", body, 2)
+                    elif cls == 2:
+                        keydims = body[2]
+                        btree = struct.unpack_from("<Q", body, 3)[0]
+                        dims = struct.unpack_from(f"<{keydims}I", body, 11)
+                        chunk_shape = dims[:-1]  # last = element size
+                    else:
                         raise NotImplementedError(
-                            "chunked/compact HDF5 layouts (contiguous only)")
-                    layout = struct.unpack_from("<QQ", body, 2)
-            if shape is None or dtype is None or layout is None:
+                            "compact HDF5 layout (contiguous/chunked only)")
+            if shape is None or dtype is None or \
+                    (layout is None and btree is None):
                 raise ValueError(f"dataset {name!r} missing required messages")
-            datasets[name] = {"shape": shape, "dtype": dtype.str,
-                              "data_addr": layout[0], "nbytes": layout[1]}
+            if btree is not None:
+                if chunk_shape[1:] != shape[1:]:
+                    raise NotImplementedError(
+                        "chunk grid splits non-leading dimensions")
+                chunks = _walk_chunk_btree(fetch, btree, len(chunk_shape) + 1)
+                if any(any(c["offset"][1:]) for c in chunks):
+                    raise NotImplementedError(
+                        "chunk grid splits non-leading dimensions")
+                datasets[name] = {
+                    "shape": shape, "dtype": dtype.str, "layout": "chunked",
+                    "chunk_shape": chunk_shape, "filters": filters,
+                    "chunks": sorted(chunks, key=lambda c: c["offset"][0]),
+                }
+            else:
+                datasets[name] = {"shape": shape, "dtype": dtype.str,
+                                  "layout": "contiguous",
+                                  "data_addr": layout[0], "nbytes": layout[1]}
+    fh.close()
     return {"format": "HDF5", "superblock_version": 0, "datasets": datasets}
 
 
@@ -312,16 +517,29 @@ def read_hdf5_var(path: str, name: str) -> np.ndarray:
     """Driver-side full read of one dataset (small data / tests)."""
     m = read_hdf5_meta(path)
     d = m["datasets"][name]
+    dt = np.dtype(d["dtype"])
     with open(path, "rb") as f:
-        f.seek(d["data_addr"])
-        raw = f.read(d["nbytes"])
-    return np.frombuffer(raw, dtype=np.dtype(d["dtype"])).reshape(d["shape"])
+        if d["layout"] == "contiguous":
+            f.seek(d["data_addr"])
+            raw = f.read(d["nbytes"])
+            return np.frombuffer(raw, dtype=dt).reshape(d["shape"])
+        out = np.empty(d["shape"], dtype=dt)
+        cshape = d["chunk_shape"]
+        for c in d["chunks"]:
+            f.seek(c["addr"])
+            raw = _defilter(f.read(c["nbytes"]), d["filters"], c["mask"])
+            block = np.frombuffer(raw, dtype=dt).reshape(cshape)
+            lo = c["offset"][0]
+            hi = min(lo + cshape[0], d["shape"][0])
+            out[lo:hi] = block[:hi - lo]
+        return out
 
 
 def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
     """-> ray.data.Dataset of slab rows (name, row0, n_rows, data:binary).
     Contiguous layout ⇒ each slab is one seek+read of its exact byte
-    range; slabs over all (or one) dataset fan out as Ray tasks."""
+    range; chunked layout ⇒ one slab per chunk (seek+read+defilter).
+    Slabs over all (or one) dataset fan out as Ray tasks."""
     import ray.data as rd
 
     m = read_hdf5_meta(path)
@@ -330,8 +548,18 @@ def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
     for n in names:
         d = m["datasets"][n]
         lead = d["shape"][0] if d["shape"] else 1
+        if d["layout"] == "chunked":
+            cr = d["chunk_shape"][0]
+            for c in d["chunks"]:
+                lo = c["offset"][0]
+                items.append({"name": n, "lo": lo, "hi": min(lo + cr, lead),
+                              "addr": c["addr"], "nbytes": c["nbytes"],
+                              "mask": c["mask"]})
+            continue
         for s in range(0, max(lead, 1), rows_per_block):
-            items.append({"name": n, "lo": s, "hi": min(s + rows_per_block, lead)})
+            items.append({"name": n, "lo": s,
+                          "hi": min(s + rows_per_block, lead),
+                          "addr": -1, "nbytes": -1, "mask": 0})
 
     def load(b: pa.Table) -> pa.Table:
         rows = {"name": [], "row0": [], "n_rows": [], "data": []}
@@ -341,11 +569,17 @@ def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
                 shape = d["shape"]
                 row_bytes = (int(np.prod(shape[1:])) if len(shape) > 1 else 1) \
                     * np.dtype(d["dtype"]).itemsize
-                f.seek(d["data_addr"] + it["lo"] * row_bytes)
-                raw = f.read((it["hi"] - it["lo"]) * row_bytes)
+                n_rows = it["hi"] - it["lo"]
+                if it["addr"] >= 0:   # chunk slab
+                    f.seek(it["addr"])
+                    raw = _defilter(f.read(it["nbytes"]), d["filters"],
+                                    it["mask"])[:n_rows * row_bytes]
+                else:                 # contiguous slab
+                    f.seek(d["data_addr"] + it["lo"] * row_bytes)
+                    raw = f.read(n_rows * row_bytes)
                 rows["name"].append(it["name"])
                 rows["row0"].append(it["lo"])
-                rows["n_rows"].append(it["hi"] - it["lo"])
+                rows["n_rows"].append(n_rows)
                 rows["data"].append(raw)
         return pa.table({
             "name": pa.array(rows["name"], pa.string()),

@@ -109,3 +109,80 @@ def test_gates(tmp_path):
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="superblock version 2"):
         read_hdf5_meta(bad)
+
+
+# -------------------------------------------------------- chunked layout
+
+
+def test_chunked_roundtrip_with_edge_padding(tmp_path):
+    p = str(tmp_path / "c.h5")
+    ds = _sample()  # leading dims 40 / 17 / 8: chunk_rows=16 leaves edges
+    write_hdf5(p, ds, chunk_rows=16)
+    m = read_hdf5_meta(p)
+    for k, v in ds.items():
+        d = m["datasets"][k]
+        assert d["layout"] == "chunked"
+        assert d["chunk_shape"][0] == min(16, v.shape[0])
+        assert len(d["chunks"]) == -(-v.shape[0] // d["chunk_shape"][0])
+        assert np.array_equal(read_hdf5_var(p, k), v)
+
+
+@pytest.mark.parametrize("deflate,shuffle", [(6, False), (None, True), (6, True)])
+def test_chunked_filters_roundtrip(tmp_path, deflate, shuffle):
+    p = str(tmp_path / "f.h5")
+    ds = _sample()
+    write_hdf5(p, ds, chunk_rows=16, deflate=deflate, shuffle=shuffle)
+    m = read_hdf5_meta(p)
+    want_ids = ([2] if shuffle else []) + ([1] if deflate else [])
+    assert [f[0] for f in m["datasets"]["temperature"]["filters"]] == want_ids
+    for k, v in ds.items():
+        assert np.array_equal(read_hdf5_var(p, k), v)
+
+
+def test_deflate_actually_compresses(tmp_path):
+    import os
+
+    p1, p2 = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    data = {"x": np.tile(np.arange(100, dtype=np.int32), (500, 1))}
+    write_hdf5(p1, data, chunk_rows=64)
+    write_hdf5(p2, data, chunk_rows=64, deflate=6)
+    assert os.path.getsize(p2) < os.path.getsize(p1) / 4
+
+
+def test_chunk_btree_wire(tmp_path):
+    """Node-type-1 B-tree anchors: signature, type, entries, key layout."""
+    p = str(tmp_path / "w.h5")
+    arr = np.arange(24, dtype=np.int32).reshape(6, 4)
+    write_hdf5(p, {"a": arr}, chunk_rows=4)
+    raw = open(p, "rb").read()
+    i = raw.index(b"TREE", raw.index(b"TREE") + 4)  # 2nd TREE = chunk btree
+    sig, ntype, level, nused = struct.unpack_from("<4sBBH", raw, i)
+    assert (ntype, level, nused) == (1, 0, 2)
+    # first key: chunk nbytes = 4 rows * 4 cols * 4 B, mask 0, offset (0,0,0)
+    nbytes, mask = struct.unpack_from("<II", raw, i + 24)
+    offs = struct.unpack_from("<3Q", raw, i + 32)
+    assert (nbytes, mask, offs) == (64, 0, (0, 0, 0))
+    # second key starts at row 4
+    k2 = i + 24 + (8 + 24) + 8
+    assert struct.unpack_from("<3Q", raw, k2 + 8)[0] == 4
+
+
+def test_chunked_ray_fanout(tmp_path, ray_session):
+    p = str(tmp_path / "r.h5")
+    ds = _sample()
+    write_hdf5(p, ds, chunk_rows=16, deflate=4, shuffle=True)
+    rows = sorted(read_hdf5(p, "temperature").take_all(),
+                  key=lambda r: r["row0"])
+    got = np.concatenate(
+        [np.frombuffer(r["data"], np.float64).reshape(-1, 60) for r in rows])
+    assert np.array_equal(got, ds["temperature"])
+    # one slab per chunk, edge slab cropped to the dataset extent
+    assert [r["n_rows"] for r in rows] == [16, 16, 8]
+
+
+def test_chunked_gates(tmp_path):
+    p = str(tmp_path / "g.h5")
+    with pytest.raises(ValueError, match="chunk"):
+        write_hdf5(p, {"a": np.zeros(4)}, deflate=6)
+    with pytest.raises(NotImplementedError, match="chunks"):
+        write_hdf5(p, {"a": np.zeros(10000)}, chunk_rows=1)
