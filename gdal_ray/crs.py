@@ -2,11 +2,14 @@
 Krüger series transverse Mercator (6th order in the third flattening —
 sub-millimeter vs PROJ's tmerc over a zone's width), plus Lambert
 conformal conic (2SP), polar stereographic (variant B), Albers
-equal-area conic and Lambert azimuthal equal-area (oblique + polar) from
-Snyder's *Map Projections — A Working Manual* (USGS PP 1395, public),
-with a parameter table for the common projected EPSG codes (Lambert-93,
-Canada Atlas Lambert, CONUS Albers, NSIDC / Antarctic polar
-stereographic, LAEA Europe).
+equal-area conic, Lambert azimuthal equal-area (oblique + polar),
+ellipsoidal Mercator (EPSG:3395), cylindrical equal-area (EPSG:6933
+EASE-Grid 2.0), sinusoidal (MODIS grid), Mollweide and ellipsoidal
+orthographic from Snyder's *Map Projections — A Working Manual* (USGS
+PP 1395, public) and EPSG Guidance Note 7-2, with a parameter table for
+the common projected EPSG/ESRI codes (Lambert-93, Canada Atlas Lambert,
+CONUS Albers, NSIDC / Antarctic polar stereographic, LAEA Europe, World
+Mercator/Sinusoidal/Mollweide, EASE-Grid 2.0).
 
 Reference semantics: OGRProjCT::Transform (ogr/ogrct.cpp:2323) for the
 EPSG pairs used throughout autotest/alg/warp.py; no PROJ exists in this
@@ -390,6 +393,10 @@ _CONIC_EPSG = {
     3035: ("laea", None, None, 52.0, 10.0, 4321000.0, 3210000.0, F_GRS80),  # ETRS89-extended / LAEA Europe
     3575: ("laea", None, None, 90.0, 10.0, 0.0, 0.0, F_WGS84),              # WGS84 / North Pole LAEA Europe
     3574: ("laea", None, None, 90.0, -40.0, 0.0, 0.0, F_WGS84),             # WGS84 / North Pole LAEA Atlantic
+    3395: ("merc", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),                # WGS84 / World Mercator (ellipsoidal)
+    6933: ("cea", 30.0, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),                 # WGS84 / NSIDC EASE-Grid 2.0 Global
+    54008: ("sinu", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54008 World Sinusoidal
+    54009: ("moll", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54009 World Mollweide
 }
 
 
@@ -403,11 +410,21 @@ def conic_pair(epsg: int):
         return albers_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
     if kind == "laea":
         return laea(lat0, lon0, fe, fn, f=f)
+    if kind == "merc":
+        return mercator_1sp(0.0, lon0, 1.0, fe, fn, f=f)
+    if kind == "cea":
+        return cea(lat1, lon0, fe, fn, f=f)
+    if kind == "sinu":
+        return sinusoidal(lon0, fe, fn, f=f)
+    if kind == "moll":
+        return mollweide(lon0, fe, fn)
     return polar_stereographic(lat0, lon0, fe, fn, f=f)
 
 
 def parse_epsg(crs: str) -> int:
-    if not crs.upper().startswith("EPSG:"):
+    """'EPSG:<code>' (or 'ESRI:<code>' — the 54xxx world projections
+    share the numeric keyspace in our table) -> int code."""
+    if not crs.upper().startswith(("EPSG:", "ESRI:")):
         raise ValueError(f"expected EPSG:<code>, got {crs!r}")
     return int(crs.split(":", 1)[1])
 
@@ -600,6 +617,192 @@ def eqc(lat_ts: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def _merid_arc_fns(a: float, e2: float):
+    """Meridian arc distance M(φ) and its inverse (Snyder 3-21 / 3-26,
+    public series).  Returns (M, M_inv) over radians/metres."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    sq = np.sqrt(1.0 - e2)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    d2 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    d4 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    d6 = 151.0 * e1 ** 3 / 96.0
+    d8 = 1097.0 * e1 ** 4 / 512.0
+
+    def M(phi):
+        return a * (c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+                    - c6 * np.sin(6 * phi))
+
+    def M_inv(dist):
+        dist = np.asarray(dist, dtype=np.float64)
+        mu = dist / (a * c0)
+        phi = (mu + d2 * np.sin(2 * mu) + d4 * np.sin(4 * mu)
+               + d6 * np.sin(6 * mu) + d8 * np.sin(8 * mu))
+        for _ in range(3):  # Newton on the exact forward (dM/dφ = ρ)
+            s2 = np.sin(phi) ** 2
+            rho = a * (1.0 - e2) / (1.0 - e2 * s2) ** 1.5
+            phi = phi + (dist - M(phi)) / rho
+        return phi
+
+    return M, M_inv
+
+
+def _q_authalic(phi, e):
+    """Snyder (3-12): q such that authalic latitude β = arcsin(q/q_p)."""
+    e2 = e * e
+    s = np.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+
+
+def _phi_from_q(qv, e, iters: int = 10):
+    """Invert q(φ) by Newton (Snyder 3-16)."""
+    e2 = e * e
+    phi = np.arcsin(np.clip(np.asarray(qv, dtype=np.float64) / 2.0, -1., 1.))
+    for _ in range(iters):
+        s = np.sin(phi)
+        dq = 2.0 * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+        phi = phi + (qv - _q_authalic(phi, e)) / np.where(dq == 0, 1e-12, dq)
+    return phi
+
+
+def sinusoidal(lon0: float, fe: float, fn: float,
+               a: float = A_WGS84, f: float = F_WGS84):
+    """Sinusoidal, ellipsoidal (+proj=sinu, ESRI:54008; Snyder 30-8/30-9):
+    equal-area pseudocylindrical — x = aλcosφ/√(1-e²sin²φ), y = meridian
+    arc M(φ) — the MODIS grid projection."""
+    e2 = f * (2.0 - f)
+    M, M_inv = _merid_arc_fns(a, e2)
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        return (fe + a * lam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s),
+                fn + M(phi))
+
+    def inv(E, N):
+        phi = M_inv(np.asarray(N, dtype=np.float64) - fn)
+        s = np.sin(phi)
+        cos = np.cos(phi)
+        lam = np.where(
+            np.abs(cos) < 1e-12, 0.0,
+            (np.asarray(E, dtype=np.float64) - fe)
+            * np.sqrt(1.0 - e2 * s * s) / (a * np.where(cos == 0, 1, cos)))
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+def mollweide(lon0: float, fe: float, fn: float, R: float = A_WGS84):
+    """Mollweide, spherical (+proj=moll, ESRI:54009; Snyder 31-1..31-7):
+    equal-area pseudocylindrical on the sphere of radius R = semi-major
+    axis (PROJ's moll likewise applies the spherical formulas)."""
+    rt2 = np.sqrt(2.0)
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rhs = np.pi * np.sin(phi)
+        th = phi.copy()        # Newton on 2θ + sin2θ = π sinφ
+        for _ in range(12):
+            th = th - (2 * th + np.sin(2 * th) - rhs) / (2 + 2 * np.cos(2 * th)
+                                                         + 1e-15)
+        return (fe + (2.0 * rt2 / np.pi) * R * lam * np.cos(th),
+                fn + rt2 * R * np.sin(th))
+
+    def inv(E, N):
+        th = np.arcsin(np.clip(
+            (np.asarray(N, dtype=np.float64) - fn) / (rt2 * R), -1.0, 1.0))
+        phi = np.arcsin(np.clip((2 * th + np.sin(2 * th)) / np.pi, -1.0, 1.0))
+        cos = np.cos(th)
+        lam = np.where(
+            np.abs(cos) < 1e-12, 0.0,
+            np.pi * (np.asarray(E, dtype=np.float64) - fe)
+            / (2.0 * rt2 * R * np.where(cos == 0, 1, cos)))
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+def cea(lat_ts: float, lon0: float, fe: float, fn: float,
+        a: float = A_WGS84, f: float = F_WGS84):
+    """Lambert cylindrical equal area, ellipsoidal (EPSG method 9835;
+    Snyder 10-13..10-17) — EPSG:6933 NSIDC EASE-Grid 2.0 Global is this
+    with lat_ts=30."""
+    e = _ecc(f)
+    k0 = _m(np.radians(lat_ts), e)
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return fe + a * k0 * lam, fn + a * _q_authalic(phi, e) / (2.0 * k0)
+
+    def inv(E, N):
+        qv = 2.0 * k0 * (np.asarray(N, dtype=np.float64) - fn) / a
+        phi = _phi_from_q(qv, e)
+        lam = (np.asarray(E, dtype=np.float64) - fe) / (a * k0)
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+def orthographic(lat0: float, lon0: float, fe: float, fn: float,
+                 a: float = A_WGS84, f: float = F_WGS84):
+    """Orthographic, ellipsoidal (EPSG method 9840).  Forward per the EPSG
+    closed form; inverse by vectorized 2×2 Newton on the forward (FD
+    Jacobian), seeded with the spherical inverse — valid on the visible
+    hemisphere."""
+    e2 = f * (2.0 - f)
+    p0 = np.radians(lat0)
+    nu0 = a / np.sqrt(1.0 - e2 * np.sin(p0) ** 2)
+    sp0, cp0 = np.sin(p0), np.cos(p0)
+
+    def _fwd_rad(lam, phi):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * s * s)
+        E = nu * np.cos(phi) * np.sin(lam)
+        N = nu * (s * cp0 - np.cos(phi) * sp0 * np.cos(lam)) \
+            + e2 * (nu0 * sp0 - nu * s) * cp0
+        return E, N
+
+    def fwd(lon, lat):
+        lam = np.radians(_wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        E, N = _fwd_rad(lam, phi)
+        return fe + E, fn + N
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        # spherical seed (Snyder 20-14..20-15)
+        rho = np.hypot(x, y)
+        c = np.arcsin(np.clip(rho / a, -1.0, 1.0))
+        sc, cc = np.sin(c), np.cos(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.arcsin(np.clip(cc * sp0 + y * sc * cp0 / safe, -1.0, 1.0))
+        lam = np.arctan2(x * sc, rho * cc * cp0 - y * sc * sp0)
+        lam = np.where(rho == 0, 0.0, lam)
+        h = 1e-7
+        for _ in range(8):
+            fx, fy = _fwd_rad(lam, phi)
+            rx, ry = fx - x, fy - y
+            dxl, dyl = _fwd_rad(lam + h, phi)
+            dxp, dyp = _fwd_rad(lam, phi + h)
+            j11, j21 = (dxl - fx) / h, (dyl - fy) / h
+            j12, j22 = (dxp - fx) / h, (dyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+            lam = lam - (j22 * rx - j12 * ry) / det
+            phi = phi - (-j21 * rx + j11 * ry) / det
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
 def proj_pair(s: str):
     """'+proj=…' string -> (fwd, inv) lon/lat(deg) ↔ projected, built on
     the closed-form kernels above.  With +towgs84 the lon/lat side is
@@ -678,9 +881,17 @@ def _proj_pair_raw(p: dict):
             raise NotImplementedError("oblique stereographic (+lat_0 not ±90)")
         lat_ts = float(p.get("lat_ts", lat0))
         return polar_stereographic(lat_ts, lon0, fe, fn, a=a, f=f)
+    if proj == "sinu":
+        return sinusoidal(lon0, fe, fn, a=a, f=f)
+    if proj == "moll":
+        return mollweide(lon0, fe, fn, R=a)
+    if proj == "cea":
+        return cea(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a=a, f=f)
+    if proj == "ortho":
+        return orthographic(lat0, lon0, fe, fn, a=a, f=f)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
-                              "polar stere)")
+                              "polar stere, sinu, moll, cea, ortho)")
 
 
 # --- datum shifts (+towgs84) -------------------------------------------------
