@@ -185,49 +185,157 @@ class QualityScore:
         )
 
 
+# Per-language seed text for the trigram profiles (original sentences
+# composed for this module — ordinary prose dense in each language's
+# function words; no external corpus exists in this sandbox).  The
+# classifier method is Cavnar & Trenkle, "N-Gram-Based Text
+# Categorization" (1994, public).
+_LANG_SEED = {
+    "en": ("the house at the end of the street was quiet and the children "
+           "were still asleep when the morning light came in through the "
+           "window and touched the table where the books had been left "
+           "open since the night before and nobody wanted to be the first "
+           "to speak about what they had seen in the garden that evening "
+           "because it would have changed everything between them forever"),
+    "de": ("das haus am ende der straße war still und die kinder schliefen "
+           "noch als das licht des morgens durch das fenster kam und den "
+           "tisch berührte auf dem die bücher seit der nacht offen lagen "
+           "und niemand wollte der erste sein der über das sprach was sie "
+           "am abend im garten gesehen hatten denn es hätte alles zwischen "
+           "ihnen für immer verändert"),
+    "fr": ("la maison au bout de la rue était calme et les enfants "
+           "dormaient encore quand la lumière du matin est entrée par la "
+           "fenêtre et a touché la table où les livres étaient restés "
+           "ouverts depuis la nuit et personne ne voulait être le premier "
+           "à parler de ce qu'ils avaient vu dans le jardin ce soir-là car "
+           "cela aurait tout changé entre eux pour toujours"),
+    "es": ("la casa al final de la calle estaba tranquila y los niños "
+           "dormían todavía cuando la luz de la mañana entró por la "
+           "ventana y tocó la mesa donde los libros habían quedado "
+           "abiertos desde la noche y nadie quería ser el primero en "
+           "hablar de lo que habían visto en el jardín esa tarde porque "
+           "habría cambiado todo entre ellos para siempre"),
+    "it": ("la casa in fondo alla strada era tranquilla e i bambini "
+           "dormivano ancora quando la luce del mattino è entrata dalla "
+           "finestra e ha toccato il tavolo dove i libri erano rimasti "
+           "aperti dalla notte e nessuno voleva essere il primo a parlare "
+           "di quello che avevano visto nel giardino quella sera perché "
+           "avrebbe cambiato tutto tra di loro per sempre"),
+    "pt": ("a casa no fim da rua estava tranquila e as crianças ainda "
+           "dormiam quando a luz da manhã entrou pela janela e tocou a "
+           "mesa onde os livros tinham ficado abertos desde a noite e "
+           "ninguém queria ser o primeiro a falar sobre o que tinham "
+           "visto no jardim naquela tarde porque teria mudado tudo entre "
+           "eles para sempre"),
+    "nl": ("het huis aan het einde van de straat was stil en de kinderen "
+           "sliepen nog toen het licht van de ochtend door het raam kwam "
+           "en de tafel raakte waar de boeken sinds de nacht open hadden "
+           "gelegen en niemand wilde de eerste zijn die sprak over wat ze "
+           "die avond in de tuin hadden gezien want het zou alles tussen "
+           "hen voor altijd hebben veranderd"),
+}
+
+# UTF-8 lead-byte script buckets for non-Latin scripts: a cheap
+# decode-free majority vote that routes whole scripts before the trigram
+# scorer runs (the trigram profiles are Latin-script only).
+_SCRIPT_RANGES = (
+    ("ru", 0xD0, 0xD1), ("el", 0xCE, 0xCF), ("he", 0xD6, 0xD7),
+    ("ar", 0xD8, 0xDB), ("hi", 0xE0, 0xE0),
+    ("ja", 0xE3, 0xE3), ("zh", 0xE4, 0xE9), ("ko", 0xEA, 0xED),
+)
+
+
 class LangId:
-    """Character-n-gram language-ID heuristic (no model libs in sandbox).
+    """Character-trigram language ID (Cavnar & Trenkle 1994, public
+    method): per-language byte-trigram profiles built once per actor in
+    __init__ from the embedded seed text, documents scored by summed
+    profile weight per trigram occurrence (vectorized: pack 3 lowercased
+    bytes → uint32, searchsorted into the merged vocab, one np.add.at).
+    Non-Latin scripts short-circuit via UTF-8 lead-byte majority
+    (Cyrillic/Greek/Arabic/Hebrew/Devanagari/CJK/kana/Hangul).  Output:
+    (doc_id, lang_pred) with 'und' for scoreless docs."""
 
-    Scores a handful of language profiles by frequency of very common
-    function words + diacritic classes; deterministic, vectorized over the
-    profile loop.  Intended as the Ray-side plumbing for a real fastText/
-    CLD-style model (swap __call__'s scorer)."""
-
-    PROFILES = {
-        "en": (" the ", " and ", " of ", " is "),
-        "de": (" der ", " und ", " die ", " ist "),
-        "fr": (" le ", " la ", " et ", " est "),
-        "es": (" el ", " de ", " la ", " que "),
-        "it": (" il ", " di ", " che ", " la "),
-    }
+    def __init__(self, top_k: int = 400):
+        langs = sorted(_LANG_SEED)
+        vocab: dict[int, int] = {}
+        rows = []
+        for lang in langs:
+            raw = _LOWER[np.frombuffer(
+                (" " + _LANG_SEED[lang] + " ").encode(), np.uint8)]
+            tri = (raw[:-2].astype(np.uint32) << 16) | \
+                  (raw[1:-1].astype(np.uint32) << 8) | raw[2:].astype(np.uint32)
+            codes, counts = np.unique(tri, return_counts=True)
+            order = np.argsort(-counts)[:top_k]
+            codes, counts = codes[order], counts[order]
+            w = counts / counts.sum()   # profile = normalized trigram freq
+            row = {}
+            for c, v in zip(codes.tolist(), w.tolist()):
+                row[c] = v
+                vocab.setdefault(c, len(vocab))
+            rows.append(row)
+        self.langs = langs
+        self._vocab = np.array(sorted(vocab), dtype=np.uint32)
+        self._W = np.zeros((len(self._vocab), len(langs)), dtype=np.float64)
+        pos = {int(c): i for i, c in enumerate(self._vocab)}
+        for j, row in enumerate(rows):
+            for c, v in row.items():
+                self._W[pos[c], j] = v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # marker " xyz " ⇔ a space-delimited run equal to "xyz" (markers are
-        # all ≤ 8 bytes, so the packed-uint64 word trick applies verbatim)
         data, offs = string_bytes(batch.column("text"))
         n = len(batch)
-        member = data != 0x20
-        starts_mask = _run_starts(member, offs)
-        w_start, w_len = run_spans(member, starts_mask, offs)
-        val = np.zeros(len(w_start), dtype=np.uint64)
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+
+        # script vote on non-ASCII lead bytes (continuation bytes excluded)
+        lead = (data >= 0xC2)
+        if lead.any():
+            script_scores = np.zeros((n, len(_SCRIPT_RANGES)), dtype=np.int64)
+            doc_of_b = np.searchsorted(offs, np.flatnonzero(lead),
+                                       side="right") - 1
+            lb = data[lead]
+            for j, (_lang, lo, hi) in enumerate(_SCRIPT_RANGES):
+                m = (lb >= lo) & (lb <= hi)
+                script_scores[:, j] = np.bincount(doc_of_b[m], minlength=n)
+            # Japanese: kana (0xE3) vs CJK ideographs both appear in ja text;
+            # any kana at all outweighs han counts for the ja/zh call
+            ja = [j for j, s in enumerate(_SCRIPT_RANGES) if s[0] == "ja"][0]
+            zh = [j for j, s in enumerate(_SCRIPT_RANGES) if s[0] == "zh"][0]
+            has_kana = script_scores[:, ja] > 0
+            script_scores[has_kana, ja] += script_scores[has_kana, zh] + 1
+        else:
+            script_scores = None
+
+        # latin trigram scoring
         ldata = _LOWER[data]
-        for i in range(8):
-            m = w_len > i
-            val[m] |= ldata[w_start[m] + i].astype(np.uint64) << np.uint64(8 * i)
-        short = w_len <= 8
-        doc_of = np.searchsorted(offs, w_start, side="right") - 1
-        langs = list(self.PROFILES)
-        scores = np.zeros((n, len(langs)), dtype=np.int64)
-        for j, lang in enumerate(langs):
-            codes = np.array(
-                [int.from_bytes(mk.strip().encode(), "little") for mk in self.PROFILES[lang]],
-                dtype=np.uint64,
-            )
-            hit = np.isin(val, codes) & short
-            scores[:, j] = np.bincount(doc_of[hit], minlength=n)
+        if len(ldata) >= 3:
+            tri = (ldata[:-2].astype(np.uint32) << 16) | \
+                  (ldata[1:-1].astype(np.uint32) << 8) | \
+                  ldata[2:].astype(np.uint32)
+            # drop trigrams that straddle document boundaries
+            idx = np.arange(len(tri))
+            d0 = np.searchsorted(offs, idx, side="right") - 1
+            d2 = np.searchsorted(offs, idx + 2, side="right") - 1
+            same = d0 == d2
+            vi = np.searchsorted(self._vocab, tri[same])
+            vi_ok = (vi < len(self._vocab)) & \
+                (self._vocab[np.minimum(vi, len(self._vocab) - 1)]
+                 == tri[same])
+            docs = d0[same][vi_ok]
+            np.add.at(scores, docs, self._W[vi[vi_ok]])
+            ntri = np.maximum(np.bincount(d0[same], minlength=n), 1)
+            scores /= ntri[:, None]
+
         best = np.argmax(scores, axis=1)
-        hit = scores[np.arange(n), best] > 0
-        pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+        top = scores[np.arange(n), best]
+        pred = np.where(top > 0, np.array(self.langs, dtype=object)[best],
+                        "und")
+        if script_scores is not None:
+            sbest = np.argmax(script_scores, axis=1)
+            stop = script_scores[np.arange(n), sbest]
+            # script wins when non-Latin bytes dominate the trigram signal
+            use = stop > 8
+            names = np.array([s[0] for s in _SCRIPT_RANGES], dtype=object)
+            pred = np.where(use, names[sbest], pred)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
