@@ -1080,6 +1080,132 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 50 docs per language, ordered by
+    md5(doc_id) — the balanced-subset op of training-data curation.  The
+    hash gives an order both engines compute identically (oracle:
+    row_number over md5), so the sample is content-defined, not
+    file-order-defined (the bench-subset lesson of VERDICT r3)."""
+    import hashlib
+
+    from gdal_ray.stages import joins
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in b.column("doc_id").to_pylist()]
+        return b.append_column("h", pa.array(h, pa.string()))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        add_h, batch_format="pyarrow")
+    out = joins.topn_per_group(ds, key="lang", order_cols=["h", "doc_id"],
+                               ascending=[True, True], n=50)
+    return out.select_columns(["lang", "doc_id", "rank"])
+
+
+SQL_STRATIFIED_SAMPLE = """
+with h as (select lang, doc_id, md5(cast(doc_id as varchar)) as h
+           from documents),
+r as (select lang, doc_id,
+             row_number() over (partition by lang order by h, doc_id)
+                 as "rank"
+      from h)
+select lang, doc_id, "rank" from r where "rank" <= 50
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Per-document distinctive term: the term with the highest in-doc
+    frequency, tie-broken by lowest corpus document-frequency then
+    lexicographically — integer-exact TF-IDF-flavored term extraction.
+
+    Scale shape: tf is computed exactly inside the batch (each row is a
+    whole document — no shuffle), docs are pruned to their argmax-tf
+    candidate terms BEFORE the term-keyed df shuffle, and the final
+    per-doc pick shuffles only (doc_id, term, tf, df) candidate rows."""
+    from gdal_ray.stages import joins
+
+    def tf_candidates(b: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            toks = [t for t in txt.split(" ") if t]
+            if not toks:
+                continue
+            uniq, cnt = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+            m = cnt == cnt.max()     # argmax-tf candidates only
+            ids += [did] * int(m.sum())
+            terms += list(uniq[m])
+            tfs += list(cnt[m])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+        })
+
+    def all_terms(b: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            u = sorted({t for t in txt.split(" ") if t})
+            ids += [did] * len(u)
+            terms += u
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ray.data.aggregate import Count
+
+    df = docs.map_batches(all_terms, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="df"))
+    # df table is vocabulary-sized: broadcast-join it into the candidates
+    import ray
+
+    df_rows = df.take_all()
+    df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
+
+    def attach_df(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lut = _ray.get(df_ref)
+        dfv = [lut[t] for t in b.column("term").to_pylist()]
+        return b.append_column("df", pa.array(dfv, pa.int64()))
+
+    cand = docs.map_batches(tf_candidates, batch_format="pyarrow") \
+        .map_batches(attach_df, batch_format="pyarrow")
+    out = joins.topn_per_group(
+        cand, key="doc_id", order_cols=["tf", "df", "term"],
+        ascending=[False, True, True], n=1)
+    return out.select_columns(["doc_id", "term", "tf", "df"])
+
+
+SQL_TOP_TERMS = """
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as term from documents),
+tf as (select doc_id, term, count(*) as tf from toks
+       where term <> '' group by doc_id, term),
+df as (select term, count(distinct doc_id) as df from toks
+       where term <> '' group by term),
+r as (select tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() over (partition by tf.doc_id
+                                order by tf.tf desc, df.df, tf.term) as rn
+      from tf join df using (term))
+select doc_id, term, tf, df from r where rn = 1
+"""
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed k-means over the embedding column (stages/cluster.py):
+    Lloyd iterations with broadcast centroids + per-batch partial sums.
+    Iterative — no SQL oracle; exactness vs a single-process Lloyd's is
+    pytest-gated (tests/test_kmeans.py)."""
+    from gdal_ray.stages import cluster
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = cluster.kmeans_fit(emb, k=8, iters=5)
+    return cluster.kmeans_assign(emb, cents)
+
+
 # ===========================================================================
 # Rasterize / polygonize (alg/gdalrasterize.cpp + alg/polygonize.cpp)
 # ===========================================================================
@@ -3888,7 +4014,10 @@ def queries():
         "raster_histogram": q_raster_histogram,
         "viewshed": q_viewshed,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "stratified_sample": q_stratified_sample,
+        "top_terms": q_top_terms,
         # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
+        "kmeans_embed": q_kmeans_embed,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "minhash_pairs": q_minhash_pairs,
@@ -3996,6 +4125,8 @@ def oracle_sql():
         "grid_average": SQL_GRID_AVERAGE,
         "bpe_tokens": SQL_BPE_TOKENS,
         "viewshed_cumulative": SQL_VIEWSHED_CUMULATIVE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "top_terms": SQL_TOP_TERMS,
         # minhash_pairs / simhash / lang_id / fingerprint / raster_* /
         # image_tiles: non-SQL-expressible → rows-only driver check;
         # semantics verified in tests/.
