@@ -36,12 +36,14 @@ from gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
 from gdal_ray.codecs.webp import decode_webp, encode_webp
 from gdal_ray.codecs.tiff import decode_tiff, encode_geotiff, read_geotiff
 from gdal_ray.codecs.gif import decode_gif, encode_gif
+from gdal_ray.codecs.bmp import decode_bmp, encode_bmp
 
 __all__ = [
     "decode", "decode_batch", "encode", "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg", "decode_webp", "encode_webp",
     "decode_tiff", "encode_geotiff", "read_geotiff",
     "decode_gif", "encode_gif",
+    "decode_bmp", "encode_bmp",
     "FAKE_LOSSY_MAGIC",
 ]
 
@@ -57,6 +59,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_webp(arr)
     if fmt == "gif":
         return encode_gif(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
     if fmt in ("jpeg", "webp"):
         # bench-corpus fast path (deterministic stand-in container)
         return encode_lossy(arr, fmt)
@@ -76,6 +80,8 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_tiff(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     if data[:4] == FAKE_LOSSY_MAGIC:
         return decode_lossy(data)
     raise NotImplementedError(

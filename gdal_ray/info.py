@@ -24,8 +24,19 @@ def describe(path: str, *, stats: bool = False) -> dict:
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
         return _tiff(path, stats)
-    if low.endswith((".png", ".jpg", ".jpeg", ".webp", ".gif")):
+    if low.endswith((".png", ".jpg", ".jpeg", ".webp", ".gif", ".bmp")):
         return _image(path, stats)
+    if low.endswith(".hgt"):
+        from gdal_ray.sources.rawgrid import hgt_meta
+
+        return hgt_meta(path)
+    if low.endswith((".bil", ".bip", ".bsq", ".img", ".dat")):
+        from gdal_ray.sources.rawgrid import ehdr_meta, envi_meta
+
+        try:
+            return envi_meta(path)
+        except ValueError:
+            return ehdr_meta(path)
     if low.endswith(".gpkg"):
         return _gpkg(path)
     if low.endswith(".shp"):
@@ -147,7 +158,7 @@ def _image(path: str, stats: bool) -> dict:
     ext = path.rsplit(".", 1)[-1].lower().replace("jpeg", "jpg")
     arr = decode(open(path, "rb").read(), ext)
     return {"driver": {"png": "PNG", "jpg": "JPEG", "webp": "WEBP",
-                       "gif": "GIF"}[ext],
+                       "gif": "GIF", "bmp": "BMP"}[ext],
             **_raster_common(arr, stats)}
 
 

@@ -120,6 +120,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.xyzgrid import read_xyz
 
         return read_xyz(path, **kw)
+    if low.endswith((".hgt", ".bil", ".bip", ".bsq", ".img", ".dat")):
+        from gdal_ray.sources.rawgrid import read_rawgrid
+
+        return read_rawgrid(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))
@@ -164,7 +168,7 @@ def read_image_dir(paths, *, decode: bool = False, concurrency=(1, 8)):
 
     _EXT_FMT = {".png": "png", ".jpg": "jpeg", ".jpeg": "jpeg",
                 ".webp": "webp", ".tif": "gtiff", ".tiff": "gtiff",
-                ".gif": "gif"}
+                ".gif": "gif", ".bmp": "bmp"}
 
     class Decode:
         def __init__(self):
