@@ -866,11 +866,29 @@ def _proj_pair_raw(p: dict):
     if proj == "eqc":
         return eqc(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a)
     if proj == "lcc":
-        lat1 = float(p["lat_1"])
+        lat1 = float(p.get("lat_1", lat0))
         lat2 = float(p.get("lat_2", lat1))
-        if k0 != 1.0:
-            raise NotImplementedError("lcc with k_0 != 1 (1SP scaled form)")
-        return lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, a=a, f=f)
+        pair = lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, a=a, f=f)
+        if k0 == 1.0:
+            return pair
+        # LCC 1SP (EPSG 9801): ρ = k0·a·F·tⁿ — identical to the 2SP cone
+        # touched at lat_0 scaled radially by k0 about the false origin
+        # (both ρ and ρ0 carry the same k0 factor).
+        if not (lat1 == lat2 == lat0):
+            raise NotImplementedError(
+                "lcc with k_0 != 1 needs lat_1 == lat_2 == lat_0 (9801)")
+        f2, i2 = pair
+
+        def fwd(lon, lat):
+            x, y = f2(lon, lat)
+            return fe + (np.asarray(x) - fe) * k0, \
+                fn + (np.asarray(y) - fn) * k0
+
+        def inv(E, N):
+            return i2(fe + (np.asarray(E, dtype=np.float64) - fe) / k0,
+                      fn + (np.asarray(N, dtype=np.float64) - fn) / k0)
+
+        return fwd, inv
     if proj == "aea":
         return albers_2sp(float(p["lat_1"]), float(p["lat_2"]), lat0, lon0,
                           fe, fn, a=a, f=f)

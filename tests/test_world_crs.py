@@ -163,3 +163,26 @@ def test_proj_strings_and_epsg_codes():
         lon, lat = g(x, y)
         assert abs(float(lon) - 12.0) < 1e-8
         assert abs(float(lat) + 33.0) < 1e-8
+
+
+def test_lcc_1sp_scaled():
+    """EPSG 9801 (LCC 1SP with k_0): conformal scale at lat_0 must equal
+    k_0 (FD ground-metric check), and round trips hold."""
+    s = ("+proj=lcc +lat_0=46.8 +lat_1=46.8 +lon_0=2.337 "
+         "+k_0=0.99987742 +x_0=600000 +y_0=200000 +ellps=WGS84")
+    fwd, inv = proj_pair(s)
+    lon = np.linspace(-4.0, 8.0, 7)
+    lat = np.linspace(42.0, 51.0, 7)
+    lon, lat = np.meshgrid(lon, lat)
+    x, y = fwd(lon.ravel(), lat.ravel())
+    lon2, lat2 = inv(x, y)
+    assert np.abs(lon2 - lon.ravel()).max() < 1e-9
+    assert np.abs(lat2 - lat.ravel()).max() < 1e-9
+    # scale along the parallel at lat_0 == k0
+    h = 1e-6
+    x0, y0 = fwd(2.337, 46.8)
+    x1, y1 = fwd(2.337 + h, 46.8)
+    phi = np.radians(46.8)
+    Nr = A_WGS84 / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+    k = float(np.hypot(x1 - x0, y1 - y0)) / (np.radians(h) * Nr * np.cos(phi))
+    assert abs(k - 0.99987742) < 1e-7
