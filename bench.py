@@ -68,8 +68,19 @@ def build_images(n: int):
     from gdal_ray.codecs import encode
     from gdal_ray.synth import caption_for, footprint_for, phash64, pixels_for
 
+    import math
+
+    stride = 48271  # coprime spreader: id = (row * stride) % n
+    while math.gcd(stride, n) != 1:
+        stride += 2
+
     def gen(batch):
-        ids = np.asarray(batch["id"], dtype=np.int64)
+        # spread ids uniformly across files (modular bijection): the
+        # render subset (image_id < bound) then hits EVERY file instead
+        # of the first n/8 files, so its decode parallelism matches the
+        # cluster instead of the file layout.  Content is a pure function
+        # of the id, so every query's output is unchanged.
+        ids = (np.asarray(batch["id"], dtype=np.int64) * stride) % n
         out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                                "lon_min", "lat_min", "lon_max", "lat_max")}
         for i in ids.tolist():
@@ -116,7 +127,7 @@ def build_images(n: int):
 def ensure_images(n: int) -> str:
     """Materialize the deterministic image table to parquet once (setup,
     untimed); reused by every run/parallelism level."""
-    path = f"/tmp/gdal_ray_bench/images_{n}{'_real' if REAL_CODECS else ''}"
+    path = f"/tmp/gdal_ray_bench/images_{n}{'_real' if REAL_CODECS else ''}_v2"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         import shutil
@@ -252,8 +263,12 @@ def run_headline() -> dict:
     queries["pip_join"] = t2
 
     # q3: rendered tile pyramid (mosaic + 2 overview levels) on a subset —
-    # the heavy compute half of the north star (stages/render.py)
-    from gdal_ray.stages.render import render_pyramid
+    # the heavy compute half of the north star (stages/render.py).
+    # Fully-fused plan: base mosaic + both overview levels in ONE shuffle
+    # (render_pyramid_fused, byte-identical to the chained plan by pytest);
+    # split_levels=False returns the single materialized dataset so the
+    # tile count is materialize metadata, not three more filter passes.
+    from gdal_ray.stages.render import render_pyramid_fused
 
     n_render = max(n // 8, 1000)
 
@@ -270,8 +285,9 @@ def run_headline() -> dict:
             columns=["image_id", "bytes", "fmt", "lon_min", "lat_min", "lon_max", "lat_max"],
             filter=pads.field("image_id") < f"img-{n_render:012d}",
         ).map_batches(strip_meta, batch_format="pyarrow")
-        levels = render_pyramid(render_src, base_zoom=7, min_zoom=5, tile_size=64)
-        return sum(lv.count() for lv in levels)
+        combined = render_pyramid_fused(render_src, base_zoom=7, min_zoom=5,
+                                        tile_size=64, split_levels=False)
+        return combined.count()
 
     t3, n_rendered_tiles = best_of(q3)
     queries["tile_render"] = t3

@@ -436,6 +436,33 @@ def overview_level(tiles_ds, *, tile_size: int = 64, method: str = "average"):
     )
 
 
+def _sub_pyramid_levels(cur: pa.Table, n: int, tile_size: int,
+                        method: str) -> pa.Table:
+    """n pyramid steps over one locality group's tile table — returns the
+    concat of the n PARENT levels (input level excluded), byte-identical
+    to chained _overview_group reductions."""
+    outs = []
+    for _ in range(n):
+        xs = cur.column("x").to_numpy(zero_copy_only=False)
+        ys = cur.column("y").to_numpy(zero_copy_only=False)
+        px, py = xs >> 1, ys >> 1
+        order = np.lexsort((py, px))
+        newg = np.ones(len(order), dtype=bool)
+        newg[1:] = (px[order][1:] != px[order][:-1]) | \
+            (py[order][1:] != py[order][:-1])
+        starts = np.flatnonzero(newg)
+        ends = np.append(starts[1:], len(order))
+        keyed = cur.append_column("px", pa.array(px, pa.int64())) \
+                   .append_column("py", pa.array(py, pa.int64()))
+        parents = [
+            _overview_group(keyed.take(pa.array(order[s:e])), tile_size, method)
+            for s, e in zip(starts, ends)
+        ]
+        cur = pa.concat_tables(parents)
+        outs.append(cur)
+    return pa.concat_tables(outs)
+
+
 def overview_levels_fused(tiles_ds, *, n_levels: int, tile_size: int = 64,
                           method: str = "average"):
     """`n_levels` pyramid steps in ONE shuffle: tiles bucket by their
@@ -459,27 +486,8 @@ def overview_levels_fused(tiles_ds, *, n_levels: int, tile_size: int = 64,
     def sub_pyramid(g: pa.Table) -> pa.Table:
         if len(g) == 0:
             return _empty_tile_table()
-        g = g.drop_columns(["ax", "ay"])
-        outs = []
-        cur = g
-        for _ in range(n):
-            xs = cur.column("x").to_numpy(zero_copy_only=False)
-            ys = cur.column("y").to_numpy(zero_copy_only=False)
-            px, py = xs >> 1, ys >> 1
-            order = np.lexsort((py, px))
-            newg = np.ones(len(order), dtype=bool)
-            newg[1:] = (px[order][1:] != px[order][:-1]) | (py[order][1:] != py[order][:-1])
-            starts = np.flatnonzero(newg)
-            ends = np.append(starts[1:], len(order))
-            keyed = cur.append_column("px", pa.array(px, pa.int64())) \
-                       .append_column("py", pa.array(py, pa.int64()))
-            parents = [
-                _overview_group(keyed.take(pa.array(order[s:e])), tile_size, method)
-                for s, e in zip(starts, ends)
-            ]
-            cur = pa.concat_tables(parents)
-            outs.append(cur)
-        return pa.concat_tables(outs)
+        return _sub_pyramid_levels(g.drop_columns(["ax", "ay"]), n,
+                                   tile_size, method)
 
     keyed = tiles_ds.map_batches(key, batch_format="pyarrow")
     combined = _per_tile_reduce(keyed, ["ax", "ay"], sub_pyramid).materialize()
@@ -521,3 +529,94 @@ def render_pyramid(images_ds, *, base_zoom: int, min_zoom: int, tile_size: int =
             )
         remaining -= span
     return levels
+
+
+def render_pyramid_fused(images_ds, *, base_zoom: int, min_zoom: int,
+                         tile_size: int = 64, method: str = "average",
+                         fuse_span: int = 4, split_levels: bool = True):
+    """Whole pyramid — base mosaic AND overview levels — in ONE shuffle.
+
+    Contributions key directly by their `min_zoom` ancestor (x≫n, y≫n);
+    each ancestor group mosaics its ≤4ⁿ base tiles and builds the whole
+    sub-pyramid locally with the very kernels the chained plan uses
+    (_mosaic_rects_group per tile, then _sub_pyramid_levels) — outputs
+    are byte-identical to render_pyramid (pytest-pinned), at one shuffle
+    + one materialize instead of 1 + ⌈n/span⌉ of each.
+
+    Why: at bench scale every extra Ray pass over the (small) tile table
+    costs fixed Sort/barrier seconds that no CPU count removes; fusing
+    the base reduce with the pyramid removes the second pass entirely.
+    Skew bound: a group is one level-`min_zoom` ancestor = 4ⁿ base tiles'
+    contributions (n ≤ `fuse_span`; deeper pyramids fall back to
+    render_pyramid's spans after the first fused block).  A hot ancestor
+    therefore costs 4ⁿ × the base plan's hot-tile group — keep
+    `fuse_span` small (default 4 ⇒ ≤256 tiles) or use salt_bits plans
+    for pathological hot spots.
+
+    Returns the same `levels` list contract as render_pyramid (base
+    first), as filtered views of the single combined Dataset — or, with
+    ``split_levels=False``, the combined Dataset itself (all levels, `z`
+    column distinguishes; count() is then materialize-metadata-free).
+    """
+    n = base_zoom - min_zoom
+    if n == 0:
+        base = render_base_tiles(images_ds, zoom=base_zoom,
+                                 tile_size=tile_size).materialize()
+        return base if not split_levels else [base]
+    if n > fuse_span:
+        # first fused block from contributions, remaining spans tile-wise
+        levels = render_pyramid_fused(
+            images_ds, base_zoom=base_zoom, min_zoom=base_zoom - fuse_span,
+            tile_size=tile_size, method=method, fuse_span=fuse_span)
+        remaining = n - fuse_span
+        while remaining > 0:
+            span = min(fuse_span, remaining)
+            levels.extend(overview_levels_fused(
+                levels[-1], n_levels=span, tile_size=tile_size, method=method))
+            remaining -= span
+        if not split_levels:
+            out = levels[0]
+            for lv in levels[1:]:
+                out = out.union(lv)
+            return out
+        return levels
+
+    contrib = images_ds.map_batches(
+        lambda b: render_contributions(b, zoom=base_zoom, tile_size=tile_size),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ax", pa.array(b.column("x").to_numpy() >> n, pa.int64())
+        ).append_column(
+            "ay", pa.array(b.column("y").to_numpy() >> n, pa.int64()))
+
+    def pyramid_group(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _empty_tile_table()
+        g = g.drop_columns(["ax", "ay"])
+        xs = g.column("x").to_numpy(zero_copy_only=False)
+        ys = g.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ys, xs))
+        newt = np.ones(len(order), dtype=bool)
+        newt[1:] = (xs[order][1:] != xs[order][:-1]) | \
+            (ys[order][1:] != ys[order][:-1])
+        starts = np.flatnonzero(newt)
+        ends = np.append(starts[1:], len(order))
+        base = pa.concat_tables([
+            _mosaic_rects_group(g.take(pa.array(order[s:e])), tile_size)
+            for s, e in zip(starts, ends)
+        ])
+        if len(base) == 0:   # all-blank ancestor (alpha-skip)
+            return _empty_tile_table()
+        return pa.concat_tables(
+            [base, _sub_pyramid_levels(base, n, tile_size, method)])
+
+    keyed = contrib.map_batches(key, batch_format="pyarrow")
+    combined = _per_tile_reduce(keyed, ["ax", "ay"], pyramid_group).materialize()
+    if not split_levels:
+        return combined
+    return [combined.filter(expr=f"z == {base_zoom - i}")
+            for i in range(n + 1)]

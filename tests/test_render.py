@@ -379,3 +379,33 @@ def test_pyramid_fuse_span_chunking(ray_session):
         assert len(a) == len(b)
         assert (a["checksum"] == b["checksum"]).all()
         assert all(x == y for x, y in zip(a["rgb"], b["rgb"]))
+
+
+def test_render_pyramid_fused_equals_chained(ray_session):
+    """render_pyramid_fused (base mosaic + overviews in ONE shuffle) must
+    be byte-identical, level by level, to render_pyramid — including a
+    depth that exceeds fuse_span (fallback spans) and n_src/checksum."""
+    import ray.data as rd
+
+    rows = [
+        _img_row(1, 50, 10.0, 20.0, 30.0, 40.0),
+        _img_row(2, 150, 25.0, 30.0, 45.0, 50.0),
+        _img_row(3, 220, -60.0, -20.0, -30.0, 10.0),
+        _img_row(4, 90, 12.0, 22.0, 28.0, 38.0),   # overlap for priority
+    ]
+    ds = rd.from_arrow(_table(rows))
+    for min_zoom, fuse in ((2, 4), (0, 2)):  # within-span and fallback
+        lv_ref = render.render_pyramid(ds, base_zoom=4, min_zoom=min_zoom,
+                                       tile_size=16)
+        lv_fused = render.render_pyramid_fused(ds, base_zoom=4,
+                                               min_zoom=min_zoom,
+                                               tile_size=16, fuse_span=fuse)
+        assert len(lv_ref) == len(lv_fused) == 4 - min_zoom + 1
+        for da, db in zip(lv_ref, lv_fused):
+            a = da.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+            b = db.to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+            assert len(a) == len(b) and len(a) >= 1
+            for col in ["z", "x", "y", "n_src", "checksum"]:
+                assert (a[col] == b[col]).all(), col
+            assert all(x == y for x, y in zip(a["rgb"], b["rgb"]))
+            assert all(x == y for x, y in zip(a["alpha"], b["alpha"]))
