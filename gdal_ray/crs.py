@@ -617,6 +617,76 @@ def eqc(lat_ts: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def oblique_stereographic(lat0: float, lon0: float, k0: float,
+                          fe: float, fn: float,
+                          a: float = A_WGS84, f: float = F_WGS84):
+    """Oblique stereographic, EPSG method 9809 ("double" projection via
+    the conformal sphere — the RD New / EPSG:28992 method; +proj=sterea).
+    Forward per EPSG Guidance Note 7-2; inverse by vectorized 2×2 Newton
+    on the forward (FD Jacobian) seeded with the spherical stereographic
+    inverse — valid on the projection's usable hemisphere."""
+    e = _ecc(f)
+    e2 = e * e
+    p0 = np.radians(lat0)
+    s0 = np.sin(p0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * s0 * s0)
+    R = np.sqrt(rho0 * nu0)              # conformal sphere radius
+    n = np.sqrt(1.0 + e2 * np.cos(p0) ** 4 / (1.0 - e2))
+    w1 = (((1 + s0) / (1 - s0)) * ((1 - e * s0) / (1 + e * s0)) ** e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    sc0, cc0 = np.sin(chi0), np.cos(chi0)
+
+    def _fwd_rad(lam, phi):
+        """(n·Δλ on the sphere, geodetic φ) -> (E-FE, N-FN)."""
+        s = np.sin(phi)
+        w = c * (((1 + s) / (1 - s)) * ((1 - e * s) / (1 + e * s)) ** e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+        B = 1 + np.sin(chi) * sc0 + np.cos(chi) * cc0 * np.cos(lam)
+        E = 2 * R * k0 * np.cos(chi) * np.sin(lam) / B
+        N = 2 * R * k0 * (np.sin(chi) * cc0 - np.cos(chi) * sc0
+                          * np.cos(lam)) / B
+        return E, N
+
+    def fwd(lon, lat):
+        lam = n * np.radians(
+            _wrap_lon(np.asarray(lon, dtype=np.float64) - lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        E, N = _fwd_rad(lam, phi)
+        return fe + E, fn + N
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        # spherical seed: invert the stereographic on the conformal sphere
+        rho = np.hypot(x, y)
+        ce = 2 * np.arctan2(rho, 2 * R * k0)
+        sc, cc = np.sin(ce), np.cos(ce)
+        safe = np.where(rho == 0, 1.0, rho)
+        chi = np.arcsin(np.clip(cc * sc0 + y * sc * cc0 / safe, -1.0, 1.0))
+        lam = np.arctan2(x * sc, rho * cc * cc0 - y * sc * sc0)
+        lam = np.where(rho == 0, 0.0, lam)
+        phi = chi                         # first guess: geodetic ≈ conformal
+        h = 1e-8
+        for _ in range(10):
+            fx, fy = _fwd_rad(lam, phi)
+            rx, ry = fx - x, fy - y
+            dxl, dyl = _fwd_rad(lam + h, phi)
+            dxp, dyp = _fwd_rad(lam, phi + h)
+            j11, j21 = (dxl - fx) / h, (dyl - fy) / h
+            j12, j22 = (dxp - fx) / h, (dyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+            lam = lam - (j22 * rx - j12 * ry) / det
+            phi = phi - (-j21 * rx + j11 * ry) / det
+        return _wrap_lon(np.degrees(lam / n) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
 def _merid_arc_fns(a: float, e2: float):
     """Meridian arc distance M(φ) and its inverse (Snyder 3-21 / 3-26,
     public series).  Returns (M, M_inv) over radians/metres."""
@@ -896,9 +966,13 @@ def _proj_pair_raw(p: dict):
         return laea(lat0, lon0, fe, fn, a=a, f=f)
     if proj == "stere":
         if abs(lat0) < 89.999:
-            raise NotImplementedError("oblique stereographic (+lat_0 not ±90)")
+            raise NotImplementedError(
+                "oblique +proj=stere (use +proj=sterea — EPSG 9809 double "
+                "stereographic — for oblique aspects)")
         lat_ts = float(p.get("lat_ts", lat0))
         return polar_stereographic(lat_ts, lon0, fe, fn, a=a, f=f)
+    if proj == "sterea":
+        return oblique_stereographic(lat0, lon0, k0, fe, fn, a=a, f=f)
     if proj == "sinu":
         return sinusoidal(lon0, fe, fn, a=a, f=f)
     if proj == "moll":

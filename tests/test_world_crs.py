@@ -186,3 +186,53 @@ def test_lcc_1sp_scaled():
     Nr = A_WGS84 / np.sqrt(1 - E2 * np.sin(phi) ** 2)
     k = float(np.hypot(x1 - x0, y1 - y0)) / (np.radians(h) * Nr * np.cos(phi))
     assert abs(k - 0.99987742) < 1e-7
+
+
+def test_oblique_stereographic_rd_new():
+    """EPSG 9809 (double stereographic) with the RD New / EPSG:28992
+    parameters — INDEPENDENT anchor: the EPSG Guidance Note 7-2 worked
+    example (53°N 6°E → 196105.283 E, 557057.739 N on Bessel/Amersfoort),
+    plus conformality and k0-at-origin FD checks."""
+    from gdal_ray.crs import oblique_stereographic
+
+    a, f = 6377397.155, 1 / 299.1528128
+    lat0, lon0 = 52.15616055555555, 5.38763888888889
+    fwd, inv = oblique_stereographic(lat0, lon0, 0.9999079,
+                                     155000.0, 463000.0, a=a, f=f)
+    x, y = fwd(lon0, lat0)
+    assert abs(float(x) - 155000.0) < 1e-6
+    assert abs(float(y) - 463000.0) < 1e-6
+    x, y = fwd(6.0, 53.0)
+    assert abs(float(x) - 196105.283) < 1e-3
+    assert abs(float(y) - 557057.739) < 1e-3
+    # round trip over the Netherlands
+    lon, lat = np.meshgrid(np.linspace(3.2, 7.3, 7),
+                           np.linspace(50.7, 53.6, 7))
+    px, py = fwd(lon.ravel(), lat.ravel())
+    lon2, lat2 = inv(px, py)
+    assert np.abs(lon2 - lon.ravel()).max() < 1e-9
+    assert np.abs(lat2 - lat.ravel()).max() < 1e-9
+    # conformal: parallel scale == meridian scale; k(origin) == k0
+    e2b = f * (2 - f)
+    h = 1e-6
+    for LO, LA, want_k in ((lon0, lat0, 0.9999079), (6.5, 51.2, None)):
+        x0, y0 = fwd(LO, LA)
+        xl, yl = fwd(LO + h, LA)
+        xp, yp = fwd(LO, LA + h)
+        phi = np.radians(LA)
+        s2 = np.sin(phi) ** 2
+        Nr = a / np.sqrt(1 - e2b * s2)
+        Mr = a * (1 - e2b) / (1 - e2b * s2) ** 1.5
+        kp = float(np.hypot(xl - x0, yl - y0)) / (np.radians(h) * Nr
+                                                  * np.cos(phi))
+        km = float(np.hypot(xp - x0, yp - y0)) / (np.radians(h) * Mr)
+        assert abs(kp / km - 1.0) < 1e-6
+        if want_k is not None:
+            assert abs(kp - want_k) < 1e-7
+    # +proj string front end
+    fwd2, _ = proj_pair("+proj=sterea +lat_0=52.15616055555555 "
+                        "+lon_0=5.38763888888889 +k_0=0.9999079 "
+                        "+x_0=155000 +y_0=463000 +a=6377397.155 "
+                        "+rf=299.1528128")
+    x2, y2 = fwd2(6.0, 53.0)
+    assert abs(float(x2) - 196105.283) < 1e-3
