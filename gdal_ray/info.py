@@ -30,6 +30,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from gdal_ray.sources.dted import dted_meta
+
+        return dted_meta(path)
     if low.endswith((".bil", ".bip", ".bsq", ".img", ".dat")):
         from gdal_ray.sources.rawgrid import ehdr_meta, envi_meta
 

@@ -124,6 +124,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.rawgrid import read_rawgrid
 
         return read_rawgrid(path, **kw)
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from gdal_ray.sources.dted import read_dted
+
+        return read_dted(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))

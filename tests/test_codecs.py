@@ -61,8 +61,11 @@ def test_unknown_format_raises():
         decode(b"RIFF....WEBP", "webp")  # no chunk at all
     with pytest.raises(ValueError):
         decode(b"\xff\xd8\xff\xe0 truncated jpeg", "jpeg")  # real decoder engages
+    # GIF now decodes for real (codecs/gif.py): a corrupt stream errors
+    with pytest.raises(ValueError):
+        decode(b"GIF89a not a real stream", "gif")
     with pytest.raises(NotImplementedError):
-        decode(b"GIF89a not supported", "gif")
+        decode(b"ID3\x03unsupported container", "mp3")
 
 
 def test_png_16bit_roundtrip():
