@@ -422,8 +422,15 @@ def _parse_headers(data: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC2:  # SOF2 progressive — handled by jpeg_progressive
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/progressive JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -451,6 +458,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def decode_jpeg_scalar(data: bytes) -> np.ndarray:
     """Scalar per-symbol reference engine (parity baseline for tests)."""
     m = _parse_headers(data)
+    if m["frame"].get("progressive"):
+        from gdal_ray.codecs.jpeg_progressive import decode_jpeg_progressive
+
+        return decode_jpeg_progressive(data)
     huff_luts = {k: _huff_lut(*v) for k, v in m["huff"].items()}
     return _decode_scan(
         memoryview(data), m["scan_off"], m["frame"], m["scomp"],
@@ -656,10 +667,50 @@ def _words32(buf: np.ndarray) -> np.ndarray:
     return w
 
 
+def _is_progressive_stream(data: bytes) -> bool:
+    """Cheap marker walk: True iff the frame header is SOF2."""
+    if data[:2] != b"\xFF\xD8":
+        return False
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return False
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker in (0xD9, 0xDA):
+            return False
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1):
+            return False
+        pos += struct.unpack_from(">H", data, pos)[0]
+    return False
+
+
 def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
-    """Decode a batch of baseline JPEGs with pooled-lane entropy decode."""
+    """Decode a batch of baseline JPEGs with pooled-lane entropy decode.
+    Progressive (SOF2) members route to the scalar Annex-G decoder."""
     if not datas:
         return []
+    prog = [i for i, d in enumerate(datas) if _is_progressive_stream(d)]
+    if prog:
+        from gdal_ray.codecs.jpeg_progressive import decode_jpeg_progressive
+
+        out: list = [None] * len(datas)
+        rest, rest_pos = [], []
+        pset = set(prog)
+        for i, d in enumerate(datas):
+            if i in pset:
+                out[i] = decode_jpeg_progressive(d)
+            else:
+                rest.append(d)
+                rest_pos.append(i)
+        for p, img in zip(rest_pos, decode_jpeg_batch(rest)):
+            out[p] = img
+        return out
     # bound pooled coefficient memory (~36x the compressed bytes): split
     # oversized batches; int32 lane state also requires pool < 2^31 bytes
     total = sum(len(d) for d in datas)
