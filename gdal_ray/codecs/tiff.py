@@ -8,7 +8,9 @@ reference's flagship driver (frmts/gtiff/geotiff.cpp, gt_wkt_srs.cpp):
 - sample types uint8/16/32, int8/16/32, float32/64 (SampleFormat tag);
 - compression: none (1), LZW (5, with horizontal predictor 2 and the
   spec's early-change code-width bump), Deflate (8 / old 32946, zlib),
-  PackBits (32773);
+  PackBits (32773), JPEG (7, TechNote 2: abbreviated per-chunk streams
+  merged with the shared JPEGTables tag, YCbCr photometric 6 — decoded
+  by the from-spec codec in jpeg.py);
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint (or the full
   ModelTransformation matrix) -> the 6-term GDAL geotransform, and the
   GeoKey directory -> EPSG code (GeographicTypeGeoKey 2048 /
@@ -36,6 +38,7 @@ T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 27
 T_PLANAR, T_PREDICTOR, T_SAMPLE_FORMAT = 284, 317, 339
 T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_EXTRASAMPLES = 338
+T_JPEG_TABLES = 347  # TIFF TechNote 2 "new-style" JPEG (compression 7)
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
 T_GEO_KEYS, T_GEO_DOUBLES, T_GEO_ASCII = 34735, 34736, 34737
 T_GDAL_METADATA, T_GDAL_NODATA = 42112, 42113
@@ -45,7 +48,7 @@ GK_GEOGRAPHIC_TYPE, GK_PROJECTED_CS = 2048, 3072
 
 # field type -> (struct code, byte size)
 _FIELD = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+          6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
           11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
 _DTYPES = {  # (bits, sample_format) -> numpy dtype
@@ -259,6 +262,55 @@ def _lzw_encode(src: bytes) -> bytes:
 # ---------------------------------------------------------------- decode
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a self-contained JPEG into (JPEGTables blob, abbreviated
+    stream): DQT/DHT segments move to the tables blob per TIFF TechNote 2
+    (the layout libtiff writes for compression 7)."""
+    tables = bytearray()
+    keep = bytearray(b"\xFF\xD8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS — entropy data follows; keep the rest
+            keep += stream[pos:]
+            break
+        seglen = struct.unpack_from(">H", stream, pos + 2)[0]
+        seg = stream[pos: pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            keep += seg
+        pos += 2 + seglen
+    return bytes(b"\xFF\xD8" + tables + b"\xFF\xD9"), bytes(keep)
+
+
+def _jpeg_merge_tables(chunk: bytes, tables: bytes | None) -> bytes:
+    """Splice the JPEGTables body (sans SOI/EOI) after the chunk's SOI;
+    chunks that repeat their own tables simply redefine them."""
+    if not tables or len(tables) <= 4 or chunk[:2] != b"\xFF\xD8":
+        return chunk
+    return b"\xFF\xD8" + tables[2:-2] + chunk[2:]
+
+
+def _decode_jpeg_chunk(raw: bytes, tables, phot: int, eh: int, ew: int,
+                       cpp: int, dt) -> np.ndarray:
+    """Decode one compression-7 tile/strip to an (eh, ew, cpp) block."""
+    from gdal_ray.codecs.jpeg import decode_jpeg
+
+    img = decode_jpeg(_jpeg_merge_tables(raw, tables))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if phot == 2 and img.shape[2] == 3:
+        raise NotImplementedError(
+            "JPEG-in-TIFF with PhotometricInterpretation=RGB (no YCbCr "
+            "transform) is not supported; use photometric 6")
+    blk = np.zeros((eh, ew, cpp), dtype=dt)
+    hh, ww = min(eh, img.shape[0]), min(ew, img.shape[1])
+    blk[:hh, :ww] = img[:hh, :ww, :cpp]
+    return blk
+
+
 def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
     if comp == 1:
         return raw
@@ -300,6 +352,11 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
     planar = int(tags.get(T_PLANAR, [1])[0])
     predictor = int(tags.get(T_PREDICTOR, [1])[0])
     bpp = bits // 8
+    phot = int(tags.get(T_PHOTOMETRIC, [1])[0])
+    jpegtables = (bytes(tags[T_JPEG_TABLES]) if T_JPEG_TABLES in tags
+                  else None)
+    if comp == 7 and planar == 2:
+        raise NotImplementedError("JPEG compression with planar config 2")
 
     tiled = T_TILE_OFFSETS in tags
     if tiled:
@@ -317,11 +374,16 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                 for i in range(tx):
                     raw = data[int(offs[k]):int(offs[k]) + int(cnts[k])]
                     k += 1
-                    exp = tw * th * cpp * bpp
-                    buf = _decompress(raw, comp, exp)
-                    blk = np.frombuffer(buf[:exp], dtype=dt).reshape(th, tw, cpp)
-                    if predictor == 2:
-                        blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                    if comp == 7:
+                        blk = _decode_jpeg_chunk(raw, jpegtables, phot,
+                                                 th, tw, cpp,
+                                                 dt.newbyteorder("="))
+                    else:
+                        exp = tw * th * cpp * bpp
+                        buf = _decompress(raw, comp, exp)
+                        blk = np.frombuffer(buf[:exp], dtype=dt).reshape(th, tw, cpp)
+                        if predictor == 2:
+                            blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
                     y0, x0 = j * th, i * tw
                     hh, ww = min(th, h - y0), min(tw, w - x0)
                     if planar == 2:
@@ -343,11 +405,15 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                 hh = min(rps, h - y0)
                 raw = data[int(offs[k]):int(offs[k]) + int(cnts[k])]
                 k += 1
-                exp = hh * w * cpp * bpp
-                buf = _decompress(raw, comp, exp)
-                blk = np.frombuffer(buf[:exp], dtype=dt).reshape(hh, w, cpp)
-                if predictor == 2:
-                    blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                if comp == 7:
+                    blk = _decode_jpeg_chunk(raw, jpegtables, phot,
+                                             hh, w, cpp, dt.newbyteorder("="))
+                else:
+                    exp = hh * w * cpp * bpp
+                    buf = _decompress(raw, comp, exp)
+                    blk = np.frombuffer(buf[:exp], dtype=dt).reshape(hh, w, cpp)
+                    if predictor == 2:
+                        blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
                 if planar == 2:
                     arr[y0:y0 + hh, :, plane] = blk[:, :, 0]
                 else:
@@ -412,11 +478,15 @@ def encode_geotiff(
     tile_size: int | None = None,
     rows_per_strip: int | None = None,
     big: bool = False,
+    jpeg_quality: int = 85,
 ) -> bytes:
     """Write a single-IFD little-endian (Geo)TIFF.  compression in
-    {'none','deflate','lzw','packbits'}; predictor=True applies
+    {'none','deflate','lzw','packbits','jpeg'}; predictor=True applies
     horizontal differencing (integer dtypes only); tile_size writes a
-    tiled layout instead of strips."""
+    tiled layout instead of strips.  'jpeg' (compression 7, TechNote 2)
+    writes abbreviated per-chunk streams + a shared JPEGTables tag, YCbCr
+    photometric for 3-band uint8 — the layout libtiff/GDAL produce for
+    lossy aerial-imagery GeoTIFFs (frmts/gtiff/geotiff.cpp JPEG path)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
@@ -427,12 +497,23 @@ def encode_geotiff(
     bits = dt.itemsize * 8
     if (bits, sf) not in _DTYPES:
         raise NotImplementedError(f"dtype {dt} not supported")
-    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
+               "jpeg": 7}[compression]
+    if comp_id == 7:
+        if dt != np.uint8 or spp not in (1, 3):
+            raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
+        if predictor:
+            raise ValueError("predictor does not apply to JPEG compression")
     if predictor and dt.kind == "f":
         raise NotImplementedError("predictor=2 is integer-only")
     arr_le = np.ascontiguousarray(arr, dtype=dt.newbyteorder("<"))
 
     def _compress(block: np.ndarray) -> bytes:
+        if comp_id == 7:
+            from gdal_ray.codecs.jpeg import encode_jpeg
+
+            img = block[:, :, 0] if spp == 1 else block
+            return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
         if predictor:
             block = _do_predictor2(block)
         raw = block.tobytes()
@@ -471,7 +552,14 @@ def encode_geotiff(
     add(T_LENGTH, 4, [h])
     add(T_BITS, 3, [bits] * spp)
     add(T_COMPRESSION, 3, [comp_id])
-    add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+    if comp_id == 7:
+        # move the (identical) DQT/DHT of every chunk into JPEGTables
+        tables0, _ = _jpeg_split_tables(chunks[0])
+        chunks = [_jpeg_split_tables(c)[1] for c in chunks]
+        add(T_JPEG_TABLES, 7, list(tables0))
+        add(T_PHOTOMETRIC, 3, [6 if spp == 3 else 1])
+    else:
+        add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
     add(T_SAMPLES, 3, [spp])
     if spp in (2, 4):
         add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))
@@ -651,7 +739,10 @@ def encode_cog(
         raise NotImplementedError(f"dtype {arr.dtype} not supported")
     if tile_size % 16:
         raise ValueError("TIFF tile size must be a multiple of 16")
-    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
+               "jpeg": 7}[compression]
+    if comp_id == 7 and (arr.dtype != np.uint8 or arr.shape[2] not in (1, 3)):
+        raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
 
     levels = [arr]
     while max(levels[-1].shape[0], levels[-1].shape[1]) > tile_size:
@@ -685,7 +776,15 @@ def iter_cog_tiles(a: np.ndarray, tile_size: int):
 
 def compress_cog_tile(blk: np.ndarray, compression: str) -> bytes:
     """Compress one padded tile — the CPU-heavy kernel the distributed
-    COG sink (state/cogsink.py) runs inside map_batches."""
+    COG sink (state/cogsink.py) runs inside map_batches.  'jpeg' tiles
+    are SELF-CONTAINED streams (tables inline, no shared JPEGTables):
+    spec-legal, and it keeps distributed tile compression independent —
+    no cross-task coordination of a shared tables blob."""
+    if compression == "jpeg":
+        from gdal_ray.codecs.jpeg import encode_jpeg
+
+        img = blk[:, :, 0] if blk.shape[2] == 1 else blk
+        return encode_jpeg(np.ascontiguousarray(img, dtype=np.uint8))
     raw = np.ascontiguousarray(blk, dtype=blk.dtype.newbyteorder("<")).tobytes()
     if compression == "none":
         return raw
@@ -730,7 +829,10 @@ def _cog_assemble(level_shapes, level_dtypes, level_chunks, *, tile_size,
         add(T_LENGTH, 4, [h])
         add(T_BITS, 3, [bits] * spp)
         add(T_COMPRESSION, 3, [comp_id])
-        add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+        if comp_id == 7:
+            add(T_PHOTOMETRIC, 3, [6 if spp == 3 else 1])
+        else:
+            add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
         add(T_SAMPLES, 3, [spp])
         if spp in (2, 4):
             add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))

@@ -19,10 +19,12 @@ from gdal_ray.codecs.tiff import (
     T_BITS,
     T_COMPRESSION,
     T_GDAL_NODATA,
+    T_JPEG_TABLES,
     T_LENGTH,
     T_MODEL_PIXEL_SCALE,
     T_MODEL_TIEPOINT,
     T_MODEL_TRANSFORM,
+    T_PHOTOMETRIC,
     T_PLANAR,
     T_PREDICTOR,
     T_ROWS_PER_STRIP,
@@ -86,6 +88,9 @@ def tiff_levels(path: str) -> list[dict]:
             "dtype": _DTYPES[(bits, sf)], "endian": r.e,
             "compression": int(tags.get(T_COMPRESSION, [1])[0]),
             "predictor": int(tags.get(T_PREDICTOR, [1])[0]),
+            "photometric": int(tags.get(T_PHOTOMETRIC, [1])[0]),
+            "jpegtables": (bytes(tags[T_JPEG_TABLES])
+                           if T_JPEG_TABLES in tags else None),
             "geotransform": None, "nodata": None,
         }
         if T_MODEL_TRANSFORM in tags:
@@ -120,6 +125,12 @@ def tiff_levels(path: str) -> list[dict]:
 def _decode_chunk(raw: bytes, meta: dict, ch: int, cw: int) -> np.ndarray:
     dt = np.dtype(meta["dtype"]).newbyteorder(meta["endian"])
     spp = meta["spp"]
+    if meta["compression"] == 7:
+        from gdal_ray.codecs.tiff import _decode_jpeg_chunk
+
+        return _decode_jpeg_chunk(raw, meta.get("jpegtables"),
+                                  meta.get("photometric", 1),
+                                  ch, cw, spp, dt.newbyteorder("="))
     expected = ch * cw * spp * dt.itemsize
     data = _decompress(raw, meta["compression"], expected)
     blk = np.frombuffer(data[:expected], dtype=dt).reshape(ch, cw, spp)

@@ -237,3 +237,51 @@ def test_cog_plain_reader_sees_full_res():
     data = encode_cog(arr, tile_size=256)
     a, _ = read_geotiff(data)
     assert np.array_equal(a, arr)
+
+
+# ------------------------------------------------ JPEG-in-TIFF (comp 7)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _smooth_rgb(h, w):
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 100 * np.sin(x / 17) * np.cos(y / 13)
+    g = 128 + 90 * np.cos(x / 23)
+    b = 128 + 80 * np.sin((x + y) / 29)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_in_tiff_tiled_rgb():
+    # TechNote 2 layout: abbreviated per-tile streams + shared JPEGTables,
+    # photometric 6 (YCbCr) — the layout libtiff writes for compression 7.
+    a = _smooth_rgb(70, 90)
+    data = encode_geotiff(a, compression="jpeg", tile_size=32)
+    out = decode_tiff(data)
+    assert out.shape == a.shape and out.dtype == np.uint8
+    assert _psnr(a, out) > 35
+
+    # shared tables really are split out: per-tile streams hold no DQT/DHT
+    from gdal_ray.codecs.tiff import T_JPEG_TABLES, _Reader
+    r = _Reader(data)
+    tags = r.ifd_tags(r.first_ifd)
+    assert T_JPEG_TABLES in tags
+    offs, cnts = tags[322 + 2], tags[322 + 3]  # tile offsets/counts
+    for o, c in zip(offs, cnts):
+        chunk = bytes(data[int(o):int(o) + int(c)])
+        assert b"\xFF\xDB" not in chunk[:200]  # no DQT in the tile stream
+
+
+def test_jpeg_in_tiff_striped_gray():
+    a = _smooth_rgb(61, 40)[:, :, 0]
+    out = decode_tiff(encode_geotiff(a, compression="jpeg", rows_per_strip=16))
+    assert out.shape == a.shape
+    assert _psnr(a, out) > 35
+
+
+def test_jpeg_in_tiff_rejects_bad_dtype():
+    with pytest.raises(NotImplementedError):
+        encode_geotiff(_img(np.uint16, 8, 8), compression="jpeg")
