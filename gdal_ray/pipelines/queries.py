@@ -2997,6 +2997,37 @@ def q_sql_distinct(sf_dir: str):
     return execute_sql(SQL_IFACE_DISTINCT, {"orders": _read(sf_dir, "orders")})
 
 
+SQL_IFACE_WINDOW = (
+    "SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+    "RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk, "
+    "DENSE_RANK() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderstatus DESC) AS drnk, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderstatus) AS BIGINT) AS status_run, "
+    "COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders, "
+    "COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey), 0.0) AS prev_price "
+    "FROM orders WHERE o_orderkey % 3 = 0 "
+    "ORDER BY o_custkey, o_orderkey"
+)
+
+
+def q_sql_window(sf_dir: str):
+    """SQL front end round 4: ANSI window functions — fn() OVER
+    (PARTITION BY ... ORDER BY ...) for ROW_NUMBER/RANK/DENSE_RANK,
+    peer-inclusive running SUM/COUNT/AVG (RANGE ... CURRENT ROW, the
+    ANSI/DuckDB default frame) and LAG/LEAD.  The reference's SQLite
+    dialect gets these from sqlite3's window machinery
+    (ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp); here each distinct
+    OVER clause lowers to ONE bucketed shuffle + a vectorized per-bucket
+    kernel (stages/window.py) — the IDENTICAL string runs on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_WINDOW, {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_JOIN = (
     "SELECT n_name, o_orderpriority, COUNT(*) AS n, "
     "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS sum_cents "
@@ -3960,6 +3991,7 @@ def queries():
         "union_overlap": q_union_overlap,
         "sql_having": q_sql_having,
         "sql_distinct": q_sql_distinct,
+        "sql_window": q_sql_window,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -4118,6 +4150,7 @@ def oracle_sql():
         "sql_union": SQL_IFACE_UNION,
         "sql_having": SQL_IFACE_HAVING,
         "sql_distinct": SQL_IFACE_DISTINCT,
+        "sql_window": SQL_IFACE_WINDOW,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -17,7 +17,10 @@ Grammar (grows as needed):
     [UNION ALL SELECT ...]
   item := expr [AS name] | * | * EXCEPT (col[, ...])
        | agg(expr) [AS name] | COUNT(*) [AS name]
+       | winfn OVER ([PARTITION BY col,...] [ORDER BY col [DESC],...])
   agg  := SUM | MIN | MAX | AVG | COUNT
+  winfn:= ROW_NUMBER() | RANK() | DENSE_RANK() | LAG/LEAD(e[, k])
+       | SUM/COUNT/AVG/MIN/MAX(e) | COUNT(*)   (stages/window.py)
   scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, CAST(e AS type)
   predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...),
               [NOT] BETWEEN a AND b, IS [NOT] NULL, AND, OR, NOT
@@ -45,6 +48,7 @@ _KEYWORDS = {
     "DESC", "ASC", "DISTINCT", "JOIN", "LEFT", "INNER", "ON",
     "UNION", "ALL", "OFFSET", "EXCEPT", "EXCLUDE",
     "HAVING", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "OVER", "PARTITION",
 }
 
 
@@ -228,20 +232,25 @@ def _parse_primary(p):
         if p.accept("op", "("):
             fn = v.upper()
             args = []
+            star = False
             if fn == "COUNT" and p.accept("op", "*"):
                 p.expect("op", ")")
-                return ("agg", "COUNT", None)
-            if fn == "COUNT" and p.accept("kw", "DISTINCT"):
+                star = True
+            elif fn == "COUNT" and p.accept("kw", "DISTINCT"):
                 # SWQM_DISTINCT_LIST (ogr/ogr_swq.h:322)
                 e = _parse_expr(p)
                 p.expect("op", ")")
                 return ("agg", "COUNT_DISTINCT", e)
-            if not p.accept("op", ")"):
+            elif not p.accept("op", ")"):
                 while True:
                     args.append(_parse_expr(p))
                     if not p.accept("op", ","):
                         break
                 p.expect("op", ")")
+            if p.accept("kw", "OVER"):
+                return _parse_over(p, fn, args, star)
+            if star:
+                return ("agg", "COUNT", None)
             if fn in _AGG_FNS:
                 if len(args) != 1:
                     raise ValueError(f"{fn} takes one argument")
@@ -255,6 +264,76 @@ def _parse_primary(p):
         p.expect("op", ")")
         return e
     raise ValueError(f"SQL parse error near {v!r}")
+
+
+def _parse_over(p: _P, fn: str, args: list, star: bool):
+    """fn(args) OVER ([PARTITION BY c,...] [ORDER BY c [DESC],...]) —
+    ANSI window functions (the reference's SQLite dialect gets these from
+    sqlite3; the swq dialect has none).  Node:
+    ("win", fn, arg_node|None, offset, partition_tuple, order_tuple)."""
+    from gdal_ray.stages.window import WINDOW_FNS
+
+    if fn not in WINDOW_FNS:
+        raise ValueError(f"{fn} is not a window function")
+    arg, offset = None, 1
+    if fn in ("LAG", "LEAD"):
+        if not 1 <= len(args) <= 2:
+            raise ValueError(f"{fn} takes (expr[, offset])")
+        arg = args[0]
+        if len(args) == 2:
+            if args[1][0] != "lit":
+                raise ValueError(f"{fn} offset must be a literal")
+            offset = int(args[1][1])
+    elif fn in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+        if args or star:
+            raise ValueError(f"{fn}() takes no arguments")
+    elif not star:  # SUM/COUNT/AVG/MIN/MAX over an expression
+        if len(args) != 1:
+            raise ValueError(f"{fn} takes one argument")
+        arg = args[0]
+    p.expect("op", "(")
+    partition, order = [], []
+    if p.accept("kw", "PARTITION"):
+        p.expect("kw", "BY")
+        while True:
+            partition.append(p.expect("id")[1])
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            c = p.expect("id")[1]
+            desc = bool(p.accept("kw", "DESC"))
+            if not desc:
+                p.accept("kw", "ASC")
+            order.append((c, desc))
+            if not p.accept("op", ","):
+                break
+    p.expect("op", ")")
+    return ("win", fn, arg, offset, tuple(partition), tuple(order))
+
+
+def _collect_wins(node, out):
+    if isinstance(node, tuple):
+        if node and node[0] == "win":
+            out.append(node)
+            return
+        for part in node:
+            _collect_wins(part, out)
+    elif isinstance(node, list):
+        for part in node:
+            _collect_wins(part, out)
+
+
+def _rewrite_wins(node, mapping: dict):
+    """Replace win nodes with their computed-column references."""
+    if isinstance(node, tuple):
+        if node and node[0] == "win":
+            return ("col", mapping[node])
+        return tuple(_rewrite_wins(part, mapping) for part in node)
+    if isinstance(node, list):
+        return [_rewrite_wins(part, mapping) for part in node]
+    return node
 
 
 def parse_select(sql: str) -> dict:
@@ -483,6 +562,11 @@ def _eval(node, batch: pa.Table):
             return pc.utf8_lower(args[0])
         if fn == "LENGTH" or fn == "LEN":
             return pc.utf8_length(args[0]).cast(pa.int64())
+        if fn == "COALESCE" or fn == "IFNULL":
+            out = args[0]
+            for a in args[1:]:
+                out = pc.coalesce(out, a)
+            return out
         if fn == "ABS":
             return pc.abs(args[0])
         if fn == "FLOOR":
@@ -595,8 +679,11 @@ def _rewrite_cols(node, resolve):
         return [_rewrite_cols(x, resolve) for x in node]
     if not isinstance(node, tuple):
         return node
-    if node[0] == "col":
+    if node and node[0] == "col":
         return ("col", resolve(node[1]))
+    if node and node[0] == "win":
+        raise NotImplementedError(
+            "window functions with JOIN (run over a joined view)")
     return tuple(_rewrite_cols(x, resolve) for x in node)
 
 
@@ -724,6 +811,60 @@ def _execute_one(q: dict, tables: dict):
         it[0] != "star" and _has_agg(it[0]) for it in items
     )
 
+    wins = []
+    for node, _ in items:
+        if node != "star" and not (isinstance(node, tuple) and node[0] == "star_except"):
+            _collect_wins(node, wins)
+    temp_names: set = set()
+    if wins:
+        # ANSI window lowering: one bucketed shuffle per distinct OVER
+        # clause (stages/window.py), results land in __w{i} columns the
+        # projection then references.  WHERE already ran (SQL order).
+        if q["group"] or has_agg:
+            raise NotImplementedError("window functions mixed with GROUP BY/aggregates")
+        if q["joins"]:
+            raise NotImplementedError("window functions with JOIN (run over a joined view)")
+        from gdal_ray.stages.window import window_apply
+
+        uniq: list = []
+        for wnode in wins:
+            if wnode not in uniq:
+                uniq.append(wnode)
+        mapping: dict = {}
+        argcols: dict = {}
+        by_clause: dict = {}
+        for i, wnode in enumerate(uniq):
+            _, fn, arg, offset, partn, order = wnode
+            mapping[wnode] = f"__w{i}"
+            if arg is None:
+                acol = None
+            elif arg[0] == "col":
+                acol = arg[1]
+            else:
+                acol = f"__warg{i}"
+                argcols[acol] = arg
+            by_clause.setdefault((partn, order), []).append(
+                (f"__w{i}", fn, acol, offset))
+        if argcols:
+            def add_args(b: pa.Table, _argcols=argcols) -> pa.Table:
+                for name, node in _argcols.items():
+                    v = _eval_with_funcs(node, b, funcs)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.array([v.as_py()] * len(b))
+                    b = b.append_column(name, v)
+                return b
+
+            ds = ds.map_batches(add_args, batch_format="pyarrow")
+        for (partn, order), specs in by_clause.items():
+            ds = window_apply(ds, partition=list(partn), order=list(order),
+                              specs=specs)
+        items = [
+            (node if node == "star" or (isinstance(node, tuple) and node[0] == "star_except")
+             else _rewrite_wins(node, mapping), name)
+            for node, name in items
+        ]
+        temp_names = set(mapping.values()) | set(argcols)
+
     if q["group"] or has_agg:
         if q.get("distinct"):
             raise NotImplementedError("SELECT DISTINCT with aggregates")
@@ -735,7 +876,8 @@ def _execute_one(q: dict, tables: dict):
             cols, names = [], []
             for idx, (node, name) in enumerate(items):
                 if node == "star" or (isinstance(node, tuple) and node[0] == "star_except"):
-                    skip = set(node[1]) if node != "star" else ()
+                    skip = set(node[1]) if node != "star" else set()
+                    skip |= temp_names  # window temp columns never surface
                     for n in b.column_names:
                         if n in skip:
                             continue

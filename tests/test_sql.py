@@ -80,6 +80,18 @@ QUERIES = [
     "SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz, COUNT(*) AS n FROM orders GROUP BY sz",
     "SELECT o_orderpriority, SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf FROM orders GROUP BY o_orderpriority",
     "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 END AS is_en FROM documents WHERE doc_id < 40",
+    # window functions — fn() OVER (PARTITION BY ... ORDER BY ...), one
+    # bucketed shuffle per distinct clause (stages/window.py)
+    "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
+    "SELECT o_orderkey, RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk, DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS rs, COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS m, MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS lo, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS hi FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey",
+    "SELECT o_orderkey, COALESCE(LAG(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1.0) AS lg, COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS ld FROM orders ORDER BY o_orderkey",
+    # global window (no PARTITION BY) + window arg expression
+    "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, CAST(SUM(CAST(o_totalprice AS BIGINT) * 2) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rs2 FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey",
+    # window result inside an outer expression, plus * with a window
+    "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) * 10 AS rn10 FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey",
+    "SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents WHERE doc_id < 25 ORDER BY doc_id",
 ]
 
 
@@ -156,6 +168,40 @@ def test_sql_hstore_get_value(ray_session):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert list(out["a"]) == ["1", "x y", None, None]
     assert list(out["b"]) == ["two", None, "only", None]
+
+
+def test_sql_window_guards(ray_tables):
+    from gdal_ray.sql import execute_sql
+
+    with pytest.raises(NotImplementedError, match="MIN/MAX OVER"):
+        execute_sql(
+            "SELECT MIN(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderkey) AS m FROM orders", ray_tables,
+        ).materialize()
+    with pytest.raises(NotImplementedError, match="GROUP BY"):
+        execute_sql(
+            "SELECT o_orderpriority, COUNT(*) AS n, ROW_NUMBER() OVER "
+            "(ORDER BY o_orderpriority) AS rn FROM orders "
+            "GROUP BY o_orderpriority", ray_tables,
+        )
+    with pytest.raises(NotImplementedError, match="JOIN"):
+        execute_sql(
+            "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn "
+            "FROM orders JOIN customer ON o_custkey = c_custkey", ray_tables,
+        )
+    with pytest.raises(ValueError, match="window function"):
+        execute_sql("SELECT UPPER(o_orderpriority) OVER "
+                    "(ORDER BY o_orderkey) AS u FROM orders", ray_tables)
+    with pytest.raises(ValueError, match="no arguments"):
+        execute_sql("SELECT ROW_NUMBER(o_orderkey) OVER "
+                    "(ORDER BY o_orderkey) AS rn FROM orders", ray_tables)
+    # empty input: 0 rows out (schema-less empty — Ray groupby emits no
+    # blocks when no group exists; same as every group-lowered query)
+    out = execute_sql(
+        "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderkey < 0",
+        ray_tables)
+    assert out.count() == 0
 
 
 def test_sql_parse_errors():
