@@ -34,6 +34,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.dted import dted_meta
 
         return dted_meta(path)
+    if low.endswith((".ntf", ".nitf")):
+        from gdal_ray.sources.nitf import nitf_meta
+
+        return nitf_meta(path)
     if low.endswith((".bil", ".bip", ".bsq", ".img", ".dat")):
         from gdal_ray.sources.rawgrid import ehdr_meta, envi_meta
 

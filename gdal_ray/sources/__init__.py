@@ -128,6 +128,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.dted import read_dted
 
         return read_dted(path, **kw)
+    if low.endswith((".ntf", ".nitf")):
+        from gdal_ray.sources.nitf import read_nitf
+
+        return read_nitf(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))
