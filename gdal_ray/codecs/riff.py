@@ -70,6 +70,76 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return _chunk(b"RIFF", body)
 
 
+# --------------------------------------------------------------- G.711
+# ITU-T G.711 companding (WAVE format tags 6 = A-law, 7 = µ-law) — the
+# telephony/crawl audio formats.  Both laws are formula-defined by the
+# public spec: sign + 3-bit exponent (segment) + 4-bit mantissa; µ-law
+# adds bias 0x84 and inverts all bits, A-law XORs 0x55 on even bits.
+# Decode is a 256-entry LUT built from the formula; encode is the
+# vectorized inverse.  Known-properties pytest: two µ-law zeros, full-code
+# self-consistency, max magnitudes 32124 (µ) / 32256 (A).
+
+_MULAW_BIAS = 0x84
+
+
+def _build_mulaw_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.uint8)
+    u = ~codes
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = (((mant.astype(np.int32) << 3) + _MULAW_BIAS) << exp)
+    mag = t - _MULAW_BIAS
+    return np.where(u & 0x80, _MULAW_BIAS - t, mag).astype(np.int16)
+
+
+def _build_alaw_lut() -> np.ndarray:
+    codes = np.arange(256, dtype=np.uint8) ^ 0x55
+    exp = (codes >> 4) & 0x07
+    mant = (codes & 0x0F).astype(np.int32)
+    t = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(codes & 0x80, t, -t).astype(np.int16)  # sign bit = positive
+
+
+MULAW_LUT = _build_mulaw_lut()
+ALAW_LUT = _build_alaw_lut()
+
+
+def mulaw_encode(s: np.ndarray) -> np.ndarray:
+    """int16 linear -> µ-law codes (vectorized G.711 companding)."""
+    x = np.asarray(s, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + _MULAW_BIAS
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def alaw_encode(s: np.ndarray) -> np.ndarray:
+    """int16 linear -> A-law codes (vectorized G.711 companding)."""
+    x = np.asarray(s, dtype=np.int32) >> 3  # 13-bit law
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    exp = np.clip(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4,
+                  0, 7)
+    mant = np.where(exp == 0, (mag >> 1) & 0x0F, (mag >> exp) & 0x0F)
+    return (((exp << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "mulaw") -> bytes:
+    """G.711-companded WAVE (format tag 7 µ-law / 6 A-law), 8 bits/sample."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    tag = 7 if law == "mulaw" else 6
+    codes = (mulaw_encode(s) if law == "mulaw" else alaw_encode(s))
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8)
+    body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", codes.tobytes())
+    return _chunk(b"RIFF", body)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """→ (int16 samples ``(n, channels)``, sample_rate).
 
@@ -105,6 +175,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif fmt_tag == 3:  # IEEE float
         f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
         s = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif fmt_tag == 6:  # G.711 A-law
+        s = ALAW_LUT[np.frombuffer(raw, dtype=np.uint8)]
+    elif fmt_tag == 7:  # G.711 µ-law
+        s = MULAW_LUT[np.frombuffer(raw, dtype=np.uint8)]
     else:
         raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
     n = len(s) // ch * ch

@@ -174,13 +174,14 @@ class VideoFrameSample:
 def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
     """Deterministic fixture tables conforming to AUDIO_SCHEMA/VIDEO_SCHEMA.
 
-    Payloads are REAL containers — PCM16 WAVE and FLAC clips (every 3rd
-    clip is FLAC; lossless, so features are container-invariant) and
-    MJPEG/DIB AVI clips (codecs/riff.py, codecs/flac.py) — so the decode
-    path exercised in tests and queries is the production one, not the
-    stub fallback."""
+    Payloads are REAL containers — PCM16 WAVE, FLAC (every 3rd clip;
+    lossless, so features are container-invariant), G.711 µ-law WAVE
+    (every 6th clip — telephony crawls; lossy companding, decoded by the
+    ITU-T formula LUT) and MJPEG/DIB AVI clips (codecs/riff.py,
+    codecs/flac.py) — so the decode path exercised in tests and queries
+    is the production one, not the stub fallback."""
     from gdal_ray.codecs.flac import encode_flac
-    from gdal_ray.codecs.riff import encode_avi, encode_wav
+    from gdal_ray.codecs.riff import encode_avi, encode_wav, encode_wav_g711
 
     rng = np.random.Generator(np.random.PCG64(seed))
     a_rows = {k: [] for k in ("media_id", "bytes", "sample_rate", "n_channels")}
@@ -192,8 +193,13 @@ def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
         noise = rng.normal(0.0, 600.0, size=(n, ch))
         samples = np.clip(tone + noise, -32768, 32767).astype(np.int16)
         a_rows["media_id"].append(f"aud-{i:06d}")
-        a_rows["bytes"].append(encode_flac(samples, 16000) if i % 3 == 2
-                               else encode_wav(samples, 16000))
+        if i % 6 == 3:
+            payload = encode_wav_g711(samples, 16000, "mulaw")
+        elif i % 3 == 2:
+            payload = encode_flac(samples, 16000)
+        else:
+            payload = encode_wav(samples, 16000)
+        a_rows["bytes"].append(payload)
         a_rows["sample_rate"].append(16000)
         a_rows["n_channels"].append(ch)
     v_rows = {k: [] for k in ("media_id", "bytes", "w", "h", "n_frames", "fps")}

@@ -37,6 +37,39 @@ def test_wav_decodes_8bit_and_float():
     assert np.array_equal(s[:, 0], np.array([0, 16384, -32767, 32767], np.int16))
 
 
+def test_g711_known_spec_properties():
+    # ITU-T G.711 published invariants: decode maxima 32124 (µ) / 32256
+    # (A-law); µ-law has TWO zero codes (0xFF positive, 0x7F negative
+    # zero — encoders only ever emit 0xFF)
+    assert int(riff.MULAW_LUT.max()) == 32124
+    assert int(riff.MULAW_LUT.min()) == -32124
+    assert int(riff.ALAW_LUT.max()) == 32256
+    assert int(riff.ALAW_LUT.min()) == -32256
+    assert (riff.MULAW_LUT == 0).sum() == 2
+    codes = np.arange(256, dtype=np.uint8)
+    # encode(decode(code)) == code for every code (0x7F maps to 0xFF)
+    mu = riff.mulaw_encode(riff.MULAW_LUT[codes])
+    assert np.array_equal(mu[codes != 0x7F], codes[codes != 0x7F])
+    assert mu[0x7F] == 0xFF
+    assert np.array_equal(riff.alaw_encode(riff.ALAW_LUT[codes]), codes)
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_wav_roundtrip_snr(law):
+    s = (np.sin(np.arange(4000) / 19.0) * 20000).astype(np.int16)
+    dec, rate = riff.decode_wav(riff.encode_wav_g711(s, 8000, law))
+    assert rate == 8000 and dec.shape == (4000, 1)
+    err = dec[:, 0].astype(float) - s.astype(float)
+    snr = 10 * np.log10((s.astype(float) ** 2).mean() / (err ** 2).mean())
+    assert snr > 30  # G.711 delivers ~35-38 dB on a full-scale sine
+    # companding is logarithmic: relative error bounded everywhere
+    x = np.linspace(-32000, 32000, 9999).astype(np.int16)
+    for lut, enc in [(riff.MULAW_LUT, riff.mulaw_encode),
+                     (riff.ALAW_LUT, riff.alaw_encode)]:
+        e = np.abs(lut[enc(x)].astype(np.int32) - x)
+        assert (e / np.maximum(np.abs(x.astype(np.int32)), 256)).max() < 0.04
+
+
 def _frames(n=7, h=24, w=32):
     yy, xx = np.mgrid[0:h, 0:w]
     g = np.stack([((xx + yy + 5 * f) % 256).astype(np.uint8) for f in range(n)])
