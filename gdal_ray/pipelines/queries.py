@@ -3017,8 +3017,8 @@ SQL_IFACE_WINDOW = (
 def q_sql_window(sf_dir: str):
     """SQL front end round 4: ANSI window functions — fn() OVER
     (PARTITION BY ... ORDER BY ...) for ROW_NUMBER/RANK/DENSE_RANK,
-    peer-inclusive running SUM/COUNT/AVG (RANGE ... CURRENT ROW, the
-    ANSI/DuckDB default frame) and LAG/LEAD.  The reference's SQLite
+    peer-inclusive running SUM/COUNT/AVG/MIN/MAX (RANGE ... CURRENT ROW,
+    the ANSI/DuckDB default frame) and LAG/LEAD.  The reference's SQLite
     dialect gets these from sqlite3's window machinery
     (ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp); here each distinct
     OVER clause lowers to ONE bucketed shuffle + a vectorized per-bucket

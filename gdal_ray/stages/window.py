@@ -20,7 +20,8 @@ Frame semantics match ANSI / DuckDB defaults: with ORDER BY, aggregates
 run over RANGE UNBOUNDED PRECEDING .. CURRENT ROW **including peers**
 (rows equal on all ORDER BY keys see the same running value); without
 ORDER BY they cover the whole partition.  RANK/DENSE_RANK use the same
-peer groups.  An empty PARTITION BY is one global partition — that is a
+peer groups.  Running SUM/COUNT/AVG are cumsum-based; running MIN/MAX
+use an exact prefix-scan by doubling over peer groups (_running_extreme).  An empty PARTITION BY is one global partition — that is a
 single-bucket sort by construction (documented scale hazard, same as any
 global window).
 
@@ -152,8 +153,16 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
                     res = _finish_sca(fn, s, c)
             else:  # running, peer-inclusive (RANGE ... CURRENT ROW)
                 if fn in ("MIN", "MAX"):
-                    raise NotImplementedError(
-                        "MIN/MAX OVER (... ORDER BY ...) running frame")
+                    ccnt = np.cumsum(valid.astype(np.float64))
+                    cnt_base = ccnt[seg_start] - valid[seg_start]
+                    run_cnt = ccnt[peer_end] - cnt_base
+                    ext = _running_extreme(vals, valid, fn,
+                                           peer_change, seg_id)
+                    res = pc.if_else(pa.array(run_cnt > 0),
+                                     pa.array(ext[peer_id] if n else ext),
+                                     pa.scalar(None, pa.float64()))
+                    gs = gs.append_column(out_name, res)
+                    continue
                 csum = np.cumsum(np.where(valid, vals, 0.0))
                 ccnt = np.cumsum(valid.astype(np.float64))
                 sum_base = csum[seg_start] - np.where(valid, vals, 0.0)[seg_start]
@@ -164,6 +173,34 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
             raise NotImplementedError(f"window function {fn}")
         gs = gs.append_column(out_name, res)
     return gs
+
+
+def _running_extreme(vals, valid, fn, peer_change, seg_id) -> np.ndarray:
+    """Running MIN/MAX over peer groups with per-segment reset, exact and
+    fully vectorized: one reduceat per peer group, then a prefix-scan by
+    doubling (log2(max groups-per-segment) passes) — min/max are
+    idempotent so overlapping doubling windows are harmless, and no
+    arithmetic lifting is needed (results stay bit-exact)."""
+    starts = np.flatnonzero(peer_change)
+    ngroups = len(starts)
+    if ngroups == 0:
+        return np.empty(0)
+    red = np.minimum if fn == "MIN" else np.maximum
+    fill = np.inf if fn == "MIN" else -np.inf
+    out = red.reduceat(np.where(valid, vals, fill), starts)
+    gidx = np.arange(ngroups, dtype=np.int64)
+    new_seg = np.ones(ngroups, dtype=bool)
+    new_seg[1:] = seg_id[starts][1:] != seg_id[starts][:-1]
+    seg_first = np.maximum.accumulate(np.where(new_seg, gidx, 0))
+    shift = 1
+    while shift < ngroups:
+        prev = out.copy()
+        sel = gidx - shift >= seg_first
+        if not sel.any():
+            break
+        out[sel] = red(out[sel], prev[gidx[sel] - shift])
+        shift *= 2
+    return out
 
 
 def _finish_sca(fn: str, s: np.ndarray, c: np.ndarray):

@@ -86,6 +86,10 @@ QUERIES = [
     "SELECT o_orderkey, RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk, DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk FROM orders ORDER BY o_orderkey",
     "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS rs, COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM orders ORDER BY o_orderkey",
     "SELECT o_orderkey, AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS m, MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS lo, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS hi FROM orders WHERE o_orderkey < 1500 ORDER BY o_orderkey",
+    # running MIN/MAX (peer-inclusive RANGE frame, doubling prefix scan)
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rmin, MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rmax FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS pmin FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey",
+    "SELECT o_orderkey, MAX(o_totalprice) OVER (ORDER BY o_orderkey) AS gmax FROM orders WHERE o_orderkey < 2500 ORDER BY o_orderkey",
     "SELECT o_orderkey, COALESCE(LAG(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1.0) AS lg, COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS ld FROM orders ORDER BY o_orderkey",
     # global window (no PARTITION BY) + window arg expression
     "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, CAST(SUM(CAST(o_totalprice AS BIGINT) * 2) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rs2 FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey",
@@ -173,11 +177,6 @@ def test_sql_hstore_get_value(ray_session):
 def test_sql_window_guards(ray_tables):
     from gdal_ray.sql import execute_sql
 
-    with pytest.raises(NotImplementedError, match="MIN/MAX OVER"):
-        execute_sql(
-            "SELECT MIN(o_totalprice) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderkey) AS m FROM orders", ray_tables,
-        ).materialize()
     with pytest.raises(NotImplementedError, match="GROUP BY"):
         execute_sql(
             "SELECT o_orderpriority, COUNT(*) AS n, ROW_NUMBER() OVER "
