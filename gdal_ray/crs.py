@@ -873,6 +873,74 @@ def orthographic(lat0: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def hotine_omerc(lat_c: float, lon_c: float, alpha_c: float, gamma_c: float,
+                 k_c: float, fe: float, fn: float, *, variant_b: bool = True,
+                 a: float = A_WGS84, f: float = F_WGS84):
+    """Hotine Oblique Mercator (EPSG 9812 variant A / 9815 variant B
+    "azimuth center" — Malaysian RSO grids, Alaska zone 1; +proj=omerc).
+    EPSG Guidance Note 7-2 closed forms; the reference delegates to PROJ
+    (ogr/ogrct.cpp).  variant_b applies the u_c offset at the projection
+    center (PROJ's default; +no_uoff selects variant A).  Pytest pins the
+    GN7-2 Timbalai 1948 RSO Borneo worked example."""
+    e = _ecc(f)
+    e2 = e * e
+    pc = np.radians(lat_c)
+    lam_c = np.radians(lon_c)
+    al = np.radians(alpha_c)
+    ga = np.radians(gamma_c)
+    sp, cp = np.sin(pc), np.cos(pc)
+    B = np.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
+    A_ = a * B * k_c * np.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+    t0 = _t(pc, e)
+    D = B * np.sqrt(1.0 - e2) / (cp * np.sqrt(1.0 - e2 * sp * sp))
+    D2 = max(D * D, 1.0)
+    sgn = 1.0 if lat_c >= 0 else -1.0
+    F = D + np.sqrt(D2 - 1.0) * sgn
+    H = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    g0 = np.arcsin(np.clip(np.sin(al) / D, -1.0, 1.0))
+    lam0 = lam_c - np.arcsin(np.clip(G * np.tan(g0), -1.0, 1.0)) / B
+    if abs(np.cos(al)) < 1e-12:
+        raise NotImplementedError(
+            "omerc with azimuth 90° (Swiss-style; use a somerc kernel)")
+    uc = 0.0
+    if variant_b:
+        uc = (A_ / B) * np.arctan2(np.sqrt(D2 - 1.0), np.cos(al)) * sgn
+    sg0, cg0 = np.sin(g0), np.cos(g0)
+    sgc, cgc = np.sin(ga), np.cos(ga)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = B * np.radians(_wrap_lon(
+            np.asarray(lon, dtype=np.float64) - np.degrees(lam0)))
+        t = _t(phi, e)
+        Q = H / t ** B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(dlam)
+        U = (-V * cg0 + S * sg0) / T
+        v = A_ * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = A_ * np.arctan2(S * cg0 + V * sg0, np.cos(dlam)) / B - abs(uc) * sgn
+        return fe + v * cgc + u * sgc, fn + u * cgc - v * sgc
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        v = x * cgc - y * sgc
+        u = y * cgc + x * sgc + abs(uc) * sgn
+        Q = np.exp(-B * v / A_)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(B * u / A_)
+        U = (V * cg0 + S * sg0) / T
+        t = (H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+        phi = _phi_from_t(t, e)
+        lam = lam0 - np.arctan2(S * cg0 - V * sg0, np.cos(B * u / A_)) / B
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def proj_pair(s: str):
     """'+proj=…' string -> (fwd, inv) lon/lat(deg) ↔ projected, built on
     the closed-form kernels above.  With +towgs84 the lon/lat side is
@@ -981,9 +1049,17 @@ def _proj_pair_raw(p: dict):
         return cea(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a=a, f=f)
     if proj == "ortho":
         return orthographic(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "omerc":
+        if "lat_1" in p or "lon_1" in p:
+            raise NotImplementedError("two-point omerc form (+lat_1/+lon_1)")
+        alpha = float(p["alpha"])
+        gamma = float(p.get("gamma", alpha))
+        lonc = float(p.get("lonc", lon0))
+        return hotine_omerc(lat0, lonc, alpha, gamma, k0, fe, fn,
+                            variant_b=not p.get("no_uoff"), a=a, f=f)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
-                              "polar stere, sinu, moll, cea, ortho)")
+                              "polar stere, sinu, moll, cea, ortho, omerc)")
 
 
 # --- datum shifts (+towgs84) -------------------------------------------------

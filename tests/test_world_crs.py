@@ -236,3 +236,60 @@ def test_oblique_stereographic_rd_new():
                         "+rf=299.1528128")
     x2, y2 = fwd2(6.0, 53.0)
     assert abs(float(x2) - 196105.283) < 1e-3
+
+
+def test_hotine_omerc_rso_borneo():
+    """EPSG 9815 (Hotine Oblique Mercator, azimuth center) — INDEPENDENT
+    anchor: the EPSG Guidance Note 7-2 worked example, Timbalai 1948 /
+    RSO Borneo (m): 5°23'14.1129"N 115°48'19.8196"E →
+    679245.73 E, 596562.78 N on Everest 1830 (1967), plus conformality
+    and a wide-area round trip."""
+    from gdal_ray.crs import hotine_omerc
+
+    a, f = 6377298.556, 1 / 300.8017
+    alpha = 53 + 18 / 60 + 56.9537 / 3600
+    gamma = 53 + 7 / 60 + 48.3685 / 3600
+    fwd, inv = hotine_omerc(4.0, 115.0, alpha, gamma, 0.99984,
+                            590476.87, 442857.65, variant_b=True, a=a, f=f)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    E, N = fwd(lon, lat)
+    assert abs(float(E) - 679245.73) < 5e-3
+    assert abs(float(N) - 596562.78) < 5e-3
+    # round trip over Borneo
+    lons, lats = np.meshgrid(np.linspace(109, 120, 8), np.linspace(0.5, 8, 8))
+    x, y = fwd(lons.ravel(), lats.ravel())
+    lo, la = inv(x, y)
+    assert np.abs(lo - lons.ravel()).max() < 1e-9
+    assert np.abs(la - lats.ravel()).max() < 1e-9
+    # conformality (parallel scale == meridian scale) off-axis
+    e2b = f * (2 - f)
+    h = 1e-6
+    for LO, LA in ((117.0, 5.5), (111.0, 2.0)):
+        x0, y0 = fwd(LO, LA)
+        xl, yl = fwd(LO + h, LA)
+        xp, yp = fwd(LO, LA + h)
+        phi = np.radians(LA)
+        s2 = np.sin(phi) ** 2
+        Nr = a / np.sqrt(1 - e2b * s2)
+        Mr = a * (1 - e2b) / (1 - e2b * s2) ** 1.5
+        kp = float(np.hypot(xl - x0, yl - y0)) / (np.radians(h) * Nr
+                                                  * np.cos(phi))
+        km = float(np.hypot(xp - x0, yp - y0)) / (np.radians(h) * Mr)
+        assert abs(kp / km - 1.0) < 1e-6
+    # proj-string front end (PROJ default = variant B; +no_uoff = A)
+    fwd2, _ = proj_pair("+proj=omerc +lat_0=4 +lonc=115 "
+                        "+alpha=53.3158204722 +gamma=53.1301023611 "
+                        "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 "
+                        "+a=6377298.556 +rf=300.8017")
+    E2, N2 = fwd2(lon, lat)
+    assert abs(float(E2) - 679245.73) < 5e-3
+    # variant A differs from B exactly by the rectified u_c offset
+    fa, _ = hotine_omerc(4.0, 115.0, alpha, gamma, 0.99984, 0.0, 0.0,
+                         variant_b=False, a=a, f=f)
+    fb, _ = hotine_omerc(4.0, 115.0, alpha, gamma, 0.99984, 0.0, 0.0,
+                         variant_b=True, a=a, f=f)
+    xa, ya = fa(lon, lat)
+    xb, yb = fb(lon, lat)
+    du = np.hypot(float(xa) - float(xb), float(ya) - float(yb))
+    assert du > 100000  # the u_c shift is ~738 km along the initial line
