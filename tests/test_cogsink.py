@@ -42,6 +42,31 @@ def test_distributed_equals_single_process(ray_session, tmp_path, shape, spp):
     assert info["levels"] == len(read_cog(single))
 
 
+def test_jpeg_cog_distributed(ray_session, tmp_path):
+    """JPEG-compressed COG (compression 7, self-contained tile streams —
+    no shared JPEGTables, so distributed tile compression stays
+    coordination-free): decodes through the plain reader and the parallel
+    range-read path with PSNR > 30."""
+    from gdal_ray.codecs.tiff import read_geotiff
+
+    y, x = np.mgrid[0:260, 0:300].astype(np.float64)
+    arr = np.clip(np.stack([128 + 90 * np.sin(x / 21) * np.cos(y / 17),
+                            128 + 80 * np.cos(x / 13),
+                            128 + 70 * np.sin((x + y) / 29)], axis=-1),
+                  0, 255).astype(np.uint8)
+    p = str(tmp_path / "j.tif")
+    write_cog_distributed(_chunks_ds(arr, 128), p, width=300, height=260,
+                          spp=3, dtype="u1", tile_size=128,
+                          compression="jpeg")
+    out, meta = read_geotiff(open(p, "rb").read())
+    mse = np.mean((out.astype(float) - arr.astype(float)) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / mse) > 30
+    with pytest.raises(NotImplementedError):
+        write_cog_distributed(_chunks_ds(arr, 128), p, width=300, height=260,
+                              spp=3, dtype="u2", tile_size=128,
+                              compression="jpeg")
+
+
 def test_incomplete_level_raises(ray_session, tmp_path):
     import ray.data as rd
 
