@@ -682,8 +682,11 @@ def _rewrite_cols(node, resolve):
     if node and node[0] == "col":
         return ("col", resolve(node[1]))
     if node and node[0] == "win":
-        raise NotImplementedError(
-            "window functions with JOIN (run over a joined view)")
+        _, fn, arg, offset, partn, order = node
+        return ("win", fn,
+                _rewrite_cols(arg, resolve) if arg is not None else None,
+                offset, tuple(resolve(c) for c in partn),
+                tuple((resolve(c), d) for c, d in order))
     return tuple(_rewrite_cols(x, resolve) for x in node)
 
 
@@ -822,8 +825,6 @@ def _execute_one(q: dict, tables: dict):
         # projection then references.  WHERE already ran (SQL order).
         if q["group"] or has_agg:
             raise NotImplementedError("window functions mixed with GROUP BY/aggregates")
-        if q["joins"]:
-            raise NotImplementedError("window functions with JOIN (run over a joined view)")
         from gdal_ray.stages.window import window_apply
 
         uniq: list = []

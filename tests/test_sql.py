@@ -90,6 +90,8 @@ QUERIES = [
     "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rmin, MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rmax FROM orders ORDER BY o_orderkey",
     "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS pmin FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey",
     "SELECT o_orderkey, MAX(o_totalprice) OVER (ORDER BY o_orderkey) AS gmax FROM orders WHERE o_orderkey < 2500 ORDER BY o_orderkey",
+    # window over a JOINed view (partition key from the joined side)
+    "SELECT o_orderkey, c_name, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS seg_rank FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey < 2000 ORDER BY o_orderkey",
     "SELECT o_orderkey, COALESCE(LAG(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1.0) AS lg, COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS ld FROM orders ORDER BY o_orderkey",
     # global window (no PARTITION BY) + window arg expression
     "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, CAST(SUM(CAST(o_totalprice AS BIGINT) * 2) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rs2 FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey",
@@ -182,11 +184,6 @@ def test_sql_window_guards(ray_tables):
             "SELECT o_orderpriority, COUNT(*) AS n, ROW_NUMBER() OVER "
             "(ORDER BY o_orderpriority) AS rn FROM orders "
             "GROUP BY o_orderpriority", ray_tables,
-        )
-    with pytest.raises(NotImplementedError, match="JOIN"):
-        execute_sql(
-            "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn "
-            "FROM orders JOIN customer ON o_custkey = c_custkey", ray_tables,
         )
     with pytest.raises(ValueError, match="window function"):
         execute_sql("SELECT UPPER(o_orderpriority) OVER "
