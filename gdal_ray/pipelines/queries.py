@@ -3569,6 +3569,114 @@ def q_sql_union(sf_dir: str):
     )
 
 
+SQL_IFACE_SETOPS = (
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' "
+    "UNION SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P' "
+    "INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 "
+    "EXCEPT SELECT o_custkey AS k FROM orders WHERE o_custkey % 10 = 3 "
+    "ORDER BY k LIMIT 5000"
+)
+
+
+def q_sql_setops(sf_dir: str):
+    """SQL front end round 4b: ANSI set operations — UNION (distinct) /
+    INTERSECT / EXCEPT with INTERSECT precedence and the trailing ORDER
+    BY/LIMIT binding to the whole expression.  Each set op is ONE
+    hash-bucket group exchange: arms tagged with side indicators, streams
+    unioned, grouped by the full row, presence-count filtered
+    (sql.py _execute_setop) — never a driver-side set.  The reference's
+    swq dialect lacks set ops; its SQLite dialect gets them from sqlite
+    (ogrsqliteexecutesql.cpp).  IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_SETOPS, {"orders": _read(sf_dir, "orders")})
+
+
+SQL_IFACE_CTE = (
+    "WITH big AS (SELECT o_custkey, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS cents "
+    "FROM orders GROUP BY o_custkey), "
+    "seg AS (SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_mktsegment LIKE '%I%') "
+    "SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(n) AS BIGINT) AS "
+    "n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents "
+    "FROM seg JOIN big ON seg.c_custkey = big.o_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+def q_sql_cte(sf_dir: str):
+    """SQL front end round 4b: WITH common table expressions — each CTE
+    registers a lazy Dataset under its name (later CTEs and the main body
+    compose over it; nothing materializes until the final sink), then a
+    broadcast-join + hash-bucket aggregate over the CTE pair.  IDENTICAL
+    string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_CTE,
+        {"orders": _read(sf_dir, "orders"),
+         "customer": _read(sf_dir, "customer")},
+    )
+
+
+SQL_IFACE_SUBQUERY = (
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS cents "
+    "FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer "
+    "WHERE c_mktsegment = 'BUILDING') "
+    "AND o_custkey < (SELECT MAX(c_custkey) FROM customer) "
+    "AND o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority "
+    "FROM orders WHERE o_orderpriority LIKE '1-%') "
+    "AND EXISTS (SELECT c_custkey FROM customer "
+    "WHERE c_mktsegment = 'AUTOMOBILE') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_subquery(sf_dir: str):
+    """SQL front end round 4b: uncorrelated subqueries — IN/NOT IN
+    (SELECT ...) resolve driver-side to broadcast value sets (ray.put
+    once; workers pc.is_in against the plasma-shared array — the
+    semi/anti-join broadcast idiom), scalar subqueries to literals
+    (exactly 1 row x 1 column enforced), EXISTS to a limit(1) probe.
+    IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_SUBQUERY,
+        {"orders": _read(sf_dir, "orders"),
+         "customer": _read(sf_dir, "customer")},
+    )
+
+
+SQL_IFACE_WINDOW2 = (
+    "SELECT o_orderkey, o_custkey, "
+    "NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) "
+    "AS quartile, "
+    "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey) AS first_price, "
+    "LAST_VALUE(o_orderstatus) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderstatus) AS last_status, "
+    "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey) AS last_key "
+    "FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"
+)
+
+
+def q_sql_window2(sf_dir: str):
+    """SQL front end round 4b: positional window functions — NTILE(n)
+    (ANSI larger-tiles-first split), FIRST_VALUE (partition head on the
+    default frame), LAST_VALUE (peer-inclusive RANGE frame end — only
+    over values functionally determined by the peer group, since which
+    physical row is last among peers is engine-unspecified).  Same
+    one-shuffle-per-OVER-clause lowering as sql_window.  IDENTICAL
+    string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_WINDOW2, {"orders": _read(sf_dir, "orders")})
+
+
 def q_vector_translate(sf_dir: str):
     """ogr2ogr chain (apps/ogr2ogr_lib.cpp; gdal_ray/vector.py):
     -where + -clipsrc + -t_srs 3857 + -select in ONE map_batches stage;
@@ -3992,6 +4100,10 @@ def queries():
         "sql_having": q_sql_having,
         "sql_distinct": q_sql_distinct,
         "sql_window": q_sql_window,
+        "sql_setops": q_sql_setops,
+        "sql_cte": q_sql_cte,
+        "sql_subquery": q_sql_subquery,
+        "sql_window2": q_sql_window2,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -4151,6 +4263,10 @@ def oracle_sql():
         "sql_having": SQL_IFACE_HAVING,
         "sql_distinct": SQL_IFACE_DISTINCT,
         "sql_window": SQL_IFACE_WINDOW,
+        "sql_setops": SQL_IFACE_SETOPS,
+        "sql_cte": SQL_IFACE_CTE,
+        "sql_subquery": SQL_IFACE_SUBQUERY,
+        "sql_window2": SQL_IFACE_WINDOW2,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -49,6 +49,7 @@ _KEYWORDS = {
     "UNION", "ALL", "OFFSET", "EXCEPT", "EXCLUDE",
     "HAVING", "CASE", "WHEN", "THEN", "ELSE", "END",
     "OVER", "PARTITION",
+    "WITH", "INTERSECT", "EXISTS",
 }
 
 
@@ -149,6 +150,14 @@ def _parse_cmp(p):
     if k == "kw" and v == "IN":
         p.next()
         p.expect("op", "(")
+        if p.peek() == ("kw", "SELECT"):
+            # [NOT] IN (SELECT ...) — uncorrelated semi/anti-join subquery,
+            # resolved driver-side to a broadcast value set (ray.put once,
+            # pc.is_in per batch).  Non-null contract for NOT IN (ANSI
+            # NULL-in-list semantics are not modeled).
+            sub = _parse_set_expr(p)
+            p.expect("op", ")")
+            return ("in_sub", e, sub, neg)
         vals = []
         while True:
             kk, vv = p.next()
@@ -209,6 +218,13 @@ def _parse_primary(p):
         return ("lit", v)
     if k == "kw" and v == "NULL":
         return ("lit", None)
+    if k == "kw" and v == "EXISTS":
+        # EXISTS (SELECT ...) — uncorrelated: resolved driver-side to a
+        # constant boolean (sub.limit(1) probe, never a full execution)
+        p.expect("op", "(")
+        sub = _parse_set_expr(p)
+        p.expect("op", ")")
+        return ("exists_sub", sub)
     if k == "kw" and v == "CAST":
         p.expect("op", "(")
         e = _parse_expr(p)
@@ -260,6 +276,12 @@ def _parse_primary(p):
             return ("col", v + "." + p.expect("id")[1])
         return ("col", v)
     if k == "op" and v == "(":
+        if p.peek() == ("kw", "SELECT"):
+            # scalar subquery: must produce exactly one row, one column;
+            # resolved driver-side to a literal before compilation
+            sub = _parse_set_expr(p)
+            p.expect("op", ")")
+            return ("scalar_sub", sub)
         e = _parse_expr(p)
         p.expect("op", ")")
         return e
@@ -287,6 +309,17 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
     elif fn in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
         if args or star:
             raise ValueError(f"{fn}() takes no arguments")
+    elif fn == "NTILE":
+        # NTILE(n) — the tile count rides in the offset slot
+        if len(args) != 1 or args[0][0] != "lit":
+            raise ValueError("NTILE takes one literal tile count")
+        offset = int(args[0][1])
+        if offset < 1:
+            raise ValueError("NTILE tile count must be >= 1")
+    elif fn in ("FIRST_VALUE", "LAST_VALUE"):
+        if len(args) != 1:
+            raise ValueError(f"{fn} takes one argument")
+        arg = args[0]
     elif not star:  # SUM/COUNT/AVG/MIN/MAX over an expression
         if len(args) != 1:
             raise ValueError(f"{fn} takes one argument")
@@ -338,9 +371,65 @@ def _rewrite_wins(node, mapping: dict):
 
 def parse_select(sql: str) -> dict:
     p = _P(_tokenize(sql))
-    q = _parse_select_body(p)
+    ctes = []
+    if p.accept("kw", "WITH"):
+        # WITH name AS (select) [, name2 AS (select)] ... — each CTE is a
+        # lazy Dataset registered under its name for later FROM clauses
+        # (later CTEs may reference earlier ones)
+        while True:
+            name = p.expect("id")[1]
+            p.expect("kw", "AS")
+            p.expect("op", "(")
+            ctes.append((name, _parse_set_expr(p)))
+            p.expect("op", ")")
+            if not p.accept("op", ","):
+                break
+    q = _parse_set_expr(p)
     p.expect("eof")
+    if ctes:
+        return {"with": ctes, "body": q}
     return q
+
+
+def _steal_tail(rhs: dict) -> tuple[dict, dict]:
+    """ANSI: a trailing ORDER BY/LIMIT/OFFSET binds to the whole set
+    expression; the body parser attached it to the last arm — hoist."""
+    if "items" in rhs:  # plain select
+        tail = {"order": rhs["order"], "limit": rhs["limit"],
+                "offset": rhs.get("offset", 0)}
+        rhs = dict(rhs, order=[], limit=None, offset=0)
+    else:  # nested setop: its own tail is the rightmost arm's
+        tail = rhs["tail"]
+        rhs = dict(rhs, tail={"order": [], "limit": None, "offset": 0})
+    return rhs, tail
+
+
+def _make_setop(kind: str, left: dict, right: dict) -> dict:
+    right, tail = _steal_tail(right)
+    return {"setop": kind, "left": left, "right": right, "tail": tail}
+
+
+def _parse_set_term(p: _P) -> dict:
+    """INTERSECT binds tighter than UNION/EXCEPT (ANSI precedence)."""
+    q = _parse_select_body(p)
+    while p.accept("kw", "INTERSECT"):
+        q = _make_setop("intersect", q, _parse_select_body(p))
+    return q
+
+
+def _parse_set_expr(p: _P) -> dict:
+    q = _parse_set_term(p)
+    while True:
+        if p.accept("kw", "UNION"):
+            if p.accept("kw", "ALL"):
+                q = _make_setop("unionall", q, _parse_set_term(p))
+            else:
+                p.accept("kw", "DISTINCT")
+                q = _make_setop("union", q, _parse_set_term(p))
+        elif p.accept("kw", "EXCEPT"):
+            q = _make_setop("except", q, _parse_set_term(p))
+        else:
+            return q
 
 
 def _parse_select_body(p: _P) -> dict:
@@ -417,14 +506,9 @@ def _parse_select_body(p: _P) -> dict:
     offset = 0
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num")[1])
-    q = {"items": items, "table": table, "joins": joins, "where": where,
-         "group": group, "having": having, "order": order, "limit": limit,
-         "offset": offset, "distinct": distinct}
-    if p.accept("kw", "UNION"):
-        p.expect("kw", "ALL")
-        rest = _parse_select_body(p)
-        return {"union": [q] + (rest["union"] if "union" in rest else [rest])}
-    return q
+    return {"items": items, "table": table, "joins": joins, "where": where,
+            "group": group, "having": having, "order": order, "limit": limit,
+            "offset": offset, "distinct": distinct}
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +617,18 @@ def _eval(node, batch: pa.Table):
         _, e, vals, neg = node
         v = _eval(e, batch)
         m = pc.is_in(v, value_set=pa.array(vals))
+        return pc.invert(m) if neg else m
+    if kind == "in_ref":
+        # broadcast semi/anti-join: the value set lives in the object
+        # store; ray.get per batch is a local plasma read after the first
+        _, e, ref, neg = node
+        import ray
+
+        v = _eval(e, batch)
+        vals = ray.get(ref)
+        if not pa.types.is_string(vals.type) and pa.types.is_string(_t(v)):
+            vals = pc.cast(vals, pa.string())
+        m = pc.is_in(v, value_set=vals)
         return pc.invert(m) if neg else m
     if kind == "between":
         _, e, lo, hi, neg = node
@@ -758,20 +854,141 @@ def execute_sql(sql: str, tables: dict):
     Returns a Dataset.  UNION ALL chains execute each arm and
     Dataset.union the streams (swq_parser.y:840)."""
     q = parse_select(sql)
+    if "with" in q:
+        tables = dict(tables)
+        for name, sub in q["with"]:
+            tables[name] = _execute_one(sub, tables)
+        q = q["body"]
     return _execute_one(q, tables)
 
 
+def _rename_to(ds, names: list[str]):
+    """Positionally rename a Dataset's columns (set-op arms align by
+    position, ANSI)."""
+    def rn(b: pa.Table) -> pa.Table:
+        if len(b.column_names) != len(names):
+            raise ValueError(
+                f"set operation arms have {len(names)} vs "
+                f"{len(b.column_names)} columns")
+        return b.rename_columns(names)
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
+def _execute_setop(kind: str, l, r):
+    """UNION [DISTINCT] / INTERSECT / EXCEPT via ONE hash-bucket group
+    exchange: tag each arm with side indicators, union the streams, group
+    by the full row, then filter on per-side presence counts — the
+    distributed form of the ANSI distinct-set semantics."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    names = l.schema().names
+    r = _rename_to(r, names)
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            one = pa.array(np.full(len(b), 1 - side, dtype=np.int64))
+            two = pa.array(np.full(len(b), side, dtype=np.int64))
+            return b.append_column("__nl", one).append_column("__nr", two)
+        return fn
+
+    u = l.map_batches(tag(0), batch_format="pyarrow").union(
+        r.map_batches(tag(1), batch_format="pyarrow"))
+    g = grouped_aggregate(u, names, [("__nl", "sum", "__nl"),
+                                     ("__nr", "sum", "__nr")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        nl = b.column("__nl")
+        nr = b.column("__nr")
+        if kind == "intersect":
+            mask = pc.and_(pc.greater(nl, 0), pc.greater(nr, 0))
+        elif kind == "except":
+            mask = pc.and_(pc.greater(nl, 0), pc.equal(nr, 0))
+        else:  # union distinct: every group survives
+            mask = None
+        if mask is not None:
+            b = b.filter(mask)
+        return b.select(names)
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def _resolve_sub_node(node, tables):
+    """Driver-side resolution of uncorrelated subquery nodes:
+      in_sub     -> broadcast value set (ray.put once; workers pc.is_in
+                    against the plasma-shared array — the semi/anti-join
+                    broadcast idiom, same contract as the broadcast join)
+      exists_sub -> constant boolean via a limit(1) probe
+      scalar_sub -> literal (must yield exactly 1 row x 1 column)
+    """
+    if isinstance(node, tuple):
+        if node and node[0] == "in_sub":
+            import ray
+
+            _, e, sub, neg = node
+            sub_ds = _execute_one(sub, tables)
+            names = sub_ds.schema().names
+            if len(names) != 1:
+                raise ValueError("IN (SELECT ...) must select one column")
+            rows = sub_ds.take_all()
+            vals = pa.array([row[names[0]] for row in rows])
+            ref = ray.put(vals)
+            return ("in_ref", _resolve_sub_node(e, tables), ref, neg)
+        if node and node[0] == "exists_sub":
+            n = _execute_one(node[1], tables).limit(1).count()
+            return ("lit", bool(n))
+        if node and node[0] == "scalar_sub":
+            sub_ds = _execute_one(node[1], tables)
+            names = sub_ds.schema().names
+            rows = sub_ds.take(2)
+            if len(names) != 1 or len(rows) != 1:
+                raise ValueError(
+                    "scalar subquery must produce exactly 1 row, 1 column")
+            return ("lit", rows[0][names[0]])
+        return tuple(_resolve_sub_node(part, tables) for part in node)
+    if isinstance(node, list):
+        return [_resolve_sub_node(part, tables) for part in node]
+    return node
+
+
+def _has_sub(node) -> bool:
+    if isinstance(node, (tuple, list)):
+        if node and node[0] in ("in_sub", "exists_sub", "scalar_sub"):
+            return True
+        return any(_has_sub(part) for part in node)
+    return False
+
+
+def _resolve_subqueries_in_q(q: dict, tables: dict) -> dict:
+    dirty = any(
+        _has_sub(part) for part in
+        ([q["where"], q.get("having")] + [it[0] for it in q["items"]])
+        if part is not None and part != "star"
+    )
+    if not dirty:
+        return q
+    q = dict(q)
+    if q["where"] is not None:
+        q["where"] = _resolve_sub_node(q["where"], tables)
+    if q.get("having") is not None:
+        q["having"] = _resolve_sub_node(q["having"], tables)
+    q["items"] = [
+        (node if node == "star" else _resolve_sub_node(node, tables), name)
+        for node, name in q["items"]
+    ]
+    return q
+
+
 def _execute_one(q: dict, tables: dict):
-    if "union" in q:
-        # trailing ORDER BY/LIMIT/OFFSET bind to the whole union (ANSI /
-        # DuckDB semantics); the parser attached them to the last arm —
-        # hoist them to the union level before executing the arms
-        arms = [dict(part) for part in q["union"]]
-        tail = {"order": arms[-1]["order"], "limit": arms[-1]["limit"],
-                "offset": arms[-1].get("offset", 0)}
-        arms[-1].update(order=[], limit=None, offset=0)
-        parts = [_execute_one(part, tables) for part in arms]
-        ds = parts[0].union(*parts[1:])
+    if "setop" in q:
+        l = _execute_one(q["left"], tables)
+        r = _execute_one(q["right"], tables)
+        if q["setop"] == "unionall":
+            names = l.schema().names
+            ds = l.union(_rename_to(r, names))
+        else:
+            ds = _execute_setop(q["setop"], l, r)
+        tail = q["tail"]
         if tail["order"]:
             ds = ds.sort([c for c, _ in tail["order"]],
                          descending=[d for _, d in tail["order"]])
@@ -780,6 +997,7 @@ def _execute_one(q: dict, tables: dict):
         if tail["limit"] is not None:
             ds = ds.limit(tail["limit"])
         return ds
+    q = _resolve_subqueries_in_q(q, tables)
     ds = tables[q["table"]]
     funcs = dict(_CUSTOM_FUNCS)  # snapshot for worker-side closures
 
@@ -803,6 +1021,8 @@ def _execute_one(q: dict, tables: dict):
 
         def filt(b: pa.Table) -> pa.Table:
             mask = _eval_with_funcs(where, b, funcs)
+            if isinstance(mask, pa.Scalar):  # constant predicate (EXISTS)
+                return b if mask.as_py() else b.slice(0, 0)
             if isinstance(mask, pa.ChunkedArray):
                 mask = mask.combine_chunks()
             return b.filter(pc.fill_null(mask, False))

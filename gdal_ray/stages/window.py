@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 _RANKERS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
 _RUNNING = {"SUM", "COUNT", "AVG", "MIN", "MAX"}
 _SHIFTERS = {"LAG", "LEAD"}
-WINDOW_FNS = _RANKERS | _RUNNING | _SHIFTERS
+_POSITIONAL = {"NTILE", "FIRST_VALUE", "LAST_VALUE"}
+WINDOW_FNS = _RANKERS | _RUNNING | _SHIFTERS | _POSITIONAL
 
 
 def _adjacent_change(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -127,6 +128,31 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
         elif fn in _SHIFTERS:
             res = _shift_within_segment(gs, arg, offset, seg_start, seg_end,
                                         lead=(fn == "LEAD"))
+        elif fn == "NTILE":
+            # ANSI NTILE(n): split the partition into n tiles, the first
+            # (count % n) tiles one row larger — offset carries n
+            rn0 = idx - seg_start
+            cnt = seg_end - seg_start + 1
+            nt = int(offset)
+            q_, r_ = cnt // nt, cnt % nt
+            big = q_ + 1                 # size of the first r_ tiles
+            cut = big * r_               # rows covered by the big tiles
+            in_big = rn0 < cut
+            small = np.where(q_ > 0,
+                             (rn0 - cut) // np.maximum(q_, 1) + r_ + 1, 0)
+            res = pa.array(np.where(in_big, rn0 // np.maximum(big, 1) + 1,
+                                    small).astype(np.int64))
+        elif fn == "FIRST_VALUE":
+            # default frame starts at the partition head for any ORDER BY
+            col = gs.column(arg)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            res = col.take(pa.array(seg_start))
+        elif fn == "LAST_VALUE":
+            # ANSI default frame RANGE ... CURRENT ROW is peer-inclusive:
+            # the frame ends at the LAST PEER row (DuckDB semantics)
+            col = gs.column(arg)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            res = col.take(pa.array(peer_end))
         elif fn in _RUNNING:
             if fn == "COUNT" and arg is None:
                 vals, valid = np.ones(n), np.ones(n, dtype=bool)

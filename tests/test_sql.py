@@ -98,6 +98,28 @@ QUERIES = [
     # window result inside an outer expression, plus * with a window
     "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) * 10 AS rn10 FROM orders WHERE o_orderkey < 700 ORDER BY o_orderkey",
     "SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents WHERE doc_id < 25 ORDER BY doc_id",
+    # NTILE / FIRST_VALUE / LAST_VALUE (LAST_VALUE on the ANSI default
+    # peer-inclusive frame; tie-heavy ORDER BY keys exercise the peers)
+    "SELECT o_orderkey, NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS q4, NTILE(7) OVER (ORDER BY o_orderkey) AS q7 FROM orders WHERE o_orderkey < 900 ORDER BY o_orderkey",
+    # LAST_VALUE only over values functionally determined by the peer
+    # group (which physical row is last among peers is engine-unspecified)
+    "SELECT o_orderkey, FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS fv, LAST_VALUE(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS lv, LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS lk FROM orders ORDER BY o_orderkey",
+    "SELECT doc_id, NTILE(3) OVER (PARTITION BY lang ORDER BY doc_id) AS t FROM documents WHERE doc_id < 120 ORDER BY doc_id",
+    # set operations: UNION (distinct) / INTERSECT / EXCEPT, ANSI
+    # precedence (INTERSECT binds tighter), trailing ORDER BY/LIMIT
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' ORDER BY k",
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 ORDER BY k",
+    "SELECT o_custkey AS k FROM orders EXCEPT SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY k",
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 EXCEPT SELECT o_custkey AS k FROM orders WHERE o_custkey % 10 = 3 ORDER BY k LIMIT 500",
+    # CTEs (chained: second references the first)
+    "WITH f AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F') SELECT o_custkey, COUNT(*) AS n FROM f GROUP BY o_custkey ORDER BY o_custkey LIMIT 50",
+    "WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000), b AS (SELECT k FROM a WHERE k % 2 = 0) SELECT k, COUNT(*) AS n FROM b GROUP BY k ORDER BY k",
+    # uncorrelated subqueries: IN / NOT IN / scalar / EXISTS
+    "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey LIMIT 100",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey",
+    "SELECT o_orderkey FROM orders WHERE o_totalprice > (SELECT MAX(c_acctbal) FROM customer) AND o_orderkey < 500 ORDER BY o_orderkey",
+    "SELECT COUNT(*) AS n FROM orders WHERE EXISTS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AND o_orderstatus = 'O'",
+    "SELECT COUNT(*) AS n FROM orders WHERE NOT EXISTS (SELECT c_custkey FROM customer WHERE c_acctbal > 999999999)",
 ]
 
 
