@@ -3677,6 +3677,47 @@ def q_sql_window2(sf_dir: str):
     return execute_sql(SQL_IFACE_WINDOW2, {"orders": _read(sf_dir, "orders")})
 
 
+SQL_DOC_QUANTILES = (
+    "SELECT lang, "
+    "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY LENGTH(text)) "
+    "AS DOUBLE) AS p25, "
+    "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY LENGTH(text)) "
+    "AS DOUBLE) AS p50, "
+    "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY LENGTH(text)) "
+    "AS DOUBLE) AS p95 "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def q_doc_quantiles(sf_dir: str):
+    """Exact distributed PERCENTILE_DISC of document text length per
+    language (stages/quantile.py) — the training-data length-cutoff
+    primitive.  Three streaming passes, NO sort: grouped min/max/count →
+    per-group 4096-bucket histogram (one hash-bucket aggregate) → only
+    the target buckets' rows leave the cluster for exact rank selection
+    (expected n/4096 rows per group).  The reference's median path is the
+    same histogram idiom (gcore/gdalrasterband.cpp GetDefaultHistogram);
+    here it is grouped, multi-quantile, and exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from gdal_ray.stages.quantile import exact_group_quantiles
+
+    ds = _read(sf_dir, "documents")
+
+    def add_len(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "tlen", pc.cast(pc.utf8_length(b.column("text")), pa.float64()))
+
+    out = exact_group_quantiles(
+        ds.map_batches(add_len, batch_format="pyarrow"),
+        "tlen", [0.25, 0.5, 0.95], ["lang"],
+    )
+    out = out.sort_by("lang")
+    return ray.data.from_arrow(out)
+
+
 def q_vector_translate(sf_dir: str):
     """ogr2ogr chain (apps/ogr2ogr_lib.cpp; gdal_ray/vector.py):
     -where + -clipsrc + -t_srs 3857 + -select in ONE map_batches stage;
@@ -4104,6 +4145,7 @@ def queries():
         "sql_cte": q_sql_cte,
         "sql_subquery": q_sql_subquery,
         "sql_window2": q_sql_window2,
+        "doc_quantiles": q_doc_quantiles,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -4267,6 +4309,7 @@ def oracle_sql():
         "sql_cte": SQL_IFACE_CTE,
         "sql_subquery": SQL_IFACE_SUBQUERY,
         "sql_window2": SQL_IFACE_WINDOW2,
+        "doc_quantiles": SQL_DOC_QUANTILES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
