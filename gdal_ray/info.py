@@ -299,6 +299,27 @@ def _flatgeobuf(path: str) -> dict:
 def _netcdf(path: str) -> dict:
     from gdal_ray.sources.netcdf3 import read_netcdf_meta
 
+    with open(path, "rb") as f:
+        if f.read(4) == b"\x89HDF":  # netCDF-4 = HDF5 container
+            from gdal_ray.sources.hdf5 import netcdf4_meta
+
+            m4 = netcdf4_meta(path)
+            return {
+                "driver": "netCDF",
+                "version": "netCDF-4 (HDF5)",
+                "dimensions": dict(m4["dims"]),
+                "variables": {
+                    k: {"dims": v["dims"], "shape": v["shape"],
+                        "dtype": v["dtype"]}
+                    for k, v in m4["vars"].items()
+                },
+                "global_attributes": {
+                    k: (v if isinstance(v, str)
+                        else list(np.asarray(v).tolist()))
+                    for k, v in m4["gatts"].items()
+                },
+            }
+
     m = read_netcdf_meta(path)
     return {
         "driver": "netCDF",

@@ -140,6 +140,14 @@ def open_raster(path: str, **kw):
 
         return read_zarr(path, **kw)
     if low.endswith(".nc"):
+        # magic sniff (netcdfdataset.cpp Identify): CDF → classic,
+        # \x89HDF → netCDF-4 (an HDF5 file) through the HDF5 chunk reader
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic.startswith(b"\x89HDF"):
+            from gdal_ray.sources.hdf5 import read_hdf5
+
+            return read_hdf5(path, **kw)
         from gdal_ray.sources.netcdf3 import read_netcdf
 
         return read_netcdf(path, **kw)

@@ -53,6 +53,7 @@ _MSG_DATATYPE = 0x0003
 _MSG_FILLVALUE = 0x0005
 _MSG_LAYOUT = 0x0008
 _MSG_FILTERS = 0x000B
+_MSG_ATTRIBUTE = 0x000C
 _MSG_SYMTAB = 0x0011
 
 
@@ -68,6 +69,10 @@ def _dt_message(dt: np.dtype) -> bytes:
     floats, little-endian."""
     dt = np.dtype(dt)
     size = dt.itemsize
+    if dt.kind == "S":
+        # class 3 fixed string: null-terminated padding, ASCII charset
+        head = struct.pack("<B", 0x13) + b"\x00\x00\x00"
+        return head + struct.pack("<I", size)
     if dt.kind in ("i", "u"):
         cls = 0
         bits = 0x08 if dt.kind == "i" else 0x00  # bit 3: signed
@@ -102,7 +107,68 @@ def _parse_dt(body: bytes) -> np.dtype:
         return np.dtype(f"{order}{kind}{size}")
     if cls == 1:
         return np.dtype(f"{order}f{size}")
+    if cls == 3:  # fixed string
+        return np.dtype(f"S{size}")
     raise NotImplementedError(f"HDF5 datatype class {cls}")
+
+
+def _attr_message(name: str, value) -> bytes:
+    """Attribute message body (v1, spec IV.A.2.m): name + datatype +
+    dataspace (each 8-byte padded) + raw data.  Values: str (fixed ASCII
+    string scalar), int/float scalars, 1-D numeric arrays."""
+    if isinstance(value, str):
+        data = value.encode() + b"\x00"
+        arr = np.frombuffer(data, dtype=f"S{len(data)}")
+        dims: tuple = ()
+    else:
+        arr = np.atleast_1d(np.asarray(value))
+        if arr.ndim != 1:
+            raise NotImplementedError("attribute rank > 1")
+        dims = () if np.isscalar(value) or np.asarray(value).ndim == 0 \
+            else (len(arr),)
+        data = np.ascontiguousarray(arr).tobytes()
+    dt = _dt_message(arr.dtype)
+    ds = struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
+        struct.pack("<Q", d) for d in dims)
+    nm = name.encode() + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    for part in (nm, dt, ds):
+        body += part + b"\x00" * (_pad8(len(part)) - len(part))
+    return body + data
+
+
+def _parse_attr(body: bytes):
+    """-> (name, value) — strings decode, numerics -> scalar / ndarray,
+    unsupported classes (vlen, reference — netCDF-4's DIMENSION_LIST /
+    REFERENCE_LIST) -> (name, None)."""
+    if body[0] != 1:
+        return None, None
+    nsz, dtsz, dssz = struct.unpack_from("<HHH", body, 2)
+    off = 8
+    name = body[off:off + nsz].split(b"\x00")[0].decode("latin-1")
+    off += _pad8(nsz)
+    dtbody = body[off:off + dtsz]
+    off += _pad8(dtsz)
+    dsbody = body[off:off + dssz]
+    off += _pad8(dssz)
+    data = body[off:]
+    if dsbody[0] != 1:
+        return name, None
+    ndim = dsbody[1]
+    dims = [struct.unpack_from("<Q", dsbody, 8 + 8 * i)[0]
+            for i in range(ndim)]
+    try:
+        dt = _parse_dt(dtbody)
+    except NotImplementedError:
+        return name, None
+    count = int(np.prod(dims)) if dims else 1
+    vals = np.frombuffer(data[:count * dt.itemsize], dtype=dt)
+    if dt.kind == "S":
+        s = vals[0].split(b"\x00")[0].decode("latin-1") if len(vals) else ""
+        return name, s
+    if not dims:
+        return name, vals[0].item()
+    return name, vals
 
 
 def _message(mtype: int, body: bytes) -> bytes:
@@ -159,7 +225,9 @@ def _chunk_payloads(arr: np.ndarray, chunk_rows: int,
 
 def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
                chunk_rows: int | None = None, deflate: int | None = None,
-               shuffle: bool = False) -> None:
+               shuffle: bool = False,
+               attrs: dict[str, dict] | None = None,
+               root_attrs: dict | None = None) -> None:
     """{name: ndarray} -> one classic HDF5 file (atomic tmp+rename):
     v0 superblock, root group, one leaf B-tree/SNOD level (≤8 links —
     a loud gate, not silent truncation).  Default layout is contiguous;
@@ -193,8 +261,11 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
         cursor += nbytes
         return addr
 
+    root_attr_msgs = [_message(_MSG_ATTRIBUTE, _attr_message(k, v))
+                      for k, v in sorted((root_attrs or {}).items())]
     root_oh = _object_header(
-        [_message(_MSG_SYMTAB, struct.pack("<QQ", 0, 0))])  # patched below
+        [_message(_MSG_SYMTAB, struct.pack("<QQ", 0, 0))]  # patched below
+        + root_attr_msgs)
     root_oh_addr = alloc(len(root_oh))
     btree_size = 24 + 8 * 3  # 1 child: key0, child0, key1
     btree_addr = alloc(btree_size)
@@ -228,6 +299,8 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
             if deflate is not None or shuffle:
                 msgs.append(_message(_MSG_FILTERS, _filter_pipeline_message(
                     deflate, arr.dtype.itemsize if shuffle else None)))
+        for an, av in sorted(((attrs or {}).get(n) or {}).items()):
+            msgs.append(_message(_MSG_ATTRIBUTE, _attr_message(an, av)))
         return msgs
 
     ds_oh_addr: dict[str, int] = {}
@@ -270,7 +343,8 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
     assert len(out) == superblock_size
 
     out += _object_header(
-        [_message(_MSG_SYMTAB, struct.pack("<QQ", btree_addr, heap_hdr_addr))])
+        [_message(_MSG_SYMTAB, struct.pack("<QQ", btree_addr, heap_hdr_addr))]
+        + root_attr_msgs)
 
     btree = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, UNDEF, UNDEF)
     btree += struct.pack("<QQQ", 0, snod_addr, name_off[names[-1]])
@@ -463,7 +537,13 @@ def read_hdf5_meta(path: str) -> dict:
             shape = dtype = layout = None
             chunk_shape = btree = None
             filters: list = []
+            ds_attrs: dict = {}
             for mtype, body in _read_object_header(buf, oh_addr):
+                if mtype == _MSG_ATTRIBUTE:
+                    an, av = _parse_attr(body)
+                    if an is not None and av is not None:
+                        ds_attrs[an] = av
+                    continue
                 if mtype == _MSG_DATASPACE:
                     ver, ndim, flags = struct.unpack_from("<BBB", body, 0)
                     if ver != 1:
@@ -504,13 +584,22 @@ def read_hdf5_meta(path: str) -> dict:
                     "shape": shape, "dtype": dtype.str, "layout": "chunked",
                     "chunk_shape": chunk_shape, "filters": filters,
                     "chunks": sorted(chunks, key=lambda c: c["offset"][0]),
+                    "attrs": ds_attrs,
                 }
             else:
                 datasets[name] = {"shape": shape, "dtype": dtype.str,
                                   "layout": "contiguous",
-                                  "data_addr": layout[0], "nbytes": layout[1]}
+                                  "data_addr": layout[0], "nbytes": layout[1],
+                                  "attrs": ds_attrs}
+    root_attrs: dict = {}
+    for mtype, body in _read_object_header(buf, _root_oh):
+        if mtype == _MSG_ATTRIBUTE:
+            an, av = _parse_attr(body)
+            if an is not None and av is not None:
+                root_attrs[an] = av
     fh.close()
-    return {"format": "HDF5", "superblock_version": 0, "datasets": datasets}
+    return {"format": "HDF5", "superblock_version": 0, "datasets": datasets,
+            "attrs": root_attrs}
 
 
 def read_hdf5_var(path: str, name: str) -> np.ndarray:
@@ -589,3 +678,93 @@ def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
         })
 
     return rd.from_items(items).map_batches(load, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- netCDF-4 flavor
+#
+# netCDF-4 files ARE HDF5 files (frmts/netcdf/netcdfdataset.cpp detects the
+# \x89HDF magic and re-routes to the HDF5 core).  The netCDF layer adds:
+#   - dimension-scale datasets (attr CLASS = "DIMENSION_SCALE"; a dim with
+#     a coordinate variable carries real data, a bare dim carries the
+#     "This is a netCDF dimension but not a netCDF variable" NAME)
+#   - DIMENSION_LIST / REFERENCE_LIST vlen-reference attributes binding
+#     variable axes to dim scales — NOT dereferenced here (vlen + object
+#     references live in the global heap); instead axes match dim scales
+#     BY SIZE, exactly GDAL's phony-dim fallback (netcdfdataset.cpp emits
+#     phony_dim_N for unlabeled HDF5 axes).  Ambiguous sizes get the
+#     first size-matching dim, unmatched axes get phony_dim_{i}.
+#   - _NCProperties root attribute (written by libnetcdf; surfaced as a
+#     global attribute when present)
+
+
+def netcdf4_meta(path: str) -> dict:
+    """netCDF-4 view over an HDF5 file: {dims, vars, gatts}."""
+    m = read_hdf5_meta(path)
+    dims: dict[str, int] = {}
+    for n, d in m["datasets"].items():
+        a = d.get("attrs", {})
+        if a.get("CLASS") == "DIMENSION_SCALE":
+            dims[n] = d["shape"][0] if d["shape"] else 1
+    variables: dict[str, dict] = {}
+    for n, d in m["datasets"].items():
+        a = d.get("attrs", {})
+        if a.get("CLASS") == "DIMENSION_SCALE" and str(
+                a.get("NAME", "")).startswith("This is a netCDF dimension"):
+            continue  # bare dimension, not a variable
+        axis_names = []
+        for i, s in enumerate(d["shape"]):
+            if n in dims and len(d["shape"]) == 1:
+                axis_names.append(n)  # coordinate variable: its own dim
+                continue
+            match = [dn for dn, ds in dims.items() if ds == s]
+            axis_names.append(match[0] if match else f"phony_dim_{i}")
+        variables[n] = {
+            "dims": axis_names, "shape": list(d["shape"]),
+            "dtype": d["dtype"], "layout": d["layout"],
+            "attrs": {k: v for k, v in a.items()
+                      if k not in ("CLASS", "NAME")},
+        }
+    return {"format": "netCDF-4", "dims": dims, "vars": variables,
+            "gatts": m.get("attrs", {})}
+
+
+def write_netcdf4(path: str, variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
+                  *, coords: dict[str, np.ndarray] | None = None,
+                  gatts: dict | None = None,
+                  chunk_rows: int | None = None,
+                  deflate: int | None = None) -> None:
+    """netCDF-4-style HDF5 writer: variables {name: (dim_names, array)};
+    dims become dimension-scale datasets (coordinate data from `coords`
+    when given, else a bare int32 placeholder with the canonical netCDF
+    NAME sentinel).  DIMENSION_LIST references are not written (readers
+    here re-bind by size, the same phony-dim contract as the reader)."""
+    datasets: dict[str, np.ndarray] = {}
+    attrs: dict[str, dict] = {}
+    dim_sizes: dict[str, int] = {}
+    for name, (dim_names, arr) in variables.items():
+        arr = np.asarray(arr)
+        if len(dim_names) != arr.ndim:
+            raise ValueError(f"{name}: {len(dim_names)} dims for rank {arr.ndim}")
+        for dn, s in zip(dim_names, arr.shape):
+            if dim_sizes.setdefault(dn, s) != s:
+                raise ValueError(f"dimension {dn}: conflicting sizes")
+        datasets[name] = arr
+        attrs[name] = {}
+    for dn, size in dim_sizes.items():
+        if dn in datasets:  # coordinate variable doubles as its dim scale
+            attrs[dn] = {"CLASS": "DIMENSION_SCALE", "NAME": dn}
+            continue
+        if coords and dn in coords:
+            datasets[dn] = np.asarray(coords[dn])
+            attrs[dn] = {"CLASS": "DIMENSION_SCALE", "NAME": dn}
+        else:
+            datasets[dn] = np.zeros(size, dtype=np.int32)
+            attrs[dn] = {
+                "CLASS": "DIMENSION_SCALE",
+                "NAME": f"This is a netCDF dimension but not a netCDF "
+                        f"variable.  {size}",
+            }
+    root = dict(gatts or {})
+    root.setdefault("_NCProperties", "version=2,gdal_ray=1")
+    write_hdf5(path, datasets, attrs=attrs, root_attrs=root,
+               chunk_rows=chunk_rows, deflate=deflate)

@@ -186,3 +186,81 @@ def test_chunked_gates(tmp_path):
         write_hdf5(p, {"a": np.zeros(4)}, deflate=6)
     with pytest.raises(NotImplementedError, match="chunks"):
         write_hdf5(p, {"a": np.zeros(10000)}, chunk_rows=1)
+
+
+# ------------------------------------------------------- netCDF-4 flavor
+
+
+def test_attrs_roundtrip(tmp_path):
+    from gdal_ray.sources.hdf5 import read_hdf5_meta, write_hdf5
+
+    p = str(tmp_path / "a.h5")
+    write_hdf5(
+        p, {"v": np.arange(12, dtype=np.float32).reshape(3, 4)},
+        attrs={"v": {"units": "K", "scale_factor": 0.5, "valid_range":
+                     np.array([0, 100], dtype=np.int32), "count": 7}},
+        root_attrs={"title": "test file", "version": 2},
+    )
+    m = read_hdf5_meta(p)
+    a = m["datasets"]["v"]["attrs"]
+    assert a["units"] == "K"
+    assert a["scale_factor"] == 0.5
+    assert list(a["valid_range"]) == [0, 100]
+    assert a["count"] == 7
+    assert m["attrs"]["title"] == "test file"
+    assert m["attrs"]["version"] == 2
+
+
+def test_netcdf4_roundtrip(tmp_path, ray_session):
+    from gdal_ray.sources import open_raster
+    from gdal_ray.sources.hdf5 import (netcdf4_meta, read_hdf5_var,
+                                       write_netcdf4)
+
+    p = str(tmp_path / "t.nc")
+    temp = np.arange(24, dtype=np.float64).reshape(4, 6)
+    lat = np.linspace(-30.0, 30.0, 4)
+    write_netcdf4(
+        p,
+        {"temperature": (("lat", "lon"), temp),
+         "lat": (("lat",), lat)},           # coordinate variable
+        gatts={"Conventions": "CF-1.6"},
+    )
+    m = netcdf4_meta(p)
+    assert m["dims"] == {"lat": 4, "lon": 6}
+    assert m["vars"]["temperature"]["dims"] == ["lat", "lon"]
+    assert "lon" not in m["vars"]  # bare dim: placeholder, not a variable
+    assert m["vars"]["lat"]["dims"] == ["lat"]
+    assert m["gatts"]["Conventions"] == "CF-1.6"
+    np.testing.assert_array_equal(read_hdf5_var(p, "temperature"), temp)
+    np.testing.assert_array_equal(read_hdf5_var(p, "lat"), lat)
+    # .nc open registry routes on HDF5 magic
+    rows = open_raster(p, var="temperature").take_all()
+    got = np.concatenate([
+        np.frombuffer(r["data"], dtype=np.float64) for r in
+        sorted(rows, key=lambda r: r["row0"])]).reshape(4, 6)
+    np.testing.assert_array_equal(got, temp)
+
+
+def test_netcdf4_info_door(tmp_path):
+    from gdal_ray.info import describe
+    from gdal_ray.sources.hdf5 import write_netcdf4
+
+    p = str(tmp_path / "t.nc")
+    write_netcdf4(p, {"x": (("row", "col"),
+                            np.ones((5, 3), dtype=np.int16))})
+    d = describe(p)
+    assert d["driver"] == "netCDF"
+    assert d["version"] == "netCDF-4 (HDF5)"
+    assert d["dimensions"] == {"row": 5, "col": 3}
+    assert d["variables"]["x"]["dims"] == ["row", "col"]
+
+
+def test_netcdf4_phony_dims(tmp_path):
+    # a plain HDF5 file (no dim scales) seen through the netCDF-4 door:
+    # axes get GDAL's phony_dim_N names
+    from gdal_ray.sources.hdf5 import netcdf4_meta, write_hdf5
+
+    p = str(tmp_path / "p.nc")
+    write_hdf5(p, {"z": np.zeros((2, 9), dtype=np.uint8)})
+    m = netcdf4_meta(p)
+    assert m["vars"]["z"]["dims"] == ["phony_dim_0", "phony_dim_1"]
