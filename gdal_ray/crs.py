@@ -873,6 +873,183 @@ def orthographic(lat0: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def aeqd_spherical(lat0: float, lon0: float, fe: float, fn: float,
+                   R: float = A_WGS84):
+    """Azimuthal equidistant, spherical (Snyder ch. 25, eqs 5-3/5-4 with
+    k' = c/sin c; +proj=aeqd +R=…): every distance AND azimuth from the
+    center is true — the classic "range rings" projection.  The
+    ellipsoidal form needs geodesic distance/azimuth (PROJ delegates to
+    Karney's geodesics) and is gated in the proj front end."""
+    phi1 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    s1, c1 = np.sin(phi1), np.cos(phi1)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        cos_c = np.clip(s1 * np.sin(phi) + c1 * np.cos(phi) * np.cos(dlam),
+                        -1.0, 1.0)
+        c = np.arccos(cos_c)
+        sin_c = np.sin(c)
+        kp = np.where(sin_c > 1e-12, c / np.where(sin_c == 0, 1.0, sin_c), 1.0)
+        x = R * kp * np.cos(phi) * np.sin(dlam)
+        y = R * kp * (c1 * np.sin(phi) - s1 * np.cos(phi) * np.cos(dlam))
+        return fe + x, fn + y
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        rho = np.hypot(x, y)
+        c = rho / R
+        sin_c, cos_c = np.sin(c), np.cos(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.arcsin(np.clip(
+            cos_c * s1 + np.where(rho == 0, 0.0, y * sin_c * c1 / safe),
+            -1.0, 1.0))
+        lam = lam0 + np.arctan2(x * sin_c,
+                                safe * c1 * cos_c - y * s1 * sin_c)
+        lam = np.where(rho == 0, lam0, lam)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def gnomonic(lat0: float, lon0: float, fe: float, fn: float,
+             R: float = A_WGS84):
+    """Gnomonic, spherical (Snyder ch. 22; +proj=gnom +R=…): projection
+    from the sphere's center — every great circle maps to a straight
+    line (the geometric test the pytest pins).  Valid for c < 90° from
+    the center; points at/beyond the horizon raise."""
+    phi1 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    s1, c1 = np.sin(phi1), np.cos(phi1)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        cos_c = s1 * np.sin(phi) + c1 * np.cos(phi) * np.cos(dlam)
+        if np.any(cos_c <= 1e-10):
+            raise ValueError("gnomonic: point at or beyond the horizon")
+        kp = 1.0 / cos_c
+        x = R * kp * np.cos(phi) * np.sin(dlam)
+        y = R * kp * (c1 * np.sin(phi) - s1 * np.cos(phi) * np.cos(dlam))
+        return fe + x, fn + y
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        rho = np.hypot(x, y)
+        c = np.arctan2(rho, R)
+        sin_c, cos_c = np.sin(c), np.cos(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.arcsin(np.clip(
+            cos_c * s1 + np.where(rho == 0, 0.0, y * sin_c * c1 / safe),
+            -1.0, 1.0))
+        lam = lam0 + np.arctan2(x * sin_c,
+                                safe * c1 * cos_c - y * s1 * sin_c)
+        lam = np.where(rho == 0, lam0, lam)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def eqdc(lat1: float, lat2: float, lat0: float, lon0: float,
+         fe: float, fn: float, a: float = A_WGS84, f: float = F_WGS84):
+    """Equidistant conic, ellipsoidal (Snyder ch. 16, eqs 16-4..16-6;
+    +proj=eqdc): meridians are true to scale (ρ decreases by exactly the
+    meridian arc — the pytest pins ρ(φa) − ρ(φb) = M(φb) − M(φa)) and both
+    standard parallels are true (ρi·n = a·mi)."""
+    e = _ecc(f)
+    e2 = e * e
+    M, M_inv = _merid_arc_fns(a, e2)
+    p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+    lam0 = np.radians(lon0)
+
+    def m_of(phi):
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+    m1, m2 = m_of(p1), m_of(p2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = a * (m1 - m2) / (M(p2) - M(p1))
+    G = m1 / n + M(p1) / a
+    rho0 = a * G - M(p0)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * G - M(phi)
+        th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - lam0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.hypot(x, y)
+        th = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+        phi = M_inv(a * G - rho)
+        lam = lam0 + th / n
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def polyconic(lat0: float, lon0: float, fe: float, fn: float,
+              a: float = A_WGS84, f: float = F_WGS84):
+    """American polyconic, ellipsoidal (EPSG method 9818; Snyder ch. 18,
+    eqs 18-12..18-15): each parallel is an arc of a circle of radius
+    N·cotφ, true to scale (the pytest pins that circle geometry); the
+    central meridian is true (y = M − M0).  Inverse: vectorized 2-D
+    Newton on the exact forward (same idiom as the RPC inverse,
+    transformer.py) — Snyder's scalar iteration (18-18..18-21) trades
+    poorly against numpy batches."""
+    e2 = _ecc(f) ** 2
+    M, _ = _merid_arc_fns(a, e2)
+    p0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    M0 = M(p0)
+
+    def _fwd_rad(lam, phi):
+        flat = np.abs(phi) < 1e-12
+        phi_s = np.where(flat, 1e-3, phi)  # dummy for the non-flat branch
+        sphi = np.sin(phi_s)
+        N = a / np.sqrt(1.0 - e2 * sphi ** 2)
+        Ecirc = (lam - lam0) * sphi
+        cot = np.cos(phi_s) / sphi
+        x_r = N * cot * np.sin(Ecirc)
+        y_r = M(phi_s) - M0 + N * cot * (1.0 - np.cos(Ecirc))
+        x_f = a * (lam - lam0)
+        y_f = -M0 + 0.0 * lam
+        return np.where(flat, x_f, x_r), np.where(flat, y_f, y_r)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        x, y = _fwd_rad(lam, phi)
+        return fe + x, fn + y
+
+    def inv(E, N_):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N_, dtype=np.float64) - fn
+        phi = np.clip((M0 + y) / a, -1.5, 1.5)
+        lam = lam0 + x / (a * np.maximum(np.cos(phi), 1e-6))
+        h = 1e-7
+        for _ in range(12):
+            fx, fy = _fwd_rad(lam, phi)
+            rx, ry = fx - x, fy - y
+            dxl, dyl = _fwd_rad(lam + h, phi)
+            dxp, dyp = _fwd_rad(lam, phi + h)
+            j11, j21 = (dxl - fx) / h, (dyl - fy) / h
+            j12, j22 = (dxp - fx) / h, (dyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+            lam = lam - (j22 * rx - j12 * ry) / det
+            phi = phi - (-j21 * rx + j11 * ry) / det
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def hotine_omerc(lat_c: float, lon_c: float, alpha_c: float, gamma_c: float,
                  k_c: float, fe: float, fn: float, *, variant_b: bool = True,
                  a: float = A_WGS84, f: float = F_WGS84):
@@ -1057,9 +1234,29 @@ def _proj_pair_raw(p: dict):
         lonc = float(p.get("lonc", lon0))
         return hotine_omerc(lat0, lonc, alpha, gamma, k0, fe, fn,
                             variant_b=not p.get("no_uoff"), a=a, f=f)
+    if proj in ("aeqd", "gnom"):
+        # spherical forms only: the ellipsoidal aeqd needs Karney
+        # geodesics (PROJ's delegate); demand an explicit sphere
+        if "R" in p:
+            R = float(p["R"])
+        elif f == 0.0:
+            R = a
+        else:
+            raise NotImplementedError(
+                f"ellipsoidal +proj={proj} (pass +R=<radius> for the "
+                "spherical form — the ellipsoidal aeqd needs geodesics)")
+        maker = aeqd_spherical if proj == "aeqd" else gnomonic
+        return maker(lat0, lon0, fe, fn, R=R)
+    if proj == "eqdc":
+        lat1 = float(p.get("lat_1", lat0))
+        lat2 = float(p.get("lat_2", lat1))
+        return eqdc(lat1, lat2, lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "poly":
+        return polyconic(lat0, lon0, fe, fn, a=a, f=f)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
-                              "polar stere, sinu, moll, cea, ortho, omerc)")
+                              "polar stere, sinu, moll, cea, ortho, omerc, "
+                              "aeqd/gnom (spherical), eqdc, poly)")
 
 
 # --- datum shifts (+towgs84) -------------------------------------------------
