@@ -3532,6 +3532,69 @@ def q_tile_render(sf_dir: str):
     return out
 
 
+SQL_IMAGE_PATCHES = (
+    # the Ray side counts patches over DECODED PIXELS; this twin recomputes
+    # the grid arithmetic from the deterministic dims cycle
+    # (synth.image_dims: W_CYCLE/H_CYCLE by doc_id % 5) — patch=stride=64
+    "SELECT 'img-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id, "
+    "CAST(CASE doc_id % 5 "
+    "  WHEN 0 THEN 0 "                       # 16x16: below patch size
+    "  WHEN 1 THEN 1 "                       # 64x64
+    "  WHEN 2 THEN (1 + (256-64)//64) * (1 + (255-64)//64) "
+    "  WHEN 3 THEN (1 + (257-64)//64) * (1 + (256-64)//64) "
+    "  ELSE (1 + (512-64)//64) * (1 + (512-64)//64) END AS BIGINT) "
+    "AS n_patches "
+    "FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0 "
+    "ORDER BY image_id"
+)
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction (stages/imageops.extract_patches;
+    gdal_translate -srcwin grid idiom): decode → strided patch grid per
+    image (zero-copy luma view) → per-image patch counts via ONE
+    hash-bucket aggregate.  The SQL twin recomputes the grid arithmetic
+    from the deterministic dims cycle — the Ray side must produce exactly
+    that many patch rows from real pixels."""
+    import pyarrow as pa
+
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.imageops import extract_patches
+
+    patches = _images_ds(sf_dir, limit=400).map_batches(
+        lambda b: extract_patches(b, patch=64, stride=64),
+        batch_format="pyarrow", batch_size=32)
+    counts = grouped_aggregate(
+        patches, ["image_id"], [("px", "count", "n_patches")])
+    return counts.map_batches(
+        lambda b: b.select(["image_id", "n_patches"]),
+        batch_format="pyarrow").sort("image_id")
+
+
+def q_image_quality(sf_dir: str):
+    """Quality-filter metrics per image (stages/imageops.image_quality:
+    brightness/contrast/Laplacian-variance sharpness/entropy/dynamic
+    range — the DataComp/LAION-style filtering stage; rows-only, kernel
+    semantics pytest-pinned against naive per-pixel references)."""
+    from gdal_ray.stages.imageops import image_quality
+
+    return _images_ds(sf_dir, limit=300).map_batches(
+        image_quality, batch_format="pyarrow", batch_size=32)
+
+
+def q_image_augment(sf_dir: str):
+    """Deterministic augmentation (stages/imageops.augment_images:
+    flip/rot90 family chosen by blake2b(seed, image_id) — byte-identical
+    across re-runs, the resumable-sink contract; rows-only, involution +
+    determinism pytest-pinned)."""
+    from gdal_ray.stages.imageops import augment_images
+
+    return _images_ds(sf_dir, limit=200).map_batches(
+        augment_images, batch_format="pyarrow", batch_size=32
+    ).map_batches(lambda b: b.drop_columns(["bytes"]),
+                  batch_format="pyarrow")
+
+
 def q_image_tiles(sf_dir: str):
     """Flagship slice: decode + footprint + XYZ tile assignment rows."""
     return _images_ds(sf_dir, limit=300).map_batches(
@@ -4146,6 +4209,7 @@ def queries():
         "sql_subquery": q_sql_subquery,
         "sql_window2": q_sql_window2,
         "doc_quantiles": q_doc_quantiles,
+        "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -4214,6 +4278,8 @@ def queries():
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
+        "image_quality": q_image_quality,
+        "image_augment": q_image_augment,
         "tile_render": q_tile_render,
         "warp": q_warp,
         "rgb2pct": q_rgb2pct,
@@ -4310,6 +4376,7 @@ def oracle_sql():
         "sql_subquery": SQL_IFACE_SUBQUERY,
         "sql_window2": SQL_IFACE_WINDOW2,
         "doc_quantiles": SQL_DOC_QUANTILES,
+        "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
