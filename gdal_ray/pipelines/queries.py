@@ -3727,6 +3727,41 @@ SQL_IFACE_WINDOW2 = (
 )
 
 
+SQL_IFACE_MOVING = (
+    # integer moving sum (cumsum differences over exact int-valued
+    # float64 stay exact below 2^53 — bit-identical to DuckDB's direct
+    # window sum); MIN/MAX are exact value picks.  Float moving AVG is
+    # exercised in test_sql.py under np.allclose (cumsum-difference vs
+    # direct-sum last-ulp drift is inherent to any distributed plan).
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(value * 100 AS BIGINT)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS sum5_cents, "
+    "MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wmin10, "
+    "MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wmax10, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wn3 "
+    "FROM events WHERE event_id % 2 = 0 ORDER BY event_id"
+)
+
+
+def q_sql_moving(sf_dir: str):
+    """SQL front end round 4b: ROWS-frame moving aggregates — fn() OVER
+    (... ROWS BETWEEN n PRECEDING AND CURRENT ROW), the time-series
+    moving-average/moving-extreme primitive.  SUM/COUNT/AVG via cumsum
+    differences; MIN/MAX via the O(n) block-decomposed sliding reduce
+    with the partition head served by a doubling prefix scan
+    (stages/window.py _rows_frame) — no per-row Python, one bucketed
+    shuffle for the whole clause.  ROWS frames are order-sensitive so the
+    ORDER BY keys form a total order (ts, event_id).  IDENTICAL string on
+    DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_MOVING, {"events": _read(sf_dir, "events")})
+
+
 def q_sql_window2(sf_dir: str):
     """SQL front end round 4b: positional window functions — NTILE(n)
     (ANSI larger-tiles-first split), FIRST_VALUE (partition head on the
@@ -4208,6 +4243,7 @@ def queries():
         "sql_cte": q_sql_cte,
         "sql_subquery": q_sql_subquery,
         "sql_window2": q_sql_window2,
+        "sql_moving": q_sql_moving,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4375,6 +4411,7 @@ def oracle_sql():
         "sql_cte": SQL_IFACE_CTE,
         "sql_subquery": SQL_IFACE_SUBQUERY,
         "sql_window2": SQL_IFACE_WINDOW2,
+        "sql_moving": SQL_IFACE_MOVING,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

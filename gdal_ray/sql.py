@@ -50,6 +50,7 @@ _KEYWORDS = {
     "HAVING", "CASE", "WHEN", "THEN", "ELSE", "END",
     "OVER", "PARTITION",
     "WITH", "INTERSECT", "EXISTS",
+    "ROWS", "PRECEDING", "CURRENT", "ROW", "UNBOUNDED",
 }
 
 
@@ -292,7 +293,9 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
     """fn(args) OVER ([PARTITION BY c,...] [ORDER BY c [DESC],...]) —
     ANSI window functions (the reference's SQLite dialect gets these from
     sqlite3; the swq dialect has none).  Node:
-    ("win", fn, arg_node|None, offset, partition_tuple, order_tuple)."""
+    ("win", fn, arg_node|None, offset, partition_tuple, order_tuple,
+    frame) — frame None (ANSI default RANGE ... CURRENT ROW, peer
+    inclusive) or ("rows", n_preceding | None-for-unbounded)."""
     from gdal_ray.stages.window import WINDOW_FNS
 
     if fn not in WINDOW_FNS:
@@ -342,8 +345,30 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
             order.append((c, desc))
             if not p.accept("op", ","):
                 break
+    frame = None
+    if p.accept("kw", "ROWS"):
+        # ROWS BETWEEN (n | UNBOUNDED) PRECEDING AND CURRENT ROW — the
+        # moving-window frame; row-granular (no peer inclusion), exactly
+        # DuckDB's ROWS semantics.  n = window size - 1.
+        p.expect("kw", "BETWEEN")
+        if p.accept("kw", "UNBOUNDED"):
+            nprec = None
+        else:
+            nprec = int(p.expect("num")[1])
+        p.expect("kw", "PRECEDING")
+        p.expect("kw", "AND")
+        p.expect("kw", "CURRENT")
+        p.expect("kw", "ROW")
+        if not order:
+            raise ValueError("a ROWS frame requires ORDER BY")
+        if fn not in _ROWS_FRAME_FNS:
+            raise ValueError(f"{fn} does not accept a ROWS frame")
+        frame = ("rows", nprec)
     p.expect("op", ")")
-    return ("win", fn, arg, offset, tuple(partition), tuple(order))
+    return ("win", fn, arg, offset, tuple(partition), tuple(order), frame)
+
+
+_ROWS_FRAME_FNS = {"SUM", "COUNT", "AVG", "MIN", "MAX"}
 
 
 def _collect_wins(node, out):
@@ -778,11 +803,11 @@ def _rewrite_cols(node, resolve):
     if node and node[0] == "col":
         return ("col", resolve(node[1]))
     if node and node[0] == "win":
-        _, fn, arg, offset, partn, order = node
+        _, fn, arg, offset, partn, order, frame = node
         return ("win", fn,
                 _rewrite_cols(arg, resolve) if arg is not None else None,
                 offset, tuple(resolve(c) for c in partn),
-                tuple((resolve(c), d) for c, d in order))
+                tuple((resolve(c), d) for c, d in order), frame)
     return tuple(_rewrite_cols(x, resolve) for x in node)
 
 
@@ -1055,7 +1080,7 @@ def _execute_one(q: dict, tables: dict):
         argcols: dict = {}
         by_clause: dict = {}
         for i, wnode in enumerate(uniq):
-            _, fn, arg, offset, partn, order = wnode
+            _, fn, arg, offset, partn, order, frame = wnode
             mapping[wnode] = f"__w{i}"
             if arg is None:
                 acol = None
@@ -1065,7 +1090,7 @@ def _execute_one(q: dict, tables: dict):
                 acol = f"__warg{i}"
                 argcols[acol] = arg
             by_clause.setdefault((partn, order), []).append(
-                (f"__w{i}", fn, acol, offset))
+                (f"__w{i}", fn, acol, offset, frame))
         if argcols:
             def add_args(b: pa.Table, _argcols=argcols) -> pa.Table:
                 for name, node in _argcols.items():

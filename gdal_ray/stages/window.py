@@ -116,7 +116,17 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
         if n else np.empty(0, dtype=np.int64)
     peer_end = peer_ends_idx[peer_id] if n else idx
 
-    for out_name, fn, arg, offset in specs:
+    for spec in specs:
+        out_name, fn, arg, offset = spec[:4]
+        frame = spec[4] if len(spec) > 4 else None
+        if frame is not None and fn in _RUNNING:
+            if fn == "COUNT" and arg is None:
+                vals, valid = np.ones(n), np.ones(n, dtype=bool)
+            else:
+                vals, valid = _numeric(gs.column(arg))
+            res = _rows_frame(fn, vals, valid, frame[1], seg_start, idx)
+            gs = gs.append_column(out_name, res)
+            continue
         if fn == "ROW_NUMBER":
             res = pa.array(idx - seg_start + 1)
         elif fn == "RANK":
@@ -199,6 +209,69 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
             raise NotImplementedError(f"window function {fn}")
         gs = gs.append_column(out_name, res)
     return gs
+
+
+def _sliding_extreme(v: np.ndarray, w: int, red) -> np.ndarray:
+    """out[i] = red(v[i-w+1 : i+1]) for i >= w-1 (head entries are filled
+    with the unclamped partial reduce — callers mask them).  The classic
+    O(n) block decomposition: prefix reduce within w-blocks + suffix
+    reduce within w-blocks; window [i-w+1, i] spans at most two blocks."""
+    n = len(v)
+    if n == 0:
+        return v.copy()
+    npad = (-n) % w
+    fill = np.inf if red is np.minimum else -np.inf
+    vp = np.concatenate([v, np.full(npad, fill)]).reshape(-1, w)
+    prefix = red.accumulate(vp, axis=1).ravel()
+    suffix = red.accumulate(vp[:, ::-1], axis=1)[:, ::-1].ravel()
+    out = prefix.copy()
+    i = np.arange(w - 1, n)
+    out[i] = red(suffix[i - w + 1], prefix[i])
+    return out[:n]
+
+
+def _rows_frame(fn: str, vals: np.ndarray, valid: np.ndarray,
+                nprec: int | None, seg_start: np.ndarray,
+                idx: np.ndarray):
+    """ROWS BETWEEN nprec PRECEDING AND CURRENT ROW (None = UNBOUNDED):
+    row-granular moving aggregate with per-partition clamping, fully
+    vectorized.  SUM/COUNT/AVG via cumsum differences; MIN/MAX via the
+    block-decomposed sliding reduce, with the partition head (short
+    windows) served by a cumulative reduce from the segment start."""
+    n = len(vals)
+    lo = seg_start if nprec is None else np.maximum(idx - nprec, seg_start)
+    if fn in ("SUM", "COUNT", "AVG"):
+        csum = np.concatenate([[0.0], np.cumsum(np.where(valid, vals, 0.0))])
+        ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+        s = csum[idx + 1] - csum[lo]
+        c = ccnt[idx + 1] - ccnt[lo]
+        return _finish_sca(fn, s, c)
+    red = np.minimum if fn == "MIN" else np.maximum
+    fill = np.inf if fn == "MIN" else -np.inf
+    vf = np.where(valid, vals, fill)
+    if nprec is None:
+        # unbounded: cumulative reduce reset per segment, row granularity
+        ext = _running_extreme(vf, valid, fn,
+                               np.ones(n, dtype=bool), np.cumsum(
+                                   np.asarray(idx == seg_start)) - 1)
+        res = ext
+    else:
+        w = nprec + 1
+        full = _sliding_extreme(vf, w, red)
+        # head rows (window clipped by the segment start): cumulative
+        # reduce from seg_start, also via the doubling scan
+        headv = _running_extreme(vf, valid, fn,
+                                 np.ones(n, dtype=bool), np.cumsum(
+                                     np.asarray(idx == seg_start)) - 1)
+        res = np.where(idx - lo + 1 < w, headv, full)
+        # a full window may still include a prior segment when the sliding
+        # reduce ignored boundaries — but lo clamps to seg_start, so any
+        # row with idx - seg_start + 1 < w takes the head path; rows on
+        # the full path have their whole window inside the segment.
+    ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+    c = ccnt[idx + 1] - ccnt[lo]
+    out = pa.array(res)
+    return pc.if_else(pa.array(c > 0), out, pa.scalar(None, pa.float64()))
 
 
 def _running_extreme(vals, valid, fn, peer_change, seg_id) -> np.ndarray:

@@ -120,6 +120,12 @@ QUERIES = [
     "SELECT o_orderkey FROM orders WHERE o_totalprice > (SELECT MAX(c_acctbal) FROM customer) AND o_orderkey < 500 ORDER BY o_orderkey",
     "SELECT COUNT(*) AS n FROM orders WHERE EXISTS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AND o_orderstatus = 'O'",
     "SELECT COUNT(*) AS n FROM orders WHERE NOT EXISTS (SELECT c_custkey FROM customer WHERE c_acctbal > 999999999)",
+    # ROWS-frame moving aggregates (order keys form a total order —
+    # ROWS frames are order-sensitive)
+    "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv3 FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmax, AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5 FROM orders ORDER BY o_orderkey",
+    "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wn, MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax FROM events ORDER BY event_id",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS selfv FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey",
 ]
 
 
