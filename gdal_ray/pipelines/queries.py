@@ -3727,6 +3727,32 @@ SQL_IFACE_WINDOW2 = (
 )
 
 
+SQL_IFACE_EXISTS = (
+    "SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer "
+    "WHERE EXISTS (SELECT o_orderkey FROM orders "
+    "WHERE o_custkey = c_custkey AND o_totalprice > 250000) "
+    "AND NOT EXISTS (SELECT o_orderkey FROM orders "
+    "WHERE o_custkey = c_custkey AND o_orderstatus = 'P') "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+def q_sql_exists(sf_dir: str):
+    """SQL front end round 4b: CORRELATED [NOT] EXISTS — the single-
+    equality correlation (t.k = outer.k [AND filters]) is detected and
+    rewritten to a broadcast semi/anti-join (the subquery's distinct key
+    set ships once via ray.put; workers pc.is_in per batch), exactly the
+    decorrelation every planner performs.  Wider correlation raises
+    loudly.  IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_EXISTS,
+        {"orders": _read(sf_dir, "orders"),
+         "customer": _read(sf_dir, "customer")},
+    )
+
+
 SQL_IFACE_MOVING = (
     # integer moving sum (cumsum differences over exact int-valued
     # float64 stay exact below 2^53 — bit-identical to DuckDB's direct
@@ -4244,6 +4270,7 @@ def queries():
         "sql_subquery": q_sql_subquery,
         "sql_window2": q_sql_window2,
         "sql_moving": q_sql_moving,
+        "sql_exists": q_sql_exists,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4412,6 +4439,7 @@ def oracle_sql():
         "sql_subquery": SQL_IFACE_SUBQUERY,
         "sql_window2": SQL_IFACE_WINDOW2,
         "sql_moving": SQL_IFACE_MOVING,
+        "sql_exists": SQL_IFACE_EXISTS,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

@@ -587,7 +587,14 @@ def _eval_with_funcs(node, batch, funcs):
 def _eval(node, batch: pa.Table):
     kind = node[0]
     if kind == "col":
-        return batch.column(node[1])
+        name = node[1]
+        if name not in batch.column_names and "." in name:
+            # qualified ref in a single-table scope (e.g. a correlated
+            # EXISTS rewritten to a semi-join): fall back to the suffix
+            suf = name.split(".", 1)[1]
+            if suf in batch.column_names:
+                return batch.column(suf)
+        return batch.column(name)
     if kind == "lit":
         return pa.scalar(node[1])
     if kind == "cast":
@@ -960,7 +967,16 @@ def _resolve_sub_node(node, tables):
             ref = ray.put(vals)
             return ("in_ref", _resolve_sub_node(e, tables), ref, neg)
         if node and node[0] == "exists_sub":
-            n = _execute_one(node[1], tables).limit(1).count()
+            sub = node[1]
+            corr = _extract_correlation(sub, tables)
+            if corr is not None:
+                # correlated single-equality EXISTS ≡ semi-join: rewrite
+                # to outer_expr IN (SELECT inner_col FROM t WHERE rest)
+                # and reuse the broadcast value-set machinery
+                outer_node, sub2 = corr
+                return _resolve_sub_node(
+                    ("in_sub", outer_node, sub2, False), tables)
+            n = _execute_one(sub, tables).limit(1).count()
             return ("lit", bool(n))
         if node and node[0] == "scalar_sub":
             sub_ds = _execute_one(node[1], tables)
@@ -974,6 +990,91 @@ def _resolve_sub_node(node, tables):
     if isinstance(node, list):
         return [_resolve_sub_node(part, tables) for part in node]
     return node
+
+
+def _conjuncts(node) -> list:
+    if isinstance(node, tuple) and node[:2] == ("bin", "and"):
+        return _conjuncts(node[2]) + _conjuncts(node[3])
+    return [node]
+
+
+def _extract_correlation(sub: dict, tables: dict):
+    """Detect EXISTS (SELECT ... FROM t WHERE t.k = outer.k [AND rest])
+    — one equality conjunct whose sides split inner/outer.  Returns
+    (outer_col_node, rewritten_sub) or None for the uncorrelated case.
+    Scope: single-table subquery, plain-select body, ONE correlated
+    equality; anything wider raises (loud, not wrong)."""
+    if "setop" in sub or sub.get("joins") or sub.get("group"):
+        return None
+    if sub["table"] not in tables:
+        return None
+    inner_names = set(tables[sub["table"]].schema().names)
+    tbl = sub["table"]
+
+    def side(name: str):
+        if name in inner_names:
+            return "inner", name
+        if "." in name:
+            pre, rest = name.split(".", 1)
+            if pre == tbl and rest in inner_names:
+                return "inner", rest
+        return "outer", name
+
+    where = sub.get("where")
+    if where is None:
+        return None
+    corr = None
+    rest: list = []
+    for c in _conjuncts(where):
+        is_corr = False
+        if (isinstance(c, tuple) and c[0] == "bin" and c[1] == "="
+                and c[2][0] == "col" and c[3][0] == "col"):
+            s2, n2 = side(c[2][1])
+            s3, n3 = side(c[3][1])
+            if {s2, s3} == {"inner", "outer"}:
+                inner_col = n2 if s2 == "inner" else n3
+                outer_col = n2 if s2 == "outer" else n3
+                if corr is not None:
+                    raise NotImplementedError(
+                        "EXISTS with multiple correlated equalities "
+                        "(composite-key semi-join)")
+                corr = (("col", outer_col), ("col", inner_col))
+                is_corr = True
+        if not is_corr:
+            for part in _conjuncts(c):
+                # any OTHER outer reference makes the conjunct correlated
+                # in a shape we don't lower — raise loudly
+                bad = []
+                _collect_cols(part, bad)
+                if any(side(b)[0] == "outer" for b in bad):
+                    raise NotImplementedError(
+                        "correlated EXISTS beyond one equality conjunct")
+            rest.append(c)
+    if corr is None:
+        return None
+    outer_node, inner_node = corr
+    new_where = None
+    for c in rest:
+        new_where = c if new_where is None else ("bin", "and", new_where, c)
+    sub2 = dict(sub)
+    sub2["where"] = new_where
+    sub2["items"] = [(inner_node, None)]
+    sub2["order"] = []
+    sub2["limit"] = None
+    sub2["distinct"] = True  # value set: dedup before broadcast
+    return outer_node, sub2
+
+
+def _collect_cols(node, out: list):
+    if isinstance(node, tuple):
+        if node and node[0] == "col":
+            out.append(node[1])
+            return
+        for part in node:
+            _collect_cols(part, out)
+    elif isinstance(node, list):
+        for part in node:
+            _collect_cols(part, out)
 
 
 def _has_sub(node) -> bool:
