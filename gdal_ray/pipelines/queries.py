@@ -1206,6 +1206,23 @@ def q_kmeans_embed(sf_dir: str):
     return cluster.kmeans_assign(emb, cents)
 
 
+def q_pca_embed(sf_dir: str):
+    """Distributed PCA over the embedding column (stages/pca.py): one
+    streaming moments pass (n, Σx, ΣxᵀX per batch — rows never leave the
+    cluster), driver-side d×d eigendecomposition with a deterministic
+    sign convention, then a broadcast-matmul projection pass.  Iterative
+    linear algebra — no SQL oracle; allclose-vs-numpy + orthonormality +
+    variance-equals-eigenvalue invariants are pytest-gated
+    (tests/test_pca.py)."""
+    from gdal_ray.stages.pca import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, evals, mu = pca_fit(emb, k=8)
+    out = pca_project(emb, comps, mu)
+    return out.map_batches(
+        lambda b: b.drop_columns(["embedding"]), batch_format="pyarrow")
+
+
 # ===========================================================================
 # Rasterize / polygonize (alg/gdalrasterize.cpp + alg/polygonize.cpp)
 # ===========================================================================
@@ -4343,6 +4360,7 @@ def queries():
         "image_tiles": q_image_tiles,
         "image_quality": q_image_quality,
         "image_augment": q_image_augment,
+        "pca_embed": q_pca_embed,
         "tile_render": q_tile_render,
         "warp": q_warp,
         "rgb2pct": q_rgb2pct,
