@@ -3744,6 +3744,45 @@ SQL_IFACE_WINDOW2 = (
 )
 
 
+SQL_WORD_COUNTS = (
+    "SELECT w AS word, COUNT(*) AS n FROM (SELECT unnest("
+    "regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+    "WHERE w <> '' GROUP BY w ORDER BY word"
+)
+
+
+def q_word_counts(sf_dir: str):
+    """Distributed exact word-frequency table (stages/bpe.word_counts):
+    vectorized Arrow split_pattern_regex per batch → per-batch partial
+    counts → ONE hash-bucket aggregate by word.  The corpus is read once;
+    only (word, count) rows shuffle.  The tokenizer-training input and
+    the corpus-statistics primitive."""
+    from gdal_ray.stages.bpe import word_counts
+
+    return word_counts(
+        _read(sf_dir, "documents", columns=["text"])).sort("word")
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.py; Sennrich 2016): distributed
+    word counting, then the deterministic merge loop over the
+    vocabulary-sized frequency table (tie-break: count desc, pair asc).
+    Iterative — no SQL oracle; equality with the straight-from-the-paper
+    reference and with single-process training is pytest-gated
+    (tests/test_bpe.py)."""
+    import ray.data
+
+    from gdal_ray.stages.bpe import bpe_train_distributed
+
+    merges = bpe_train_distributed(
+        _read(sf_dir, "documents", columns=["text"]), num_merges=64)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+    }))
+
+
 SQL_IFACE_EXISTS = (
     "SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer "
     "WHERE EXISTS (SELECT o_orderkey FROM orders "
@@ -4288,6 +4327,7 @@ def queries():
         "sql_window2": q_sql_window2,
         "sql_moving": q_sql_moving,
         "sql_exists": q_sql_exists,
+        "word_counts": q_word_counts,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4361,6 +4401,7 @@ def queries():
         "image_quality": q_image_quality,
         "image_augment": q_image_augment,
         "pca_embed": q_pca_embed,
+        "bpe_merges": q_bpe_merges,
         "tile_render": q_tile_render,
         "warp": q_warp,
         "rgb2pct": q_rgb2pct,
@@ -4458,6 +4499,7 @@ def oracle_sql():
         "sql_window2": SQL_IFACE_WINDOW2,
         "sql_moving": SQL_IFACE_MOVING,
         "sql_exists": SQL_IFACE_EXISTS,
+        "word_counts": SQL_WORD_COUNTS,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
