@@ -11,19 +11,27 @@ hash-bucket aggregate (stages/agg.py), ORDER BY to ds.sort, LIMIT to
 ds.limit.
 
 Grammar (grows as needed):
-  SELECT item[, ...] FROM <table> [LEFT|INNER JOIN t2 ON a = b ...]
-    [WHERE expr] [GROUP BY col[, ...]]
+  [WITH name AS (select)[, ...]] select
+  select := term {UNION [ALL|DISTINCT] | EXCEPT} term ...   (INTERSECT
+            binds tighter; trailing ORDER BY/LIMIT bind to the whole)
+  term   := SELECT item[, ...] FROM <table>
+            [LEFT|INNER JOIN t2 ON a = b ...]
+    [WHERE expr] [GROUP BY col[, ...]] [HAVING expr]
     [ORDER BY col [DESC][, ...]] [LIMIT n] [OFFSET m]
-    [UNION ALL SELECT ...]
   item := expr [AS name] | * | * EXCEPT (col[, ...])
        | agg(expr) [AS name] | COUNT(*) [AS name]
-       | winfn OVER ([PARTITION BY col,...] [ORDER BY col [DESC],...])
+       | winfn OVER ([PARTITION BY col,...] [ORDER BY col [DESC],...]
+                     [ROWS BETWEEN (k|UNBOUNDED) PRECEDING AND CURRENT ROW])
   agg  := SUM | MIN | MAX | AVG | COUNT
   winfn:= ROW_NUMBER() | RANK() | DENSE_RANK() | LAG/LEAD(e[, k])
+       | NTILE(n) | FIRST_VALUE/LAST_VALUE(e)
        | SUM/COUNT/AVG/MIN/MAX(e) | COUNT(*)   (stages/window.py)
   scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, CAST(e AS type)
-  predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...),
-              [NOT] BETWEEN a AND b, IS [NOT] NULL, AND, OR, NOT
+  predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...|SELECT),
+              [NOT] BETWEEN a AND b, IS [NOT] NULL, AND, OR, NOT,
+              [NOT] EXISTS (SELECT) — uncorrelated, or single-equality
+              correlated (decorrelated to a broadcast semi/anti-join);
+              scalar subqueries (SELECT one value) as expressions
 LIKE is case-sensitive (DuckDB semantics; the reference's OGR_SQL_LIKE_AS
 _ILIKE toggle maps to ILIKE).
 """
