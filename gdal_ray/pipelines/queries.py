@@ -3783,6 +3783,35 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_RANGE = (
+    # value-window moving aggregates over the numeric order key —
+    # peer-inclusive at both frame ends (the tie-heavy o_custkey key
+    # exercises that); integer-exact sum + exact value picks
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY "
+    "o_orderstatus ORDER BY o_custkey "
+    "RANGE BETWEEN 20 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum, "
+    "MIN(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_custkey RANGE BETWEEN 40 PRECEDING AND CURRENT ROW) AS rmin, "
+    "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey "
+    "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rn "
+    "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"
+)
+
+
+def q_sql_range(sf_dir: str):
+    """SQL front end round 4b: numeric RANGE frames — fn() OVER (...
+    RANGE BETWEEN k PRECEDING AND CURRENT ROW), the value-window
+    (e.g. time-window) moving aggregate.  Frame bounds via ONE global
+    searchsorted over segment-offset-adjusted keys; SUM/COUNT/AVG via
+    prefix sums; MIN/MAX via a sparse-table (doubling) range reduce —
+    O(n log n) build, O(1) per row, no Python loops
+    (stages/window.py _range_frame).  IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_RANGE, {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_EXISTS = (
     "SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer "
     "WHERE EXISTS (SELECT o_orderkey FROM orders "
@@ -4328,6 +4357,7 @@ def queries():
         "sql_moving": q_sql_moving,
         "sql_exists": q_sql_exists,
         "word_counts": q_word_counts,
+        "sql_range": q_sql_range,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4500,6 +4530,7 @@ def oracle_sql():
         "sql_moving": SQL_IFACE_MOVING,
         "sql_exists": SQL_IFACE_EXISTS,
         "word_counts": SQL_WORD_COUNTS,
+        "sql_range": SQL_IFACE_RANGE,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

@@ -354,24 +354,42 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
             if not p.accept("op", ","):
                 break
     frame = None
-    if p.accept("kw", "ROWS"):
-        # ROWS BETWEEN (n | UNBOUNDED) PRECEDING AND CURRENT ROW — the
-        # moving-window frame; row-granular (no peer inclusion), exactly
-        # DuckDB's ROWS semantics.  n = window size - 1.
+    is_rows = bool(p.accept("kw", "ROWS"))
+    # RANGE is deliberately NOT a reserved keyword (it would shadow
+    # column names); detect the literal identifier instead
+    is_range = False
+    if not is_rows:
+        kk, vv = p.peek()
+        if kk == "id" and vv.upper() == "RANGE":
+            p.next()
+            is_range = True
+    if is_rows or is_range:
+        # ROWS: row-granular moving window.  RANGE k PRECEDING: VALUE
+        # window [cur-k, cur] over ONE ascending numeric ORDER BY key,
+        # peer-inclusive at both ends — exactly DuckDB's semantics.
         p.expect("kw", "BETWEEN")
         if p.accept("kw", "UNBOUNDED"):
             nprec = None
         else:
-            nprec = int(p.expect("num")[1])
+            nprec = p.expect("num")[1]
         p.expect("kw", "PRECEDING")
         p.expect("kw", "AND")
         p.expect("kw", "CURRENT")
         p.expect("kw", "ROW")
         if not order:
-            raise ValueError("a ROWS frame requires ORDER BY")
+            raise ValueError("a ROWS/RANGE frame requires ORDER BY")
         if fn not in _ROWS_FRAME_FNS:
-            raise ValueError(f"{fn} does not accept a ROWS frame")
-        frame = ("rows", nprec)
+            raise ValueError(f"{fn} does not accept a ROWS/RANGE frame")
+        if is_rows:
+            frame = ("rows", None if nprec is None else int(nprec))
+        elif nprec is None:
+            frame = None  # RANGE UNBOUNDED .. CURRENT ROW = ANSI default
+        else:
+            if len(order) != 1 or order[0][1]:
+                raise NotImplementedError(
+                    "numeric RANGE frame needs exactly one ascending "
+                    "ORDER BY key")
+            frame = ("range", float(nprec))
     p.expect("op", ")")
     return ("win", fn, arg, offset, tuple(partition), tuple(order), frame)
 

@@ -124,7 +124,12 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
                 vals, valid = np.ones(n), np.ones(n, dtype=bool)
             else:
                 vals, valid = _numeric(gs.column(arg))
-            res = _rows_frame(fn, vals, valid, frame[1], seg_start, idx)
+            if frame[0] == "range":
+                okey, _ = _numeric(gs.column(order[0][0]))
+                res = _range_frame(fn, vals, valid, okey, frame[1],
+                                   seg_start, seg_id, peer_end, idx)
+            else:
+                res = _rows_frame(fn, vals, valid, frame[1], seg_start, idx)
             gs = gs.append_column(out_name, res)
             continue
         if fn == "ROW_NUMBER":
@@ -228,6 +233,67 @@ def _sliding_extreme(v: np.ndarray, w: int, red) -> np.ndarray:
     i = np.arange(w - 1, n)
     out[i] = red(suffix[i - w + 1], prefix[i])
     return out[:n]
+
+
+def _range_reduce(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, red):
+    """out[i] = red(v[lo[i] : hi[i]+1]) for variable ranges — sparse
+    table (doubling) built once: O(n log n) build, O(1) per query,
+    fully vectorized.  Requires lo <= hi."""
+    n = len(v)
+    if n == 0:
+        return v.copy()
+    nlev = max(1, int(np.floor(np.log2(max(n, 1)))) + 1)
+    table = [v]
+    span = 1
+    for _ in range(nlev - 1):
+        prev = table[-1]
+        nxt = prev.copy()
+        if span < n:
+            nxt[:n - span] = red(prev[:n - span], prev[span:])
+        table.append(nxt)
+        span *= 2
+    length = hi - lo + 1
+    k = np.zeros(n, dtype=np.int64)
+    big = length > 1
+    k[big] = np.floor(np.log2(length[big])).astype(np.int64)
+    pow2 = (1 << k)
+    stacked = np.stack(table)  # (nlev, n)
+    left = stacked[k, lo]
+    right = stacked[k, hi - pow2 + 1]
+    return red(left, right)
+
+
+def _range_frame(fn: str, vals: np.ndarray, valid: np.ndarray,
+                 okey: np.ndarray, k: float, seg_start: np.ndarray,
+                 seg_id: np.ndarray, peer_end: np.ndarray,
+                 idx: np.ndarray):
+    """RANGE BETWEEN k PRECEDING AND CURRENT ROW over one ascending
+    numeric ORDER BY key: frame = rows with key in [cur-k, cur],
+    peer-inclusive at both ends (ANSI / DuckDB).  lo via one global
+    searchsorted over segment-offset-adjusted keys; SUM/COUNT/AVG via
+    prefix sums, MIN/MAX via the sparse-table range reduce."""
+    n = len(vals)
+    if n == 0:
+        return pa.array(np.empty(0), pa.float64())
+    # make keys globally nondecreasing: offset each segment far enough
+    # that cur-k can never reach the previous segment's adjusted range
+    span = (np.nanmax(okey) - np.nanmin(okey) if n else 0.0) + abs(k) + 1.0
+    adj = okey + seg_id * span
+    lo = np.searchsorted(adj, adj - k, side="left")
+    lo = np.maximum(lo, seg_start)
+    hi = peer_end
+    if fn in ("SUM", "COUNT", "AVG"):
+        csum = np.concatenate([[0.0], np.cumsum(np.where(valid, vals, 0.0))])
+        ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+        return _finish_sca(fn, csum[hi + 1] - csum[lo], ccnt[hi + 1] - ccnt[lo])
+    red = np.minimum if fn == "MIN" else np.maximum
+    fill = np.inf if fn == "MIN" else -np.inf
+    vf = np.where(valid, vals, fill)
+    res = _range_reduce(vf, lo, hi, red)
+    ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+    c = ccnt[hi + 1] - ccnt[lo]
+    return pc.if_else(pa.array(c > 0), pa.array(res),
+                      pa.scalar(None, pa.float64()))
 
 
 def _rows_frame(fn: str, vals: np.ndarray, valid: np.ndarray,
