@@ -3751,6 +3751,29 @@ SQL_WORD_COUNTS = (
 )
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py;
+    Flajolet 2007 + linear counting): each batch ships a 16 KiB register
+    file instead of its distinct values — THE sketch that replaces the
+    exact-distinct shuffle at 100 TB.  Deterministic (splitmix64/FNV
+    hashing), partition-invariant (register max is associative — pytest
+    pins the sketch-of-union == union-of-sketches identity bit-exactly).
+    Rows-only: the estimate intentionally differs from exact COUNT
+    DISTINCT; accuracy (<3%) and determinism are pytest-gated
+    (tests/test_sketch.py)."""
+    import ray.data
+
+    from gdal_ray.stages.sketch import approx_distinct
+
+    out = []
+    for tbl, col in (("orders", "o_custkey"), ("documents", "text"),
+                     ("events", "user_id")):
+        est = approx_distinct(_read(sf_dir, tbl, columns=[col]), col)
+        out.append({"table": tbl, "column": col,
+                    "approx_n_distinct": int(round(est))})
+    return ray.data.from_items(out)
+
+
 def q_word_counts(sf_dir: str):
     """Distributed exact word-frequency table (stages/bpe.word_counts):
     vectorized Arrow split_pattern_regex per batch → per-batch partial
@@ -4432,6 +4455,7 @@ def queries():
         "image_augment": q_image_augment,
         "pca_embed": q_pca_embed,
         "bpe_merges": q_bpe_merges,
+        "approx_distinct": q_approx_distinct,
         "tile_render": q_tile_render,
         "warp": q_warp,
         "rgb2pct": q_rgb2pct,
