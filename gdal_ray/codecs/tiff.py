@@ -330,6 +330,42 @@ def _undo_predictor2(block: np.ndarray) -> np.ndarray:
     return np.cumsum(block, axis=1, dtype=block.dtype)
 
 
+def _undo_predictor3(buf: bytes, th: int, tw: int, cpp: int,
+                     dt: np.dtype) -> np.ndarray:
+    """Floating-point predictor (tag 317 = 3, TIFF TechNote 3 /
+    libtiff tif_predict.c fpAcc): per chunk row, the bytes were split
+    into big-endian byte planes then horizontally differenced with
+    stride = samples-per-pixel.  Undo: per-lane cumsum mod 256, then
+    re-interleave the planes and view as big-endian floats."""
+    B = dt.itemsize
+    n = tw * cpp
+    rows = np.frombuffer(buf, dtype=np.uint8)[:th * n * B] \
+        .reshape(th, B * n).copy()
+    for lane in range(cpp):
+        rows[:, lane::cpp] = np.cumsum(
+            rows[:, lane::cpp], axis=1, dtype=np.uint8)
+    planes = rows.reshape(th, B, n).transpose(0, 2, 1)  # (th, n, B) BE bytes
+    be = np.ascontiguousarray(planes).reshape(th * n * B) \
+        .view(np.dtype(dt.str.replace("<", ">").replace("=", ">")))
+    return be.reshape(th, tw, cpp).astype(dt.newbyteorder("="))
+
+
+def _do_predictor3(block: np.ndarray) -> bytes:
+    """Forward fpDiff: big-endian byte-plane split per row, then
+    horizontal differencing with stride = samples-per-pixel."""
+    th, tw, cpp = block.shape
+    dt = block.dtype
+    B = dt.itemsize
+    n = tw * cpp
+    # .astype (not ascontiguousarray(dtype=...)) — the latter treats a
+    # byte-order-only change as equivalent and skips the swap
+    be = block.astype(dt.newbyteorder(">")).view(np.uint8).reshape(th, n, B)
+    rows = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(th, B * n)
+    out = rows.copy()
+    out[:, cpp:] = rows[:, cpp:] - rows[:, :-cpp]
+    return out.tobytes()
+
+
 def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, dict]:
     """-> (array, info).  info keys: geotransform (6-tuple or None), epsg
     (int or None), nodata (float or None), metadata (raw GDAL xml str or
@@ -381,9 +417,12 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                     else:
                         exp = tw * th * cpp * bpp
                         buf = _decompress(raw, comp, exp)
-                        blk = np.frombuffer(buf[:exp], dtype=dt).reshape(th, tw, cpp)
-                        if predictor == 2:
-                            blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                        if predictor == 3:
+                            blk = _undo_predictor3(buf, th, tw, cpp, dt)
+                        else:
+                            blk = np.frombuffer(buf[:exp], dtype=dt).reshape(th, tw, cpp)
+                            if predictor == 2:
+                                blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
                     y0, x0 = j * th, i * tw
                     hh, ww = min(th, h - y0), min(tw, w - x0)
                     if planar == 2:
@@ -411,9 +450,12 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                 else:
                     exp = hh * w * cpp * bpp
                     buf = _decompress(raw, comp, exp)
-                    blk = np.frombuffer(buf[:exp], dtype=dt).reshape(hh, w, cpp)
-                    if predictor == 2:
-                        blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
+                    if predictor == 3:
+                        blk = _undo_predictor3(buf, hh, w, cpp, dt)
+                    else:
+                        blk = np.frombuffer(buf[:exp], dtype=dt).reshape(hh, w, cpp)
+                        if predictor == 2:
+                            blk = _undo_predictor2(blk.astype(dt.newbyteorder("=")))
                 if planar == 2:
                     arr[y0:y0 + hh, :, plane] = blk[:, :, 0]
                 else:
@@ -504,8 +546,9 @@ def encode_geotiff(
             raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
         if predictor:
             raise ValueError("predictor does not apply to JPEG compression")
-    if predictor and dt.kind == "f":
-        raise NotImplementedError("predictor=2 is integer-only")
+    # integer dtypes difference in place (predictor 2); float dtypes use
+    # the TechNote-3 byte-plane split (predictor 3) — GDAL's PREDICTOR=3
+    pred_id = 0 if not predictor else (3 if dt.kind == "f" else 2)
     arr_le = np.ascontiguousarray(arr, dtype=dt.newbyteorder("<"))
 
     def _compress(block: np.ndarray) -> bytes:
@@ -514,7 +557,16 @@ def encode_geotiff(
 
             img = block[:, :, 0] if spp == 1 else block
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
-        if predictor:
+        if pred_id == 3:
+            raw = _do_predictor3(block)
+            if comp_id == 1:
+                return raw
+            if comp_id == 8:
+                return zlib.compress(raw, 6)
+            if comp_id == 5:
+                return _lzw_encode(raw)
+            return _packbits(raw)
+        if pred_id == 2:
             block = _do_predictor2(block)
         raw = block.tobytes()
         if comp_id == 1:
@@ -563,8 +615,8 @@ def encode_geotiff(
     add(T_SAMPLES, 3, [spp])
     if spp in (2, 4):
         add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))
-    if predictor:
-        add(T_PREDICTOR, 3, [2])
+    if pred_id:
+        add(T_PREDICTOR, 3, [pred_id])
     add(T_SAMPLE_FORMAT, 3, [sf] * spp)
     if tile_size:
         add(T_TILE_W, 3, [tw])

@@ -285,3 +285,74 @@ def test_jpeg_in_tiff_striped_gray():
 def test_jpeg_in_tiff_rejects_bad_dtype():
     with pytest.raises(NotImplementedError):
         encode_geotiff(_img(np.uint16, 8, 8), compression="jpeg")
+
+
+# -------------------------------------------------- float predictor (3)
+
+
+def _fp_diff_reference(block, cpp):
+    """Pure-python TIFF TechNote 3 fpDiff (libtiff tif_predict.c
+    pseudocode): big-endian byte-plane split per row, then byte-wise
+    horizontal differencing with stride = samples-per-pixel."""
+    import struct
+
+    th, tw = block.shape[0], block.shape[1]
+    B = block.dtype.itemsize
+    n = tw * cpp
+    fmt = ">f" if B == 4 else ">d"
+    out = bytearray()
+    for y in range(th):
+        rowvals = block[y].reshape(n)
+        # struct.pack, NOT numpy scalar .astype().tobytes() — numpy
+        # scalars drop byte order and serialize native-endian
+        bebytes = [struct.pack(fmt, float(rowvals[i])) for i in range(n)]
+        planes = bytearray()
+        for b in range(B):
+            for i in range(n):
+                planes.append(bebytes[i][b])
+        row = bytearray(planes)
+        for i in range(len(row) - 1, cpp - 1, -1):
+            row[i] = (row[i] - row[i - cpp]) & 0xFF
+        out += row
+    return bytes(out)
+
+
+def test_float_predictor_wire_format():
+    import zlib
+
+    from gdal_ray.codecs.tiff import (_Reader, T_PREDICTOR, T_STRIP_COUNTS,
+                                      T_STRIP_OFFSETS, encode_geotiff,
+                                      read_geotiff)
+
+    rng = np.random.default_rng(8)
+    for dt, spp in ((np.float32, 1), (np.float32, 3), (np.float64, 1)):
+        shape = (5, 7) if spp == 1 else (5, 7, 3)
+        a = (rng.normal(size=shape) * 100).astype(dt)
+        blob = encode_geotiff(a, compression="deflate", predictor=True,
+                              rows_per_strip=5)
+        r = _Reader(blob)
+        tags = r.ifd_tags(r.first_ifd)
+        assert int(tags[T_PREDICTOR][0]) == 3
+        off = int(tags[T_STRIP_OFFSETS][0])
+        cnt = int(tags[T_STRIP_COUNTS][0])
+        raw = zlib.decompress(blob[off:off + cnt])
+        block = a if a.ndim == 3 else a[:, :, None]
+        assert raw == _fp_diff_reference(block, spp)
+        out, _ = read_geotiff(blob)
+        np.testing.assert_array_equal(out, a)
+
+
+def test_float_predictor_roundtrip_tiled():
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+
+    rng = np.random.default_rng(4)
+    a = np.cumsum(rng.normal(size=(50, 41)), axis=1).astype(np.float32)
+    for comp in ("deflate", "lzw", "packbits", "none"):
+        blob = encode_geotiff(a, compression=comp, predictor=True,
+                              tile_size=16)
+        out, _ = read_geotiff(blob)
+        np.testing.assert_array_equal(out, a)
+    # smooth float data compresses better under the predictor
+    b1 = len(encode_geotiff(a, compression="deflate"))
+    b2 = len(encode_geotiff(a, compression="deflate", predictor=True))
+    assert b2 < b1
