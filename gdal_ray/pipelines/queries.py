@@ -3806,6 +3806,50 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_STRINGS = (
+    "SELECT doc_id, TRIM(SUBSTR(text, 1, 20)) AS head, "
+    "LEFT(text, 6) AS l6, SPLIT_PART(text, ' ', 3) AS w3, "
+    "STRPOS(text, 'the') AS p_the, "
+    "CONTAINS(text, 'data') AS has_data, "
+    "LPAD(lang, 5, '_') AS lang5, REVERSE(lang) AS gnal "
+    "FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id"
+)
+
+
+def q_sql_strings(sf_dir: str):
+    """SQL front end round 4b: string-function breadth — TRIM/LTRIM/RTRIM,
+    REPLACE, REVERSE, CONTAINS, STARTS_WITH/ENDS_WITH, REGEXP_MATCHES,
+    STRPOS, LEFT/RIGHT, LPAD/RPAD, SPLIT_PART — all compiled to single
+    Arrow compute kernels (pc.utf8_*/match_substring/split_pattern),
+    DuckDB-compatible names and semantics (SPLIT_PART returns '' past the
+    end; STRPOS is 1-based with 0 for absent).  IDENTICAL string on
+    DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_STRINGS,
+                       {"documents": _read(sf_dir, "documents")})
+
+
+SQL_IFACE_DATETIME = (
+    "SELECT DATE_TRUNC('day', ts) AS d, event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents "
+    "FROM events WHERE HOUR(ts) BETWEEN 6 AND 18 AND YEAR(ts) > 1970 "
+    "GROUP BY d, event_type ORDER BY d, event_type"
+)
+
+
+def q_sql_datetime(sf_dir: str):
+    """SQL front end round 4b: datetime breadth — YEAR/MONTH/DAY/HOUR/
+    MINUTE/SECOND and DATE_TRUNC('hour'|'day'|'month', ts) via Arrow
+    temporal kernels (pc.year/.../floor_temporal), composing with WHERE,
+    GROUP BY on the truncated key and aggregates.  IDENTICAL string on
+    DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_DATETIME,
+                       {"events": _read(sf_dir, "events")})
+
+
 SQL_IFACE_RANGE = (
     # value-window moving aggregates over the numeric order key —
     # peer-inclusive at both frame ends (the tie-heavy o_custkey key
@@ -4381,6 +4425,8 @@ def queries():
         "sql_exists": q_sql_exists,
         "word_counts": q_word_counts,
         "sql_range": q_sql_range,
+        "sql_strings": q_sql_strings,
+        "sql_datetime": q_sql_datetime,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4555,6 +4601,8 @@ def oracle_sql():
         "sql_exists": SQL_IFACE_EXISTS,
         "word_counts": SQL_WORD_COUNTS,
         "sql_range": SQL_IFACE_RANGE,
+        "sql_strings": SQL_IFACE_STRINGS,
+        "sql_datetime": SQL_IFACE_DATETIME,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

@@ -223,6 +223,8 @@ def _parse_unary(p):
 
 def _parse_primary(p):
     k, v = p.next()
+    if k == "kw" and v == "LEFT" and p.peek() == ("op", "("):
+        k = "id"  # LEFT(...) the string function, not LEFT JOIN
     if k == "num" or k == "str":
         return ("lit", v)
     if k == "kw" and v == "NULL":
@@ -729,6 +731,58 @@ def _eval(node, batch: pa.Table):
             return pc.ceil(args[0])
         if fn == "ROUND":
             return pc.round(args[0])
+        # --- string breadth (DuckDB-compatible names; identical-string
+        # oracles) ---
+        if fn == "TRIM":
+            return pc.utf8_trim_whitespace(args[0])
+        if fn == "LTRIM":
+            return pc.utf8_ltrim_whitespace(args[0])
+        if fn == "RTRIM":
+            return pc.utf8_rtrim_whitespace(args[0])
+        if fn == "REVERSE":
+            return pc.utf8_reverse(args[0])
+        if fn == "REPLACE":
+            pat, rep = _lit_str(node, 1), _lit_str(node, 2)
+            return pc.replace_substring(args[0], pattern=pat, replacement=rep)
+        if fn == "CONTAINS":
+            return pc.match_substring(args[0], _lit_str(node, 1))
+        if fn == "STARTS_WITH" or fn == "PREFIX":
+            return pc.starts_with(args[0], _lit_str(node, 1))
+        if fn == "ENDS_WITH" or fn == "SUFFIX":
+            return pc.ends_with(args[0], _lit_str(node, 1))
+        if fn == "REGEXP_MATCHES":
+            return pc.match_substring_regex(args[0], _lit_str(node, 1))
+        if fn == "STRPOS" or fn == "INSTR":
+            # 1-based, 0 when absent (DuckDB) — find_substring is 0/-1
+            return pc.add(pc.find_substring(args[0], _lit_str(node, 1)),
+                          pa.scalar(1, pa.int32())).cast(pa.int64())
+        if fn == "LEFT":
+            return pc.utf8_slice_codeunits(args[0], 0, _lit_int(node, 1))
+        if fn == "RIGHT":
+            n_ = _lit_int(node, 1)
+            return pc.utf8_slice_codeunits(args[0], -n_) if n_ > 0                 else pc.utf8_slice_codeunits(args[0], 0, 0)
+        if fn == "LPAD":
+            return pc.utf8_lpad(args[0], _lit_int(node, 1),
+                                padding=_lit_str(node, 2))
+        if fn == "RPAD":
+            return pc.utf8_rpad(args[0], _lit_int(node, 1),
+                                padding=_lit_str(node, 2))
+        if fn == "SPLIT_PART":
+            # DuckDB: '' when the part is missing — pad with separators so
+            # every requested index exists, then take it
+            sep, idx1 = _lit_str(node, 1), _lit_int(node, 2)
+            padded = pc.binary_join_element_wise(
+                pc.cast(args[0], pa.string()),
+                pa.scalar(sep * idx1), "")
+            parts = pc.split_pattern(padded, sep)
+            return pc.list_element(parts, idx1 - 1)
+        # --- datetime breadth (Arrow temporal kernels) ---
+        if fn in ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"):
+            out = getattr(pc, fn.lower())(args[0])
+            return pc.cast(out, pa.int64())
+        if fn == "DATE_TRUNC" or fn == "DATETRUNC":
+            unit = _lit_str(node, 0).lower()
+            return pc.floor_temporal(args[1], unit=unit)
         if fn == "HSTORE_GET_VALUE":
             # swq_op_general.cpp OGRHStoreGetValue: value of `key` in an
             # hstore string ('a=>1, "b"=>"x y"'); simple-value subset —
@@ -750,6 +804,20 @@ def _eval(node, batch: pa.Table):
             return out
         raise ValueError(f"unknown function {fn}")
     raise ValueError(f"cannot evaluate node {node[0]}")
+
+
+def _lit_str(node, i: int) -> str:
+    a = node[2][i]
+    if not (isinstance(a, tuple) and a[0] == "lit" and isinstance(a[1], str)):
+        raise ValueError(f"{node[1]} argument {i+1} must be a string literal")
+    return a[1]
+
+
+def _lit_int(node, i: int) -> int:
+    a = node[2][i]
+    if not (isinstance(a, tuple) and a[0] == "lit" and isinstance(a[1], int)):
+        raise ValueError(f"{node[1]} argument {i+1} must be an integer literal")
+    return a[1]
 
 
 def _t(v):

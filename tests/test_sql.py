@@ -130,6 +130,16 @@ QUERIES = [
     "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum FROM orders ORDER BY o_orderkey",
     "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 0.5 PRECEDING AND CURRENT ROW) AS vmax, COUNT(*) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 1.5 PRECEDING AND CURRENT ROW) AS vn FROM events ORDER BY event_id",
     "SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS cn, MIN(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey RANGE BETWEEN 25 PRECEDING AND CURRENT ROW) AS mn FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
+    # string-function breadth (DuckDB-compatible names)
+    "SELECT doc_id, TRIM(SUBSTR(text, 1, 12)) AS t, REVERSE(lang) AS r, REPLACE(lang, 'e', 'E') AS rep FROM documents WHERE doc_id < 40",
+    "SELECT doc_id, CONTAINS(text, 'the') AS c, STARTS_WITH(lang, 'e') AS sw, STRPOS(text, 'a') AS sp FROM documents WHERE doc_id < 60",
+    "SELECT doc_id, LEFT(text, 8) AS l8, RIGHT(lang, 1) AS r1, LPAD(lang, 6, '_') AS lp, RPAD(lang, 5, '.') AS rp FROM documents WHERE doc_id < 50",
+    "SELECT doc_id, SPLIT_PART(text, ' ', 2) AS w2, SPLIT_PART(text, ' ', 200) AS w200 FROM documents WHERE doc_id < 50",
+    "SELECT doc_id, REGEXP_MATCHES(text, '[0-9]{2,}') AS hasnum FROM documents WHERE doc_id < 80",
+    # datetime breadth (Arrow temporal kernels)
+    "SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d, HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s FROM events WHERE event_id < 100",
+    "SELECT event_id, DATE_TRUNC('hour', ts) AS th, DATE_TRUNC('day', ts) AS td FROM events WHERE event_id < 100",
+    "SELECT DATE_TRUNC('month', ts) AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
     # correlated [NOT] EXISTS -> broadcast semi/anti-join decorrelation
     "SELECT c_custkey FROM customer WHERE EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) AND c_custkey < 50 ORDER BY c_custkey",
