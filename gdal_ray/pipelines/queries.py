@@ -1285,6 +1285,81 @@ from crossings group by 1
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (the gdal_rasterize + masked-numpy idiom; QGIS/
+    rasterio zonal stats): per polygon, burn its 24×24 bbox grid
+    (pixel-center even-odd rule) and aggregate a deterministic value
+    surface v = col + 2·row over the burned pixels — count/sum/min/max,
+    all integer-exact.  Embarrassingly parallel map_batches (each task
+    rasterizes + aggregates its own polygons, no shuffle).  The SQL twin
+    extends the rasterize crossing-count CTE with the same value
+    expression."""
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.wkb import polygon_rings
+    from gdal_ray.stages.rasterize import rasterize_polygons, zonal_stats
+
+    rr, cc = np.mgrid[0:RAST_N, 0:RAST_N]
+    surface = (cc + 2 * rr).astype(np.float64)
+
+    def zonal(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        wkbs = b.column("wkb").to_pylist()
+        rows = {"poly_id": [], "n_burned": [], "v_sum": [], "v_min": [],
+                "v_max": []}
+        for pid, wkb in zip(pids, wkbs):
+            bx0, by0, bx1, by1 = ring_bbox(polygon_rings(wkb))
+            grid = rasterize_polygons(
+                [wkb], [1], width=RAST_N, height=RAST_N,
+                origin_x=bx0, origin_y=by1,
+                pixel_w=(bx1 - bx0) / RAST_N, pixel_h=(by1 - by0) / RAST_N,
+            )
+            st = zonal_stats(grid, surface)
+            rows["poly_id"].append(pid)
+            rows["n_burned"].append(st["count"])
+            rows["v_sum"].append(int(st["sum"]))
+            rows["v_min"].append(-1 if st["min"] is None else int(st["min"]))
+            rows["v_max"].append(-1 if st["max"] is None else int(st["max"]))
+        return pa.table({
+            "poly_id": pa.array(rows["poly_id"], pa.string()),
+            "n_burned": pa.array(rows["n_burned"], pa.int64()),
+            "v_sum": pa.array(rows["v_sum"], pa.int64()),
+            "v_min": pa.array(rows["v_min"], pa.int64()),
+            "v_max": pa.array(rows["v_max"], pa.int64()),
+        })
+
+    return _polys_ds(30).map_batches(zonal, batch_format="pyarrow")
+
+
+def _sql_zonal_stats() -> str:
+    edges = polygon_edges_sql_values(make_polygon_table(30))
+    return f"""
+with e(poly_id, x1, y1, x2, y2) as (values {edges}),
+bb as (select poly_id, min(least(x1, x2)) as bx0, min(least(y1, y2)) as by0,
+              max(greatest(x1, x2)) as bx1, max(greatest(y1, y2)) as by1
+       from e group by 1),
+px as (select poly_id, bx0, by1,
+              (bx1 - bx0) / {RAST_N} as pw, (by1 - by0) / {RAST_N} as ph
+       from bb),
+centers as (select p.poly_id, c.c as col, r.r as row,
+                   p.bx0 + (c.c + 0.5) * p.pw as cx,
+                   p.by1 - (r.r + 0.5) * p.ph as cy
+            from px p, unnest(generate_series(0, {RAST_N - 1})) as c(c),
+                       unnest(generate_series(0, {RAST_N - 1})) as r(r)),
+crossings as (select c.poly_id, c.col, c.row,
+                     sum(case when ((e.y1 > c.cy) <> (e.y2 > c.cy))
+                               and (c.cx < (e.x2 - e.x1) * (c.cy - e.y1) / (e.y2 - e.y1) + e.x1)
+                         then 1 else 0 end) as n
+              from centers c join e on e.poly_id = c.poly_id and e.y1 <> e.y2
+              group by 1, 2, 3)
+select poly_id,
+       count(*) filter (n % 2 = 1) as n_burned,
+       cast(coalesce(sum(col + 2 * row) filter (n % 2 = 1), 0) as bigint) as v_sum,
+       cast(coalesce(min(col + 2 * row) filter (n % 2 = 1), -1) as bigint) as v_min,
+       cast(coalesce(max(col + 2 * row) filter (n % 2 = 1), -1) as bigint) as v_max
+from crossings group by 1
+"""
+
+
 def q_polygonize(sf_dir: str):
     """Connected-component polygonization stats per reclassified DEM grid
     (GDALPolygonize two-pass CCL, alg/polygonize.cpp:500) — component
@@ -4427,6 +4502,7 @@ def queries():
         "sql_range": q_sql_range,
         "sql_strings": q_sql_strings,
         "sql_datetime": q_sql_datetime,
+        "zonal_stats": q_zonal_stats,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4603,6 +4679,7 @@ def oracle_sql():
         "sql_range": SQL_IFACE_RANGE,
         "sql_strings": SQL_IFACE_STRINGS,
         "sql_datetime": SQL_IFACE_DATETIME,
+        "zonal_stats": _sql_zonal_stats(),
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

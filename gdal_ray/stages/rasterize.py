@@ -68,3 +68,21 @@ def rasterize_polygons(
             win[inside] = burn
         out[r0:r1, c0:c1] = win
     return out
+
+
+def zonal_stats(mask: np.ndarray, values: np.ndarray) -> dict:
+    """Zonal statistics of a value raster under a burned zone mask — the
+    gdal_rasterize + masked-numpy idiom (and QGIS/rasterio zonal stats):
+    count / sum / min / max / mean over pixels where mask is set.
+
+    Pure kernel (one zone): the distributed shape is map_batches over a
+    polygon table, each task rasterizing its polygons' own grids and
+    aggregating — embarrassingly parallel, no shuffle (see
+    pipelines/queries.q_zonal_stats)."""
+    sel = values[mask != 0]
+    if sel.size == 0:
+        return {"count": 0, "sum": 0.0, "min": None, "max": None,
+                "mean": None}
+    s = float(sel.sum(dtype=np.float64))
+    return {"count": int(sel.size), "sum": s, "min": float(sel.min()),
+            "max": float(sel.max()), "mean": s / sel.size}
