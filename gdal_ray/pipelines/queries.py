@@ -3881,6 +3881,27 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_QUALIFY = (
+    # top-2 orders per customer — the canonical QUALIFY idiom
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) <= 2 "
+    "ORDER BY o_custkey, o_orderkey"
+)
+
+
+def q_sql_qualify(sf_dir: str):
+    """SQL front end round 4b: QUALIFY — the post-window filter
+    (DuckDB/Snowflake): window columns compute first (one bucketed
+    shuffle), then the predicate filters on them before ORDER BY/LIMIT;
+    select-list aliases are substituted into the predicate.  The
+    canonical per-group top-k without a subquery.  IDENTICAL string on
+    DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_QUALIFY, {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_STRINGS = (
     "SELECT doc_id, TRIM(SUBSTR(text, 1, 20)) AS head, "
     "LEFT(text, 6) AS l6, SPLIT_PART(text, ' ', 3) AS w3, "
@@ -4502,6 +4523,7 @@ def queries():
         "sql_range": q_sql_range,
         "sql_strings": q_sql_strings,
         "sql_datetime": q_sql_datetime,
+        "sql_qualify": q_sql_qualify,
         "zonal_stats": q_zonal_stats,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
@@ -4679,6 +4701,7 @@ def oracle_sql():
         "sql_range": SQL_IFACE_RANGE,
         "sql_strings": SQL_IFACE_STRINGS,
         "sql_datetime": SQL_IFACE_DATETIME,
+        "sql_qualify": SQL_IFACE_QUALIFY,
         "zonal_stats": _sql_zonal_stats(),
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,

@@ -59,6 +59,7 @@ _KEYWORDS = {
     "OVER", "PARTITION",
     "WITH", "INTERSECT", "EXISTS",
     "ROWS", "PRECEDING", "CURRENT", "ROW", "UNBOUNDED",
+    "QUALIFY",
 }
 
 
@@ -544,6 +545,11 @@ def _parse_select_body(p: _P) -> dict:
                 break
         if p.accept("kw", "HAVING"):
             having = _parse_expr(p)
+    qualify = None
+    if p.accept("kw", "QUALIFY"):
+        # post-window filter (DuckDB/Snowflake QUALIFY): runs after the
+        # window columns are computed, before ORDER BY/LIMIT
+        qualify = _parse_expr(p)
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
@@ -560,7 +566,8 @@ def _parse_select_body(p: _P) -> dict:
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num")[1])
     return {"items": items, "table": table, "joins": joins, "where": where,
-            "group": group, "having": having, "order": order, "limit": limit,
+            "group": group, "having": having, "qualify": qualify,
+            "order": order, "limit": limit,
             "offset": offset, "distinct": distinct}
 
 
@@ -1232,6 +1239,8 @@ def _execute_one(q: dict, tables: dict):
             q["where"] = _rewrite_cols(q["where"], resolve)
         if q.get("having") is not None:
             q["having"] = _rewrite_cols(q["having"], resolve)
+        if q.get("qualify") is not None:
+            q["qualify"] = _rewrite_cols(q["qualify"], resolve)
         if q["group"]:
             q["group"] = [resolve(g) for g in q["group"]]
         q["order"] = [(resolve(c), d) for c, d in q["order"]]
@@ -1258,6 +1267,28 @@ def _execute_one(q: dict, tables: dict):
     for node, _ in items:
         if node != "star" and not (isinstance(node, tuple) and node[0] == "star_except"):
             _collect_wins(node, wins)
+    if q.get("qualify") is not None:
+        # QUALIFY may reference select-list aliases (DuckDB): substitute
+        # the aliased expressions before collecting window nodes
+        alias_map = {name: node for node, name in items
+                     if name is not None and node != "star"}
+
+        def subst(node):
+            if isinstance(node, tuple):
+                if node and node[0] == "col" and node[1] in alias_map:
+                    return alias_map[node[1]]
+                return tuple(subst(x) for x in node)
+            if isinstance(node, list):
+                return [subst(x) for x in node]
+            return node
+
+        q = dict(q)
+        q["qualify"] = subst(q["qualify"])
+        _collect_wins(q["qualify"], wins)
+        if not wins:
+            raise ValueError("QUALIFY requires a window function")
+        if q["group"] or has_agg:
+            raise NotImplementedError("QUALIFY with GROUP BY/aggregates")
     temp_names: set = set()
     if wins:
         # ANSI window lowering: one bucketed shuffle per distinct OVER
@@ -1299,6 +1330,18 @@ def _execute_one(q: dict, tables: dict):
         for (partn, order), specs in by_clause.items():
             ds = window_apply(ds, partition=list(partn), order=list(order),
                               specs=specs)
+        if q.get("qualify") is not None:
+            qnode = _rewrite_wins(q["qualify"], mapping)
+
+            def qfilt(b: pa.Table, _qn=qnode) -> pa.Table:
+                mask = _eval_with_funcs(_qn, b, funcs)
+                if isinstance(mask, pa.Scalar):
+                    return b if mask.as_py() else b.slice(0, 0)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                return b.filter(pc.fill_null(mask, False))
+
+            ds = ds.map_batches(qfilt, batch_format="pyarrow")
         items = [
             (node if node == "star" or (isinstance(node, tuple) and node[0] == "star_except")
              else _rewrite_wins(node, mapping), name)

@@ -140,6 +140,9 @@ QUERIES = [
     "SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d, HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s FROM events WHERE event_id < 100",
     "SELECT event_id, DATE_TRUNC('hour', ts) AS th, DATE_TRUNC('day', ts) AS td FROM events WHERE event_id < 100",
     "SELECT DATE_TRUNC('month', ts) AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
+    # QUALIFY (post-window filter; alias references substituted)
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2 ORDER BY o_custkey, o_orderkey",
+    "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderstatus = 'F' QUALIFY rn <= 3 OR ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1 ORDER BY o_custkey, o_orderkey",
     # correlated [NOT] EXISTS -> broadcast semi/anti-join decorrelation
     "SELECT c_custkey FROM customer WHERE EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) AND c_custkey < 50 ORDER BY c_custkey",
