@@ -1217,10 +1217,21 @@ def q_pca_embed(sf_dir: str):
     from gdal_ray.stages.pca import pca_fit, pca_project
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    comps, evals, mu = pca_fit(emb, k=8)
+    comps, evals, mu = pca_fit(emb, k=4)
     out = pca_project(emb, comps, mu)
-    return out.map_batches(
-        lambda b: b.drop_columns(["embedding"]), batch_format="pyarrow")
+
+    def flatten(b: pa.Table) -> pa.Table:
+        # scalar columns (sortable by the rows-only canonicalizer)
+        proj = b.column("pca")
+        proj = proj.combine_chunks() if isinstance(proj, pa.ChunkedArray) else proj
+        flat = np.asarray(proj.values.to_numpy(zero_copy_only=False)) \
+            .reshape(len(b), -1)
+        cols = {"vec_id": b.column("vec_id")}
+        for i in range(flat.shape[1]):
+            cols[f"pc{i + 1}"] = pa.array(flat[:, i])
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 # ===========================================================================
