@@ -2804,6 +2804,38 @@ def q_video_frames(sf_dir: str):
     )
 
 
+def q_audio_spectrogram(sf_dir: str):
+    """Audio multimodal round 4b: STFT magnitude spectrogram front end —
+    Hann-windowed strided frame view, one vectorized rfft per clip
+    (stages/multimodal.AudioSpectrogram); emits compact per-clip spectral
+    summaries (centroid, octave band energies, dominant bin) — frames
+    never shuffle (rows-only; sine-tone invariants pytest-gated in
+    tests/test_multimodal.py)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import multimodal as mm
+
+    audio, _ = mm.synth_media_tables()
+    return rd.from_arrow(audio).map_batches(
+        mm.AudioSpectrogram, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2))
+
+
+def q_video_scenes(sf_dir: str):
+    """Video multimodal round 4b: shot-boundary detection by pooled-luma
+    mean absolute frame difference (stages/multimodal.VideoSceneChanges)
+    — one row per cut, frames never leave the task (rows-only; synthetic
+    hard-cut fixture pytest-gated)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import multimodal as mm
+
+    _, video = mm.synth_media_tables()
+    return rd.from_arrow(video).map_batches(
+        mm.VideoSceneChanges, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2))
+
+
 def q_viewshed(sf_dir: str):
     """Exact integer R2 viewshed from the grid center (alg/viewshed/
     viewshed.cpp semantics, dominant-axis line sampling with linear
@@ -4628,6 +4660,8 @@ def queries():
         "sieve": q_sieve,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "audio_spectrogram": q_audio_spectrogram,
+        "video_scenes": q_video_scenes,
         "warp_utm": q_warp_utm,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,

@@ -222,3 +222,114 @@ def synth_media_tables(n_audio: int = 64, n_video: int = 16, seed: int = 7):
         {f.name: pa.array(v_rows[f.name], f.type) for f in VIDEO_SCHEMA}
     )
     return audio, video
+
+
+class AudioSpectrogram:
+    """Actor-pool stage: STFT magnitude spectrogram features per clip —
+    the speech-pipeline front end (public DSP: Hann-windowed frames,
+    rfft).  Emits compact per-clip summaries (frames never shuffle):
+    n_stft frames, spectral centroid mean, band energies (4 octave-ish
+    bands), dominant-bin index of the middle frame.
+
+    numpy rfft over a strided frame view — one vectorized FFT per clip,
+    no per-frame Python."""
+
+    def __init__(self, n_fft: int = 256, hop: int = 128):
+        self.n_fft = n_fft
+        self.hop = hop
+        self.window = np.hanning(n_fft)
+
+    def _stft_mag(self, mono: np.ndarray) -> np.ndarray:
+        n = len(mono)
+        if n < self.n_fft:
+            mono = np.pad(mono, (0, self.n_fft - n))
+            n = len(mono)
+        nfr = 1 + (n - self.n_fft) // self.hop
+        sv = np.lib.stride_tricks.as_strided(
+            mono, shape=(nfr, self.n_fft),
+            strides=(mono.strides[0] * self.hop, mono.strides[0]),
+            writeable=False)
+        return np.abs(np.fft.rfft(sv * self.window, axis=1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        srs = batch.column("sample_rate").to_numpy()
+        chs = batch.column("n_channels").to_numpy()
+        rows = {k: [] for k in ("media_id", "n_stft", "centroid_hz",
+                                "e_low", "e_midlow", "e_midhigh", "e_high",
+                                "dom_bin_mid")}
+        nb = self.n_fft // 2 + 1
+        edges = [0, nb // 8, nb // 4, nb // 2, nb]
+        for i in range(len(ids)):
+            s = decode_audio(blobs[i], int(srs[i]), int(chs[i]))
+            mono = s.astype(np.float64).mean(axis=1)
+            mag = self._stft_mag(mono)
+            power = mag * mag
+            tot = power.sum()
+            freqs = np.arange(nb) * (float(srs[i]) / self.n_fft)
+            cent = float((power.sum(axis=0) * freqs).sum() / tot) \
+                if tot > 0 else 0.0
+            bands = [float(power[:, a:b].sum() / tot) if tot > 0 else 0.0
+                     for a, b in zip(edges[:-1], edges[1:])]
+            rows["media_id"].append(ids[i])
+            rows["n_stft"].append(mag.shape[0])
+            rows["centroid_hz"].append(cent)
+            rows["e_low"].append(bands[0])
+            rows["e_midlow"].append(bands[1])
+            rows["e_midhigh"].append(bands[2])
+            rows["e_high"].append(bands[3])
+            rows["dom_bin_mid"].append(
+                int(np.argmax(mag[mag.shape[0] // 2])))
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.string()),
+            "n_stft": pa.array(rows["n_stft"], pa.int64()),
+            "centroid_hz": pa.array(rows["centroid_hz"], pa.float64()),
+            "e_low": pa.array(rows["e_low"], pa.float64()),
+            "e_midlow": pa.array(rows["e_midlow"], pa.float64()),
+            "e_midhigh": pa.array(rows["e_midhigh"], pa.float64()),
+            "e_high": pa.array(rows["e_high"], pa.float64()),
+            "dom_bin_mid": pa.array(rows["dom_bin_mid"], pa.int64()),
+        })
+
+
+class VideoSceneChanges:
+    """Actor-pool stage: scene-change detection by mean-absolute frame
+    difference over a luma downsample (the classic shot-boundary
+    baseline).  Emits one row per detected cut (frame index + score);
+    frames never leave the task."""
+
+    def __init__(self, threshold: float = 12.0, pool: int = 8):
+        self.threshold = threshold
+        self.pool = pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame": [], "score": []}
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        nf = batch.column("n_frames").to_numpy()
+        p = self.pool
+        for i in range(len(ids)):
+            frames = decode_video(blobs[i], int(ws[i]), int(hs[i]),
+                                  int(nf[i])).astype(np.float64)
+            if frames.ndim == 4:  # RGB → luma
+                frames = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
+                          + 0.114 * frames[..., 2])
+            nfr, h, w = frames.shape
+            hp, wp = (h // p) * p, (w // p) * p
+            small = frames[:, :hp, :wp] \
+                .reshape(nfr, hp // p, p, wp // p, p).mean(axis=(2, 4))
+            if nfr < 2:
+                continue
+            diffs = np.abs(np.diff(small, axis=0)).mean(axis=(1, 2))
+            for f in np.flatnonzero(diffs > self.threshold):
+                out["media_id"].append(ids[i])
+                out["frame"].append(int(f + 1))
+                out["score"].append(float(diffs[f]))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "frame": pa.array(out["frame"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        })

@@ -175,3 +175,64 @@ def test_stages_run_as_ray_actor_pools(ray_session):
     lhs = frames.sort_values(["media_id", "frame"]).reset_index(drop=True)
     rhs = local.sort_values(["media_id", "frame"]).reset_index(drop=True)
     assert lhs.equals(rhs)
+
+
+# ------------------------------------------ spectrogram / scene changes
+
+
+def test_audio_spectrogram_sine_invariants():
+    import pyarrow as pa
+
+    from gdal_ray.codecs.riff import encode_wav
+    from gdal_ray.stages.multimodal import AudioSpectrogram
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    # pure 1 kHz tone: spectral centroid ~1 kHz, dominant bin = 1000/31.25
+    tone = (np.sin(2 * np.pi * 1000.0 * t) * 20000).astype(np.int16)
+    wav = encode_wav(tone[:, None], sr)
+    batch = pa.table({
+        "media_id": pa.array(["tone"]),
+        "bytes": pa.array([wav], pa.binary()),
+        "sample_rate": pa.array([sr], pa.int32()),
+        "n_channels": pa.array([1], pa.int32()),
+    })
+    row = AudioSpectrogram(n_fft=256, hop=128)(batch).to_pandas().iloc[0]
+    assert abs(row.centroid_hz - 1000.0) < 40.0
+    assert row.dom_bin_mid == round(1000.0 / (sr / 256))
+    assert row.n_stft == 1 + (sr - 256) // 128
+    # low tone concentrates energy in the bottom band
+    low = (np.sin(2 * np.pi * 60.0 * t) * 20000).astype(np.int16)
+    batch2 = pa.table({
+        "media_id": pa.array(["low"]),
+        "bytes": pa.array([encode_wav(low[:, None], sr)], pa.binary()),
+        "sample_rate": pa.array([sr], pa.int32()),
+        "n_channels": pa.array([1], pa.int32()),
+    })
+    r2 = AudioSpectrogram(n_fft=256, hop=128)(batch2).to_pandas().iloc[0]
+    assert r2.e_low > 0.9
+
+
+def test_video_scene_changes_hard_cut():
+    import pyarrow as pa
+
+    from gdal_ray.codecs.riff import encode_avi
+    from gdal_ray.stages.multimodal import VideoSceneChanges
+
+    # 12 frames: dark scene, hard cut at frame 6 to bright scene
+    frames = np.zeros((12, 32, 48, 3), dtype=np.uint8)
+    frames[:6] = 20
+    frames[6:] = 200
+    avi = encode_avi(frames, fps=10, codec="DIB ")
+    batch = pa.table({
+        "media_id": pa.array(["cut"]),
+        "bytes": pa.array([avi], pa.binary()),
+        "w": pa.array([48], pa.int32()),
+        "h": pa.array([32], pa.int32()),
+        "n_frames": pa.array([12], pa.int32()),
+        "codec": pa.array(["dib"]),
+    })
+    out = VideoSceneChanges(threshold=50.0)(batch).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].frame == 6
+    assert out.iloc[0].score > 150.0
