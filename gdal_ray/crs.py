@@ -873,6 +873,42 @@ def orthographic(lat0: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def bonne(lat1: float, lon0: float, fe: float, fn: float,
+          R: float = A_WGS84):
+    """Bonne pseudoconic, spherical (Snyder ch. 19, eqs 19-1..19-6;
+    +proj=bonne +R=…): equal-area (the pytest pins the Jacobian = R²cosφ),
+    the central meridian and EVERY parallel true to scale.  φ1 = 90° is
+    the Werner heart-shaped projection."""
+    p1 = np.radians(lat1)
+    lam0 = np.radians(lon0)
+    if abs(np.cos(p1)) < 1e-12:
+        cot1 = 0.0  # Werner
+    else:
+        cot1 = np.cos(p1) / np.sin(p1)
+    if abs(lat1) < 1e-9:
+        raise NotImplementedError(
+            "bonne with lat_1=0 degenerates to sinusoidal (use +proj=sinu)")
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        rho = cot1 + p1 - phi
+        Ea = np.where(np.abs(rho) > 1e-12, lam * np.cos(phi) / rho, 0.0)
+        return fe + R * rho * np.sin(Ea), fn + R * (cot1 - rho * np.cos(Ea))
+
+    def inv(E, N):
+        x = (np.asarray(E, dtype=np.float64) - fe) / R
+        y = (np.asarray(N, dtype=np.float64) - fn) / R
+        rho = np.sign(p1) * np.hypot(x, cot1 - y)
+        phi = cot1 + p1 - rho
+        cphi = np.cos(phi)
+        Ea = np.arctan2(np.sign(p1) * x, np.sign(p1) * (cot1 - y))
+        lam = lam0 + np.where(np.abs(cphi) > 1e-12, rho * Ea / cphi, 0.0)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def aeqd_spherical(lat0: float, lon0: float, fe: float, fn: float,
                    R: float = A_WGS84):
     """Azimuthal equidistant, spherical (Snyder ch. 25, eqs 5-3/5-4 with
@@ -1251,6 +1287,16 @@ def _proj_pair_raw(p: dict):
         lat1 = float(p.get("lat_1", lat0))
         lat2 = float(p.get("lat_2", lat1))
         return eqdc(lat1, lat2, lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "bonne":
+        if "R" in p:
+            Rb = float(p["R"])
+        elif f == 0.0:
+            Rb = a
+        else:
+            raise NotImplementedError(
+                "ellipsoidal +proj=bonne (pass +R=<radius> for the "
+                "spherical form)")
+        return bonne(float(p["lat_1"]), lon0, fe, fn, R=Rb)
     if proj == "poly":
         return polyconic(lat0, lon0, fe, fn, a=a, f=f)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "

@@ -184,3 +184,55 @@ def test_proj_string_front_end():
     assert abs(lon - -55.0) < 1e-8 and abs(lat - -20.0) < 1e-8
     with pytest.raises(NotImplementedError):
         proj_pair("+proj=aeqd +lat_0=40 +lon_0=-74 +ellps=WGS84")
+
+
+def test_bonne_equal_area_and_true_scale():
+    from gdal_ray.crs import bonne
+
+    R_s = 6370997.0
+    fwd, inv = bonne(45.0, 10.0, 0.0, 0.0, R=R_s)
+
+    # equal-area: FD Jacobian |d(x,y)/d(lam,phi)| == R^2 * cos(phi)
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(-60, 80, 300)
+    lat = rng.uniform(-60, 80, 300)
+    h = 1e-6
+    xl1, yl1 = fwd(lon + h, lat)
+    xl0, yl0 = fwd(lon - h, lat)
+    xp1, yp1 = fwd(lon, lat + h)
+    xp0, yp0 = fwd(lon, lat - h)
+    dxdl = (np.asarray(xl1) - xl0) / np.radians(2 * h)
+    dydl = (np.asarray(yl1) - yl0) / np.radians(2 * h)
+    dxdp = (np.asarray(xp1) - xp0) / np.radians(2 * h)
+    dydp = (np.asarray(yp1) - yp0) / np.radians(2 * h)
+    J = np.abs(dxdl * dydp - dydl * dxdp)
+    np.testing.assert_allclose(J, R_s**2 * np.cos(np.radians(lat)),
+                               rtol=5e-5)
+
+    # central meridian true: y difference = R * dphi, x = 0
+    x, y = fwd(np.full(4, 10.0), np.array([0.0, 20.0, 45.0, 70.0]))
+    np.testing.assert_allclose(x, 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.diff(y),
+                               R_s * np.radians(np.diff([0.0, 20.0, 45.0, 70.0])),
+                               rtol=1e-12)
+
+    # every parallel true to scale (arc length == R cos(phi) dlam)
+    for latp in (-30.0, 20.0, 60.0):
+        lons = np.linspace(-20.0, 40.0, 2001)
+        xs, ys = fwd(lons, np.full(lons.shape, latp))
+        arc = np.sum(np.hypot(np.diff(xs), np.diff(ys)))
+        true = R_s * np.cos(np.radians(latp)) * np.radians(60.0)
+        np.testing.assert_allclose(arc, true, rtol=1e-8)
+
+    # round-trip (including southern aspect)
+    lon2, lat2 = inv(*fwd(lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    fs, is_ = bonne(-30.0, 0.0, 0.0, 0.0, R=R_s)
+    lo, la = is_(*fs(25.0, -45.0))
+    assert abs(lo - 25.0) < 1e-9 and abs(la - -45.0) < 1e-9
+
+    # Werner (lat_1 = 90)
+    fw, iw = bonne(90.0, 0.0, 0.0, 0.0, R=R_s)
+    lo, la = iw(*fw(30.0, 50.0))
+    assert abs(lo - 30.0) < 1e-9 and abs(la - 50.0) < 1e-9
