@@ -3924,6 +3924,32 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_ASOF = (
+    # most recent order at or before each event, per user — the canonical
+    # asof shape; right projection avoids tie-dependent columns (two
+    # orders sharing (custkey, orderdate) would make o_orderkey
+    # engine-arbitrary in both engines)
+    "SELECT event_id, user_id, ts, o_orderdate FROM events "
+    "ASOF JOIN orders ON user_id = o_custkey AND ts >= o_orderdate "
+    "ORDER BY event_id"
+)
+
+
+def q_sql_asof(sf_dir: str):
+    """SQL front end round 4b: ASOF JOIN (DuckDB syntax) — ONE equality
+    + ONE l.ts >= r.ts inequality lowered to the sort-merge asof operator
+    (stages/joins.asof_join: both sides shuffle once by key, per-group
+    np.searchsorted merge).  Inner, nearest-preceding, DuckDB's default
+    semantics.  IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        SQL_IFACE_ASOF,
+        {"events": _read(sf_dir, "events"),
+         "orders": _read(sf_dir, "orders")},
+    )
+
+
 SQL_IFACE_QUALIFY = (
     # top-2 orders per customer — the canonical QUALIFY idiom
     "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
@@ -4567,6 +4593,7 @@ def queries():
         "sql_strings": q_sql_strings,
         "sql_datetime": q_sql_datetime,
         "sql_qualify": q_sql_qualify,
+        "sql_asof": q_sql_asof,
         "zonal_stats": q_zonal_stats,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
@@ -4747,6 +4774,7 @@ def oracle_sql():
         "sql_strings": SQL_IFACE_STRINGS,
         "sql_datetime": SQL_IFACE_DATETIME,
         "sql_qualify": SQL_IFACE_QUALIFY,
+        "sql_asof": SQL_IFACE_ASOF,
         "zonal_stats": _sql_zonal_stats(),
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,

@@ -513,6 +513,17 @@ def _parse_select_body(p: _P) -> dict:
     table = p.expect("id")[1]
     joins = []  # (kind, table, left_key, right_key) — swq LEFT JOIN ON equality
     while True:
+        kk, vv = p.peek()
+        if kk == "id" and vv.upper() == "ASOF":
+            # ASOF JOIN t ON l.k = r.k AND l.ts >= r.ts (DuckDB syntax):
+            # nearest-preceding match per key — lowered to the
+            # sort-merge asof operator (stages/joins.asof_join)
+            p.next()
+            p.expect("kw", "JOIN")
+            t2 = p.expect("id")[1]
+            p.expect("kw", "ON")
+            joins.append(("asof", t2, _parse_expr(p), None))
+            continue
         if p.accept("kw", "LEFT"):
             p.expect("kw", "JOIN")
             kind = "left"
@@ -919,6 +930,110 @@ def _rewrite_cols(node, resolve):
     return tuple(_rewrite_cols(x, resolve) for x in node)
 
 
+def _apply_asof_join(ds, q, tables):
+    """Lower `FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts` to
+    stages/joins.asof_join: ONE equality (the key) + ONE >=/> inequality
+    (the timestamps, left side first).  Inner semantics, DuckDB's
+    default.  Output columns: the key under its left name, every other
+    left column under its own name, right columns under their own names
+    (collisions suffixed _r).  ts columns must be int64-castable
+    (integers or timestamps)."""
+    from gdal_ray.stages.joins import asof_join
+
+    _, t2, cond, _unused = q["joins"][0]
+    right_ds = tables[t2]
+    lnames = list(ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    ltable = q["table"]
+
+    def side(name: str):
+        base = name.split(".", 1)[1] if "." in name else name
+        pre = name.split(".", 1)[0] if "." in name else None
+        if pre == ltable or (pre is None and base in lnames):
+            if base in lnames:
+                return "left", base
+        if pre == t2 or (pre is None and base in rnames):
+            if base in rnames:
+                return "right", base
+        raise ValueError(f"ASOF JOIN: cannot resolve column {name!r}")
+
+    eq = ineq = None
+    for c in _conjuncts(cond):
+        if not (isinstance(c, tuple) and c[0] == "bin"
+                and c[2][0] == "col" and c[3][0] == "col"):
+            raise NotImplementedError(
+                "ASOF JOIN ON supports column-op-column conjuncts only")
+        s2, n2 = side(c[2][1])
+        s3, n3 = side(c[3][1])
+        if {s2, s3} != {"left", "right"}:
+            raise ValueError("ASOF JOIN conjunct must relate both tables")
+        if c[1] == "=":
+            if eq is not None:
+                raise NotImplementedError("ASOF JOIN: one equality only")
+            eq = (n2, n3) if s2 == "left" else (n3, n2)
+        elif c[1] in (">=", ">", "<=", "<"):
+            op = c[1]
+            if s2 == "right":  # normalize: left column on the left side
+                n2, n3 = n3, n2
+                op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}[op]
+            if op in ("<", "<="):
+                raise NotImplementedError(
+                    "ASOF JOIN: only nearest-PRECEDING (l.ts >= r.ts)")
+            ineq = (n2, n3, op == ">")
+        else:
+            raise NotImplementedError(f"ASOF JOIN operator {c[1]!r}")
+    if eq is None or ineq is None:
+        raise ValueError("ASOF JOIN ON needs an equality AND an inequality")
+    lkey, rkey = eq
+    lts, rts, strict = ineq
+
+    if lkey != rkey:
+        # asof_join expects one shared key column name: rename right
+        def rn_key(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [lkey if c == rkey else c for c in b.column_names])
+
+        right_ds = right_ds.map_batches(rn_key, batch_format="pyarrow")
+
+    if lkey == "ts" or rkey == "ts":
+        raise NotImplementedError(
+            "ASOF JOIN key column named 'ts' (rename it first)")
+
+    # the operator prefixes data columns l_/r_ and reserves the literal
+    # l_ts/r_ts slots — a user column named 'ts' would collide, so it
+    # rides under a temp name on both sides
+    def prep(side_ts, is_left):
+        def fn(b: pa.Table) -> pa.Table:
+            names = ["ts__c" if c == "ts" else c for c in b.column_names]
+            b = b.rename_columns(names)
+            return b.append_column("__jts", b.column(
+                "ts__c" if side_ts == "ts" else side_ts))
+        return fn
+
+    safe = lambda c: "ts__c" if c == "ts" else c  # noqa: E731
+    left_cols = [safe(c) for c in lnames if c != lkey]
+    right_cols = [safe(c) for c in rnames if c not in (rkey, lkey)]
+
+    out = asof_join(ds.map_batches(prep(lts, True), batch_format="pyarrow"),
+                    right_ds.map_batches(prep(rts, False),
+                                         batch_format="pyarrow"),
+                    key=lkey, left_ts="__jts", right_ts="__jts",
+                    left_cols=left_cols, right_cols=right_cols,
+                    strict=strict)
+
+    back = lambda c: "ts" if c == "ts__c" else c  # noqa: E731
+    ren = {f"l_{c}": back(c) for c in left_cols}
+    lplain = {back(c) for c in left_cols}
+    for c in right_cols:
+        ren[f"r_{c}"] = back(c) if (back(c) not in lplain
+                                    and back(c) != lkey) else f"{back(c)}_r"
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns([ren.get(c, c) for c in b.column_names])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _apply_joins(ds, q, tables):
     """Lower the FROM join chain; returns (ds, resolve) where resolve maps
     a possibly-qualified column reference to its output column name."""
@@ -1227,6 +1342,13 @@ def _execute_one(q: dict, tables: dict):
     q = _resolve_subqueries_in_q(q, tables)
     ds = tables[q["table"]]
     funcs = dict(_CUSTOM_FUNCS)  # snapshot for worker-side closures
+
+    if q["joins"] and q["joins"][0][0] == "asof":
+        if len(q["joins"]) != 1:
+            raise NotImplementedError("ASOF JOIN chained with other joins")
+        ds = _apply_asof_join(ds, q, tables)
+        q = dict(q)
+        q["joins"] = []
 
     if q["joins"]:
         ds, resolve = _apply_joins(ds, q, tables)

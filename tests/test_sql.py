@@ -143,6 +143,9 @@ QUERIES = [
     # QUALIFY (post-window filter; alias references substituted)
     "SELECT o_custkey, o_orderkey, o_totalprice FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2 ORDER BY o_custkey, o_orderkey",
     "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderstatus = 'F' QUALIFY rn <= 3 OR ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1 ORDER BY o_custkey, o_orderkey",
+    # ASOF JOIN (DuckDB syntax -> sort-merge asof operator)
+    "SELECT event_id, user_id, ts, o_orderdate FROM events ASOF JOIN orders ON user_id = o_custkey AND ts >= o_orderdate ORDER BY event_id",
+    "SELECT event_id, o_orderdate FROM events ASOF JOIN orders ON user_id = o_custkey AND ts > o_orderdate WHERE event_id % 3 = 0 ORDER BY event_id",
     # correlated [NOT] EXISTS -> broadcast semi/anti-join decorrelation
     "SELECT c_custkey FROM customer WHERE EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS (SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) AND c_custkey < 50 ORDER BY c_custkey",
