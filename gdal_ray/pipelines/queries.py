@@ -1296,6 +1296,71 @@ from crossings group by 1
 """
 
 
+def q_geom_relate(sf_dir: str):
+    """OGR pairwise predicates (ogrgeometry.cpp Intersects/Within/
+    Contains/Touches/Overlaps/Disjoint + Distance) over the seeded
+    polygon table — bbox-prefiltered all-pairs per batch; exact integer
+    intersection-area + int64 segment-orientation primitives
+    (geometry/relate.py; rows-only — truth-table, hole-semantics and
+    symmetry/implication invariants pytest-gated in
+    tests/test_relate.py)."""
+    import ray
+
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.relate import polygon_distance, relate_polygons
+    from gdal_ray.geometry.wkb import polygon_rings
+
+    from gdal_ray.geometry.wkb import encode_polygon, polygon_parts
+
+    tbl = make_polygon_table(30)
+    wkbs = tbl.column("wkb").to_pylist()
+    pids = tbl.column("poly_id").to_pylist()
+    ref = ray.put((pids, wkbs))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        all_pids, all_wkbs = ray.get(ref)
+        out = {k: [] for k in ("a", "variant", "intersects", "touches",
+                               "overlaps", "within", "contains",
+                               "distance")}
+        for i_ in b.column("i").to_pylist():
+            wkb = all_wkbs[i_]
+            parts = polygon_parts(wkb)
+            if len(parts) != 1:
+                continue  # the one multipolygon fixture: covered in pytest
+            rings = parts[0]
+            x0, y0, x1, y1 = ring_bbox(rings)
+            w_ = round(x1 - x0, 2)
+            # shifted twins: half-width (overlap), exact width (touch),
+            # double width (disjoint), identity (equals), inset (within)
+            for variant, dx in (("overlap", round(w_ / 2, 2)),
+                                ("touch", w_), ("disjoint", 2 * w_ + 1.0),
+                                ("equal", 0.0)):
+                twin = encode_polygon([r + np.array([dx, 0.0])
+                                       for r in rings])
+                r = relate_polygons(wkb, twin)
+                out["a"].append(all_pids[i_])
+                out["variant"].append(variant)
+                for k in ("intersects", "touches", "overlaps",
+                          "within", "contains"):
+                    out[k].append(bool(r[k]))
+                out["distance"].append(polygon_distance(wkb, twin))
+        return pa.table({
+            "a": pa.array(out["a"], pa.string()),
+            "variant": pa.array(out["variant"], pa.string()),
+            "intersects": pa.array(out["intersects"], pa.bool_()),
+            "touches": pa.array(out["touches"], pa.bool_()),
+            "overlaps": pa.array(out["overlaps"], pa.bool_()),
+            "within": pa.array(out["within"], pa.bool_()),
+            "contains": pa.array(out["contains"], pa.bool_()),
+            "distance": pa.array(out["distance"], pa.float64()),
+        })
+
+    import ray.data as rd
+
+    return rd.from_items([{"i": i} for i in range(len(pids))]) \
+        .map_batches(pairs, batch_format="pyarrow")
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics (the gdal_rasterize + masked-numpy idiom; QGIS/
     rasterio zonal stats): per polygon, burn its 24×24 bbox grid
@@ -4689,6 +4754,7 @@ def queries():
         "video_frames": q_video_frames,
         "audio_spectrogram": q_audio_spectrogram,
         "video_scenes": q_video_scenes,
+        "geom_relate": q_geom_relate,
         "warp_utm": q_warp_utm,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,
