@@ -1361,6 +1361,39 @@ def q_geom_relate(sf_dir: str):
         .map_batches(pairs, batch_format="pyarrow")
 
 
+def q_spatial_join(sf_dir: str):
+    """Predicate-refined spatial join (stages/joins.spatial_join): cell-
+    bucketed bbox join (min-corner owner rule, no dedup shuffle) →
+    candidates broadcast → ONE refinement pass over A with the exact
+    integer relate kernel — A's geometry bytes never shuffle (rows-only;
+    set-equality vs brute force pytest-gated in
+    tests/test_spatial_join.py)."""
+    import ray.data as rd
+
+    from gdal_ray.geometry.wkb import encode_polygon, polygon_parts
+    from gdal_ray.stages.joins import spatial_join
+
+    tbl = make_polygon_table(30)
+    wkbs = tbl.column("wkb").to_pylist()
+    pids = tbl.column("poly_id").to_pylist()
+    a_ids, a_wkbs = [], []
+    for pid, w in zip(pids, wkbs):
+        parts = polygon_parts(w)
+        if len(parts) != 1:
+            continue
+        rings = parts[0]
+        a_ids.append(pid + "-shift")
+        a_wkbs.append(encode_polygon(
+            [r + np.array([round(float(r[:, 0].max() - r[:, 0].min()) / 2,
+                                 2), 0.0]) for r in rings]))
+    a_tbl = pa.table({"a_id": pa.array(a_ids),
+                      "wkb": pa.array(a_wkbs, pa.binary())})
+    b_tbl = pa.table({"b_id": pa.array(pids),
+                      "wkb": pa.array(wkbs, pa.binary())})
+    return spatial_join(rd.from_arrow(a_tbl).repartition(4), b_tbl,
+                        predicate="intersects")
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics (the gdal_rasterize + masked-numpy idiom; QGIS/
     rasterio zonal stats): per polygon, burn its 24×24 bbox grid
@@ -4755,6 +4788,7 @@ def queries():
         "audio_spectrogram": q_audio_spectrogram,
         "video_scenes": q_video_scenes,
         "geom_relate": q_geom_relate,
+        "spatial_join": q_spatial_join,
         "warp_utm": q_warp_utm,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,

@@ -256,3 +256,88 @@ def bbox_join(a_ds, b_table: pa.Table, *, zoom: int = 4,
     return a_tagged.union(b_tagged).groupby("cell_id").map_groups(
         join_group, batch_format="pyarrow"
     )
+
+
+def spatial_join(a_ds, b_table: pa.Table, *, predicate: str = "intersects",
+                 zoom: int = 4, a_id: str = "a_id", b_id: str = "b_id",
+                 a_wkb: str = "wkb", b_wkb: str = "wkb"):
+    """Predicate-refined spatial join — OGR's SetSpatialFilter bbox
+    pre-test + exact Intersects/... refinement (ogrlayer.cpp
+    FilterGeometry → ogrgeometry.cpp predicate), Ray-Data-shaped:
+
+      1. per-batch bbox computation on both sides;
+      2. the cell-bucketed bbox_join emits candidate (a, b) id pairs
+         (min-corner owner rule — no dedup shuffle);
+      3. candidates group driver-side into {a_id: [b_id]} and broadcast
+         with B's wkbs (ray.put once); ONE more pass over A refines each
+         candidate with the exact integer relate kernel
+         (geometry/relate.py) — A's geometry bytes never shuffle.
+
+    Contract: B and the bbox-surviving candidate set are
+    broadcast-sized (the same contract as the PIP broadcast join); use
+    the cell-partitioned plan when either explodes.
+    predicate ∈ {intersects, touches, overlaps, within, contains}.
+    """
+    import ray
+
+    from gdal_ray.geometry.predicates import ring_bbox
+    from gdal_ray.geometry.relate import relate_polygons
+    from gdal_ray.geometry.wkb import polygon_rings
+
+    def a_boxes(b: pa.Table) -> pa.Table:
+        ids = b.column(a_id).to_pylist()
+        rows = {"box_id": [], "x0": [], "y0": [], "x1": [], "y1": []}
+        for i, w in zip(ids, b.column(a_wkb).to_pylist()):
+            x0, y0, x1, y1 = ring_bbox(polygon_rings(w))
+            rows["box_id"].append(i)
+            rows["x0"].append(x0)
+            rows["y0"].append(y0)
+            rows["x1"].append(x1)
+            rows["y1"].append(y1)
+        return pa.table({
+            "box_id": pa.array(rows["box_id"]),
+            "x0": pa.array(rows["x0"], pa.float64()),
+            "y0": pa.array(rows["y0"], pa.float64()),
+            "x1": pa.array(rows["x1"], pa.float64()),
+            "y1": pa.array(rows["y1"], pa.float64()),
+        })
+
+    b_ids = b_table.column(b_id).to_pylist()
+    b_wkbs = b_table.column(b_wkb).to_pylist()
+    bb = {"box_id": [], "x0": [], "y0": [], "x1": [], "y1": []}
+    for i, w in zip(b_ids, b_wkbs):
+        x0, y0, x1, y1 = ring_bbox(polygon_rings(w))
+        bb["box_id"].append(i)
+        bb["x0"].append(x0)
+        bb["y0"].append(y0)
+        bb["x1"].append(x1)
+        bb["y1"].append(y1)
+    b_boxes = pa.table({
+        "box_id": pa.array(bb["box_id"]),
+        "x0": pa.array(bb["x0"], pa.float64()),
+        "y0": pa.array(bb["y0"], pa.float64()),
+        "x1": pa.array(bb["x1"], pa.float64()),
+        "y1": pa.array(bb["y1"], pa.float64()),
+    })
+
+    pairs = bbox_join(
+        a_ds.map_batches(a_boxes, batch_format="pyarrow"), b_boxes,
+        zoom=zoom, emit="ids")
+    cand: dict = {}
+    for row in pairs.take_all():
+        cand.setdefault(row["a_id"], []).append(row["b_id"])
+    bmap = dict(zip(b_ids, b_wkbs))
+    ref = ray.put((cand, bmap))
+
+    def refine(batch: pa.Table) -> pa.Table:
+        cand_m, bmap_m = ray.get(ref)
+        out_a, out_b = [], []
+        for i, w in zip(batch.column(a_id).to_pylist(),
+                        batch.column(a_wkb).to_pylist()):
+            for j in cand_m.get(i, ()):
+                if relate_polygons(w, bmap_m[j])[predicate]:
+                    out_a.append(i)
+                    out_b.append(j)
+        return pa.table({a_id: pa.array(out_a), b_id: pa.array(out_b)})
+
+    return a_ds.map_batches(refine, batch_format="pyarrow")
