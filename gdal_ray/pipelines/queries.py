@@ -1394,6 +1394,32 @@ def q_spatial_join(sf_dir: str):
                         predicate="intersects")
 
 
+SQL_CLEAN_TEXT = (
+    "SELECT doc_id, TRIM(regexp_replace(regexp_replace(text, '<[^>]*>', "
+    "' ', 'g'), '\\s+', ' ', 'g')) AS clean, "
+    "LENGTH(TRIM(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', "
+    "'g'), '\\s+', ' ', 'g'))) AS clean_len "
+    "FROM documents WHERE doc_id < 400 ORDER BY doc_id"
+)
+
+
+def q_clean_text(sf_dir: str):
+    """Text cleaning (stages/text.clean_text_batch): HTML-tag strip +
+    whitespace collapse + trim — three vectorized RE2 kernels per batch;
+    the IDENTICAL regexes run in DuckDB's RE2, so the oracle checks the
+    exact cleaned strings."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.stages.text import clean_text_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: clean_text_batch(
+            b.filter(_pc.less(b.column("doc_id"), 400))),
+        batch_format="pyarrow")
+    return ds.sort("doc_id")
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics (the gdal_rasterize + masked-numpy idiom; QGIS/
     rasterio zonal stats): per polygon, burn its 24×24 bbox grid
@@ -4693,6 +4719,7 @@ def queries():
         "sql_qualify": q_sql_qualify,
         "sql_asof": q_sql_asof,
         "zonal_stats": q_zonal_stats,
+        "clean_text": q_clean_text,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
@@ -4876,6 +4903,7 @@ def oracle_sql():
         "sql_qualify": SQL_IFACE_QUALIFY,
         "sql_asof": SQL_IFACE_ASOF,
         "zonal_stats": _sql_zonal_stats(),
+        "clean_text": SQL_CLEAN_TEXT,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,

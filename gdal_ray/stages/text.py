@@ -366,3 +366,18 @@ def fingerprint_batch(batch: pa.Table, *, window: int = 8) -> pa.Table:
             "fingerprint": pa.array(out, pa.int64()),
         }
     )
+
+
+def clean_text_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Training-data text cleaning (the Common-Crawl-style normalize
+    step): strip HTML-ish tags, collapse whitespace runs to one space,
+    trim — three vectorized RE2 kernels over the Arrow string column.
+    The IDENTICAL regexes run in DuckDB's RE2 (regexp_replace ... 'g'),
+    so the oracle is exact."""
+    s = batch.column(col)
+    s = pc.replace_substring_regex(s, pattern="<[^>]*>", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern="\\s+", replacement=" ")
+    s = pc.utf8_trim_whitespace(s)
+    out = batch.drop_columns([col]).append_column("clean", s)
+    return out.append_column(
+        "clean_len", pc.cast(pc.utf8_length(s), pa.int64()))
