@@ -3265,6 +3265,10 @@ SQL_IFACE_WINDOW = (
     "ORDER BY o_orderstatus DESC) AS drnk, "
     "CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey "
     "ORDER BY o_orderstatus) AS BIGINT) AS status_run, "
+    "PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, "
+    "o_orderkey) AS prank, "
+    "CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) "
+    "AS cdist, "
     "COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders, "
     "COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey "
     "ORDER BY o_orderkey), 0.0) AS prev_price "

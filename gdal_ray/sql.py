@@ -320,7 +320,8 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
             if args[1][0] != "lit":
                 raise ValueError(f"{fn} offset must be a literal")
             offset = int(args[1][1])
-    elif fn in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+    elif fn in ("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK",
+                "CUME_DIST"):
         if args or star:
             raise ValueError(f"{fn}() takes no arguments")
     elif fn == "NTILE":

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # (fn, needs_arg): supported window functions
-_RANKERS = {"ROW_NUMBER", "RANK", "DENSE_RANK"}
+_RANKERS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST"}
 _RUNNING = {"SUM", "COUNT", "AVG", "MIN", "MAX"}
 _SHIFTERS = {"LAG", "LEAD"}
 _POSITIONAL = {"NTILE", "FIRST_VALUE", "LAST_VALUE"}
@@ -140,6 +140,16 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
         elif fn == "DENSE_RANK":
             cp = np.cumsum(peer_change)
             res = pa.array(cp - cp[seg_start] + 1)
+        elif fn == "PERCENT_RANK":
+            # (rank - 1) / (partition rows - 1); 0 for single-row groups
+            peer_start = np.maximum.accumulate(np.where(peer_change, idx, 0))
+            rank = (peer_start - seg_start + 1).astype(np.float64)
+            cnt = (seg_end - seg_start + 1).astype(np.float64)
+            res = pa.array(np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0))
+        elif fn == "CUME_DIST":
+            # rows with value <= current (peer-inclusive) / partition rows
+            cnt = (seg_end - seg_start + 1).astype(np.float64)
+            res = pa.array((peer_end - seg_start + 1) / cnt)
         elif fn in _SHIFTERS:
             res = _shift_within_segment(gs, arg, offset, seg_start, seg_end,
                                         lead=(fn == "LEAD"))

@@ -140,6 +140,8 @@ QUERIES = [
     "SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d, HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s FROM events WHERE event_id < 100",
     "SELECT event_id, DATE_TRUNC('hour', ts) AS th, DATE_TRUNC('day', ts) AS td FROM events WHERE event_id < 100",
     "SELECT DATE_TRUNC('month', ts) AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
+    # PERCENT_RANK / CUME_DIST
+    "SELECT o_orderkey, PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr, CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS cd FROM orders ORDER BY o_orderkey",
     # QUALIFY (post-window filter; alias references substituted)
     "SELECT o_custkey, o_orderkey, o_totalprice FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2 ORDER BY o_custkey, o_orderkey",
     "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders WHERE o_orderstatus = 'F' QUALIFY rn <= 3 OR ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1 ORDER BY o_custkey, o_orderkey",
