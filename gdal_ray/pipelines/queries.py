@@ -4052,6 +4052,28 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_ROLLUP = (
+    # grouping sets (priority, status) / (priority) / (); FILTER'd
+    # aggregates per set — no ORDER BY (rolled-up keys are NULL; the
+    # driver compare canonicalizes order)
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, "
+    "COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big, "
+    "CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS cents "
+    "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+)
+
+
+def q_sql_rollup(sf_dir: str):
+    """SQL front end round 4b: GROUP BY ROLLUP — ANSI grouping sets as
+    one hash-bucket aggregate per prefix with typed-null key re-fill and
+    a streaming union (sql.py _execute_rollup; HAVING applies per set) —
+    plus the aggregate FILTER clause lowered to CASE.  IDENTICAL string
+    on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_ROLLUP, {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_ASOF = (
     # most recent order at or before each event, per user — the canonical
     # asof shape; right projection avoids tie-dependent columns (two
@@ -4722,6 +4744,7 @@ def queries():
         "sql_datetime": q_sql_datetime,
         "sql_qualify": q_sql_qualify,
         "sql_asof": q_sql_asof,
+        "sql_rollup": q_sql_rollup,
         "zonal_stats": q_zonal_stats,
         "clean_text": q_clean_text,
         "doc_quantiles": q_doc_quantiles,
@@ -4906,6 +4929,7 @@ def oracle_sql():
         "sql_datetime": SQL_IFACE_DATETIME,
         "sql_qualify": SQL_IFACE_QUALIFY,
         "sql_asof": SQL_IFACE_ASOF,
+        "sql_rollup": SQL_IFACE_ROLLUP,
         "zonal_stats": _sql_zonal_stats(),
         "clean_text": SQL_CLEAN_TEXT,
         "doc_quantiles": SQL_DOC_QUANTILES,

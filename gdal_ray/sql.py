@@ -277,12 +277,29 @@ def _parse_primary(p):
                 p.expect("op", ")")
             if p.accept("kw", "OVER"):
                 return _parse_over(p, fn, args, star)
+            filt = None
+            if p.peek()[0] == "id" and p.peek()[1].upper() == "FILTER":
+                # agg(...) FILTER (WHERE cond) — ANSI; lowered to
+                # CASE WHEN cond THEN arg END (aggregates skip NULLs)
+                p.next()
+                p.expect("op", "(")
+                p.expect("kw", "WHERE")
+                filt = _parse_expr(p)
+                p.expect("op", ")")
             if star:
+                if filt is not None:
+                    return ("agg", "COUNT",
+                            ("case", ((filt, ("lit", 1)),), None))
                 return ("agg", "COUNT", None)
             if fn in _AGG_FNS:
                 if len(args) != 1:
                     raise ValueError(f"{fn} takes one argument")
-                return ("agg", fn, args[0])
+                arg0 = args[0]
+                if filt is not None:
+                    arg0 = ("case", ((filt, arg0),), None)
+                return ("agg", fn, arg0)
+            if filt is not None:
+                raise ValueError("FILTER applies to aggregates only")
             return ("call", fn, args)
         if p.accept("op", "."):  # qualified column: table.col
             return ("col", v + "." + p.expect("id")[1])
@@ -548,13 +565,20 @@ def _parse_select_body(p: _P) -> dict:
     if p.accept("kw", "WHERE"):
         where = _parse_expr(p)
     having = None
+    rollup = False
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
+        if p.peek()[0] == "id" and p.peek()[1].upper() == "ROLLUP":
+            p.next()
+            p.expect("op", "(")
+            rollup = True
         group = []
         while True:
             group.append(p.expect("id")[1])
             if not p.accept("op", ","):
                 break
+        if rollup:
+            p.expect("op", ")")
         if p.accept("kw", "HAVING"):
             having = _parse_expr(p)
     qualify = None
@@ -578,8 +602,8 @@ def _parse_select_body(p: _P) -> dict:
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num")[1])
     return {"items": items, "table": table, "joins": joins, "where": where,
-            "group": group, "having": having, "qualify": qualify,
-            "order": order, "limit": limit,
+            "group": group, "rollup": rollup, "having": having,
+            "qualify": qualify, "order": order, "limit": limit,
             "offset": offset, "distinct": distinct}
 
 
@@ -1475,7 +1499,10 @@ def _execute_one(q: dict, tables: dict):
     if q["group"] or has_agg:
         if q.get("distinct"):
             raise NotImplementedError("SELECT DISTINCT with aggregates")
-        ds = _execute_aggregate(ds, q, funcs)
+        if q.get("rollup"):
+            ds = _execute_rollup(ds, q, funcs)
+        else:
+            ds = _execute_aggregate(ds, q, funcs)
     elif q.get("having") is not None:
         raise ValueError("HAVING requires GROUP BY")
     else:
@@ -1528,6 +1555,56 @@ def _has_agg(node):
     out = []
     _collect_aggs(node, out)
     return bool(out)
+
+
+def _execute_rollup(ds, q, funcs=None):
+    """GROUP BY ROLLUP(a, b, ...) — ANSI grouping sets (a,b,..), (a,..),
+    ..., (): one hash-bucket aggregate PER prefix, rolled-up keys
+    re-added as typed nulls, arms unioned.  HAVING applies per grouping
+    set (ANSI).  Contract: rolled-up group columns appear in the select
+    list only as bare columns (expressions of them raise)."""
+    group = q["group"]
+    schema = ds.schema().base_schema
+    gtypes = {c: schema.field(c).type for c in group}
+
+    def _uses_dropped(node, dropped):
+        if isinstance(node, tuple):
+            if node and node[0] == "col" and node[1] in dropped:
+                return True
+            return any(_uses_dropped(x, dropped) for x in node)
+        if isinstance(node, list):
+            return any(_uses_dropped(x, dropped) for x in node)
+        return False
+
+    arms = []
+    for k in range(len(group), -1, -1):
+        keep = group[:k]
+        dropped = set(group[k:])
+        items_k = []
+        null_cols = []  # (position, name, type)
+        for pos, (node, name) in enumerate(q["items"]):
+            if isinstance(node, tuple) and node[0] == "col"                     and node[1] in dropped:
+                null_cols.append((pos, name or node[1], gtypes[node[1]]))
+                continue
+            if node != "star" and _uses_dropped(node, dropped):
+                raise NotImplementedError(
+                    "ROLLUP: rolled-up key used inside an expression")
+            items_k.append((node, name))
+        arm_q = dict(q)
+        arm_q.update(items=items_k, group=keep, rollup=False,
+                     order=[], limit=None, offset=0)
+        arm = _execute_aggregate(ds, arm_q, funcs)
+
+        def add_nulls(b: pa.Table, _nc=tuple(null_cols)) -> pa.Table:
+            for pos, name, typ in _nc:
+                b = b.add_column(min(pos, b.num_columns), name,
+                                 pa.nulls(len(b), typ))
+            return b
+
+        if null_cols:
+            arm = arm.map_batches(add_nulls, batch_format="pyarrow")
+        arms.append(arm)
+    return arms[0].union(*arms[1:])
 
 
 def _execute_aggregate(ds, q, funcs=None):

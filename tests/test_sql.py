@@ -140,6 +140,11 @@ QUERIES = [
     "SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d, HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s FROM events WHERE event_id < 100",
     "SELECT event_id, DATE_TRUNC('hour', ts) AS th, DATE_TRUNC('day', ts) AS td FROM events WHERE event_id < 100",
     "SELECT DATE_TRUNC('month', ts) AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
+    # aggregate FILTER clause + GROUP BY ROLLUP (no ORDER BY on the
+    # nullable rolled-up keys — Ray's sample sort can't compare None)
+    "SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS nf, CAST(SUM(CAST(o_totalprice AS BIGINT)) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS big_cents, MIN(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) AS min_even FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
+    "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY ROLLUP (lang, source) HAVING COUNT(*) > 3",
     # PERCENT_RANK / CUME_DIST
     "SELECT o_orderkey, PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr, CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS cd FROM orders ORDER BY o_orderkey",
     # QUALIFY (post-window filter; alias references substituted)
