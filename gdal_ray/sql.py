@@ -1346,6 +1346,49 @@ def _resolve_subqueries_in_q(q: dict, tables: dict) -> dict:
     return q
 
 
+def _null_safe_sort(ds, order: list[tuple[str, bool]]):
+    """ds.sort with NULLS LAST (DuckDB's default ordering) that survives
+    null keys: Ray's sample sort compares raw Python values and raises on
+    None vs str, so each key gets an is_null flag column sorted first and
+    a null-filled twin — O(1) extra columns, dropped after the sort."""
+    import pyarrow.compute as _pc
+
+    keys = []
+    tmp: list[str] = []
+
+    def prep(b: pa.Table) -> pa.Table:
+        for i, (c, _d) in enumerate(order):
+            col = b.column(c)
+            b = b.append_column(
+                f"__nf{i}", _pc.cast(_pc.is_null(col), pa.int8()))
+            fill = _pc.fill_null(col, _first_nonnull_sentinel(col.type))
+            b = b.append_column(f"__nk{i}", fill)
+        return b
+
+    for i, (c, d) in enumerate(order):
+        keys.append((f"__nf{i}", False))  # nulls last, either direction
+        keys.append((f"__nk{i}", d))
+        tmp += [f"__nf{i}", f"__nk{i}"]
+    out = ds.map_batches(prep, batch_format="pyarrow").sort(
+        [k for k, _ in keys], descending=[d for _, d in keys])
+    return out.map_batches(lambda b: b.drop_columns(tmp),
+                           batch_format="pyarrow")
+
+
+def _first_nonnull_sentinel(t: pa.DataType):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_floating(t):
+        return 0.0
+    if pa.types.is_integer(t):
+        return 0
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return 0
+    if pa.types.is_boolean(t):
+        return False
+    return 0
+
+
 def _execute_one(q: dict, tables: dict):
     if "setop" in q:
         l = _execute_one(q["left"], tables)
@@ -1357,8 +1400,7 @@ def _execute_one(q: dict, tables: dict):
             ds = _execute_setop(q["setop"], l, r)
         tail = q["tail"]
         if tail["order"]:
-            ds = ds.sort([c for c, _ in tail["order"]],
-                         descending=[d for _, d in tail["order"]])
+            ds = _null_safe_sort(ds, tail["order"])
         if tail["offset"]:
             ds = ds.split_at_indices([tail["offset"]])[1]
         if tail["limit"] is not None:
@@ -1541,7 +1583,7 @@ def _execute_one(q: dict, tables: dict):
                 lambda b: b.select(names), batch_format="pyarrow")
 
     if q["order"]:
-        ds = ds.sort([c for c, _ in q["order"]], descending=[d for _, d in q["order"]])
+        ds = _null_safe_sort(ds, q["order"])
     if q.get("offset"):
         # OFFSET skips rows of the (ordered) result: split the stream at the
         # row index — distributed, no driver materialization
