@@ -565,13 +565,12 @@ def _parse_select_body(p: _P) -> dict:
     if p.accept("kw", "WHERE"):
         where = _parse_expr(p)
     having = None
-    rollup = False
+    rollup = False  # False | "rollup" | "cube"
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
-        if p.peek()[0] == "id" and p.peek()[1].upper() == "ROLLUP":
-            p.next()
+        if p.peek()[0] == "id" and p.peek()[1].upper() in ("ROLLUP", "CUBE"):
+            rollup = p.next()[1].lower()
             p.expect("op", "(")
-            rollup = True
         group = []
         while True:
             group.append(p.expect("id")[1])
@@ -1600,8 +1599,8 @@ def _has_agg(node):
 
 
 def _execute_rollup(ds, q, funcs=None):
-    """GROUP BY ROLLUP(a, b, ...) — ANSI grouping sets (a,b,..), (a,..),
-    ..., (): one hash-bucket aggregate PER prefix, rolled-up keys
+    """GROUP BY ROLLUP(a, b, ...) (prefix grouping sets) or CUBE(...)
+    (all-subset grouping sets): one hash-bucket aggregate PER set, dropped keys
     re-added as typed nulls, arms unioned.  HAVING applies per grouping
     set (ANSI).  Contract: rolled-up group columns appear in the select
     list only as bare columns (expressions of them raise)."""
@@ -1618,10 +1617,20 @@ def _execute_rollup(ds, q, funcs=None):
             return any(_uses_dropped(x, dropped) for x in node)
         return False
 
+    if q["rollup"] == "cube":
+        # CUBE: every subset of the group keys (2^k grouping sets)
+        import itertools
+
+        sets = []
+        for k in range(len(group), -1, -1):
+            for combo in itertools.combinations(group, k):
+                sets.append(list(combo))
+    else:  # ROLLUP: prefixes
+        sets = [group[:k] for k in range(len(group), -1, -1)]
+
     arms = []
-    for k in range(len(group), -1, -1):
-        keep = group[:k]
-        dropped = set(group[k:])
+    for keep in sets:
+        dropped = set(group) - set(keep)
         items_k = []
         null_cols = []  # (position, name, type)
         for pos, (node, name) in enumerate(q["items"]):

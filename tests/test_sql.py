@@ -145,6 +145,7 @@ QUERIES = [
     "SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS nf, CAST(SUM(CAST(o_totalprice AS BIGINT)) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS big_cents, MIN(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) AS min_even FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
     "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY ROLLUP (lang, source) HAVING COUNT(*) > 3",
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)",
     # ORDER BY over nullable rolled-up keys (null-safe distributed sort,
     # NULLS LAST both engines) with a LIMIT that cuts inside the order
     "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) ORDER BY o_orderpriority, o_orderstatus LIMIT 12",
