@@ -4052,6 +4052,30 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_PERCENTILE = (
+    "SELECT o_orderpriority, "
+    "CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) "
+    "AS DOUBLE) AS q1, "
+    "CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) "
+    "AS DOUBLE) AS med, "
+    "CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice) "
+    "AS DOUBLE) AS p90 "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q_sql_percentile(sf_dir: str):
+    """SQL front end round 4b: ordered-set aggregates —
+    PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY expr) lowered to the exact
+    3-pass histogram selection (stages/quantile.exact_group_quantiles;
+    NO sort — grouped min/max/count → per-group histogram → only
+    target-bucket rows leave the cluster).  IDENTICAL string on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_PERCENTILE,
+                       {"orders": _read(sf_dir, "orders")})
+
+
 SQL_IFACE_ROLLUP = (
     # grouping sets (priority, status) / (priority) / (); FILTER'd
     # aggregates per set — no ORDER BY (rolled-up keys are NULL; the
@@ -4745,6 +4769,7 @@ def queries():
         "sql_qualify": q_sql_qualify,
         "sql_asof": q_sql_asof,
         "sql_rollup": q_sql_rollup,
+        "sql_percentile": q_sql_percentile,
         "zonal_stats": q_zonal_stats,
         "clean_text": q_clean_text,
         "doc_quantiles": q_doc_quantiles,
@@ -4930,6 +4955,7 @@ def oracle_sql():
         "sql_qualify": SQL_IFACE_QUALIFY,
         "sql_asof": SQL_IFACE_ASOF,
         "sql_rollup": SQL_IFACE_ROLLUP,
+        "sql_percentile": SQL_IFACE_PERCENTILE,
         "zonal_stats": _sql_zonal_stats(),
         "clean_text": SQL_CLEAN_TEXT,
         "doc_quantiles": SQL_DOC_QUANTILES,

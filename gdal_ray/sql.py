@@ -277,6 +277,23 @@ def _parse_primary(p):
                 p.expect("op", ")")
             if p.accept("kw", "OVER"):
                 return _parse_over(p, fn, args, star)
+            if fn == "PERCENTILE_DISC":
+                # PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY expr) —
+                # ordered-set aggregate, lowered to the exact 3-pass
+                # histogram selection (stages/quantile.py)
+                if len(args) != 1 or args[0][0] != "lit":
+                    raise ValueError("PERCENTILE_DISC takes one literal")
+                kk2, vv2 = p.peek()
+                if not (kk2 == "id" and vv2.upper() == "WITHIN"):
+                    raise ValueError("PERCENTILE_DISC requires WITHIN GROUP")
+                p.next()
+                p.expect("kw", "GROUP")
+                p.expect("op", "(")
+                p.expect("kw", "ORDER")
+                p.expect("kw", "BY")
+                oexpr = _parse_expr(p)
+                p.expect("op", ")")
+                return ("agg", "PDISC", (float(args[0][1]), oexpr))
             filt = None
             if p.peek()[0] == "id" and p.peek()[1].upper() == "FILTER":
                 # agg(...) FILTER (WHERE cond) — ANSI; lowered to
@@ -1540,7 +1557,9 @@ def _execute_one(q: dict, tables: dict):
     if q["group"] or has_agg:
         if q.get("distinct"):
             raise NotImplementedError("SELECT DISTINCT with aggregates")
-        if q.get("rollup"):
+        if _has_pdisc(q["items"]):
+            ds = _execute_pdisc(ds, q, funcs)
+        elif q.get("rollup"):
             ds = _execute_rollup(ds, q, funcs)
         else:
             ds = _execute_aggregate(ds, q, funcs)
@@ -1596,6 +1615,93 @@ def _has_agg(node):
     out = []
     _collect_aggs(node, out)
     return bool(out)
+
+
+def _has_pdisc(items) -> bool:
+    def walk(node):
+        if isinstance(node, tuple):
+            if node and node[0] == "agg" and node[1] == "PDISC":
+                return True
+            return any(walk(x) for x in node)
+        return False
+
+    return any(walk(n) for n, _ in items if n != "star")
+
+
+def _execute_pdisc(ds, q, funcs=None):
+    """Ordered-set aggregate path: every select item must be a group key
+    or [CAST of] PERCENTILE_DISC — lowered to exact_group_quantiles (one
+    streaming histogram-selection per distinct ORDER BY expression; NO
+    sort).  Mixing with other aggregates raises loudly."""
+    from gdal_ray.stages.quantile import exact_group_quantiles
+
+    group = q["group"]
+    if not group:
+        raise NotImplementedError("PERCENTILE_DISC needs GROUP BY")
+    if q.get("having") is not None or q.get("rollup"):
+        raise NotImplementedError("PERCENTILE_DISC with HAVING/ROLLUP")
+    plan = []  # (out_name, q, expr)
+    for idx, (node, name) in enumerate(q["items"]):
+        inner = node
+        if isinstance(inner, tuple) and inner[0] == "cast":
+            inner = inner[1]
+        if isinstance(inner, tuple) and inner[0] == "col"                 and inner[1] in group:
+            plan.append(("key", inner[1], None, None))
+            continue
+        if isinstance(inner, tuple) and inner[0] == "agg"                 and inner[1] == "PDISC":
+            qv, oexpr = inner[2]
+            plan.append(("pd", name or _default_name(node, idx), qv, oexpr))
+            continue
+        raise NotImplementedError(
+            "PERCENTILE_DISC queries: every item must be a group key or "
+            "a PERCENTILE_DISC aggregate")
+
+    # one temp value column per distinct ORDER BY expression
+    exprs = []
+    for kind, _n, _qv, oe in plan:
+        if kind == "pd" and oe not in exprs:
+            exprs.append(oe)
+    fsnap = funcs or {}
+
+    def addvals(b: pa.Table) -> pa.Table:
+        for i, oe in enumerate(exprs):
+            v = _eval_with_funcs(oe, b, fsnap)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(b))
+            b = b.append_column(f"__pd{i}", pc.cast(v, pa.float64()))
+        return b
+
+    vds = ds.map_batches(addvals, batch_format="pyarrow")
+
+    frames = []
+    for i, oe in enumerate(exprs):
+        qs = []
+        for kind, _n, qv, oe2 in plan:
+            if kind == "pd" and oe2 == oe and qv not in qs:
+                qs.append(qv)
+        t = exact_group_quantiles(vds, f"__pd{i}", qs, list(group))
+        df = t.to_pandas().rename(columns={
+            f"p{int(round(qv2 * 100))}": f"__e{i}_p{int(round(qv2 * 100))}"
+            for qv2 in qs})
+        frames.append(df)
+
+    # assemble driver-side (one row per group — grouped-result contract)
+    base = frames[0]
+    for df in frames[1:]:
+        base = base.merge(df, on=list(group), how="outer")
+    cols = {}
+    for kind, name, qv, oe in plan:
+        if kind == "key":
+            cols[name] = base[name]
+        else:
+            i = exprs.index(oe)
+            cols[name] = base[f"__e{i}_p{int(round(qv * 100))}"]
+    import pandas as pd
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(cols),
+                                              preserve_index=False))
 
 
 def _execute_rollup(ds, q, funcs=None):
