@@ -15,18 +15,28 @@ Grammar (grows as needed):
   select := term {UNION [ALL|DISTINCT] | EXCEPT} term ...   (INTERSECT
             binds tighter; trailing ORDER BY/LIMIT bind to the whole)
   term   := SELECT item[, ...] FROM <table>
-            [LEFT|INNER JOIN t2 ON a = b ...]
-    [WHERE expr] [GROUP BY col[, ...]] [HAVING expr]
+            [LEFT|INNER JOIN t2 ON a = b ... | ASOF JOIN t2 ON a = b
+             AND l.ts >= r.ts]
+    [WHERE expr] [GROUP BY [ROLLUP|CUBE (] col[, ...] [)]] [HAVING expr]
+    [QUALIFY expr]
     [ORDER BY col [DESC][, ...]] [LIMIT n] [OFFSET m]
+    (ORDER BY is null-safe: NULLS LAST, DuckDB's default)
   item := expr [AS name] | * | * EXCEPT (col[, ...])
-       | agg(expr) [AS name] | COUNT(*) [AS name]
+       | agg(expr) [FILTER (WHERE cond)] [AS name] | COUNT(*) [AS name]
+       | PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY expr) [AS name]
        | winfn OVER ([PARTITION BY col,...] [ORDER BY col [DESC],...]
-                     [ROWS BETWEEN (k|UNBOUNDED) PRECEDING AND CURRENT ROW])
-  agg  := SUM | MIN | MAX | AVG | COUNT
-  winfn:= ROW_NUMBER() | RANK() | DENSE_RANK() | LAG/LEAD(e[, k])
-       | NTILE(n) | FIRST_VALUE/LAST_VALUE(e)
+                     [ROWS BETWEEN (k|UNBOUNDED) PRECEDING AND CURRENT ROW
+                      | RANGE BETWEEN k PRECEDING AND CURRENT ROW])
+  agg  := SUM | MIN | MAX | AVG | COUNT | STDDEV_POP | STDDEV_SAMP
+  winfn:= ROW_NUMBER() | RANK() | DENSE_RANK() | PERCENT_RANK()
+       | CUME_DIST() | LAG/LEAD(e[, k]) | NTILE(n)
+       | FIRST_VALUE/LAST_VALUE(e)
        | SUM/COUNT/AVG/MIN/MAX(e) | COUNT(*)   (stages/window.py)
-  scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, CAST(e AS type)
+  scalar fns: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, ABS, FLOOR, CEIL,
+       ROUND, COALESCE, CAST(e AS type), TRIM/LTRIM/RTRIM, REPLACE,
+       REVERSE, CONTAINS, STARTS_WITH/ENDS_WITH, REGEXP_MATCHES, STRPOS,
+       LEFT/RIGHT, LPAD/RPAD, SPLIT_PART, YEAR..SECOND, DATE_TRUNC,
+       HSTORE_GET_VALUE, custom via register_sql_function
   predicates: = <> != < <= > >=, [NOT] LIKE/ILIKE, [NOT] IN (...|SELECT),
               [NOT] BETWEEN a AND b, IS [NOT] NULL, AND, OR, NOT,
               [NOT] EXISTS (SELECT) — uncorrelated, or single-equality
