@@ -1161,6 +1161,22 @@ def execute_sql(sql: str, tables: dict):
     return _execute_one(q, tables)
 
 
+def _static_names(q) -> list[str] | None:
+    """Output column names of a parsed select, derived WITHOUT executing
+    the plan (Dataset.schema() triggers execution — calling it per set-op
+    arm re-ran the whole upstream pipeline once per exchange).  None when
+    a star item makes static naming impossible."""
+    if "setop" in q:
+        return _static_names(q["left"])
+    names = []
+    for idx, (node, name) in enumerate(q["items"]):
+        if node == "star" or (isinstance(node, tuple)
+                              and node[0] == "star_except"):
+            return None
+        names.append(name or _default_name(node, idx))
+    return names
+
+
 def _rename_to(ds, names: list[str]):
     """Positionally rename a Dataset's columns (set-op arms align by
     position, ANSI)."""
@@ -1174,14 +1190,87 @@ def _rename_to(ds, names: list[str]):
     return ds.map_batches(rn, batch_format="pyarrow")
 
 
-def _execute_setop(kind: str, l, r):
+def _flatten_setop_tree(q):
+    """Leaves of a PURE distinct set-op tree in left-to-right order, or
+    None when UNION ALL appears (bag semantics — presence booleans would
+    be wrong) — used to collapse the whole chain into ONE exchange."""
+    if "setop" not in q:
+        return [q]
+    if q["setop"] == "unionall":
+        return None
+    l = _flatten_setop_tree(q["left"])
+    r = _flatten_setop_tree(q["right"])
+    if l is None or r is None:
+        return None
+    return l + r
+
+
+def _execute_setop_tree(q, leaves, tables):
+    """A chain like A UNION B INTERSECT C EXCEPT D runs as ONE hash-bucket
+    exchange: every arm tags a one-hot presence column, the union groups
+    by the full row summing presences, and the op tree evaluates on
+    presence booleans per group (distinct semantics make presence
+    sufficient) — k-1 shuffles collapse to 1."""
+    import numpy as np
+
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    names = _static_names(leaves[0])
+    arms = []
+    for i, leaf in enumerate(leaves):
+        arm = _execute_one(leaf, tables)
+        if names is None:
+            names = arm.schema().names
+        if i > 0:
+            arm = _rename_to(arm, names)
+
+        def tag(b: pa.Table, _i=i, _k=len(leaves)) -> pa.Table:
+            for j in range(_k):
+                b = b.append_column(
+                    f"__p{j}", pa.array(np.full(
+                        len(b), 1 if j == _i else 0, dtype=np.int64)))
+            return b
+
+        arms.append(arm.map_batches(tag, batch_format="pyarrow"))
+    u = arms[0].union(*arms[1:])
+    g = grouped_aggregate(
+        u, list(names),
+        [(f"__p{j}", "sum", f"__p{j}") for j in range(len(leaves))])
+
+    def finish(b: pa.Table) -> pa.Table:
+        pres = [pc.greater(b.column(f"__p{j}"), 0)
+                for j in range(len(leaves))]
+        pos = [0]  # leaf cursor during tree replay
+
+        def ev(node):
+            if "setop" not in node:
+                m = pres[pos[0]]
+                pos[0] += 1
+                return m
+            lm = ev(node["left"])
+            rm = ev(node["right"])
+            k = node["setop"]
+            if k == "union":
+                return pc.or_(lm, rm)
+            if k == "intersect":
+                return pc.and_(lm, rm)
+            return pc.and_(lm, pc.invert(rm))  # except
+
+        mask = ev(q)
+        return b.filter(mask).select(list(names))
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def _execute_setop(kind: str, l, r, names: list[str] | None = None):
     """UNION [DISTINCT] / INTERSECT / EXCEPT via ONE hash-bucket group
     exchange: tag each arm with side indicators, union the streams, group
     by the full row, then filter on per-side presence counts — the
     distributed form of the ANSI distinct-set semantics."""
     from gdal_ray.stages.agg import grouped_aggregate
 
-    names = l.schema().names
+    if names is None:
+        names = l.schema().names
     r = _rename_to(r, names)
 
     def tag(side):
@@ -1226,7 +1315,10 @@ def _resolve_sub_node(node, tables):
 
             _, e, sub, neg = node
             sub_ds = _execute_one(sub, tables)
-            names = sub_ds.schema().names
+            names = _static_names(sub) if "items" in sub or "setop" in sub \
+                else None
+            if names is None:
+                names = sub_ds.schema().names
             if len(names) != 1:
                 raise ValueError("IN (SELECT ...) must select one column")
             rows = sub_ds.take_all()
@@ -1417,13 +1509,18 @@ def _first_nonnull_sentinel(t: pa.DataType):
 
 def _execute_one(q: dict, tables: dict):
     if "setop" in q:
-        l = _execute_one(q["left"], tables)
-        r = _execute_one(q["right"], tables)
-        if q["setop"] == "unionall":
-            names = l.schema().names
-            ds = l.union(_rename_to(r, names))
+        flat = _flatten_setop_tree(q)
+        if flat is not None:
+            ds = _execute_setop_tree(q, flat, tables)
         else:
-            ds = _execute_setop(q["setop"], l, r)
+            l = _execute_one(q["left"], tables)
+            r = _execute_one(q["right"], tables)
+            names = _static_names(q["left"])
+            if q["setop"] == "unionall":
+                ds = l.union(_rename_to(r, names if names is not None
+                                        else l.schema().names))
+            else:
+                ds = _execute_setop(q["setop"], l, r, names)
         tail = q["tail"]
         if tail["order"]:
             ds = _null_safe_sort(ds, tail["order"])
