@@ -2928,6 +2928,21 @@ def q_video_frames(sf_dir: str):
     )
 
 
+def q_events_ewma(sf_dir: str):
+    """EWMA smoothing per user over the event stream
+    (stages/timeseries.py): the serial-looking recurrence runs as an
+    affine-map prefix scan by doubling (log2 n fully vectorized passes
+    with per-partition resets) after ONE bucketed shuffle — no per-row
+    Python (rows-only; == recursive definition and pandas
+    ewm(adjust=False), tests/test_timeseries.py)."""
+    from gdal_ray.stages.timeseries import ewma
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return ewma(ds, value="value", alpha=0.2, partition=["user_id"],
+                order=["ts", "event_id"])
+
+
 def q_audio_spectrogram(sf_dir: str):
     """Audio multimodal round 4b: STFT magnitude spectrogram front end —
     Hann-windowed strided frame view, one vectorized rfft per clip
@@ -4868,6 +4883,7 @@ def queries():
         "video_scenes": q_video_scenes,
         "geom_relate": q_geom_relate,
         "spatial_join": q_spatial_join,
+        "events_ewma": q_events_ewma,
         "warp_utm": q_warp_utm,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,
