@@ -873,6 +873,77 @@ def orthographic(lat0: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def cassini(lat0: float, lon0: float, fe: float, fn: float,
+            a: float = A_WGS84, f: float = F_WGS84):
+    """Cassini–Soldner, ellipsoidal (EPSG method 9806; Snyder ch. 13,
+    eqs 13-7/13-8 forward, 13-ff inverse): the classic cadastral grid
+    (Trinidad 30339, older German/levant grids).  The central meridian is
+    true (y = M − M0 exactly); x is the perpendicular distance to it.
+    The series reduce to the EXACT spherical formulas when e = 0 — the
+    pytest pins that limit against the closed spherical form, an
+    independent check of the series structure."""
+    e2 = _ecc(f) ** 2
+    M, M_inv = _merid_arc_fns(a, e2)
+    p0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    M0 = M(p0)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        sphi, cphi = np.sin(phi), np.cos(phi)
+        N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        T = np.tan(phi) ** 2
+        A = dlam * cphi
+        C = e2 * cphi * cphi / (1.0 - e2)
+        x = N * (A - T * A ** 3 / 6.0
+                 - (8.0 - T + 8.0 * C) * T * A ** 5 / 120.0)
+        y = M(phi) - M0 + N * np.tan(phi) * (
+            A * A / 2.0 + (5.0 - T + 6.0 * C) * A ** 4 / 24.0)
+        return fe + x, fn + y
+
+    def inv(E, Nn):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(Nn, dtype=np.float64) - fn
+        phi1 = M_inv(M0 + y)
+        s1, c1 = np.sin(phi1), np.cos(phi1)
+        T1 = np.tan(phi1) ** 2
+        N1 = a / np.sqrt(1.0 - e2 * s1 * s1)
+        R1 = a * (1.0 - e2) / (1.0 - e2 * s1 * s1) ** 1.5
+        D = x / N1
+        phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+            D * D / 2.0 - (1.0 + 3.0 * T1) * D ** 4 / 24.0)
+        lam = lam0 + (D - T1 * D ** 3 / 3.0
+                      + (1.0 + 3.0 * T1) * T1 * D ** 5 / 15.0) / c1
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def cassini_spherical_exact(lat0: float, lon0: float, R: float):
+    """Closed-form spherical Cassini (Snyder 13-1..13-5) — the e = 0
+    reference the series must reproduce."""
+    p0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        B = np.cos(phi) * np.sin(dlam)
+        x = R * np.arcsin(B)
+        y = R * (np.arctan2(np.tan(phi), np.cos(dlam)) - p0)
+        return x, y
+
+    def inv(x, y):
+        D = np.asarray(y, dtype=np.float64) / R + p0
+        xr = np.asarray(x, dtype=np.float64) / R
+        phi = np.arcsin(np.sin(D) * np.cos(xr))
+        lam = lam0 + np.arctan2(np.tan(xr), np.cos(D))
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def bonne(lat1: float, lon0: float, fe: float, fn: float,
           R: float = A_WGS84):
     """Bonne pseudoconic, spherical (Snyder ch. 19, eqs 19-1..19-6;
@@ -1299,6 +1370,8 @@ def _proj_pair_raw(p: dict):
         return bonne(float(p["lat_1"]), lon0, fe, fn, R=Rb)
     if proj == "poly":
         return polyconic(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "cass":
+        return cassini(lat0, lon0, fe, fn, a=a, f=f)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
                               "polar stere, sinu, moll, cea, ortho, omerc, "

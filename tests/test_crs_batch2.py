@@ -236,3 +236,49 @@ def test_bonne_equal_area_and_true_scale():
     fw, iw = bonne(90.0, 0.0, 0.0, 0.0, R=R_s)
     lo, la = iw(*fw(30.0, 50.0))
     assert abs(lo - 30.0) < 1e-9 and abs(la - 50.0) < 1e-9
+
+
+def test_cassini_series_vs_exact_spherical_limit():
+    from gdal_ray.crs import cassini, cassini_spherical_exact
+
+    R_s = 6370997.0
+    # e = 0: the ellipsoidal series must reproduce the closed spherical
+    # form — an independent validation of the series structure
+    fs, _ = cassini(10.0, -61.0, 0.0, 0.0, a=R_s, f=0.0)
+    fe_, _ = cassini_spherical_exact(10.0, -61.0, R_s)
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-64.0, -58.0, 400)   # |dlam| <= 3 deg
+    lat = rng.uniform(-70.0, 70.0, 400)
+    xs, ys = fs(lon, lat)
+    xe, ye = fe_(lon, lat)
+    np.testing.assert_allclose(xs, xe, atol=0.02)  # metres
+    np.testing.assert_allclose(ys, ye, atol=0.02)
+
+
+def test_cassini_ellipsoidal_properties():
+    from gdal_ray.crs import cassini, _merid_arc_fns, _ecc
+
+    fwd, inv = cassini(10.44139, -61.33333, 430000.0, 325000.0)  # Trinidad-ish
+    e2 = _ecc(F_WGS84) ** 2
+    M, _ = _merid_arc_fns(A_WGS84, e2)
+    # central meridian exactly true
+    lats = np.array([8.0, 10.44139, 11.5, 13.0])
+    x, y = fwd(np.full(lats.shape, -61.33333), lats)
+    np.testing.assert_allclose(x, 430000.0, atol=1e-9)
+    np.testing.assert_allclose(
+        y - 325000.0, M(np.radians(lats)) - M(np.radians(10.44139)),
+        rtol=1e-12)
+    # round-trip within the grid's working extent
+    rng = np.random.default_rng(33)
+    lon = rng.uniform(-63.0, -60.0, 400)
+    lat = rng.uniform(9.0, 12.0, 400)
+    lon2, lat2 = inv(*fwd(lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # proj front end
+    from gdal_ray.crs import proj_pair
+
+    f2, i2 = proj_pair("+proj=cass +lat_0=10.44139 +lon_0=-61.33333 "
+                       "+x_0=430000 +y_0=325000 +ellps=WGS84")
+    lo, la = i2(*f2(-61.0, 10.6))
+    assert abs(lo - -61.0) < 1e-9 and abs(la - 10.6) < 1e-9
