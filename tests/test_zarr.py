@@ -229,3 +229,94 @@ def test_v3_unsupported_codec_raises(tmp_path):
     open(f"{p}/zarr.json", "w").write(json.dumps(meta))
     with pytest.raises(NotImplementedError, match="zstd"):
         read_zarr_meta(p)
+
+
+# ----------------------------------------------------- v3 sharding codec
+
+
+def test_crc32c_check_value():
+    from gdal_ray.sources.zarr import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283  # the standard check value
+    assert _crc32c(b"") == 0
+
+
+def test_v3_sharding_roundtrip(tmp_path):
+    from gdal_ray.sources.zarr import (read_zarr_array, read_zarr_meta,
+                                       write_zarr_v3)
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 60000, (70, 90), dtype=np.uint16)
+    p = str(tmp_path / "sharded.zarr")
+    write_zarr_v3(a, p, chunks=(32, 32), inner_chunks=(8, 16),
+                  compressor="gzip", level=1)
+    m = read_zarr_meta(p)
+    assert m["shard"]["inner"] == [8, 16]
+    assert m["shard"]["crc"] is True
+    np.testing.assert_array_equal(read_zarr_array(p), a)
+    # uncompressed inner chunks too
+    p2 = str(tmp_path / "sharded_raw.zarr")
+    write_zarr_v3(a.astype(np.float32), p2, chunks=(64, 64),
+                  inner_chunks=(16, 16), compressor=None)
+    np.testing.assert_array_equal(read_zarr_array(p2), a.astype(np.float32))
+
+
+def test_v3_sharding_fill_chunks_omitted(tmp_path):
+    import json
+    import os
+
+    from gdal_ray.sources.zarr import read_zarr_array, write_zarr_v3
+
+    a = np.zeros((64, 64), dtype=np.int32)
+    a[5, 7] = 99  # only one inner chunk non-fill
+    p = str(tmp_path / "mostly_fill.zarr")
+    write_zarr_v3(a, p, chunks=(64, 64), inner_chunks=(8, 8),
+                  compressor=None, fill_value=0)
+    np.testing.assert_array_equal(read_zarr_array(p), a)
+    # the shard holds ONE inner chunk + the index (63 omitted)
+    shard = open(os.path.join(p, "c", "0", "0"), "rb").read()
+    n_inner = 64
+    assert len(shard) == 8 * 8 * 4 + n_inner * 16 + 4
+
+
+def test_v3_sharding_crc_corruption_detected(tmp_path):
+    import os
+
+    from gdal_ray.sources.zarr import read_zarr_array, write_zarr_v3
+
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    p = str(tmp_path / "c.zarr")
+    write_zarr_v3(a, p, chunks=(16, 16), inner_chunks=(8, 8),
+                  compressor=None)
+    fp = os.path.join(p, "c", "0", "0")
+    blob = bytearray(open(fp, "rb").read())
+    blob[-5] ^= 0xFF  # flip a bit inside the index
+    open(fp, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC-32C"):
+        read_zarr_array(p)
+
+
+def test_v3_shard_index_at_start():
+    from gdal_ray.sources.zarr import _decode_shard, _encode_shard
+
+    a = np.arange(64, dtype=np.int16).reshape(8, 8)
+    blob = _encode_shard(a, (4, 4), None, 1, 0, True, "start")
+    out = _decode_shard(blob, (8, 8), (4, 4), np.dtype("<i2"), None, 0,
+                        True, "start")
+    np.testing.assert_array_equal(out, a)
+
+
+def test_v3_sharding_parallel_read(tmp_path, ray_session):
+    from gdal_ray.sources.zarr import read_zarr, write_zarr_v3
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(50, 60)).astype(np.float64)
+    p = str(tmp_path / "par.zarr")
+    write_zarr_v3(a, p, chunks=(32, 32), inner_chunks=(16, 16))
+    out = np.zeros_like(a)
+    for r in read_zarr(p).take_all():
+        blk = np.frombuffer(r["data"], dtype=np.float64) \
+            .reshape(r["h"], r["w"])
+        out[r["cy"] * 32:r["cy"] * 32 + r["h"],
+            r["cx"] * 32:r["cx"] * 32 + r["w"]] = blk
+    np.testing.assert_array_equal(out, a)
