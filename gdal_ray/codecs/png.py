@@ -32,8 +32,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, level: int = 1) -> bytes:
-    """uint8 -> 8-bit PNG; uint16 -> 16-bit PNG (big-endian samples)."""
+def encode_png(arr: np.ndarray, level: int = 1, *,
+               interlace: bool = False) -> bytes:
+    """uint8 -> 8-bit PNG; uint16 -> 16-bit PNG (big-endian samples).
+    interlace=True writes Adam7 (filter 0 rows per pass)."""
     arr = np.asarray(arr)
     if arr.dtype == np.uint16:
         depth, view = 16, arr.astype(">u2")
@@ -44,12 +46,27 @@ def encode_png(arr: np.ndarray, level: int = 1) -> bytes:
     h, w, c = view.shape
     if c not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {c}")
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, _COLOR_TYPE[c], 0, 0, 0)
-    body = view.reshape(h, -1).view(np.uint8).reshape(h, w * c * (depth // 8))
-    raw = np.empty((h, 1 + body.shape[1]), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = body
-    idat = zlib.compress(raw.tobytes(), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, _COLOR_TYPE[c], 0, 0,
+                       1 if interlace else 0)
+    bpp = c * (depth // 8)
+    body = view.reshape(h, -1).view(np.uint8).reshape(h, w * bpp)
+    if interlace:
+        parts = []
+        body3 = body.reshape(h, w, bpp)
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            sub = body3[y0::dy, x0::dx].reshape(ph, pw * bpp)
+            rows = np.empty((ph, 1 + pw * bpp), dtype=np.uint8)
+            rows[:, 0] = 0
+            rows[:, 1:] = sub
+            parts.append(rows.tobytes())
+        idat = zlib.compress(b"".join(parts), level)
+    else:
+        raw = np.empty((h, 1 + body.shape[1]), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = body
+        idat = zlib.compress(raw.tobytes(), level)
     return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -114,6 +131,22 @@ def _defilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) — W3C PNG
+# spec §Interlaced data order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_dims(w: int, h: int):
+    """per-pass (pw, ph) sub-image dimensions"""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        out.append((pw, ph))
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _MAGIC:
         raise ValueError("not a PNG")
@@ -128,8 +161,8 @@ def decode_png(data: bytes) -> np.ndarray:
         off += 12 + length
         if tag == b"IHDR":
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
                 raise NotImplementedError(
                     f"PNG bit depth {bit_depth} / color type {color_type} not supported")
@@ -145,12 +178,34 @@ def decode_png(data: bytes) -> np.ndarray:
     sb = bit_depth // 8  # bytes per sample
     bpp = c * sb
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = 1 + w * bpp
-    rows = raw.reshape(h, stride)
-    filters = rows[:, 0]
-    body = rows[:, 1:]
-    if not np.all(filters == 0):
-        body = _defilter(np.ascontiguousarray(body), filters, bpp)
+    if interlace == 1:
+        # Adam7: seven sequential sub-images, each filtered independently,
+        # scattered back onto the (y0 + ph*dy, x0 + pw*dx) grid
+        body = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            stride_p = 1 + pw * bpp
+            sub = raw[pos:pos + ph * stride_p].reshape(ph, stride_p)
+            pos += ph * stride_p
+            fts = sub[:, 0]
+            sb_body = sub[:, 1:]
+            if not np.all(fts == 0):
+                sb_body = _defilter(np.ascontiguousarray(sb_body), fts, bpp)
+            sb_px = sb_body.reshape(ph, pw, bpp)
+            ys = y0 + np.arange(ph) * dy
+            xs = x0 + np.arange(pw) * dx
+            body3 = body.reshape(h, w, bpp)
+            body3[np.ix_(ys, xs)] = sb_px
+        body = body.reshape(h, w * bpp)
+    else:
+        stride = 1 + w * bpp
+        rows = raw.reshape(h, stride)
+        filters = rows[:, 0]
+        body = rows[:, 1:]
+        if not np.all(filters == 0):
+            body = _defilter(np.ascontiguousarray(body), filters, bpp)
     if bit_depth == 16:
         px = np.ascontiguousarray(body).view(">u2").astype(np.uint16)
         px = px.reshape(h, w, c)

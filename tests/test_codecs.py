@@ -145,3 +145,92 @@ def test_png_filters_defilter_16bit():
            + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
            + _chunk(b"IEND", b""))
     assert np.array_equal(decode_png(png), arr)
+
+
+# ------------------------------------------------------ PNG Adam7
+
+
+def test_png_adam7_roundtrip_shapes():
+    from gdal_ray.codecs.png import decode_png, encode_png
+
+    rng = np.random.default_rng(2)
+    for shape in ((1, 1), (7, 5), (8, 8), (33, 47, 3), (19, 10, 4)):
+        a = rng.integers(0, 255, shape).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(a, interlace=True)), a)
+    a16 = rng.integers(0, 65535, (21, 13, 3)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(a16, interlace=True)), a16)
+
+
+def test_png_adam7_pass_order_pinned():
+    """Hand-build an interlaced 8x8 gray PNG: pass k pixels carry value k
+    — decode must scatter each pass onto the spec's grid positions."""
+    import struct
+    import zlib
+
+    from gdal_ray.codecs.png import _ADAM7, _MAGIC, _chunk, decode_png
+
+    w = h = 8
+    passes = []
+    dims = []
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        dims.append((pw, ph))
+    raw = bytearray()
+    for k, ((x0, y0, dx, dy), (pw, ph)) in enumerate(zip(_ADAM7, dims), 1):
+        for _y in range(ph):
+            raw.append(0)  # filter byte
+            raw += bytes([k]) * pw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    out = decode_png(blob)
+    want = np.zeros((h, w), dtype=np.uint8)
+    for k, ((x0, y0, dx, dy), (pw, ph)) in enumerate(zip(_ADAM7, dims), 1):
+        want[y0::dy, x0::dx] = k
+    np.testing.assert_array_equal(out, want)
+    # spec worked example: top-left 8x8 pass-number grid row 0
+    np.testing.assert_array_equal(
+        want[0], np.array([1, 6, 4, 6, 2, 6, 4, 6], np.uint8))
+    np.testing.assert_array_equal(
+        want[1], np.array([7, 7, 7, 7, 7, 7, 7, 7], np.uint8))
+
+
+def test_png_adam7_filtered_passes():
+    """A filter-2 (Up) row inside a pass defilters against the PASS's
+    previous row, not the image row."""
+    import struct
+    import zlib
+
+    from gdal_ray.codecs.png import _MAGIC, _chunk, decode_png
+
+    # 2x16: only passes with pixels are 1,2,4,6 (y rows 0..1)... simplest:
+    # 16x1-high image has passes 1,2,4,6; use 1 column, 16 rows instead:
+    # passes 1,3,5,7 (x0=0 ones)
+    w, h = 1, 16
+    # pass1 ph=2 rows (y=0,8); pass3 ph=2 (y=4,12); pass5 ph=4 (y=2,6,10,14);
+    # pass7 ph=8 (odd rows)
+    raw = bytearray()
+    # pass1: rows [filter0,10], [filter2,+5] -> 10,15
+    raw += bytes([0, 10]); raw += bytes([2, 5])
+    # pass3: [0,20],[2,7] -> 20,27
+    raw += bytes([0, 20]); raw += bytes([2, 7])
+    # pass5: [0,30],[2,1],[2,1],[2,1] -> 30,31,32,33
+    raw += bytes([0, 30]); raw += bytes([2, 1]); raw += bytes([2, 1]); raw += bytes([2, 1])
+    # pass7: filter0 rows 1..8
+    for v in range(1, 9):
+        raw += bytes([0, v])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    out = decode_png(blob)[:, 0]
+    want = np.zeros(16, np.uint8)
+    want[[0, 8]] = [10, 15]
+    want[[4, 12]] = [20, 27]
+    want[[2, 6, 10, 14]] = [30, 31, 32, 33]
+    want[1::2] = range(1, 9)
+    np.testing.assert_array_equal(out, want)
