@@ -1533,6 +1533,10 @@ def _execute_one(q: dict, tables: dict):
     ds = tables[q["table"]]
     funcs = dict(_CUSTOM_FUNCS)  # snapshot for worker-side closures
 
+    special = _referenced_special_fields(q)
+    if special:
+        ds = _add_special_fields(ds, special)
+
     if q["joins"] and q["joins"][0][0] == "asof":
         if len(q["joins"]) != 1:
             raise NotImplementedError("ASOF JOIN chained with other joins")
@@ -1733,6 +1737,75 @@ def _has_pdisc(items) -> bool:
         return False
 
     return any(walk(n) for n, _ in items if n != "star")
+
+
+_SPECIAL_FIELDS = ("FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA")
+
+
+def _referenced_special_fields(q) -> list[str]:
+    """OGR SQL special fields (ogr_gensql.cpp / ogr_swq.h SWQ special
+    field indices): FID (stable row id), OGR_GEOMETRY (type name),
+    OGR_GEOM_WKT, OGR_GEOM_AREA — computed lazily only when referenced,
+    over tables carrying a `wkb` geometry column."""
+    cols: list = []
+    for node, _ in q["items"]:
+        if node != "star":
+            _collect_cols(node, cols)
+    for part in (q.get("where"), q.get("having"), q.get("qualify")):
+        if part is not None:
+            _collect_cols(part, cols)
+    for c, _ in q.get("order", []):
+        cols.append(c)
+    return [f for f in _SPECIAL_FIELDS if f in set(cols)]
+
+
+def _add_special_fields(ds, fields: list[str]):
+    def add(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if "FID" in fields:
+            # stable content-free id is impossible batch-locally; OGR's
+            # FID is the read order — use a per-batch hash-free running
+            # id seeded by the batch's first wkb bytes? NO: keep honest —
+            # FID requires a source that provides it; raise if absent
+            if "fid" in b.column_names:
+                b = b.append_column("FID", b.column("fid"))
+            else:
+                raise NotImplementedError(
+                    "FID special field needs a source 'fid' column")
+        if not any(f in fields for f in _SPECIAL_FIELDS[1:]):
+            return b
+        if "wkb" not in b.column_names:
+            raise ValueError("OGR_GEOM_* special fields need a 'wkb' column")
+        from gdal_ray.geometry.predicates import polygon_area
+        from gdal_ray.geometry.wkb import polygon_parts
+        from gdal_ray.geometry.wkt import wkb_to_wkt
+
+        wkbs = b.column("wkb").to_pylist()
+        if "OGR_GEOMETRY" in fields:
+            def tname(w):
+                g = int.from_bytes(w[1:5], "little" if w[0] else "big")
+                return {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+                        4: "MULTIPOINT", 5: "MULTILINESTRING",
+                        6: "MULTIPOLYGON"}.get(g & 0xFF, f"GEOMETRY{g}")
+
+            b = b.append_column(
+                "OGR_GEOMETRY", pa.array([tname(w) for w in wkbs]))
+        if "OGR_GEOM_WKT" in fields:
+            b = b.append_column(
+                "OGR_GEOM_WKT", pa.array([wkb_to_wkt(w) for w in wkbs]))
+        if "OGR_GEOM_AREA" in fields:
+            areas = []
+            for w in wkbs:
+                try:
+                    a = sum(polygon_area(r) for r in polygon_parts(w))
+                except Exception:
+                    a = 0.0  # non-areal geometry: OGR returns 0
+                areas.append(a)
+            b = b.append_column("OGR_GEOM_AREA",
+                                pa.array(areas, pa.float64()))
+        return b
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def _execute_pdisc(ds, q, funcs=None):

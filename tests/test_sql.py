@@ -295,3 +295,37 @@ def test_sql_join_errors(ray_tables):
             "SELECT o_orderkey FROM orders JOIN nosuch ON o_custkey = x",
             ray_tables,
         )
+
+
+def test_ogr_special_fields(ray_session):
+    """OGR SQL special fields (ogr_gensql.cpp): OGR_GEOMETRY /
+    OGR_GEOM_WKT / OGR_GEOM_AREA computed lazily over the wkb column."""
+    import ray.data as rd
+
+    from gdal_ray.geometry.predicates import polygon_area
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.sql import execute_sql
+    from gdal_ray.synth import make_polygon_table
+
+    tbl = make_polygon_table(12)
+    ds = rd.from_arrow(tbl)
+    out = execute_sql(
+        "SELECT poly_id, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area "
+        "FROM polys WHERE OGR_GEOM_AREA > 0 ORDER BY poly_id",
+        {"polys": ds}).to_pandas()
+    assert len(out) == 12
+    assert set(out["gtype"]) <= {"POLYGON", "MULTIPOLYGON"}
+    by_id = dict(zip(tbl.column("poly_id").to_pylist(),
+                     tbl.column("wkb").to_pylist()))
+    for _, row in out.iterrows():
+        want = sum(polygon_area(r) for r in polygon_parts(by_id[row.poly_id]))
+        assert row.area == pytest.approx(want, rel=1e-12)
+    # WKT round-trips through the WKT codec
+    out2 = execute_sql(
+        "SELECT poly_id, OGR_GEOM_WKT AS wkt FROM polys "
+        "ORDER BY poly_id LIMIT 3", {"polys": ds}).to_pandas()
+    from gdal_ray.geometry.wkt import wkt_to_wkb
+
+    for _, row in out2.iterrows():
+        assert wkt_to_wkb(row.wkt) is not None
+        assert row.wkt.startswith(("POLYGON", "MULTIPOLYGON"))
