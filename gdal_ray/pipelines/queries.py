@@ -2943,6 +2943,24 @@ def q_events_ewma(sf_dir: str):
                 order=["ts", "event_id"])
 
 
+def q_audio_resample(sf_dir: str):
+    """Audio multimodal round 4b: sample-rate conversion
+    (stages/multimodal.AudioResample — vectorized linear interpolation,
+    re-encoded 16-bit WAV at the target rate; a linear ramp resamples
+    EXACTLY, pytest-pinned).  Rows-only; emits the resampled clip table
+    minus payload bytes."""
+    import ray.data as rd
+
+    from gdal_ray.stages import multimodal as mm
+
+    audio, _ = mm.synth_media_tables()
+    out = rd.from_arrow(audio).map_batches(
+        mm.AudioResample, fn_constructor_args=(16000,),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+    return out.map_batches(lambda b: b.drop_columns(["bytes"]),
+                           batch_format="pyarrow")
+
+
 def q_audio_spectrogram(sf_dir: str):
     """Audio multimodal round 4b: STFT magnitude spectrogram front end —
     Hann-windowed strided frame view, one vectorized rfft per clip
@@ -4880,6 +4898,7 @@ def queries():
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "audio_spectrogram": q_audio_spectrogram,
+        "audio_resample": q_audio_resample,
         "video_scenes": q_video_scenes,
         "geom_relate": q_geom_relate,
         "spatial_join": q_spatial_join,

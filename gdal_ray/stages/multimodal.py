@@ -333,3 +333,47 @@ class VideoSceneChanges:
             "frame": pa.array(out["frame"], pa.int64()),
             "score": pa.array(out["score"], pa.float64()),
         })
+
+
+class AudioResample:
+    """Actor-pool stage: sample-rate conversion by linear interpolation
+    (the public baseline resampler; swap a polyphase/sinc kernel where
+    quality demands) — one vectorized np.interp per clip+channel, re-
+    encoded as 16-bit WAV at the target rate.  A linear ramp resamples
+    EXACTLY (linear interp of a linear signal) — the pytest pins that."""
+
+    def __init__(self, sr_out: int = 16000):
+        self.sr_out = sr_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gdal_ray.codecs.riff import encode_wav
+
+        out = {"media_id": [], "bytes": [], "sample_rate": [],
+               "n_samples": [], "n_channels": []}
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        srs = batch.column("sample_rate").to_numpy()
+        chs = batch.column("n_channels").to_numpy()
+        for i in range(len(ids)):
+            sr_in = int(srs[i])
+            s = decode_audio(blobs[i], sr_in, int(chs[i])).astype(np.float64)
+            n_in, nch = s.shape
+            n_out = int(round(n_in * self.sr_out / sr_in))
+            t_out = np.arange(n_out) * (sr_in / self.sr_out)
+            t_in = np.arange(n_in, dtype=np.float64)
+            res = np.empty((n_out, nch))
+            for c in range(nch):
+                res[:, c] = np.interp(t_out, t_in, s[:, c])
+            clipped = np.clip(np.round(res), -32768, 32767).astype(np.int16)
+            out["media_id"].append(ids[i])
+            out["bytes"].append(encode_wav(clipped, self.sr_out))
+            out["sample_rate"].append(self.sr_out)
+            out["n_samples"].append(n_out)
+            out["n_channels"].append(nch)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "n_channels": pa.array(out["n_channels"], pa.int32()),
+        })

@@ -236,3 +236,44 @@ def test_video_scene_changes_hard_cut():
     assert len(out) == 1
     assert out.iloc[0].frame == 6
     assert out.iloc[0].score > 150.0
+
+
+def test_audio_resample_invariants():
+    import pyarrow as pa
+
+    from gdal_ray.codecs.riff import decode_wav, encode_wav
+    from gdal_ray.stages.multimodal import AudioResample
+
+    sr_in, sr_out = 8000, 16000
+    n = 4000
+    # linear ramp resamples EXACTLY under linear interpolation
+    ramp = np.linspace(-16000, 16000, n).astype(np.int16)
+    batch = pa.table({
+        "media_id": pa.array(["ramp"]),
+        "bytes": pa.array([encode_wav(ramp[:, None], sr_in)], pa.binary()),
+        "sample_rate": pa.array([sr_in], pa.int32()),
+        "n_channels": pa.array([1], pa.int32()),
+    })
+    row = AudioResample(sr_out)(batch).to_pandas().iloc[0]
+    assert row.n_samples == n * 2
+    got, sr = decode_wav(row.bytes)
+    assert sr == sr_out
+    t_out = np.arange(n * 2) * (sr_in / sr_out)
+    want = np.clip(np.round(np.interp(
+        t_out, np.arange(n), ramp.astype(np.float64))), -32768, 32767)
+    np.testing.assert_array_equal(got[:, 0], want.astype(np.int16))
+
+    # tone frequency survives: zero-crossing count is rate-invariant
+    t = np.arange(sr_in) / sr_in
+    tone = (np.sin(2 * np.pi * 440.0 * t) * 20000).astype(np.int16)
+    b2 = pa.table({
+        "media_id": pa.array(["tone"]),
+        "bytes": pa.array([encode_wav(tone[:, None], sr_in)], pa.binary()),
+        "sample_rate": pa.array([sr_in], pa.int32()),
+        "n_channels": pa.array([1], pa.int32()),
+    })
+    r2 = AudioResample(sr_out)(b2).to_pandas().iloc[0]
+    s2, _ = decode_wav(r2.bytes)
+    zc_in = int(np.count_nonzero(np.diff(np.signbit(tone.astype(np.int32)))))
+    zc_out = int(np.count_nonzero(np.diff(np.signbit(s2[:, 0].astype(np.int32)))))
+    assert abs(zc_in - zc_out) <= 2
