@@ -38,6 +38,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.nitf import nitf_meta
 
         return nitf_meta(path)
+    if low.endswith((".lbl", ".pds")) or (low.endswith(".img")
+                                          and _is_pds3(path)):
+        from gdal_ray.sources.pds3 import read_pds3_meta
+
+        m = read_pds3_meta(path)
+        return {
+            "driver": "PDS3",
+            "size": [m["samples"], m["lines"]],
+            "bands": m["bands"],
+            "dtype": str(np.dtype(m["dtype"])),
+            "target": m["label"].get("TARGET_NAME"),
+        }
     if low.endswith((".bil", ".bip", ".bsq", ".img", ".dat")):
         from gdal_ray.sources.rawgrid import ehdr_meta, envi_meta
 
@@ -294,6 +306,14 @@ def _flatgeobuf(path: str) -> dict:
             "envelope": h["envelope"],
             "fields": [{"name": c["name"], "type": c["type"]}
                        for c in h["columns"]]}
+
+
+def _is_pds3(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return b"PDS_VERSION_ID" in f.read(256)
+    except OSError:
+        return False
 
 
 def _netcdf(path: str) -> dict:

@@ -101,6 +101,15 @@ def open_vector(path: str, **kw):
     raise ValueError(f"no vector driver for {path}")
 
 
+def _looks_pds3(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(256)
+        return b"PDS_VERSION_ID" in head or head.lstrip().startswith(b"PDS3")
+    except OSError:
+        return False
+
+
 def open_raster(path: str, **kw):
     """Chunked raster store -> Dataset of decoded chunk rows."""
     low = path.lower()
@@ -120,6 +129,11 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.xyzgrid import read_xyz
 
         return read_xyz(path, **kw)
+    if low.endswith((".lbl", ".pds")) or (
+            low.endswith(".img") and _looks_pds3(path)):
+        from gdal_ray.sources.pds3 import read_pds3
+
+        return read_pds3(path, **kw)
     if low.endswith((".hgt", ".bil", ".bip", ".bsq", ".img", ".dat")):
         from gdal_ray.sources.rawgrid import read_rawgrid
 
