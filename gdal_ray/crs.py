@@ -395,6 +395,7 @@ _CONIC_EPSG = {
     3574: ("laea", None, None, 90.0, -40.0, 0.0, 0.0, F_WGS84),             # WGS84 / North Pole LAEA Atlantic
     3395: ("merc", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),                # WGS84 / World Mercator (ellipsoidal)
     6933: ("cea", 30.0, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),                 # WGS84 / NSIDC EASE-Grid 2.0 Global
+    2193: ("tmerc", 0.9996, None, 0.0, 173.0, 1600000.0, 10000000.0, F_GRS80),  # NZGD2000 / NZTM2000
     54008: ("sinu", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54008 World Sinusoidal
     54009: ("moll", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54009 World Mollweide
 }
@@ -404,6 +405,8 @@ def conic_pair(epsg: int):
     """(fwd, inv) lon/lat↔projected for a table-registered conic/azimuthal
     EPSG code; raises KeyError for codes outside the table."""
     kind, lat1, lat2, lat0, lon0, fe, fn, f = _CONIC_EPSG[epsg]
+    if kind == "tmerc":
+        return tmerc_pair(lat0, lon0, lat1, fe, fn, A_WGS84, f)
     if kind == "lcc":
         return lcc_2sp(lat1, lat2, lat0, lon0, fe, fn, f=f)
     if kind == "aea":

@@ -282,3 +282,29 @@ def test_cassini_ellipsoidal_properties():
                        "+x_0=430000 +y_0=325000 +ellps=WGS84")
     lo, la = i2(*f2(-61.0, 10.6))
     assert abs(lo - -61.0) < 1e-9 and abs(la - 10.6) < 1e-9
+
+
+def test_nztm_2193():
+    from gdal_ray.crs import A_WGS84, _ecc, _merid_arc_fns, conic_pair
+
+    f, i = conic_pair(2193)
+    # false origin identity: (0N, 173E) -> (1600000, 10000000) exactly
+    x, y = f(173.0, 0.0)
+    assert abs(float(x) - 1600000.0) < 1e-6
+    assert abs(float(y) - 10000000.0) < 1e-6
+    # central meridian scale = k0: northing differences along lon0 equal
+    # 0.9996 x the meridian arc
+    e2 = _ecc(1 / 298.257222101) ** 2
+    M, _ = _merid_arc_fns(A_WGS84, e2)
+    lats = np.array([-48.0, -41.0, -34.0])
+    xs, ys = f(np.full(3, 173.0), lats)
+    np.testing.assert_allclose(xs, 1600000.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.diff(ys), 0.9996 * np.diff(M(np.radians(lats))), rtol=1e-9)
+    # round-trip over the NZ extent
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(166.0, 179.0, 300)
+    lat = rng.uniform(-47.5, -34.0, 300)
+    lon2, lat2 = i(*f(lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
