@@ -98,6 +98,10 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.kmlgpx import read_gpx
 
         return read_gpx(path, **kw)
+    if low.endswith(".mif"):
+        from gdal_ray.sources.mifmid import read_mifmid
+
+        return read_mifmid(path, **kw)
     raise ValueError(f"no vector driver for {path}")
 
 
