@@ -268,6 +268,10 @@ def save_vector(ds_or_table, path: str, **kw) -> None:
         from gdal_ray.sources.kmlgpx import write_kml
 
         return write_kml(t, path, **kw)
+    if low.endswith(".mif"):
+        from gdal_ray.sources.mifmid import write_mifmid
+
+        return write_mifmid(t, path, **kw)
     if low.endswith(".gpx"):
         from gdal_ray.sources.kmlgpx import write_gpx
 
