@@ -1296,6 +1296,123 @@ from crossings group by 1
 """
 
 
+def q_vector_pyramid(sf_dir: str):
+    """Vector tile pyramid — the ogr2ogr → MVT tiling chain (gdal
+    vector tile / tippecanoe idiom) composed from engine pieces: per
+    zoom, Douglas–Peucker simplification at the zoom's resolution
+    (geometry/ops.douglas_peucker), WebMercator tile cover of the
+    feature bbox (tilemath), per-tile grouping and REAL MVT encoding
+    (stages/mvt.encode_layer — protobuf layers, quantized integer
+    geometry), then a decode-side audit per tile.  One shuffle per
+    level, tiles carry only quantized integer rings.  Rows-only:
+    per-(z,x,y) feature/vertex counts; decode(encode) equality and
+    vertex monotonicity across zooms pytest-gated
+    (tests/test_vector_pyramid.py)."""
+    import ray.data as rd
+
+    from gdal_ray import tilemath as tm
+    from gdal_ray.geometry.ops import douglas_peucker
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.mvt import (GEOM_POLYGON, decode_tile,
+                                     encode_layer, encode_tile)
+
+    tbl = make_polygon_table(40)
+    ds = rd.from_arrow(tbl).repartition(4)
+    zooms = (2, 4, 6)
+    extent = 4096
+
+    def cover_and_simplify(b: pa.Table) -> pa.Table:
+        out = {"z": [], "x": [], "y": [], "poly_id": [], "ring": []}
+        for pid, wkb in zip(b.column("poly_id").to_pylist(),
+                            b.column("wkb").to_pylist()):
+            parts = polygon_parts(wkb)
+            for rings in parts:
+                ext_ring = rings[0]
+                lat = np.clip(ext_ring[:, 1], -tm.MAX_LATITUDE,
+                              tm.MAX_LATITUDE)
+                lon = ext_ring[:, 0]
+                for z in zooms:
+                    # simplification tolerance = one tile pixel in degrees
+                    eps = 360.0 / (2 ** z * extent)
+                    simp = douglas_peucker(
+                        np.stack([lon, lat], axis=1), eps)
+                    if len(simp) < 3:
+                        continue
+                    tx0, ty1 = tm.lonlat_to_tile_xyz(
+                        np.float64(simp[:, 0].min()),
+                        np.float64(simp[:, 1].min()), np.int64(z))
+                    tx1, ty0 = tm.lonlat_to_tile_xyz(
+                        np.float64(simp[:, 0].max()),
+                        np.float64(simp[:, 1].max()), np.int64(z))
+                    for ty in range(int(ty0), int(ty1) + 1):
+                        for tx in range(int(tx0), int(tx1) + 1):
+                            out["z"].append(z)
+                            out["x"].append(tx)
+                            out["y"].append(ty)
+                            out["poly_id"].append(pid)
+                            out["ring"].append(
+                                np.asarray(simp, dtype=np.float64)
+                                .tobytes())
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "poly_id": pa.array(out["poly_id"], pa.string()),
+            "ring": pa.array(out["ring"], pa.binary()),
+        })
+
+    feats = ds.map_batches(cover_and_simplify, batch_format="pyarrow")
+
+    def build_tile(g: pa.Table) -> pa.Table:
+        z = int(g.column("z")[0].as_py())
+        x = int(g.column("x")[0].as_py())
+        y = int(g.column("y")[0].as_py())
+        n = 2 ** z
+        features = []
+        for pid, blob in zip(g.column("poly_id").to_pylist(),
+                             g.column("ring").to_pylist()):
+            ring = np.frombuffer(blob, np.float64).reshape(-1, 2)
+            # lon/lat -> tile-local integer coords (mvtutils quantization)
+            mx = (ring[:, 0] + 180.0) / 360.0 * n
+            lat_r = np.radians(ring[:, 1])
+            my = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r))
+                  / np.pi) / 2.0 * n
+            px = np.round((mx - x) * extent).astype(np.int64)
+            py = np.round((my - y) * extent).astype(np.int64)
+            q = np.stack([px, py], axis=1)
+            keep = np.ones(len(q), dtype=bool)
+            keep[1:] = (np.diff(q, axis=0) != 0).any(axis=1)
+            q = q[keep]
+            if len(q) < 3:
+                continue
+            features.append({"type": GEOM_POLYGON, "parts": [q],
+                             "props": {"poly_id": pid}})
+        if not features:
+            return pa.table({"z": pa.array([], pa.int32()),
+                             "x": pa.array([], pa.int32()),
+                             "y": pa.array([], pa.int32()),
+                             "n_features": pa.array([], pa.int64()),
+                             "n_vertices": pa.array([], pa.int64()),
+                             "tile_bytes": pa.array([], pa.int64())})
+        blob = encode_tile([("polys", encode_layer("polys", features,
+                                                   extent=extent))])
+        dec = decode_tile(blob)
+        nverts = sum(len(p) for f in dec[0]["features"]
+                     for p in f["parts"])
+        return pa.table({
+            "z": pa.array([z], pa.int32()),
+            "x": pa.array([x], pa.int32()),
+            "y": pa.array([y], pa.int32()),
+            "n_features": pa.array([len(dec[0]["features"])], pa.int64()),
+            "n_vertices": pa.array([nverts], pa.int64()),
+            "tile_bytes": pa.array([len(blob)], pa.int64()),
+        })
+
+    return feats.groupby(["z", "x", "y"]).map_groups(
+        build_tile, batch_format="pyarrow")
+
+
 def q_geom_relate(sf_dir: str):
     """OGR pairwise predicates (ogrgeometry.cpp Intersects/Within/
     Contains/Touches/Overlaps/Disjoint + Distance) over the seeded
@@ -4903,6 +5020,7 @@ def queries():
         "geom_relate": q_geom_relate,
         "spatial_join": q_spatial_join,
         "events_ewma": q_events_ewma,
+        "vector_pyramid": q_vector_pyramid,
         "warp_utm": q_warp_utm,
         "vector_translate": q_vector_translate,
         "pipeline_steps": q_pipeline_steps,
