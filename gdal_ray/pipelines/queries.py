@@ -4639,6 +4639,63 @@ from nation
 """
 
 
+def q_mif_roundtrip(sf_dir: str):
+    """MapInfo MIF/MID driver round-trip (sources/mifmid.py; reference
+    ogr/ogrsf_frmts/mitab): nation rows become point features written as
+    a .mif/.mid pair and read back through the keyword-anchored parallel
+    record scanner; x/y re-extract from the round-tripped WKB and the
+    typed MID attributes ride along.  The oracle recomputes everything
+    arithmetically — any header/record/typing corruption hash-fails."""
+    import hashlib
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geometry.wkb import encode_point
+    from gdal_ray.sources.mifmid import read_mifmid, write_mifmid
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nat = nat.sort_by("n_nationkey")  # fid = DATA order: make it key order
+    keys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    src = pa.table({
+        "wkb": pa.array([encode_point(float(k % 9) - 3.5,
+                                      float(k % 4) + 0.25) for k in keys],
+                        pa.binary()),
+        "n_name": nat.column("n_name"),
+        "rank": pa.array((keys * 3 % 11).astype(np.int64), pa.int64()),
+    })
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/gdal_ray_nation_{tag}.mif"
+    write_mifmid(path, src)
+
+    def extract(b: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for blob in b.column("wkb").to_pylist():
+            x, y = struct.unpack("<2d", blob[5:21])
+            xs.append(x)
+            ys.append(y)
+        return pa.table({
+            "fid": b.column("fid"),
+            "n_name": b.column("n_name"),
+            "rank": b.column("rank"),
+            "x": pa.array(xs, pa.float64()),
+            "y": pa.array(ys, pa.float64()),
+        })
+
+    return read_mifmid(path).map_batches(extract, batch_format="pyarrow")
+
+
+SQL_MIF_ROUNDTRIP = """
+select cast(row_number() over (order by n_nationkey) - 1 as bigint) as fid,
+       n_name,
+       cast(n_nationkey * 3 % 11 as bigint) as rank,
+       cast(n_nationkey % 9 as double) - 3.5 as x,
+       cast(n_nationkey % 4 as double) + 0.25 as y
+from nation
+"""
+
+
 def q_raster_xyz(sf_dir: str):
     """gdal2xyz (apps/gdal2xyz.py): raster -> (x, y, value) point table at
     pixel centers of the geotransform (0, 2, 0, 1000, 0, -2) — integer
@@ -4913,6 +4970,7 @@ def queries():
         "sql_moving": q_sql_moving,
         "sql_exists": q_sql_exists,
         "word_counts": q_word_counts,
+        "mif_roundtrip": q_mif_roundtrip,
         "sql_range": q_sql_range,
         "sql_strings": q_sql_strings,
         "sql_datetime": q_sql_datetime,
@@ -5102,6 +5160,7 @@ def oracle_sql():
         "sql_moving": SQL_IFACE_MOVING,
         "sql_exists": SQL_IFACE_EXISTS,
         "word_counts": SQL_WORD_COUNTS,
+        "mif_roundtrip": SQL_MIF_ROUNDTRIP,
         "sql_range": SQL_IFACE_RANGE,
         "sql_strings": SQL_IFACE_STRINGS,
         "sql_datetime": SQL_IFACE_DATETIME,
