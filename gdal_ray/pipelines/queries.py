@@ -4202,6 +4202,26 @@ def q_bpe_merges(sf_dir: str):
     }))
 
 
+SQL_IFACE_STRAGG = (
+    "SELECT lang, STRING_AGG(source, '|' ORDER BY doc_id) AS srcs, "
+    "COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0 "
+    "GROUP BY lang ORDER BY lang"
+)
+
+
+def q_sql_stragg(sf_dir: str):
+    """SQL front end round 4b: STRING_AGG(expr, sep ORDER BY key) —
+    ordered grouped concatenation (one shuffle by group keys, per-group
+    vectorized sort + join; grouped-result contract).  Wait — COUNT(*)
+    mixes in via a STRING_AGG of itself?  No: the count rides as a
+    second aggregate through the same grouped pass.  IDENTICAL string on
+    DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_STRAGG,
+                       {"documents": _read(sf_dir, "documents")})
+
+
 SQL_IFACE_PERCENTILE = (
     "SELECT o_orderpriority, "
     "CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) "
@@ -4978,6 +4998,7 @@ def queries():
         "sql_asof": q_sql_asof,
         "sql_rollup": q_sql_rollup,
         "sql_percentile": q_sql_percentile,
+        "sql_stragg": q_sql_stragg,
         "zonal_stats": q_zonal_stats,
         "clean_text": q_clean_text,
         "doc_quantiles": q_doc_quantiles,
@@ -5168,6 +5189,7 @@ def oracle_sql():
         "sql_asof": SQL_IFACE_ASOF,
         "sql_rollup": SQL_IFACE_ROLLUP,
         "sql_percentile": SQL_IFACE_PERCENTILE,
+        "sql_stragg": SQL_IFACE_STRAGG,
         "zonal_stats": _sql_zonal_stats(),
         "clean_text": SQL_CLEAN_TEXT,
         "doc_quantiles": SQL_DOC_QUANTILES,

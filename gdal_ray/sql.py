@@ -284,9 +284,27 @@ def _parse_primary(p):
                     args.append(_parse_expr(p))
                     if not p.accept("op", ","):
                         break
-                p.expect("op", ")")
+                if p.peek() != ("kw", "ORDER"):
+                    p.expect("op", ")")
+                # else: ordered-aggregate tail — the fn branch consumes
+                # ORDER BY ... and the closing paren
             if p.accept("kw", "OVER"):
                 return _parse_over(p, fn, args, star)
+            if fn == "STRING_AGG":
+                # STRING_AGG(expr, 'sep' [ORDER BY key [DESC]]) — ordered
+                # grouped concatenation (DuckDB ordered-aggregate syntax)
+                if len(args) != 2 or args[1][0] != "lit":
+                    raise ValueError(
+                        "STRING_AGG takes (expr, 'separator' literal)")
+                okey, odesc = None, False
+                if p.accept("kw", "ORDER"):
+                    p.expect("kw", "BY")
+                    okey = _parse_expr(p)
+                    odesc = bool(p.accept("kw", "DESC"))
+                    if not odesc:
+                        p.accept("kw", "ASC")
+                    p.expect("op", ")")
+                return ("agg", "STRAGG", (args[0], args[1][1], okey, odesc))
             if fn == "PERCENTILE_DISC":
                 # PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY expr) —
                 # ordered-set aggregate, lowered to the exact 3-pass
@@ -1668,7 +1686,9 @@ def _execute_one(q: dict, tables: dict):
     if q["group"] or has_agg:
         if q.get("distinct"):
             raise NotImplementedError("SELECT DISTINCT with aggregates")
-        if _has_pdisc(q["items"]):
+        if _has_stragg(q["items"]):
+            ds = _execute_stragg(ds, q, funcs)
+        elif _has_pdisc(q["items"]):
             ds = _execute_pdisc(ds, q, funcs)
         elif q.get("rollup"):
             ds = _execute_rollup(ds, q, funcs)
@@ -1726,6 +1746,107 @@ def _has_agg(node):
     out = []
     _collect_aggs(node, out)
     return bool(out)
+
+
+def _has_stragg(items) -> bool:
+    def walk(node):
+        if isinstance(node, tuple):
+            if node and node[0] == "agg" and node[1] == "STRAGG":
+                return True
+            return any(walk(x) for x in node)
+        return False
+
+    return any(walk(n) for n, _ in items if n != "star")
+
+
+def _execute_stragg(ds, q, funcs=None):
+    """STRING_AGG path: shuffle (group, value, order-key) rows once by
+    the group keys, then a per-group vectorized sort + join.  Every
+    select item must be a group key or [CAST of] STRING_AGG; grouped-
+    result contract (one row per group).  Ties on the ORDER BY key
+    resolve by value (deterministic)."""
+    group = q["group"]
+    if not group:
+        raise NotImplementedError("STRING_AGG needs GROUP BY")
+    if q.get("having") is not None or q.get("rollup"):
+        raise NotImplementedError("STRING_AGG with HAVING/ROLLUP")
+    plan = []  # (kind, out_name, expr, sep, okey, odesc)
+    for idx, (node, name) in enumerate(q["items"]):
+        inner = node
+        if isinstance(inner, tuple) and inner[0] == "cast":
+            inner = inner[1]
+        if isinstance(inner, tuple) and inner[0] == "col"                 and inner[1] in group:
+            plan.append(("key", inner[1], None, None, None, None))
+            continue
+        if isinstance(inner, tuple) and inner[0] == "agg"                 and inner[1] == "STRAGG":
+            e, sep, okey, odesc = inner[2]
+            plan.append(("sa", name or _default_name(node, idx),
+                         e, sep, okey, odesc))
+            continue
+        if isinstance(inner, tuple) and inner[0] == "agg" and (
+                inner[1] in ("COUNT", "SUM", "MIN", "MAX", "AVG")):
+            plan.append(("agg", name or _default_name(node, idx),
+                         inner[2], inner[1], None, None))
+            continue
+        raise NotImplementedError(
+            "STRING_AGG queries: every item must be a group key, a "
+            "STRING_AGG, or a plain aggregate")
+    fsnap = funcs or {}
+    aggs = [p_ for p_ in plan if p_[0] == "sa"]
+    plain = [p_ for p_ in plan if p_[0] == "agg"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols = {g: b.column(g) for g in group}
+        for i, (_k, _n, e, _s, okey, _d) in enumerate(aggs):
+            v = _eval_with_funcs(e, b, fsnap)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(b))
+            cols[f"__sv{i}"] = pc.cast(v, pa.string())
+            if okey is not None:
+                ov = _eval_with_funcs(okey, b, fsnap)
+                if isinstance(ov, pa.Scalar):
+                    ov = pa.array([ov.as_py()] * len(b))
+                cols[f"__so{i}"] = ov
+        for i, (_k, _n, e, fn, _o, _d) in enumerate(plain):
+            if e is None:  # COUNT(*)
+                cols[f"__pa{i}"] = pa.array(np.ones(len(b), np.int64))
+            else:
+                v = _eval_with_funcs(e, b, fsnap)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(b))
+                cols[f"__pa{i}"] = v
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def concat(g: pa.Table) -> pa.Table:
+        out = {k: [g.column(k)[0]] for k in group}
+        for i, (_k, out_name, _e, sep, okey, odesc) in enumerate(aggs):
+            sv = g.column(f"__sv{i}")
+            if okey is not None:
+                order = pc.sort_indices(
+                    g.select([f"__so{i}", f"__sv{i}"]),
+                    sort_keys=[(f"__so{i}",
+                                "descending" if odesc else "ascending"),
+                               (f"__sv{i}", "ascending")])
+                sv = sv.take(order)
+            vals = [v for v in sv.to_pylist() if v is not None]
+            out[out_name] = [sep.join(vals)]
+        for i, (_k, out_name, e, fn, _o, _d) in enumerate(plain):
+            col = g.column(f"__pa{i}")
+            if fn == "COUNT":
+                out[out_name] = [int(len(col) - col.null_count)]
+            elif fn == "SUM":
+                out[out_name] = [pc.sum(col).as_py()]
+            elif fn == "AVG":
+                out[out_name] = [pc.mean(col).as_py()]
+            else:
+                out[out_name] = [getattr(pc, fn.lower())(col).as_py()]
+        names = [p_[1] for p_ in plan]
+        return pa.table({n: pa.array(out[n]) for n in names})
+
+    return prepped.groupby(list(group)).map_groups(
+        concat, batch_format="pyarrow")
 
 
 def _has_pdisc(items) -> bool:

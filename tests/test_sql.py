@@ -149,6 +149,9 @@ QUERIES = [
     # ORDER BY over nullable rolled-up keys (null-safe distributed sort,
     # NULLS LAST both engines) with a LIMIT that cuts inside the order
     "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) ORDER BY o_orderpriority, o_orderstatus LIMIT 12",
+    # STRING_AGG with ORDER BY (ordered grouped concatenation)
+    "SELECT lang, STRING_AGG(source, '|' ORDER BY doc_id) AS srcs FROM documents WHERE doc_id < 60 GROUP BY lang ORDER BY lang",
+    "SELECT o_orderpriority, STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey DESC) AS keys FROM orders WHERE o_orderkey < 200 GROUP BY o_orderpriority ORDER BY o_orderpriority",
     # PERCENTILE_DISC ... WITHIN GROUP (exact 3-pass histogram selection)
     "SELECT lang, CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY LENGTH(text)) AS DOUBLE) AS p50, CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY LENGTH(text)) AS DOUBLE) AS p95 FROM documents GROUP BY lang ORDER BY lang",
     "SELECT o_orderpriority, CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS q1, CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_custkey) AS DOUBLE) AS medcust FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
