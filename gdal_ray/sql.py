@@ -863,6 +863,39 @@ def _eval(node, batch: pa.Table):
                 pa.scalar(sep * idx1), "")
             parts = pc.split_pattern(padded, sep)
             return pc.list_element(parts, idx1 - 1)
+        # --- math breadth (Arrow kernels; libm-backed like DuckDB) ---
+        if fn == "SQRT":
+            return pc.sqrt(args[0])
+        if fn == "POWER" or fn == "POW":
+            return pc.power(args[0], args[1])
+        if fn == "LN":
+            return pc.ln(args[0])
+        if fn == "LOG10" or fn == "LOG":
+            return pc.log10(args[0])
+        if fn == "LOG2":
+            return pc.log2(args[0])
+        if fn == "EXP":
+            return pc.exp(args[0])
+        if fn == "SIN":
+            return pc.sin(args[0])
+        if fn == "COS":
+            return pc.cos(args[0])
+        if fn == "TAN":
+            return pc.tan(args[0])
+        if fn == "ATAN":
+            return pc.atan(args[0])
+        if fn == "ATAN2":
+            return pc.atan2(args[0], args[1])
+        if fn == "SIGN":
+            return pc.sign(args[0])
+        if fn == "GREATEST":
+            return pc.max_element_wise(*args)
+        if fn == "LEAST":
+            return pc.min_element_wise(*args)
+        if fn == "PI":
+            return pa.scalar(np.pi, pa.float64())
+        if fn == "MOD":
+            return _mod(args[0], args[1])
         # --- datetime breadth (Arrow temporal kernels) ---
         if fn in ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"):
             out = getattr(pc, fn.lower())(args[0])

@@ -130,6 +130,8 @@ QUERIES = [
     "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum FROM orders ORDER BY o_orderkey",
     "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 0.5 PRECEDING AND CURRENT ROW) AS vmax, COUNT(*) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 1.5 PRECEDING AND CURRENT ROW) AS vn FROM events ORDER BY event_id",
     "SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS cn, MIN(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey RANGE BETWEEN 25 PRECEDING AND CURRENT ROW) AS mn FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
+    # exact math functions (integer/sign semantics match DuckDB exactly)
+    "SELECT o_orderkey, GREATEST(o_orderkey, o_custkey * 10) AS g, LEAST(o_orderkey, o_custkey * 10) AS l, SIGN(o_custkey - 75) AS s FROM orders WHERE o_orderkey < 300",
     # string-function breadth (DuckDB-compatible names)
     "SELECT doc_id, TRIM(SUBSTR(text, 1, 12)) AS t, REVERSE(lang) AS r, REPLACE(lang, 'e', 'E') AS rep FROM documents WHERE doc_id < 40",
     "SELECT doc_id, CONTAINS(text, 'the') AS c, STARTS_WITH(lang, 'e') AS sw, STRPOS(text, 'a') AS sp FROM documents WHERE doc_id < 60",
@@ -298,6 +300,22 @@ def test_sql_join_errors(ray_tables):
             "SELECT o_orderkey FROM orders JOIN nosuch ON o_custkey = x",
             ray_tables,
         )
+
+
+def test_sql_transcendental_functions(ray_tables, con):
+    """Float transcendentals compared tolerantly (libm reprs may differ
+    in the last ulp across engines)."""
+    from gdal_ray.sql import execute_sql
+
+    sql = ("SELECT o_orderkey, SQRT(o_totalprice) AS r, LN(o_totalprice) "
+           "AS ll, EXP(o_totalprice / 1000000.0) AS e, "
+           "POWER(o_totalprice, 0.25) AS p, SIN(o_totalprice / 1000.0) "
+           "AS sn, ATAN2(o_totalprice, 12345.0) AS at "
+           "FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey")
+    got = execute_sql(sql, ray_tables).to_pandas()
+    want = con.execute(sql).df()
+    for c in ("r", "ll", "e", "p", "sn", "at"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12)
 
 
 def test_ogr_special_fields(ray_session):
