@@ -239,9 +239,13 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
     if (deflate is not None or shuffle) and chunk_rows is None:
         raise ValueError("filters require chunked layout (pass chunk_rows)")
     names = sorted(datasets)
-    if len(names) > 8:
+    # symbol-table leaves hold up to 2k = 8 entries (leaf k = 4); wider
+    # files get multiple SNOD children under one level-0 group B-tree
+    # node (the libhdf5 layout; reader already walks nused children)
+    snod_groups = [names[i:i + 8] for i in range(0, len(names), 8)]
+    if len(snod_groups) > 256:
         raise NotImplementedError(
-            f"{len(names)} datasets > 8 (single SNOD leaf; shard the file)")
+            f"{len(names)} datasets need a multi-LEVEL group B-tree")
 
     # local heap data: offset 0 is the reserved empty string
     heap_data = bytearray(b"\x00" * 8)
@@ -267,10 +271,10 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
         [_message(_MSG_SYMTAB, struct.pack("<QQ", 0, 0))]  # patched below
         + root_attr_msgs)
     root_oh_addr = alloc(len(root_oh))
-    btree_size = 24 + 8 * 3  # 1 child: key0, child0, key1
+    btree_size = 24 + 8 * (2 * len(snod_groups) + 1)  # keys/children interleaved
     btree_addr = alloc(btree_size)
     snod_size = 8 + 8 * 40  # leaf k=4 → 2k entries
-    snod_addr = alloc(snod_size)
+    snod_addrs = [alloc(snod_size) for _ in snod_groups]
     heap_hdr_size = 32
     heap_hdr_addr = alloc(heap_hdr_size)
     heap_data_addr = alloc(len(heap_data))
@@ -346,16 +350,22 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], *,
         [_message(_MSG_SYMTAB, struct.pack("<QQ", btree_addr, heap_hdr_addr))]
         + root_attr_msgs)
 
-    btree = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, UNDEF, UNDEF)
-    btree += struct.pack("<QQQ", 0, snod_addr, name_off[names[-1]])
+    btree = struct.pack("<4sBBHQQ", b"TREE", 0, 0, len(snod_groups),
+                        UNDEF, UNDEF)
+    btree += struct.pack("<Q", 0)  # key0: before-everything sentinel
+    for grp, addr in zip(snod_groups, snod_addrs):
+        # child address, then the key AFTER it = its greatest name
+        btree += struct.pack("<QQ", addr, name_off[grp[-1]])
     out += btree
     assert len(btree) == btree_size
 
-    snod = struct.pack("<4sBxH", b"SNOD", 1, len(names))
-    for n in names:
-        snod += struct.pack("<QQI4x16x", name_off[n], ds_oh_addr[n], 0)
-    snod += b"\x00" * (snod_size - len(snod))
-    out += snod
+    for grp, addr in zip(snod_groups, snod_addrs):
+        assert len(out) == addr
+        snod = struct.pack("<4sBxH", b"SNOD", 1, len(grp))
+        for n in grp:
+            snod += struct.pack("<QQI4x16x", name_off[n], ds_oh_addr[n], 0)
+        snod += b"\x00" * (snod_size - len(snod))
+        out += snod
 
     out += struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data), UNDEF,
                        heap_data_addr)

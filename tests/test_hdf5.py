@@ -264,3 +264,32 @@ def test_netcdf4_phony_dims(tmp_path):
     write_hdf5(p, {"z": np.zeros((2, 9), dtype=np.uint8)})
     m = netcdf4_meta(p)
     assert m["vars"]["z"]["dims"] == ["phony_dim_0", "phony_dim_1"]
+
+
+def test_many_datasets_multi_snod(tmp_path):
+    """>8 datasets: multiple SNOD leaves under one level-0 group B-tree
+    (the libhdf5 layout; the former loud gate is lifted)."""
+    from gdal_ray.sources.hdf5 import (read_hdf5_meta, read_hdf5_var,
+                                       write_hdf5)
+
+    rng = np.random.default_rng(1)
+    ds = {f"var_{i:02d}": rng.normal(size=(6, 5)).astype(np.float32)
+          for i in range(30)}
+    p = str(tmp_path / "many.h5")
+    write_hdf5(p, ds)
+    m = read_hdf5_meta(p)
+    assert sorted(m["datasets"]) == sorted(ds)
+    for k, v in ds.items():
+        np.testing.assert_array_equal(read_hdf5_var(p, k), v)
+
+
+def test_wide_netcdf4(tmp_path):
+    from gdal_ray.sources.hdf5 import netcdf4_meta, write_netcdf4
+
+    p = str(tmp_path / "wide.nc")
+    write_netcdf4(p, {f"v{i:02d}": (("row", "col"),
+                                    np.full((4, 3), i, np.int32))
+                      for i in range(20)})
+    m4 = netcdf4_meta(p)
+    assert len(m4["vars"]) == 20
+    assert m4["dims"] == {"row": 4, "col": 3}
