@@ -100,8 +100,8 @@ def test_gates(tmp_path):
     p = str(tmp_path / "t.h5")
     with pytest.raises(ValueError, match="at least one"):
         write_hdf5(p, {})
-    with pytest.raises(NotImplementedError, match="SNOD"):
-        write_hdf5(p, {f"d{i}": np.zeros(2) for i in range(9)})
+    with pytest.raises(NotImplementedError, match="multi-LEVEL"):
+        write_hdf5(p, {f"d{i:04d}": np.zeros(1) for i in range(2049)})
     write_hdf5(p, {"a": np.zeros((4, 4))})
     raw = bytearray(open(p, "rb").read())
     raw[8] = 2  # superblock v2
