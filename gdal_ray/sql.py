@@ -530,7 +530,8 @@ def _parse_set_term(p: _P) -> dict:
     """INTERSECT binds tighter than UNION/EXCEPT (ANSI precedence)."""
     q = _parse_select_body(p)
     while p.accept("kw", "INTERSECT"):
-        q = _make_setop("intersect", q, _parse_select_body(p))
+        kind = "intersectall" if p.accept("kw", "ALL") else "intersect"
+        q = _make_setop(kind, q, _parse_select_body(p))
     return q
 
 
@@ -544,7 +545,8 @@ def _parse_set_expr(p: _P) -> dict:
                 p.accept("kw", "DISTINCT")
                 q = _make_setop("union", q, _parse_set_term(p))
         elif p.accept("kw", "EXCEPT"):
-            q = _make_setop("except", q, _parse_set_term(p))
+            kind = "exceptall" if p.accept("kw", "ALL") else "except"
+            q = _make_setop(kind, q, _parse_set_term(p))
         else:
             return q
 
@@ -1242,18 +1244,12 @@ def _rename_to(ds, names: list[str]):
 
 
 def _flatten_setop_tree(q):
-    """Leaves of a PURE distinct set-op tree in left-to-right order, or
-    None when UNION ALL appears (bag semantics — presence booleans would
-    be wrong) — used to collapse the whole chain into ONE exchange."""
+    """Leaves of ANY set-op tree in left-to-right order — the whole chain
+    (ALL and DISTINCT variants alike) collapses to ONE exchange via
+    multiplicity algebra over per-arm counts."""
     if "setop" not in q:
         return [q]
-    if q["setop"] == "unionall":
-        return None
-    l = _flatten_setop_tree(q["left"])
-    r = _flatten_setop_tree(q["right"])
-    if l is None or r is None:
-        return None
-    return l + r
+    return _flatten_setop_tree(q["left"]) + _flatten_setop_tree(q["right"])
 
 
 def _execute_setop_tree(q, leaves, tables):
@@ -1289,26 +1285,38 @@ def _execute_setop_tree(q, leaves, tables):
         [(f"__p{j}", "sum", f"__p{j}") for j in range(len(leaves))])
 
     def finish(b: pa.Table) -> pa.Table:
-        pres = [pc.greater(b.column(f"__p{j}"), 0)
-                for j in range(len(leaves))]
+        cnts = [np.asarray(b.column(f"__p{j}").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+            for j in range(len(leaves))]
         pos = [0]  # leaf cursor during tree replay
 
         def ev(node):
+            # multiplicity algebra (ANSI bag semantics):
+            #   UNION ALL  l+r           UNION      1 if l+r>0
+            #   INTERSECT ALL min(l,r)   INTERSECT  1 if l>0 and r>0
+            #   EXCEPT ALL max(l-r, 0)   EXCEPT     1 if l>0 and r==0
             if "setop" not in node:
-                m = pres[pos[0]]
+                m = cnts[pos[0]]
                 pos[0] += 1
                 return m
             lm = ev(node["left"])
             rm = ev(node["right"])
             k = node["setop"]
+            if k == "unionall":
+                return lm + rm
             if k == "union":
-                return pc.or_(lm, rm)
+                return ((lm + rm) > 0).astype(np.int64)
+            if k == "intersectall":
+                return np.minimum(lm, rm)
             if k == "intersect":
-                return pc.and_(lm, rm)
-            return pc.and_(lm, pc.invert(rm))  # except
+                return ((lm > 0) & (rm > 0)).astype(np.int64)
+            if k == "exceptall":
+                return np.maximum(lm - rm, 0)
+            return ((lm > 0) & (rm == 0)).astype(np.int64)  # except
 
-        mask = ev(q)
-        return b.filter(mask).select(list(names))
+        mult = ev(q)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), mult)
+        return b.take(pa.array(idx)).select(list(names))
 
     return g.map_batches(finish, batch_format="pyarrow")
 
@@ -1560,18 +1568,24 @@ def _first_nonnull_sentinel(t: pa.DataType):
 
 def _execute_one(q: dict, tables: dict):
     if "setop" in q:
-        flat = _flatten_setop_tree(q)
-        if flat is not None:
-            ds = _execute_setop_tree(q, flat, tables)
+        def _all_unionall(node):
+            if "setop" not in node:
+                return True
+            return (node["setop"] == "unionall"
+                    and _all_unionall(node["left"])
+                    and _all_unionall(node["right"]))
+
+        if _all_unionall(q):
+            # pure UNION ALL chain: stream-union, NO exchange
+            leaves = _flatten_setop_tree(q)
+            parts = [_execute_one(leaf, tables) for leaf in leaves]
+            names = _static_names(leaves[0])
+            if names is None:
+                names = parts[0].schema().names
+            ds = parts[0].union(*[_rename_to(p_, names)
+                                  for p_ in parts[1:]])
         else:
-            l = _execute_one(q["left"], tables)
-            r = _execute_one(q["right"], tables)
-            names = _static_names(q["left"])
-            if q["setop"] == "unionall":
-                ds = l.union(_rename_to(r, names if names is not None
-                                        else l.schema().names))
-            else:
-                ds = _execute_setop(q["setop"], l, r, names)
+            ds = _execute_setop_tree(q, _flatten_setop_tree(q), tables)
         tail = q["tail"]
         if tail["order"]:
             ds = _null_safe_sort(ds, tail["order"])

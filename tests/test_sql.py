@@ -111,6 +111,10 @@ QUERIES = [
     "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 ORDER BY k",
     "SELECT o_custkey AS k FROM orders EXCEPT SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY k",
     "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 EXCEPT SELECT o_custkey AS k FROM orders WHERE o_custkey % 10 = 3 ORDER BY k LIMIT 500",
+    # bag-semantics set ops (multiplicity algebra, one exchange)
+    "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' INTERSECT ALL SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 ORDER BY k",
+    "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' ORDER BY k",
+    "SELECT lang AS g FROM documents UNION ALL SELECT o_orderstatus AS g FROM orders WHERE o_orderkey < 50 INTERSECT ALL SELECT lang AS g FROM documents WHERE doc_id % 2 = 0 ORDER BY g",
     # CTEs (chained: second references the first)
     "WITH f AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F') SELECT o_custkey, COUNT(*) AS n FROM f GROUP BY o_custkey ORDER BY o_custkey LIMIT 50",
     "WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000), b AS (SELECT k FROM a WHERE k % 2 = 0) SELECT k, COUNT(*) AS n FROM b GROUP BY k ORDER BY k",
