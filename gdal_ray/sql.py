@@ -436,21 +436,39 @@ def _parse_over(p: _P, fn: str, args: list, star: bool):
         p.expect("kw", "BETWEEN")
         if p.accept("kw", "UNBOUNDED"):
             nprec = None
+            p.expect("kw", "PRECEDING")
+        elif p.accept("kw", "CURRENT"):
+            p.expect("kw", "ROW")
+            nprec = 0
         else:
             nprec = p.expect("num")[1]
-        p.expect("kw", "PRECEDING")
+            p.expect("kw", "PRECEDING")
         p.expect("kw", "AND")
-        p.expect("kw", "CURRENT")
-        p.expect("kw", "ROW")
+        nfoll = 0
+        if p.accept("kw", "CURRENT"):
+            p.expect("kw", "ROW")
+        elif p.accept("kw", "UNBOUNDED"):
+            if not p.accept("id", "FOLLOWING"):
+                kk3, vv3 = p.next()
+                if not (kk3 == "id" and vv3.upper() == "FOLLOWING"):
+                    raise ValueError("expected FOLLOWING")
+            nfoll = None
+        else:
+            nfoll = int(p.expect("num")[1])
+            kk3, vv3 = p.next()
+            if not (kk3 == "id" and vv3.upper() == "FOLLOWING"):
+                raise ValueError("expected FOLLOWING")
         if not order:
             raise ValueError("a ROWS/RANGE frame requires ORDER BY")
         if fn not in _ROWS_FRAME_FNS:
             raise ValueError(f"{fn} does not accept a ROWS/RANGE frame")
         if is_rows:
-            frame = ("rows", None if nprec is None else int(nprec))
-        elif nprec is None:
+            frame = ("rows", None if nprec is None else int(nprec), nfoll)
+        elif nprec is None and nfoll == 0:
             frame = None  # RANGE UNBOUNDED .. CURRENT ROW = ANSI default
         else:
+            if nfoll != 0:
+                raise NotImplementedError("RANGE ... FOLLOWING")
             if len(order) != 1 or order[0][1]:
                 raise NotImplementedError(
                     "numeric RANGE frame needs exactly one ascending "

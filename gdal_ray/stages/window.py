@@ -129,7 +129,14 @@ def _compute_window_columns(gs: pa.Table, partition, order, specs) -> pa.Table:
                 res = _range_frame(fn, vals, valid, okey, frame[1],
                                    seg_start, seg_id, peer_end, idx)
             else:
-                res = _rows_frame(fn, vals, valid, frame[1], seg_start, idx)
+                nfoll = frame[2] if len(frame) > 2 else 0
+                if nfoll == 0:
+                    res = _rows_frame(fn, vals, valid, frame[1],
+                                      seg_start, idx)
+                else:
+                    res = _rows_frame_following(
+                        fn, vals, valid, frame[1], nfoll,
+                        seg_start, seg_end, idx)
             gs = gs.append_column(out_name, res)
             continue
         if fn == "ROW_NUMBER":
@@ -296,6 +303,32 @@ def _range_frame(fn: str, vals: np.ndarray, valid: np.ndarray,
         csum = np.concatenate([[0.0], np.cumsum(np.where(valid, vals, 0.0))])
         ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
         return _finish_sca(fn, csum[hi + 1] - csum[lo], ccnt[hi + 1] - ccnt[lo])
+    red = np.minimum if fn == "MIN" else np.maximum
+    fill = np.inf if fn == "MIN" else -np.inf
+    vf = np.where(valid, vals, fill)
+    res = _range_reduce(vf, lo, hi, red)
+    ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+    c = ccnt[hi + 1] - ccnt[lo]
+    return pc.if_else(pa.array(c > 0), pa.array(res),
+                      pa.scalar(None, pa.float64()))
+
+
+def _rows_frame_following(fn: str, vals: np.ndarray, valid: np.ndarray,
+                          nprec: int | None, nfoll: int | None,
+                          seg_start: np.ndarray, seg_end: np.ndarray,
+                          idx: np.ndarray):
+    """ROWS BETWEEN a PRECEDING|CURRENT ROW AND b|UNBOUNDED FOLLOWING:
+    general variable-bound moving window, per-partition clamped.
+    SUM/COUNT/AVG via prefix sums; MIN/MAX via the sparse-table range
+    reduce (O(n log n) build, O(1) per row)."""
+    n = len(vals)
+    lo = seg_start if nprec is None else np.maximum(idx - nprec, seg_start)
+    hi = seg_end if nfoll is None else np.minimum(idx + nfoll, seg_end)
+    if fn in ("SUM", "COUNT", "AVG"):
+        csum = np.concatenate([[0.0], np.cumsum(np.where(valid, vals, 0.0))])
+        ccnt = np.concatenate([[0.0], np.cumsum(valid.astype(np.float64))])
+        return _finish_sca(fn, csum[hi + 1] - csum[lo],
+                           ccnt[hi + 1] - ccnt[lo])
     red = np.minimum if fn == "MIN" else np.maximum
     fill = np.inf if fn == "MIN" else -np.inf
     vf = np.where(valid, vals, fill)

@@ -130,6 +130,10 @@ QUERIES = [
     "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmax, AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5 FROM orders ORDER BY o_orderkey",
     "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wn, MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax FROM events ORDER BY event_id",
     "SELECT o_orderkey, MIN(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS selfv FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey",
+    # FOLLOWING bounds (centered / forward / unbounded-tail windows)
+    "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS c5 FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fmin, MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS tmax FROM orders ORDER BY o_orderkey",
+    "SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS cu FROM orders WHERE o_orderkey < 900 ORDER BY o_orderkey",
     # numeric RANGE frames (value window [cur-k, cur], peer-inclusive)
     "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum FROM orders ORDER BY o_orderkey",
     "SELECT event_id, MAX(value) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 0.5 PRECEDING AND CURRENT ROW) AS vmax, COUNT(*) OVER (PARTITION BY user_id ORDER BY value RANGE BETWEEN 1.5 PRECEDING AND CURRENT ROW) AS vn FROM events ORDER BY event_id",
