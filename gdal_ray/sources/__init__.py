@@ -102,6 +102,10 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.mifmid import read_mifmid
 
         return read_mifmid(path, **kw)
+    if low.endswith(".gml"):
+        from gdal_ray.sources.gml import read_gml
+
+        return read_gml(path, **kw)
     raise ValueError(f"no vector driver for {path}")
 
 
@@ -272,6 +276,10 @@ def save_vector(ds_or_table, path: str, **kw) -> None:
         from gdal_ray.sources.mifmid import write_mifmid
 
         return write_mifmid(t, path, **kw)
+    if low.endswith(".gml"):
+        from gdal_ray.sources.gml import write_gml
+
+        return write_gml(path, t, **kw)
     if low.endswith(".gpx"):
         from gdal_ray.sources.kmlgpx import write_gpx
 
