@@ -87,6 +87,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _kml(path)
     if low.endswith(".gpx"):
         return _gpx(path)
+    if low.endswith(".gml"):
+        from gdal_ray.sources.gml import read_gml_meta
+
+        return {"driver": "GML", **{k: v for k, v in
+                                    read_gml_meta(path).items()
+                                    if k != "format"}}
+    if low.endswith(".mif"):
+        from gdal_ray.sources.mifmid import read_mif_meta
+
+        m = read_mif_meta(path)
+        return {"driver": "MapInfo File", "n_features": m["n_features"],
+                "fields": [{"name": n, "type": t} for n, t in m["columns"]]}
     raise ValueError(f"unrecognized format: {path}")
 
 

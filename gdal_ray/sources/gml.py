@@ -78,7 +78,7 @@ def _coords(text: str) -> np.ndarray:
     if "," in t:
         pts = [p.split(",")[:2] for p in t.split()]
         return np.array([[float(a), float(b)] for a, b in pts])
-    vals = np.fromstring(t, sep=" ")
+    vals = np.array(t.split(), dtype=np.float64)
     return vals.reshape(-1, 2)
 
 
