@@ -5,7 +5,7 @@ only their own tiles/strips.  A terabyte COG reads as parallel as its
 tile count without any task touching the whole file.
 
 Chunk decode reuses the from-spec codec internals of
-:mod:`gdal_ray.codecs.tiff` (LZW/Deflate/PackBits, predictor 2)."""
+:mod:`gdal_ray.codecs.tiff` (LZW/Deflate/PackBits, predictors 2 and 3)."""
 
 from __future__ import annotations
 
@@ -133,6 +133,10 @@ def _decode_chunk(raw: bytes, meta: dict, ch: int, cw: int) -> np.ndarray:
                                   ch, cw, spp, dt.newbyteorder("="))
     expected = ch * cw * spp * dt.itemsize
     data = _decompress(raw, meta["compression"], expected)
+    if meta["predictor"] == 3:
+        from gdal_ray.codecs.tiff import _undo_predictor3
+
+        return _undo_predictor3(data, ch, cw, spp, dt)
     blk = np.frombuffer(data[:expected], dtype=dt).reshape(ch, cw, spp)
     if meta["predictor"] == 2:
         blk = _undo_predictor2(blk)

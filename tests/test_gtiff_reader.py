@@ -73,3 +73,21 @@ def test_float_dtype(ray_session, tmp_path):
     meta = tiff_levels(p)[0]
     rows = read_geotiff_tiles(p).to_pandas()
     assert np.array_equal(assemble(rows, meta), arr)
+
+
+def test_float_predictor3_parallel_read(tmp_path, ray_session):
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_geotiff_tiles
+
+    rng = np.random.default_rng(6)
+    a = np.cumsum(rng.normal(size=(70, 90)), axis=1).astype(np.float32)
+    p = str(tmp_path / "fp3.tif")
+    open(p, "wb").write(encode_geotiff(a, compression="deflate",
+                                       predictor=True, tile_size=32))
+    out = np.zeros_like(a)
+    for r in read_geotiff_tiles(p).take_all():
+        blk = np.frombuffer(r["data"], dtype=np.float32) \
+            .reshape(r["h"], r["w"])
+        out[r["row0"]:r["row0"] + r["h"],
+            r["col0"]:r["col0"] + r["w"]] = blk
+    np.testing.assert_array_equal(out, a)
