@@ -876,6 +876,45 @@ def orthographic(lat0: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def eckert4(lon0: float, fe: float, fn: float, R: float = A_WGS84):
+    """Eckert IV, spherical (Snyder ch. 32, eqs 32-1..32-8; +proj=eck4,
+    ESRI:54012): equal-area pseudocylindrical world map with elliptical
+    meridians — the Jacobian pin |∂(x,y)/∂(λ,φ)| = R²cosφ validates the
+    constants independently of any worked example."""
+    lam0 = np.radians(lon0)
+    CX = 2.0 / np.sqrt(np.pi * (4.0 + np.pi))
+    CY = 2.0 * np.sqrt(np.pi / (4.0 + np.pi))
+    CT = 2.0 + np.pi / 2.0
+
+    def _theta(phi):
+        t = phi / 2.0
+        rhs = CT * np.sin(phi)
+        for _ in range(30):  # Newton on θ + sinθcosθ + 2sinθ = (2+π/2)sinφ
+            f = t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t) - rhs
+            df = 1.0 + np.cos(2.0 * t) + 2.0 * np.cos(t)
+            t = t - f / np.where(np.abs(df) < 1e-12, 1e-12, df)
+        return t
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        th = _theta(phi)
+        x = CX * R * lam * (1.0 + np.cos(th))
+        y = CY * R * np.sin(th)
+        return fe + x, fn + y
+
+    def inv(E, N):
+        y = (np.asarray(N, dtype=np.float64) - fn) / (CY * R)
+        th = np.arcsin(np.clip(y, -1.0, 1.0))
+        sphi = (th + np.sin(th) * np.cos(th) + 2.0 * np.sin(th)) / CT
+        phi = np.arcsin(np.clip(sphi, -1.0, 1.0))
+        x = np.asarray(E, dtype=np.float64) - fe
+        lam = lam0 + x / (CX * R * (1.0 + np.cos(th)))
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def cassini(lat0: float, lon0: float, fe: float, fn: float,
             a: float = A_WGS84, f: float = F_WGS84):
     """Cassini–Soldner, ellipsoidal (EPSG method 9806; Snyder ch. 13,
@@ -1375,6 +1414,8 @@ def _proj_pair_raw(p: dict):
         return polyconic(lat0, lon0, fe, fn, a=a, f=f)
     if proj == "cass":
         return cassini(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "eck4":
+        return eckert4(lon0, fe, fn, R=a)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
                               "polar stere, sinu, moll, cea, ortho, omerc, "

@@ -308,3 +308,40 @@ def test_nztm_2193():
     lon2, lat2 = i(*f(lon, lat))
     np.testing.assert_allclose(lon2, lon, atol=1e-9)
     np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_eckert4_equal_area_and_shape():
+    from gdal_ray.crs import eckert4
+
+    R_s = 6371000.0
+    fwd, inv = eckert4(0.0, 0.0, 0.0, R=R_s)
+    # equal-area: FD Jacobian == R^2 cos(phi) — validates the constants
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-170, 170, 300)
+    lat = rng.uniform(-85, 85, 300)
+    h = 1e-6
+    xl1, yl1 = fwd(lon + h, lat)
+    xl0, yl0 = fwd(lon - h, lat)
+    xp1, yp1 = fwd(lon, lat + h)
+    xp0, yp0 = fwd(lon, lat - h)
+    J = np.abs(((np.asarray(xl1) - xl0) * (np.asarray(yp1) - yp0)
+                - (np.asarray(yl1) - yl0) * (np.asarray(xp1) - xp0))
+               / np.radians(2 * h) ** 2)
+    np.testing.assert_allclose(J, R_s**2 * np.cos(np.radians(lat)),
+                               rtol=5e-5)
+    # shape anchors: poles map to (0, ±CY·R·sin(π/2)); the pole line is a
+    # point on the central meridian at half the equator's half-length
+    xe, _ye = fwd(180.0, 0.0)
+    xp, yp = fwd(0.0, 90.0)
+    # the classic Eckert IV 2:1 aspect: pole height = half the equator
+    # half-length (CY / (2π·CX) = 1/2 exactly)
+    assert abs(yp / xe - 0.5) < 1e-12
+    assert abs(xp) < 1e-6
+    # equator is y = 0 and linear in longitude
+    xs, ys = fwd(np.array([-90.0, 45.0]), np.zeros(2))
+    np.testing.assert_allclose(ys, 0.0, atol=1e-9)
+    assert abs(xs[1] / xs[0] + 0.5) < 1e-12
+    # round-trip
+    lon2, lat2 = inv(*fwd(lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
