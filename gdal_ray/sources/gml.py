@@ -190,13 +190,13 @@ def write_gml(path: str, tbl: pa.Table) -> None:
             if g == 1:
                 x, y = np.frombuffer(wkb[5:21], "<f8")
                 out.append("      <gml:Point><gml:pos>"
-                           f"{x:.10g} {y:.10g}</gml:pos></gml:Point>")
+                           f"{x:.17g} {y:.17g}</gml:pos></gml:Point>")
             elif g == 3:
                 rings = polygon_parts(wkb)[0]
                 out.append("      <gml:Polygon>")
                 for ri, r in enumerate(rings):
                     kind = "exterior" if ri == 0 else "interior"
-                    pos = " ".join(f"{p[0]:.10g} {p[1]:.10g}" for p in r)
+                    pos = " ".join(f"{p[0]:.17g} {p[1]:.17g}" for p in r)
                     out.append(f"        <gml:{kind}><gml:LinearRing>"
                                f"<gml:posList>{pos}</gml:posList>"
                                f"</gml:LinearRing></gml:{kind}>")

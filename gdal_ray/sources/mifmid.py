@@ -280,13 +280,13 @@ def write_mifmid(path: str, tbl: pa.Table, *, delimiter: str = ",") -> None:
             g = wkb_geom_type(wkb)
             if g == 1:
                 x, y = np.frombuffer(wkb[5:21], "<f8")
-                mif.append(f"POINT {x:.10g} {y:.10g}")
+                mif.append(f"POINT {x:.17g} {y:.17g}")
             elif g in (3, 6):
                 rings = [r for part in polygon_parts(wkb) for r in part]
                 mif.append(f"REGION {len(rings)}")
                 for r in rings:
                     mif.append(f"  {len(r)}")
-                    mif.extend(f"{p[0]:.10g} {p[1]:.10g}" for p in r)
+                    mif.extend(f"{p[0]:.17g} {p[1]:.17g}" for p in r)
             else:
                 raise NotImplementedError(f"MIF write for wkb type {g}")
         row = []
