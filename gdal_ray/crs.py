@@ -398,6 +398,9 @@ _CONIC_EPSG = {
     2193: ("tmerc", 0.9996, None, 0.0, 173.0, 1600000.0, 10000000.0, F_GRS80),  # NZGD2000 / NZTM2000
     54008: ("sinu", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54008 World Sinusoidal
     54009: ("moll", None, None, 0.0, 0.0, 0.0, 0.0, F_WGS84),               # ESRI:54009 World Mollweide
+    54012: ("eck4", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                   # ESRI:54012 World Eckert IV
+    54030: ("robin", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                  # ESRI:54030 World Robinson
+    54042: ("wintri", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                 # ESRI:54042 World Winkel Tripel
 }
 
 
@@ -421,6 +424,12 @@ def conic_pair(epsg: int):
         return sinusoidal(lon0, fe, fn, f=f)
     if kind == "moll":
         return mollweide(lon0, fe, fn)
+    if kind == "eck4":
+        return eckert4(lon0, fe, fn)
+    if kind == "robin":
+        return robinson(lon0, fe, fn)
+    if kind == "wintri":
+        return winkel_tripel(None, lon0, fe, fn)
     return polar_stereographic(lat0, lon0, fe, fn, f=f)
 
 
@@ -911,6 +920,162 @@ def eckert4(lon0: float, fe: float, fn: float, R: float = A_WGS84):
         x = np.asarray(E, dtype=np.float64) - fe
         lam = lam0 + x / (CX * R * (1.0 + np.cos(th)))
         return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def winkel_tripel(lat1: float | None, lon0: float, fe: float, fn: float,
+                  R: float = A_WGS84):
+    """Winkel Tripel, spherical (+proj=wintri, ESRI:54042): arithmetic mean
+    of the equirectangular projection at standard parallel lat_1 and the
+    Aitoff projection (public formulas — Snyder, "Flattening the Earth"
+    ch. on modified azimuthals; the NGS/PROJ parameterization).  Winkel's
+    own standard parallel acos(2/pi) ~= 50deg28' is the default, as in
+    PROJ.  Inverse by vectorized 2x2 Newton with numeric Jacobian (no
+    closed form exists).
+
+    Closed anchors used by the tests, derived from the formulas:
+      lam = 0  ->  x = 0,                    y = R*phi
+      phi = 0  ->  x = R*lam*(1+cos phi1)/2, y = 0
+    """
+    cosphi1 = 2.0 / np.pi if lat1 is None else np.cos(np.radians(lat1))
+    lam0 = np.radians(lon0)
+
+    def _fwd_rad(lam, phi):
+        cp = np.cos(phi)
+        alpha = np.arccos(np.clip(cp * np.cos(lam / 2.0), -1.0, 1.0))
+        sinc = np.where(alpha < 1e-12, 1.0, np.sin(alpha) / np.where(alpha == 0, 1.0, alpha))
+        x = 0.5 * (lam * cosphi1 + 2.0 * cp * np.sin(lam / 2.0) / sinc)
+        y = 0.5 * (phi + np.sin(phi) / sinc)
+        return x, y
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        lam = np.radians(_wrap_lon(np.degrees(lam)))
+        x, y = _fwd_rad(lam, phi)
+        return fe + R * x, fn + R * y
+
+    def inv(E, N):
+        x = (np.asarray(E, dtype=np.float64) - fe) / R
+        y = (np.asarray(N, dtype=np.float64) - fn) / R
+        phi = np.clip(y, -np.pi / 2.0, np.pi / 2.0)
+        lam = np.clip(2.0 * x / (cosphi1 + np.cos(phi)), -np.pi, np.pi)
+        h = 1e-7
+        for _ in range(15):
+            fx, fy = _fwd_rad(lam, phi)
+            rx, ry = fx - x, fy - y
+            dxl, dyl = _fwd_rad(lam + h, phi)
+            dxp, dyp = _fwd_rad(lam, phi + h)
+            j11, j21 = (dxl - fx) / h, (dyl - fy) / h
+            j12, j22 = (dxp - fx) / h, (dyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-14, 1e-14, det)
+            lam = lam - (j22 * rx - j12 * ry) / det
+            phi = np.clip(phi - (-j21 * rx + j11 * ry) / det,
+                          -np.pi / 2.0, np.pi / 2.0)
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
+# Robinson (1974) lookup table, 5-degree latitude steps 0..90 — published in
+# Robinson, "A New Map Projection" (1974) and reproduced in Snyder,
+# "Flattening the Earth" (public data, not code):
+#   x = 0.8487 * R * X(|phi|) * lam ;  y = 1.3523 * R * Y(|phi|) * sign(phi)
+_ROBINSON_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427, 0.9216,
+    0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732, 0.6213, 0.5722,
+    0.5322])
+_ROBINSON_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340, 0.4958,
+    0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936, 0.9394, 0.9761,
+    1.0000])
+_ROBINSON_FXC, _ROBINSON_FYC = 0.8487, 1.3523
+
+
+def _natural_cubic_m(yk: np.ndarray, hstep: float) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through equally
+    spaced knots (classic tridiagonal system, Thomas solve)."""
+    n = len(yk)
+    m = np.zeros(n)
+    if n < 3:
+        return m
+    # interior equations: m[i-1] + 4 m[i] + m[i+1] = 6 (y[i-1]-2y[i]+y[i+1])/h^2
+    rhs = 6.0 * (yk[:-2] - 2.0 * yk[1:-1] + yk[2:]) / (hstep * hstep)
+    k = n - 2
+    diag = np.full(k, 4.0)
+    # forward elimination (sub/super diagonals are 1)
+    for i in range(1, k):
+        w = 1.0 / diag[i - 1]
+        diag[i] -= w
+        rhs[i] -= w * rhs[i - 1]
+    sol = np.zeros(k)
+    sol[-1] = rhs[-1] / diag[-1]
+    for i in range(k - 2, -1, -1):
+        sol[i] = (rhs[i] - sol[i + 1]) / diag[i]
+    m[1:-1] = sol
+    return m
+
+
+def _spline_eval(yk, m, hstep, s):
+    """Evaluate the natural cubic spline (knots 0, h, 2h, …) and its
+    derivative at s (vectorized)."""
+    n = len(yk)
+    idx = np.clip((s // hstep).astype(np.int64), 0, n - 2)
+    t = s - idx * hstep
+    y0, y1 = yk[idx], yk[idx + 1]
+    m0, m1 = m[idx], m[idx + 1]
+    h = hstep
+    val = (m0 * (h - t) ** 3 + m1 * t ** 3) / (6.0 * h) \
+        + (y0 / h - m0 * h / 6.0) * (h - t) + (y1 / h - m1 * h / 6.0) * t
+    der = (-m0 * (h - t) ** 2 + m1 * t ** 2) / (2.0 * h) \
+        - (y0 / h - m0 * h / 6.0) + (y1 / h - m1 * h / 6.0)
+    return val, der
+
+
+_ROBINSON_MX = _natural_cubic_m(_ROBINSON_X, 5.0)
+_ROBINSON_MY = _natural_cubic_m(_ROBINSON_Y, 5.0)
+
+
+def robinson(lon0: float, fe: float, fn: float, R: float = A_WGS84):
+    """Robinson, spherical (+proj=robin, ESRI:54030): pseudocylindrical
+    compromise world projection defined by Robinson's published 5-degree
+    X/Y table (1974), interpolated here with a natural cubic spline (the
+    reference delegates to PROJ, which uses its own per-segment quintics —
+    both reproduce the published knots exactly; between knots the curves
+    are interpolation choices, and our tests pin the knots + round trip).
+    Inverse: Newton on the monotone Y spline for |phi|, then divide out
+    X(|phi|) for lambda."""
+    lam0 = np.radians(lon0)
+
+    def _xy_of(absphi_deg):
+        X, _ = _spline_eval(_ROBINSON_X, _ROBINSON_MX, 5.0, absphi_deg)
+        Y, _ = _spline_eval(_ROBINSON_Y, _ROBINSON_MY, 5.0, absphi_deg)
+        return X, Y
+
+    def fwd(lon, lat):
+        lat = np.asarray(lat, dtype=np.float64)
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        lam = np.radians(_wrap_lon(np.degrees(lam)))
+        ap = np.clip(np.abs(lat), 0.0, 90.0)
+        X, Y = _xy_of(ap)
+        x = _ROBINSON_FXC * R * X * lam
+        y = _ROBINSON_FYC * R * Y * np.sign(lat)
+        return fe + x, fn + y
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        Yt = np.clip(np.abs(y) / (_ROBINSON_FYC * R), 0.0, 1.0)
+        ap = np.clip(Yt * 90.0, 0.0, 90.0)  # Y is near-linear in phi
+        for _ in range(25):
+            Yv, Yd = _spline_eval(_ROBINSON_Y, _ROBINSON_MY, 5.0, ap)
+            ap = np.clip(ap - (Yv - Yt) / np.where(np.abs(Yd) < 1e-12, 1e-12, Yd),
+                         0.0, 90.0)
+        X, _ = _spline_eval(_ROBINSON_X, _ROBINSON_MX, 5.0, ap)
+        lam = x / (_ROBINSON_FXC * R * X)
+        return _wrap_lon(np.degrees(lam) + lon0), ap * np.sign(y)
 
     return fwd, inv
 
@@ -1416,10 +1581,16 @@ def _proj_pair_raw(p: dict):
         return cassini(lat0, lon0, fe, fn, a=a, f=f)
     if proj == "eck4":
         return eckert4(lon0, fe, fn, R=a)
+    if proj == "wintri":
+        lat1 = float(p["lat_1"]) if "lat_1" in p else None
+        return winkel_tripel(lat1, lon0, fe, fn, R=a)
+    if proj == "robin":
+        return robinson(lon0, fe, fn, R=a)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
                               "polar stere, sinu, moll, cea, ortho, omerc, "
-                              "aeqd/gnom (spherical), eqdc, poly)")
+                              "aeqd/gnom (spherical), eqdc, poly, robin, "
+                              "wintri)")
 
 
 # --- datum shifts (+towgs84) -------------------------------------------------

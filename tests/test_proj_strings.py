@@ -133,8 +133,8 @@ def test_ellipsoid_resolution():
 
 
 def test_unsupported_projections_raise():
-    with pytest.raises(NotImplementedError, match=r"\+proj=robin"):
-        crs.proj_pair("+proj=robin +ellps=WGS84")
+    with pytest.raises(NotImplementedError, match=r"\+proj=igh"):
+        crs.proj_pair("+proj=igh +ellps=WGS84")
     with pytest.raises(NotImplementedError, match="oblique"):
         crs.proj_pair("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel")
     with pytest.raises(NotImplementedError, match="ellipsoid"):
