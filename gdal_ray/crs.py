@@ -401,6 +401,7 @@ _CONIC_EPSG = {
     54012: ("eck4", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                   # ESRI:54012 World Eckert IV
     54030: ("robin", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                  # ESRI:54030 World Robinson
     54042: ("wintri", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                 # ESRI:54042 World Winkel Tripel
+    8857: ("eqearth", None, None, 0.0, 0.0, 0.0, 0.0, 0.0),                 # EPSG:8857 WGS84 / Equal Earth Greenwich
 }
 
 
@@ -430,6 +431,8 @@ def conic_pair(epsg: int):
         return robinson(lon0, fe, fn)
     if kind == "wintri":
         return winkel_tripel(None, lon0, fe, fn)
+    if kind == "eqearth":
+        return equal_earth(lon0, fe, fn)
     return polar_stereographic(lat0, lon0, fe, fn, f=f)
 
 
@@ -1080,6 +1083,53 @@ def robinson(lon0: float, fe: float, fn: float, R: float = A_WGS84):
     return fwd, inv
 
 
+def equal_earth(lon0: float, fe: float, fn: float, R: float = A_WGS84):
+    """Equal Earth, spherical (+proj=eqearth, EPSG:8857): equal-area
+    pseudocylindrical world projection (Savric, Patterson & Jenny 2018,
+    IJGIS — published closed-form polynomial, public constants):
+
+        sin(theta) = (sqrt(3)/2) sin(phi)
+        y = R (A1 t + A2 t^3 + A3 t^7 + A4 t^9),  t = theta
+        x = R (2 sqrt(3)/3) lam cos(theta) / y'(theta)
+
+    Equal-area by construction: |d(x,y)/d(lam,phi)| = R^2 cos(phi) exactly
+    (the y'(theta) factors cancel against d(theta)/d(phi)) — the tests pin
+    that invariant independently of the constants.  Inverse: Newton on the
+    monotone y(theta) polynomial, then divide out for lambda."""
+    lam0 = np.radians(lon0)
+    A1, A2, A3, A4 = 1.340264, -0.081106, 0.000893, 0.003796
+    M = np.sqrt(3.0) / 2.0
+
+    def _y_poly(t):
+        t2 = t * t
+        return t * (A1 + t2 * (A2 + t2 * t2 * (A3 + A4 * t2)))
+
+    def _y_der(t):
+        t2 = t * t
+        return A1 + t2 * (3.0 * A2 + t2 * t2 * (7.0 * A3 + 9.0 * A4 * t2))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+        lam = np.radians(_wrap_lon(np.degrees(lam)))
+        th = np.arcsin(np.clip(M * np.sin(phi), -1.0, 1.0))
+        x = R * (2.0 * np.sqrt(3.0) / 3.0) * lam * np.cos(th) / _y_der(th)
+        y = R * _y_poly(th)
+        return fe + x, fn + y
+
+    def inv(E, N):
+        yt = (np.asarray(N, dtype=np.float64) - fn) / R
+        th = np.clip(yt / A1, -np.pi / 2.0, np.pi / 2.0)
+        for _ in range(25):
+            th = th - (_y_poly(th) - yt) / _y_der(th)
+        x = np.asarray(E, dtype=np.float64) - fe
+        lam = x * _y_der(th) / (R * (2.0 * np.sqrt(3.0) / 3.0) * np.cos(th))
+        phi = np.arcsin(np.clip(np.sin(th) / M, -1.0, 1.0))
+        return _wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)
+
+    return fwd, inv
+
+
 def cassini(lat0: float, lon0: float, fe: float, fn: float,
             a: float = A_WGS84, f: float = F_WGS84):
     """Cassini–Soldner, ellipsoidal (EPSG method 9806; Snyder ch. 13,
@@ -1586,6 +1636,8 @@ def _proj_pair_raw(p: dict):
         return winkel_tripel(lat1, lon0, fe, fn, R=a)
     if proj == "robin":
         return robinson(lon0, fe, fn, R=a)
+    if proj == "eqearth":
+        return equal_earth(lon0, fe, fn, R=a)
     raise NotImplementedError(f"+proj={proj} (supported: longlat, utm, "
                               "tmerc, merc, webmerc, eqc, lcc, aea, laea, "
                               "polar stere, sinu, moll, cea, ortho, omerc, "

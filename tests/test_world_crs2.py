@@ -119,3 +119,59 @@ def test_proj_string_and_esri_codes():
         lon2, lat2 = g(*f(lon, lat))
         assert np.abs(lon2 - lon).max() < 1e-7
         assert np.abs(lat2 - lat).max() < 1e-7
+
+
+# --- Equal Earth -------------------------------------------------------------
+
+def _area_scale(fwd, lon, lat):
+    h = 1e-6
+    x0, y0 = fwd(lon, lat)
+    xl, yl = fwd(lon + h, lat)
+    xp, yp = fwd(lon, lat + h)
+    hr = np.radians(h)
+    return ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (hr * hr)
+
+
+def test_eqearth_roundtrip():
+    from gdal_ray.crs import equal_earth
+    fwd, inv = equal_earth(0.0, 0.0, 0.0, R=A_WGS84)
+    _roundtrip(fwd, inv, 1e-8)
+    fwd, inv = equal_earth(23.0, 1500.0, -400.0, R=A_WGS84)
+    _roundtrip(fwd, inv, 1e-8)
+
+
+def test_eqearth_equal_area_jacobian():
+    # |d(x,y)/d(lam,phi)| == R^2 cos(phi) — independent of the published
+    # polynomial constants: any (A1..A4) satisfies it by construction, so
+    # this pins the STRUCTURE (y'(theta) cancellation) not the numbers.
+    from gdal_ray.crs import equal_earth
+    fwd, _ = equal_earth(0.0, 0.0, 0.0, R=1.0)
+    lon = np.array([-120.0, -30.0, 0.0, 45.0, 170.0])
+    lat = np.array([-75.0, -20.0, 0.0, 33.0, 80.0])
+    J = _area_scale(fwd, lon, lat)
+    np.testing.assert_allclose(J, np.cos(np.radians(lat)), rtol=1e-5)
+
+
+def test_eqearth_equator_and_meridian():
+    # phi = 0: theta = 0, y = 0, x = R lam (2 sqrt(3)/3) / A1.
+    from gdal_ray.crs import equal_earth
+    fwd, _ = equal_earth(0.0, 0.0, 0.0, R=1.0)
+    lon = np.array([-150.0, -10.0, 60.0])
+    x, y = fwd(lon, np.zeros_like(lon))
+    assert np.abs(y).max() < 1e-12
+    expect = np.radians(lon) * (2.0 * np.sqrt(3.0) / 3.0) / 1.340264
+    assert np.abs(x - expect).max() < 1e-12
+    # lam = 0 maps onto the central meridian for all latitudes.
+    lat = np.linspace(-89.0, 89.0, 13)
+    x, y = fwd(np.zeros_like(lat), lat)
+    assert np.abs(x).max() < 1e-12
+    assert (np.diff(y) > 0).all()
+
+
+def test_eqearth_epsg_code():
+    f = transform_fn("EPSG:4326", "EPSG:8857")
+    g = transform_fn("EPSG:8857", "EPSG:4326")
+    lon, lat = _grid()
+    lon2, lat2 = g(*f(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
