@@ -14,12 +14,15 @@ out, via :func:`decode` inside ``map_batches``.
   The synthetic BENCH corpus still uses the fast deterministic container
   below for its `jpeg`/`webp` rows (the pure-Python entropy decoder is a
   conformance path, ~1 s per megapixel — see jpeg.py).
-- ``webp`` — REAL VP8L (WebP lossless), implemented from the public
-  WebP Lossless Bitstream Specification in webp.py: RIFF container,
-  canonical Huffman codes, LZ77 + color cache, predictor/subtract-green/
-  color-indexing transforms.  ``decode`` dispatches on the RIFF magic, so
-  real-world lossless WebP bytes decode without libwebp (lossy VP8
-  payloads are gated — that's a video-intra codec).
+- ``webp`` — REAL WebP, both payloads: VP8L (lossless), implemented
+  from the public WebP Lossless Bitstream Specification in webp.py
+  (RIFF container, canonical Huffman codes, LZ77 + color cache,
+  predictor/subtract-green/color-indexing transforms), and lossy VP8
+  key frames, implemented from RFC 6386 in vp8.py (boolean coder,
+  token trees, intra 16x16/4x4 prediction, inverse WHT/DCT, loop
+  filter) — conformance-tested BIT-EXACT against libwebp's own YUV
+  output.  ``decode`` dispatches on the RIFF magic, so real-world
+  WebP bytes of either flavor decode without libwebp.
 - synth ``jpeg``/``webp`` — deterministic stand-in container (lossy.py):
   uniform quantization (PSNR ≈ 47 dB) stored losslessly; kept as the
   BENCH corpus's fast path (the from-spec entropy decoders above are
@@ -57,6 +60,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_jpeg(arr)
     if fmt == "webp-real":
         return encode_webp(arr)
+    if fmt == "webp-lossy":
+        from gdal_ray.codecs.vp8 import encode_webp_vp8
+
+        return encode_webp_vp8(arr)
     if fmt == "gif":
         return encode_gif(arr)
     if fmt == "bmp":

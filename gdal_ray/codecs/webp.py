@@ -684,7 +684,12 @@ def encode_webp(arr: np.ndarray, *, subtract_green: bool = True,
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP VP8L bytes → uint8 (H,W,3) RGB (alpha dropped)."""
+    """RIFF/WEBP bytes → uint8 (H,W,3) RGB (alpha dropped).
+
+    Dispatches on the payload chunk: ``VP8L`` (lossless, this module) or
+    ``VP8 `` (lossy key frame — the from-spec RFC 6386 decoder in
+    vp8.py).  ``VP8X`` extended containers are walked for their image
+    chunk; metadata chunks (EXIF/XMP/ICCP) are skipped."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
@@ -695,14 +700,13 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             payload = data[pos + 8 : pos + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "only the VP8L (lossless) WebP payload is supported "
-                "(lossy VP8 needs a full video-intra decoder)"
-            )
-        pos += 8 + size + (size & 1)
+        if tag == b"VP8 ":
+            from gdal_ray.codecs.vp8 import decode_vp8
+
+            return decode_vp8(data[pos + 8 : pos + 8 + size]).rgb()
+        pos += 8 + size + (size & 1)  # VP8X/EXIF/XMP/ICCP/ALPH: skip
     if payload is None:
-        raise ValueError("no VP8L chunk found")
+        raise ValueError("no VP8L or VP8 chunk found")
     r = _Reader(payload)
     if r.read(8) != 0x2F:
         raise ValueError("bad VP8L signature")

@@ -83,10 +83,20 @@ def test_deterministic():
     assert encode_webp(img) == encode_webp(img)
 
 
-def test_lossy_vp8_gated():
+def test_lossy_vp8_dispatch():
+    # lossy VP8 payloads now route to the RFC 6386 decoder (vp8.py);
+    # a truncated/garbage VP8 chunk is a data error, not a capability gate
     fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\0\0\0\0"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(fake)
+    # real lossy round-trip through the container door
+    from gdal_ray.codecs.vp8 import encode_webp_vp8
+
+    img = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    rgb = np.stack([img, img, img], axis=-1)
+    out = decode_webp(encode_webp_vp8(rgb, qindex=4))
+    assert out.shape == (16, 32, 3)
+    assert abs(out.astype(int).mean() - rgb.astype(int).mean()) < 8
 
 
 def test_not_webp_raises():
