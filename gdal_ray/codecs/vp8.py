@@ -1093,15 +1093,24 @@ def _filter_mb(Y, U, V, my, mx, fp, filter_type, inner, mb_w, mb_h):
 # default probabilities, loop filter level 0)
 
 
-def encode_vp8(rgb: np.ndarray, qindex: int = 20) -> bytes:
+def encode_vp8(rgb: np.ndarray, qindex: int = 20, **opts) -> bytes:
     """Encode an RGB image as a VP8 key frame.  qindex 0..127 selects the
     quantizer (lower = better).  Returns the raw VP8 frame payload."""
     y, u, v = rgb_to_yuv420(np.asarray(rgb))
-    return encode_vp8_yuv(y, u, v, qindex=qindex)
+    return encode_vp8_yuv(y, u, v, qindex=qindex, **opts)
 
 
 def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                   qindex: int = 20) -> bytes:
+                   qindex: int = 20, *, filter_level: int = 0,
+                   filter_type: int = 0, sharpness: int = 0,
+                   n_partitions: int = 1) -> bytes:
+    """Encode YUV420 planes as a VP8 key frame.  filter_level/type/
+    sharpness set the in-loop filter the DECODER applies (intra
+    prediction is normatively pre-filter, so the encoder loop is
+    unchanged); n_partitions (1/2/4/8) splits token rows across
+    partitions for parallel decode."""
+    if n_partitions not in (1, 2, 4, 8):
+        raise ValueError("n_partitions must be 1, 2, 4 or 8")
     height, width = y.shape
     if width >= 1 << 14 or height >= 1 << 14:
         raise ValueError("VP8 dimensions are 14-bit")
@@ -1238,11 +1247,11 @@ def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     be.bool(0, 128)  # color space
     be.bool(0, 128)  # clamping
     be.bool(0, 128)  # segmentation disabled
-    be.bool(0, 128)  # filter type: normal
-    be.literal(0, 6)  # filter level 0 (normative no-op)
-    be.literal(0, 3)  # sharpness
+    be.bool(filter_type & 1, 128)  # filter type (0 normal, 1 simple)
+    be.literal(_clip(filter_level, 63), 6)
+    be.literal(_clip(sharpness, 7), 3)
     be.bool(0, 128)  # no lf deltas
-    be.literal(0, 2)  # 1 token partition
+    be.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
     be.literal(_clip(qindex), 7)
     for _ in range(5):
         be.bool(0, 128)  # no quantizer deltas
@@ -1265,8 +1274,8 @@ def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             be.tree(UV_MODE_TREE, KF_UVMODE_PROBS, int(mb_uvmode[i]))
     part0 = be.done()
 
-    # ---- token partition
-    te = BoolEncoder()
+    # ---- token partitions (MB row r goes to partition r % n)
+    te_parts = [BoolEncoder() for _ in range(n_partitions)]
     probs = [[[list(DEFAULT_COEFF_PROBS[((t * 8 + b) * 3 + c) * 11:
                                         ((t * 8 + b) * 3 + c) * 11 + 11])
                for c in range(3)] for b in range(8)] for t in range(4)]
@@ -1275,6 +1284,7 @@ def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     above_nz_v = np.zeros((mb_w, 2), dtype=np.int32)
     above_nz_y2 = np.zeros(mb_w, dtype=np.int32)
     for my in range(mb_h):
+        te = te_parts[my % n_partitions]
         left_nz_y = [0, 0, 0, 0]
         left_nz_u = [0, 0]
         left_nz_v = [0, 0]
@@ -1308,13 +1318,14 @@ def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                     nz = _encode_coeffs(te, probs[2], 0,
                                         a_nzuv[c] + l_nzuv[r], qs_list[sb])
                     a_nzuv[c] = l_nzuv[r] = int(nz)
-    tokens = te.done()
+    token_parts = [te.done() for te in te_parts]
+    sizes = b"".join(struct.pack("<I", len(p))[:3] for p in token_parts[:-1])
 
     tag = (len(part0) << 5) | (1 << 4) | (0 << 1) | 0  # show_frame, v0, key
     head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
     head += b"\x9d\x01\x2a"
     head += struct.pack("<HH", width, height)
-    return head + part0 + tokens
+    return head + part0 + sizes + b"".join(token_parts)
 
 
 def _scan_to_raster(coeffs):
@@ -1327,9 +1338,11 @@ def _scan_to_raster(coeffs):
 # RIFF container + colorspace
 
 
-def encode_webp_vp8(rgb: np.ndarray, qindex: int = 20) -> bytes:
-    """RGB -> RIFF/WEBP file bytes with a lossy `VP8 ` payload."""
-    payload = encode_vp8(rgb, qindex=qindex)
+def encode_webp_vp8(rgb: np.ndarray, qindex: int = 20, **opts) -> bytes:
+    """RGB -> RIFF/WEBP file bytes with a lossy `VP8 ` payload.  Extra
+    options (filter_level, filter_type, sharpness, n_partitions) pass
+    through to :func:`encode_vp8_yuv`."""
+    payload = encode_vp8(rgb, qindex=qindex, **opts)
     if len(payload) & 1:
         payload += b"\x00"
     riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload

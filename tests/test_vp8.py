@@ -230,6 +230,27 @@ def test_decode_conformance_reference_fixture():
 
 
 @needs_libwebp
+def test_decoder_filter_and_partition_matrix():
+    """Paths libwebp's simple encoder never emits — simple filter type,
+    extreme filter levels/sharpness, multi-partition token streams —
+    exercised via OUR encoder, with libwebp as the decode oracle."""
+    img = _test_image(64, 48)
+    for opts in (dict(qindex=8, n_partitions=4),
+                 dict(qindex=8, n_partitions=8),
+                 dict(qindex=20, filter_level=24),
+                 dict(qindex=20, filter_level=48, sharpness=3),
+                 dict(qindex=20, filter_level=20, filter_type=1),
+                 dict(qindex=30, filter_level=63, filter_type=1,
+                      sharpness=7, n_partitions=2)):
+        data = encode_webp_vp8(img, **opts)
+        Y1, U1, V1 = _libwebp_yuv(data)
+        fr = decode_webp_vp8(data)
+        assert np.array_equal(fr.y, Y1), opts
+        assert np.array_equal(fr.u, U1), opts
+        assert np.array_equal(fr.v, V1), opts
+
+
+@needs_libwebp
 def test_encoder_bitstream_decodable_by_libwebp():
     for (w, h, qi) in [(16, 16, 8), (50, 50, 20), (33, 17, 40)]:
         img = _test_image(w, h, seed=qi)
