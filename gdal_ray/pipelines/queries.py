@@ -4182,6 +4182,91 @@ def q_word_counts(sf_dir: str):
         _read(sf_dir, "documents", columns=["text"])).sort("word")
 
 
+SQL_TFIDF = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+    "GROUP BY doc_id, term), "
+    "dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "nn AS (SELECT COUNT(*) AS n FROM documents) "
+    "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+    "CAST(dfx.df AS BIGINT) AS df, "
+    "CAST(tf.tf * nn.n AS DOUBLE) / dfx.df AS score "
+    "FROM tf JOIN dfx USING (term) CROSS JOIN nn "
+    "WHERE tf.tf >= 3 ORDER BY tf.doc_id, tf.term"
+)
+
+
+def q_tfidf_score(sf_dir: str):
+    """TF-IDF scoring over the documents table (stages/retrieval.py):
+    per-batch (doc,term,tf) rows with NO shuffle (a document is one input
+    row), hash-bucket df reduce, vocabulary-sized df map BROADCAST via
+    ray.put into an actor-pool scoring stage.  score = tf·N/df — the idf
+    ratio without the log (one exact IEEE division, so the DuckDB oracle
+    hashes bit-identically; libm ln() rounding differs across engines)."""
+    from gdal_ray.stages.retrieval import tfidf_scores
+
+    return tfidf_scores(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_tf=3).sort(["doc_id", "term"])
+
+
+SQL_BM25 = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+    "GROUP BY doc_id, term), "
+    "dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "dlx AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id), "
+    "nn AS (SELECT COUNT(*) AS n FROM documents), "
+    "ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nn) AS avgdl "
+    "FROM dlx) "
+    "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+    "CAST(dfx.df AS BIGINT) AS df, "
+    "((nn.n - dfx.df + 0.5e0) / (dfx.df + 0.5e0)) * "
+    "((tf.tf * (1.2e0 + 1.0e0)) / "
+    "(tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * (dlx.dl / ad.avgdl)))) AS score "
+    "FROM tf JOIN dfx USING (term) JOIN dlx USING (doc_id) "
+    "CROSS JOIN nn CROSS JOIN ad "
+    "WHERE tf.tf >= 3 ORDER BY tf.doc_id, tf.term"
+)
+
+
+def q_bm25_rank(sf_dir: str):
+    """BM25 term scoring (Robertson–Spärck Jones; k1=1.2, b=0.75) with the
+    log-free rational idf kernel (N-df+0.5)/(df+0.5) so every float op is
+    a single IEEE operation evaluated in the same order as the SQL oracle
+    — bit-identical hashes without trusting libm.  Same broadcast shape
+    as tfidf_score; avgdl comes from the df reduction, not a driver scan."""
+    from gdal_ray.stages.retrieval import bm25_scores
+
+    return bm25_scores(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_tf=3).sort(["doc_id", "term"])
+
+
+SQL_INVERTED_INDEX = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+    "GROUP BY doc_id, term) "
+    "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+    "STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+    "FROM tf GROUP BY term ORDER BY term"
+)
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build: (term, df, sorted posting list).
+    One shuffle keyed by term (vocabulary-sized groups); postings are the
+    ordered comma-joined doc ids — the retrieval primitive behind
+    dedup-by-containment and quality filtering at corpus scale."""
+    from gdal_ray.stages.retrieval import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])).sort("term")
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (stages/bpe.py; Sennrich 2016): distributed
     word counting, then the deterministic merge loop over the
@@ -5003,6 +5088,9 @@ def queries():
         "clean_text": q_clean_text,
         "doc_quantiles": q_doc_quantiles,
         "image_patches": q_image_patches,
+        "tfidf_score": q_tfidf_score,
+        "bm25_rank": q_bm25_rank,
+        "inverted_index": q_inverted_index,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5194,6 +5282,9 @@ def oracle_sql():
         "clean_text": SQL_CLEAN_TEXT,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "image_patches": SQL_IMAGE_PATCHES,
+        "tfidf_score": SQL_TFIDF,
+        "bm25_rank": SQL_BM25,
+        "inverted_index": SQL_INVERTED_INDEX,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

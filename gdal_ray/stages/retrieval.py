@@ -1,0 +1,182 @@
+"""Text-retrieval primitives over a document table: term frequencies,
+document frequencies, TF-IDF / BM25 scoring, inverted index.
+
+The operator family a training-data pipeline uses for corpus statistics,
+quality weighting and retrieval-based filtering.  Tokenization is the
+engine's standard whitespace-run split (`split_pattern_regex(text,'\\s+')`
+— the DuckDB oracle twin is `regexp_split_to_array(text, '\\s+')`), the
+same contract as stages/bpe.word_counts.
+
+Scale design (100 TB corpus):
+- `doc_term_rows` is a pure per-batch map (each document row is whole, so
+  per-doc term counts are final inside the batch — no shuffle).
+- document frequencies reduce through the engine's hash-bucket
+  `grouped_aggregate` (only (term, 1) pairs shuffle).
+- the (term -> df) side is vocabulary-sized — orders of magnitude smaller
+  than the corpus — so scoring BROADCASTS it (`ray.put` once, read per
+  actor) instead of shuffling the corpus through a join; for a vocabulary
+  too large to broadcast, hash-bucket both sides by term and use the
+  same `grouped_aggregate` machinery (documented fallback, not needed at
+  any realistic vocabulary size).
+- all float scores are single-expression IEEE arithmetic on integer
+  inputs, evaluated in the same operation order as the SQL oracle —
+  bit-stable across engines (no `ln`, whose libm rounding differs).
+
+Reference parity: the reference engine has no retrieval module; this
+family is part of the LLM-data-pipeline surface (SURVEY.md §2 additions,
+like stages/dedup.py and stages/text.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gdal_ray.stages.agg import grouped_aggregate
+
+_SPLIT_RE = r"\s+"
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_term_rows(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """documents -> (doc_id, term, tf, dl) rows.  One map_batches, no
+    shuffle: every document is a single input row, so its term counts and
+    length are complete within the batch."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column(col), _SPLIT_RE)
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        ids = pc.take(b.column(id_col), parent)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"doc_id": pc.cast(ids.filter(keep), pa.int64()),
+                      "term": flat.filter(keep)})
+        tf = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        dl = t.group_by(["doc_id"]).aggregate([("term", "count")])
+        pos = pc.index_in(tf.column("doc_id"), value_set=dl.column("doc_id"))
+        return pa.table({
+            "doc_id": tf.column("doc_id"),
+            "term": tf.column("term"),
+            "tf": pc.cast(tf.column("term_count"), pa.int64()),
+            "dl": pc.cast(pc.take(dl.column("term_count"), pos), pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def document_frequency(tf_rows, *, num_buckets: int = 16):
+    """(doc_id, term, tf, dl) rows -> (term, df) via hash-bucket reduce."""
+    ones = tf_rows.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+        batch_format="pyarrow")
+    return grouped_aggregate(ones, ["term"], [("one", "sum", "df")],
+                             num_buckets=num_buckets)
+
+
+def _df_map(tf_rows) -> tuple[dict, int]:
+    """Materialize the vocabulary-sized (term -> df) map and the total
+    token count.  Driver-side state is O(vocabulary), not O(corpus)."""
+    df_tbl = document_frequency(tf_rows).to_arrow_refs()
+    import ray
+    parts = [ray.get(r) for r in df_tbl]
+    tbl = pa.concat_tables([p for p in parts if p.num_rows])
+    return dict(zip(tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist()))
+
+
+class _ScoreDocs:
+    """Actor-pool scoring stage: the (term -> df) map is shipped ONCE per
+    actor via ray.put (broadcast), then applied per batch vectorized."""
+
+    def __init__(self, df_ref, n_docs: int, avgdl: float | None,
+                 mode: str, min_tf: int):
+        import ray
+        self.df = ray.get(df_ref)
+        self.n = n_docs
+        self.avgdl = avgdl
+        self.mode = mode
+        self.min_tf = min_tf
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.min_tf > 1:
+            b = b.filter(pc.greater_equal(b.column("tf"), self.min_tf))
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        terms = b.column("term").to_pylist()
+        df = np.array([self.df[t] for t in terms], dtype=np.int64)
+        tf = b.column("tf").to_numpy().astype(np.int64)
+        if self.mode == "tfidf":
+            # score = (tf * N) / df — one IEEE division on exact ints
+            score = (tf * self.n).astype(np.float64) / df
+        else:  # bm25 (rational idf kernel; same op order as the oracle)
+            dl = b.column("dl").to_numpy().astype(np.float64)
+            idf = (self.n - df + 0.5) / (df + 0.5)
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avgdl))
+            score = idf * ((tf * (BM25_K1 + 1.0)) / denom)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "term": b.column("term"),
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+
+def _scored(ds, *, mode: str, min_tf: int, col="text", id_col="doc_id"):
+    import ray
+
+    tf_rows = doc_term_rows(ds, col=col, id_col=id_col)
+    dfm = _df_map(tf_rows)
+    # corpus totals from the df/tf reduction, not a driver scan
+    stats = grouped_aggregate(
+        tf_rows.map_batches(
+            lambda b: pa.table({
+                "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "tf": b.column("tf"),
+                "d": b.column("doc_id")}),
+            batch_format="pyarrow"),
+        ["k"], [("tf", "sum", "total_tokens")]).take_all()
+    total_tokens = int(stats[0]["total_tokens"]) if stats else 0
+    n_docs = ds.count()
+    avgdl = float(total_tokens) / n_docs if n_docs else 1.0
+    df_ref = ray.put(dfm)
+    return tf_rows.map_batches(
+        _ScoreDocs, fn_constructor_args=(df_ref, n_docs, avgdl, mode, min_tf),
+        concurrency=(1, 4), batch_format="pyarrow")
+
+
+def tfidf_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id"):
+    """(doc_id, term, tf, df, score) with score = tf·N/df (the idf ratio
+    without the log — a single exact division, cross-engine bit-stable)."""
+    return _scored(ds, mode="tfidf", min_tf=min_tf, col=col, id_col=id_col)
+
+
+def bm25_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id"):
+    """(doc_id, term, tf, df, score) with the BM25 kernel
+    idf_ratio · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)), k1=1.2, b=0.75,
+    idf_ratio = (N-df+0.5)/(df+0.5) (log-free for bit-stability)."""
+    return _scored(ds, mode="bm25", min_tf=min_tf, col=col, id_col=id_col)
+
+
+def inverted_index(ds, *, col="text", id_col="doc_id"):
+    """(term, df, postings): the sorted comma-joined doc-id posting list
+    per term.  Groups are vocabulary-sized — one shuffle by term."""
+
+    tf_rows = doc_term_rows(ds, col=col, id_col=id_col)
+
+    def build(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column("doc_id").to_pylist())
+        return pa.table({
+            "term": pa.array([g.column("term")[0].as_py()], pa.string()),
+            "df": pa.array([len(ids)], pa.int64()),
+            "postings": pa.array([",".join(str(i) for i in ids)], pa.string()),
+        })
+
+    return tf_rows.groupby("term").map_groups(build, batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""Text-retrieval stage (stages/retrieval.py): TF-IDF / BM25 scoring and
+inverted-index build — semantics vs a naive in-process reference, and the
+full pipelines vs DuckDB on the sf0.001 documents table."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.stages.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_scores,
+    doc_term_rows,
+    inverted_index,
+    tfidf_scores,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOCS = [
+    (0, "a b a c"),
+    (1, "b b  c"),
+    (2, "a"),
+    (3, "d d d d"),
+]
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS], pa.string()),
+    }))
+
+
+def test_doc_term_rows_semantics(ray_session):
+    rows = doc_term_rows(_docs_ds()).to_pandas()
+    got = {(r.doc_id, r.term): (r.tf, r.dl) for r in rows.itertuples()}
+    assert got[(0, "a")] == (2, 4)
+    assert got[(0, "b")] == (1, 4)
+    assert got[(1, "b")] == (2, 3)  # double space collapses to one split
+    assert got[(2, "a")] == (1, 1)
+    assert got[(3, "d")] == (4, 4)
+    assert len(got) == 7
+
+
+def test_tfidf_and_bm25_vs_naive(ray_session):
+    n = len(DOCS)
+    tf = {}
+    for d, t in DOCS:
+        for w in t.split():
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    dl = {d: len(t.split()) for d, t in DOCS}
+    avgdl = sum(dl.values()) / n
+
+    out = tfidf_scores(_docs_ds(), min_tf=1).to_pandas()
+    for r in out.itertuples():
+        assert r.df == df[r.term]
+        assert r.score == (tf[(r.doc_id, r.term)] * n) / df[r.term]
+
+    out = bm25_scores(_docs_ds(), min_tf=1).to_pandas()
+    for r in out.itertuples():
+        t = tf[(r.doc_id, r.term)]
+        idf = (n - df[r.term] + 0.5) / (df[r.term] + 0.5)
+        denom = t + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[r.doc_id] / avgdl))
+        assert r.score == idf * ((t * (BM25_K1 + 1.0)) / denom)
+
+
+def test_inverted_index_semantics(ray_session):
+    out = inverted_index(_docs_ds()).to_pandas().set_index("term")
+    assert out.loc["a", "postings"] == "0,2"
+    assert out.loc["b", "postings"] == "0,1"
+    assert out.loc["d", "postings"] == "3"
+    assert int(out.loc["c", "df"]) == 2
+
+
+def test_bm25_pipeline_vs_duckdb(ray_session):
+    from gdal_ray.pipelines.queries import SQL_BM25, q_bm25_rank
+
+    mine = q_bm25_rank(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ref = con.execute(SQL_BM25).df()
+    mine = mine.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    ref = ref.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert len(mine) == len(ref) > 0
+    assert (mine["tf"].to_numpy() == ref["tf"].to_numpy()).all()
+    assert (mine["df"].to_numpy() == ref["df"].to_numpy()).all()
+    # bit-exact scores: log-free kernel, identical op order
+    assert (mine["score"].to_numpy() == ref["score"].to_numpy()).all()
