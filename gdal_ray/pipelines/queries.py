@@ -4245,6 +4245,45 @@ def q_bm25_rank(sf_dir: str):
         min_tf=3).sort(["doc_id", "term"])
 
 
+BM25_QUERY_TERMS = ("filter", "join", "scan")
+
+SQL_BM25_TOPK = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+    "GROUP BY doc_id, term), "
+    "dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "dlx AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id), "
+    "nn AS (SELECT COUNT(*) AS n FROM documents), "
+    "ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nn) AS avgdl "
+    "FROM dlx), "
+    "bm AS (SELECT tf.doc_id, CAST(FLOOR("
+    "((nn.n - dfx.df + 0.5e0) / (dfx.df + 0.5e0)) * "
+    "((tf.tf * (1.2e0 + 1.0e0)) / "
+    "(tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * (dlx.dl / ad.avgdl)))) "
+    "* 1000000.0e0) AS BIGINT) AS s "
+    "FROM tf JOIN dfx USING (term) JOIN dlx USING (doc_id) "
+    "CROSS JOIN nn CROSS JOIN ad "
+    "WHERE tf.term IN ('filter', 'join', 'scan')) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+    "CAST(SUM(s) AS BIGINT) AS score_u "
+    "FROM bm GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 20"
+)
+
+
+def q_bm25_topk(sf_dir: str):
+    """Query-time BM25 retrieval: rank documents for a fixed term query.
+    Per-(doc,term) scores quantize to integer micro-units with one
+    deterministic floor, so the per-doc sum is EXACT integer arithmetic —
+    distributed float-summation order can never flip the ranking or the
+    hash.  Top-k = (score desc, doc_id) with a tie-safe total order."""
+    from gdal_ray.stages.retrieval import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        list(BM25_QUERY_TERMS), k=20)
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5090,6 +5129,7 @@ def queries():
         "image_patches": q_image_patches,
         "tfidf_score": q_tfidf_score,
         "bm25_rank": q_bm25_rank,
+        "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
@@ -5284,6 +5324,7 @@ def oracle_sql():
         "image_patches": SQL_IMAGE_PATCHES,
         "tfidf_score": SQL_TFIDF,
         "bm25_rank": SQL_BM25,
+        "bm25_topk": SQL_BM25_TOPK,
         "inverted_index": SQL_INVERTED_INDEX,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,

@@ -165,6 +165,39 @@ def bm25_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id"):
     return _scored(ds, mode="bm25", min_tf=min_tf, col=col, id_col=id_col)
 
 
+def bm25_topk(ds, query_terms: list[str], k: int = 20, *,
+              col="text", id_col="doc_id"):
+    """Query-time BM25 document ranking: per-(doc,term) BM25 scores for
+    the query terms, micro-unit integer quantization (floor(score·1e6) —
+    a single deterministic IEEE op), exact integer per-doc sum through
+    the hash-bucket aggregate (float summation order never matters), and
+    a (score desc, doc_id) top-k.  Returns (doc_id, n_terms, score_u)."""
+    scored = _scored(ds, mode="bm25", min_tf=1, col=col, id_col=id_col)
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+
+    def to_units(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("term"), value_set=qset))
+        s = np.floor(b.column("score").to_numpy(zero_copy_only=False)
+                     * 1000000.0).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    ranked = grouped_aggregate(
+        scored.map_batches(to_units, batch_format="pyarrow"),
+        ["doc_id"], [("one", "sum", "n_terms"), ("s", "sum", "score_u")])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "neg_score", pc.multiply(b.column("score_u"), pa.scalar(-1)))
+
+    return (ranked.map_batches(neg, batch_format="pyarrow")
+            .sort(["neg_score", "doc_id"]).limit(k)
+            .drop_columns(["neg_score"]))
+
+
 def inverted_index(ds, *, col="text", id_col="doc_id"):
     """(term, df, postings): the sorted comma-joined doc-id posting list
     per term.  Groups are vocabulary-sized — one shuffle by term."""

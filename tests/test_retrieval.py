@@ -78,6 +78,20 @@ def test_inverted_index_semantics(ray_session):
     assert int(out.loc["c", "df"]) == 2
 
 
+def test_bm25_topk_vs_duckdb(ray_session):
+    from gdal_ray.pipelines.queries import SQL_BM25_TOPK, q_bm25_topk
+
+    mine = q_bm25_topk(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ref = con.execute(SQL_BM25_TOPK).df()
+    assert len(mine) == len(ref) == 20
+    assert (mine["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (mine["score_u"].to_numpy() == ref["score_u"].to_numpy()).all()
+    assert (np.diff(mine["score_u"].to_numpy()) <= 0).all()
+
+
 def test_bm25_pipeline_vs_duckdb(ray_session):
     from gdal_ray.pipelines.queries import SQL_BM25, q_bm25_rank
 
