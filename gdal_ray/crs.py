@@ -1491,6 +1491,25 @@ def proj_pair(s: str):
     families."""
     p = parse_proj_params(s)
     pair = _proj_pair_raw(p)
+    grids = p.get("nadgrids")
+    if grids not in (None, True) and str(grids) not in ("@null", "null"):
+        # +nadgrids=path.gsb — NTv2 horizontal grid shift (PROJ
+        # hgridshift): local-datum lon/lat -> shifted lon/lat before the
+        # projection kernel, exactly where PROJ applies it
+        from gdal_ray.sources.ntv2 import ntv2_transform
+
+        g_fwd, g_inv = ntv2_transform(str(grids))
+        raw_fwd, raw_inv = pair
+
+        def fwd(lon, lat):  # shifted-datum lon/lat -> projected local
+            lo, la = g_inv(lon, lat)
+            return raw_fwd(lo, la)
+
+        def inv(E, N):
+            lo, la = raw_inv(E, N)
+            return g_fwd(lo, la)
+
+        pair = (fwd, inv)
     tow = p.get("towgs84")
     if tow in (None, True):
         return pair

@@ -146,6 +146,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.rawgrid import read_rawgrid
 
         return read_rawgrid(path, **kw)
+    if low.endswith(".gsb"):
+        from gdal_ray.sources.ntv2 import read_ntv2
+
+        return read_ntv2(path, **kw)
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.dted import read_dted
 
