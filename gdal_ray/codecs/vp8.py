@@ -600,72 +600,84 @@ def _pred4(mode: int, A, L, P):
 
 
 # ---------------------------------------------------------------------------
-# loop filter (§15) — operates on signed deltas around 128
+# loop filter (§15) — vectorized: one numpy call per 16/8-pixel edge.
+# Signed arithmetic around 128 with int32 lanes; every clamp/shift matches
+# the reference scalar semantics bit-for-bit (conformance-gated).
 
 
-def _c(v):
-    return -128 if v < -128 else (127 if v > 127 else v)
+def _filter_edge(seg: np.ndarray, kind: str, hev_t: int,
+                 interior: int, edge: int) -> np.ndarray:
+    """seg: (n, 8) int32 pixel columns [p3 p2 p1 p0 q0 q1 q2 q3] in
+    0..255.  Returns the filtered (n, 8) array.  kind: 'mb' (macroblock
+    edge, 6-tap), 'sub' (subblock edge, 4-tap), 'simple' (luma-only)."""
+    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    base = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge
+    if kind == "simple":
+        mask = base
+    else:
+        mask = (base
+                & (np.abs(p3 - p2) <= interior) & (np.abs(p2 - p1) <= interior)
+                & (np.abs(p1 - p0) <= interior) & (np.abs(q1 - q0) <= interior)
+                & (np.abs(q2 - q1) <= interior) & (np.abs(q3 - q2) <= interior))
+    if not mask.any():
+        return seg
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+
+    def c(v):
+        return np.maximum(np.minimum(v, 127), -128)
+
+    P2, P1, P0 = p2 - 128, p1 - 128, p0 - 128
+    Q0, Q1, Q2 = q0 - 128, q1 - 128, q2 - 128
+    out = seg.copy()
+
+    def common(outer_mask, apply_mask):
+        # §15.2 common_adjust: returns F; updates p0/q0 where apply_mask
+        a = c(np.where(outer_mask, c(P1 - Q1), 0) + 3 * (Q0 - P0))
+        F = c(a + 4) >> 3
+        E = c(a + 3) >> 3
+        out[:, 4] = np.where(apply_mask, c(Q0 - F) + 128, out[:, 4])
+        out[:, 3] = np.where(apply_mask, c(P0 + E) + 128, out[:, 3])
+        return F
+
+    if kind == "simple":
+        common(np.ones_like(mask), mask)
+        return out
+    if kind == "sub":
+        F = common(hev, mask)
+        a2 = (F + 1) >> 1
+        soft = mask & ~hev
+        out[:, 5] = np.where(soft, c(Q1 - a2) + 128, out[:, 5])
+        out[:, 2] = np.where(soft, c(P1 + a2) + 128, out[:, 2])
+        return out
+    # 'mb': 6-tap where not hev, common_adjust where hev (§15.3)
+    w = c(c(P1 - Q1) + 3 * (Q0 - P0))
+    soft = mask & ~hev
+    a27 = c((27 * w + 63) >> 7)
+    a18 = c((18 * w + 63) >> 7)
+    a9 = c((9 * w + 63) >> 7)
+    out[:, 4] = np.where(soft, c(Q0 - a27) + 128, out[:, 4])
+    out[:, 3] = np.where(soft, c(P0 + a27) + 128, out[:, 3])
+    out[:, 5] = np.where(soft, c(Q1 - a18) + 128, out[:, 5])
+    out[:, 2] = np.where(soft, c(P1 + a18) + 128, out[:, 2])
+    out[:, 6] = np.where(soft, c(Q2 - a9) + 128, out[:, 6])
+    out[:, 1] = np.where(soft, c(P2 + a9) + 128, out[:, 1])
+    common(np.ones_like(mask), mask & hev)
+    return out
 
 
-def _common_adjust(use_outer, px, i_p1, i_p0, i_q0, i_q1):
-    p1 = int(px[i_p1]) - 128
-    p0 = int(px[i_p0]) - 128
-    q0 = int(px[i_q0]) - 128
-    q1 = int(px[i_q1]) - 128
-    a = _c((_c(p1 - q1) if use_outer else 0) + 3 * (q0 - p0))
-    f = _c(a + 4) >> 3
-    e = _c(a + 3) >> 3
-    px[i_q0] = _c(q0 - f) + 128
-    px[i_p0] = _c(p0 + e) + 128
-    return f
+def _v_edge(plane: np.ndarray, r0: int, n: int, x: int, kind: str,
+            hev_t: int, interior: int, edge: int) -> None:
+    seg = plane[r0:r0 + n, x - 4:x + 4].astype(np.int32)
+    plane[r0:r0 + n, x - 4:x + 4] = _filter_edge(
+        seg, kind, hev_t, interior, edge).astype(np.uint8)
 
 
-def _filter_mask(px, idx, interior, edge):
-    p3, p2, p1, p0, q0, q1, q2, q3 = (int(px[i]) for i in idx)
-    return (abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge
-            and abs(p3 - p2) <= interior and abs(p2 - p1) <= interior
-            and abs(p1 - p0) <= interior and abs(q1 - q0) <= interior
-            and abs(q2 - q1) <= interior and abs(q3 - q2) <= interior)
-
-
-def _is_hev(px, idx, thresh):
-    return (abs(int(px[idx[2]]) - int(px[idx[3]])) > thresh
-            or abs(int(px[idx[5]]) - int(px[idx[4]])) > thresh)
-
-
-def _subblock_filter(px, idx, hev_t, interior, edge):
-    if _filter_mask(px, idx, interior, edge):
-        hv = _is_hev(px, idx, hev_t)
-        a = _common_adjust(hv, px, idx[2], idx[3], idx[4], idx[5])
-        if not hv:
-            a = (a + 1) >> 1
-            px[idx[5]] = _c(int(px[idx[5]]) - 128 - a) + 128
-            px[idx[2]] = _c(int(px[idx[2]]) - 128 + a) + 128
-
-
-def _mb_filter(px, idx, hev_t, interior, edge):
-    if _filter_mask(px, idx, interior, edge):
-        if not _is_hev(px, idx, hev_t):
-            p2, p1, p0 = (int(px[idx[i]]) - 128 for i in (1, 2, 3))
-            q0, q1, q2 = (int(px[idx[i]]) - 128 for i in (4, 5, 6))
-            w = _c(_c(p1 - q1) + 3 * (q0 - p0))
-            a = _c((27 * w + 63) >> 7)
-            px[idx[4]] = _c(q0 - a) + 128
-            px[idx[3]] = _c(p0 + a) + 128
-            a = _c((18 * w + 63) >> 7)
-            px[idx[5]] = _c(q1 - a) + 128
-            px[idx[2]] = _c(p1 + a) + 128
-            a = _c((9 * w + 63) >> 7)
-            px[idx[6]] = _c(q2 - a) + 128
-            px[idx[1]] = _c(p2 + a) + 128
-        else:
-            _common_adjust(1, px, idx[2], idx[3], idx[4], idx[5])
-
-
-def _simple_filter(px, idx, edge):
-    p1, p0, q0, q1 = (int(px[i]) for i in (idx[2], idx[3], idx[4], idx[5]))
-    if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge:
-        _common_adjust(1, px, idx[2], idx[3], idx[4], idx[5])
+def _h_edge(plane: np.ndarray, c0: int, n: int, y: int, kind: str,
+            hev_t: int, interior: int, edge: int) -> None:
+    seg = plane[y - 4:y + 4, c0:c0 + n].T.astype(np.int32)
+    plane[y - 4:y + 4, c0:c0 + n] = _filter_edge(
+        seg, kind, hev_t, interior, edge).astype(np.uint8).T
 
 
 class _FilterParams:
@@ -1014,78 +1026,45 @@ def decode_vp8(data: bytes) -> VP8Frame:
 
 def _filter_mb(Y, U, V, my, mx, fp, filter_type, inner, mb_w, mb_h):
     """Apply the loop filter to one macroblock (§15.1 ordering: left MB
-    edge, inner vertical edges, top MB edge, inner horizontal edges)."""
+    edge, inner vertical edges, top MB edge, inner horizontal edges) —
+    each edge is ONE vectorized call over its 16/8 pixel lanes."""
     py, px = my * 16, mx * 16
     cy, cx = my * 8, mx * 8
-    H = Y.shape[0]
-
-    def v_edge_luma(x0, fn, limit):
-        for r in range(16):
-            row = Y[py + r]
-            idx = [px + x0 - 4, px + x0 - 3, px + x0 - 2, px + x0 - 1,
-                   px + x0, px + x0 + 1, px + x0 + 2, px + x0 + 3]
-            fn(row, idx, fp.hev, fp.interior, limit)
-
-    def h_edge_luma(y0, fn, limit):
-        col_base = py + y0
-        for c in range(16):
-            colv = Y[:, px + c]
-            idx = [col_base - 4, col_base - 3, col_base - 2, col_base - 1,
-                   col_base, col_base + 1, col_base + 2, col_base + 3]
-            fn(colv, idx, fp.hev, fp.interior, limit)
-
-    def v_edge_chroma(x0, fn, limit):
-        for P, bx in ((U, cx), (V, cx)):
-            for r in range(8):
-                row = P[cy + r]
-                idx = [bx + x0 - 4, bx + x0 - 3, bx + x0 - 2, bx + x0 - 1,
-                       bx + x0, bx + x0 + 1, bx + x0 + 2, bx + x0 + 3]
-                fn(row, idx, fp.hev, fp.interior, limit)
-
-    def h_edge_chroma(y0, fn, limit):
-        base = cy + y0
-        for P, bx in ((U, cx), (V, cx)):
-            for c in range(8):
-                colv = P[:, bx + c]
-                idx = [base - 4, base - 3, base - 2, base - 1,
-                       base, base + 1, base + 2, base + 3]
-                fn(colv, idx, fp.hev, fp.interior, limit)
+    hev, interior = fp.hev, fp.interior
 
     if filter_type == 1:  # simple: luma only
-        def sf(px_, idx, _h, _i, limit):
-            _simple_filter(px_, idx, limit)
         if mx > 0:
-            v_edge_luma(0, sf, fp.mb_edge)
+            _v_edge(Y, py, 16, px, "simple", hev, interior, fp.mb_edge)
         if inner:
             for x0 in (4, 8, 12):
-                v_edge_luma(x0, sf, fp.sub_edge)
+                _v_edge(Y, py, 16, px + x0, "simple", hev, interior,
+                        fp.sub_edge)
         if my > 0:
-            h_edge_luma(0, sf, fp.mb_edge)
+            _h_edge(Y, px, 16, py, "simple", hev, interior, fp.mb_edge)
         if inner:
             for y0 in (4, 8, 12):
-                h_edge_luma(y0, sf, fp.sub_edge)
+                _h_edge(Y, px, 16, py + y0, "simple", hev, interior,
+                        fp.sub_edge)
         return
 
-    def mbf(px_, idx, hev_t, interior, limit):
-        _mb_filter(px_, idx, hev_t, interior, limit)
-
-    def sbf(px_, idx, hev_t, interior, limit):
-        _subblock_filter(px_, idx, hev_t, interior, limit)
-
     if mx > 0:
-        v_edge_luma(0, mbf, fp.mb_edge)
-        v_edge_chroma(0, mbf, fp.mb_edge)
+        _v_edge(Y, py, 16, px, "mb", hev, interior, fp.mb_edge)
+        _v_edge(U, cy, 8, cx, "mb", hev, interior, fp.mb_edge)
+        _v_edge(V, cy, 8, cx, "mb", hev, interior, fp.mb_edge)
     if inner:
         for x0 in (4, 8, 12):
-            v_edge_luma(x0, sbf, fp.sub_edge)
-        v_edge_chroma(4, sbf, fp.sub_edge)
+            _v_edge(Y, py, 16, px + x0, "sub", hev, interior, fp.sub_edge)
+        _v_edge(U, cy, 8, cx + 4, "sub", hev, interior, fp.sub_edge)
+        _v_edge(V, cy, 8, cx + 4, "sub", hev, interior, fp.sub_edge)
     if my > 0:
-        h_edge_luma(0, mbf, fp.mb_edge)
-        h_edge_chroma(0, mbf, fp.mb_edge)
+        _h_edge(Y, px, 16, py, "mb", hev, interior, fp.mb_edge)
+        _h_edge(U, cx, 8, cy, "mb", hev, interior, fp.mb_edge)
+        _h_edge(V, cx, 8, cy, "mb", hev, interior, fp.mb_edge)
     if inner:
         for y0 in (4, 8, 12):
-            h_edge_luma(y0, sbf, fp.sub_edge)
-        h_edge_chroma(4, sbf, fp.sub_edge)
+            _h_edge(Y, px, 16, py + y0, "sub", hev, interior, fp.sub_edge)
+        _h_edge(U, cx, 8, cy + 4, "sub", hev, interior, fp.sub_edge)
+        _h_edge(V, cx, 8, cy + 4, "sub", hev, interior, fp.sub_edge)
 
 
 # ---------------------------------------------------------------------------
