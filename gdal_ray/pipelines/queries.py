@@ -4346,6 +4346,27 @@ def q_sql_stragg(sf_dir: str):
                        {"documents": _read(sf_dir, "documents")})
 
 
+SQL_IFACE_UNNEST = (
+    "SELECT w AS word, lang, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w "
+    "FROM documents) toks WHERE w <> '' AND w >= 'p' "
+    "GROUP BY w, lang ORDER BY word, lang"
+)
+
+
+def q_sql_unnest(sf_dir: str):
+    """SQL front end round 4c: UNNEST(regexp_split_to_array(...)) in the
+    select list (one row per list element, sibling columns repeated via
+    list_parent_indices — a pure per-batch flat map) + FROM (SELECT ...)
+    derived tables.  The tokenize-then-aggregate shape every corpus-
+    statistics pipeline uses, now expressible in the engine's own SQL;
+    IDENTICAL string runs on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_IFACE_UNNEST,
+                       {"documents": _read(sf_dir, "documents")})
+
+
 SQL_IFACE_PERCENTILE = (
     "SELECT o_orderpriority, "
     "CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) "
@@ -5131,6 +5152,7 @@ def queries():
         "bm25_rank": q_bm25_rank,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
+        "sql_unnest": q_sql_unnest,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5326,6 +5348,7 @@ def oracle_sql():
         "bm25_rank": SQL_BM25,
         "bm25_topk": SQL_BM25_TOPK,
         "inverted_index": SQL_INVERTED_INDEX,
+        "sql_unnest": SQL_IFACE_UNNEST,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

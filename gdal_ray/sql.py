@@ -593,7 +593,22 @@ def _parse_select_body(p: _P) -> dict:
         if not p.accept("op", ","):
             break
     p.expect("kw", "FROM")
-    table = p.expect("id")[1]
+    from_sub = None
+    if p.accept("op", "("):
+        # FROM (SELECT ...) [AS] alias — derived table: the subquery
+        # executes into the table namespace under its alias
+        from_sub = _parse_set_expr(p)
+        p.expect("op", ")")
+        table = "__sub"
+        if p.accept("kw", "AS"):
+            table = p.expect("id")[1]
+        elif p.peek()[0] == "id" and p.peek()[1].upper() not in (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "LEFT", "INNER",
+                "JOIN", "HAVING", "QUALIFY", "OFFSET", "ASOF", "UNION",
+                "INTERSECT", "EXCEPT"):
+            table = p.next()[1]
+    else:
+        table = p.expect("id")[1]
     joins = []  # (kind, table, left_key, right_key) — swq LEFT JOIN ON equality
     while True:
         kk, vv = p.peek()
@@ -665,7 +680,8 @@ def _parse_select_body(p: _P) -> dict:
     offset = 0
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num")[1])
-    return {"items": items, "table": table, "joins": joins, "where": where,
+    return {"items": items, "table": table, "from_sub": from_sub,
+            "joins": joins, "where": where,
             "group": group, "rollup": rollup, "having": having,
             "qualify": qualify, "order": order, "limit": limit,
             "offset": offset, "distinct": distinct}
@@ -859,6 +875,17 @@ def _eval(node, batch: pa.Table):
             return pc.ends_with(args[0], _lit_str(node, 1))
         if fn == "REGEXP_MATCHES":
             return pc.match_substring_regex(args[0], _lit_str(node, 1))
+        if fn == "REGEXP_SPLIT_TO_ARRAY":
+            return pc.split_pattern_regex(args[0], _lit_str(node, 1))
+        if fn in ("STRING_SPLIT", "STR_SPLIT", "STRING_TO_ARRAY"):
+            return pc.split_pattern(args[0], _lit_str(node, 1))
+        if fn == "LEN_LIST" or fn == "LIST_LENGTH" or fn == "ARRAY_LENGTH":
+            return pc.list_value_length(args[0]).cast(pa.int64())
+        if fn == "UNNEST":
+            raise NotImplementedError(
+                "UNNEST is only supported at the top level of a plain "
+                "SELECT list (wrap aggregations around it in a subquery "
+                "or CTE, as in DuckDB)")
         if fn == "STRPOS" or fn == "INSTR":
             # 1-based, 0 when absent (DuckDB) — find_substring is 0/-1
             return pc.add(pc.find_substring(args[0], _lit_str(node, 1)),
@@ -1613,6 +1640,9 @@ def _execute_one(q: dict, tables: dict):
             ds = ds.limit(tail["limit"])
         return ds
     q = _resolve_subqueries_in_q(q, tables)
+    if q.get("from_sub") is not None:
+        tables = dict(tables)
+        tables[q["table"]] = _execute_one(q["from_sub"], tables)
     ds = tables[q["table"]]
     funcs = dict(_CUSTOM_FUNCS)  # snapshot for worker-side closures
 
@@ -1761,6 +1791,51 @@ def _execute_one(q: dict, tables: dict):
             ds = _execute_aggregate(ds, q, funcs)
     elif q.get("having") is not None:
         raise ValueError("HAVING requires GROUP BY")
+    elif any(isinstance(n, tuple) and n[0] == "call" and n[1] == "UNNEST"
+             for n, _ in items):
+        # UNNEST in the select list (DuckDB semantics): the list expression
+        # expands to one row per element; sibling columns repeat via
+        # list_parent_indices — a pure per-batch flat map, no shuffle.
+        un = [idx for idx, (n, _) in enumerate(items)
+              if isinstance(n, tuple) and n[0] == "call" and n[1] == "UNNEST"]
+        if len(un) != 1:
+            raise NotImplementedError("one UNNEST per select list")
+        if any(n == "star" or (isinstance(n, tuple) and n[0] == "star_except")
+               for n, _ in items):
+            raise NotImplementedError("UNNEST with * (name the columns)")
+        u = un[0]
+        inner_node = items[u][0][2][0]
+
+        def project_unnest(b: pa.Table) -> pa.Table:
+            inner = _eval_with_funcs(inner_node, b, funcs)
+            if isinstance(inner, pa.ChunkedArray):
+                inner = inner.combine_chunks()
+            parent = pc.list_parent_indices(inner)
+            flat = pc.list_flatten(inner)
+            cols, names = [], []
+            for idx, (node, name) in enumerate(items):
+                if idx == u:
+                    v = flat
+                else:
+                    v = _eval_with_funcs(node, b, funcs)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.array([v.as_py()] * len(b))
+                    if isinstance(v, pa.ChunkedArray):
+                        v = v.combine_chunks()
+                    v = pc.take(v, parent)
+                cols.append(v)
+                names.append(name or _default_name(node, idx))
+            return pa.table(dict(zip(names, cols)))
+
+        ds = ds.map_batches(project_unnest, batch_format="pyarrow")
+        if q.get("distinct"):
+            from gdal_ray.stages.agg import grouped_aggregate
+
+            names = [name or _default_name(node, idx)
+                     for idx, (node, name) in enumerate(items)]
+            ds = grouped_aggregate(ds, names, [(names[0], "count", "__n")])
+            ds = ds.drop_columns(["__n"]).map_batches(
+                lambda b: b.select(names), batch_format="pyarrow")
     else:
         def project(b: pa.Table) -> pa.Table:
             cols, names = [], []

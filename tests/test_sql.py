@@ -358,3 +358,41 @@ def test_ogr_special_fields(ray_session):
     for _, row in out2.iterrows():
         assert wkt_to_wkb(row.wkt) is not None
         assert row.wkt.startswith(("POLYGON", "MULTIPOLYGON"))
+
+
+def test_unnest_and_from_subquery(ray_session):
+    """UNNEST in the select list + FROM (SELECT ...) derived tables:
+    identical strings vs DuckDB on the documents table."""
+    import duckdb
+    import ray.data as rd
+
+    from gdal_ray.sql import execute_sql
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sql = ("SELECT w AS word, COUNT(*) AS n FROM "
+           "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w "
+           "FROM documents) WHERE w <> '' GROUP BY w ORDER BY word")
+    mine = execute_sql(sql, {"documents": docs}).to_pandas()
+    ref = con.execute(sql).df()
+    assert len(mine) == len(ref) > 0
+    assert (mine["word"].to_numpy() == ref["word"].to_numpy()).all()
+    assert (mine["n"].to_numpy() == ref["n"].to_numpy()).all()
+    # sibling columns repeat per element
+    out = execute_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents WHERE doc_id = 0", {"documents": docs}).to_pandas()
+    first = docs.take(1)[0]
+    assert list(out["tok"]) == first["text"].split(" ")
+    assert (out["doc_id"] == 0).all()
+    # DISTINCT over the unnested stream
+    d1 = execute_sql(
+        "SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS w "
+        "FROM documents ORDER BY w", {"documents": docs}).to_pandas()
+    d2 = con.execute(
+        "SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS w "
+        "FROM documents ORDER BY w").df()
+    assert list(d1["w"]) == list(d2["w"])
