@@ -150,6 +150,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.ntv2 import read_ntv2
 
         return read_ntv2(path, **kw)
+    if low.endswith(".gtx"):
+        from gdal_ray.sources.gtx import read_gtx_dataset
+
+        return read_gtx_dataset(path, **kw)
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.dted import read_dted
 
