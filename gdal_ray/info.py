@@ -26,6 +26,32 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _tiff(path, stats)
     if low.endswith((".png", ".jpg", ".jpeg", ".webp", ".gif", ".bmp")):
         return _image(path, stats)
+    if low.endswith(".gsb"):
+        from gdal_ray.sources.ntv2 import read_gsb
+
+        grids = read_gsb(path)
+        return {
+            "driver": "NTv2",
+            "n_subgrids": len(grids),
+            "subgrids": [{
+                "name": g.name, "parent": g.parent,
+                "size": list(g.shape),
+                "bbox_deg": [-g.w_long / 3600.0, g.s_lat / 3600.0,
+                             -g.e_long / 3600.0, g.n_lat / 3600.0],
+                "inc_sec": [g.lat_inc, g.lon_inc],
+            } for g in grids],
+        }
+    if low.endswith(".gtx"):
+        from gdal_ray.sources.gtx import read_gtx
+
+        ll_lat, ll_lon, dlat, dlon, grid = read_gtx(path)
+        return {
+            "driver": "GTX",
+            "size": [grid.shape[1], grid.shape[0]],
+            "origin": [ll_lon, ll_lat],
+            "pixel_size": [dlon, dlat],
+            "n_nodata": int(np.isnan(grid).sum()),
+        }
     if low.endswith(".hgt"):
         from gdal_ray.sources.rawgrid import hgt_meta
 
