@@ -4284,6 +4284,32 @@ def q_bm25_topk(sf_dir: str):
         list(BM25_QUERY_TERMS), k=20)
 
 
+SQL_REP_STATS = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+    "GROUP BY doc_id, term) "
+    "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+    "1.0e0 - CAST(COUNT(*) AS DOUBLE) / SUM(tf) AS dup_frac, "
+    "CAST(MAX(tf) AS DOUBLE) / SUM(tf) AS top_frac "
+    "FROM tf GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def q_rep_stats(sf_dir: str):
+    """Per-document repetition statistics (Gopher quality rules, Rae et
+    al. 2021): duplicate-token fraction and top-token fraction — the
+    filters large-corpus curation applies before training.  Shuffle-free
+    (per-batch group over whole-document rows); fractions are single
+    IEEE divisions on exact integers so the DuckDB oracle hashes
+    bit-identically."""
+    from gdal_ray.stages.retrieval import repetition_stats
+
+    return repetition_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])).sort("doc_id")
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5153,6 +5179,7 @@ def queries():
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "sql_unnest": q_sql_unnest,
+        "rep_stats": q_rep_stats,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5349,6 +5376,7 @@ def oracle_sql():
         "bm25_topk": SQL_BM25_TOPK,
         "inverted_index": SQL_INVERTED_INDEX,
         "sql_unnest": SQL_IFACE_UNNEST,
+        "rep_stats": SQL_REP_STATS,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -198,6 +198,36 @@ def bm25_topk(ds, query_terms: list[str], k: int = 20, *,
             .drop_columns(["neg_score"]))
 
 
+def repetition_stats(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition/quality statistics (the Gopher-rule
+    family, Rae et al. 2021 §A1.1): token count, distinct-token count,
+    duplicate-token fraction (1 - distinct/total) and top-token fraction
+    (max tf / total).  Pure per-batch map over (doc_id, term, tf) rows —
+    a document never spans batches, so every statistic is final locally;
+    no shuffle.  Fractions are single IEEE divisions on exact integers
+    (bit-stable vs the SQL oracle)."""
+
+    tf_rows = doc_term_rows(ds, col=col, id_col=id_col)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id"]).aggregate(
+            [("tf", "sum"), ("tf", "count"), ("tf", "max"), ("dl", "max")])
+        total = g.column("tf_sum").to_numpy().astype(np.int64)
+        ndist = g.column("tf_count").to_numpy().astype(np.int64)
+        top = g.column("tf_max").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_tokens": pa.array(total, pa.int64()),
+            "n_distinct": pa.array(ndist, pa.int64()),
+            "dup_frac": pa.array(
+                1.0 - ndist.astype(np.float64) / total, pa.float64()),
+            "top_frac": pa.array(
+                top.astype(np.float64) / total, pa.float64()),
+        })
+
+    return tf_rows.map_batches(per_batch, batch_format="pyarrow")
+
+
 def inverted_index(ds, *, col="text", id_col="doc_id"):
     """(term, df, postings): the sorted comma-joined doc-id posting list
     per term.  Groups are vocabulary-sized — one shuffle by term."""

@@ -78,6 +78,21 @@ def test_inverted_index_semantics(ray_session):
     assert int(out.loc["c", "df"]) == 2
 
 
+def test_repetition_stats_semantics(ray_session):
+    from gdal_ray.stages.retrieval import repetition_stats
+
+    out = repetition_stats(_docs_ds()).to_pandas().set_index("doc_id")
+    # doc 0 = "a b a c": 4 tokens, 3 distinct, dup 1-3/4, top 2/4
+    assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "n_distinct"] == 3
+    assert out.loc[0, "dup_frac"] == 1.0 - 3.0 / 4.0
+    assert out.loc[0, "top_frac"] == 2.0 / 4.0
+    # doc 3 = "d d d d": fully repeated
+    assert out.loc[3, "dup_frac"] == 1.0 - 1.0 / 4.0
+    assert out.loc[3, "top_frac"] == 1.0
+    # doc 2 = "a": no repetition
+    assert out.loc[2, "dup_frac"] == 0.0
+
+
 def test_bm25_topk_vs_duckdb(ray_session):
     from gdal_ray.pipelines.queries import SQL_BM25_TOPK, q_bm25_topk
 
