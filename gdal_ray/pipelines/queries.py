@@ -4310,6 +4310,32 @@ def q_rep_stats(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"])).sort("doc_id")
 
 
+SQL_DECONTAMINATE = (
+    "WITH arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '') AS a FROM documents), "
+    "pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i "
+    "FROM arr), "
+    "grams AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g FROM pos), "
+    "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) "
+    "SELECT g2.doc_id, CAST(COUNT(DISTINCT g2.g) AS BIGINT) AS n_hits "
+    "FROM (SELECT DISTINCT doc_id, g FROM grams) g2 JOIN bench USING (g) "
+    "WHERE g2.doc_id % 97 <> 0 GROUP BY g2.doc_id ORDER BY g2.doc_id"
+)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C): flag corpus docs
+    sharing any word 3-gram with the benchmark subset (doc_id % 97 = 0
+    stands in for the eval set).  Benchmark n-gram set broadcasts once
+    per actor; the corpus never shuffles.  n_hits = distinct shared
+    3-grams, exact integers vs the DuckDB oracle."""
+    from gdal_ray.stages.retrieval import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    return decontaminate(docs, bench, n=3, exclude_mod=97).sort("doc_id")
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5180,6 +5206,7 @@ def queries():
         "inverted_index": q_inverted_index,
         "sql_unnest": q_sql_unnest,
         "rep_stats": q_rep_stats,
+        "decontaminate": q_decontaminate,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5377,6 +5404,7 @@ def oracle_sql():
         "inverted_index": SQL_INVERTED_INDEX,
         "sql_unnest": SQL_IFACE_UNNEST,
         "rep_stats": SQL_REP_STATS,
+        "decontaminate": SQL_DECONTAMINATE,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -228,6 +228,58 @@ def repetition_stats(ds, *, col: str = "text", id_col: str = "doc_id"):
     return tf_rows.map_batches(per_batch, batch_format="pyarrow")
 
 
+def _doc_ngrams(text: str, n: int) -> set:
+    toks = [t for t in text.split() if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+class _ContaminationCheck:
+    """Actor-pool stage: the benchmark n-gram set ships ONCE per actor
+    (ray.put broadcast); each batch counts distinct overlapping n-grams
+    per document."""
+
+    def __init__(self, bench_ref, n: int, exclude_mod: int | None):
+        import ray
+        self.bench = ray.get(bench_ref)
+        self.n = n
+        self.exclude_mod = exclude_mod
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids, out_hits = [], []
+        for d, t in zip(ids, texts):
+            if self.exclude_mod is not None and d % self.exclude_mod == 0:
+                continue
+            hits = len(_doc_ngrams(t, self.n) & self.bench)
+            if hits:
+                out_ids.append(d)
+                out_hits.append(hits)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_hits": pa.array(out_hits, pa.int64())})
+
+
+def decontaminate(ds, bench_ds, *, n: int = 5, exclude_mod: int | None = None,
+                  col: str = "text", id_col: str = "doc_id"):
+    """Train/benchmark n-gram decontamination (the GPT-3 appendix-C
+    method, Brown et al. 2020: flag training documents sharing any
+    word n-gram with an evaluation set).  The benchmark side — small by
+    nature — collapses to a distinct n-gram set on the driver and
+    BROADCASTS via ray.put; the corpus side streams through an actor
+    pool, never shuffling.  Returns (doc_id, n_hits) for flagged docs."""
+    import ray
+
+    bench = set()
+    for batch in bench_ds.iter_batches(batch_format="pyarrow"):
+        for t in batch.column(col).to_pylist():
+            bench |= _doc_ngrams(t, n)
+    bench_ref = ray.put(frozenset(bench))
+    return ds.map_batches(
+        _ContaminationCheck,
+        fn_constructor_args=(bench_ref, n, exclude_mod),
+        concurrency=(1, 4), batch_format="pyarrow")
+
+
 def inverted_index(ds, *, col="text", id_col="doc_id"):
     """(term, df, postings): the sorted comma-joined doc-id posting list
     per term.  Groups are vocabulary-sized — one shuffle by term."""

@@ -93,6 +93,25 @@ def test_repetition_stats_semantics(ray_session):
     assert out.loc[2, "dup_frac"] == 0.0
 
 
+def test_decontaminate_semantics(ray_session):
+    import ray.data
+
+    from gdal_ray.stages.retrieval import decontaminate
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["x y z w", "p q r", "x y z q"], pa.string()),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["a x y z b"], pa.string()),
+    }))
+    out = decontaminate(corpus, bench, n=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    # docs 1 and 3 share the 3-gram "x y z"; doc 2 shares nothing
+    assert got == {1: 1, 3: 1}
+
+
 def test_bm25_topk_vs_duckdb(ray_session):
     from gdal_ray.pipelines.queries import SQL_BM25_TOPK, q_bm25_topk
 
