@@ -4336,6 +4336,34 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=3, exclude_mod=97).sort("doc_id")
 
 
+SQL_DUP_NGRAM = (
+    "WITH arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '') AS a FROM documents), "
+    "pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 4)) AS i "
+    "FROM arr), "
+    "grams AS (SELECT doc_id, array_to_string(a[i:i+4], ' ') AS g FROM pos), "
+    "gd AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) "
+    "SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN gd.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+    "CAST(SUM(CASE WHEN gd.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+    "AS dup_ngram_frac "
+    "FROM grams JOIN gd USING (g) GROUP BY grams.doc_id "
+    "ORDER BY grams.doc_id"
+)
+
+
+def q_dup_ngram(sf_dir: str):
+    """Cross-document duplicated-5-gram fraction per doc (Lee et al.
+    2021 exact-substring dedup signal): two small-row exchanges (gram
+    tag, per-doc reduce); the fraction is one IEEE division on exact
+    integers — bit-identical to the DuckDB oracle."""
+    from gdal_ray.stages.retrieval import dup_ngram_fraction
+
+    return dup_ngram_fraction(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=5).sort("doc_id")
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5207,6 +5235,7 @@ def queries():
         "sql_unnest": q_sql_unnest,
         "rep_stats": q_rep_stats,
         "decontaminate": q_decontaminate,
+        "dup_ngram": q_dup_ngram,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5405,6 +5434,7 @@ def oracle_sql():
         "sql_unnest": SQL_IFACE_UNNEST,
         "rep_stats": SQL_REP_STATS,
         "decontaminate": SQL_DECONTAMINATE,
+        "dup_ngram": SQL_DUP_NGRAM,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -280,6 +280,61 @@ def decontaminate(ds, bench_ds, *, n: int = 5, exclude_mod: int | None = None,
         concurrency=(1, 4), batch_format="pyarrow")
 
 
+def dup_ngram_fraction(ds, *, n: int = 5, col: str = "text",
+                       id_col: str = "doc_id"):
+    """Cross-document substring-duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its word n-gram POSITIONS whose n-gram
+    also appears in at least one other document.
+
+    Plan: per-position (doc_id, gram) rows (per-batch flat map) ->
+    groupby(gram) computing each gram's distinct-doc count and tagging
+    every position row -> hash-bucket reduce by doc.  Two exchanges,
+    both over (hashable-key, small-payload) rows — the corpus text never
+    moves twice.  At 100-TB scale the gram key would be a 128-bit hash
+    instead of the string (collision odds negligible); strings are kept
+    here for oracle exactness."""
+
+    def positions(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(col).to_pylist()
+        out_ids, out_grams = [], []
+        for d, t in zip(ids, texts):
+            toks = [x for x in t.split() if x]
+            for i in range(len(toks) - n + 1):
+                out_ids.append(d)
+                out_grams.append(" ".join(toks[i:i + n]))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "gram": pa.array(out_grams, pa.string())})
+
+    rows = ds.map_batches(positions, batch_format="pyarrow")
+
+    def tag(g: pa.Table) -> pa.Table:
+        docs = g.column("doc_id")
+        df = len(set(docs.to_pylist()))
+        dup = 1 if df > 1 else 0
+        k = len(g)
+        return pa.table({
+            "doc_id": docs,
+            "one": pa.array(np.ones(k, dtype=np.int64)),
+            "dup": pa.array(np.full(k, dup, dtype=np.int64)),
+        })
+
+    tagged = rows.groupby("gram").map_groups(tag, batch_format="pyarrow")
+    agg = grouped_aggregate(tagged, ["doc_id"],
+                            [("one", "sum", "n_grams"),
+                             ("dup", "sum", "n_dup")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = b.column("n_grams").to_numpy().astype(np.int64)
+        nd = b.column("n_dup").to_numpy().astype(np.int64)
+        return b.append_column(
+            "dup_ngram_frac",
+            pa.array(nd.astype(np.float64) / ng, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def inverted_index(ds, *, col="text", id_col="doc_id"):
     """(term, df, postings): the sorted comma-joined doc-id posting list
     per term.  Groups are vocabulary-sized — one shuffle by term."""

@@ -112,6 +112,23 @@ def test_decontaminate_semantics(ray_session):
     assert got == {1: 1, 3: 1}
 
 
+def test_dup_ngram_fraction_semantics(ray_session):
+    import ray.data
+
+    from gdal_ray.stages.retrieval import dup_ngram_fraction
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["x y z w", "x y z", "p q r s"], pa.string()),
+    }))
+    out = dup_ngram_fraction(corpus, n=3).to_pandas().set_index("doc_id")
+    # doc 1 grams: "x y z" (shared with doc 2), "y z w" (unique) -> 1/2
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup"] == 1
+    assert out.loc[1, "dup_ngram_frac"] == 0.5
+    assert out.loc[2, "dup_ngram_frac"] == 1.0
+    assert out.loc[3, "dup_ngram_frac"] == 0.0
+
+
 def test_bm25_topk_vs_duckdb(ray_session):
     from gdal_ray.pipelines.queries import SQL_BM25_TOPK, q_bm25_topk
 
