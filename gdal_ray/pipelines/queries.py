@@ -4364,6 +4364,26 @@ def q_dup_ngram(sf_dir: str):
         n=5).sort("doc_id")
 
 
+SQL_SAMPLE_STRATIFIED = (
+    "SELECT doc_id, source, h FROM (SELECT doc_id, source, "
+    "(doc_id * 2654435761) % 4294967296 AS h FROM documents) t "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) "
+    "<= 5 ORDER BY source, h, doc_id"
+)
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified (per-domain) deterministic sampling — the corpus-mixing
+    primitive: k docs per source chosen by a Knuth multiplicative hash of
+    doc_id (exact BIGINT arithmetic, resample-stable across runs and
+    engines).  Runs the IDENTICAL string through the engine's own SQL
+    front end (FROM-subquery + window QUALIFY) and on DuckDB."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(SQL_SAMPLE_STRATIFIED,
+                       {"documents": _read(sf_dir, "documents")})
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5236,6 +5256,7 @@ def queries():
         "rep_stats": q_rep_stats,
         "decontaminate": q_decontaminate,
         "dup_ngram": q_dup_ngram,
+        "sample_stratified": q_sample_stratified,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5435,6 +5456,7 @@ def oracle_sql():
         "rep_stats": SQL_REP_STATS,
         "decontaminate": SQL_DECONTAMINATE,
         "dup_ngram": SQL_DUP_NGRAM,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
