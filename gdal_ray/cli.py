@@ -110,6 +110,15 @@ def cmd_info(args) -> int:
 
 
 
+def cmd_compare(args) -> int:
+    """gdalcompare analogue — checksums + pixel diffs, no Ray session."""
+    from gdal_ray.compare import compare_rasters
+
+    out = compare_rasters(args.a, args.b)
+    print(json.dumps(out, indent=2, default=str))
+    return 1 if out["differences"] else 0
+
+
 def cmd_cog(args) -> int:
     """gdalbuildvrt + translate-to-COG flow: VRT mosaic -> one COG, with
     the pyramid + tile compression on the cluster (state/cogsink.py)."""
@@ -228,6 +237,11 @@ def main(argv=None) -> int:
     i.add_argument("path")
     i.add_argument("--stats", action="store_true", help="compute band min/max/mean/checksum")
     i.set_defaults(fn=cmd_info)
+
+    cp = sub.add_parser("compare", help="compare two rasters (gdalcompare): checksums, pixel diffs, PSNR")
+    cp.add_argument("a")
+    cp.add_argument("b")
+    cp.set_defaults(fn=cmd_compare)
 
     t = sub.add_parser("tiles")
     t.add_argument("--input", default=None, help="Lance/parquet image table (default: synth)")
