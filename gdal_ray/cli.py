@@ -119,6 +119,16 @@ def cmd_compare(args) -> int:
     return 1 if out["differences"] else 0
 
 
+def cmd_locationinfo(args) -> int:
+    """gdallocationinfo analogue — point query, no Ray session."""
+    from gdal_ray.locationinfo import location_info
+
+    out = location_info(args.path, args.x, args.y, coords=args.coords,
+                        interpolate=args.interp)
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def cmd_cog(args) -> int:
     """gdalbuildvrt + translate-to-COG flow: VRT mosaic -> one COG, with
     the pyramid + tile compression on the cluster (state/cogsink.py)."""
@@ -242,6 +252,14 @@ def main(argv=None) -> int:
     cp.add_argument("a")
     cp.add_argument("b")
     cp.set_defaults(fn=cmd_compare)
+
+    li = sub.add_parser("locationinfo", help="point query on a raster (gdallocationinfo)")
+    li.add_argument("path")
+    li.add_argument("x", type=float)
+    li.add_argument("y", type=float)
+    li.add_argument("--coords", choices=["pixel", "geo", "wgs84"], default="pixel")
+    li.add_argument("--interp", choices=["nearest", "bilinear"], default="nearest")
+    li.set_defaults(fn=cmd_locationinfo)
 
     t = sub.add_parser("tiles")
     t.add_argument("--input", default=None, help="Lance/parquet image table (default: synth)")
