@@ -3995,6 +3995,40 @@ def q_image_quality(sf_dir: str):
         image_quality, batch_format="pyarrow", batch_size=32)
 
 
+def q_vp8_roundtrip(sf_dir: str):
+    """Real lossy-WebP (VP8, RFC 6386) round-trip over the image table:
+    re-encode decoded pixels as VP8 key frames (codecs/vp8.py) and decode
+    them back, reporting per-image byte sizes and Y-plane PSNR.  Rows-only
+    (codec round-trips have no SQL twin); the codec itself is
+    conformance-gated bit-exact against libwebp in tests/test_vp8.py.
+    Actor-pool stage: encode+decode per batch, pixels never shuffle."""
+    from gdal_ray.codecs import decode
+    from gdal_ray.codecs.vp8 import (decode_webp_vp8, encode_webp_vp8,
+                                     rgb_to_yuv420)
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        ids, sizes, psnrs = [], [], []
+        for i in range(len(b)):
+            img = decode(b.column("bytes")[i].as_py(), None)
+            data = encode_webp_vp8(img, qindex=12)
+            fr = decode_webp_vp8(data)
+            ys, _, _ = rgb_to_yuv420(img)
+            mse = float(np.mean((ys.astype(np.float64) - fr.y) ** 2))
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+            ids.append(str(b.column("image_id")[i].as_py()))
+            sizes.append(len(data))
+            psnrs.append(round(psnr, 1))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "vp8_bytes": pa.array(sizes, pa.int64()),
+            "y_psnr_db_x10": pa.array([int(p * 10) for p in psnrs],
+                                      pa.int64()),
+        })
+
+    return _images_ds(sf_dir, limit=24).map_batches(
+        roundtrip, batch_format="pyarrow", batch_size=8)
+
+
 def q_image_augment(sf_dir: str):
     """Deterministic augmentation (stages/imageops.augment_images:
     flip/rot90 family chosen by blake2b(seed, image_id) — byte-identical
@@ -5326,6 +5360,7 @@ def queries():
         "raster_stats": q_raster_stats,
         "image_tiles": q_image_tiles,
         "image_quality": q_image_quality,
+        "vp8_roundtrip": q_vp8_roundtrip,
         "image_augment": q_image_augment,
         "pca_embed": q_pca_embed,
         "bpe_merges": q_bpe_merges,
