@@ -52,10 +52,10 @@ def test_lossy_psnr_gate():
 
 
 def test_unknown_format_raises():
-    # real WebP container now dispatches to the VP8L decoder; a lossy VP8
-    # payload is gated, a truncated container errors
+    # real WebP container dispatches to VP8L/VP8 decoders; a truncated
+    # lossy VP8 payload is a data error (lossy is fully supported now)
     fake_vp8 = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\0\0\0\0"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode(fake_vp8, "webp")
     with pytest.raises(ValueError):
         decode(b"RIFF....WEBP", "webp")  # no chunk at all
