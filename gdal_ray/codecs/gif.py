@@ -257,6 +257,153 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF: no image block found")
 
 
+def decode_gif_frames(data: bytes) -> dict:
+    """Full GIF89a animation demux -> {width, height, loop_count,
+    frames: [{left, top, delay_cs, disposal, image (h,w,3|4)}]}.
+    Each frame decodes independently; composition is compose_gif."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=off).reshape(n, 3)
+        off += 3 * n
+    out = {"width": sw, "height": sh, "loop_count": None, "frames": []}
+    transparent = -1
+    delay = 0
+    disposal = 0
+    while off < len(data):
+        b0 = data[off]
+        off += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = data[off]
+            off += 1
+            sub0 = off
+            blocks = []
+            while data[off] != 0:
+                blocks.append(data[off + 1:off + 1 + data[off]])
+                off += 1 + data[off]
+            off += 1
+            if label == 0xF9:
+                gpacked = data[sub0 + 1]
+                transparent = data[sub0 + 4] if (gpacked & 1) else -1
+                delay = struct.unpack_from("<H", data, sub0 + 2)[0]
+                disposal = (gpacked >> 2) & 7
+            elif label == 0xFF and blocks and                     blocks[0][:11] == b"NETSCAPE2.0":
+                if len(blocks) > 1 and blocks[1][:1] == b"\x01":
+                    out["loop_count"] = struct.unpack_from(
+                        "<H", blocks[1], 1)[0]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block id 0x{b0:02X}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, off)
+        off += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                                offset=off).reshape(n, 3)
+            off += 3 * n
+        if lct is None:
+            raise ValueError("GIF: image has no color table")
+        min_code = data[off]
+        off += 1
+        parts = []
+        while data[off] != 0:
+            ln = data[off]
+            parts.append(data[off + 1:off + 1 + ln])
+            off += 1 + ln
+        off += 1
+        idx = _lzw_decode(b"".join(parts), min_code, w * h).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        idx_c = np.minimum(idx, len(lct) - 1)
+        rgb = lct[idx_c]
+        if transparent >= 0:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            img = np.dstack([rgb, alpha])
+        else:
+            img = rgb
+        out["frames"].append({"left": left, "top": top, "delay_cs": delay,
+                              "disposal": disposal, "image": img})
+        transparent = -1
+        delay = 0
+        disposal = 0
+    if not out["frames"]:
+        raise ValueError("GIF: no image block found")
+    return out
+
+
+def compose_gif(data: bytes) -> list:
+    """Demux + compose full RGBA canvases per frame (GIF89a disposal
+    methods: 0/1 keep, 2 restore-background=transparent, 3 restore
+    previous)."""
+    meta = decode_gif_frames(data)
+    H, W = meta["height"], meta["width"]
+    canvas = np.zeros((H, W, 4), dtype=np.uint8)
+    out = []
+    for fr in meta["frames"]:
+        img = fr["image"]
+        if img.shape[2] == 3:
+            img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        y0, x0 = fr["top"], fr["left"]
+        h, w = img.shape[:2]
+        before = canvas[y0:y0 + h, x0:x0 + w].copy()
+        region = canvas[y0:y0 + h, x0:x0 + w]
+        opaque = img[:, :, 3] == 255
+        region[opaque] = img[opaque]
+        out.append(canvas.copy())
+        if fr["disposal"] == 2:
+            canvas[y0:y0 + h, x0:x0 + w] = 0
+        elif fr["disposal"] == 3:
+            canvas[y0:y0 + h, x0:x0 + w] = before
+    return out
+
+
+def encode_gif_anim(frames, delays_cs, *, offsets=None, loop: int = 0,
+                    disposal: int = 1) -> bytes:
+    """Animated GIF89a writer: global canvas from frame extents, one
+    256-color local table per frame (median-cut via encode_gif's
+    quantizer path is overkill here — frames must already be paletted
+    ≤256 unique colors, the engine's tile-render output contract)."""
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    W = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
+    H = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", W, H, 0x00, 0, 0)
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"         + bytes([3, 1]) + struct.pack("<H", loop) + b"\x00"
+    for (x0, y0), frame, delay in zip(offsets, frames, delays_cs):
+        h, w = frame.shape[:2]
+        flat = frame.reshape(-1, frame.shape[2])[:, :3]
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("animated GIF frames must have <=256 colors")
+        bits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+        size = 1 << bits
+        table = np.zeros((size, 3), dtype=np.uint8)
+        table[:len(colors)] = colors
+        out += bytes([0x21, 0xF9, 4, (disposal & 7) << 2])             + struct.pack("<H", int(delay)) + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", x0, y0, w, h)             + bytes([0x80 | (bits - 1)])
+        out += table.tobytes()
+        min_code = max(2, bits)
+        out += bytes([min_code])
+        lzw = _lzw_encode(inv.astype(np.int64), min_code)
+        i = 0
+        while i < len(lzw):
+            n = min(255, len(lzw) - i)
+            out += bytes([n]) + lzw[i:i + n]
+            i += n
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (H,W) grayscale / (H,W,3) RGB / (H,W,4) RGBA uint8 to GIF89a.
 
