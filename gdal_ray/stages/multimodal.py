@@ -79,6 +79,23 @@ def decode_video(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
             0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         )
         return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # animated WebP (round 4c): composed canvases via our VP8/VP8L
+        from gdal_ray.codecs.webp_anim import compose_webp_anim
+
+        canvases = compose_webp_anim(data)
+        rgb = np.stack([c[:, :, :3] for c in canvases])
+        luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2])
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from gdal_ray.codecs.gif import compose_gif
+
+        canvases = compose_gif(data)
+        rgb = np.stack([c[:, :, :3] for c in canvases])
+        luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2])
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
     return _stub_decode_video(data, w, h, n_frames)
 
 

@@ -67,3 +67,20 @@ def test_not_animated_raises():
     still = encode_webp_vp8(np.zeros((16, 16, 3), np.uint8))
     with pytest.raises(ValueError):
         decode_webp_anim(still)
+
+
+def test_frame_sampler_handles_animated_webp_and_gif(ray_session):
+    """The multimodal video path samples frames from animated WebP/GIF
+    through the real demuxers (stages/multimodal.decode_video)."""
+    from gdal_ray.codecs.gif import encode_gif_anim
+    from gdal_ray.stages.multimodal import decode_video
+
+    frames = [np.full((16, 16, 3), v, np.uint8) for v in (10, 100, 250)]
+    wdata = encode_webp_anim(frames, [10, 10, 10], lossless=True)
+    out = decode_video(wdata, 16, 16, 3)
+    assert out.shape == (3, 16, 16)
+    assert abs(int(out[1].mean()) - 100) <= 1
+    gdata = encode_gif_anim(frames, [1, 1, 1])
+    out = decode_video(gdata, 16, 16, 3)
+    assert out.shape == (3, 16, 16)
+    assert abs(int(out[2].mean()) - 250) <= 1
