@@ -255,8 +255,14 @@ def _shapefile(path: str) -> dict:
         fields = [{"name": nm, "type": str(t.schema.field(nm).type)}
                   for nm in t.schema.names]
     names = {0: "Null", 1: "Point", 3: "PolyLine", 5: "Polygon", 8: "MultiPoint"}
-    return {"driver": "ESRI Shapefile", "shape_type": names.get(stype, str(stype)),
-            "features": n, "extent": list(bbox), "fields": fields}
+    out = {"driver": "ESRI Shapefile", "shape_type": names.get(stype, str(stype)),
+           "features": n, "extent": list(bbox), "fields": fields}
+    from gdal_ray.sources.shapefile import read_prj
+
+    crs = read_prj(base)
+    if crs:
+        out["crs_proj"] = crs
+    return out
 
 
 def _geojson(path: str) -> dict:

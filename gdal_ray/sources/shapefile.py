@@ -392,15 +392,40 @@ def read_shapefile(base: str, *, records_per_block: int = 65536):
     return rd.from_items(ranges).map_batches(load, batch_format="pyarrow")
 
 
-def write_shapefile(table: pa.Table, base: str, *, geometry_col: str = "wkb") -> None:
-    """Single-file sink (.shp/.shx/.dbf), atomic tmp+rename per member."""
+def read_prj(base: str):
+    """.prj sidecar (WKT1) -> '+proj=…' string, or None when absent or
+    the projection family is unsupported (crs_wkt.wkt_to_proj)."""
+    if base.endswith(".shp"):
+        base = base[:-4]
+    try:
+        with open(base + ".prj") as f:
+            wkt = f.read()
+    except OSError:
+        return None
+    from gdal_ray.crs_wkt import wkt_to_proj
+
+    try:
+        return wkt_to_proj(wkt)
+    except (NotImplementedError, ValueError):
+        return None
+
+
+def write_shapefile(table: pa.Table, base: str, *, geometry_col: str = "wkb",
+                    epsg: int | None = None) -> None:
+    """Single-file sink (.shp/.shx/.dbf [+ .prj]), atomic tmp+rename per
+    member; ``epsg`` writes the WKT1 sidecar (crs_wkt.epsg_to_wkt)."""
     if base.endswith(".shp"):
         base = base[:-4]
     wkbs = [v.as_py() if v.is_valid else None for v in table.column(geometry_col)]
     shp, shx = write_shp_bytes(wkbs)
     attrs = table.drop_columns([geometry_col])
     dbf = write_dbf_bytes(attrs)
-    for ext, data in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
+    members = [(".shp", shp), (".shx", shx), (".dbf", dbf)]
+    if epsg is not None:
+        from gdal_ray.crs_wkt import epsg_to_wkt
+
+        members.append((".prj", epsg_to_wkt(epsg).encode("ascii")))
+    for ext, data in members:
         tmp = base + ext + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
