@@ -446,15 +446,20 @@ def parse_epsg(crs: str) -> int:
 
 def transform_fn(src_crs: str, dst_crs: str):
     """f(x, y) -> (x', y') for any pair of {EPSG:4326, EPSG:3857, WGS84 UTM
-    zones, table conics, arbitrary '+proj=…' strings} — the closed-form
-    subset of OGRCreateCoordinateTransformation.  Composes through 4326
-    for projected↔projected pairs."""
+    zones, table conics, arbitrary '+proj=…' strings, WKT1 strings
+    (PROJCS/GEOGCS, via crs_wkt)} — the closed-form subset of
+    OGRCreateCoordinateTransformation.  Composes through 4326 for
+    projected↔projected pairs."""
     from gdal_ray import tilemath as tm
 
     if src_crs == dst_crs:
         return lambda x, y: (x, y)
 
     def to4326(crs):
+        if crs.lstrip().startswith(("PROJCS", "GEOGCS")):
+            from gdal_ray.crs_wkt import wkt_to_proj
+
+            return proj_pair(wkt_to_proj(crs))[1]
         if crs.lstrip().startswith("+"):
             return proj_pair(crs)[1]
         code = parse_epsg(crs)
@@ -467,6 +472,10 @@ def transform_fn(src_crs: str, dst_crs: str):
         return utm_inv(code)
 
     def from4326(crs):
+        if crs.lstrip().startswith(("PROJCS", "GEOGCS")):
+            from gdal_ray.crs_wkt import wkt_to_proj
+
+            return proj_pair(wkt_to_proj(crs))[0]
         if crs.lstrip().startswith("+"):
             return proj_pair(crs)[0]
         code = parse_epsg(crs)

@@ -95,3 +95,14 @@ def test_shapefile_prj_sidecar(tmp_path):
     assert proj and "+proj=tmerc" in proj and "+lon_0=15" in proj
     meta = describe(base + ".shp")
     assert "crs_proj" in meta and "+proj=tmerc" in meta["crs_proj"]
+
+
+def test_transform_fn_accepts_wkt():
+    f1 = transform_fn(epsg_to_wkt(4326), epsg_to_wkt(32633))
+    f2 = transform_fn("EPSG:4326", "EPSG:32633")
+    lon = np.array([14.2, 15.9])
+    lat = np.array([50.1, 47.3])
+    e1, n1 = f1(lon, lat)
+    e2, n2 = f2(lon, lat)
+    assert np.abs(e1 - e2).max() < 1e-6
+    assert np.abs(n1 - n2).max() < 1e-6
