@@ -211,9 +211,18 @@ def write_gpkg(
             _SRS_ROWS,
         )
         if srs_id not in (r[1] for r in _SRS_ROWS):
+            # real WKT1 definition when the code is in the emit family
+            # (crs_wkt); the code-only fallback matches OGR's behavior
+            # for definitions it cannot resolve
+            try:
+                from gdal_ray.crs_wkt import epsg_to_wkt
+
+                definition = epsg_to_wkt(srs_id)
+            except NotImplementedError:
+                definition = f"EPSG:{srs_id}"
             cur.execute(
                 "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
-                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, f"EPSG:{srs_id}", None),
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, definition, None),
             )
 
         has_geom = geometry_col in table.schema.names
