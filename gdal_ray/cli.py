@@ -110,6 +110,35 @@ def cmd_info(args) -> int:
 
 
 
+def cmd_srsinfo(args) -> int:
+    """gdalsrsinfo analogue: normalize any CRS input (EPSG:n, +proj=…,
+    WKT1) to the engine's representations."""
+    from gdal_ray.crs import parse_epsg, proj_pair, transform_fn
+    from gdal_ray.crs_wkt import epsg_to_wkt, wkt_to_proj
+
+    s = args.crs.strip()
+    out = {"input": s}
+    if s.startswith(("PROJCS", "GEOGCS")):
+        out["kind"] = "wkt1"
+        out["proj"] = wkt_to_proj(s)
+    elif s.startswith("+"):
+        out["kind"] = "proj"
+        out["proj"] = s
+        proj_pair(s)  # validates
+    else:
+        code = parse_epsg(s)
+        out["kind"] = "epsg"
+        out["epsg"] = code
+        try:
+            out["wkt"] = epsg_to_wkt(code)
+        except NotImplementedError:
+            pass
+    # validated: a round-trip through the transform registry must build
+    transform_fn("EPSG:4326", s) if not s.startswith("+") else None
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_compare(args) -> int:
     """gdalcompare analogue — checksums + pixel diffs, no Ray session."""
     from gdal_ray.compare import compare_rasters
@@ -247,6 +276,10 @@ def main(argv=None) -> int:
     i.add_argument("path")
     i.add_argument("--stats", action="store_true", help="compute band min/max/mean/checksum")
     i.set_defaults(fn=cmd_info)
+
+    si = sub.add_parser("srsinfo", help="normalize a CRS (EPSG/proj/WKT1) — gdalsrsinfo")
+    si.add_argument("crs")
+    si.set_defaults(fn=cmd_srsinfo)
 
     cp = sub.add_parser("compare", help="compare two rasters (gdalcompare): checksums, pixel diffs, PSNR")
     cp.add_argument("a")

@@ -106,3 +106,15 @@ def test_transform_fn_accepts_wkt():
     e2, n2 = f2(lon, lat)
     assert np.abs(e1 - e2).max() < 1e-6
     assert np.abs(n1 - n2).max() < 1e-6
+
+
+def test_srsinfo_cli_door(capsys):
+    from gdal_ray.cli import main
+
+    assert main(["srsinfo", "EPSG:32633"]) == 0
+    out = capsys.readouterr().out
+    assert "Transverse_Mercator" in out and '"epsg": 32633' in out
+    assert main(["srsinfo", "+proj=moll +R=6371000"]) == 0
+    assert main(["srsinfo", UTM33N]) == 0
+    out = capsys.readouterr().out
+    assert "+proj=tmerc" in out
