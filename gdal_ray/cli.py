@@ -110,6 +110,54 @@ def cmd_info(args) -> int:
 
 
 
+def cmd_create(args) -> int:
+    """gdal_create analogue: blank GeoTIFF with size/bands/burn/georef."""
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+
+    arr = np.full((args.ysize, args.xsize, args.bands) if args.bands > 1
+                  else (args.ysize, args.xsize), args.burn, dtype=np.uint8)
+    gt = tuple(args.a_ullr and (
+        args.a_ullr[0], (args.a_ullr[2] - args.a_ullr[0]) / args.xsize, 0.0,
+        args.a_ullr[1], 0.0, (args.a_ullr[3] - args.a_ullr[1]) / args.ysize)
+        or ()) or None
+    data = encode_geotiff(arr, geotransform=gt, epsg=args.a_srs,
+                          nodata=args.a_nodata)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(json.dumps({"out": args.out, "size": [args.xsize, args.ysize],
+                      "bands": args.bands}))
+    return 0
+
+
+def cmd_edit(args) -> int:
+    """gdal_edit analogue: rewrite a GeoTIFF's georeferencing/nodata
+    (decode + re-encode — tag-level in-place editing is not worth the
+    fragility at these file sizes)."""
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+
+    with open(args.path, "rb") as f:
+        arr, info = read_geotiff(f.read())
+    gt = info.get("geotransform")
+    if args.a_ullr:
+        h, w = arr.shape[:2]
+        x0, y0, x1, y1 = args.a_ullr
+        gt = (x0, (x1 - x0) / w, 0.0, y0, 0.0, (y1 - y0) / h)
+    epsg = args.a_srs if args.a_srs is not None else info.get("epsg")
+    nodata = args.a_nodata if args.a_nodata is not None else info.get("nodata")
+    data = encode_geotiff(arr, geotransform=gt, epsg=epsg, nodata=nodata)
+    tmp = args.path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    import os
+
+    os.replace(tmp, args.path)
+    print(json.dumps({"path": args.path, "epsg": epsg, "nodata": nodata,
+                      "geotransform": gt}))
+    return 0
+
+
 def cmd_srsinfo(args) -> int:
     """gdalsrsinfo analogue: normalize any CRS input (EPSG:n, +proj=…,
     WKT1) to the engine's representations."""
@@ -276,6 +324,25 @@ def main(argv=None) -> int:
     i.add_argument("path")
     i.add_argument("--stats", action="store_true", help="compute band min/max/mean/checksum")
     i.set_defaults(fn=cmd_info)
+
+    cr = sub.add_parser("create", help="blank georeferenced GeoTIFF (gdal_create)")
+    cr.add_argument("out")
+    cr.add_argument("--xsize", type=int, required=True)
+    cr.add_argument("--ysize", type=int, required=True)
+    cr.add_argument("--bands", type=int, default=1)
+    cr.add_argument("--burn", type=int, default=0)
+    cr.add_argument("--a-srs", type=int, default=None, dest="a_srs")
+    cr.add_argument("--a-nodata", type=float, default=None, dest="a_nodata")
+    cr.add_argument("--a-ullr", type=float, nargs=4, default=None, dest="a_ullr",
+                    help="ulx uly lrx lry")
+    cr.set_defaults(fn=cmd_create)
+
+    ed = sub.add_parser("edit", help="rewrite GeoTIFF georeferencing/nodata (gdal_edit)")
+    ed.add_argument("path")
+    ed.add_argument("--a-srs", type=int, default=None, dest="a_srs")
+    ed.add_argument("--a-nodata", type=float, default=None, dest="a_nodata")
+    ed.add_argument("--a-ullr", type=float, nargs=4, default=None, dest="a_ullr")
+    ed.set_defaults(fn=cmd_edit)
 
     si = sub.add_parser("srsinfo", help="normalize a CRS (EPSG/proj/WKT1) — gdalsrsinfo")
     si.add_argument("crs")

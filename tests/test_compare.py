@@ -49,3 +49,25 @@ def test_cross_format_and_size_mismatch(tmp_path):
     open(s, "wb").write(encode_png(img[:32]))
     r = compare_rasters(a, s)
     assert r["differences"] == 1 and "size differs" in r["findings"][0]
+
+
+def test_create_and_edit_doors(tmp_path, capsys):
+    """gdal_create / gdal_edit analogues (cli.py create/edit)."""
+    from gdal_ray.cli import main
+    from gdal_ray.codecs.tiff import read_geotiff
+
+    p = str(tmp_path / "b.tif")
+    assert main(["create", p, "--xsize", "64", "--ysize", "48",
+                 "--burn", "7", "--a-srs", "4326",
+                 "--a-ullr", "10", "50", "11", "49"]) == 0
+    arr, info = read_geotiff(open(p, "rb").read())
+    assert arr.shape[:2] == (48, 64) and (arr == 7).all()
+    assert info["epsg"] == 4326
+    assert info["geotransform"][0] == 10.0
+    assert main(["edit", p, "--a-nodata", "7",
+                 "--a-ullr", "20", "60", "21", "59"]) == 0
+    arr2, info2 = read_geotiff(open(p, "rb").read())
+    assert (arr2 == arr).all()
+    assert info2["nodata"] == 7.0
+    assert info2["geotransform"][0] == 20.0
+    assert info2["epsg"] == 4326  # preserved
