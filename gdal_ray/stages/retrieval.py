@@ -94,7 +94,12 @@ class _ScoreDocs:
     def __init__(self, df_ref, n_docs: int, avgdl: float | None,
                  mode: str, min_tf: int):
         import ray
-        self.df = ray.get(df_ref)
+        dfm = ray.get(df_ref)
+        # vectorized lookup arrays (built once per actor): index_in
+        # against the term vocabulary, then take
+        self.terms = pa.array(list(dfm.keys()), pa.string())
+        self.dfs = np.fromiter(dfm.values(), dtype=np.int64,
+                               count=len(dfm))
         self.n = n_docs
         self.avgdl = avgdl
         self.mode = mode
@@ -109,8 +114,8 @@ class _ScoreDocs:
                              "tf": pa.array([], pa.int64()),
                              "df": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        terms = b.column("term").to_pylist()
-        df = np.array([self.df[t] for t in terms], dtype=np.int64)
+        pos = pc.index_in(b.column("term"), value_set=self.terms)
+        df = self.dfs[pos.to_numpy(zero_copy_only=False)]
         tf = b.column("tf").to_numpy().astype(np.int64)
         if self.mode == "tfidf":
             # score = (tf * N) / df — one IEEE division on exact ints
