@@ -690,9 +690,15 @@ def _is_progressive_stream(data: bytes) -> bool:
     return False
 
 
-def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
+def decode_jpeg_batch(datas: list[bytes], *,
+                      dc_only: bool = False) -> list[np.ndarray]:
     """Decode a batch of baseline JPEGs with pooled-lane entropy decode.
-    Progressive (SOF2) members route to the scalar Annex-G decoder."""
+    Progressive (SOF2) members route to the scalar Annex-G decoder.
+
+    ``dc_only=True`` returns 1/8-scale images built from the DC
+    coefficients alone (each output pixel is the exact 8x8-block mean)
+    — the crawl-scale thumbnail/phash fast path: no IDCT, no full-res
+    upsample or color conversion."""
     if not datas:
         return []
     prog = [i for i, d in enumerate(datas) if _is_progressive_stream(d)]
@@ -704,11 +710,12 @@ def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
         pset = set(prog)
         for i, d in enumerate(datas):
             if i in pset:
-                out[i] = decode_jpeg_progressive(d)
+                full = decode_jpeg_progressive(d)
+                out[i] = _block_means(full) if dc_only else full
             else:
                 rest.append(d)
                 rest_pos.append(i)
-        for p, img in zip(rest_pos, decode_jpeg_batch(rest)):
+        for p, img in zip(rest_pos, decode_jpeg_batch(rest, dc_only=dc_only)):
             out[p] = img
         return out
     # bound pooled coefficient memory (~36x the compressed bytes): split
@@ -716,7 +723,8 @@ def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
     total = sum(len(d) for d in datas)
     if total > (4 << 20) and len(datas) > 1:
         mid = len(datas) // 2
-        return decode_jpeg_batch(datas[:mid]) + decode_jpeg_batch(datas[mid:])
+        return (decode_jpeg_batch(datas[:mid], dc_only=dc_only)
+                + decode_jpeg_batch(datas[mid:], dc_only=dc_only))
     registry: dict = {}          # (bits,values) bytes key -> (id, lut)
     images = []                  # per-image geometry + lane bookkeeping
     clean_parts: list[np.ndarray] = []   # shared entropy buffer (no per-lane copy)
@@ -840,11 +848,31 @@ def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
         step = max(1, 24576 // rows_per_img)
         chunks = [allmembers[i:i + step] for i in range(0, len(allmembers), step)]
         for members in chunks:
-            _reconstruct_members(images, members, im0, coef, out)
+            _reconstruct_members(images, members, im0, coef, out,
+                                 dc_only=dc_only)
     return out
 
 
-def _reconstruct_members(images, members, im0, coef, out):
+def decode_jpeg_dc(data: bytes) -> np.ndarray:
+    """1/8-scale decode from DC coefficients only (block means)."""
+    return decode_jpeg_batch([data], dc_only=True)[0]
+
+
+def _block_means(img: np.ndarray) -> np.ndarray:
+    """Exact 8x8 block means of a full-resolution decode (the progressive
+    fallback for dc_only; edge blocks pad by replication like the MCU
+    grid does)."""
+    h, w = img.shape[:2]
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(img, ((0, H8 - h), (0, W8 - w)) + ((0, 0),) * (img.ndim - 2),
+                 mode="edge").astype(np.float64)
+    m = pad.reshape(H8 // 8, 8, W8 // 8, 8, -1).mean(axis=(1, 3))
+    m = m.squeeze(-1) if img.ndim == 2 else m
+    return np.clip(np.round(m), 0, 255).astype(np.uint8)
+
+
+def _reconstruct_members(images, members, im0, coef, out, *,
+                         dc_only: bool = False):
     gcoefs = [
         np.concatenate([
             coef[images[i]["comp_base"][ci]:
@@ -856,6 +884,7 @@ def _reconstruct_members(images, members, im0, coef, out):
     planes = _reconstruct_planes(
         gcoefs, im0["comps"], len(members), im0["h"], im0["w"],
         im0["mcux"], im0["mcuy"], im0["hmax"], im0["vmax"],
+        dc_only=dc_only,
     )
     if planes.ndim == 3:  # grayscale (G, H, W)
         np.clip(np.round(planes, out=planes), 0, 255, out=planes)
@@ -868,23 +897,32 @@ def _reconstruct_members(images, members, im0, coef, out):
             out[i] = imgs8[j]
 
 
-def _reconstruct_planes(gcoefs, comps, G, h, w, mcux, mcuy, hmax, vmax):
+def _reconstruct_planes(gcoefs, comps, G, h, w, mcux, mcuy, hmax, vmax,
+                        *, dc_only: bool = False):
     """Grouped tail: per-component zigzag coefficient rows (stacked over G
     same-shape images) -> dequant -> IDCT -> plane assembly -> upsample.
-    Returns (G, h, w) for grayscale or (G, h, w, ncomp) stacked YCbCr."""
+    Returns (G, h, w) for grayscale or (G, h, w, ncomp) stacked YCbCr.
+    With dc_only, planes are 1/8 scale (DC/8 + 128 per block — the exact
+    block mean) and chroma upsamples at block granularity."""
     planes = []
+    h_out = -(-h // 8) if dc_only else h
+    w_out = -(-w // 8) if dc_only else w
     for ci, c in enumerate(comps):
         bw_ = mcux * c["h"]
         bh_ = mcuy * c["v"]
-        z = (gcoefs[ci][:, UNZIGZAG].reshape(-1, 8, 8)
-             * c["q"].astype(np.float32))
-        blocks = _idct_blocks(z) + 128.0
-        plane = (blocks.reshape(G, bh_, bw_, 8, 8)
-                 .transpose(0, 1, 3, 2, 4).reshape(G, bh_ * 8, bw_ * 8))
+        if dc_only:
+            dc = gcoefs[ci][:, 0].astype(np.float32) * float(c["q"].reshape(-1)[0])
+            plane = dc.reshape(G, bh_, bw_) / 8.0 + 128.0
+        else:
+            z = (gcoefs[ci][:, UNZIGZAG].reshape(-1, 8, 8)
+                 * c["q"].astype(np.float32))
+            blocks = _idct_blocks(z) + 128.0
+            plane = (blocks.reshape(G, bh_, bw_, 8, 8)
+                     .transpose(0, 1, 3, 2, 4).reshape(G, bh_ * 8, bw_ * 8))
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=1), rx, axis=2)
-        planes.append(plane[:, :h, :w])
+        planes.append(plane[:, :h_out, :w_out])
     if len(planes) == 1:
         return planes[0]
     return np.stack(planes, axis=-1)

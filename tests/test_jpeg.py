@@ -156,3 +156,32 @@ def test_batch_throughput():
     dt = time.time() - t0
     assert len(out) == 64
     assert dt < 2.5, f"batch decode took {dt:.2f}s (>39 ms/img) — engine regressed"
+
+
+def test_dc_only_fast_path():
+    """decode_jpeg_dc: 1/8-scale image from DC coefficients = the exact
+    8x8-block means of the full decode (±1 rounding), for gray and RGB,
+    odd sizes, and 2x2-subsampled chroma."""
+    import numpy as np
+
+    from gdal_ray.codecs.jpeg import (_block_means, decode_jpeg,
+                                      decode_jpeg_batch, decode_jpeg_dc,
+                                      encode_jpeg)
+
+    rng = np.random.RandomState(0)
+    for shape in ((128, 160), (61, 77, 3), (128, 160, 3)):
+        img = (np.clip(np.cumsum(rng.randn(*shape) * 4, axis=1) + 128,
+                       0, 255)).astype(np.uint8)
+        d = encode_jpeg(img)
+        dc = decode_jpeg_dc(d)
+        bm = _block_means(decode_jpeg(d))
+        assert dc.shape == bm.shape
+        assert dc.shape[0] == -(-shape[0] // 8)
+        assert np.abs(dc.astype(int) - bm.astype(int)).max() <= 1
+    # batch door agrees with the single door
+    imgs = [(np.clip(np.cumsum(rng.randn(40, 56, 3) * 4, axis=1) + 128,
+                     0, 255)).astype(np.uint8) for _ in range(3)]
+    datas = [encode_jpeg(i) for i in imgs]
+    outs = decode_jpeg_batch(datas, dc_only=True)
+    for d, o in zip(datas, outs):
+        assert np.array_equal(decode_jpeg_dc(d), o)
