@@ -177,7 +177,12 @@ def test_dc_only_fast_path():
         bm = _block_means(decode_jpeg(d))
         assert dc.shape == bm.shape
         assert dc.shape[0] == -(-shape[0] // 8)
-        assert np.abs(dc.astype(int) - bm.astype(int)).max() <= 1
+        diff = np.abs(dc.astype(int) - bm.astype(int))
+        # interior blocks are the exact block means (±1 rounding); edge
+        # blocks of odd-sized images include the encoder's MCU padding,
+        # which the cropped full decode cannot reproduce exactly
+        assert diff[:shape[0] // 8, :shape[1] // 8].max() <= 1
+        assert diff.max() <= 8
     # batch door agrees with the single door
     imgs = [(np.clip(np.cumsum(rng.randn(40, 56, 3) * 4, axis=1) + 128,
                      0, 255)).astype(np.uint8) for _ in range(3)]
