@@ -4418,6 +4418,33 @@ def q_sample_stratified(sf_dir: str):
                        {"documents": _read(sf_dir, "documents")})
 
 
+SQL_WINNOW = (
+    "WITH arr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '') AS a FROM documents), "
+    "pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i "
+    "FROM arr), "
+    "grams AS (SELECT doc_id, i, array_to_string(a[i:i+2], ' ') AS g "
+    "FROM pos), "
+    "wmin AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id) AS n, "
+    "MIN(g) OVER (PARTITION BY doc_id ORDER BY i "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM grams) "
+    "SELECT doc_id, fp FROM wmin WHERE i <= n - 3 "
+    "GROUP BY doc_id, fp ORDER BY doc_id, fp"
+)
+
+
+def q_winnow_fp(sf_dir: str):
+    """Winnowing fingerprints (MOSS; Schleimer et al. 2003): distinct
+    window-minimum 3-grams per document (w=4, lexicographic selection so
+    the DuckDB window-MIN oracle is exact).  The plagiarism/near-dup
+    fingerprint that adapts set size to document length; shuffle-free."""
+    from gdal_ray.stages.retrieval import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=3, w=4).sort(["doc_id", "fp"])
+
+
 SQL_INVERTED_INDEX = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
     "'\\s+')) AS term FROM documents), "
@@ -5291,6 +5318,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "dup_ngram": q_dup_ngram,
         "sample_stratified": q_sample_stratified,
+        "winnow_fp": q_winnow_fp,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5492,6 +5520,7 @@ def oracle_sql():
         "decontaminate": SQL_DECONTAMINATE,
         "dup_ngram": SQL_DUP_NGRAM,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "winnow_fp": SQL_WINNOW,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -340,6 +340,38 @@ def dup_ngram_fraction(ds, *, n: int = 5, col: str = "text",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def winnow_fingerprints(ds, *, k: int = 3, w: int = 4,
+                        col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS scheme): per document, take the word k-grams, slide a
+    window of w consecutive grams, and keep the minimum of each FULL
+    window — a position-robust fingerprint set whose size adapts to
+    document length.  Selection order here is lexicographic on the gram
+    string (hash-free, so the DuckDB oracle is bit-exact); production
+    would order by a 64-bit gram hash — identical plan shape.
+
+    Pure per-batch map (documents are whole rows): no shuffle.  Returns
+    distinct (doc_id, fp) rows."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(col).to_pylist()
+        out_ids, out_fps = [], []
+        for d, t in zip(ids, texts):
+            toks = [x for x in t.split() if x]
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            fps = {min(grams[i:i + w])
+                   for i in range(len(grams) - w + 1)}
+            for fp in fps:
+                out_ids.append(d)
+                out_fps.append(fp)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "fp": pa.array(out_fps, pa.string())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def inverted_index(ds, *, col="text", id_col="doc_id"):
     """(term, df, postings): the sorted comma-joined doc-id posting list
     per term.  Groups are vocabulary-sized — one shuffle by term."""

@@ -158,3 +158,22 @@ def test_bm25_pipeline_vs_duckdb(ray_session):
     assert (mine["df"].to_numpy() == ref["df"].to_numpy()).all()
     # bit-exact scores: log-free kernel, identical op order
     assert (mine["score"].to_numpy() == ref["score"].to_numpy()).all()
+
+
+def test_winnow_fingerprints_semantics(ray_session):
+    import ray.data
+
+    from gdal_ray.stages.retrieval import winnow_fingerprints
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["e d c b a f g"], pa.string()),
+    }))
+    # 2-grams: "e d","d c","c b","b a","a f","f g"; windows of 3:
+    # min("e d","d c","c b")="c b", min("d c","c b","b a")="b a",
+    # min("c b","b a","a f")="a f", min("b a","a f","f g")="a f"
+    out = winnow_fingerprints(corpus, k=2, w=3).to_pandas()
+    assert set(out["fp"]) == {"c b", "b a", "a f"}
+    # winnowing guarantee: every w-window contributes a fingerprint, so
+    # a doc with n >= k+w-1 tokens always yields at least one
+    assert len(out) >= 1
