@@ -320,8 +320,12 @@ def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
         return _lzw_decode(raw, expected)
     if comp == 32773:
         return _unpackbits(raw, expected)
+    if comp == 50000:  # ZSTD (GDAL extension tag value, gtiff driver)
+        from gdal_ray.compress import zstd_decompress
+
+        return zstd_decompress(raw, expected)
     raise NotImplementedError(f"TIFF compression {comp} not supported "
-                              "(none/LZW/Deflate/PackBits implemented)")
+                              "(none/LZW/Deflate/PackBits/ZSTD implemented)")
 
 
 def _undo_predictor2(block: np.ndarray) -> np.ndarray:
@@ -540,7 +544,7 @@ def encode_geotiff(
     if (bits, sf) not in _DTYPES:
         raise NotImplementedError(f"dtype {dt} not supported")
     comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
-               "jpeg": 7}[compression]
+               "jpeg": 7, "zstd": 50000}[compression]
     if comp_id == 7:
         if dt != np.uint8 or spp not in (1, 3):
             raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
@@ -559,22 +563,20 @@ def encode_geotiff(
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
         if pred_id == 3:
             raw = _do_predictor3(block)
-            if comp_id == 1:
-                return raw
-            if comp_id == 8:
-                return zlib.compress(raw, 6)
-            if comp_id == 5:
-                return _lzw_encode(raw)
-            return _packbits(raw)
-        if pred_id == 2:
-            block = _do_predictor2(block)
-        raw = block.tobytes()
+        else:
+            if pred_id == 2:
+                block = _do_predictor2(block)
+            raw = block.tobytes()
         if comp_id == 1:
             return raw
         if comp_id == 8:
             return zlib.compress(raw, 6)
         if comp_id == 5:
             return _lzw_encode(raw)
+        if comp_id == 50000:
+            from gdal_ray.compress import zstd_compress
+
+            return zstd_compress(raw)
         return _packbits(raw)
 
     chunks: list[bytes] = []
@@ -792,7 +794,7 @@ def encode_cog(
     if tile_size % 16:
         raise ValueError("TIFF tile size must be a multiple of 16")
     comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
-               "jpeg": 7}[compression]
+               "jpeg": 7, "zstd": 50000}[compression]
     if comp_id == 7 and (arr.dtype != np.uint8 or arr.shape[2] not in (1, 3)):
         raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
 

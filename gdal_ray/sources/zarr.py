@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-_SUPPORTED_COMPRESSORS = ("zlib", "gzip", None)
+_SUPPORTED_COMPRESSORS = ("zlib", "gzip", "zstd", None)
 
 
 def _dtype_str(dt: np.dtype) -> str:
@@ -45,6 +45,10 @@ def _compress(raw: bytes, compressor: str | None, level: int) -> bytes:
         import gzip
 
         return gzip.compress(raw, compresslevel=level)
+    if compressor == "zstd":
+        from gdal_ray.compress import zstd_compress
+
+        return zstd_compress(raw, level if level else 9)
     raise NotImplementedError(f"compressor {compressor!r}")
 
 
@@ -57,6 +61,10 @@ def _decompress(blob: bytes, compressor: str | None) -> bytes:
         import gzip
 
         return gzip.decompress(blob)
+    if compressor == "zstd":
+        from gdal_ray.compress import zstd_decompress
+
+        return zstd_decompress(blob)
     raise NotImplementedError(f"compressor {compressor!r}")
 
 
@@ -103,6 +111,9 @@ def _parse_inner_codecs(codecs: list, dtype: str):
         elif name == "gzip":
             comp = {"id": "gzip",
                     "level": codec.get("configuration", {}).get("level", 1)}
+        elif name == "zstd":
+            comp = {"id": "zstd",
+                    "level": codec.get("configuration", {}).get("level", 9)}
         else:
             raise NotImplementedError(f"zarr v3 codec {name!r} "
                                       "(no codec lib in sandbox)")

@@ -225,9 +225,11 @@ def test_v3_unsupported_codec_raises(tmp_path):
     p = str(tmp_path / "a3bad")
     write_zarr_v3(np.zeros((4, 4)), p)
     meta = json.load(open(f"{p}/zarr.json"))
-    meta["codecs"].append({"name": "zstd", "configuration": {"level": 3}})
+    # zstd is now a supported codec (round 4c, system libzstd); an
+    # actually-unknown codec still gates loudly
+    meta["codecs"].append({"name": "blosc", "configuration": {}})
     open(f"{p}/zarr.json", "w").write(json.dumps(meta))
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="blosc"):
         read_zarr_meta(p)
 
 
@@ -320,3 +322,28 @@ def test_v3_sharding_parallel_read(tmp_path, ray_session):
         out[r["cy"] * 32:r["cy"] * 32 + r["h"],
             r["cx"] * 32:r["cx"] * 32 + r["w"]] = blk
     np.testing.assert_array_equal(out, a)
+
+
+def test_roundtrip_zstd(ray_session, tmp_path):
+    """zstd-compressed chunks (system libzstd via gdal_ray.compress —
+    the codec real Zarr archives use most; GDAL links it the same way)."""
+    import pytest
+
+    from gdal_ray.compress import HAVE_ZSTD
+
+    if not HAVE_ZSTD:
+        pytest.skip("libzstd unavailable")
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (40, 52), dtype=np.uint8)
+    p = str(tmp_path / "z")
+    write_zarr(arr, p, chunks=(16, 16), compressor="zstd", level=5)
+    import json
+
+    meta = json.load(open(p + "/.zarray"))
+    assert meta["compressor"]["id"] == "zstd"
+    # chunk files are real zstd frames
+    import glob
+
+    chunk = open(sorted(glob.glob(p + "/0.0"))[0], "rb").read()
+    assert chunk[:4] == b"\x28\xb5\x2f\xfd"
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
