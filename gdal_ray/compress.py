@@ -89,3 +89,120 @@ def lz4_block_decompress(data: bytes, expected_size: int) -> bytes:
     if n < 0:
         raise ValueError("lz4 decompression failed")
     return out.raw[:n]
+
+
+# ---------------------------------------------------------------------------
+# Blosc1 frames (the numcodecs default for Zarr v2) — public format:
+# 16-byte header [version, versionlz, flags, typesize, nbytes u32,
+# blocksize u32, cbytes u32] + u32 block-start offsets + per-block
+# compressed payloads.  flags: bit0 byte-shuffle, bit1 pure memcpy,
+# bit2 bit-shuffle, bits 5-7 inner codec (0 blosclz, 1 lz4/lz4hc,
+# 3 zlib, 4 zstd).  Shuffle applies PER BLOCK over whole elements; a
+# trailing partial element is copied unshuffled.
+
+import struct as _struct
+
+import numpy as _np
+
+_BLOSC_CODECS = {1: "lz4", 3: "zlib", 4: "zstd"}
+_BLOSC_CODES = {v: k for k, v in _BLOSC_CODECS.items()}
+
+
+def _shuffle(block: bytes, typesize: int, forward: bool) -> bytes:
+    if typesize <= 1 or len(block) < typesize:
+        return block
+    n = (len(block) // typesize) * typesize
+    body = _np.frombuffer(block[:n], dtype=_np.uint8)
+    if forward:
+        out = body.reshape(-1, typesize).T.reshape(-1)
+    else:
+        out = body.reshape(typesize, -1).T.reshape(-1)
+    return out.tobytes() + block[n:]
+
+
+def _inner_decompress(payload: bytes, codec: str, expected: int) -> bytes:
+    if codec == "lz4":
+        return lz4_block_decompress(payload, expected)
+    if codec == "zlib":
+        import zlib
+
+        return zlib.decompress(payload)
+    return zstd_decompress(payload, expected)
+
+
+def _inner_compress(raw: bytes, codec: str, level: int) -> bytes:
+    if codec == "lz4":
+        return lz4_block_compress(raw)
+    if codec == "zlib":
+        import zlib
+
+        return zlib.compress(raw, level)
+    return zstd_compress(raw, level)
+
+
+def blosc_decompress(frame: bytes) -> bytes:
+    if len(frame) < 16:
+        raise ValueError("blosc frame too short")
+    version, _vlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
+    nbytes, blocksize, cbytes = _struct.unpack_from("<III", frame, 4)
+    if cbytes != len(frame):
+        raise ValueError("blosc frame length mismatch")
+    if flags & 0x04:
+        raise NotImplementedError("blosc bit-shuffle not supported")
+    shuffled = bool(flags & 0x01)
+    if flags & 0x02:  # pure memcpy
+        out = frame[16:16 + nbytes]
+        return _shuffle(out, typesize, forward=False) if shuffled else out
+    codec_id = flags >> 5
+    codec = _BLOSC_CODECS.get(codec_id)
+    if codec is None:
+        raise NotImplementedError(f"blosc inner codec {codec_id} "
+                                  "(blosclz/snappy not supported)")
+    nblocks = -(-nbytes // blocksize) if blocksize else 1
+    starts = _struct.unpack_from(f"<{nblocks}I", frame, 16)
+    out = bytearray()
+    remaining = nbytes
+    for i, off in enumerate(starts):
+        bsize = min(blocksize, remaining)
+        end = starts[i + 1] if i + 1 < nblocks else len(frame)
+        block = _inner_decompress(frame[off:end], codec, bsize)
+        if len(block) != bsize:
+            block = block[:bsize]
+        if shuffled:
+            block = _shuffle(block, typesize, forward=False)
+        out += block
+        remaining -= bsize
+    return bytes(out)
+
+
+def blosc_compress(raw: bytes, *, typesize: int = 1, codec: str = "lz4",
+                   level: int = 5, shuffle: bool = True,
+                   blocksize: int = 1 << 18) -> bytes:
+    if codec not in _BLOSC_CODES:
+        raise NotImplementedError(f"blosc codec {codec!r}")
+    blocksize = max(typesize, (blocksize // max(typesize, 1))
+                    * max(typesize, 1))
+    nbytes = len(raw)
+    nblocks = max(1, -(-nbytes // blocksize))
+    flags = (0x01 if shuffle and typesize > 1 else 0) \
+        | (_BLOSC_CODES[codec] << 5)
+    payloads = []
+    for i in range(nblocks):
+        block = raw[i * blocksize:(i + 1) * blocksize]
+        if shuffle and typesize > 1:
+            block = _shuffle(block, typesize, forward=True)
+        payloads.append(_inner_compress(block, codec, level))
+    header_len = 16 + 4 * nblocks
+    starts = []
+    off = header_len
+    for p in payloads:
+        starts.append(off)
+        off += len(p)
+    cbytes = off
+    out = bytearray()
+    out += bytes([2, 1, flags, typesize & 0xFF])
+    out += _struct.pack("<III", nbytes, blocksize, cbytes)
+    out += _struct.pack(f"<{nblocks}I", *starts)
+    for p in payloads:
+        out += p
+    return bytes(out)

@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-_SUPPORTED_COMPRESSORS = ("zlib", "gzip", "zstd", None)
+_SUPPORTED_COMPRESSORS = ("zlib", "gzip", "zstd", "blosc", None)
 
 
 def _dtype_str(dt: np.dtype) -> str:
@@ -36,7 +36,8 @@ def _dtype_str(dt: np.dtype) -> str:
     return np.dtype(dt).str
 
 
-def _compress(raw: bytes, compressor: str | None, level: int) -> bytes:
+def _compress(raw: bytes, compressor: str | None, level: int,
+              typesize: int = 1) -> bytes:
     if compressor is None:
         return raw
     if compressor == "zlib":
@@ -49,6 +50,11 @@ def _compress(raw: bytes, compressor: str | None, level: int) -> bytes:
         from gdal_ray.compress import zstd_compress
 
         return zstd_compress(raw, level if level else 9)
+    if compressor == "blosc":
+        from gdal_ray.compress import blosc_compress
+
+        return blosc_compress(raw, typesize=typesize, codec="lz4",
+                              level=level if level else 5)
     raise NotImplementedError(f"compressor {compressor!r}")
 
 
@@ -65,6 +71,12 @@ def _decompress(blob: bytes, compressor: str | None) -> bytes:
         from gdal_ray.compress import zstd_decompress
 
         return zstd_decompress(blob)
+    if compressor == "blosc":
+        # blosc frames are self-describing (header carries the inner
+        # codec, shuffle flag and typesize)
+        from gdal_ray.compress import blosc_decompress
+
+        return blosc_decompress(blob)
     raise NotImplementedError(f"compressor {compressor!r}")
 
 
@@ -299,7 +311,10 @@ def write_zarr(arr: np.ndarray, path: str, *, chunks=None,
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": _dtype_str(arr.dtype),
-        "compressor": ({"id": compressor, "level": level}
+        "compressor": ({"id": "blosc", "cname": "lz4",
+                        "clevel": level if level else 5, "shuffle": 1,
+                        "blocksize": 0} if compressor == "blosc" else
+                       {"id": compressor, "level": level}
                        if compressor else None),
         "fill_value": (None if fill_value is None
                        else (fill_value if not isinstance(fill_value, float)
@@ -321,7 +336,8 @@ def write_zarr(arr: np.ndarray, path: str, *, chunks=None,
             os.makedirs(os.path.join(path, *name.split("/")[:-1]), exist_ok=True)
         _atomic_write(os.path.join(path, *name.split("/")) if
                       dimension_separator == "/" else os.path.join(path, name),
-                      _compress(block.tobytes(), compressor, level))
+                      _compress(block.tobytes(), compressor, level,
+                                typesize=arr.dtype.itemsize))
 
 
 def write_zarr_v3(arr: np.ndarray, path: str, *, chunks=None,
@@ -430,7 +446,10 @@ def write_zarr_tiles(tiles_ds, path: str, *, shape, chunks, dtype,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": _dtype_str(dt),
-        "compressor": ({"id": compressor, "level": level}
+        "compressor": ({"id": "blosc", "cname": "lz4",
+                        "clevel": level if level else 5, "shuffle": 1,
+                        "blocksize": 0} if compressor == "blosc" else
+                       {"id": compressor, "level": level}
                        if compressor else None),
         "fill_value": fill_value,
         "order": "C",

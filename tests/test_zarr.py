@@ -73,7 +73,8 @@ def test_unsupported_gates(tmp_path):
     p = str(tmp_path / "g.zarr")
     write_zarr(arr, p, chunks=(2, 2))
     m = json.load(open(os.path.join(p, ".zarray")))
-    m["compressor"] = {"id": "blosc"}
+    # blosc is now supported (round 4c); an unknown codec still gates
+    m["compressor"] = {"id": "lzma"}
     json.dump(m, open(os.path.join(p, ".zarray"), "w"))
     with pytest.raises(NotImplementedError):
         read_zarr_meta(p)
@@ -346,4 +347,27 @@ def test_roundtrip_zstd(ray_session, tmp_path):
 
     chunk = open(sorted(glob.glob(p + "/0.0"))[0], "rb").read()
     assert chunk[:4] == b"\x28\xb5\x2f\xfd"
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+
+
+def test_roundtrip_blosc(tmp_path):
+    """blosc-framed chunks (numcodecs' Zarr v2 default): lz4 inner codec
+    + byte-shuffle, numcodecs-shaped .zarray metadata."""
+    import pytest
+
+    from gdal_ray.compress import HAVE_LZ4
+
+    if not HAVE_LZ4:
+        pytest.skip("liblz4 unavailable")
+    rng = np.random.default_rng(12)
+    arr = (rng.normal(size=(40, 52)) * 1000).astype("<i4")
+    p = str(tmp_path / "b.zarr")
+    write_zarr(arr, p, chunks=(16, 16), compressor="blosc", level=5)
+    m = json.load(open(os.path.join(p, ".zarray")))
+    assert m["compressor"]["id"] == "blosc"
+    assert m["compressor"]["cname"] == "lz4"
+    assert m["compressor"]["shuffle"] == 1
+    # frame header: version byte + typesize 4 + shuffle flag set
+    chunk = open(os.path.join(p, "0.0"), "rb").read()
+    assert chunk[3] == 4 and (chunk[2] & 1) == 1
     np.testing.assert_array_equal(read_zarr_array(p), arr)
