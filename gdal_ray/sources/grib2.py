@@ -32,8 +32,11 @@ million-message archive decodes as parallel as its message count.
 Packing/unpacking is vectorized (np.unpackbits / matmul-free bit gather).
 
 Scope: grid template 3.0 (regular lat/lon), product template 4.0, data
-representation template 5.0 (simple packing), no bitmap — the round-trip
-subset our writer emits; anything else raises with the template id.
+representation templates 5.0 (simple packing), 5.2 (complex packing:
+per-group references/widths/lengths) and 5.3 (complex + 1st/2nd-order
+spatial differencing, sign-magnitude extras) — the packing family real
+archives (NCEP/ECMWF) use; no bitmap.  Anything else raises with the
+template id.
 """
 
 from __future__ import annotations
@@ -99,7 +102,8 @@ def _sec(num: int, body: bytes) -> bytes:
 def write_grib2(path: str, fields, *, lat0: float = 90.0, lon0: float = 0.0,
                 dlat: float = 1.0, dlon: float = 1.0, nbits: int = 16,
                 discipline: int = 0, category: int = 3, number: int = 5,
-                ref_time=(2000, 1, 1, 0, 0, 0), centre: int = 255) -> int:
+                ref_time=(2000, 1, 1, 0, 0, 0), centre: int = 255,
+                packing: str = "simple", group_len: int = 32) -> int:
     """2-D float fields -> one GRIB2 message each (template 3.0 / 4.0 /
     5.0 simple packing, scanning mode 0: west→east, north→south).
     Returns the message count.  `fields` may also be (field, meta) pairs
@@ -158,10 +162,18 @@ def write_grib2(path: str, fields, *, lat0: float = 90.0, lon0: float = 0.0,
             1, 0, 0, 255, 0, 0,
         )
         nbits_eff = 0 if span == 0.0 else nbits
-        sec5 = struct.pack(">IHfHHBB", ni * nj, 0,
-                           np.float32(rmin), _u16sm(e), _u16sm(0), nbits_eff, 0)
+        if packing == "simple" or span == 0.0:
+            sec5 = struct.pack(">IHfHHBB", ni * nj, 0,
+                               np.float32(rmin), _u16sm(e), _u16sm(0),
+                               nbits_eff, 0)
+            sec7 = _pack_bits(x, nbits) if span != 0.0 else b""
+        elif packing in ("complex", "complex_diff"):
+            order = 2 if packing == "complex_diff" else 0
+            sec5, sec7 = _encode_complex(x.astype(np.int64), rmin, e,
+                                         order, group_len)
+        else:
+            raise ValueError(f"packing {packing!r}")
         sec6 = struct.pack(">B", 255)
-        sec7 = _pack_bits(x, nbits) if span != 0.0 else b""
         body = (_sec(1, sec1) + _sec(3, sec3) + _sec(4, sec4)
                 + _sec(5, sec5) + _sec(6, sec6) + _sec(7, sec7))
         total = 16 + len(body) + 4
@@ -173,6 +185,146 @@ def write_grib2(path: str, fields, *, lat0: float = 90.0, lon0: float = 0.0,
             f.write(m)
     os.replace(tmp, path)
     return len(msgs)
+
+
+def _sm(v: int, octets: int) -> bytes:
+    """GRIB2 sign-and-magnitude big-endian integer."""
+    mag = abs(int(v))
+    top = 1 << (8 * octets - 1)
+    return int(mag | (top if v < 0 else 0)).to_bytes(octets, "big")
+
+
+def _sm_read(b: bytes) -> int:
+    v = int.from_bytes(b, "big")
+    top = 1 << (8 * len(b) - 1)
+    return -(v & (top - 1)) if v & top else v
+
+
+def _encode_complex(x: np.ndarray, rmin: float, e: int, order: int,
+                    group_len: int):
+    """Template 5.2 (order=0) / 5.3 (order=2 spatial differencing) with
+    fixed-size groups: per-group references + widths, scaled lengths all
+    zero (length ref = group_len, true last length explicit)."""
+    n = len(x)
+    ld = 4
+    if order:
+        ivals = [int(x[i]) for i in range(order)]
+        z = x.astype(np.int64).copy()
+        if order == 2:
+            z[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
+        else:
+            z[1:] = x[1:] - x[:-1]
+        z[:order] = 0
+        dmin = int(z[order:].min()) if n > order else 0
+        z[:order] = dmin  # placeholders pack as zero after the shift
+        vals = (z - dmin).astype(np.uint64)
+        extras = b"".join(_sm(v, ld) for v in ivals) + _sm(dmin, ld)
+    else:
+        vals = x.astype(np.uint64)
+        extras = b""
+    ng = max(1, -(-n // group_len))
+    pad = ng * group_len - n
+    v2 = np.concatenate([vals, np.zeros(pad, np.uint64)]).reshape(
+        ng, group_len)
+    # per-group reference = min over the REAL members (padding excluded)
+    mask = np.arange(ng * group_len).reshape(ng, group_len) < n
+    big = np.where(mask, v2, np.uint64(2 ** 62))
+    refs = big.min(axis=1).astype(np.uint64)
+    rel = np.where(mask, v2 - refs[:, None], np.uint64(0))
+    gmax = rel.max(axis=1)
+    widths = np.array([int(g).bit_length() for g in gmax], dtype=np.uint64)
+    wref = int(widths.min())
+    wbits = max(int(w - wref) for w in widths).bit_length()
+    ref_bits = max(int(r).bit_length() for r in refs) or 1
+    tmpl = 3 if order else 2
+    sec5 = struct.pack(">IHfHHBB", n, tmpl,
+                       np.float32(rmin), _u16sm(e), _u16sm(0), ref_bits, 0)
+    sec5 += struct.pack(">BBIIIBBIBIB",
+                        0,            # group splitting: general
+                        0,            # missing value management: none
+                        0, 0,         # primary/secondary missing
+                        ng, wref, wbits,
+                        group_len,    # group length reference
+                        1,            # length increment
+                        n - group_len * (ng - 1),  # true last length
+                        0)            # scaled-length bits (all zero)
+    if order:
+        sec5 += struct.pack(">BB", order, ld)
+    # section 7: extras | refs | widths | lengths(0 bits) | values
+    out = bytearray(extras)
+    out += _pack_bits(refs, ref_bits)
+    out += _pack_bits((widths - wref).astype(np.uint64), wbits) if wbits \
+        else b""
+    # values: one continuous bit string, per-group widths
+    bit_chunks = []
+    for g in range(ng):
+        w = int(widths[g])
+        if w == 0:
+            continue
+        cnt = group_len if g < ng - 1 else n - group_len * (ng - 1)
+        gv = rel[g, :cnt]
+        bits = np.zeros((cnt, w), dtype=np.uint8)
+        for b in range(w):
+            bits[:, b] = (gv >> np.uint64(w - 1 - b)) & np.uint64(1)
+        bit_chunks.append(bits.reshape(-1))
+    if bit_chunks:
+        out += np.packbits(np.concatenate(bit_chunks)).tobytes()
+    return sec5, bytes(out)
+
+
+def _decode_complex(sec7: bytes, m: dict) -> np.ndarray:
+    n = m["n_points"]
+    order = m.get("sd_order", 0)
+    pos = 0
+    ivals, dmin = [], 0
+    if order:
+        ld = m["sd_octets"]
+        for i in range(order):
+            ivals.append(_sm_read(sec7[pos:pos + ld]))
+            pos += ld
+        dmin = _sm_read(sec7[pos:pos + ld])
+        pos += ld
+    ng = m["ng"]
+    refs = _unpack_bits(sec7[pos:], ng, m["nbits"]).astype(np.int64)
+    pos += (ng * m["nbits"] + 7) // 8
+    widths = (_unpack_bits(sec7[pos:], ng, m["w_bits"]).astype(np.int64)
+              + m["w_ref"])
+    pos += (ng * m["w_bits"] + 7) // 8
+    lens = (_unpack_bits(sec7[pos:], ng, m["len_bits"]).astype(np.int64)
+            * m["len_inc"] + m["len_ref"])
+    pos += (ng * m["len_bits"] + 7) // 8
+    if ng:
+        lens[-1] = m["len_last"]
+    # values: continuous bit string with per-group widths
+    bits = np.unpackbits(np.frombuffer(sec7, np.uint8, offset=pos))
+    out = np.empty(n, dtype=np.int64)
+    bp = 0
+    vp = 0
+    for g in range(ng):
+        cnt = int(lens[g])
+        w = int(widths[g])
+        if w == 0:
+            out[vp:vp + cnt] = refs[g]
+        else:
+            gb = bits[bp:bp + cnt * w].reshape(cnt, w).astype(np.int64)
+            v = np.zeros(cnt, dtype=np.int64)
+            for b in range(w):
+                v = (v << 1) | gb[:, b]
+            out[vp:vp + cnt] = refs[g] + v
+            bp += cnt * w
+        vp += cnt
+    if order:
+        out = out + dmin
+        f = out.astype(np.int64)
+        f[:order] = ivals
+        if order == 2:
+            for i in range(2, n):
+                f[i] = out[i] + 2 * f[i - 1] - f[i - 2]
+        else:
+            for i in range(1, n):
+                f[i] = out[i] + f[i - 1]
+        out = f
+    return out
 
 
 # ---------------------------------------------------------------- reader
@@ -213,12 +365,25 @@ def _grid_meta(sec3: bytes) -> dict:
 
 def _pack_meta(sec5: bytes) -> dict:
     npts, tmpl = struct.unpack_from(">IH", sec5, 0)
-    if tmpl != 0:
+    if tmpl not in (0, 2, 3):
         raise NotImplementedError(f"GRIB2 data representation template "
-                                  f"{tmpl} (only 5.0 simple packing)")
+                                  f"{tmpl} (5.0/5.2/5.3 supported)")
     r, e, d, nbits, ftype = struct.unpack_from(">fHHBB", sec5, 6)
-    return {"n_points": npts, "R": float(r), "E": _s16(e), "D": _s16(d),
-            "nbits": nbits}
+    out = {"n_points": npts, "R": float(r), "E": _s16(e), "D": _s16(d),
+           "nbits": nbits, "template": tmpl}
+    if tmpl in (2, 3):
+        (split, miss, _pm, _sm2, ng, wref, wbits, lref, linc, llast,
+         lbits) = struct.unpack_from(">BBIIIBBIBIB", sec5, 16)
+        if miss != 0:
+            raise NotImplementedError("GRIB2 missing-value management")
+        out.update(ng=ng, w_ref=wref, w_bits=wbits, len_ref=lref,
+                   len_inc=linc, len_last=llast, len_bits=lbits)
+        if tmpl == 3:
+            order, ld = struct.unpack_from(">BB", sec5, 42)
+            out.update(sd_order=order, sd_octets=ld)
+        else:
+            out.update(sd_order=0, sd_octets=0)
+    return out
 
 
 def read_grib2_meta(path: str) -> dict:
@@ -259,7 +424,10 @@ def _decode_message(path: str, m: dict) -> np.ndarray:
     with open(path, "rb") as f:
         f.seek(m["offset"] + 16)
         secs = _parse_sections(f.read(m["length"] - 16))
-    x = _unpack_bits(secs[7], m["n_points"], m["nbits"]).astype(np.float64)
+    if m.get("template") in (2, 3):
+        x = _decode_complex(secs[7], m).astype(np.float64)
+    else:
+        x = _unpack_bits(secs[7], m["n_points"], m["nbits"]).astype(np.float64)
     y = (m["R"] + x * 2.0 ** m["E"]) / 10.0 ** m["D"]
     return y.reshape(m["nj"], m["ni"])
 

@@ -137,3 +137,34 @@ def test_unsupported_templates_raise(tmp_path):
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="template 40"):
         read_grib2_meta(bad)
+
+
+def test_complex_packing_templates(tmp_path):
+    """Templates 5.2 (complex) and 5.3 (complex + 2nd-order spatial
+    differencing) decode to exactly the same quantized field as 5.0
+    simple packing — the real-archive packing family."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    field = np.cumsum(rng.randn(40, 60) * 0.5, axis=1) + 280.0
+    ref = None
+    for packing, tmpl in (("simple", 0), ("complex", 2),
+                          ("complex_diff", 3)):
+        p = str(tmp_path / f"{packing}.grib2")
+        write_grib2(p, [field], nbits=16, packing=packing)
+        m = read_grib2_meta(p)["messages"][0]
+        assert m.get("template") == tmpl
+        got = read_grib2_field(p)
+        assert np.abs(got - field).max() < 2e-4  # 16-bit quantization
+        if ref is None:
+            ref = got
+        else:
+            assert np.array_equal(got, ref)
+    # constant field and tiny field edge cases
+    for packing in ("complex", "complex_diff"):
+        p = str(tmp_path / f"edge_{packing}.grib2")
+        write_grib2(p, [np.full((3, 5), 7.25)], packing=packing)
+        assert np.allclose(read_grib2_field(p), 7.25)
+        write_grib2(p, [np.arange(6.0).reshape(2, 3)], packing=packing)
+        assert np.abs(read_grib2_field(p)
+                      - np.arange(6.0).reshape(2, 3)).max() < 1e-3
