@@ -311,6 +311,23 @@ def _decode_jpeg_chunk(raw: bytes, tables, phot: int, eh: int, ew: int,
     return blk
 
 
+def _decode_lerc_chunk(raw: bytes, eh: int, ew: int, cpp: int,
+                       dt) -> np.ndarray:
+    """Decode one compression-34887 (LERC, GDAL gtiff extension) tile or
+    strip to an (eh, ew, cpp) block.  Like JPEG chunks, LERC blobs carry
+    their own dtype/dims, so this bypasses the byte-stream _decompress
+    path (frmts/gtiff: TIFFReadEncodedTile -> liblerc)."""
+    from gdal_ray.compress import lerc_decode
+
+    img = lerc_decode(raw)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    blk = np.zeros((eh, ew, cpp), dtype=dt)
+    hh, ww = min(eh, img.shape[0]), min(ew, img.shape[1])
+    blk[:hh, :ww] = img[:hh, :ww, :cpp].astype(dt, copy=False)
+    return blk
+
+
 def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
     if comp == 1:
         return raw
@@ -418,6 +435,9 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                         blk = _decode_jpeg_chunk(raw, jpegtables, phot,
                                                  th, tw, cpp,
                                                  dt.newbyteorder("="))
+                    elif comp == 34887:
+                        blk = _decode_lerc_chunk(raw, th, tw, cpp,
+                                                 dt.newbyteorder("="))
                     else:
                         exp = tw * th * cpp * bpp
                         buf = _decompress(raw, comp, exp)
@@ -451,6 +471,9 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                 if comp == 7:
                     blk = _decode_jpeg_chunk(raw, jpegtables, phot,
                                              hh, w, cpp, dt.newbyteorder("="))
+                elif comp == 34887:
+                    blk = _decode_lerc_chunk(raw, hh, w, cpp,
+                                             dt.newbyteorder("="))
                 else:
                     exp = hh * w * cpp * bpp
                     buf = _decompress(raw, comp, exp)
@@ -525,6 +548,7 @@ def encode_geotiff(
     rows_per_strip: int | None = None,
     big: bool = False,
     jpeg_quality: int = 85,
+    lerc_max_z_err: float = 0.0,
 ) -> bytes:
     """Write a single-IFD little-endian (Geo)TIFF.  compression in
     {'none','deflate','lzw','packbits','jpeg'}; predictor=True applies
@@ -544,12 +568,15 @@ def encode_geotiff(
     if (bits, sf) not in _DTYPES:
         raise NotImplementedError(f"dtype {dt} not supported")
     comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
-               "jpeg": 7, "zstd": 50000}[compression]
+               "jpeg": 7, "zstd": 50000, "lerc": 34887}[compression]
     if comp_id == 7:
         if dt != np.uint8 or spp not in (1, 3):
             raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
         if predictor:
             raise ValueError("predictor does not apply to JPEG compression")
+    if comp_id == 34887 and predictor:
+        raise ValueError("predictor does not apply to LERC compression "
+                         "(LERC predicts internally)")
     # integer dtypes difference in place (predictor 2); float dtypes use
     # the TechNote-3 byte-plane split (predictor 3) — GDAL's PREDICTOR=3
     pred_id = 0 if not predictor else (3 if dt.kind == "f" else 2)
@@ -561,6 +588,12 @@ def encode_geotiff(
 
             img = block[:, :, 0] if spp == 1 else block
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
+        if comp_id == 34887:
+            from gdal_ray.compress import lerc_encode
+
+            b = block.astype(block.dtype.newbyteorder("="), copy=False)
+            return lerc_encode(b[:, :, 0] if spp == 1 else b,
+                               max_z_err=lerc_max_z_err)
         if pred_id == 3:
             raw = _do_predictor3(block)
         else:
@@ -794,7 +827,7 @@ def encode_cog(
     if tile_size % 16:
         raise ValueError("TIFF tile size must be a multiple of 16")
     comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
-               "jpeg": 7, "zstd": 50000}[compression]
+               "jpeg": 7, "zstd": 50000, "lerc": 34887}[compression]
     if comp_id == 7 and (arr.dtype != np.uint8 or arr.shape[2] not in (1, 3)):
         raise NotImplementedError("JPEG compression needs uint8, 1 or 3 bands")
 
@@ -839,6 +872,11 @@ def compress_cog_tile(blk: np.ndarray, compression: str) -> bytes:
 
         img = blk[:, :, 0] if blk.shape[2] == 1 else blk
         return encode_jpeg(np.ascontiguousarray(img, dtype=np.uint8))
+    if compression == "lerc":
+        from gdal_ray.compress import lerc_encode
+
+        b = np.ascontiguousarray(blk, dtype=blk.dtype.newbyteorder("="))
+        return lerc_encode(b[:, :, 0] if b.shape[2] == 1 else b)
     raw = np.ascontiguousarray(blk, dtype=blk.dtype.newbyteorder("<")).tobytes()
     if compression == "none":
         return raw
@@ -846,6 +884,10 @@ def compress_cog_tile(blk: np.ndarray, compression: str) -> bytes:
         return zlib.compress(raw, 6)
     if compression == "lzw":
         return _lzw_encode(raw)
+    if compression == "zstd":
+        from gdal_ray.compress import zstd_compress
+
+        return zstd_compress(raw)
     return _packbits(raw)
 
 

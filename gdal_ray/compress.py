@@ -206,3 +206,94 @@ def blosc_compress(raw: bytes, *, typesize: int = 1, codec: str = "lz4",
     for p in payloads:
         out += p
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LERC (Esri Limited Error Raster Compression) via the system libLerc —
+# the codec behind GTiff COMPRESSION=LERC (tag 34887) and MRF in the
+# reference.  C API (Lerc_c_api.h, public):
+#   lerc_encode(data, dataType, nDepth, nCols, nRows, nBands, nMasks,
+#               validBytes, maxZErr, outBuf, outCap, &nBytesWritten)
+#   lerc_getBlobInfo(blob, size, infoArr[10], rangeArr[3], 10, 3)
+#   lerc_decode(blob, size, nMasks, validBytes, nDepth, nCols, nRows,
+#               nBands, dataType, outData)
+# Data types: 0 i8, 1 u8, 2 i16, 3 u16, 4 i32, 5 u32, 6 f32, 7 f64.
+
+try:
+    _lerc = ctypes.CDLL("libLerc.so.4")
+    _lerc.lerc_encode.restype = ctypes.c_uint
+    _lerc.lerc_decode.restype = ctypes.c_uint
+    _lerc.lerc_getBlobInfo.restype = ctypes.c_uint
+    _lerc.lerc_computeCompressedSize.restype = ctypes.c_uint
+    HAVE_LERC = True
+except OSError:  # pragma: no cover
+    _lerc = None
+    HAVE_LERC = False
+
+_LERC_DTYPES = {"int8": 0, "uint8": 1, "int16": 2, "uint16": 3,
+                "int32": 4, "uint32": 5, "float32": 6, "float64": 7}
+_LERC_NP = {v: k for k, v in _LERC_DTYPES.items()}
+
+
+def lerc_encode(arr, max_z_err: float = 0.0) -> bytes:
+    """(rows, cols[, bands]) array -> LERC2 blob.  max_z_err=0 is
+    lossless for integers and near-lossless for floats."""
+    if not HAVE_LERC:
+        raise NotImplementedError("libLerc not available")
+    a = _np.ascontiguousarray(arr)
+    if a.ndim == 2:
+        rows, cols = a.shape
+        bands = 1
+    else:
+        rows, cols, bands = a.shape
+        a = _np.ascontiguousarray(_np.moveaxis(a, 2, 0))  # band-major
+    dt = _LERC_DTYPES.get(a.dtype.name)
+    if dt is None:
+        raise NotImplementedError(f"LERC dtype {a.dtype}")
+    nbytes = ctypes.c_uint(0)
+    ok = _lerc.lerc_computeCompressedSize(
+        a.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint(dt),
+        ctypes.c_int(1), ctypes.c_int(cols), ctypes.c_int(rows),
+        ctypes.c_int(bands), ctypes.c_int(0), None,
+        ctypes.c_double(max_z_err), ctypes.byref(nbytes))
+    if ok != 0:
+        raise ValueError(f"lerc_computeCompressedSize error {ok}")
+    out = ctypes.create_string_buffer(nbytes.value)
+    written = ctypes.c_uint(0)
+    ok = _lerc.lerc_encode(
+        a.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint(dt),
+        ctypes.c_int(1), ctypes.c_int(cols), ctypes.c_int(rows),
+        ctypes.c_int(bands), ctypes.c_int(0), None,
+        ctypes.c_double(max_z_err), out, ctypes.c_uint(nbytes.value),
+        ctypes.byref(written))
+    if ok != 0:
+        raise ValueError(f"lerc_encode error {ok}")
+    return out.raw[:written.value]
+
+
+def lerc_decode(blob: bytes):
+    """LERC blob -> (rows, cols) or (rows, cols, bands) numpy array."""
+    if not HAVE_LERC:
+        raise NotImplementedError("libLerc not available")
+    info = (ctypes.c_uint * 10)()
+    rng = (ctypes.c_double * 3)()
+    ok = _lerc.lerc_getBlobInfo(blob, ctypes.c_uint(len(blob)), info, rng,
+                                ctypes.c_int(10), ctypes.c_int(3))
+    if ok != 0:
+        raise ValueError(f"lerc_getBlobInfo error {ok}")
+    # info: version, dataType, nDepth, nCols, nRows, nBands, nValidPixels,
+    # blobSize, nMasks, [nUsesNoData]
+    dtype = _LERC_NP.get(int(info[1]))
+    ndepth, cols, rows, bands = (int(info[2]), int(info[3]),
+                                 int(info[4]), int(info[5]))
+    if dtype is None or ndepth != 1:
+        raise NotImplementedError("LERC blob layout not supported")
+    out = _np.empty((bands, rows, cols), dtype=dtype)
+    ok = _lerc.lerc_decode(blob, ctypes.c_uint(len(blob)), ctypes.c_int(0),
+                           None, ctypes.c_int(1), ctypes.c_int(cols),
+                           ctypes.c_int(rows), ctypes.c_int(bands),
+                           ctypes.c_uint(int(info[1])),
+                           out.ctypes.data_as(ctypes.c_void_p))
+    if ok != 0:
+        raise ValueError(f"lerc_decode error {ok}")
+    return out[0] if bands == 1 else _np.moveaxis(out, 0, 2)

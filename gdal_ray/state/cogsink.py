@@ -82,7 +82,7 @@ def write_cog_distributed(chunks_ds, path: str, *, width: int, height: int,
     {levels, tiles, bytes}."""
     dt = np.dtype(dtype)
     comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
-               "jpeg": 7}[compression]
+               "jpeg": 7, "zstd": 50000, "lerc": 34887}[compression]
     if comp_id == 7 and (dt != np.uint8 or spp not in (1, 3)):
         raise NotImplementedError("JPEG COG needs uint8, 1 or 3 bands")
     dims = _level_dims(width, height, tile_size)

@@ -356,3 +356,76 @@ def test_float_predictor_roundtrip_tiled():
     b1 = len(encode_geotiff(a, compression="deflate"))
     b2 = len(encode_geotiff(a, compression="deflate", predictor=True))
     assert b2 < b1
+
+
+def test_lerc_in_tiff_roundtrip():
+    """LERC (compression 34887, GDAL gtiff extension backed by libLerc)
+    round-trips losslessly for integer and float data in strips and
+    tiles, multi-band included."""
+    import pytest
+    from gdal_ray.compress import HAVE_LERC
+    if not HAVE_LERC:
+        pytest.skip("libLerc not available")
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.random((61, 83)) * 5000).astype(np.int16),
+        rng.random((61, 83)).astype(np.float32),
+        (rng.random((40, 55, 3)) * 255).astype(np.uint8),
+    ]
+    for a in cases:
+        for ts in (None, 32):
+            blob = encode_geotiff(a, compression="lerc", tile_size=ts,
+                                  geotransform=(1.0, 0.25, 0, 9.0, 0, -0.25),
+                                  epsg=32633)
+            out, info = read_geotiff(blob)
+            np.testing.assert_array_equal(out.squeeze(), a.squeeze())
+            assert info["epsg"] == 32633
+
+
+def test_lerc_in_tiff_lossy_bound():
+    import pytest
+    from gdal_ray.compress import HAVE_LERC
+    if not HAVE_LERC:
+        pytest.skip("libLerc not available")
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+
+    rng = np.random.default_rng(12)
+    a = np.cumsum(rng.normal(size=(96, 96)), axis=1).astype(np.float64)
+    tol = 1e-3
+    blob = encode_geotiff(a, compression="lerc", tile_size=32,
+                          lerc_max_z_err=tol)
+    out, _ = read_geotiff(blob)
+    assert float(np.abs(out.squeeze() - a).max()) <= tol
+    # the lossy blob must actually be smaller than the lossless one
+    assert len(blob) < len(encode_geotiff(a, compression="lerc",
+                                          tile_size=32))
+
+
+def test_lerc_predictor_rejected():
+    import pytest
+    from gdal_ray.compress import HAVE_LERC
+    if not HAVE_LERC:
+        pytest.skip("libLerc not available")
+    from gdal_ray.codecs.tiff import encode_geotiff
+
+    a = np.zeros((8, 8), dtype=np.int32)
+    with pytest.raises(ValueError):
+        encode_geotiff(a, compression="lerc", predictor=True)
+
+
+def test_cog_zstd_and_lerc_tiles():
+    """encode_cog must compress tiles with the codec the IFD declares
+    (zstd previously fell through to PackBits under a ZSTD tag)."""
+    import pytest
+    from gdal_ray.compress import HAVE_ZSTD, HAVE_LERC
+    from gdal_ray.codecs.tiff import encode_cog, read_cog
+
+    a = (np.arange(300 * 300, dtype=np.uint16) % 997).reshape(300, 300)
+    for comp, have in (("zstd", HAVE_ZSTD), ("lerc", HAVE_LERC)):
+        if not have:
+            pytest.skip(f"{comp} library not available")
+        levels = read_cog(encode_cog(a, compression=comp))
+        assert len(levels) >= 2
+        np.testing.assert_array_equal(levels[0][0].squeeze(), a)
