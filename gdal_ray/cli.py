@@ -233,6 +233,28 @@ def cmd_cog(args) -> int:
 
 
 
+def cmd_retile(args) -> int:
+    """gdal_retile analogue: GeoTIFF -> directory tree of fixed-size
+    georeferenced tiles + pyramid levels + shapefile tile index
+    (state/retile.py; reference osgeo_utils/gdal_retile.py)."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", include_dashboard=False)
+    from gdal_ray.state.retile import retile
+
+    info = retile(args.src, args.out, tile_w=args.tile_size,
+                  tile_h=args.tile_size, levels=args.levels,
+                  resample=args.resample, compression=args.compression,
+                  tile_index=not args.no_index)
+    print(json.dumps({"out": args.out, **{k: v for k, v in info.items()
+                                          if k != "grid"}}))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """ogrinfo -sql / ogr2ogr -sql door: run the swq-subset SQL string
     over any opened vector/parquet sources (sources.open_vector)."""
@@ -386,6 +408,18 @@ def main(argv=None) -> int:
     c.add_argument("--compression", default="deflate",
                    choices=["none", "deflate", "lzw", "packbits"])
     c.set_defaults(fn=cmd_cog)
+
+    rt = sub.add_parser("retile", help="split a GeoTIFF into a tile tree + pyramid (gdal_retile)")
+    rt.add_argument("src")
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--tile-size", type=int, default=256)
+    rt.add_argument("--levels", type=int, default=1)
+    rt.add_argument("--resample", default="average",
+                    choices=["average", "nearest", "bilinear", "cubic"])
+    rt.add_argument("--compression", default="deflate",
+                    choices=["none", "deflate", "lzw", "packbits", "zstd", "lerc"])
+    rt.add_argument("--no-index", action="store_true")
+    rt.set_defaults(fn=cmd_retile)
 
     q = sub.add_parser("sql", help="run swq-subset SQL over opened sources (ogrinfo -sql)")
     q.add_argument("query")

@@ -16,9 +16,12 @@ import numpy as np
 import pyarrow as pa
 
 from gdal_ray.codecs.tiff import (
+    GK_GEOGRAPHIC_TYPE,
+    GK_PROJECTED_CS,
     T_BITS,
     T_COMPRESSION,
     T_GDAL_NODATA,
+    T_GEO_KEYS,
     T_JPEG_TABLES,
     T_LENGTH,
     T_MODEL_PIXEL_SCALE,
@@ -91,8 +94,15 @@ def tiff_levels(path: str) -> list[dict]:
             "photometric": int(tags.get(T_PHOTOMETRIC, [1])[0]),
             "jpegtables": (bytes(tags[T_JPEG_TABLES])
                            if T_JPEG_TABLES in tags else None),
-            "geotransform": None, "nodata": None,
+            "geotransform": None, "nodata": None, "epsg": None,
         }
+        if T_GEO_KEYS in tags:
+            gk = tags[T_GEO_KEYS]
+            for ki in range(int(gk[3])):
+                key, loc, _cnt, val = gk[4 + 4 * ki: 8 + 4 * ki]
+                if key in (GK_GEOGRAPHIC_TYPE, GK_PROJECTED_CS) and loc == 0 \
+                        and 1024 <= int(val) < 32767:
+                    meta["epsg"] = int(val)
         if T_MODEL_TRANSFORM in tags:
             m = tags[T_MODEL_TRANSFORM]
             meta["geotransform"] = (m[3], m[0], m[1], m[7], m[4], m[5])
