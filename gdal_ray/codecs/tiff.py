@@ -549,6 +549,7 @@ def encode_geotiff(
     big: bool = False,
     jpeg_quality: int = 85,
     lerc_max_z_err: float = 0.0,
+    planar: bool = False,
 ) -> bytes:
     """Write a single-IFD little-endian (Geo)TIFF.  compression in
     {'none','deflate','lzw','packbits','jpeg'}; predictor=True applies
@@ -577,6 +578,11 @@ def encode_geotiff(
     if comp_id == 34887 and predictor:
         raise ValueError("predictor does not apply to LERC compression "
                          "(LERC predicts internally)")
+    # PlanarConfiguration=2 (TIFF 6.0): one chunk per (band, window),
+    # plane-major chunk order — GDAL's INTERLEAVE=BAND
+    planar = bool(planar) and spp > 1
+    if planar and comp_id == 7:
+        raise NotImplementedError("JPEG compression with planar config 2")
     # integer dtypes difference in place (predictor 2); float dtypes use
     # the TechNote-3 byte-plane split (predictor 3) — GDAL's PREDICTOR=3
     pred_id = 0 if not predictor else (3 if dt.kind == "f" else 2)
@@ -586,13 +592,13 @@ def encode_geotiff(
         if comp_id == 7:
             from gdal_ray.codecs.jpeg import encode_jpeg
 
-            img = block[:, :, 0] if spp == 1 else block
+            img = block[:, :, 0] if block.shape[2] == 1 else block
             return encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
         if comp_id == 34887:
             from gdal_ray.compress import lerc_encode
 
             b = block.astype(block.dtype.newbyteorder("="), copy=False)
-            return lerc_encode(b[:, :, 0] if spp == 1 else b,
+            return lerc_encode(b[:, :, 0] if b.shape[2] == 1 else b,
                                max_z_err=lerc_max_z_err)
         if pred_id == 3:
             raw = _do_predictor3(block)
@@ -613,21 +619,25 @@ def encode_geotiff(
         return _packbits(raw)
 
     chunks: list[bytes] = []
+    planes = ([arr_le[:, :, p:p + 1] for p in range(spp)] if planar
+              else [arr_le])
     if tile_size:
         tw = th = int(tile_size)
         if tw % 16 or th % 16:
             raise ValueError("TIFF tile size must be a multiple of 16")
         tx, ty = (w + tw - 1) // tw, (h + th - 1) // th
-        for j in range(ty):
-            for i in range(tx):
-                blk = np.zeros((th, tw, spp), dtype=arr_le.dtype)
-                hh, ww = min(th, h - j * th), min(tw, w - i * tw)
-                blk[:hh, :ww] = arr_le[j * th:j * th + hh, i * tw:i * tw + ww]
-                chunks.append(_compress(blk))
+        for pl in planes:
+            for j in range(ty):
+                for i in range(tx):
+                    blk = np.zeros((th, tw, pl.shape[2]), dtype=arr_le.dtype)
+                    hh, ww = min(th, h - j * th), min(tw, w - i * tw)
+                    blk[:hh, :ww] = pl[j * th:j * th + hh, i * tw:i * tw + ww]
+                    chunks.append(_compress(blk))
     else:
         rps = int(rows_per_strip or max(1, (1 << 16) // max(1, w * spp * dt.itemsize)))
-        for y0 in range(0, h, rps):
-            chunks.append(_compress(arr_le[y0:y0 + rps]))
+        for pl in planes:
+            for y0 in range(0, h, rps):
+                chunks.append(_compress(np.ascontiguousarray(pl[y0:y0 + rps])))
 
     # --- assemble tags ---
     tags: list[tuple[int, int, int, list]] = []  # (tag, ftype, count, values)
@@ -648,6 +658,8 @@ def encode_geotiff(
     else:
         add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
     add(T_SAMPLES, 3, [spp])
+    if planar:
+        add(T_PLANAR, 3, [2])
     if spp in (2, 4):
         add(T_EXTRASAMPLES, 3, [2] * (spp - 3 if spp > 3 else spp - 1))
     if pred_id:

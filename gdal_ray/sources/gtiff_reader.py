@@ -84,10 +84,9 @@ def tiff_levels(path: str) -> list[dict]:
         sf = int(tags.get(T_SAMPLE_FORMAT, [1])[0])
         if (bits, sf) not in _DTYPES:
             raise NotImplementedError(f"sample type bits={bits} format={sf}")
-        if int(tags.get(T_PLANAR, [1])[0]) != 1:
-            raise NotImplementedError("planar TIFF not supported in tile reader")
+        planar = int(tags.get(T_PLANAR, [1])[0])
         meta = {
-            "width": w, "height": h, "spp": spp,
+            "width": w, "height": h, "spp": spp, "planar": planar,
             "dtype": _DTYPES[(bits, sf)], "endian": r.e,
             "compression": int(tags.get(T_COMPRESSION, [1])[0]),
             "predictor": int(tags.get(T_PREDICTOR, [1])[0]),
@@ -132,22 +131,26 @@ def tiff_levels(path: str) -> list[dict]:
     return out
 
 
-def _decode_chunk(raw: bytes, meta: dict, ch: int, cw: int) -> np.ndarray:
+def _decode_chunk(raw: bytes, meta: dict, ch: int, cw: int,
+                  cpp: int | None = None) -> np.ndarray:
+    """``cpp`` = channels stored in this chunk: spp for chunky files,
+    1 for a PlanarConfiguration=2 band plane."""
     dt = np.dtype(meta["dtype"]).newbyteorder(meta["endian"])
-    spp = meta["spp"]
+    if cpp is None:
+        cpp = meta["spp"] if meta.get("planar", 1) == 1 else 1
     if meta["compression"] == 7:
         from gdal_ray.codecs.tiff import _decode_jpeg_chunk
 
         return _decode_jpeg_chunk(raw, meta.get("jpegtables"),
                                   meta.get("photometric", 1),
-                                  ch, cw, spp, dt.newbyteorder("="))
-    expected = ch * cw * spp * dt.itemsize
+                                  ch, cw, cpp, dt.newbyteorder("="))
+    expected = ch * cw * cpp * dt.itemsize
     data = _decompress(raw, meta["compression"], expected)
     if meta["predictor"] == 3:
         from gdal_ray.codecs.tiff import _undo_predictor3
 
-        return _undo_predictor3(data, ch, cw, spp, dt)
-    blk = np.frombuffer(data[:expected], dtype=dt).reshape(ch, cw, spp)
+        return _undo_predictor3(data, ch, cw, cpp, dt)
+    blk = np.frombuffer(data[:expected], dtype=dt).reshape(ch, cw, cpp)
     if meta["predictor"] == 2:
         blk = _undo_predictor2(blk)
     return blk
@@ -162,35 +165,50 @@ def read_geotiff_tiles(path: str, *, level: int = 0,
 
     meta = tiff_levels(path)[level]
     W, H = meta["width"], meta["height"]
+    # PlanarConfiguration=2 stores one chunk per (band, spatial) pair,
+    # plane-major (TIFF 6.0 §PlanarConfiguration); an item bundles the
+    # spp per-plane chunks of one spatial window so the output schema is
+    # the same (h, w, spp) block either way.
+    nplanes = meta["spp"] if meta.get("planar", 1) == 2 else 1
+    per_plane = len(meta["offsets"]) // nplanes
     items = []
     if meta["tiled"]:
         tw, th = meta["tile_w"], meta["tile_h"]
         tx = (W + tw - 1) // tw
-        for i in range(len(meta["offsets"])):
+        for i in range(per_plane):
             items.append({
                 "row0": (i // tx) * th, "col0": (i % tx) * tw,
-                "off": meta["offsets"][i], "cnt": meta["counts"][i],
+                "offs": [meta["offsets"][p * per_plane + i]
+                         for p in range(nplanes)],
+                "cnts": [meta["counts"][p * per_plane + i]
+                         for p in range(nplanes)],
             })
     else:
         rps = meta["rows_per_strip"]
-        for i in range(len(meta["offsets"])):
+        for i in range(per_plane):
             items.append({
                 "row0": i * rps, "col0": 0,
-                "off": meta["offsets"][i], "cnt": meta["counts"][i],
+                "offs": [meta["offsets"][p * per_plane + i]
+                         for p in range(nplanes)],
+                "cnts": [meta["counts"][p * per_plane + i]
+                         for p in range(nplanes)],
             })
 
     def load(b: pa.Table) -> pa.Table:
         rows = {"row0": [], "col0": [], "h": [], "w": [], "data": []}
         with open(path, "rb") as f:
             for it in b.to_pylist():
-                f.seek(it["off"])
-                raw = f.read(it["cnt"])
                 if meta["tiled"]:
                     ch, cw = meta["tile_h"], meta["tile_w"]
                 else:
                     ch = min(meta["rows_per_strip"], H - it["row0"])
                     cw = W
-                blk = _decode_chunk(raw, meta, ch, cw)
+                planes = []
+                for off, cnt in zip(it["offs"], it["cnts"]):
+                    f.seek(off)
+                    planes.append(_decode_chunk(f.read(cnt), meta, ch, cw))
+                blk = planes[0] if len(planes) == 1 \
+                    else np.concatenate(planes, axis=2)
                 h = min(ch, H - it["row0"])
                 w = min(cw, W - it["col0"])
                 blk = np.ascontiguousarray(

@@ -85,6 +85,11 @@ def retile(src_path: str, out_dir: str, *, tile_w: int = 256,
     import ray.data as rd
 
     meta = tiff_levels(src_path)[0]
+    if meta.get("planar", 1) != 1:
+        raise NotImplementedError(
+            "retile of PlanarConfiguration=2 sources: read via "
+            "sources.gtiff_reader.read_geotiff_tiles (planar-aware) and "
+            "re-tile from the chunk dataset")
     W, H, spp = meta["width"], meta["height"], meta["spp"]
     gt = meta["geotransform"] or (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     epsg, nodata = meta.get("epsg"), meta.get("nodata")

@@ -91,3 +91,38 @@ def test_float_predictor3_parallel_read(tmp_path, ray_session):
         out[r["row0"]:r["row0"] + r["h"],
             r["col0"]:r["col0"] + r["w"]] = blk
     np.testing.assert_array_equal(out, a)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression", ["deflate", "none"])
+def test_planar_config2_roundtrip(ray_session, tmp_path, tiled, compression):
+    """PlanarConfiguration=2 (INTERLEAVE=BAND): encode plane-major chunks,
+    read back exactly through BOTH the in-memory codec and the parallel
+    tile reader (TIFF 6.0 PlanarConfiguration; frmts/gtiff interleave)."""
+    from gdal_ray.codecs.tiff import read_geotiff
+
+    arr = _src(150, 220, bands=3, dtype=np.uint16)
+    p = str(tmp_path / "planar.tif")
+    open(p, "wb").write(encode_geotiff(
+        arr, compression=compression, planar=True,
+        tile_size=64 if tiled else None, rows_per_strip=None if tiled else 37,
+        geotransform=(10.0, 2.0, 0, 90.0, 0, -2.0), epsg=32633))
+
+    out, info = read_geotiff(open(p, "rb").read())
+    np.testing.assert_array_equal(out, arr)
+    assert info["epsg"] == 32633
+
+    meta = tiff_levels(p)[0]
+    assert meta["planar"] == 2
+    rows = read_geotiff_tiles(p).to_pandas()
+    np.testing.assert_array_equal(assemble(rows, meta), arr)
+
+
+def test_planar_predictor_roundtrip(ray_session, tmp_path):
+    arr = _src(90, 130, bands=2, dtype=np.int16)
+    p = str(tmp_path / "planar_pred.tif")
+    open(p, "wb").write(encode_geotiff(arr, compression="deflate",
+                                       planar=True, predictor=True))
+    meta = tiff_levels(p)[0]
+    rows = read_geotiff_tiles(p).to_pandas()
+    np.testing.assert_array_equal(assemble(rows, meta), arr)
