@@ -35,7 +35,7 @@ import numpy as np
 # --- tag ids (TIFF 6.0 §8, GeoTIFF §7, GDAL extensions) ---
 T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
 T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
-T_PLANAR, T_PREDICTOR, T_SAMPLE_FORMAT = 284, 317, 339
+T_PLANAR, T_PREDICTOR, T_COLORMAP, T_SAMPLE_FORMAT = 284, 317, 320, 339
 T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_EXTRASAMPLES = 338
 T_JPEG_TABLES = 347  # TIFF TechNote 2 "new-style" JPEG (compression 7)
@@ -491,7 +491,13 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
         arr = arr[:, :, 0]
 
     info: dict = {"geotransform": None, "epsg": None, "nodata": None,
-                  "metadata": None, "model_type": None}
+                  "metadata": None, "model_type": None, "palette": None}
+    if T_COLORMAP in tags:
+        # TIFF 6.0 §ColorMap: 3·2^bits SHORTs, all reds then greens then
+        # blues (photometric 3 palette-color; GDAL color table)
+        cm = np.asarray(tags[T_COLORMAP], dtype=np.uint16)
+        n = len(cm) // 3
+        info["palette"] = np.stack([cm[:n], cm[n:2 * n], cm[2 * n:]], axis=1)
     if T_MODEL_TRANSFORM in tags:
         m = tags[T_MODEL_TRANSFORM]
         info["geotransform"] = (m[3], m[0], m[1], m[7], m[4], m[5])
@@ -550,6 +556,7 @@ def encode_geotiff(
     jpeg_quality: int = 85,
     lerc_max_z_err: float = 0.0,
     planar: bool = False,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Write a single-IFD little-endian (Geo)TIFF.  compression in
     {'none','deflate','lzw','packbits','jpeg'}; predictor=True applies
@@ -655,6 +662,19 @@ def encode_geotiff(
         chunks = [_jpeg_split_tables(c)[1] for c in chunks]
         add(T_JPEG_TABLES, 7, list(tables0))
         add(T_PHOTOMETRIC, 3, [6 if spp == 3 else 1])
+    elif palette is not None:
+        # palette-color (photometric 3): single index band + ColorMap of
+        # 3·2^bits SHORTs in R..G..B plane order (TIFF 6.0 §ColorMap)
+        if spp != 1 or dt.kind not in "iu" or bits > 16:
+            raise ValueError("palette TIFF needs a single integer "
+                             "(<=16-bit) index band")
+        pal = np.asarray(palette, dtype=np.uint16)
+        if pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError("palette must be (n, 3) RGB (16-bit values)")
+        full = np.zeros((1 << bits, 3), dtype=np.uint16)
+        full[:len(pal)] = pal[:1 << bits]
+        add(T_PHOTOMETRIC, 3, [3])
+        add(T_COLORMAP, 3, [int(v) for v in full.T.ravel()])
     else:
         add(T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
     add(T_SAMPLES, 3, [spp])

@@ -204,6 +204,8 @@ def _tiff(path: str, stats: bool) -> dict:
     out["geotransform"] = list(info["geotransform"]) if info.get("geotransform") else None
     out["epsg"] = info.get("epsg")
     out["nodata"] = info.get("nodata")
+    if info.get("palette") is not None:
+        out["palette_entries"] = int(len(info["palette"]))
     out["overviews"] = [
         {"width": a.shape[1], "height": a.shape[0]} for a, _ in levels[1:]
     ]

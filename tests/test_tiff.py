@@ -429,3 +429,35 @@ def test_cog_zstd_and_lerc_tiles():
         levels = read_cog(encode_cog(a, compression=comp))
         assert len(levels) >= 2
         np.testing.assert_array_equal(levels[0][0].squeeze(), a)
+
+
+def test_palette_colormap_roundtrip():
+    """Photometric 3 + ColorMap (TIFF 6.0 §ColorMap, 3·2^bits SHORTs in
+    R..G..B plane order): index band and palette both survive, and
+    expand_palette (pct2rgb) reconstructs the RGB."""
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+    from gdal_ray.stages.color import expand_palette
+
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 16, size=(45, 67)).astype(np.uint8)
+    pal8 = (rng.random((16, 3)) * 255).astype(np.uint8)
+    # TIFF stores 16-bit palette entries; GDAL's convention scales 8-bit
+    # component c to c*257 (0xFF -> 0xFFFF)
+    blob = encode_geotiff(idx, palette=pal8.astype(np.uint16) * 257,
+                          compression="lzw",
+                          geotransform=(0, 30, 0, 0, 0, -30), epsg=32633)
+    out, info = read_geotiff(blob)
+    np.testing.assert_array_equal(out, idx)
+    assert info["palette"].shape == (256, 3)
+    np.testing.assert_array_equal(info["palette"][:16] // 257, pal8)
+    rgb = expand_palette(out, (info["palette"] // 257).astype(np.uint8))
+    np.testing.assert_array_equal(rgb, pal8[idx])
+
+
+def test_palette_rejects_multiband():
+    import pytest
+    from gdal_ray.codecs.tiff import encode_geotiff
+
+    with pytest.raises(ValueError):
+        encode_geotiff(np.zeros((8, 8, 3), dtype=np.uint8),
+                       palette=np.zeros((4, 3), dtype=np.uint16))
