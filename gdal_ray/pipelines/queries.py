@@ -1986,6 +1986,32 @@ def q_geom_measures(sf_dir: str):
     return _polys_ds().map_batches(measure, batch_format="pyarrow")
 
 
+def q_geodesic_measures(sf_dir: str):
+    """Geodesic (WGS84 ellipsoid) area + perimeter per polygon —
+    OGR_G_GeodesicArea / GeodesicLength parity (ogr/ogrgeometry.cpp,
+    GDAL 3.9, which delegates to geod_polygonarea).  Vincenty inverse +
+    authalic-sphere excess (geometry/geodesic.py); rows-only (no SQL
+    oracle — libm trig differs bit-wise between engines), semantics
+    pytest-pinned on closed-form cases (octant = ellipsoid/8,
+    meridian/equator arcs, Karney's near-antipodal example)."""
+    from gdal_ray.geometry.geodesic import wkb_geodesic_measures
+
+    def measure(b: pa.Table) -> pa.Table:
+        pids = b.column("poly_id").to_pylist()
+        area, perim = [], []
+        for wkb in b.column("wkb").to_pylist():
+            a, ln = wkb_geodesic_measures(wkb)
+            area.append(int(round(a)))
+            perim.append(int(round(ln)))
+        return pa.table({
+            "poly_id": pa.array(pids, pa.string()),
+            "geodesic_area_m2": pa.array(area, pa.int64()),
+            "geodesic_perim_m": pa.array(perim, pa.int64()),
+        })
+
+    return _polys_ds().map_batches(measure, batch_format="pyarrow")
+
+
 def _poly_edges_units_sql_values() -> str:
     """Every ring edge in integer hundredth-degree units, tagged with
     (part, ring, hole) so SQL can recompute exterior−holes area exactly."""
@@ -5376,6 +5402,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
         # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
+        "geodesic_measures": q_geodesic_measures,
         "kmeans_embed": q_kmeans_embed,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
