@@ -4424,6 +4424,58 @@ def q_dup_ngram(sf_dir: str):
         n=5).sort("doc_id")
 
 
+SQL_EXACT_SUBSTR = (
+    # every length-25 char window; windows whose content occurs >= 2
+    # times anywhere in the corpus; merged maximal spans per doc
+    # (touching/overlapping windows merge: gap <= 25)
+    "WITH pos AS (SELECT doc_id, text, "
+    "unnest(generate_series(1, length(text) - 24)) AS i FROM documents "
+    "WHERE length(text) >= 25), "
+    "w AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 25) AS win "
+    "FROM pos), "
+    "wc AS (SELECT win, COUNT(*) AS c FROM w GROUP BY win), "
+    "dup AS (SELECT doc_id, i FROM w JOIN wc USING (win) WHERE c >= 2), "
+    "isl AS (SELECT doc_id, i, CASE WHEN i - LAG(i) OVER "
+    "(PARTITION BY doc_id ORDER BY i) <= 25 THEN 0 ELSE 1 END AS brk "
+    "FROM dup), "
+    "g AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i "
+    "ROWS UNBOUNDED PRECEDING) AS grp FROM isl), "
+    "spans AS (SELECT doc_id, grp, MIN(i) AS s, MAX(i) + 25 AS e, "
+    "COUNT(*) AS nw FROM g GROUP BY doc_id, grp) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(SUM(e - s) AS BIGINT) AS dup_bytes, "
+    "CAST(SUM(nw) AS BIGINT) AS n_dup_windows "
+    "FROM spans GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def q_exact_substr(sf_dir: str):
+    """EXACTSUBSTR duplicated-span detection (Lee et al. 2022): maximal
+    spans whose length-25 windows each occur >= 2 times in the corpus.
+    Two bucketed exchanges of fixed-width fingerprint rows — no suffix
+    array, no all-pairs (stages/exactsubstr.py); per-doc span count /
+    bytes / window count are exact integers vs the DuckDB oracle
+    (which enumerates the windows as strings)."""
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.exactsubstr import duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicate_spans(docs, L=25)
+
+    def span_len(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "span_bytes",
+            pa.compute.subtract(b.column("end"), b.column("start")))
+
+    spans = spans.map_batches(span_len, batch_format="pyarrow")
+    out = grouped_aggregate(
+        spans, ["doc_id"],
+        [("start", "count", "n_spans"),
+         ("span_bytes", "sum", "dup_bytes"),
+         ("n_windows", "sum", "n_dup_windows")])
+    return out.sort("doc_id")
+
+
 SQL_SAMPLE_STRATIFIED = (
     "SELECT doc_id, source, h FROM (SELECT doc_id, source, "
     "(doc_id * 2654435761) % 4294967296 AS h FROM documents) t "
@@ -5345,6 +5397,7 @@ def queries():
         "dup_ngram": q_dup_ngram,
         "sample_stratified": q_sample_stratified,
         "winnow_fp": q_winnow_fp,
+        "exact_substr": q_exact_substr,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5548,6 +5601,7 @@ def oracle_sql():
         "dup_ngram": SQL_DUP_NGRAM,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "winnow_fp": SQL_WINNOW,
+        "exact_substr": SQL_EXACT_SUBSTR,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
