@@ -2047,6 +2047,51 @@ from ra group by 1
 """
 
 
+def q_sql_spatial(sf_dir: str):
+    """ST_* spatial SQL functions through the engine's own SQL door
+    (SQLite-dialect surface, ogrsqlitesqlfunctions.cpp): geometry type,
+    vertex count, envelope, shoelace area — all integer-quantized so the
+    DuckDB oracle (recomputing from the embedded integer-unit edge list)
+    hashes exactly."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        "SELECT poly_id, ST_GEOMETRYTYPE(wkb) AS gt, "
+        "CAST(ST_NPOINTS(wkb) AS BIGINT) AS n_points, "
+        "CAST(ST_MINX(wkb) * 100 AS BIGINT) AS minx_u, "
+        "CAST(ST_MINY(wkb) * 100 AS BIGINT) AS miny_u, "
+        "CAST(ST_MAXX(wkb) * 100 AS BIGINT) AS maxx_u, "
+        "CAST(ST_MAXY(wkb) * 100 AS BIGINT) AS maxy_u, "
+        "CAST(ST_AREA(wkb) * 20000 AS BIGINT) AS area2_u "
+        "FROM polys ORDER BY poly_id",
+        {"polys": _polys_ds()})
+
+
+def _sql_sql_spatial() -> str:
+    return f"""
+with e(poly_id, part, ring, hole, x1, y1, x2, y2) as (values {_poly_edges_units_sql_values()}),
+ra as (select poly_id, part, ring, hole,
+              abs(sum(x1 * y2 - x2 * y1)) as a2, count(*) as n_edges
+       from e group by 1, 2, 3, 4),
+agg as (select poly_id,
+               cast(sum(case when hole = 1 then -a2 else a2 end) as bigint) as area2_u,
+               cast(sum(n_edges) + count(*) as bigint) as n_points,
+               count(distinct part) as n_parts
+        from ra group by 1),
+ext as (select poly_id,
+               cast(min(least(x1, x2)) as bigint) as minx_u,
+               cast(min(least(y1, y2)) as bigint) as miny_u,
+               cast(max(greatest(x1, x2)) as bigint) as maxx_u,
+               cast(max(greatest(y1, y2)) as bigint) as maxy_u
+        from e group by 1)
+select agg.poly_id,
+       case when agg.n_parts > 1 then 'MULTIPOLYGON' else 'POLYGON' end as gt,
+       agg.n_points, ext.minx_u, ext.miny_u, ext.maxx_u, ext.maxy_u,
+       agg.area2_u
+from agg join ext using (poly_id) order by poly_id
+"""
+
+
 def q_geom_explode(sf_dir: str):
     """explode-collections (apps/gdalalg_vector_pipeline.cpp step): one row
     per polygon part with its ring/vertex counts — flat_map over WKB."""
@@ -5398,6 +5443,7 @@ def queries():
         "sample_stratified": q_sample_stratified,
         "winnow_fp": q_winnow_fp,
         "exact_substr": q_exact_substr,
+        "sql_spatial": q_sql_spatial,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5602,6 +5648,7 @@ def oracle_sql():
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "winnow_fp": SQL_WINNOW,
         "exact_substr": SQL_EXACT_SUBSTR,
+        "sql_spatial": _sql_sql_spatial(),
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -964,6 +964,12 @@ def _eval(node, batch: pa.Table):
                    + r'"?\s*=>\s*"?(?P<v>[^,"]*)"?')
             st = pc.extract_regex(pc.cast(args[0], pa.string()), pat)
             return pc.utf8_trim_whitespace(pc.struct_field(st, "v"))
+        if fn.startswith("ST_"):
+            # SQLite-dialect spatial functions over WKB columns
+            # (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp)
+            from gdal_ray.geometry.stfuncs import eval_st
+
+            return eval_st(fn, args, node)
         if fn in _CUSTOM_FUNCS:  # SWQCF_CUSTOM (ogr/ogr_swq.h:334)
             out = _CUSTOM_FUNCS[fn](*args)
             if not isinstance(out, (pa.Array, pa.ChunkedArray, pa.Scalar)):
