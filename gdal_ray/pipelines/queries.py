@@ -5306,6 +5306,47 @@ select a as doc_id, cast(min(b) as bigint) as label from reach group by 1
 """
 
 
+def q_dedup_apply(sf_dir: str):
+    """End-to-end near-dup DEDUP: pair graph -> connected components ->
+    keep only each cluster's canonical (min doc_id) document — the
+    actual "drop the duplicates" step a curation pipeline ships.  The
+    canonical filter is a batch predicate on the label table (no
+    driver materialization); survivor attributes come back through the
+    engine's own SQL hash join."""
+    import ray.data as rd
+
+    from gdal_ray.sql import execute_sql
+    from gdal_ray.stages.dedup import connected_components
+
+    pairs = q_ngram_pairs(sf_dir)
+    edges = rd.from_arrow(pairs.select(["doc_a", "doc_b"]))
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 100")
+    labels = connected_components(edges, nodes)
+
+    def canon(b: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(b.column("doc_id"), b.column("label"))
+        return b.filter(keep).select(["doc_id"])
+
+    kept = labels.map_batches(canon, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .filter(expr="doc_id < 100")
+    return execute_sql(
+        "SELECT documents.doc_id, documents.n_chars FROM documents "
+        "JOIN kept ON documents.doc_id = kept.doc_id",
+        {"documents": docs, "kept": kept}).sort("doc_id")
+
+
+SQL_DEDUP_APPLY = SQL_DEDUP_CLUSTERS.replace(
+    "select a as doc_id, cast(min(b) as bigint) as label from reach group by 1",
+    """,
+lab as (select a as doc_id, min(b) as label from reach group by 1)
+select d2.doc_id, cast(d2.n_chars as bigint) as n_chars
+from (select doc_id, n_chars from documents where doc_id < 100) d2
+join lab using (doc_id)
+where lab.label = lab.doc_id order by doc_id""")
+
+
 def q_vrt_mosaic(sf_dir: str):
     """End-to-end FILE-DRIVER path with an exact oracle: write two
     deterministic GeoTIFFs (doc-0 / doc-1 elevation grids), gdalbuildvrt
@@ -5444,6 +5485,7 @@ def queries():
         "winnow_fp": q_winnow_fp,
         "exact_substr": q_exact_substr,
         "sql_spatial": q_sql_spatial,
+        "dedup_apply": q_dedup_apply,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5649,6 +5691,7 @@ def oracle_sql():
         "winnow_fp": SQL_WINNOW,
         "exact_substr": SQL_EXACT_SUBSTR,
         "sql_spatial": _sql_sql_spatial(),
+        "dedup_apply": SQL_DEDUP_APPLY,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
