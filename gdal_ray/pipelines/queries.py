@@ -1028,6 +1028,33 @@ where list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means over the embedding space,
+    within-cluster cosine>=eps duplicate groups, keep the member
+    farthest from the centroid.  Rows-only (Lloyd's iterations are not
+    SQL-expressible); distributed == single-process reference in
+    tests/test_semdedup.py.  keep flattened to int64 for the rows-only
+    canonicalizer; centroid_sim quantized to micro-units."""
+    from gdal_ray.stages.semdedup import semdedup
+
+    out = semdedup(_read(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]),
+                   k=8, eps=0.35, iters=5)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "cluster": pa.compute.cast(b.column("cluster"), pa.int64()),
+            "sim_u": pc.round(pc.multiply(b.column("centroid_sim"),
+                                          pa.scalar(1e6))).cast(pa.int64()),
+            "keep": pa.compute.cast(b.column("keep"), pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("vec_id")
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by exact Jaccard ≥ 0.5
     (non-SQL-expressible: LSH banding; verified in pytest vs brute force)."""
@@ -5544,6 +5571,7 @@ def queries():
         "top_terms": q_top_terms,
         # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
         "geodesic_measures": q_geodesic_measures,
+        "semdedup": q_semdedup,
         "kmeans_embed": q_kmeans_embed,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
