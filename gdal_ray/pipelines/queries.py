@@ -4548,6 +4548,49 @@ def q_exact_substr(sf_dir: str):
     return out.sort("doc_id")
 
 
+SQL_LM_SCORE = (
+    # target-domain trigram LM counts (doc_id % 97 = 0) scored over the
+    # rest of the corpus: per-doc exact integer sums — the add-α log
+    # score is one driver-side map over these
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '') AS a FROM documents), "
+    "tpos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i "
+    "FROM tok WHERE doc_id % 97 = 0), "
+    "tg AS (SELECT array_to_string(a[i:i+2], ' ') AS gram, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM tpos GROUP BY gram), "
+    "tc AS (SELECT array_to_string(a[i:i+1], ' ') AS ctx, "
+    "CAST(COUNT(*) AS BIGINT) AS cc FROM tpos GROUP BY ctx), "
+    "cpos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i "
+    "FROM tok WHERE doc_id % 97 <> 0), "
+    "cg AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS gram, "
+    "array_to_string(a[i:i+1], ' ') AS ctx FROM cpos) "
+    "SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN tg.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hit, "
+    "CAST(SUM(COALESCE(tg.c, 0)) AS BIGINT) AS sum_c, "
+    "CAST(SUM(COALESCE(tc.cc, 0)) AS BIGINT) AS sum_ctx "
+    "FROM cg LEFT JOIN tg USING (gram) LEFT JOIN tc USING (ctx) "
+    "GROUP BY cg.doc_id ORDER BY cg.doc_id"
+)
+
+
+def q_lm_score(sf_dir: str):
+    """n-gram LM corpus scoring (the CCNet perplexity-filter shape,
+    Wenzek et al. 2020): train exact trigram + context counts on the
+    target subset (doc_id % 97 = 0), score every other document.  The
+    LM stays a distributed dataset — count attachment is two union-tag
+    gram-keyed exchanges, never a driver dict — and the per-doc outputs
+    are exact integers vs the DuckDB LEFT-JOIN oracle
+    (stages/ngram_lm.py)."""
+    from gdal_ray.stages.ngram_lm import score_ngrams, train_ngram_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    corpus = docs.filter(lambda r: r["doc_id"] % 97 != 0)
+    grams, ctxs, _v = train_ngram_counts(target, n=3)
+    return score_ngrams(corpus, grams, ctxs, n=3).sort("doc_id")
+
+
 SQL_SAMPLE_STRATIFIED = (
     "SELECT doc_id, source, h FROM (SELECT doc_id, source, "
     "(doc_id * 2654435761) % 4294967296 AS h FROM documents) t "
@@ -5513,6 +5556,7 @@ def queries():
         "exact_substr": q_exact_substr,
         "sql_spatial": q_sql_spatial,
         "dedup_apply": q_dedup_apply,
+        "lm_score": q_lm_score,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5720,6 +5764,7 @@ def oracle_sql():
         "exact_substr": SQL_EXACT_SUBSTR,
         "sql_spatial": _sql_sql_spatial(),
         "dedup_apply": SQL_DEDUP_APPLY,
+        "lm_score": SQL_LM_SCORE,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
