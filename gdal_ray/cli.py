@@ -82,12 +82,15 @@ def cmd_render(args) -> int:
     )
     total = 0
     written = 0
+    base_summary = None
     for i, lv in enumerate(levels):
         z = args.base_zoom - i
         if args.tree_out:
             from gdal_ray.state.tilesink import write_tile_tree
 
             res = write_tile_tree(lv, args.tree_out, tile_size=args.tile_size).to_pandas()
+            if i == 0:
+                base_summary = res
             total += len(res)
             written += int(res["written"].sum())
         else:
@@ -96,6 +99,21 @@ def cmd_render(args) -> int:
     out = {"levels": len(levels), "tiles": total, "out": args.tree_out or args.out}
     if args.tree_out:
         out["written"] = written
+        if base_summary is not None and len(base_summary):
+            # gdal2tiles viewer sidecars, bounds from the base-zoom tiles
+            from gdal_ray.state.tilesink import write_tile_sidecars
+            from gdal_ray.tilemath import tile_bounds_lonlat_xyz
+
+            x0, x1 = int(base_summary["x"].min()), int(base_summary["x"].max())
+            y0, y1 = int(base_summary["y"].min()), int(base_summary["y"].max())
+            w = tile_bounds_lonlat_xyz(x0, y0, args.base_zoom)
+            e = tile_bounds_lonlat_xyz(x1, y1, args.base_zoom)
+            bounds = (min(w[0], e[0]), min(w[1], e[1]),
+                      max(w[2], e[2]), max(w[3], e[3]))
+            out["sidecars"] = write_tile_sidecars(
+                args.tree_out, min_zoom=args.min_zoom,
+                max_zoom=args.base_zoom, bounds_lonlat=bounds,
+                tile_size=args.tile_size)
     print(json.dumps(out))
     return 0
 

@@ -4591,6 +4591,51 @@ def q_lm_score(sf_dir: str):
     return score_ngrams(corpus, grams, ctxs, n=3).sort("doc_id")
 
 
+SQL_DSIR = (
+    # hashed-bigram DSIR feature sums: vocab id = dense lexicographic
+    # rank; bucket = (id1*1000003 + id2) % 8192; target = doc_id%97=0
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '') AS a FROM documents), "
+    "uni AS (SELECT DISTINCT unnest(a) AS token FROM tok), "
+    "vocab AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS tid "
+    "FROM uni), "
+    "pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i "
+    "FROM tok), "
+    "big AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM pos), "
+    "bid AS (SELECT big.doc_id, "
+    "(v1.tid * 1000003 + v2.tid) % 8192 AS b "
+    "FROM big JOIN vocab v1 ON big.w1 = v1.token "
+    "JOIN vocab v2 ON big.w2 = v2.token), "
+    "tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bid "
+    "WHERE doc_id % 97 = 0 GROUP BY b), "
+    "rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bid "
+    "WHERE doc_id % 97 <> 0 GROUP BY b) "
+    "SELECT bid.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, "
+    "CAST(SUM(COALESCE(tcnt.c, 0)) AS BIGINT) AS sum_t, "
+    "CAST(SUM(COALESCE(rcnt.c, 0)) AS BIGINT) AS sum_r "
+    "FROM bid LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b) "
+    "WHERE bid.doc_id % 97 <> 0 "
+    "GROUP BY bid.doc_id ORDER BY bid.doc_id"
+)
+
+
+def q_dsir(sf_dir: str):
+    """DSIR importance-resampling feature sums (Xie et al. 2023):
+    hashed-bigram bucket counts of the target subset (doc_id % 97 = 0)
+    vs the raw rest, summed over each raw doc's features.  Bucketing
+    goes through a dense lexicographic vocab id so the DuckDB oracle
+    reproduces the exact arithmetic; the vocabulary broadcasts once per
+    actor, the count tables stay distributed (stages/dsir.py).  The
+    α-smoothed log weight is a driver-side finisher (dsir_logweight),
+    kept out of the hash on purpose (libm)."""
+    from gdal_ray.stages.dsir import dsir_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    raw = docs.filter(lambda r: r["doc_id"] % 97 != 0)
+    return dsir_scores(target, raw, k=8192).sort("doc_id")
+
+
 SQL_SAMPLE_STRATIFIED = (
     "SELECT doc_id, source, h FROM (SELECT doc_id, source, "
     "(doc_id * 2654435761) % 4294967296 AS h FROM documents) t "
@@ -5557,6 +5602,7 @@ def queries():
         "sql_spatial": q_sql_spatial,
         "dedup_apply": q_dedup_apply,
         "lm_score": q_lm_score,
+        "dsir": q_dsir,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5765,6 +5811,7 @@ def oracle_sql():
         "sql_spatial": _sql_sql_spatial(),
         "dedup_apply": SQL_DEDUP_APPLY,
         "lm_score": SQL_LM_SCORE,
+        "dsir": SQL_DSIR,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -63,3 +63,62 @@ def write_tile_tree(tiles_ds, out_dir: str, *, tile_size: int, resume: bool = Tr
         )
 
     return tiles_ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+def write_tile_sidecars(out_dir: str, *, min_zoom: int, max_zoom: int,
+                        bounds_lonlat: tuple[float, float, float, float],
+                        tile_size: int = 256, title: str = "tiles",
+                        tms: bool = False) -> list[str]:
+    """gdal2tiles' viewer sidecars: tilemapresource.xml (OSGeo TMS 1.0
+    resource document — gdal2tiles.py generate_tilemapresource) and a
+    self-contained leaflet.html viewer (generate_leaflet).  Bounds in
+    lon/lat; the tile tree itself is XYZ (web) order unless ``tms``.
+    Returns the written paths (atomic tmp+rename, like the tiles)."""
+    from gdal_ray.tilemath import lonlat_to_meters
+
+    minx, miny = lonlat_to_meters(bounds_lonlat[0], bounds_lonlat[1])
+    maxx, maxy = lonlat_to_meters(bounds_lonlat[2], bounds_lonlat[3])
+    units_per_px0 = 2 * 20037508.342789244 / tile_size
+    sets = "\n".join(
+        f'      <TileSet href="{z}" units-per-pixel="{units_per_px0 / (1 << z):.14f}" order="{z}"/>'
+        for z in range(min_zoom, max_zoom + 1))
+    xml = f"""<?xml version="1.0" encoding="utf-8"?>
+<TileMap version="1.0.0" tilemapservice="http://tms.osgeo.org/1.0.0">
+  <Title>{title}</Title>
+  <Abstract></Abstract>
+  <SRS>EPSG:3857</SRS>
+  <BoundingBox minx="{minx:.14f}" miny="{miny:.14f}" maxx="{maxx:.14f}" maxy="{maxy:.14f}"/>
+  <Origin x="{minx:.14f}" y="{miny:.14f}"/>
+  <TileFormat width="{tile_size}" height="{tile_size}" mime-type="image/png" extension="png"/>
+  <TileSets profile="mercator">
+{sets}
+  </TileSets>
+</TileMap>
+"""
+    cx = (bounds_lonlat[0] + bounds_lonlat[2]) / 2
+    cy = (bounds_lonlat[1] + bounds_lonlat[3]) / 2
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"/><title>{title}</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet/dist/leaflet.js"></script>
+<style>html,body,#map{{height:100%;margin:0}}</style></head>
+<body><div id="map"></div><script>
+var map = L.map('map').setView([{cy:.6f}, {cx:.6f}], {min_zoom});
+L.tileLayer('./{{z}}/{{x}}/{{y}}.png', {{
+  minZoom: {min_zoom}, maxZoom: {max_zoom}, tileSize: {tile_size},
+  tms: {str(bool(tms)).lower()}, noWrap: true
+}}).addTo(map);
+map.fitBounds([[{bounds_lonlat[1]:.6f}, {bounds_lonlat[0]:.6f}],
+               [{bounds_lonlat[3]:.6f}, {bounds_lonlat[2]:.6f}]]);
+</script></body></html>
+"""
+    out = []
+    os.makedirs(out_dir, exist_ok=True)
+    for name, data in (("tilemapresource.xml", xml), ("leaflet.html", html)):
+        p = os.path.join(out_dir, name)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, p)
+        out.append(p)
+    return out

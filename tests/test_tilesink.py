@@ -100,3 +100,32 @@ def test_tile_tree_alpha_drop(tmp_path, levels):
         assert img.shape[2] == 3
     else:
         assert (img[:, :, 3].ravel() == a).all()
+
+
+def test_tile_sidecars(tmp_path):
+    """gdal2tiles viewer sidecars: TMS 1.0 tilemapresource.xml with one
+    TileSet per zoom at mercator units-per-pixel, and a leaflet.html
+    wired to the XYZ tree."""
+    import xml.etree.ElementTree as ET
+
+    from gdal_ray.state.tilesink import write_tile_sidecars
+
+    paths = write_tile_sidecars(str(tmp_path), min_zoom=2, max_zoom=5,
+                                bounds_lonlat=(-10.0, 35.0, 30.0, 60.0),
+                                tile_size=256, title="t")
+    root = ET.parse(paths[0]).getroot()
+    assert root.find("SRS").text == "EPSG:3857"
+    sets = root.find("TileSets").findall("TileSet")
+    assert [s.attrib["order"] for s in sets] == ["2", "3", "4", "5"]
+    # units-per-pixel halves per zoom
+    upp = [float(s.attrib["units-per-pixel"]) for s in sets]
+    for a, b in zip(upp, upp[1:]):
+        assert a / b == 2.0
+    assert float(upp[0]) == 2 * 20037508.342789244 / 256 / 4
+    bb = root.find("BoundingBox").attrib
+    assert float(bb["minx"]) < 0 < float(bb["maxx"])
+    html = open(paths[1]).read()
+    assert "{z}/{x}/{y}.png" in html and "tms: false" in html
+    # idempotent overwrite (atomic publish)
+    write_tile_sidecars(str(tmp_path), min_zoom=2, max_zoom=5,
+                        bounds_lonlat=(-10.0, 35.0, 30.0, 60.0))
