@@ -78,11 +78,18 @@ def train_ngram_counts(docs, *, n: int = 3, col: str = "text",
 
 
 def _attach_counts(score_rows, counts, *, key: str, out: str,
-                   row_schema: list[tuple[str, pa.DataType]]):
-    """Union-tag join: count rows (key, c) ∪ score rows grouped by key;
-    each group stamps its (single) count onto every score row.
-    ``row_schema`` lists the score-row columns (name, type) in order —
-    both sides are projected to it + ``__c`` so Dataset.union lines up."""
+                   row_schema: list[tuple[str, pa.DataType]],
+                   num_buckets: int = 64):
+    """Union-tag join: count rows (key, c) ∪ score rows hash-bucketed by
+    key; inside each bucket ONE vectorized ``pc.index_in`` maps every
+    score row to its count (0 when unseen) — num_buckets Python calls
+    total, not one per distinct key.  ``row_schema`` lists the score-row
+    columns (name, type) in order so Dataset.union lines up.  At scale,
+    size ``num_buckets`` so a bucket (≈ rows / num_buckets) fits one
+    task's heap."""
+    import pyarrow.compute as pc
+
+    from gdal_ray.stages.agg import _bucket_of
 
     def tag_counts(b: pa.Table) -> pa.Table:
         cols = {}
@@ -90,28 +97,40 @@ def _attach_counts(score_rows, counts, *, key: str, out: str,
             cols[name] = (b.column(key) if name == key
                           else pa.nulls(len(b), ty))
         cols["__c"] = b.column("c").cast(pa.int64())
-        return pa.table(cols)
+        t = pa.table(cols)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_of(t, [key], num_buckets)))
 
     def tag_scores(b: pa.Table) -> pa.Table:
         cols = {name: b.column(name) for name, _ in row_schema}
         cols["__c"] = pa.nulls(len(b), pa.int64())
-        return pa.table(cols)
+        t = pa.table(cols)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_of(t, [key], num_buckets)))
 
     def reattach(g: pa.Table) -> pa.Table:
-        have = ~pa.compute.is_null(g.column("__c")).to_numpy(
+        is_score = pc.is_null(g.column("__c")).to_numpy(
             zero_copy_only=False)
-        c = int(g.column("__c").to_numpy(
-            zero_copy_only=False)[have][0]) if have.any() else 0
-        real = ~pa.compute.is_null(g.column("doc_id")).to_numpy(
-            zero_copy_only=False)
-        kept = g.filter(pa.array(real)).drop_columns(["__c"])
-        return kept.append_column(
-            out, pa.array(np.full(len(kept), c, dtype=np.int64)))
+        lm = g.filter(pa.array(~is_score))
+        sc = g.filter(pa.array(is_score)).drop_columns(["__c", "__bucket"])
+        if len(sc) == 0:
+            return sc.append_column(out, pa.array([], pa.int64()))
+        if len(lm) == 0:
+            return sc.append_column(
+                out, pa.array(np.zeros(len(sc), dtype=np.int64)))
+        idx = pc.fill_null(
+            pc.index_in(sc.column(key).combine_chunks(),
+                        value_set=lm.column(key).combine_chunks()),
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        cvals = lm.column("__c").to_numpy(zero_copy_only=False)
+        got = np.where(idx >= 0, cvals[np.clip(idx, 0, None)], 0)
+        return sc.append_column(out, pa.array(got.astype(np.int64)))
 
     both = (counts.map_batches(tag_counts, batch_format="pyarrow")
                   .union(score_rows.map_batches(tag_scores,
                                                 batch_format="pyarrow")))
-    return both.groupby(key).map_groups(reattach, batch_format="pyarrow")
+    return (both.groupby("__bucket")
+                .map_groups(reattach, batch_format="pyarrow"))
 
 
 def score_ngrams(docs, gram_counts, ctx_counts, *, n: int = 3,
