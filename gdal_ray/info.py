@@ -201,11 +201,40 @@ def _tiff(path: str, stats: bool) -> dict:
     arr, info = levels[0]
     out = {"driver": "GTiff" if len(levels) == 1 else "COG",
            **_raster_common(arr, stats)}
-    out["geotransform"] = list(info["geotransform"]) if info.get("geotransform") else None
+    gt = info.get("geotransform")
+    if gt is None:
+        # GDAL world-file fallback (gdal_misc.cpp GDALReadWorldFile)
+        from gdal_ray.sources.pam import read_world_file
+
+        gt = read_world_file(path)
+        if gt is not None:
+            out["georef_source"] = "worldfile"
+    out["geotransform"] = list(gt) if gt else None
     out["epsg"] = info.get("epsg")
     out["nodata"] = info.get("nodata")
     if info.get("palette") is not None:
         out["palette_entries"] = int(len(info["palette"]))
+    if stats:
+        # PAM cache: read <path>.aux.xml when present, else persist the
+        # freshly computed stats there (gdalpamdataset.cpp behavior)
+        from gdal_ray.sources.pam import read_pam_stats, write_pam_stats
+
+        pam = read_pam_stats(path)
+        if pam:
+            out["stats_source"] = "pam"
+            for s in out.get("stats", []):
+                cached = pam.get(s["band"])
+                if cached:
+                    s.update(cached)
+        else:
+            a3 = arr[:, :, None] if arr.ndim == 2 else arr
+            write_pam_stats(path, {
+                b + 1: {"min": float(a3[:, :, b].min()),
+                        "max": float(a3[:, :, b].max()),
+                        "mean": float(a3[:, :, b].mean()),
+                        "stddev": float(a3[:, :, b].std())}
+                for b in range(a3.shape[2])})
+            out["stats_source"] = "computed+pam-written"
     out["overviews"] = [
         {"width": a.shape[1], "height": a.shape[0]} for a, _ in levels[1:]
     ]

@@ -116,6 +116,11 @@ def tiff_levels(path: str) -> list[dict]:
                 meta["nodata"] = float(tags[T_GDAL_NODATA][0].strip())
             except ValueError:
                 pass
+        if meta["geotransform"] is None:
+            # world-file fallback (GDALReadWorldFile) — header-side only
+            from gdal_ray.sources.pam import read_world_file
+
+            meta["geotransform"] = read_world_file(path)
         if T_TILE_OFFSETS in tags:
             meta.update(tiled=True,
                         tile_w=int(tags[T_TILE_W][0]),

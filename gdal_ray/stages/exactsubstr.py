@@ -100,7 +100,12 @@ def duplicated_starts(docs, *, L: int, num_buckets: int = 64,
                       text_col: str = "text", id_col: str = "doc_id"):
     """-> Dataset (doc_id, pos) of window starts whose L-window content
     occurs ≥ 2 times anywhere in the corpus (self-repeats included,
-    like the reference EXACTSUBSTR)."""
+    like the reference EXACTSUBSTR).
+
+    Scale contract: one bucket ≈ corpus_positions / num_buckets rows of
+    32 B lands in a single task — size ``num_buckets`` so that fits the
+    worker heap (100 TB corpus → O(10⁵) buckets); the per-bucket work
+    is one vectorized lexsort regardless of key skew."""
     fps = window_fingerprints(docs, L=L, text_col=text_col, id_col=id_col)
 
     def bucket(b: pa.Table) -> pa.Table:
