@@ -4574,6 +4574,46 @@ SQL_LM_SCORE = (
 )
 
 
+SQL_EXACT_SUBSTR_CUT = SQL_EXACT_SUBSTR.replace(
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(SUM(e - s) AS BIGINT) AS dup_bytes, "
+    "CAST(SUM(nw) AS BIGINT) AS n_dup_windows "
+    "FROM spans GROUP BY doc_id ORDER BY doc_id",
+    ", agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(SUM(e - s) AS BIGINT) AS dup_bytes FROM spans GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_cut, "
+    "CAST(COALESCE(agg.dup_bytes, 0) AS BIGINT) AS cut_bytes, "
+    "CAST(length(d.text) - COALESCE(agg.dup_bytes, 0) AS BIGINT) "
+    "AS clean_chars "
+    "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id")
+
+
+def q_exact_substr_cut(sf_dir: str):
+    """The EXACTSUBSTR REMOVE path end-to-end: detect duplicated spans
+    (length-25 windows occurring >= 2 times) and cut them out of every
+    document — per-doc span count, removed bytes and the surviving text
+    length, exact integers vs the oracle (which recomputes the merged
+    spans from the window strings)."""
+    from gdal_ray.stages.exactsubstr import cut_spans, duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicate_spans(docs, L=25)
+    out = cut_spans(docs, spans)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_cut": b.column("n_cut"),
+            "cut_bytes": b.column("cut_bytes"),
+            "clean_chars": pc.cast(
+                pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+
+
 def q_lm_score(sf_dir: str):
     """n-gram LM corpus scoring (the CCNet perplexity-filter shape,
     Wenzek et al. 2020): train exact trigram + context counts on the
@@ -5603,6 +5643,7 @@ def queries():
         "dedup_apply": q_dedup_apply,
         "lm_score": q_lm_score,
         "dsir": q_dsir,
+        "exact_substr_cut": q_exact_substr_cut,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5812,6 +5853,7 @@ def oracle_sql():
         "dedup_apply": SQL_DEDUP_APPLY,
         "lm_score": SQL_LM_SCORE,
         "dsir": SQL_DSIR,
+        "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
