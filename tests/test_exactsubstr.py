@@ -111,3 +111,27 @@ def test_short_docs_skipped(ray_session):
         "text": pa.array(["tiny", "also tiny"], pa.string()),
     }))
     assert duplicate_spans(ds, L=25, num_buckets=2).count() == 0
+
+
+def test_hot_window_skew(ray_session):
+    """A boilerplate line repeated across thousands of docs lands every
+    occurrence in one hash bucket — the skew case.  The bucket pays one
+    lexsort (no pairwise work), so this must stay fast and exact."""
+    import time
+
+    boiler = "subscribe to our newsletter for daily updates! "
+    docs = {i: f"doc {i} intro. {boiler} unique tail {i * 7919}"
+            for i in range(2000)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    }))
+    t0 = time.time()
+    spans = duplicate_spans(ds, L=20, num_buckets=8).to_pandas()
+    dt = time.time() - t0
+    # every doc contains the boilerplate -> at least one span each
+    assert spans["doc_id"].nunique() == 2000
+    # spans cover the boilerplate (its windows repeat 2000x)
+    row0 = spans[spans.doc_id == 0].iloc[0]
+    assert row0.end - row0.start >= len(boiler) - 1
+    assert dt < 60, f"skew path too slow: {dt:.1f}s"
