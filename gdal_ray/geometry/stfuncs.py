@@ -218,6 +218,27 @@ def eval_st(fn: str, args: list, node) -> pa.Array:
             else:
                 raise NotImplementedError(f"ST_SIMPLIFY for {kind}")
         return pa.array(out, pa.binary())
+    if fn == "ST_BUFFER":
+        from gdal_ray.geometry.ops import buffer_convex, buffer_point
+        from gdal_ray.geometry.wkb import polygon_parts
+
+        dist = args[1].as_py() if isinstance(args[1], pa.Scalar) \
+            else float(np.asarray(args[1])[0])
+        out = []
+        for w in a0:
+            kind, payload = decode_wkb(w)
+            if kind == GeomType.POINT:
+                ring = buffer_point(float(payload[0]), float(payload[1]),
+                                    dist)
+            elif kind == GeomType.POLYGON:
+                # convex-ring buffer (ops.buffer_convex contract); the
+                # reference's general GEOS buffer covers concave input
+                ring = buffer_convex(convex_hull(polygon_parts(w)[0][0]),
+                                     dist)
+            else:
+                raise NotImplementedError(f"ST_BUFFER for {kind}")
+            out.append(encode_polygon([ring]))
+        return pa.array(out, pa.binary())
     if fn in ("ST_INTERSECTS", "ST_DISJOINT", "ST_CONTAINS", "ST_WITHIN",
               "ST_DISTANCE"):
         b0 = _wkbs(args[1])

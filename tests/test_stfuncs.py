@@ -131,3 +131,29 @@ def test_unknown_st_raises():
 
     with pytest.raises(NotImplementedError):
         eval_st("ST_FRABJOUS", [pa.array([b""], pa.binary())], None)
+
+
+def test_buffer(ray_session):
+    # point buffer: area converges to pi*r^2 from below (inscribed
+    # polygon); square buffer contains the original and grows area by
+    # ~ perimeter*d + pi*d^2
+    ds = rd.from_arrow(pa.table({
+        "gid": pa.array([0], pa.int64()),
+        "wkb": pa.array([encode_point(5.0, 5.0)], pa.binary()),
+    }))
+    out = execute_sql(
+        "SELECT ST_AREA(ST_BUFFER(wkb, 2.0)) AS a, "
+        "ST_NPOINTS(ST_BUFFER(wkb, 2.0)) AS n FROM t",
+        {"t": ds}).to_pandas()
+    assert 0.95 * np.pi * 4 < out.loc[0, "a"] <= np.pi * 4
+    assert out.loc[0, "n"] >= 32
+    ds2 = rd.from_arrow(pa.table({
+        "gid": pa.array([0], pa.int64()),
+        "wkb": pa.array([_sq(0, 0, 10)], pa.binary()),
+    }))
+    out2 = execute_sql(
+        "SELECT ST_AREA(ST_BUFFER(wkb, 1.0)) AS a, "
+        "ST_CONTAINS(ST_BUFFER(wkb, 1.0), wkb) AS c FROM t",
+        {"t": ds2}).to_pandas()
+    assert out2.loc[0, "c"]
+    assert 100 + 40 + 0.9 * np.pi < out2.loc[0, "a"] <= 100 + 40 + np.pi
