@@ -5573,6 +5573,156 @@ from cells
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4e: PII redaction / domain mixture reweighting / Bloom membership
+
+
+# The PII-bearing text is derived from (doc_id, text) IDENTICALLY in Arrow
+# and SQL — the synthetic corpus has no organic PII, so both engines append
+# a deterministic contact block (email, dotted quad, long numeric id, and a
+# phone number for every third doc) before redacting.
+PII_FULL_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.org from 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' ref ' || CAST(doc_id * 977 + 100003 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+)
+
+
+def _sql_pii_redact() -> str:
+    from gdal_ray.stages.pii import sql_redact_exprs
+
+    red, counts = sql_redact_exprs("full_text")
+    return (
+        f"WITH f AS (SELECT doc_id, {PII_FULL_SQL} AS full_text "
+        "FROM documents) "
+        f"SELECT doc_id, {', '.join(counts)}, {red} AS redacted "
+        "FROM f ORDER BY doc_id"
+    )
+
+
+def _pii_augment(b: pa.Table) -> pa.Table:
+    """text + deterministic contact block — the Arrow twin of PII_FULL_SQL."""
+    import pyarrow.compute as _pc
+
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def s(a: np.ndarray) -> pa.Array:
+        return pa.array(a.astype("U"), pa.string())
+
+    phone = _pc.if_else(
+        pa.array(ids % 3 == 0),
+        _pc.binary_join_element_wise(
+            " call 415-555-",
+            s(np.char.zfill((ids % 10000).astype("U"), 4)), ""),
+        "")
+    full = _pc.binary_join_element_wise(
+        _pc.cast(b.column("text"), pa.string()),
+        " contact u", s(ids), "@ex", s(ids % 7), ".org from 10.",
+        s(ids % 256), ".0.", s(ids % 100), " ref ", s(ids * 977 + 100003),
+        phone, "")
+    return pa.table({"doc_id": b.column("doc_id"), "full_text": full})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (stages/pii.py — the BigCode/ROOTS scrub-pass shape):
+    email / dotted-quad / phone-run / long-digit-run -> typed placeholders,
+    four vectorized RE2 kernels per batch plus staged match counts.  The
+    IDENTICAL pattern constants render into the DuckDB oracle via
+    `sql_redact_exprs`, so the driver compares exact redacted strings.
+    Shuffle-free map_batches; scales with input bytes."""
+    from gdal_ray.stages.pii import redact_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: redact_batch(_pii_augment(b), col="full_text")
+        .drop_columns(["full_text"]),
+        batch_format="pyarrow")
+    return ds.sort("doc_id")
+
+
+SQL_MIX_WEIGHTS = r"""
+WITH tc AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+  FROM documents),
+s AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS toks FROM tc GROUP BY source),
+g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+w AS (SELECT s.source,
+             (2 * g.total * 1000000 + g.ns * s.toks)
+               // (2 * g.ns * s.toks) AS weight_ppm
+      FROM s, g)
+SELECT tc.doc_id, tc.source, w.weight_ppm,
+       CAST(w.weight_ppm // 1000000 +
+            CASE WHEN (tc.doc_id * 2654435761) % 1000000
+                      < w.weight_ppm % 1000000 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM tc JOIN w ON tc.source = w.source
+ORDER BY tc.doc_id
+"""
+
+
+def q_mix_weights(sf_dir: str):
+    """Domain mixture reweighting (stages/mixture.py — the DoReMi/Pile
+    data-mixing shape): per-source token totals (per-batch RE2 partials ->
+    tiny hash-bucket groupby) -> integer round-half-up weight_ppm
+    equalizing the token budget -> deterministic per-doc repeat count
+    (hash Bernoulli on the fractional epoch).  The weight table is
+    O(#domains) and rides into a shuffle-free apply stage; the SQL twin
+    reproduces every integer op."""
+    from gdal_ray.stages.mixture import (apply_mixture, mixture_weights,
+                                         source_token_counts)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    counts = pa.Table.from_pylist(source_token_counts(ds).take_all())
+    weights = mixture_weights(counts)
+    out = apply_mixture(ds, weights).drop_columns(["text"])
+    return out.sort("doc_id")
+
+
+SQL_BLOOM_DEDUP = (
+    "SELECT d.doc_id, "
+    "CAST(CASE WHEN d.doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_ref,"
+    " CAST(CASE WHEN EXISTS(SELECT 1 FROM documents r "
+    "WHERE r.doc_id % 10 = 0 AND r.text = d.text) THEN 1 ELSE 0 END "
+    "AS BIGINT) AS is_dup FROM documents d ORDER BY d.doc_id"
+)
+
+
+def q_bloom_dedup(sf_dir: str):
+    """Bloom-filter cross-corpus membership (stages/bloom.py): build a
+    2^23-bit / k=4 filter over the reference slice (doc_id % 10 = 0) —
+    the build exchange is DISTINCT set-bit indices, bounded by the filter
+    size — broadcast the packed bitmap once per actor, flag the full
+    corpus shuffle-free.  FP rate < 1e-12 at oracle scale (pytest pins an
+    empirical sweep), so the exact semi-join SQL twin matches bit-for-bit."""
+    from gdal_ray.stages.bloom import bloom_build, bloom_flags
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    bitmap = bloom_build(
+        docs.map_batches(ref_only, batch_format="pyarrow"))
+
+    flagged = bloom_flags(docs, bitmap)
+
+    def with_ref(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "is_ref": pa.array((ids % 10 == 0).astype(np.int64)),
+            "is_dup": b.column("is_dup"),
+        })
+
+    return flagged.map_batches(with_ref, batch_format="pyarrow").sort("doc_id")
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-3), so
@@ -5636,6 +5786,11 @@ def queries():
         "rep_stats": q_rep_stats,
         "decontaminate": q_decontaminate,
         "dup_ngram": q_dup_ngram,
+        # -- new in round 4e (oracle-backed, outside the 50-slot window;
+        #    verified via tools/parity.py like prior outside-window rows) --
+        "pii_redact": q_pii_redact,
+        "mix_weights": q_mix_weights,
+        "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
         "winnow_fp": q_winnow_fp,
         "exact_substr": q_exact_substr,
@@ -5846,6 +6001,9 @@ def oracle_sql():
         "rep_stats": SQL_REP_STATS,
         "decontaminate": SQL_DECONTAMINATE,
         "dup_ngram": SQL_DUP_NGRAM,
+        "pii_redact": _sql_pii_redact(),
+        "mix_weights": SQL_MIX_WEIGHTS,
+        "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "winnow_fp": SQL_WINNOW,
         "exact_substr": SQL_EXACT_SUBSTR,
