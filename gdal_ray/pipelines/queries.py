@@ -701,6 +701,148 @@ select cell_id, count(*) as n_points from c group by 1
 """
 
 
+S2_ASSIGN_LEVEL = 12   # full Hilbert-walk depth exercised by the oracle
+S2_ROLLUP_LEVEL = 6    # coarse aggregation cell (bit-op parent extraction)
+
+
+def q_s2_cells(sf_dir: str):
+    """Points per S2 cell — the spherical cell scheme the north star names
+    ("assign each image-footprint to H3/S2 cells").  Assigns portable S2
+    cell ids at level 12 (cube-face quadratic projection + 12-level
+    Hilbert walk, stages/s2.py, from the public s2geometry spec), rolls
+    up to level 6 with the two-bit-op parent, and aggregates per cell:
+    per-batch partial counts, then ONE shuffle keyed by the int64 cell id
+    — the 'ONE partitioning key reused across stages' shape."""
+    from ray.data.aggregate import Min, Sum
+
+    from gdal_ray.stages import s2
+
+    def cells(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        leaf = s2.lonlat_to_cell(
+            b.column("px").to_numpy(), b.column("py").to_numpy(),
+            level=S2_ASSIGN_LEVEL)
+        cell = s2.cell_parent(leaf, S2_ROLLUP_LEVEL)
+        order = np.argsort(cell, kind="stable")
+        cell, ids = cell[order], ids[order]
+        uniq, start, counts = np.unique(cell, return_index=True,
+                                        return_counts=True)
+        return pa.table({
+            "cell_id": pa.array(uniq, pa.int64()),
+            "n_points": pa.array(counts.astype(np.int64)),
+            "first_point": pa.array(np.minimum.reduceat(ids, start), pa.int64()),
+        })
+
+    ds = derived_points_ds(sf_dir).map_batches(cells, batch_format="pyarrow")
+    return ds.groupby("cell_id").aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Min("first_point", alias_name="first_point"),
+    )
+
+
+def _sql_s2_cells() -> str:
+    """DuckDB twin of the S2 assignment: the same face/UV/ST quadratic
+    projection as scalar SQL, the 12-level Hilbert walk as a recursive
+    CTE carrying (orientation, position), parent by bit ops."""
+    lvl, plvl = S2_ASSIGN_LEVEL, S2_ROLLUP_LEVEL
+    # IJ_TO_POS flattened on orient*4+ij (derived from the spec kPosToIJ)
+    ij2pos = [0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0]
+    pos_case = " ".join(f"when {k} then {v}" for k, v in enumerate(ij2pos))
+    # The engine's int64 ids wrap negative for faces 4-5 (bit 63 set);
+    # DuckDB's << checks signed overflow, so build the id in hugeint
+    # (parent taken directly from the truncated Hilbert position) and
+    # wrap to bigint explicitly.
+    pshift = 2 * (30 - plvl) + 1
+    ptrail = 1 << (2 * (30 - plvl))
+    pdrop = 2 * (lvl - plvl)
+    return f"""
+with recursive p as ({POINT_SQL_CTE}),
+xyz as (
+  select point_id,
+         cos(radians(py)) * cos(radians(px)) as x,
+         cos(radians(py)) * sin(radians(px)) as y,
+         sin(radians(py)) as z
+  from p
+),
+fuv as (
+  select point_id,
+    case when abs(x) >= abs(y) and abs(x) >= abs(z) then (case when x < 0 then 3 else 0 end)
+         when abs(y) >= abs(z) then (case when y < 0 then 4 else 1 end)
+         else (case when z < 0 then 5 else 2 end) end as face,
+    x, y, z
+  from xyz
+),
+uv as (
+  select point_id, face,
+    case face when 0 then y/x when 1 then -x/y when 2 then -x/z
+              when 3 then z/x when 4 then z/y else -y/z end as u,
+    case face when 0 then z/x when 1 then z/y when 2 then -y/z
+              when 3 then y/x when 4 then -x/y else -x/z end as v
+  from fuv
+),
+ij as (
+  select point_id, face,
+    greatest(0, least(cast(floor((case when u >= 0 then 0.5*sqrt(1+3*u) else 1-0.5*sqrt(1-3*u) end) * 1073741824.0) as bigint), 1073741823)) as i,
+    greatest(0, least(cast(floor((case when v >= 0 then 0.5*sqrt(1+3*v) else 1-0.5*sqrt(1-3*v) end) * 1073741824.0) as bigint), 1073741823)) as j
+  from uv
+),
+walk as (
+  select point_id, face, i, j, 0 as lv,
+         cast(face & 1 as bigint) as orient, cast(0 as bigint) as pos
+  from ij
+  union all
+  select point_id, face, i, j, lv + 1,
+         xor(orient, case pp when 0 then 1 when 3 then 3 else 0 end),
+         pos * 4 + pp
+  from (
+    select *, cast(case orient * 4 + (((i >> (29 - lv)) & 1) * 2 + ((j >> (29 - lv)) & 1))
+                   {pos_case} end as bigint) as pp
+    from walk where lv < {lvl}
+  )
+),
+cells as (
+  select point_id,
+         cast(h - case when h >= cast(9223372036854775808 as hugeint)
+                       then cast(18446744073709551616 as hugeint) else 0 end
+              as bigint) as cell_id
+  from (
+    select point_id,
+           cast(face as hugeint) * 2305843009213693952
+             + cast(pos >> {pdrop} as hugeint) * {1 << pshift}
+             + {ptrail} as h
+    from walk where lv = {lvl}
+  )
+)
+select cell_id, count(*) as n_points, min(point_id) as first_point
+from cells group by 1
+"""
+
+
+def q_s2_cover(sf_dir: str):
+    """Footprint -> S2 cell-set assignment ("assign each image-footprint
+    to H3/S2 cells"): per-doc derived bbox (same formulas as tile_cover)
+    covered by level-8 S2 cells via the vectorized multi-bbox descend
+    (stages/s2.py cover_bboxes_batch — one numpy pass per level over the
+    union frontier, no per-row loop).  Rows-only: covering semantics are
+    pinned by tests/test_s2.py (completeness vs dense sampling)."""
+    from gdal_ray.stages import s2
+
+    def cover(b: pa.Table) -> pa.Table:
+        ids = b.column("point_id").to_numpy()
+        lon0 = b.column("px").to_numpy()
+        lat0 = b.column("py").to_numpy()
+        dlon = 0.05 + (ids % 7) * 0.35
+        dlat = 0.04 + (ids % 5) * 0.28
+        row, cell = s2.cover_bboxes_batch(
+            lon0, lat0, np.minimum(lon0 + dlon, 180.0), lat0 + dlat, level=8)
+        return pa.table({
+            "point_id": pa.array(ids[row], pa.int64()),
+            "cell_id": pa.array(cell, pa.int64()),
+        })
+
+    return derived_points_ds(sf_dir).map_batches(cover, batch_format="pyarrow")
+
+
 def q_pip_join(sf_dir: str):
     """Cell-partitioned point-in-polygon join of derived points against the
     seeded polygon table (even-odd ray cast, llrasterize.cpp semantics)."""
@@ -5799,6 +5941,7 @@ def queries():
         "lm_score": q_lm_score,
         "dsir": q_dsir,
         "exact_substr_cut": q_exact_substr_cut,
+        "s2_cells": q_s2_cells,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -5868,6 +6011,7 @@ def queries():
         "fingerprint": q_fingerprint,
         "raster_checksum": q_raster_checksum,
         "raster_stats": q_raster_stats,
+        "s2_cover": q_s2_cover,
         "image_tiles": q_image_tiles,
         "image_quality": q_image_quality,
         "vp8_roundtrip": q_vp8_roundtrip,
@@ -6012,6 +6156,7 @@ def oracle_sql():
         "lm_score": SQL_LM_SCORE,
         "dsir": SQL_DSIR,
         "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
+        "s2_cells": _sql_s2_cells(),
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
