@@ -906,6 +906,20 @@ def q_knn_cell(sf_dir: str):
     )
 
 
+def q_knn_s2(sf_dir: str):
+    """S2-keyed exact kNN with ring expansion — 'kNN lookups (per-cell
+    sorted neighbor lists with ring expansion)' over the S2 index itself:
+    points bucketed by level-6 S2 cell, per-query best-first search over
+    a two-level cell directory with conservative-AABB bounds, pruned
+    scan.  Same oracle as `knn` / `knn_cell` (results must be identical)."""
+    pts = derived_points_ds(sf_dir)
+    head = pts.filter(expr="point_id < 10").to_pandas().sort_values("point_id")
+    return knn_stage.knn_s2_ring(
+        pts, head[["px", "py"]].to_numpy(), head["point_id"].to_numpy(),
+        k=5, level=6,
+    )
+
+
 def q_json_props(sf_dir: str):
     """JSON field extraction (HSTORE_GET_VALUE / JSON subtype of
     ogr_core.h:818) + grouped aggregate over the extracted value."""
@@ -5942,6 +5956,7 @@ def queries():
         "dsir": q_dsir,
         "exact_substr_cut": q_exact_substr_cut,
         "s2_cells": q_s2_cells,
+        "knn_s2": q_knn_s2,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6071,6 +6086,7 @@ def oracle_sql():
         "pip_join": _sql_pip_join(),
         "knn": SQL_KNN,
         "knn_cell": SQL_KNN,
+        "knn_s2": SQL_KNN,
         "json_props": SQL_JSON_PROPS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,

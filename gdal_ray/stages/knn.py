@@ -219,3 +219,119 @@ def knn_cell_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5, zoom: i
 
     partial = keyed.groupby("cell_id").map_groups(scan, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pyarrow")
+
+
+def knn_s2_ring(points_ds, queries: np.ndarray, query_ids, k: int = 5,
+                level: int = 6, coarse_step: int = 3):
+    """Exact kNN keyed by S2 cells — the same two-level best-first ring
+    expansion as ``knn_cell_ring`` but over the spherical cell scheme the
+    north star names, reusing the leaf assignment's int64 key for the
+    only shuffle.  Bounds come from the CONSERVATIVE per-cell lat/lon
+    AABB (stages/s2.py): box ⊇ cell, so box-min-dist is a valid lower
+    bound and box-max-corner a valid upper bound; since a child's
+    conservative box need not nest inside its parent's, each child's
+    pop key is max(own bound, parent's popped key), which is still a
+    valid lower bound (the parent cell contains the child cell) and
+    keeps the heap keys monotone so the termination test stays exact.
+
+    Results are identical to knn_topk (same planar (lon, lat) metric and
+    (d2, point_id) tie-break) — pytest + the shared brute-force oracle.
+    """
+    import heapq
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from gdal_ray.stages import s2
+
+    q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    keyed = points_ds.map_batches(
+        lambda b: s2.assign_cells_batch(b, lon_col="px", lat_col="py",
+                                        level=level, out="cell_id"),
+        batch_format="pyarrow",
+    )
+    count_rows = keyed.groupby("cell_id").aggregate(Count(alias_name="n")).take_all()
+    cids = np.array([int(r["cell_id"]) for r in count_rows], dtype=np.int64)
+    ns = np.array([int(r["n"]) for r in count_rows], dtype=np.int64)
+    *fbox, ffull = s2._cell_bbox_conservative(cids)
+    fb = np.stack(fbox, axis=1)  # (F, 4) lon0 lon1 lat0 lat1
+
+    cz = max(level - coarse_step, 0)
+    par = s2.cell_parent(cids, cz)
+    uniq, inv = np.unique(par, return_inverse=True)
+    *cbox, cfull = s2._cell_bbox_conservative(uniq)
+    cb = np.stack(cbox, axis=1)
+    children: list[list[int]] = [[] for _ in range(len(uniq))]
+    for j, p in enumerate(inv):
+        children[p].append(j)
+
+    def box_mind2(qx, qy, box, full):
+        dx = 0.0 if full else max(max(box[0] - qx, qx - box[1]), 0.0)
+        dy = max(max(box[2] - qy, qy - box[3]), 0.0)
+        return dx * dx + dy * dy
+
+    def box_maxd2(qx, qy, box, full):
+        dx = 360.0 if full else max(abs(qx - box[0]), abs(qx - box[1]))
+        dy = max(abs(qy - box[2]), abs(qy - box[3]))
+        return dx * dx + dy * dy
+
+    selected: dict[int, list[int]] = {}
+    for qi in range(len(q)):
+        qx, qy = q[qi]
+        heap = [(box_mind2(qx, qy, cb[p], cfull[p]), -1, 0, p)
+                for p in range(len(uniq))]
+        heapq.heapify(heap)
+        acc, bound, prefix_max = 0, np.inf, 0.0
+        prefix = []
+        while heap:
+            mind2, _, is_fine, idx = heapq.heappop(heap)
+            if acc >= k and mind2 > bound:
+                break
+            if not is_fine:
+                for j in children[idx]:
+                    fm = max(box_mind2(qx, qy, fb[j], ffull[j]), mind2)
+                    heapq.heappush(heap, (fm, 0, 1, j))
+                continue
+            prefix.append(int(cids[idx]))
+            acc += int(ns[idx])
+            prefix_max = max(prefix_max, box_maxd2(qx, qy, fb[idx], ffull[idx]))
+            if acc >= k:
+                bound = min(bound, prefix_max)
+        for cid in prefix:
+            selected.setdefault(cid, []).append(qi)
+
+    sel_ref = ray.put((q, qids, selected))
+
+    _empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        qm, qid_arr, sel = ray.get(sel_ref)
+        cell = int(g.column("cell_id")[0].as_py()) if len(g) else -1
+        qis = sel.get(cell, [])
+        if not qis:
+            return _empty
+        px = g.column("px").to_numpy().astype(np.float64)
+        py = g.column("py").to_numpy().astype(np.float64)
+        pid = g.column("point_id").to_numpy()
+        sub = qm[qis]
+        d2 = (sub[:, 0:1] - px[None, :]) ** 2 + (sub[:, 1:2] - py[None, :]) ** 2
+        kk = min(k, d2.shape[1])
+        order = np.lexsort((np.broadcast_to(pid, d2.shape), d2), axis=1)[:, :kk]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qid_arr[qis], kk), pa.int64()),
+                "neighbor_id": pa.array(pid[order].reshape(-1).astype(np.int64), pa.int64()),
+                "d2": pa.array(np.take_along_axis(d2, order, axis=1).reshape(-1), pa.float64()),
+            }
+        )
+
+    partial = keyed.groupby("cell_id").map_groups(scan, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(knn_finalize(k), batch_format="pyarrow")

@@ -246,10 +246,15 @@ def _cell_bbox_conservative(cid: np.ndarray):
     lat0 = np.maximum(lat.min(axis=1) - pad, -90.0)
     lat1 = np.minimum(lat.max(axis=1) + pad, 90.0)
     lon0, lon1 = lon.min(axis=1), lon.max(axis=1)
-    # antimeridian-straddling or polar cells: wrap to full lon range
-    full_lon = (lon1 - lon0 > 180.0) | (lat1 >= 90.0 - pad) | (lat0 <= -90.0 + pad)
-    lon0 = lon0 - pad
-    lon1 = lon1 + pad
+    # longitude changes at rate 1/cos(lat) per unit arc, so the lon pad
+    # must scale by the worst cos over the (lat-padded) cell; cells that
+    # straddle the antimeridian or reach near-polar latitudes get the
+    # full longitude range (still conservative).
+    maxabslat = np.maximum(np.abs(lat0), np.abs(lat1))
+    full_lon = (lon1 - lon0 > 180.0) | (maxabslat >= 89.9)
+    lon_pad = pad / np.cos(np.radians(np.minimum(maxabslat, 89.9)))
+    lon0 = lon0 - lon_pad
+    lon1 = lon1 + lon_pad
     return lon0, lon1, lat0, lat1, full_lon
 
 
