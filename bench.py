@@ -292,6 +292,32 @@ def run_headline() -> dict:
     t3, n_rendered_tiles = best_of(q3)
     queries["tile_render"] = t3
 
+    # q4 (informational, NOT in the headline total so `value` stays
+    # comparable across rounds): the same center-point stream keyed by S2
+    # cells (level-12 assignment + bit-op rollup to level 6, one shuffle
+    # on the int64 cell key) — evidences the north rule's "H3/S2-cell-
+    # keyed repartitioning" at bench scale alongside the XYZ path.
+    from gdal_ray.stages import s2 as s2mod
+    from gdal_ray.stages.agg import grouped_aggregate as _gagg
+
+    def s2_counts(b: pa.Table) -> pa.Table:
+        cell = s2mod.cell_parent(
+            s2mod.lonlat_to_cell(b.column("px").to_numpy(),
+                                 b.column("py").to_numpy(), level=12), 6)
+        uniq, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def q4():
+        pts = rd.read_parquet(
+            img_path, columns=["image_id", "lon_min", "lat_min", "lon_max", "lat_max"]
+        ).map_batches(centers, batch_format="pyarrow")
+        cells = pts.map_batches(s2_counts, batch_format="pyarrow")
+        return _gagg(cells, ["cell_id"], [("n", "sum", "n_images")],
+                     num_buckets=NUM_CPUS).count()
+
+    t4, n_s2_cells = best_of(q4)
+
     total = t1 + t2 + t3
     result = {
         "metric": "images/sec (decode+footprint+tile-assign; pip-join)",
@@ -308,6 +334,10 @@ def run_headline() -> dict:
         "n_render_images": n_render,
         "render_images_per_sec": round(n_render / t3, 1),
         "n_rendered_tiles": n_rendered_tiles,
+        # informational S2-keyed assignment (excluded from `value`)
+        "s2_assign_sec": round(t4, 3),
+        "s2_images_per_sec": round(n / t4, 1),
+        "n_s2_cells": n_s2_cells,
         "real_codecs": REAL_CODECS,
         # pure-CPU host-health control before/after the timed queries
         # (healthy ≈ 0.5-0.9 s on this box; see BASELINE.md throttle notes)
