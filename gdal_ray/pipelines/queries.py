@@ -5879,6 +5879,42 @@ def q_bloom_dedup(sf_dir: str):
     return flagged.map_batches(with_ref, batch_format="pyarrow").sort("doc_id")
 
 
+SQL_SEQ_PACK = r"""
+with t as (
+  select doc_id,
+         (case when trim(text) = '' then 0
+               else len(regexp_split_to_array(trim(text), '\s+')) end)
+         + 1 as n_tok
+  from documents
+), o as (
+  select doc_id, n_tok,
+         cast(coalesce(sum(n_tok) over (order by doc_id
+              rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as tok_off
+  from t
+)
+select doc_id, n_tok, tok_off,
+       tok_off // 1024 as first_seq,
+       (tok_off + n_tok - 1) // 1024 as last_seq,
+       (tok_off + n_tok - 1) // 1024 - tok_off // 1024 + 1 as n_seqs
+from o order by doc_id
+"""
+
+
+def q_seq_pack(sf_dir: str):
+    """GPT-style sequence packing plan (stages/packing.py): concatenate
+    docs in doc_id order with one EOS each, chunk the stream into
+    1024-token sequences; per-doc global token offset via the
+    distributed exclusive prefix-sum (range-bucketed two-pass scan) and
+    the doc's sequence span.  Token definition shared with token_stats
+    (oracle-pinned whitespace runs).  No GDAL analogue — training-data
+    extension; semantics per GPT-2/3 §2.1 concat-and-chunk packing."""
+    from gdal_ray.stages import packing
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return packing.pack_plan(docs, capacity=1024, bucket_rows=64).sort("doc_id")
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-3), so
@@ -5957,6 +5993,7 @@ def queries():
         "exact_substr_cut": q_exact_substr_cut,
         "s2_cells": q_s2_cells,
         "knn_s2": q_knn_s2,
+        "seq_pack": q_seq_pack,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6173,6 +6210,7 @@ def oracle_sql():
         "dsir": SQL_DSIR,
         "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "s2_cells": _sql_s2_cells(),
+        "seq_pack": SQL_SEQ_PACK,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
