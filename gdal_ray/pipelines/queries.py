@@ -5949,6 +5949,67 @@ def q_wds_shards(sf_dir: str):
     return stats.sort("shard")
 
 
+def _sql_ar_bucket() -> str:
+    """Oracle twin of stages/imageops.ar_bucket_batch over the arithmetic
+    dims grid (w,h derived from doc_id so both engines see identical
+    integers); same exact-rational nearest-AR criterion + tie rule."""
+    import math
+
+    from gdal_ray.stages.imageops import SDXL_BUCKETS
+
+    L = math.lcm(*[bh for _, bh in SDXL_BUCKETS])
+    vals = ", ".join(f"({i}, {bw}, {bh})"
+                     for i, (bw, bh) in enumerate(SDXL_BUCKETS))
+    return f"""
+with dims as (
+  select doc_id, 64 + (doc_id*37) % 1985 as w, 64 + (doc_id*61) % 1985 as h
+  from documents),
+b(bucket_id, bw, bh) as (values {vals}),
+costed as (
+  select doc_id, w, h, bucket_id, bw, bh,
+         row_number() over (partition by doc_id
+             order by abs(w*bh - h*bw) * ({L} // bh), bucket_id) as rn
+  from dims cross join b)
+select bucket_id, bw as bucket_w, bh as bucket_h,
+       cast(count(*) as bigint) as n_images,
+       cast(sum(w*h) as bigint) as sum_px
+from costed where rn = 1
+group by bucket_id, bw, bh order by bucket_id
+"""
+
+
+def q_ar_bucket(sf_dir: str):
+    """Aspect-ratio bucketing (stages/imageops.ar_bucket_batch): assign
+    each image to the SDXL training bucket with the nearest aspect
+    ratio (exact integer rational comparison, first-min tie rule), then
+    one hash-bucket aggregate of counts + pixel sums per bucket.  Dims
+    are derived arithmetically from doc_id for shape variety (the
+    fixture image cycle is near-square); the stage itself is generic
+    over any (w, h) columns."""
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.imageops import ar_bucket_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "w": pa.array((64 + (ids * 37) % 1985).astype(np.int64)),
+            "h": pa.array((64 + (ids * 61) % 1985).astype(np.int64)),
+        })
+
+    bucketed = docs.map_batches(dims, batch_format="pyarrow").map_batches(
+        ar_bucket_batch, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        bucketed, ["bucket_id", "bucket_w", "bucket_h"],
+        [("w", "count", "n_images"), ("px", "sum", "sum_px")])
+    return agg.map_batches(
+        lambda b: b.select(["bucket_id", "bucket_w", "bucket_h",
+                            "n_images", "sum_px"]),
+        batch_format="pyarrow").sort("bucket_id")
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-3), so
@@ -6029,6 +6090,7 @@ def queries():
         "knn_s2": q_knn_s2,
         "seq_pack": q_seq_pack,
         "wds_shards": q_wds_shards,
+        "ar_bucket": q_ar_bucket,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6247,6 +6309,7 @@ def oracle_sql():
         "s2_cells": _sql_s2_cells(),
         "seq_pack": SQL_SEQ_PACK,
         "wds_shards": SQL_WDS_SHARDS,
+        "ar_bucket": _sql_ar_bucket(),
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

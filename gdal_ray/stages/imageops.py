@@ -172,3 +172,38 @@ def image_quality(batch: pa.Table) -> pa.Table:
         "entropy": pa.array(rows["entropy"], pa.float64()),
         "dyn_range": pa.array(rows["dyn_range"], pa.float64()),
     })
+
+
+# ------------------------------------------------------- aspect-ratio buckets
+
+# SDXL-style training resolution buckets (public bucketing recipe from the
+# NovelAI aspect-ratio-bucketing writeup / SDXL report): group images by
+# nearest bucket aspect ratio so batches share one padded resolution.
+SDXL_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+)
+
+
+def ar_bucket_batch(batch: pa.Table,
+                    buckets: tuple[tuple[int, int], ...] = SDXL_BUCKETS,
+                    w_col: str = "w", h_col: str = "h") -> pa.Table:
+    """Assign each row to the bucket with the nearest aspect ratio.
+
+    Criterion: argmin_j |w/h − bw_j/bh_j| in LINEAR aspect-ratio space,
+    evaluated with exact integer rational arithmetic —
+    |w·bh_j − h·bw_j| · (L/bh_j) with L = lcm(bh) — so the choice is
+    bit-reproducible and SQL-mirrorable (ties break to the lowest bucket
+    index, matching numpy argmin's first-minimum rule).  Appends
+    bucket_id / bucket_w / bucket_h / px (=w·h) columns."""
+    w = batch.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch.column(h_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bw = np.array([b[0] for b in buckets], dtype=np.int64)
+    bh = np.array([b[1] for b in buckets], dtype=np.int64)
+    scale = np.lcm.reduce(bh) // bh
+    cost = np.abs(w[:, None] * bh[None, :] - h[:, None] * bw[None, :]) * scale
+    idx = cost.argmin(axis=1)
+    batch = batch.append_column("bucket_id", pa.array(idx.astype(np.int64)))
+    batch = batch.append_column("bucket_w", pa.array(bw[idx]))
+    batch = batch.append_column("bucket_h", pa.array(bh[idx]))
+    return batch.append_column("px", pa.array(w * h))

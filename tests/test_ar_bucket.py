@@ -1,0 +1,50 @@
+"""Aspect-ratio bucketing (imageops.ar_bucket_batch): exact-rational
+nearest-AR choice vs a Fraction brute force, tie rule, known mappings."""
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.stages.imageops import SDXL_BUCKETS, ar_bucket_batch
+
+
+def _brute(w, h, buckets):
+    ar = Fraction(w, h)
+    best, best_d = 0, None
+    for j, (bw, bh) in enumerate(buckets):
+        d = abs(ar - Fraction(bw, bh))
+        if best_d is None or d < best_d:
+            best, best_d = j, d
+    return best
+
+
+def test_matches_fraction_brute_force():
+    rng = np.random.RandomState(11)
+    w = rng.randint(64, 2049, 500).astype(np.int64)
+    h = rng.randint(64, 2049, 500).astype(np.int64)
+    out = ar_bucket_batch(pa.table({"w": pa.array(w), "h": pa.array(h)}))
+    got = out.column("bucket_id").to_numpy()
+    want = [_brute(int(a), int(b), SDXL_BUCKETS) for a, b in zip(w, h)]
+    assert got.tolist() == want
+
+
+def test_known_mappings_and_px():
+    cases = {(1000, 1000): (1024, 1024), (2000, 700): (1536, 640),
+             (700, 2000): (640, 1536), (1300, 900): (1216, 832)}
+    w = pa.array([c[0] for c in cases], pa.int64())
+    h = pa.array([c[1] for c in cases], pa.int64())
+    out = ar_bucket_batch(pa.table({"w": w, "h": h}))
+    for i, ((ww, hh), (bw, bh)) in enumerate(cases.items()):
+        assert (out.column("bucket_w")[i].as_py(),
+                out.column("bucket_h")[i].as_py()) == (bw, bh)
+        assert out.column("px")[i].as_py() == ww * hh
+
+
+def test_tie_breaks_to_lowest_index():
+    # square buckets listed twice → tie must pick the first
+    buckets = ((512, 512), (256, 256), (100, 50))
+    out = ar_bucket_batch(
+        pa.table({"w": pa.array([300], pa.int64()),
+                  "h": pa.array([300], pa.int64())}), buckets=buckets)
+    assert out.column("bucket_id")[0].as_py() == 0
