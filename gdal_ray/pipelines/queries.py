@@ -5949,6 +5949,50 @@ def q_wds_shards(sf_dir: str):
     return stats.sort("shard")
 
 
+SQL_SEQ_FILL = r"""
+with t as (
+  select doc_id,
+         (case when trim(text) = '' then 0
+               else len(regexp_split_to_array(trim(text), '\s+')) end)
+         + 1 as n_tok
+  from documents
+), o as (
+  select doc_id, n_tok,
+         cast(coalesce(sum(n_tok) over (order by doc_id
+              rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as tok_off
+  from t
+), seqs as (
+  select unnest(range((select cast(sum(n_tok) as bigint) from t) // 512))
+         as seq_id
+)
+select s.seq_id,
+       cast(count(*) as bigint) as n_frags,
+       cast(sum(case when (o.tok_off + o.n_tok - 1) // 512 = s.seq_id
+                then 1 else 0 end) as bigint) as n_eos
+from seqs s
+join o on o.tok_off < (s.seq_id + 1) * 512
+      and o.tok_off + o.n_tok > s.seq_id * 512
+group by s.seq_id order by s.seq_id
+"""
+
+
+def q_seq_fill(sf_dir: str):
+    """Distributed packed-sequence materialization
+    (stages/packing.assemble_sequences): tokenize docs, scatter token
+    fragments to their 512-token sequence owners, assemble, drop the
+    ragged tail.  Returns per-sequence fragment + EOS counts; the oracle
+    recomputes both from the window-sum span plan, so parity proves
+    every fragment landed in exactly the right sequence.  Token VALUES
+    are pinned separately by pytest against the naive single-process
+    concat-and-chunk (tests/test_packing.py)."""
+    from gdal_ray.stages import packing
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return packing.assemble_sequences(
+        docs, capacity=512, bucket_rows=64).sort("seq_id")
+
+
 def _sql_ar_bucket() -> str:
     """Oracle twin of stages/imageops.ar_bucket_batch over the arithmetic
     dims grid (w,h derived from doc_id so both engines see identical
@@ -6091,6 +6135,7 @@ def queries():
         "seq_pack": q_seq_pack,
         "wds_shards": q_wds_shards,
         "ar_bucket": q_ar_bucket,
+        "seq_fill": q_seq_fill,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6310,6 +6355,7 @@ def oracle_sql():
         "seq_pack": SQL_SEQ_PACK,
         "wds_shards": SQL_WDS_SHARDS,
         "ar_bucket": _sql_ar_bucket(),
+        "seq_fill": SQL_SEQ_FILL,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -151,3 +151,97 @@ def materialize_packed(texts: list[str], *, capacity: int,
     n_full = len(ids) // capacity
     return np.asarray(ids[: n_full * capacity],
                       dtype=np.uint16).reshape(n_full, capacity)
+
+
+# ---------------------------------------------------------------------------
+# distributed assembly of packed sequences
+
+def _tokenize_words(text: str, vocab: int = 65536) -> list[int]:
+    """Deterministic stand-in tokenizer (crc32 of each whitespace token,
+    0 reserved for EOS) — matches materialize_packed.  A production BPE
+    tokenizer (stages/bpe.BpeEncoder) slots in here unchanged: the
+    assembly below only needs per-doc token id lists."""
+    import zlib
+
+    return [1 + (zlib.crc32(w.encode()) % (vocab - 1)) for w in text.split()]
+
+
+def assemble_sequences(docs_ds, *, capacity: int = 512, vocab: int = 65536,
+                       bucket_rows: int = 65536, emit_tokens: bool = False):
+    """Materialize GPT-style packed sequences: tokenize each doc, place
+    its tokens at its global offset, cut into full `capacity` blocks.
+
+    Stages: (1) token counts + global offsets WITH the text carried
+    through (one corpus shuffle — inherent: every token must reach its
+    sequence owner); (2) flat_map each doc into per-sequence fragments
+    (seq_id, pos, token slice); (3) groupby(seq_id) assembly — fragments
+    of one sequence land in one task, are placed by position, and only
+    COMPLETELY FILLED sequences are emitted (the ragged tail is dropped,
+    matching materialize_packed).  Returns per-sequence stats
+    (seq_id, n_frags, n_eos) plus the packed `tokens` list column when
+    `emit_tokens=True`.
+
+    Scale shape: fragment payloads are token ids (2 B each), bounded by
+    capacity per row; the groupby shuffles exactly the training corpus
+    once, keyed by dense seq_id (no skew — every sequence is the same
+    size by construction)."""
+
+    def counts_keep_text(b: pa.Table) -> pa.Table:
+        s = text_stage.token_stats_batch(b)
+        n = s.column("n_tokens").to_numpy(zero_copy_only=False) + 1
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "n_tok": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    offs = global_offsets(
+        docs_ds.map_batches(counts_keep_text, batch_format="pyarrow"),
+        bucket_rows=bucket_rows)
+
+    def fragments(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        offv = b.column("tok_off").to_pylist()
+        seq_ids, poss, toks = [], [], []
+        for did, text, off in zip(ids, texts, offv):
+            t = _tokenize_words(text, vocab) + [0]
+            for k in range(off // capacity, (off + len(t) - 1) // capacity + 1):
+                lo = max(0, k * capacity - off)
+                hi = min(len(t), (k + 1) * capacity - off)
+                seq_ids.append(k)
+                poss.append(off + lo - k * capacity)
+                toks.append(t[lo:hi])
+        return pa.table({
+            "seq_id": pa.array(seq_ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "frag": pa.array(toks, pa.list_(pa.int32())),
+        })
+
+    frags = offs.map_batches(fragments, batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        seq = int(g.column("seq_id")[0].as_py())
+        buf = np.full(capacity, -1, dtype=np.int32)
+        n = 0
+        for pos, frag in zip(g.column("pos").to_pylist(),
+                             g.column("frag").to_pylist()):
+            buf[pos:pos + len(frag)] = frag
+            n += len(frag)
+        if n < capacity:      # ragged tail — dropped like the reference
+            return pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "n_frags": pa.array([], pa.int64()),
+                "n_eos": pa.array([], pa.int64()),
+            } | ({"tokens": pa.array([], pa.list_(pa.int32()))}
+                 if emit_tokens else {}))
+        out = {
+            "seq_id": pa.array([seq], pa.int64()),
+            "n_frags": pa.array([len(g)], pa.int64()),
+            "n_eos": pa.array([int((buf == 0).sum())], pa.int64()),
+        }
+        if emit_tokens:
+            out["tokens"] = pa.array([buf.tolist()], pa.list_(pa.int32()))
+        return pa.table(out)
+
+    return frags.groupby("seq_id").map_groups(assemble, batch_format="pyarrow")

@@ -91,3 +91,31 @@ def test_pack_spans_boundary_math(ray_session):
            .take_all())
     assert [(r["first_seq"], r["last_seq"], r["n_seqs"]) for r in out] == [
         (0, 0, 1), (1, 1, 1), (2, 2, 1)]
+
+
+def test_assemble_sequences_matches_naive(ray_session):
+    import ray.data as rd
+
+    texts = _corpus(40)
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)})).repartition(4)
+    cap = 32
+    out = (packing.assemble_sequences(ds, capacity=cap, bucket_rows=8,
+                                      emit_tokens=True)
+           .sort("seq_id").take_all())
+    naive = packing.materialize_packed(texts, capacity=cap)
+    assert [r["seq_id"] for r in out] == list(range(naive.shape[0]))
+    for r in out:
+        row = naive[r["seq_id"]]
+        assert r["tokens"] == row.astype(np.int32).tolist()
+        assert r["n_eos"] == int((row == 0).sum())
+    # fragment counts: docs overlapping each sequence window
+    offs, pos = [], 0
+    for t in texts:
+        offs.append((pos, len(t.split()) + 1))
+        pos += len(t.split()) + 1
+    for r in out:
+        k = r["seq_id"]
+        want = sum(1 for o, n in offs if o < (k + 1) * cap and o + n > k * cap)
+        assert r["n_frags"] == want
