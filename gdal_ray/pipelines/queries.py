@@ -6054,6 +6054,84 @@ def q_ar_bucket(sf_dir: str):
         batch_format="pyarrow").sort("bucket_id")
 
 
+_FIT_BUCKETS = ((64, 64), (80, 48), (48, 80))
+
+
+def _sql_bucket_fit() -> str:
+    """Oracle twin of imageops.resize_to_bucket_batch geometry: nearest-AR
+    bucket (exact rational rule) + integer letterbox fit/pads; the Ray
+    side reports out_w/out_h RE-DECODED from the PNG it actually wrote,
+    so a parity pass proves the full decode→resize→pad→encode path hit
+    the predicted geometry on every image."""
+    import math
+
+    L = math.lcm(*[bh for _, bh in _FIT_BUCKETS])
+    vals = ", ".join(f"({i}, {bw}, {bh})"
+                     for i, (bw, bh) in enumerate(_FIT_BUCKETS))
+    return f"""
+with dims as (
+  select doc_id, 32 + (doc_id*37) % 113 as w, 32 + (doc_id*61) % 113 as h
+  from documents where doc_id < 150),
+b(bucket_id, bw, bh) as (values {vals}),
+costed as (
+  select doc_id, w, h, bucket_id, bw, bh,
+         row_number() over (partition by doc_id
+             order by abs(w*bh - h*bw) * ({L} // bh), bucket_id) as rn
+  from dims cross join b),
+fit as (
+  select doc_id, bucket_id, bw, bh,
+         greatest(case when bw*h <= bh*w then bw else (w*bh)//h end, 1) as fit_w,
+         greatest(case when bw*h <= bh*w then (h*bw)//w else bh end, 1) as fit_h
+  from costed where rn = 1)
+select 'img-' || lpad(cast(doc_id as varchar), 12, '0') as image_id,
+       bucket_id, fit_w, fit_h,
+       (bw - fit_w) // 2 as pad_x, (bh - fit_h) // 2 as pad_y,
+       bw as out_w, bh as out_h
+from fit order by image_id
+"""
+
+
+def q_bucket_fit(sf_dir: str):
+    """Letterbox bucketing executor (imageops.resize_to_bucket_batch):
+    generate 150 real PNGs with arithmetic (w,h), decode → nearest-AR
+    bucket → exact-coverage box-average / bilinear resize → centered pad
+    → re-encode; report per-image geometry with out dims measured by
+    re-decoding the output bytes.  Pixel values are pinned separately in
+    tests/test_ar_bucket.py."""
+    from gdal_ray.codecs import encode_png
+    from gdal_ray.stages.imageops import resize_to_bucket_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 150")
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = {"image_id": [], "bytes": [], "w": [], "h": []}
+        for did in ids.tolist():
+            w = 32 + (did * 37) % 113
+            h = 32 + (did * 61) % 113
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((y * 3 + x * 5 + did) % 256).astype(np.uint8)
+            rows["image_id"].append(f"img-{did:012d}")
+            rows["bytes"].append(encode_png(img))
+            rows["w"].append(w)
+            rows["h"].append(h)
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int64()),
+            "h": pa.array(rows["h"], pa.int64()),
+        })
+
+    fitted = docs.map_batches(mk, batch_format="pyarrow", batch_size=32)\
+        .map_batches(
+            lambda b: resize_to_bucket_batch(b, buckets=_FIT_BUCKETS),
+            batch_format="pyarrow", batch_size=32)
+    return fitted.map_batches(
+        lambda b: b.drop_columns(["bytes"]),
+        batch_format="pyarrow").sort("image_id")
+
+
 def queries():
     # ORDER CONTRACT: the driver's correctness gate hashes exactly the
     # FIRST 50 entries in registration order (verified rounds 1-3), so
@@ -6136,6 +6214,7 @@ def queries():
         "wds_shards": q_wds_shards,
         "ar_bucket": q_ar_bucket,
         "seq_fill": q_seq_fill,
+        "bucket_fit": q_bucket_fit,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6356,6 +6435,7 @@ def oracle_sql():
         "wds_shards": SQL_WDS_SHARDS,
         "ar_bucket": _sql_ar_bucket(),
         "seq_fill": SQL_SEQ_FILL,
+        "bucket_fit": _sql_bucket_fit(),
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -207,3 +207,69 @@ def ar_bucket_batch(batch: pa.Table,
     batch = batch.append_column("bucket_w", pa.array(bw[idx]))
     batch = batch.append_column("bucket_h", pa.array(bh[idx]))
     return batch.append_column("px", pa.array(w * h))
+
+
+def resize_to_bucket_batch(batch: pa.Table,
+                           buckets: tuple[tuple[int, int], ...] = SDXL_BUCKETS,
+                           method: str = "average",
+                           fill: int = 114) -> pa.Table:
+    """Execute the aspect-ratio bucket plan on pixels: decode, resize to
+    the largest AR-preserving fit inside the assigned bucket, letterbox
+    pad (centered, YOLO-convention grey 114), re-encode PNG.
+
+    Fit geometry is pure integer arithmetic (SQL-mirrorable): if
+    bw·h ≤ bh·w the image is width-limited → fit_w = bw,
+    fit_h = h·bw // w; else fit_h = bh, fit_w = w·bh // h;
+    pads = (bucket − fit) // 2.  Downscale uses the exact-coverage box
+    average (overview.cpp average semantics); upscale uses bilinear.
+    Output rows carry the encoded bytes plus out_w/out_h measured by
+    RE-DECODING the written PNG, so a geometry oracle checks the real
+    pixel path end to end."""
+    from gdal_ray.codecs import decode as _decode
+    from gdal_ray.stages.resample import resize
+
+    out = {k: [] for k in ("image_id", "bucket_id", "fit_w", "fit_h",
+                           "pad_x", "pad_y", "out_w", "out_h", "bytes")}
+    assigned = ar_bucket_batch(batch, buckets=buckets)
+    ids = assigned.column("image_id").to_pylist()
+    datas = assigned.column("bytes").to_pylist()
+    fmts = (assigned.column("fmt").to_pylist()
+            if "fmt" in assigned.schema.names else [None] * len(ids))
+    bids = assigned.column("bucket_id").to_pylist()
+    for img_id, data, fmt, bid in zip(ids, datas, fmts, bids):
+        bw, bh = buckets[bid]
+        img = _decode(data, fmt) if fmt else _decode(data)
+        h, w = img.shape[:2]
+        if bw * h <= bh * w:
+            fw, fh = bw, (h * bw) // w
+        else:
+            fw, fh = (w * bh) // h, bh
+        fw, fh = max(fw, 1), max(fh, 1)
+        m = method if (fw <= w and fh <= h) else "bilinear"
+        fitted = resize(img, fw, fh, method=m)
+        shape = (bh, bw) + img.shape[2:]
+        canvas = np.full(shape, fill, dtype=img.dtype)
+        py, px = (bh - fh) // 2, (bw - fw) // 2
+        canvas[py:py + fh, px:px + fw] = fitted
+        enc = encode_png(canvas)
+        dec = _decode(enc, "png")
+        out["image_id"].append(img_id)
+        out["bucket_id"].append(bid)
+        out["fit_w"].append(fw)
+        out["fit_h"].append(fh)
+        out["pad_x"].append(px)
+        out["pad_y"].append(py)
+        out["out_w"].append(dec.shape[1])
+        out["out_h"].append(dec.shape[0])
+        out["bytes"].append(enc)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "bucket_id": pa.array(out["bucket_id"], pa.int64()),
+        "fit_w": pa.array(out["fit_w"], pa.int64()),
+        "fit_h": pa.array(out["fit_h"], pa.int64()),
+        "pad_x": pa.array(out["pad_x"], pa.int64()),
+        "pad_y": pa.array(out["pad_y"], pa.int64()),
+        "out_w": pa.array(out["out_w"], pa.int64()),
+        "out_h": pa.array(out["out_h"], pa.int64()),
+        "bytes": pa.array(out["bytes"], pa.binary()),
+    })

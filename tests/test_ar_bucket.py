@@ -48,3 +48,49 @@ def test_tie_breaks_to_lowest_index():
         pa.table({"w": pa.array([300], pa.int64()),
                   "h": pa.array([300], pa.int64())}), buckets=buckets)
     assert out.column("bucket_id")[0].as_py() == 0
+
+
+def test_resize_to_bucket_pixels():
+    from gdal_ray.codecs import decode, encode_png
+    from gdal_ray.stages.imageops import resize_to_bucket_batch
+    from gdal_ray.stages.resample import resize
+
+    buckets = ((64, 64), (80, 48), (48, 80))
+    # wide 100x40 image → bucket (80,48); fit_w=80, fit_h=40*80//100=32
+    y, x = np.mgrid[0:40, 0:100]
+    img = ((y * 7 + x * 3) % 256).astype(np.uint8)
+    b = pa.table({
+        "image_id": pa.array(["a"], pa.string()),
+        "bytes": pa.array([encode_png(img)], pa.binary()),
+        "w": pa.array([100], pa.int64()),
+        "h": pa.array([40], pa.int64()),
+    })
+    out = resize_to_bucket_batch(b, buckets=buckets)
+    r = {n: out.column(n)[0].as_py() for n in out.schema.names}
+    assert (r["bucket_id"], r["fit_w"], r["fit_h"]) == (1, 80, 32)
+    assert (r["pad_x"], r["pad_y"]) == (0, 8)
+    assert (r["out_w"], r["out_h"]) == (80, 48)
+    dec = decode(r["bytes"], "png")
+    assert dec.shape[:2] == (48, 80)
+    # letterbox bands are the fill grey; content equals the box-average
+    assert (dec[:8] == 114).all() and (dec[40:] == 114).all()
+    want = resize(img, 80, 32, method="average")
+    assert np.array_equal(dec[8:40], want)
+
+
+def test_resize_to_bucket_upscale_path():
+    from gdal_ray.codecs import decode, encode_png
+    from gdal_ray.stages.imageops import resize_to_bucket_batch
+
+    # tiny 10x10 → (64,64) bucket, bilinear upscale fills the canvas
+    img = (np.arange(100).reshape(10, 10) % 256).astype(np.uint8)
+    b = pa.table({
+        "image_id": pa.array(["t"], pa.string()),
+        "bytes": pa.array([encode_png(img)], pa.binary()),
+        "w": pa.array([10], pa.int64()),
+        "h": pa.array([10], pa.int64()),
+    })
+    out = resize_to_bucket_batch(b, buckets=((64, 64), (80, 48)))
+    r = {n: out.column(n)[0].as_py() for n in out.schema.names}
+    assert (r["fit_w"], r["fit_h"], r["pad_x"], r["pad_y"]) == (64, 64, 0, 0)
+    assert decode(r["bytes"], "png").shape[:2] == (64, 64)
