@@ -118,6 +118,57 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Training-corpus packing door: documents parquet → GPT-style packed
+    uint16 token sequences in WebDataset tar shards (resumable)."""
+    import ray.data as rd
+
+    from gdal_ray.state import manifest as mf
+    from gdal_ray.stages import packing
+
+    _ray_init()
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    seqs = packing.assemble_sequences(
+        docs, capacity=args.capacity, emit_tokens=True)
+    lineage = mf.lineage_hash(
+        "pack-v1", f"cap={args.capacity}", f"shard={args.shard_seqs}",
+        args.input)
+    stats = packing.write_token_shards(
+        seqs, args.out, shard_seqs=args.shard_seqs,
+        lineage=lineage).take_all()
+    print(json.dumps({
+        "shards": len(stats),
+        "n_seqs": int(sum(r["n_seqs"] for r in stats)),
+        "tar_bytes": int(sum(r["tar_bytes"] for r in stats)),
+        "capacity": args.capacity,
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_wds(args) -> int:
+    """WebDataset export door: documents parquet → .txt/.cls tar shards."""
+    import ray.data as rd
+
+    from gdal_ray.state import manifest as mf
+    from gdal_ray.state import tarsink
+
+    _ray_init()
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text", "lang"])
+    lineage = mf.lineage_hash("wds-v1", f"shards={args.shards}", args.input)
+    stats = tarsink.write_wds_shards(
+        docs, args.out, n_shards=args.shards,
+        fields=[("text", "txt"), ("lang", "cls")],
+        lineage=lineage).take_all()
+    print(json.dumps({
+        "shards": len(stats),
+        "n_members": int(sum(r["n_members"] for r in stats)),
+        "tar_bytes": int(sum(r["tar_bytes"] for r in stats)),
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_info(args) -> int:
     """gdalinfo / ogrinfo analogue — no Ray session needed."""
     from gdal_ray.info import describe
@@ -460,6 +511,22 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    pk = sub.add_parser(
+        "pack", help="pack documents into fixed-length token-sequence tar shards")
+    pk.add_argument("--input", required=True,
+                    help="documents parquet file/dir (doc_id, text)")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--capacity", type=int, default=2048)
+    pk.add_argument("--shard-seqs", type=int, default=1024)
+    pk.set_defaults(fn=cmd_pack)
+
+    wd = sub.add_parser(
+        "wds", help="export documents as WebDataset text shards (.txt/.cls tars)")
+    wd.add_argument("--input", required=True)
+    wd.add_argument("--out", required=True)
+    wd.add_argument("--shards", type=int, default=64)
+    wd.set_defaults(fn=cmd_wds)
 
     args = p.parse_args(argv)
     return args.fn(args)

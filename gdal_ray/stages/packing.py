@@ -245,3 +245,55 @@ def assemble_sequences(docs_ds, *, capacity: int = 512, vocab: int = 65536,
         return pa.table(out)
 
     return frags.groupby("seq_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def write_token_shards(seq_ds, out_dir: str, *, shard_seqs: int = 1024,
+                       lineage: str = "", resume: bool = True):
+    """Packed sequences (seq_id, tokens) → WebDataset tar shards of
+    uint16-little-endian `.bin` members (`{seq_id:012d}.bin`), shard =
+    seq_id // shard_seqs so shards are contiguous in curriculum order.
+    Same atomic + lineage-sidecar resume protocol as
+    state/tarsink.write_wds_shards; one writer task per shard."""
+    import json
+    import os
+
+    from gdal_ray.state import tarsink
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        s = b.column("seq_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "shard", pa.array((s // shard_seqs).astype(np.int64)))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        shard = int(g.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"tokens-{shard:05d}.tar")
+        side = path + ".json"
+        if resume and os.path.exists(side):
+            meta = json.load(open(side))
+            if meta.get("lineage") == lineage and os.path.exists(path):
+                return pa.table({
+                    "shard": pa.array([shard], pa.int64()),
+                    "n_seqs": pa.array([meta["n_seqs"]], pa.int64()),
+                    "tar_bytes": pa.array([meta["tar_bytes"]], pa.int64()),
+                })
+        seqs = g.column("seq_id").to_numpy(zero_copy_only=False)
+        toks = g.column("tokens").to_pylist()
+        order = np.argsort(seqs, kind="stable")
+        members = [(f"{int(seqs[i]):012d}.bin",
+                    np.asarray(toks[i], dtype="<u2").tobytes())
+                   for i in order]
+        nbytes = tarsink.write_tar(path, members)
+        with open(side + ".tmp", "w") as f:
+            json.dump({"lineage": lineage, "n_seqs": len(members),
+                       "tar_bytes": nbytes}, f)
+        os.replace(side + ".tmp", side)
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "n_seqs": pa.array([len(members)], pa.int64()),
+            "tar_bytes": pa.array([nbytes], pa.int64()),
+        })
+
+    return (seq_ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(write_group, batch_format="pyarrow"))

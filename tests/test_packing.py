@@ -119,3 +119,36 @@ def test_assemble_sequences_matches_naive(ray_session):
         k = r["seq_id"]
         want = sum(1 for o, n in offs if o < (k + 1) * cap and o + n > k * cap)
         assert r["n_frags"] == want
+
+
+def test_write_token_shards_roundtrip(ray_session):
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from gdal_ray.state import tarsink
+
+    texts = _corpus(40)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+    cap = 32
+    seqs = packing.assemble_sequences(ds, capacity=cap, bucket_rows=8,
+                                      emit_tokens=True)
+    out = tempfile.mkdtemp(prefix="tok_shards_")
+    stats = packing.write_token_shards(
+        seqs, out, shard_seqs=4, lineage="t1").sort("shard").take_all()
+    naive = packing.materialize_packed(texts, capacity=cap)
+    assert sum(r["n_seqs"] for r in stats) == naive.shape[0]
+    got = {}
+    for r in stats:
+        path = os.path.join(out, f"tokens-{r['shard']:05d}.tar")
+        assert os.path.getsize(path) == r["tar_bytes"]
+        for name, data in tarsink.read_tar(path):
+            sid = int(name.split(".")[0])
+            assert sid // 4 == r["shard"]
+            got[sid] = np.frombuffer(data, dtype="<u2")
+    assert sorted(got) == list(range(naive.shape[0]))
+    for sid, arr in got.items():
+        assert np.array_equal(arr, naive[sid])
