@@ -6054,6 +6054,129 @@ def q_ar_bucket(sf_dir: str):
         batch_format="pyarrow").sort("bucket_id")
 
 
+SQL_DET_SHUFFLE = """
+with h as (
+  select doc_id,
+         cast((doc_id * 2654435761) % 4294967296 as bigint) as h
+  from documents)
+select doc_id, h,
+       cast(row_number() over (order by h) - 1 as bigint) as shuffle_pos
+from h order by doc_id
+"""
+
+
+def q_det_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: Knuth multiplicative hash of
+    doc_id (odd multiplier mod 2^32 — a bijection, so no ties) defines a
+    seeded pseudo-random permutation; the global rank of each doc in
+    hash order is computed distributed via the same range-bucketed
+    prefix-sum primitive as seq_pack (stages/packing.global_offsets with
+    val=1 ≡ a global row_number), never a driver-side sort."""
+    from gdal_ray.stages import packing
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * 2654435761) % (1 << 32)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "h": pa.array(h.astype(np.int64)),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+        })
+
+    ranked = packing.global_offsets(
+        docs.map_batches(hashed, batch_format="pyarrow"),
+        key="h", val="one", bucket_rows=1 << 26)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "h": b.column("h"),
+            "shuffle_pos": b.column("tok_off"),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DATA_SPLIT = """
+with s as (
+  select doc_id, n_chars,
+         case when (doc_id * 2654435761) % 4294967296 % 100 < 96 then 0
+              when (doc_id * 2654435761) % 4294967296 % 100 < 98 then 1
+              else 2 end as split_id
+  from documents)
+select split_id, cast(count(*) as bigint) as n_docs,
+       cast(min(doc_id) as bigint) as min_doc,
+       cast(max(doc_id) as bigint) as max_doc,
+       cast(sum(n_chars) as bigint) as sum_chars
+from s group by split_id order by split_id
+"""
+
+
+def q_data_split(sf_dir: str):
+    """Hash-threshold train/val/test split (96/2/2): the same Knuth
+    multiplicative hash mod 100 buckets every doc deterministically —
+    the standard leakage-free split rule (no shuffle, no state; a doc's
+    split never changes as the corpus grows)."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hm = ((ids.astype(np.uint64) * 2654435761) % (1 << 32)) % 100
+        sid = np.where(hm < 96, 0, np.where(hm < 98, 1, 2))
+        return pa.table({
+            "split_id": pa.array(sid.astype(np.int64)),
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        docs.map_batches(split, batch_format="pyarrow"), ["split_id"],
+        [("doc_id", "count", "n_docs"), ("doc_id", "min", "min_doc"),
+         ("doc_id", "max", "max_doc"), ("n_chars", "sum", "sum_chars")])
+    return agg.map_batches(
+        lambda b: b.select(["split_id", "n_docs", "min_doc", "max_doc",
+                            "sum_chars"]),
+        batch_format="pyarrow").sort("split_id")
+
+
+SQL_UPSAMPLE = """
+with c as (
+  select doc_id,
+         case when n_chars >= 800 then 3
+              when n_chars >= 400 then 2 else 1 end as copies
+  from documents)
+select doc_id, cast(unnest(range(copies)) as bigint) as copy_idx
+from c order by doc_id, copy_idx
+"""
+
+
+def q_upsample_epochs(sf_dir: str):
+    """Quality-tiered epoch upsampling (LLaMA-style data recipe: high-
+    value sources see multiple epochs): copies = 1/2/3 by length tier,
+    emitted as a vectorized flat_map with a copy index (np.repeat over
+    the Arrow batch — no per-row Python)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def repeat(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        copies = np.where(nc >= 800, 3, np.where(nc >= 400, 2, 1))
+        rid = np.repeat(ids, copies)
+        starts = np.repeat(np.cumsum(copies) - copies, copies)
+        cidx = np.arange(len(rid), dtype=np.int64) - starts
+        return pa.table({
+            "doc_id": pa.array(rid.astype(np.int64)),
+            "copy_idx": pa.array(cidx.astype(np.int64)),
+        })
+
+    return docs.map_batches(repeat, batch_format="pyarrow")\
+        .sort(["doc_id", "copy_idx"])
+
+
 _FIT_BUCKETS = ((64, 64), (80, 48), (48, 80))
 
 
@@ -6215,6 +6338,9 @@ def queries():
         "ar_bucket": q_ar_bucket,
         "seq_fill": q_seq_fill,
         "bucket_fit": q_bucket_fit,
+        "det_shuffle": q_det_shuffle,
+        "data_split": q_data_split,
+        "upsample_epochs": q_upsample_epochs,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6436,6 +6562,9 @@ def oracle_sql():
         "ar_bucket": _sql_ar_bucket(),
         "seq_fill": SQL_SEQ_FILL,
         "bucket_fit": _sql_bucket_fit(),
+        "det_shuffle": SQL_DET_SHUFFLE,
+        "data_split": SQL_DATA_SPLIT,
+        "upsample_epochs": SQL_UPSAMPLE,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
