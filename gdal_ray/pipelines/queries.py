@@ -6177,6 +6177,65 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_RASTERIZE_AT = """
+with r as (
+  select doc_id,
+         (doc_id % 20) + 0.25 as x0, (doc_id % 17) + 0.75 as y0,
+         (doc_id % 20) + 0.25 + 1 + (doc_id % 9) + 0.5 as x1,
+         (doc_id % 17) + 0.75 + 1 + (doc_id % 7) + 0.5 as y1
+  from documents where doc_id < 150)
+select doc_id,
+       cast((floor(x1) - floor(x0) + 1) * (floor(y1) - floor(y0) + 1)
+            as bigint) as n_at,
+       cast((floor(x1 - 0.5) - ceil(x0 - 0.5) + 1)
+            * (floor(y1 - 0.5) - ceil(y0 - 0.5) + 1)
+            as bigint) as n_center
+from r order by doc_id
+"""
+
+
+def q_rasterize_at(sf_dir: str):
+    """gdal_rasterize -at (ALL_TOUCHED) vs default center-rule burning
+    (stages/rasterize.py; reference alg/llrasterize.cpp:229): per-doc
+    rectangles with binary-exact fractional corners (multiples of 0.25,
+    so float arithmetic is bit-identical in numpy and DuckDB) are burned
+    both ways on a 48x48 grid; the oracle predicts both burned-pixel
+    counts in closed form.  Arbitrary-polygon ALL_TOUCHED is pinned by
+    the Liang-Barsky brute-force pytest (tests/test_rasterize_at.py)."""
+    from gdal_ray.geometry.wkb import encode_polygon
+    from gdal_ray.stages.rasterize import (rasterize_polygons,
+                                           rasterize_polygons_all_touched)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 150")
+
+    def burn(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n_at, n_center = [], []
+        kw = dict(width=48, height=48, origin_x=0.0, origin_y=48.0,
+                  pixel_w=1.0, pixel_h=1.0)
+        for did in ids.tolist():
+            x0 = (did % 20) + 0.25
+            y0 = (did % 17) + 0.75
+            x1 = x0 + 1 + (did % 9) + 0.5
+            y1 = y0 + 1 + (did % 7) + 0.5
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1],
+                             [x0, y1], [x0, y0]])
+            wkb = encode_polygon([ring])
+            at = rasterize_polygons_all_touched([wkb], [1.0], **kw)
+            ce = rasterize_polygons([wkb], [1.0], **kw)
+            n_at.append(int((at == 1.0).sum()))
+            n_center.append(int((ce == 1.0).sum()))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_at": pa.array(n_at, pa.int64()),
+            "n_center": pa.array(n_center, pa.int64()),
+        })
+
+    return docs.map_batches(burn, batch_format="pyarrow",
+                            batch_size=32).sort("doc_id")
+
+
 _FIT_BUCKETS = ((64, 64), (80, 48), (48, 80))
 
 
@@ -6341,6 +6400,7 @@ def queries():
         "det_shuffle": q_det_shuffle,
         "data_split": q_data_split,
         "upsample_epochs": q_upsample_epochs,
+        "rasterize_at": q_rasterize_at,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6565,6 +6625,7 @@ def oracle_sql():
         "det_shuffle": SQL_DET_SHUFFLE,
         "data_split": SQL_DATA_SPLIT,
         "upsample_epochs": SQL_UPSAMPLE,
+        "rasterize_at": SQL_RASTERIZE_AT,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

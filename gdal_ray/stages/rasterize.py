@@ -86,3 +86,76 @@ def zonal_stats(mask: np.ndarray, values: np.ndarray) -> dict:
     s = float(sel.sum(dtype=np.float64))
     return {"count": int(sel.size), "sum": s, "min": float(sel.min()),
             "max": float(sel.max()), "mean": s / sel.size}
+
+
+# --------------------------------------------------------------- ALL_TOUCHED
+
+def _edge_touched_cells(u0: float, v0: float, u1: float, v1: float,
+                        width: int, height: int, mark: np.ndarray) -> None:
+    """Mark every grid cell [i,i+1)x[j,j+1) whose interior the segment
+    (in continuous pixel coordinates) passes through — a vectorized
+    supercover traversal: split the segment at every integer-u and
+    integer-v crossing, sample each sub-interval at its midpoint."""
+    du, dv = u1 - u0, v1 - v0
+    ts = [np.array([0.0, 1.0])]
+    if du != 0.0:
+        lo, hi = (u0, u1) if u0 < u1 else (u1, u0)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        ts.append((ks - u0) / du)
+    if dv != 0.0:
+        lo, hi = (v0, v1) if v0 < v1 else (v1, v0)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        ts.append((ks - v0) / dv)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    tm = (t[:-1] + t[1:]) * 0.5
+    if tm.size == 0:
+        tm = np.array([0.5])
+    cols = np.floor(u0 + tm * du).astype(np.int64)
+    rows = np.floor(v0 + tm * dv).astype(np.int64)
+    ok = (cols >= 0) & (cols < width) & (rows >= 0) & (rows < height)
+    mark[rows[ok], cols[ok]] = True
+
+
+def all_touched_mask(rings: list[np.ndarray], *, width: int, height: int,
+                     origin_x: float, origin_y: float,
+                     pixel_w: float, pixel_h: float) -> np.ndarray:
+    """GDAL ``-at`` / ALL_TOUCHED=TRUE semantics
+    (alg/llrasterize.cpp:229 GDALdllImageLineAllTouched +
+    gdalrasterize.cpp bAllTouched): burn every pixel the polygon
+    BOUNDARY passes through, plus every pixel whose center is inside
+    (even-odd).  Boundary cells come from the supercover edge walk —
+    cells the open segment intersects; pixels the geometry only grazes
+    at an exact cell border follow midpoint-side convention (GDAL's own
+    exact-gridline ties are likewise implementation-convention)."""
+    mask = np.zeros((height, width), dtype=bool)
+    for r in rings:
+        u = (r[:, 0] - origin_x) / pixel_w
+        v = (origin_y - r[:, 1]) / pixel_h
+        for i in range(len(r) - 1):
+            _edge_touched_cells(u[i], v[i], u[i + 1], v[i + 1],
+                                width, height, mask)
+    cx = origin_x + (np.arange(width) + 0.5) * pixel_w
+    cy = origin_y - (np.arange(height) + 0.5) * pixel_h
+    gx, gy = np.meshgrid(cx, cy)
+    mask |= points_in_rings(gx.ravel(), gy.ravel(), rings).reshape(mask.shape)
+    return mask
+
+
+def rasterize_polygons_all_touched(
+        wkbs: list[bytes], burn_values: list[float], *, width: int,
+        height: int, origin_x: float, origin_y: float, pixel_w: float,
+        pixel_h: float, merge_alg: str = "REPLACE",
+        init_value: float = 0.0, dtype=np.float64) -> np.ndarray:
+    """gdal_rasterize -at: like rasterize_polygons but with ALL_TOUCHED
+    burning (same grid convention, MERGE_ALG and burn-order rules)."""
+    out = np.full((height, width), init_value, dtype=dtype)
+    for wkb, burn in zip(wkbs, burn_values):
+        rings = polygon_rings(wkb)
+        m = all_touched_mask(rings, width=width, height=height,
+                             origin_x=origin_x, origin_y=origin_y,
+                             pixel_w=pixel_w, pixel_h=pixel_h)
+        if merge_alg == "ADD":
+            out[m] += burn
+        else:
+            out[m] = burn
+    return out
