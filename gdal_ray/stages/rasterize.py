@@ -159,3 +159,78 @@ def rasterize_polygons_all_touched(
         else:
             out[m] = burn
     return out
+
+
+def rasterize_lines(
+        wkbs: list[bytes], burn_values: list[float], *, width: int,
+        height: int, origin_x: float, origin_y: float, pixel_w: float,
+        pixel_h: float, all_touched: bool = False,
+        merge_alg: str = "REPLACE", init_value: float = 0.0,
+        dtype=np.float64) -> np.ndarray:
+    """Burn LineStrings (alg/llrasterize.cpp:94 GDALdllImageLine default
+    Bresenham path; :229 GDALdllImageLineAllTouched for -at).
+
+    Default rule: Bresenham between the pixel cells containing the
+    endpoints — one pixel per major-axis step.  ALL_TOUCHED: every cell
+    the segment passes through (the same supercover walk as polygons).
+    """
+    from gdal_ray.geometry.wkb import GeomType, decode_wkb
+
+    out = np.full((height, width), init_value, dtype=dtype)
+    for wkb, burn in zip(wkbs, burn_values):
+        kind, parts = decode_wkb(wkb)
+        if kind == GeomType.LINESTRING:
+            lines = [parts]
+        elif kind == GeomType.MULTILINESTRING:
+            lines = [pts for _, pts in parts]
+        else:
+            raise ValueError(f"rasterize_lines: unsupported geometry {kind}")
+        mask = np.zeros((height, width), dtype=bool)
+        for pts in lines:
+            u = (np.asarray(pts)[:, 0] - origin_x) / pixel_w
+            v = (origin_y - np.asarray(pts)[:, 1]) / pixel_h
+            for i in range(len(u) - 1):
+                if all_touched:
+                    _edge_touched_cells(u[i], v[i], u[i + 1], v[i + 1],
+                                        width, height, mask)
+                else:
+                    _bresenham_cells(u[i], v[i], u[i + 1], v[i + 1],
+                                     width, height, mask)
+        if merge_alg == "ADD":
+            out[mask] += burn
+        else:
+            out[mask] = burn
+    return out
+
+
+def _bresenham_cells(u0: float, v0: float, u1: float, v1: float,
+                     width: int, height: int, mark: np.ndarray) -> None:
+    """Vectorized Bresenham-style raster line: sample the segment once
+    per major-axis cell step at the step midpoint (equivalent pixel set
+    to the classic integer DDA for cell-to-cell lines)."""
+    c0, r0 = np.floor(u0), np.floor(v0)
+    c1, r1 = np.floor(u1), np.floor(v1)
+    n = int(max(abs(c1 - c0), abs(r1 - r0))) + 1
+    t = (np.arange(n) + 0.5) / n
+    cols = np.floor(c0 + 0.5 + t * (c1 - c0)).astype(np.int64)
+    rows = np.floor(r0 + 0.5 + t * (r1 - r0)).astype(np.int64)
+    ok = (cols >= 0) & (cols < width) & (rows >= 0) & (rows < height)
+    mark[rows[ok], cols[ok]] = True
+
+
+def rasterize_points(
+        xs: np.ndarray, ys: np.ndarray, burn_values: np.ndarray, *,
+        width: int, height: int, origin_x: float, origin_y: float,
+        pixel_w: float, pixel_h: float, merge_alg: str = "REPLACE",
+        init_value: float = 0.0, dtype=np.float64) -> np.ndarray:
+    """Burn points: each point marks the cell containing it
+    (gdalrasterize.cpp point path) — fully vectorized."""
+    out = np.full((height, width), init_value, dtype=dtype)
+    cols = np.floor((np.asarray(xs) - origin_x) / pixel_w).astype(np.int64)
+    rows = np.floor((origin_y - np.asarray(ys)) / pixel_h).astype(np.int64)
+    ok = (cols >= 0) & (cols < width) & (rows >= 0) & (rows < height)
+    if merge_alg == "ADD":
+        np.add.at(out, (rows[ok], cols[ok]), np.asarray(burn_values)[ok])
+    else:
+        out[rows[ok], cols[ok]] = np.asarray(burn_values)[ok]
+    return out

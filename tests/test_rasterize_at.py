@@ -109,3 +109,56 @@ def test_axis_aligned_rect_closed_form():
     n_cols = int(np.floor(x1) - np.floor(x0) + 1)
     n_rows = int(np.floor(y1) - np.floor(y0) + 1)
     assert int(got.sum()) == n_cols * n_rows
+
+
+def test_line_bresenham_vs_all_touched():
+    from gdal_ray.geometry.wkb import encode_linestring
+    from gdal_ray.stages.rasterize import rasterize_lines
+
+    pts = np.array([[0.5, 0.5], [11.5, 7.5]])
+    wkb = encode_linestring(pts)
+    kw = dict(width=12, height=12, origin_x=0.0, origin_y=12.0,
+              pixel_w=1.0, pixel_h=1.0)
+    br = rasterize_lines([wkb], [1.0], **kw)
+    at = rasterize_lines([wkb], [1.0], all_touched=True, **kw)
+    # Bresenham: exactly one pixel per major-axis column
+    assert (br == 1.0).sum() == 12
+    assert ((br == 1.0).sum(axis=0) == 1).all()
+    # all-touched is a superset and adds the corner-crossing cells
+    assert ((br == 1.0) <= (at == 1.0)).all()
+    assert (at == 1.0).sum() > (br == 1.0).sum()
+    # endpoints burned in both
+    assert br[11, 0] == 1.0 and br[4, 11] == 1.0
+
+
+def test_line_all_touched_matches_brute():
+    from gdal_ray.stages.rasterize import all_touched_mask  # noqa: F401
+    from gdal_ray.stages.rasterize import _edge_touched_cells
+
+    rng = np.random.RandomState(5)
+    W = H = 20
+    for _ in range(20):
+        x0, y0, x1, y1 = rng.uniform(0.3, 19.7, 4)
+        mask = np.zeros((H, W), dtype=bool)
+        _edge_touched_cells(x0, y0, x1, y1, W, H, mask)
+        ring = np.array([[x0, H - y0], [x1, H - y1]])  # geo coords
+        want = np.zeros((H, W), dtype=bool)
+        for r in range(H):
+            for c in range(W):
+                if _seg_crosses_cell(x0, y0, x1, y1, c, r, c + 1, r + 1):
+                    want[r, c] = True
+        assert np.array_equal(mask, want)
+
+
+def test_points_burn_and_add():
+    from gdal_ray.stages.rasterize import rasterize_points
+
+    xs = np.array([0.2, 0.7, 5.5, 11.9, -1.0, 12.1])
+    ys = np.array([11.8, 11.2, 6.5, 0.1, 5.0, 5.0])
+    out = rasterize_points(xs, ys, np.ones(6), width=12, height=12,
+                           origin_x=0.0, origin_y=12.0, pixel_w=1.0,
+                           pixel_h=1.0, merge_alg="ADD")
+    assert out[0, 0] == 2.0          # two points share the top-left cell
+    assert out[5, 5] == 1.0
+    assert out[11, 11] == 1.0
+    assert out.sum() == 4.0          # two out-of-bounds points dropped
