@@ -169,6 +169,121 @@ def cmd_wds(args) -> int:
     return 0
 
 
+def cmd_rasterize(args) -> int:
+    """gdal_rasterize door (apps/gdal_rasterize_lib.cpp): burn a vector
+    layer into a GeoTIFF.  Distributed shape: the vector side is
+    broadcast once via ray.put (the small side of a raster burn), the
+    output grid splits into row strips, one task burns each strip with
+    the shared kernels (center-rule / -at supercover / Bresenham lines /
+    points), and only the driver-side layout pass assembles the single
+    output file — the same single-file-container compromise as the COG
+    sink."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.geometry.wkb import GeomType
+    from gdal_ray.sources import open_vector
+    from gdal_ray.stages import rasterize as rz
+
+    _ray_init()
+    rows = open_vector(args.input).take_all()
+    wkbs = [r["wkb"] for r in rows]
+    burns = ([float(r[args.attribute]) for r in rows]
+             if args.attribute else [args.burn] * len(wkbs))
+    if args.te:
+        x0, y0, x1, y1 = args.te
+    else:
+        from gdal_ray.geometry.wkb import decode_wkb
+
+        def _pts(payload, gtype):
+            if gtype == GeomType.POINT:
+                return [payload.reshape(1, 2)]
+            if gtype in (GeomType.LINESTRING,):
+                return [payload]
+            if gtype == GeomType.POLYGON:
+                return payload
+            return [q for p in payload for q in _pts(p[1], p[0])]
+
+        def _all_pts(w):
+            gtype, payload = decode_wkb(w)
+            return _pts(payload, gtype)
+
+        allp = np.vstack([q for w in wkbs for q in _all_pts(w)])
+        x0, y0, x1, y1 = (allp[:, 0].min(), allp[:, 1].min(),
+                          allp[:, 0].max(), allp[:, 1].max())
+    width, height = args.ts
+    pw = (x1 - x0) / width
+    ph = (y1 - y0) / height
+    merge = "ADD" if args.add else "REPLACE"
+    # geometry class from the WKB type field (LE: low byte at offset 1;
+    # BE: low byte at offset 4), 2.5D/SRID high bits already stripped
+    # by the kernels themselves
+    kinds = [(w[1] if w[0] == 1 else w[4]) & 0x0F for w in wkbs]
+    shared = ray.put((wkbs, burns, kinds))
+    strip = 256
+    n_strips = (height + strip - 1) // strip
+
+    def burn_strip(b) -> "pa.Table":
+        import pyarrow as pa_
+
+        wk, bv, kd = ray.get(shared)
+        out_rows = []
+        for s in b["id"].tolist():
+            r0 = s * strip
+            nrows = min(strip, height - r0)
+            oy = y1 - r0 * ph
+            kw = dict(width=width, height=nrows, origin_x=x0, origin_y=oy,
+                      pixel_w=pw, pixel_h=ph, merge_alg=merge)
+            polys = [(w, v) for w, v, k in zip(wk, bv, kd) if k in (3, 6)]
+            lines = [(w, v) for w, v, k in zip(wk, bv, kd) if k in (2, 5)]
+            pts = [(w, v) for w, v, k in zip(wk, bv, kd) if k in (1, 4)]
+            acc = np.zeros((nrows, width))
+            if polys:
+                fn = (rz.rasterize_polygons_all_touched if args.at
+                      else rz.rasterize_polygons)
+                a = fn([w for w, _ in polys], [v for _, v in polys], **kw)
+                acc = acc + a if merge == "ADD" else np.where(a != 0, a, acc)
+            if lines:
+                a = rz.rasterize_lines(
+                    [w for w, _ in lines], [v for _, v in lines],
+                    all_touched=args.at, **kw)
+                acc = acc + a if merge == "ADD" else np.where(a != 0, a, acc)
+            if pts:
+                from gdal_ray.geometry.wkb import decode_wkb as dw
+                xy = np.array([dw(w)[1] for w, _ in pts], dtype=np.float64)
+                a = rz.rasterize_points(
+                    xy[:, 0], xy[:, 1],
+                    np.array([v for _, v in pts]), **kw)
+                acc = acc + a if merge == "ADD" else np.where(a != 0, a, acc)
+            out_rows.append((s, acc.astype(np.float32).tobytes()))
+        return pa_.table({
+            "strip": pa_.array([s for s, _ in out_rows], pa_.int64()),
+            "data": pa_.array([d for _, d in out_rows], pa_.binary()),
+        })
+
+    parts = rd.range(n_strips).map_batches(
+        burn_strip, batch_format="numpy", batch_size=4).take_all()
+    full = np.zeros((height, width), dtype=np.float32)
+    for r in parts:
+        s = r["strip"]
+        nrows = min(strip, height - s * strip)
+        full[s * strip:s * strip + nrows] = np.frombuffer(
+            r["data"], dtype=np.float32).reshape(nrows, width)
+    gt = (x0, pw, 0.0, y1, 0.0, -ph)
+    data = encode_geotiff(full, geotransform=gt, epsg=args.epsg)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(json.dumps({
+        "out": args.out, "width": width, "height": height,
+        "n_features": len(wkbs),
+        "n_burned": int((full != 0).sum()),
+        "sum": float(full.sum()),
+    }))
+    return 0
+
+
 def cmd_info(args) -> int:
     """gdalinfo / ogrinfo analogue — no Ray session needed."""
     from gdal_ray.info import describe
@@ -511,6 +626,25 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    rz = sub.add_parser(
+        "rasterize", help="burn a vector layer into a GeoTIFF (gdal_rasterize)")
+    rz.add_argument("input", help="vector file (shp/geojson/gpkg/fgb/...)")
+    rz.add_argument("out", help="output GeoTIFF")
+    rz.add_argument("--ts", type=int, nargs=2, default=[256, 256],
+                    metavar=("W", "H"), help="output size in pixels")
+    rz.add_argument("--te", type=float, nargs=4, default=None,
+                    metavar=("XMIN", "YMIN", "XMAX", "YMAX"),
+                    help="extent (default: layer envelope)")
+    rz.add_argument("--burn", type=float, default=1.0)
+    rz.add_argument("-a", "--attribute", default=None,
+                    help="burn per-feature attribute instead of --burn")
+    rz.add_argument("--at", action="store_true",
+                    help="ALL_TOUCHED burning (-at)")
+    rz.add_argument("--add", action="store_true",
+                    help="MERGE_ALG=ADD (accumulate)")
+    rz.add_argument("--epsg", type=int, default=None)
+    rz.set_defaults(fn=cmd_rasterize)
 
     pk = sub.add_parser(
         "pack", help="pack documents into fixed-length token-sequence tar shards")
