@@ -6177,6 +6177,111 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_PARA_DEDUP = r"""
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') as words
+  from documents where trim(text) <> ''),
+p as (
+  select doc_id,
+         array_to_string(words[(10*g+1):(10*g+10)], ' ') as para
+  from w, unnest(range(len(words) // 10)) as t(g))
+select para, cast(min(doc_id) as bigint) as keep_id,
+       cast(count(*) as bigint) as n_copies
+from p group by para having count(*) > 1 order by para
+"""
+
+
+def q_para_dedup(sf_dir: str):
+    """C4-style paragraph/line dedup: split each doc into normalized
+    10-word paragraphs, find paragraphs appearing in ≥2 places, keep the
+    lowest doc_id (the removal rule).  One hash-bucket aggregate keyed
+    by paragraph text; at 100 TB the key would be the paragraph's
+    128-bit hash with the same owner rule (stages/dedup.py exact path) —
+    the string key here keeps the oracle exact."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def paras(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids, out_p = [], []
+        for did, t in zip(ids, texts):
+            w = t.split()
+            for k in range(len(w) // 10):
+                out_ids.append(did)
+                out_p.append(" ".join(w[10 * k:10 * k + 10]))
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "para": pa.array(out_p, pa.string()),
+        })
+
+    agg = grouped_aggregate(
+        docs.map_batches(paras, batch_format="pyarrow"), ["para"],
+        [("doc_id", "min", "keep_id"), ("doc_id", "count", "n_copies")])
+
+    def keep_dups(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("n_copies"), 1)
+        return b.filter(m).select(["para", "keep_id", "n_copies"])
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow").sort("para")
+
+
+SQL_CHUNK_OVERLAP = r"""
+with t as (
+  select doc_id,
+         case when trim(text) = '' then 0
+              else len(regexp_split_to_array(trim(text), '\s+')) end as n_tok
+  from documents
+), c as (
+  select doc_id, n_tok,
+         case when n_tok <= 64 then 1
+              else (n_tok - 64 + 47) // 48 + 1 end as n_chunks
+  from t)
+select doc_id, cast(count(*) as bigint) as n_chunks,
+       cast(sum(greatest(least(64, n_tok - 48*g), 0)) as bigint) as sum_len,
+       cast(max(48*g) as bigint) as last_start
+from c, unnest(range(n_chunks)) as u(g)
+group by doc_id order by doc_id
+"""
+
+
+def q_chunk_overlap(sf_dir: str):
+    """RAG-style sliding-window chunking: width 64 tokens, stride 48
+    (overlap 16).  Every doc emits ceil((n_tok-W)/S)+1 chunk rows (one
+    empty chunk for empty docs) via a vectorized flat_map; per-doc chunk
+    counts / covered token sums / last start verify the emission against
+    the closed-form oracle."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    W, S = 64, 48
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        s = text_stage.token_stats_batch(b)
+        ids = s.column("doc_id").to_numpy(zero_copy_only=False)
+        n = s.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_chunks = np.where(n <= W, 1, (n - W + S - 1) // S + 1)
+        rid = np.repeat(ids, n_chunks)
+        rn = np.repeat(n, n_chunks)
+        starts = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        g = (np.arange(len(rid)) - starts) * S
+        ln = np.maximum(np.minimum(W, rn - g), 0)
+        return pa.table({
+            "doc_id": pa.array(rid.astype(np.int64)),
+            "start": pa.array(g.astype(np.int64)),
+            "length": pa.array(ln.astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        docs.map_batches(chunks, batch_format="pyarrow"), ["doc_id"],
+        [("start", "count", "n_chunks"), ("length", "sum", "sum_len"),
+         ("start", "max", "last_start")])
+    return agg.map_batches(
+        lambda b: b.select(["doc_id", "n_chunks", "sum_len", "last_start"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 SQL_RASTERIZE_AT = """
 with r as (
   select doc_id,
@@ -6401,6 +6506,8 @@ def queries():
         "data_split": q_data_split,
         "upsample_epochs": q_upsample_epochs,
         "rasterize_at": q_rasterize_at,
+        "para_dedup": q_para_dedup,
+        "chunk_overlap": q_chunk_overlap,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6626,6 +6733,8 @@ def oracle_sql():
         "data_split": SQL_DATA_SPLIT,
         "upsample_epochs": SQL_UPSAMPLE,
         "rasterize_at": SQL_RASTERIZE_AT,
+        "para_dedup": SQL_PARA_DEDUP,
+        "chunk_overlap": SQL_CHUNK_OVERLAP,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
