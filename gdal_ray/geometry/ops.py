@@ -487,3 +487,38 @@ def clipped_area(parts: list[list[np.ndarray]], x0, y0, x1, y1) -> float:
         for hole in rings[1:]:
             total -= ring_area(clip_ring_box(hole, x0, y0, x1, y1))
     return total
+
+
+def union_area_rects(x0: np.ndarray, y0: np.ndarray,
+                     x1: np.ndarray, y1: np.ndarray) -> int:
+    """Exact union area of axis-aligned integer rectangles via the
+    classic coordinate-compression slab sweep: for each x-slab between
+    consecutive distinct rect edges, the union of active y-intervals
+    (vectorized cummax segmentation) times the slab width.  Integer
+    arithmetic throughout — no epsilon.  The dissolve / ST_Union(area)
+    kernel for rectangular footprints (the reference dissolves via GEOS
+    cascaded union, ogr/ogrgeometryfactory.cpp organizePolygons +
+    GEOSUnion; same result for this geometry class)."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    xs = np.unique(np.concatenate([x0, x1]))
+    total = 0
+    for k in range(len(xs) - 1):
+        xa, xb = int(xs[k]), int(xs[k + 1])
+        sel = (x0 < xb) & (x1 > xa)
+        if not sel.any():
+            continue
+        ys0, ys1 = y0[sel], y1[sel]
+        order = np.argsort(ys0, kind="stable")
+        ys0, ys1 = ys0[order], ys1[order]
+        cm = np.maximum.accumulate(ys1)
+        new = np.concatenate([[True], ys0[1:] > cm[:-1]])
+        seg_starts = ys0[new]
+        seg_last = np.concatenate([np.nonzero(new)[0][1:] - 1,
+                                   [len(ys0) - 1]])
+        seg_ends = cm[seg_last]
+        covered = int((seg_ends - seg_starts).sum())
+        total += (xb - xa) * covered
+    return total

@@ -6177,6 +6177,71 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_DISSOLVE = """
+with r as (
+  select doc_id, doc_id % 25 as g, doc_id // 25 as i,
+         (doc_id // 25) * 30 as x0,
+         (doc_id * 13) % 7 as y0,
+         (doc_id // 25) * 30 + 40 as x1,
+         (doc_id * 13) % 7 + 20 + doc_id % 11 as y1
+  from documents where doc_id < 200),
+ov as (
+  select a.g,
+         sum(10 * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0))
+         as ovl
+  from r a join r b on a.g = b.g and b.i = a.i + 1 group by a.g),
+base as (
+  select g, cast(count(*) as bigint) as n_feats,
+         sum((x1 - x0) * (y1 - y0)) as sum_a
+  from r group by g)
+select base.g, n_feats,
+       cast(sum_a - coalesce(ovl, 0) as bigint) as union_area
+from base left join ov on ov.g = base.g order by base.g
+"""
+
+
+def q_dissolve(sf_dir: str):
+    """Dissolve / ST_Union area per attribute group (the ogr2ogr
+    GROUP BY + GEOS-union idiom): rectangles chain-overlap within each
+    group (pairwise only, never triple, by construction), one
+    groupby(g) exchange, each group's UNION GEOMETRY area computed by
+    the exact coordinate-compression sweep
+    (geometry/ops.union_area_rects) — the oracle instead applies
+    inclusion–exclusion over the chain, so parity cross-validates two
+    independent union formulations."""
+    from gdal_ray.geometry.ops import union_area_rects
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 200")
+
+    def rects(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array((ids % 25).astype(np.int64)),
+            "x0": pa.array(((ids // 25) * 30).astype(np.int64)),
+            "y0": pa.array(((ids * 13) % 7).astype(np.int64)),
+            "x1": pa.array(((ids // 25) * 30 + 40).astype(np.int64)),
+            "y1": pa.array(((ids * 13) % 7 + 20 + ids % 11).astype(np.int64)),
+        })
+
+    def dissolve_group(t: pa.Table) -> pa.Table:
+        g = int(t.column("g")[0].as_py())
+        area = union_area_rects(
+            t.column("x0").to_numpy(zero_copy_only=False),
+            t.column("y0").to_numpy(zero_copy_only=False),
+            t.column("x1").to_numpy(zero_copy_only=False),
+            t.column("y1").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "g": pa.array([g], pa.int64()),
+            "n_feats": pa.array([len(t)], pa.int64()),
+            "union_area": pa.array([area], pa.int64()),
+        })
+
+    return (docs.map_batches(rects, batch_format="pyarrow")
+            .groupby("g").map_groups(dissolve_group, batch_format="pyarrow")
+            .sort("g"))
+
+
 SQL_PARA_DEDUP = r"""
 with w as (
   select doc_id, regexp_split_to_array(trim(text), '\s+') as words
@@ -6508,6 +6573,7 @@ def queries():
         "rasterize_at": q_rasterize_at,
         "para_dedup": q_para_dedup,
         "chunk_overlap": q_chunk_overlap,
+        "dissolve": q_dissolve,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6735,6 +6801,7 @@ def oracle_sql():
         "rasterize_at": SQL_RASTERIZE_AT,
         "para_dedup": SQL_PARA_DEDUP,
         "chunk_overlap": SQL_CHUNK_OVERLAP,
+        "dissolve": SQL_DISSOLVE,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -51,3 +51,25 @@ def test_ops_decompose_from_union(ray_session, union_df, op):
 def test_unknown_op_raises(ray_session):
     with pytest.raises(ValueError):
         _overlay_algebra_plan(SF, "intersection_only")
+
+
+def test_union_area_rects_vs_grid_paint():
+    import numpy as np
+
+    from gdal_ray.geometry.ops import union_area_rects
+
+    rng = np.random.RandomState(9)
+    for _ in range(100):
+        n = int(rng.randint(1, 15))
+        x0 = rng.randint(0, 50, n)
+        x1 = x0 + rng.randint(1, 30, n)
+        y0 = rng.randint(0, 50, n)
+        y1 = y0 + rng.randint(1, 30, n)
+        grid = np.zeros((90, 90), dtype=bool)
+        for a, b, c, d in zip(x0, y0, x1, y1):
+            grid[b:d, a:c] = True
+        assert union_area_rects(x0, y0, x1, y1) == int(grid.sum())
+    # degenerate: identical rects, nested rects, disjoint rects
+    assert union_area_rects([0, 0], [0, 0], [5, 5], [5, 5]) == 25
+    assert union_area_rects([0, 1], [0, 1], [10, 3], [10, 3]) == 100
+    assert union_area_rects([0, 20], [0, 0], [5, 25], [5, 5]) == 50
