@@ -318,6 +318,40 @@ def run_headline() -> dict:
 
     t4, n_s2_cells = best_of(q4)
 
+    # q5 (informational, NOT in the headline total): WebDataset export —
+    # the n_render image+caption subset written as POSIX-ustar tar shards
+    # (state/tarsink.py), one writer task per shard.  Evidences the
+    # training-corpus export path's throughput next to the analytic
+    # queries; bytes measured from the shard stats the sink returns.
+    from gdal_ray.state import tarsink as _tarsink
+
+    def q5():
+        import shutil
+        import tempfile
+
+        import pyarrow.dataset as pads
+
+        out = tempfile.mkdtemp(prefix="bench_wds_")
+        src = rd.read_parquet(
+            img_path, columns=["image_id", "bytes", "caption"],
+            filter=pads.field("image_id") < f"img-{n_render:012d}",
+        ).map_batches(strip_meta, batch_format="pyarrow")
+
+        def add_key(b: pa.Table) -> pa.Table:
+            ids = [int(s[-12:]) for s in b.column("image_id").to_pylist()]
+            return b.append_column("img_key", pa.array(ids, pa.int64()))
+
+        stats = _tarsink.write_wds_shards(
+            src.map_batches(add_key, batch_format="pyarrow"), out,
+            n_shards=NUM_CPUS, key_col="img_key",
+            fields=[("bytes", "img"), ("caption", "txt")],
+            lineage="bench", resume=False).take_all()
+        nbytes = sum(r["tar_bytes"] for r in stats)
+        shutil.rmtree(out, ignore_errors=True)
+        return nbytes
+
+    t5, wds_bytes = best_of(q5)
+
     total = t1 + t2 + t3
     result = {
         "metric": "images/sec (decode+footprint+tile-assign; pip-join)",
@@ -338,6 +372,10 @@ def run_headline() -> dict:
         "s2_assign_sec": round(t4, 3),
         "s2_images_per_sec": round(n / t4, 1),
         "n_s2_cells": n_s2_cells,
+        # informational WebDataset export (excluded from `value`)
+        "wds_export_sec": round(t5, 3),
+        "wds_export_mb_per_sec": round(wds_bytes / t5 / 1e6, 1),
+        "wds_images_per_sec": round(n_render / t5, 1),
         "real_codecs": REAL_CODECS,
         # pure-CPU host-health control before/after the timed queries
         # (healthy ≈ 0.5-0.9 s on this box; see BASELINE.md throttle notes)
