@@ -6177,6 +6177,65 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_EXIF_GPS = """
+select doc_id,
+       cast(doc_id % 8 + 1 as bigint) as orientation,
+       (case when doc_id % 2 = 1 then -1 else 1 end)
+         * ((doc_id % 89) + (doc_id % 60)/60.0
+            + (doc_id % 59999)/10000.0/3600.0) as lat,
+       (case when (doc_id // 2) % 2 = 1 then -1 else 1 end)
+         * ((doc_id % 179) + ((doc_id * 7) % 60)/60.0
+            + ((doc_id * 13) % 59999)/10000.0/3600.0) as lon
+from documents where doc_id < 200 order by doc_id
+"""
+
+
+def q_exif_gps(sf_dir: str):
+    """EXIF provenance extraction (codecs/exif.py; reference frmts/jpeg
+    exif.cpp EXIFExtractMetadata): real baseline JPEGs get an Exif 2.3
+    APP1 with orientation + GPS D/M/S rationals, then a distributed
+    header-only parse recovers orientation and signed decimal degrees.
+    The rationals are exact integers and the decimal conversion uses the
+    documented IEEE order ((D + M/60.0) + (S/den)/3600.0), so the float
+    output hashes bit-identically against the SQL arithmetic — parity
+    proves the APP1 wire format round-trips through a real JPEG
+    container."""
+    from gdal_ray.codecs import encode
+    from gdal_ray.codecs.exif import build_exif_app1, inject_app1, parse_exif
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 200")
+
+    base_jpeg = encode(
+        (np.arange(256).reshape(16, 16) % 256).astype(np.uint8), "jpeg-real")
+
+    def tag_and_parse(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ors, lats, lons = [], [], []
+        for did in ids.tolist():
+            app1 = build_exif_app1(
+                orientation=did % 8 + 1,
+                datetime="2020:01:01 00:00:00",
+                lat_dms=(did % 89, did % 60, did % 59999, 10000),
+                lon_dms=(did % 179, (did * 7) % 60, (did * 13) % 59999,
+                         10000),
+                lat_ref="S" if did % 2 == 1 else "N",
+                lon_ref="W" if (did // 2) % 2 == 1 else "E")
+            meta = parse_exif(inject_app1(base_jpeg, app1))
+            ors.append(meta["orientation"])
+            lats.append(meta["lat"])
+            lons.append(meta["lon"])
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "orientation": pa.array(ors, pa.int64()),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+        })
+
+    return docs.map_batches(tag_and_parse, batch_format="pyarrow",
+                            batch_size=64).sort("doc_id")
+
+
 SQL_DISSOLVE = """
 with r as (
   select doc_id, doc_id % 25 as g, doc_id // 25 as i,
@@ -6574,6 +6633,7 @@ def queries():
         "para_dedup": q_para_dedup,
         "chunk_overlap": q_chunk_overlap,
         "dissolve": q_dissolve,
+        "exif_gps": q_exif_gps,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6802,6 +6862,7 @@ def oracle_sql():
         "para_dedup": SQL_PARA_DEDUP,
         "chunk_overlap": SQL_CHUNK_OVERLAP,
         "dissolve": SQL_DISSOLVE,
+        "exif_gps": SQL_EXIF_GPS,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

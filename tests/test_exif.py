@@ -1,0 +1,60 @@
+"""EXIF APP1 (codecs/exif.py): build/parse round trip, exact decimal
+degrees, container safety, marker-walk robustness."""
+
+import struct
+
+import numpy as np
+
+from gdal_ray.codecs import decode, encode
+from gdal_ray.codecs.exif import (build_exif_app1, inject_app1,
+                                  parse_exif)
+
+
+def _jpeg():
+    return encode((np.arange(256).reshape(16, 16) % 256).astype(np.uint8),
+                  "jpeg-real")
+
+
+def test_round_trip_all_fields():
+    app1 = build_exif_app1(orientation=6, datetime="2021:06:05 04:03:02",
+                           lat_dms=(48, 51, 291234, 10000),
+                           lon_dms=(2, 21, 31234, 10000),
+                           lat_ref="N", lon_ref="E")
+    meta = parse_exif(inject_app1(_jpeg(), app1))
+    assert meta["orientation"] == 6
+    assert meta["datetime"] == "2021:06:05 04:03:02"
+    assert meta["lat"] == (48 + 51 / 60.0) + (291234 / 10000.0) / 3600.0
+    assert meta["lon"] == (2 + 21 / 60.0) + (31234 / 10000.0) / 3600.0
+    assert meta["gps"][0x0002] == [(48, 1), (51, 1), (291234, 10000)]
+
+
+def test_hemisphere_signs():
+    app1 = build_exif_app1(orientation=1,
+                           lat_dms=(10, 0, 0, 1), lon_dms=(20, 30, 0, 1),
+                           lat_ref="S", lon_ref="W")
+    meta = parse_exif(inject_app1(_jpeg(), app1))
+    assert meta["lat"] == -10.0
+    assert meta["lon"] == -(20 + 30 / 60.0)
+
+
+def test_decode_unaffected_and_no_exif_empty():
+    j = _jpeg()
+    app1 = build_exif_app1(orientation=3)
+    j2 = inject_app1(j, app1)
+    assert np.array_equal(decode(j2, "jpeg"), decode(j, "jpeg"))
+    assert parse_exif(j) == {}
+
+
+def test_marker_walk_skips_other_segments():
+    # APP0 (JFIF) before APP1 must be skipped, not mistaken for EXIF
+    j = _jpeg()
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" + b"\0" * 7
+    app1 = build_exif_app1(orientation=5)
+    j2 = b"\xff\xd8" + app0 + app1 + j[2:]
+    assert parse_exif(j2)["orientation"] == 5
+
+
+def test_orientation_only_minimal_segment():
+    app1 = build_exif_app1(orientation=8)
+    meta = parse_exif(inject_app1(_jpeg(), app1))
+    assert meta == {"orientation": 8}
