@@ -164,3 +164,31 @@ def parse_exif(jpeg: bytes) -> dict:
             out["lat"] = _deg(gps[0x0002], gps.get(0x0001, "N"), ("S",))
             out["lon"] = _deg(gps[0x0004], gps.get(0x0003, "E"), ("W",))
     return out
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to orientation 1 (the Exif 2.3 §4.6.4 table —
+    same mapping the reference applies via EXIF_Orientation metadata):
+
+      1 identity                 5 transpose (flip over main diagonal)
+      2 mirror horizontal        6 rotate 90° CW
+      3 rotate 180°              7 transverse (flip over anti-diagonal)
+      4 mirror vertical          8 rotate 90° CCW
+    """
+    if orientation in (1, 0):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(img, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(img, 0, 1)[::-1, :]
+    raise ValueError(f"EXIF orientation {orientation} out of range 1-8")

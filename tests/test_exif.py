@@ -58,3 +58,27 @@ def test_orientation_only_minimal_segment():
     app1 = build_exif_app1(orientation=8)
     meta = parse_exif(inject_app1(_jpeg(), app1))
     assert meta == {"orientation": 8}
+
+
+def test_apply_orientation_table():
+    from gdal_ray.codecs.exif import apply_orientation
+
+    img = np.arange(12).reshape(3, 4)
+    # camera stored the pixels transformed; applying the SAME tag must
+    # invert back for the self-inverse ops (1,2,3,4,5,7) and compose to
+    # identity via the paired rotations (6 then 8)
+    for o in (1, 2, 3, 4, 5, 7):
+        assert np.array_equal(apply_orientation(apply_orientation(img, o), o),
+                              img)
+    assert np.array_equal(
+        apply_orientation(apply_orientation(img, 6), 8), img)
+    # rotate 90 CW: first row becomes last column
+    r = apply_orientation(img, 6)
+    assert r.shape == (4, 3)
+    assert np.array_equal(r[:, -1], img[0])
+    # rotate 90 CCW: first row becomes first column reversed
+    r8 = apply_orientation(img, 8)
+    assert np.array_equal(r8[:, 0], img[0][::-1])
+    # multiband passthrough
+    rgb = np.dstack([img, img, img])
+    assert apply_orientation(rgb, 6).shape == (4, 3, 3)
