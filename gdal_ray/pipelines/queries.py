@@ -6177,6 +6177,67 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_AUDIO_STATS = """
+with d as (
+  select doc_id, 4000 + (doc_id % 9) * 500 as n
+  from documents where doc_id < 200),
+s as (
+  select doc_id, t, (((doc_id*7 + t*13) % 256) - 128) * 64 as v
+  from d, unnest(range(n)) as u(t)),
+z as (
+  select doc_id, t, v,
+         lag(v) over (partition by doc_id order by t) as pv
+  from s)
+select doc_id,
+       cast(count(*) as bigint) as n_samples,
+       cast(sum(v*v) as bigint) as energy,
+       cast(sum(case when pv is not null and v * pv < 0 then 1 else 0 end)
+            as bigint) as n_zc,
+       cast(count(*) * 1000 // 16000 as bigint) as duration_ms
+from z group by doc_id order by doc_id
+"""
+
+
+def q_audio_stats(sf_dir: str):
+    """Audio feature extraction through the REAL WAV codec (codecs/riff):
+    deterministic int16 PCM streams are encoded as PCM16 WAVE, decoded
+    back distributed, and reduced to training-filter features — energy
+    (Σv², the loudness gate), zero-crossing count (the classic
+    voiced/unvoiced signal), sample count and duration.  All integer,
+    and the oracle recomputes every feature from the sample arithmetic,
+    so parity proves the RIFF wire format round-trips bit-exactly (the
+    first oracle row over the audio path — previously pytest-only)."""
+    from gdal_ray.codecs.riff import decode_wav, encode_wav
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 200")
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ns, energy, zc, dur = [], [], [], []
+        for did in ids.tolist():
+            n = 4000 + (did % 9) * 500
+            t = np.arange(n, dtype=np.int64)
+            v = (((did * 7 + t * 13) % 256) - 128) * 64
+            wav = encode_wav(v.astype(np.int16), sample_rate=16000)
+            dec, rate = decode_wav(wav)
+            s = dec[:, 0].astype(np.int64)
+            ns.append(len(s))
+            energy.append(int((s * s).sum()))
+            zc.append(int(((s[1:] * s[:-1]) < 0).sum()))
+            dur.append(len(s) * 1000 // rate)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_samples": pa.array(ns, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+            "n_zc": pa.array(zc, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            batch_size=64).sort("doc_id")
+
+
 SQL_EXIF_GPS = """
 select doc_id,
        cast(doc_id % 8 + 1 as bigint) as orientation,
@@ -6634,6 +6695,7 @@ def queries():
         "chunk_overlap": q_chunk_overlap,
         "dissolve": q_dissolve,
         "exif_gps": q_exif_gps,
+        "audio_stats": q_audio_stats,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6863,6 +6925,7 @@ def oracle_sql():
         "chunk_overlap": SQL_CHUNK_OVERLAP,
         "dissolve": SQL_DISSOLVE,
         "exif_gps": SQL_EXIF_GPS,
+        "audio_stats": SQL_AUDIO_STATS,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
