@@ -6177,6 +6177,60 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_GIF_FRAMES = """
+with d as (
+  select doc_id, 1 + doc_id % 4 as n_frames
+  from documents where doc_id < 150),
+f as (
+  select doc_id, g as frame_idx,
+         (doc_id * 3 + g * 11) % 256 as color,
+         4 + g as delay_cs
+  from d, unnest(range(n_frames)) as u(g))
+select doc_id, cast(count(*) as bigint) as n_frames,
+       cast(sum(color) as bigint) as color_sum,
+       cast(sum(delay_cs) as bigint) as delay_sum
+from f group by doc_id order by doc_id
+"""
+
+
+def q_gif_frames(sf_dir: str):
+    """Animated-GIF round trip through the real mux/demux (codecs/gif:
+    NETSCAPE loop, per-frame GCE delays, LZW): per doc, solid-color
+    frames with arithmetic colors/delays are encoded as an animated GIF,
+    demuxed + composed back distributed, and summarized as frame count /
+    composed-color sum / delay sum — all predicted exactly by the
+    oracle, giving the GIF path an oracle-verified round trip (reference
+    frmts/gif via giflib; previously pytest-only here)."""
+    from gdal_ray.codecs.gif import (compose_gif, decode_gif_frames,
+                                     encode_gif_anim)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 150")
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nf, csum, dsum = [], [], []
+        for did in ids.tolist():
+            n = 1 + did % 4
+            frames = [np.full((8, 8, 3), (did * 3 + f * 11) % 256, np.uint8)
+                      for f in range(n)]
+            data = encode_gif_anim(frames, [4 + f for f in range(n)])
+            comp = compose_gif(data)
+            meta = decode_gif_frames(data)
+            nf.append(len(comp))
+            csum.append(int(sum(int(fr[0, 0, 0]) for fr in comp)))
+            dsum.append(int(sum(fr["delay_cs"] for fr in meta["frames"])))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_frames": pa.array(nf, pa.int64()),
+            "color_sum": pa.array(csum, pa.int64()),
+            "delay_sum": pa.array(dsum, pa.int64()),
+        })
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow",
+                            batch_size=32).sort("doc_id")
+
+
 SQL_AUDIO_STATS = """
 with d as (
   select doc_id, 4000 + (doc_id % 9) * 500 as n
@@ -6696,6 +6750,7 @@ def queries():
         "dissolve": q_dissolve,
         "exif_gps": q_exif_gps,
         "audio_stats": q_audio_stats,
+        "gif_frames": q_gif_frames,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6926,6 +6981,7 @@ def oracle_sql():
         "dissolve": SQL_DISSOLVE,
         "exif_gps": SQL_EXIF_GPS,
         "audio_stats": SQL_AUDIO_STATS,
+        "gif_frames": SQL_GIF_FRAMES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
