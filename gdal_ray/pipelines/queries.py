@@ -6177,6 +6177,68 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_QUARANTINE = """
+with d as (
+  select doc_id,
+         case when doc_id % 11 = 0 then 'unknown_container'
+              when doc_id % 11 = 1 then 'corrupt_stream'
+              when doc_id % 11 = 2 then 'truncated'
+              else '' end as reason
+  from documents where doc_id < 300)
+select reason, cast(count(*) as bigint) as n,
+       cast(sum(case when reason = '' then 64 else 0 end) as bigint)
+         as sum_w
+from d group by reason order by reason
+"""
+
+
+def q_quarantine(sf_dir: str):
+    """Bad-record quarantine (stages/quarantine.py — the Spark
+    badRecordsPath contract): a corpus with injected corruption (garbage
+    magic / 20-byte truncation / half truncation, by doc_id mod 11) goes
+    through one decode pass with per-row error capture; good rows and
+    quarantined rows stay in one Dataset with stable error classes, and
+    good + bad == input exactly.  The oracle predicts the per-reason
+    counts and the decoded-width sum of the surviving rows."""
+    from gdal_ray.codecs import encode
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.quarantine import decode_with_quarantine
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 300")
+    rng = np.random.RandomState(7)
+    base = encode(rng.randint(0, 256, (64, 64), dtype=np.uint8).astype(
+        np.uint8), "png")
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        blobs = []
+        for did in ids.tolist():
+            m = did % 11
+            if m == 0:
+                blobs.append(b"XXXXYYYY" + bytes(32))
+            elif m == 1:
+                blobs.append(base[:20])
+            elif m == 2:
+                blobs.append(base[:len(base) // 2])
+            else:
+                blobs.append(base)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "bytes": pa.array(blobs, pa.binary()),
+        })
+
+    tagged = docs.map_batches(corrupt, batch_format="pyarrow")\
+        .map_batches(lambda b: decode_with_quarantine(b, fmt_col="fmt"),
+                     batch_format="pyarrow")
+    agg = grouped_aggregate(
+        tagged, ["reason"],
+        [("doc_id", "count", "n"), ("w_dec", "sum", "sum_w")])
+    return agg.map_batches(
+        lambda b: b.select(["reason", "n", "sum_w"]),
+        batch_format="pyarrow").sort("reason")
+
+
 SQL_GIF_FRAMES = """
 with d as (
   select doc_id, 1 + doc_id % 4 as n_frames
@@ -6751,6 +6813,7 @@ def queries():
         "exif_gps": q_exif_gps,
         "audio_stats": q_audio_stats,
         "gif_frames": q_gif_frames,
+        "quarantine": q_quarantine,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -6982,6 +7045,7 @@ def oracle_sql():
         "exif_gps": SQL_EXIF_GPS,
         "audio_stats": SQL_AUDIO_STATS,
         "gif_frames": SQL_GIF_FRAMES,
+        "quarantine": SQL_QUARANTINE,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -82,3 +82,25 @@ def test_apply_orientation_table():
     # multiband passthrough
     rgb = np.dstack([img, img, img])
     assert apply_orientation(rgb, 6).shape == (4, 3, 3)
+
+
+def test_quarantine_split(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.quarantine import split_quarantine
+
+    png = encode((np.arange(64).reshape(8, 8) % 256).astype(np.uint8), "png")
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "bytes": pa.array([png, b"junkjunkjunk", png[:20], png],
+                          pa.binary()),
+    })
+    good, bad = split_quarantine(rd.from_arrow(tbl))
+    g = good.sort("doc_id").take_all()
+    b = bad.sort("doc_id").take_all()
+    assert [r["doc_id"] for r in g] == [0, 3]
+    assert all(r["w_dec"] == 8 and r["h_dec"] == 8 for r in g)
+    assert [(r["doc_id"], r["reason"]) for r in b] == [
+        (1, "unknown_container"), (2, "corrupt_stream")]
+    assert len(g) + len(b) == 4  # nothing lost, nothing duplicated
