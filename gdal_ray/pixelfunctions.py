@@ -184,3 +184,66 @@ def _interpolate_linear(arrs, t0: float = 0.0, dt: float = 1.0, t: float = 0.0):
     i0 = int(np.clip(np.floor(pos), 0, len(arrs) - 2))
     frac = pos - i0
     return arrs[i0] * (1.0 - frac) + arrs[i0 + 1] * frac
+
+
+# ----------------------------------------------------------- gdal_calc door
+
+_CALC_FUNCS = {
+    "sqrt": np.sqrt, "log": np.log, "log10": np.log10, "exp": np.exp,
+    "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "where": np.where, "floor": np.floor, "ceil": np.ceil,
+    "sin": np.sin, "cos": np.cos, "tan": np.tan, "power": np.power,
+    "clip": np.clip,
+}
+
+
+def eval_calc_expression(expr: str, bands: dict) -> np.ndarray:
+    """Safe numpy expression evaluator for gdal_calc-style band math
+    (apps/gdal_calc.py semantics: named input letters, numpy ufuncs,
+    arithmetic/comparison operators).  Parses with `ast` and permits
+    ONLY literals, band names, the whitelisted functions above, and
+    arithmetic / comparison / boolean-array operators — no attribute
+    access, no subscripts of non-bands, no calls outside the whitelist."""
+    import ast
+
+    allowed_ops = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv,
+                   ast.Mod, ast.Pow, ast.USub, ast.UAdd,
+                   ast.BitAnd, ast.BitOr, ast.BitXor, ast.Invert,
+                   ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE)
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id in bands:
+                return bands[node.id]
+            raise ValueError(f"unknown band {node.id!r}")
+        if isinstance(node, ast.BinOp) and isinstance(node.op, allowed_ops):
+            return _APPLY[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, allowed_ops):
+            return _APPLY[type(node.op)](ev(node.operand))
+        if isinstance(node, ast.Compare) and len(node.ops) == 1 \
+                and isinstance(node.ops[0], allowed_ops):
+            return _APPLY[type(node.ops[0])](ev(node.left),
+                                             ev(node.comparators[0]))
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id in _CALC_FUNCS and not node.keywords:
+            return _CALC_FUNCS[node.func.id](*[ev(a) for a in node.args])
+        raise ValueError(f"disallowed syntax in calc expression: "
+                         f"{ast.dump(node)[:80]}")
+
+    import operator as op
+    global _APPLY
+    _APPLY = {
+        ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+        ast.Div: op.truediv, ast.FloorDiv: op.floordiv, ast.Mod: op.mod,
+        ast.Pow: op.pow, ast.USub: op.neg, ast.UAdd: op.pos,
+        ast.BitAnd: op.and_, ast.BitOr: op.or_, ast.BitXor: op.xor,
+        ast.Invert: op.invert,
+        ast.Eq: op.eq, ast.NotEq: op.ne, ast.Lt: op.lt, ast.LtE: op.le,
+        ast.Gt: op.gt, ast.GtE: op.ge,
+    }
+    return ev(ast.parse(expr, mode="eval"))
