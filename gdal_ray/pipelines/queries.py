@@ -6177,6 +6177,66 @@ def q_upsample_epochs(sf_dir: str):
         .sort(["doc_id", "copy_idx"])
 
 
+SQL_GEOHASH = f"""
+with recursive pts as (
+  select point_id, px, py from ({POINT_SQL_CTE}) p where point_id < 400
+), rec as (
+  select point_id, px, py, 0 as b, cast(0 as bigint) as acc,
+         cast(-180.0 as double) as lox, cast(180.0 as double) as hix,
+         cast(-90.0 as double) as loy, cast(90.0 as double) as hiy
+  from pts
+  union all
+  select point_id, px, py, b + 1,
+         acc * 2 + (case when b % 2 = 0
+                    then (case when px >= (lox + hix)/2 then 1 else 0 end)
+                    else (case when py >= (loy + hiy)/2 then 1 else 0 end)
+                    end),
+         case when b % 2 = 0 and px >= (lox + hix)/2
+              then (lox + hix)/2 else lox end,
+         case when b % 2 = 0 and px < (lox + hix)/2
+              then (lox + hix)/2 else hix end,
+         case when b % 2 = 1 and py >= (loy + hiy)/2
+              then (loy + hiy)/2 else loy end,
+         case when b % 2 = 1 and py < (loy + hiy)/2
+              then (loy + hiy)/2 else hiy end
+  from rec where b < 45
+)
+select point_id as doc_id, acc as gh_bits from rec where b = 45
+order by doc_id
+"""
+
+
+def q_geohash(sf_dir: str):
+    """Geohash cell assignment (tilemath.geohash_encode — the public
+    Niemeyer base-32 index used by ElasticSearch/Redis geo joins) over
+    the bit-identical derived points; the oracle replays the 45-step
+    longitude/latitude bisection as a recursive CTE (same IEEE midpoint
+    arithmetic), so the full interleaved bit path is verified, with the
+    base-32 string form pinned by published vectors in pytest."""
+    from gdal_ray.tilemath import _GH32, geohash_encode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 400")
+
+    def cells(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        px = ((ids * 7919) % 36000) / 100.0 - 180.0 + 0.005
+        py = ((ids * 104729) % 17000) / 100.0 - 85.0 + 0.005
+        ghs = geohash_encode(px, py, precision=9)
+        bits = []
+        for gh in ghs:
+            acc = 0
+            for ch in gh:
+                acc = acc * 32 + _GH32.index(ch)
+            bits.append(acc)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "gh_bits": pa.array(bits, pa.int64()),
+        })
+
+    return docs.map_batches(cells, batch_format="pyarrow").sort("doc_id")
+
+
 SQL_QUARANTINE = """
 with d as (
   select doc_id,
@@ -6814,6 +6874,7 @@ def queries():
         "audio_stats": q_audio_stats,
         "gif_frames": q_gif_frames,
         "quarantine": q_quarantine,
+        "geohash": q_geohash,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7046,6 +7107,7 @@ def oracle_sql():
         "audio_stats": SQL_AUDIO_STATS,
         "gif_frames": SQL_GIF_FRAMES,
         "quarantine": SQL_QUARANTINE,
+        "geohash": SQL_GEOHASH,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -219,3 +219,70 @@ def bbox_to_tile_range_xyz(lon_min, lat_min, lon_max, lat_max, zoom):
     x0, y0 = lonlat_to_tile_xyz(lon_min, lat_max, zoom)  # top-left
     x1, y1 = lonlat_to_tile_xyz(lon_max, lat_min, zoom)  # bottom-right
     return x0, np.maximum(x0, x1), y0, np.maximum(y0, y1)
+
+
+# ------------------------------------------------------------------ geohash
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lons, lats, precision: int = 9):
+    """Vectorized Geohash encode (public spec, Niemeyer 2008 / the
+    Wikipedia reference algorithm): interleave longitude/latitude
+    bisection bits, 5 bits per base-32 character, even bit = longitude.
+
+    Returns a list of `precision`-char strings.  Complements the XYZ /
+    quadkey / S2 indexes: geohash is the common key in ElasticSearch /
+    Redis geo pipelines, so crawl joins against such corpora need it."""
+    import numpy as np
+
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    n = lons.shape[0]
+    nbits = precision * 5
+    bits = np.zeros((n, nbits), dtype=np.uint8)
+    lo_x = np.full(n, -180.0)
+    hi_x = np.full(n, 180.0)
+    lo_y = np.full(n, -90.0)
+    hi_y = np.full(n, 90.0)
+    for b in range(nbits):
+        if b % 2 == 0:           # even bit: longitude
+            mid = (lo_x + hi_x) / 2.0
+            hit = lons >= mid
+            bits[:, b] = hit
+            lo_x = np.where(hit, mid, lo_x)
+            hi_x = np.where(hit, hi_x, mid)
+        else:                    # odd bit: latitude
+            mid = (lo_y + hi_y) / 2.0
+            hit = lats >= mid
+            bits[:, b] = hit
+            lo_y = np.where(hit, mid, lo_y)
+            hi_y = np.where(hit, hi_y, mid)
+    vals = bits.reshape(n, precision, 5)
+    chars = (vals * np.array([16, 8, 4, 2, 1], dtype=np.uint8)).sum(axis=2)
+    lut = np.frombuffer(_GH32.encode(), dtype=np.uint8)
+    raw = lut[chars]  # (n, precision) ascii codes
+    return [bytes(row).decode() for row in raw]
+
+
+def geohash_decode_bounds(gh: str):
+    """Geohash → (lon_min, lat_min, lon_max, lat_max) cell bounds."""
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh:
+        v = _GH32.index(ch)
+        for m in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lo_x + hi_x) / 2.0
+                if v & m:
+                    lo_x = mid
+                else:
+                    hi_x = mid
+            else:
+                mid = (lo_y + hi_y) / 2.0
+                if v & m:
+                    lo_y = mid
+                else:
+                    hi_y = mid
+            even = not even
+    return lo_x, lo_y, hi_x, hi_y
