@@ -284,6 +284,43 @@ def cmd_rasterize(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental image-directory ingest (state/delta.py + manifest):
+    each run fingerprints the source tree, reads ONLY files added or
+    changed since the last committed state, appends them to the parquet
+    table as one new part file, and commits the listing state atomically
+    after the write succeeds — the Structured-Streaming file-source
+    contract on top of the file-per-image door."""
+    import os
+
+    from gdal_ray.sources import read_image_dir
+    from gdal_ray.state import delta
+
+    state_path = os.path.join(args.out, "_ingest_state.json")
+    added, changed, removed, fps = delta.file_delta(
+        args.src, state_path, suffix=args.suffix)
+    todo = added + changed
+    report = {"added": len(added), "changed": len(changed),
+              "removed": len(removed), "out": args.out}
+    if not todo:
+        print(json.dumps({**report, "rows": 0, "skipped_run": True}))
+        return 0
+    _ray_init()
+    os.makedirs(args.out, exist_ok=True)
+    ds = read_image_dir([os.path.join(args.src, p) for p in todo])
+    runs = delta.load_state(state_path + ".runs")
+    seq = int(runs.get("seq", 0)) + 1
+    run_dir = os.path.join(args.out, f"run-{seq:06d}")
+    # distributed write — one file per block, no driver materialization;
+    # the run dir only becomes visible to readers once the state commits
+    ds.write_parquet(run_dir)
+    n_rows = sum(1 for p in todo)
+    delta.commit_state(state_path + ".runs", {"seq": seq})
+    delta.commit_state(state_path, fps)
+    print(json.dumps({**report, "files_ingested": n_rows, "run_dir": run_dir}))
+    return 0
+
+
 def cmd_calc(args) -> int:
     """gdal_calc door (apps/gdal_calc.py): numpy band math over N aligned
     rasters.  Distributed shape: when every input shares the same chunk
@@ -699,6 +736,13 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    ig = sub.add_parser(
+        "ingest", help="incremental image-directory ingest (only new/changed files)")
+    ig.add_argument("--src", required=True, help="source image tree")
+    ig.add_argument("--out", required=True, help="output table directory")
+    ig.add_argument("--suffix", default="", help="only files ending with this")
+    ig.set_defaults(fn=cmd_ingest)
 
     cc = sub.add_parser(
         "calc", help="numpy band math over aligned rasters (gdal_calc)")
