@@ -6427,6 +6427,62 @@ from documents where doc_id < 200 order by doc_id
 """
 
 
+def _sql_exif_tiles() -> str:
+    tx, ty = _sql_tile_xyz("lon", "lat", 10)
+    return f"""
+with g as (
+  select doc_id,
+       (case when doc_id % 2 = 1 then -1 else 1 end)
+         * ((doc_id % 89) + (doc_id % 60)/60.0
+            + (doc_id % 59999)/10000.0/3600.0) as lat,
+       (case when (doc_id // 2) % 2 = 1 then -1 else 1 end)
+         * ((doc_id % 179) + ((doc_id * 7) % 60)/60.0
+            + ((doc_id * 13) % 59999)/10000.0/3600.0) as lon
+  from documents where doc_id < 200)
+select doc_id, {tx} as x, {ty} as y from g order by doc_id
+"""
+
+
+def q_exif_tiles(sf_dir: str):
+    """The geotagged-crawl ingest path end to end: real JPEG → EXIF APP1
+    parse → signed decimal degrees → WebMercator XYZ tile at z=10
+    (tilemath.lonlat_to_tile_xyz, polar latitudes clipped identically on
+    both sides).  Composition of exif_gps and the oracle-pinned mercator
+    tile formulas — provenance to spatial index in one pipeline."""
+    from gdal_ray.codecs import encode
+    from gdal_ray.codecs.exif import build_exif_app1, inject_app1, parse_exif
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 200")
+    base_jpeg = encode(
+        (np.arange(256).reshape(16, 16) % 256).astype(np.uint8), "jpeg-real")
+
+    def tiles(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lats, lons = [], []
+        for did in ids.tolist():
+            app1 = build_exif_app1(
+                orientation=1,
+                lat_dms=(did % 89, did % 60, did % 59999, 10000),
+                lon_dms=(did % 179, (did * 7) % 60, (did * 13) % 59999,
+                         10000),
+                lat_ref="S" if did % 2 == 1 else "N",
+                lon_ref="W" if (did // 2) % 2 == 1 else "E")
+            meta = parse_exif(inject_app1(base_jpeg, app1))
+            lats.append(meta["lat"])
+            lons.append(meta["lon"])
+        x, y = tm.lonlat_to_tile_xyz(np.array(lons), np.array(lats),
+                                     np.int64(10))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        })
+
+    return docs.map_batches(tiles, batch_format="pyarrow",
+                            batch_size=64).sort("doc_id")
+
+
 def q_exif_gps(sf_dir: str):
     """EXIF provenance extraction (codecs/exif.py; reference frmts/jpeg
     exif.cpp EXIFExtractMetadata): real baseline JPEGs get an Exif 2.3
@@ -6875,6 +6931,7 @@ def queries():
         "gif_frames": q_gif_frames,
         "quarantine": q_quarantine,
         "geohash": q_geohash,
+        "exif_tiles": q_exif_tiles,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7108,6 +7165,7 @@ def oracle_sql():
         "gif_frames": SQL_GIF_FRAMES,
         "quarantine": SQL_QUARANTINE,
         "geohash": SQL_GEOHASH,
+        "exif_tiles": _sql_exif_tiles(),
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
