@@ -284,6 +284,63 @@ def cmd_rasterize(args) -> int:
     return 0
 
 
+def cmd_formats(args) -> int:
+    """gdalinfo --formats analogue: list the registered drivers with
+    their capabilities (r: read, w: write) from the open registry."""
+    rows = [
+        # vector
+        ("ESRI Shapefile", ".shp", "rw", "vector"),
+        ("GPKG", ".gpkg", "rw", "vector"),
+        ("FlatGeobuf", ".fgb", "rw", "vector"),
+        ("GeoJSON", ".geojson/.json", "rw", "vector"),
+        ("GeoJSONSeq", ".geojsonl/.ndjson", "rw", "vector"),
+        ("CSV (WKT)", ".csv", "rw", "vector"),
+        ("KML", ".kml", "r", "vector"),
+        ("GPX", ".gpx", "r", "vector"),
+        ("MapInfo MIF/MID", ".mif", "rw", "vector"),
+        ("GML", ".gml", "r", "vector"),
+        ("GeoParquet", ".parquet", "rw", "vector"),
+        ("MVT (Mapbox Vector Tiles)", "pbf in PMTiles/MBTiles", "rw", "vector"),
+        # raster stores
+        ("GTiff/BigTIFF/COG", ".tif", "rw", "raster"),
+        ("VRT", ".vrt", "r", "raster"),
+        ("Zarr v2/v3", "dir", "rw", "raster"),
+        ("NetCDF-3 classic", ".nc", "rw", "raster"),
+        ("netCDF-4 (HDF5)", ".nc", "rw", "raster"),
+        ("HDF5 classic", ".h5", "rw", "raster"),
+        ("GRIB2", ".grib2", "rw", "raster"),
+        ("AAIGrid", ".asc", "rw", "raster"),
+        ("XYZ grid", ".xyz", "rw", "raster"),
+        ("PDS3", ".lbl/.img", "r", "raster"),
+        ("NITF 2.1", ".ntf", "r", "raster"),
+        ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),
+        ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),
+        ("NTv2 grid shift", ".gsb", "rw", "raster"),
+        ("GTX vertical datum", ".gtx", "rw", "raster"),
+        ("World file sidecars", ".tfw/.wld + PAM .aux.xml", "rw", "raster"),
+        # image codecs
+        ("PNG", ".png", "rw", "codec"),
+        ("JPEG (baseline+progressive)", ".jpg", "rw", "codec"),
+        ("WebP (VP8L + VP8 + ALPH, animated)", ".webp", "rw", "codec"),
+        ("GIF (87a/89a, animated)", ".gif", "rw", "codec"),
+        ("BMP", ".bmp", "rw", "codec"),
+        ("EXIF APP1 metadata", "JPEG APP1", "rw", "codec"),
+        # multimodal / table
+        ("WAV (PCM/G.711/float)", ".wav", "rw", "audio"),
+        ("AVI (MJPEG/DIB)", ".avi", "r", "video"),
+        ("FLAC", ".flac", "r", "audio"),
+        ("WebDataset tar shards", ".tar", "rw", "table"),
+        ("Parquet (tables)", ".parquet", "rw", "table"),
+    ]
+    if getattr(args, "json", False):
+        print(json.dumps([{"name": n, "ext": e, "caps": c, "kind": k}
+                          for n, e, c, k in rows]))
+    else:
+        for n, e, c, k in rows:
+            print(f"{n:40s} {c:3s} {k:7s} {e}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Incremental image-directory ingest (state/delta.py + manifest):
     each run fingerprints the source tree, reads ONLY files added or
@@ -736,6 +793,10 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    fm = sub.add_parser("formats", help="list registered drivers (gdalinfo --formats)")
+    fm.add_argument("--json", action="store_true")
+    fm.set_defaults(fn=cmd_formats)
 
     ig = sub.add_parser(
         "ingest", help="incremental image-directory ingest (only new/changed files)")

@@ -118,3 +118,52 @@ def color_relief(e: np.ndarray, ramp) -> np.ndarray:
         lc, hc = cols[idx, ch], cols[idx + 1, ch]
         out[..., ch] = (lc * (hi - ec) + hc * (ec - lo)) // den
     return out
+
+
+_COLOR_NAMES = {
+    # the named colors gdaldem's color file accepts (GDALGetColorEntry
+    # names used by apps/gdaldem_lib.cpp GDALColorReliefParseColor)
+    "white": (255, 255, 255), "black": (0, 0, 0), "red": (255, 0, 0),
+    "green": (0, 255, 0), "blue": (0, 0, 255), "yellow": (255, 255, 0),
+    "magenta": (255, 0, 255), "cyan": (0, 255, 255), "gray": (128, 128, 128),
+    "grey": (128, 128, 128), "orange": (255, 165, 0), "brown": (165, 42, 42),
+    "purple": (128, 0, 128), "violet": (238, 130, 238), "indigo": (75, 0, 130),
+}
+
+
+def parse_color_file(text: str, *, min_val: float | None = None,
+                     max_val: float | None = None):
+    """gdaldem color-relief color-text-file parser
+    (apps/gdaldem_lib.cpp GDALColorReliefParseColorFile): one rule per
+    line — ``elevation R G B [A]``, ``elevation colorname``, or
+    ``N% R G B`` (percentages need min_val/max_val of the raster); `nv`
+    marks the nodata color (returned separately).  '#' and '//'
+    comments, blank lines, comma or whitespace separators.  Returns
+    (sorted ramp [(value, (r, g, b))], nodata_color_or_None)."""
+    ramp = []
+    nv = None
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].split("//", 1)[0].strip()
+        if not line:
+            continue
+        parts = [p for p in line.replace(",", " ").split() if p]
+        key, rest = parts[0], parts[1:]
+        if len(rest) == 1 and rest[0].lower() in _COLOR_NAMES:
+            color = _COLOR_NAMES[rest[0].lower()]
+        else:
+            vals = [int(float(v)) for v in rest[:3]]
+            if len(vals) < 3:
+                raise ValueError(f"bad color rule: {raw!r}")
+            color = tuple(vals)
+        if key.lower() == "nv":
+            nv = color
+            continue
+        if key.endswith("%"):
+            if min_val is None or max_val is None:
+                raise ValueError("percentage rules need min_val/max_val")
+            val = min_val + (max_val - min_val) * float(key[:-1]) / 100.0
+        else:
+            val = float(key)
+        ramp.append((int(round(val)), color))
+    ramp.sort(key=lambda t: t[0])
+    return ramp, nv

@@ -56,3 +56,32 @@ def test_pansharpen_scales_with_pan():
     pan = np.full((8, 8), 120, np.float64)  # 2× brighter pan
     out = color.pansharpen_brovey(rgb, pan)
     assert (out == 120).all()
+
+
+def test_parse_color_file_gdaldem_rules():
+    import numpy as np
+
+    from gdal_ray.stages.color import color_relief, parse_color_file
+
+    txt = """
+    # comment
+    nv 1 2 3
+    0 blue
+    50% 255,255,0   // midpoint via percentage
+    1000 white
+    """
+    ramp, nv = parse_color_file(txt, min_val=0, max_val=1000)
+    assert nv == (1, 2, 3)
+    assert ramp == [(0, (0, 0, 255)), (500, (255, 255, 0)),
+                    (1000, (255, 255, 255))]
+    out = color_relief(np.array([0, 500, 1000]), ramp)
+    assert out.tolist() == [[0, 0, 255], [255, 255, 0], [255, 255, 255]]
+
+
+def test_parse_color_file_percentage_requires_bounds():
+    import pytest
+
+    from gdal_ray.stages.color import parse_color_file
+
+    with pytest.raises(ValueError):
+        parse_color_file("50% 1 2 3")
