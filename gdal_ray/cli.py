@@ -284,6 +284,41 @@ def cmd_rasterize(args) -> int:
     return 0
 
 
+def cmd_addo(args) -> int:
+    """gdaladdo -ro analogue: build external .ovr overviews for a
+    GeoTIFF.  Full-res tiles are read in parallel, each overview level
+    is a cluster-side 2x2 reduction + tile compression; only the small
+    overview layout is assembled driver-side."""
+    from gdal_ray.sources.gtiff_reader import read_geotiff_tiles, tiff_levels
+    from gdal_ray.sources.vrt import save_vrt
+    from gdal_ray.state.cogsink import write_ovr_distributed
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    if meta["tiled"]:
+        chunks = read_geotiff_tiles(args.src)
+        tile = meta["tile_w"]
+        if meta["tile_w"] != meta["tile_h"]:
+            raise SystemExit("addo: non-square source tiles unsupported")
+    else:
+        # striped source: regrid through a single-file VRT mosaic read
+        import tempfile
+
+        from gdal_ray.sources.vrt import read_vrt
+
+        vrt = tempfile.mktemp(suffix=".vrt")
+        save_vrt([args.src], vrt)
+        tile = args.tile_size
+        chunks = read_vrt(vrt, tile=tile)
+    info = write_ovr_distributed(
+        chunks, args.src + ".ovr", width=meta["width"],
+        height=meta["height"], spp=meta["spp"], dtype=meta["dtype"],
+        tile_size=tile, compression=args.compression,
+        resampler=args.resample)
+    print(json.dumps({"ovr": args.src + ".ovr", **info}))
+    return 0
+
+
 def cmd_formats(args) -> int:
     """gdalinfo --formats analogue: list the registered drivers with
     their capabilities (r: read, w: write) from the open registry."""
@@ -793,6 +828,13 @@ def main(argv=None) -> int:
     pl.add_argument("text")
     pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pl.set_defaults(fn=cmd_pipeline)
+
+    ad = sub.add_parser("addo", help="build external .ovr overviews (gdaladdo -ro)")
+    ad.add_argument("src", help="source GeoTIFF")
+    ad.add_argument("--resample", default="average")
+    ad.add_argument("--compression", default="deflate")
+    ad.add_argument("--tile-size", type=int, default=256)
+    ad.set_defaults(fn=cmd_addo)
 
     fm = sub.add_parser("formats", help="list registered drivers (gdalinfo --formats)")
     fm.add_argument("--json", action="store_true")

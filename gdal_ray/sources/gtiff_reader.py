@@ -168,7 +168,14 @@ def read_geotiff_tiles(path: str, *, level: int = 0,
     tiles (edge tiles cropped); striped files yield strips."""
     import ray.data as rd
 
-    meta = tiff_levels(path)[level]
+    levels = tiff_levels(path)
+    if level >= len(levels) and os.path.exists(path + ".ovr"):
+        # external overviews (gdaladdo -ro sidecar): the .ovr TIFF holds
+        # the overview IFDs, first sidecar IFD = first missing level
+        return read_geotiff_tiles(path + ".ovr",
+                                  level=level - len(levels),
+                                  chunks_per_block=chunks_per_block)
+    meta = levels[level]
     W, H = meta["width"], meta["height"]
     # PlanarConfiguration=2 stores one chunk per (band, spatial) pair,
     # plane-major (TIFF 6.0 §PlanarConfiguration); an item bundles the

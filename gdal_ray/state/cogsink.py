@@ -133,3 +133,67 @@ def write_cog_distributed(chunks_ds, path: str, *, width: int, height: int,
     os.replace(tmp, path)
     return {"levels": len(dims), "tiles": sum(len(c) for c in level_chunks),
             "bytes": len(out)}
+
+
+def write_ovr_distributed(chunks_ds, ovr_path: str, *, width: int,
+                          height: int, spp: int = 1, dtype="u1",
+                          tile_size: int = 256,
+                          compression: str = "deflate",
+                          resampler: str = "average") -> dict:
+    """gdaladdo -ro analogue: full-resolution tile-aligned chunk rows →
+    an EXTERNAL `.ovr` sidecar (a TIFF holding only the overview IFDs,
+    the layout GDAL's gtiff driver writes for read-only datasets —
+    frmts/gtiff/geotiff.cpp CreateOverviewsFromSrcOverviews /
+    gdaladdo -ro).  Reduction + compression run on the cluster; the
+    driver assembles the (small) overview layout only."""
+    dt = np.dtype(dtype)
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
+               "jpeg": 7, "zstd": 50000, "lerc": 34887}[compression]
+    dims = _level_dims(width, height, tile_size)[1:]
+    if not dims:
+        raise ValueError("raster too small for any overview level")
+
+    def compress(b: pa.Table) -> pa.Table:
+        idxs, blobs = [], []
+        for r in b.to_pylist():
+            blk = np.frombuffer(r["data"], dtype=dt).reshape(
+                r["h"], r["w"], spp)
+            pad = np.zeros((tile_size, tile_size, spp), dtype=dt)
+            pad[:r["h"], :r["w"]] = blk
+            idxs.append((r["row0"], r["col0"]))
+            blobs.append(compress_cog_tile(pad, compression))
+        return pa.table({
+            "row0": pa.array([i[0] for i in idxs], pa.int64()),
+            "col0": pa.array([i[1] for i in idxs], pa.int64()),
+            "blob": pa.array(blobs, pa.binary()),
+        })
+
+    level_chunks: list[list[bytes]] = []
+    ds = _reduce_level(chunks_ds, tile_size, spp, dt, resampler)
+    for li, (h, w) in enumerate(dims):
+        ds = ds.materialize()
+        tx = (w + tile_size - 1) // tile_size
+        ty = (h + tile_size - 1) // tile_size
+        tiles: dict[int, bytes] = {}
+        comp = ds.map_batches(compress, batch_format="pyarrow")
+        for b in comp.iter_batches(batch_format="pyarrow"):
+            for r0, c0, blob in zip(b.column("row0").to_pylist(),
+                                    b.column("col0").to_pylist(),
+                                    b.column("blob").to_pylist()):
+                tiles[(r0 // tile_size) * tx + c0 // tile_size] = blob
+        if len(tiles) != tx * ty:
+            raise ValueError(f"ovr level {li}: incomplete tile set")
+        level_chunks.append([tiles[i] for i in range(tx * ty)])
+        if li + 1 < len(dims):
+            ds = _reduce_level(ds, tile_size, spp, dt, resampler)
+
+    out = _cog_assemble(
+        [(h, w, spp) for h, w in dims], [dt] * len(dims), level_chunks,
+        tile_size=tile_size, comp_id=comp_id, geotransform=None,
+        epsg=None, nodata=None)
+    tmp = ovr_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, ovr_path)
+    return {"levels": len(dims), "tiles": sum(len(c) for c in level_chunks),
+            "bytes": len(out)}
