@@ -34,3 +34,21 @@ def test_addo_tiled_source_and_reader_fallback(ray_session, tmp_path, capsys):
     want = downsample_2x2_average(img)
     assert got.shape == want.shape
     assert np.array_equal(got, want)
+
+
+def test_addo_striped_source_via_vrt_regrid(ray_session, tmp_path, capsys):
+    from gdal_ray.cli import main
+    from gdal_ray.sources.gtiff_reader import tiff_levels
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 255, (130, 140), dtype=np.uint8).astype(np.uint8)
+    src = tmp_path / "s.tif"
+    src.write_bytes(encode_geotiff(img, rows_per_strip=16,
+                               geotransform=(0, 1, 0, 130, 0, -1),
+                               epsg=3857))
+
+    rc = main(["addo", str(src), "--tile-size", "64"])
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ovr = tiff_levels(str(src) + ".ovr")
+    assert (ovr[0]["width"], ovr[0]["height"]) == (70, 65)
