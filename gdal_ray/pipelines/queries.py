@@ -5949,6 +5949,45 @@ def q_wds_shards(sf_dir: str):
     return stats.sort("shard")
 
 
+SQL_WDS_ROUNDTRIP = """
+select doc_id, lang, text from documents
+"""
+
+
+def q_wds_roundtrip(sf_dir: str):
+    """WebDataset round trip: documents → 8 ustar shards
+    (state/tarsink.write_wds_shards) → distributed read back
+    (tarsink.read_webdataset — one Ray task per shard, sample rows
+    grouped by basename stem).  Output is (doc_id, lang, text) recovered
+    entirely from the tar wire bytes; the oracle is the source table
+    itself, so parity proves the writer+reader pair is lossless end to
+    end.  GDAL's /vsitar/ (port/cpl_vsil_tar.cpp) reads the same format.
+    """
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from gdal_ray.state import tarsink
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = tempfile.mkdtemp(prefix="gdal_ray_wdsrt_")
+    # consume the writer (8 stat rows) before reading the files back
+    tarsink.write_wds_shards(
+        docs, out, n_shards=8,
+        fields=[("text", "txt"), ("lang", "cls")],
+        lineage="wdsrt-v1").materialize()
+    ds = tarsink.read_webdataset(out, extensions=["txt", "cls"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("key"), pa.int64()),
+            "lang": b.column("cls"),
+            "text": b.column("txt"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 SQL_SEQ_FILL = r"""
 with t as (
   select doc_id,
@@ -6932,6 +6971,7 @@ def queries():
         "quarantine": q_quarantine,
         "geohash": q_geohash,
         "exif_tiles": q_exif_tiles,
+        "wds_roundtrip": q_wds_roundtrip,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7166,6 +7206,7 @@ def oracle_sql():
         "quarantine": SQL_QUARANTINE,
         "geohash": SQL_GEOHASH,
         "exif_tiles": _sql_exif_tiles(),
+        "wds_roundtrip": SQL_WDS_ROUNDTRIP,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

@@ -169,3 +169,105 @@ def write_wds_shards(ds, out_dir: str, *, n_shards: int,
     return (ds.map_batches(add_shard, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(write_group, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------------- reader
+
+#: Extensions decoded as utf-8 text columns by default; everything else
+#: stays a binary column (the WebDataset convention: the extension IS the
+#: field type).
+TEXT_EXTS = frozenset({
+    "txt", "text", "cls", "cls2", "caption", "json", "url", "xml", "csv",
+    "md", "html", "idx", "id", "key",
+})
+
+
+def peek_wds_extensions(path: str) -> list[str]:
+    """Header-only walk of one shard (seek past member data, never read
+    it): distinct member extensions in first-seen order.  Used to fix the
+    output schema when the caller doesn't pass one."""
+    exts: list[str] = []
+    seen: set[str] = set()
+    with open(path, "rb") as f:
+        while True:
+            h = f.read(BLOCK)
+            if len(h) < BLOCK or h == b"\0" * BLOCK:
+                break
+            name = h[0:100].split(b"\0", 1)[0].decode()
+            size = int(h[124:136].split(b"\0")[0].strip(b" \0") or b"0", 8)
+            if h[156:157] in (b"0", b"\0") and "." in name:
+                ext = name.rsplit(".", 1)[1]
+                if ext not in seen:
+                    seen.add(ext)
+                    exts.append(ext)
+            f.seek(((size + BLOCK - 1) // BLOCK) * BLOCK, 1)
+    return exts
+
+
+def _parse_shard(data: bytes, shard_path: str, extensions: list[str],
+                 text_exts: frozenset) -> pa.Table:
+    """One tar shard → one sample per row (members grouped by basename
+    stem), key-sorted for determinism."""
+    samples: dict[str, dict[str, bytes]] = {}
+    for name, payload in read_tar(data):
+        base = os.path.basename(name)
+        if "." not in base:
+            continue
+        stem, ext = base.rsplit(".", 1)
+        if ext in extensions:
+            samples.setdefault(stem, {})[ext] = payload
+    keys = sorted(samples)
+    cols: dict[str, pa.Array] = {"key": pa.array(keys, pa.string())}
+    for ext in extensions:
+        vals = [samples[k].get(ext) for k in keys]
+        if ext in text_exts:
+            cols[ext] = pa.array(
+                [None if v is None else v.decode("utf-8") for v in vals],
+                pa.string())
+        else:
+            cols[ext] = pa.array(vals, pa.binary())
+    cols["shard_path"] = pa.array([shard_path] * len(keys), pa.string())
+    return pa.table(cols)
+
+
+def read_webdataset(paths, *, extensions: list[str] | None = None,
+                    text_exts=TEXT_EXTS, include_shard_path: bool = False):
+    """WebDataset .tar shards → Dataset of samples: `key` (basename stem)
+    + one column per member extension (utf-8 string for `text_exts`,
+    binary otherwise; missing member → null) [+ `shard_path`].
+
+    Reference parity: GDAL's /vsitar/ (port/cpl_vsil_tar.cpp) exposes tar
+    members as virtual files; here the shard is the unit of parallelism —
+    `ray.data.read_binary_files` streams one whole shard per block and a
+    vectorized map turns it into sample rows, so a 100-TB corpus of
+    ~1-GB shards reads with one task per shard, no driver-side I/O
+    beyond an optional header peek of the FIRST shard to fix the schema.
+    """
+    import ray
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, n) for n in os.listdir(paths)
+                if n.endswith(".tar"))
+        else:
+            paths = [paths]
+    if not paths:
+        raise ValueError("read_webdataset: no .tar shards found")
+    if extensions is None:
+        extensions = peek_wds_extensions(paths[0])
+    text_exts = frozenset(text_exts)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [
+            _parse_shard(data.as_py(), path.as_py(), extensions, text_exts)
+            for path, data in zip(batch.column("path"),
+                                  batch.column("bytes"))]
+        out = pa.concat_tables(tables) if tables else _parse_shard(
+            tar_bytes([]), "", extensions, text_exts)
+        if not include_shard_path:
+            out = out.drop_columns(["shard_path"])
+        return out
+
+    return (ray.data.read_binary_files(paths, include_paths=True)
+            .map_batches(parse, batch_format="pyarrow"))

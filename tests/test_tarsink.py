@@ -112,3 +112,48 @@ def test_binary_field_members(ray_session):
 def test_name_too_long_raises():
     with pytest.raises(ValueError):
         tarsink.ustar_header("x" * 101, 0)
+
+
+def test_peek_wds_extensions(tmp_path):
+    path = str(tmp_path / "s.tar")
+    tarsink.write_tar(path, MEMBERS + [("000000000004.png", b"\x01\x02")])
+    assert tarsink.peek_wds_extensions(path) == ["txt", "cls", "png"]
+
+
+def test_read_webdataset_roundtrip(ray_session):
+    import ray.data as rd
+
+    n = 41
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"body {i} " * (i % 5) for i in range(n)]),
+        "lang": pa.array(["en", "fr", "de"][i % 3] for i in range(n)),
+    })
+    out = tempfile.mkdtemp(prefix="wds_rt_")
+    tarsink.write_wds_shards(
+        rd.from_arrow(tbl).repartition(3), out, n_shards=4,
+        fields=[("text", "txt"), ("lang", "cls")], lineage="rt1").take_all()
+
+    got = (tarsink.read_webdataset(out).to_pandas()
+           .assign(doc_id=lambda d: d["key"].astype("int64"))
+           .sort_values("doc_id").reset_index(drop=True))
+    src = tbl.to_pandas()
+    assert list(got["doc_id"]) == list(src["doc_id"])
+    assert list(got["txt"]) == list(src["text"])
+    assert list(got["cls"]) == list(src["lang"])
+
+
+def test_read_webdataset_binary_and_missing(ray_session, tmp_path):
+    # sample 0 has txt+png, sample 1 only txt -> png null; png stays bytes
+    path = str(tmp_path / "m.tar")
+    tarsink.write_tar(path, [
+        ("000000000000.txt", b"a"),
+        ("000000000000.png", b"\x89PNG"),
+        ("000000000001.txt", b"b"),
+    ])
+    df = (tarsink.read_webdataset(path, extensions=["txt", "png"],
+                                  include_shard_path=True)
+          .to_pandas().sort_values("key").reset_index(drop=True))
+    assert list(df["txt"]) == ["a", "b"]
+    assert df["png"][0] == b"\x89PNG" and df["png"][1] is None
+    assert df["shard_path"][0].endswith("m.tar")
