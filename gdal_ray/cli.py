@@ -335,6 +335,7 @@ def cmd_formats(args) -> int:
         ("MapInfo MIF/MID", ".mif", "rw", "vector"),
         ("GML", ".gml", "r", "vector"),
         ("GeoParquet", ".parquet", "rw", "vector"),
+        ("OSM PBF", ".osm.pbf", "rw", "vector"),
         ("MVT (Mapbox Vector Tiles)", "pbf in PMTiles/MBTiles", "rw", "vector"),
         # raster stores
         ("GTiff/BigTIFF/COG", ".tif", "rw", "raster"),

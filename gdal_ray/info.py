@@ -52,6 +52,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
             "pixel_size": [dlon, dlat],
             "n_nodata": int(np.isnan(grid).sum()),
         }
+    if low.endswith((".osm.pbf", ".pbf")):
+        from gdal_ray.sources.osmpbf import osm_info
+
+        return osm_info(path)
     if low.endswith(".hgt"):
         from gdal_ray.sources.rawgrid import hgt_meta
 

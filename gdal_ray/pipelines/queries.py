@@ -5949,6 +5949,65 @@ def q_wds_shards(sf_dir: str):
     return stats.sort("shard")
 
 
+SQL_OSM_NODES = """
+select lang,
+       cast(count(*) as bigint) as n_nodes,
+       cast(sum(((doc_id*7919) % 3600000) * 50000 - 90000000000)
+            as bigint) as sum_lat,
+       cast(sum(((doc_id*7919) % 2400000) * 50000 - 60000000000)
+            as bigint) as sum_lon
+from documents
+group by lang
+"""
+
+
+def q_osm_nodes(sf_dir: str):
+    """OSM PBF driver (sources/osmpbf.py; reference
+    ogr/ogrsf_frmts/osm/osm_parser.cpp): documents rows become DenseNodes
+    (id = doc_id, integer-nanodegree coords derived arithmetically,
+    lang as a node tag), serialized to a real zlib-blob PBF file, then
+    read back DISTRIBUTED (one Ray task per blob, vectorized packed-varint
+    delta decode) and aggregated per tag value.  The oracle recomputes
+    counts + exact integer coordinate sums straight from documents, so
+    parity proves the delta/zigzag/granularity wire math is lossless."""
+    import os
+    import tempfile
+
+    from gdal_ray.sources import osmpbf
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    docs = (_read(sf_dir, "documents", columns=["doc_id", "lang"])
+            .to_arrow_refs())
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in docs])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    langs = tbl.column("lang").to_pylist()
+    lat = ((ids * 7919) % 3_600_000) * 50_000 - 90_000_000_000
+    lon = ((ids * 7919) % 2_400_000) * 50_000 - 60_000_000_000
+    path = os.path.join(tempfile.mkdtemp(prefix="gdal_ray_osm_"),
+                        "docs.osm.pbf")
+    osmpbf.write_osm_pbf(path, node_ids=ids, lat_nano=lat, lon_nano=lon,
+                         node_tags=[{"lang": v} for v in langs],
+                         block_rows=2048)
+
+    nodes = osmpbf.read_osm(path, "nodes")
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("tags"), '"lang":"(?P<lang>[^"]*)"')
+        return pa.table({
+            "lang": pc.struct_field(m, "lang"),
+            "lat_nano": b.column("lat_nano"),
+            "lon_nano": b.column("lon_nano"),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    return grouped_aggregate(
+        nodes.map_batches(extract, batch_format="pyarrow"), ["lang"],
+        [("one", "sum", "n_nodes"),
+         ("lat_nano", "sum", "sum_lat"),
+         ("lon_nano", "sum", "sum_lon")])
+
+
 SQL_WDS_ROUNDTRIP = """
 select doc_id, lang, text from documents
 """
@@ -6972,6 +7031,7 @@ def queries():
         "geohash": q_geohash,
         "exif_tiles": q_exif_tiles,
         "wds_roundtrip": q_wds_roundtrip,
+        "osm_nodes": q_osm_nodes,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7207,6 +7267,7 @@ def oracle_sql():
         "geohash": SQL_GEOHASH,
         "exif_tiles": _sql_exif_tiles(),
         "wds_roundtrip": SQL_WDS_ROUNDTRIP,
+        "osm_nodes": SQL_OSM_NODES,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,

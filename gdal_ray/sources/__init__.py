@@ -106,6 +106,10 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.gml import read_gml
 
         return read_gml(path, **kw)
+    if low.endswith((".osm.pbf", ".pbf")):
+        from gdal_ray.sources.osmpbf import read_osm
+
+        return read_osm(path, **kw)
     raise ValueError(f"no vector driver for {path}")
 
 
