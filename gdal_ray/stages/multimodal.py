@@ -3,9 +3,13 @@ columns with typed metadata, processed by actor-pool map_batches stages.
 
 Decode is REAL for RIFF containers — WAVE (PCM/IEEE float) and AVI
 (MJPEG via our from-spec ITU-T T.81 codec, or uncompressed DIB) via
-:mod:`gdal_ray.codecs.riff` — and for FLAC (from-spec RFC 9639 decoder
+:mod:`gdal_ray.codecs.riff` — for FLAC (from-spec RFC 9639 decoder
 incl. LPC subframes, rice partitions and stereo decorrelation,
-:mod:`gdal_ray.codecs.flac`).  Payloads that are none of those fall back
+:mod:`gdal_ray.codecs.flac`), for ISO BMFF / MP4 (from-spec box walker
++ sample tables, :mod:`gdal_ray.codecs.mp4`; MJPEG samples decode end
+to end, avc1/hvc1 payloads raise naming the missing codec) and for
+MP3 frame INDEXING (:mod:`gdal_ray.codecs.mp3` — headers/duration/
+bitrate, the corpus-curation scan; payload decode gated).  Payloads that are none of those fall back
 to a clearly-marked deterministic stub (`_stub_decode_audio` /
 `_stub_decode_video`) that synthesizes samples/frames from the byte
 content; swap those two fallbacks for libsndfile/ffmpeg bindings for
@@ -96,6 +100,17 @@ def decode_video(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
         luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                 + 0.114 * rgb[..., 2])
         return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO BMFF (round 4h): real container demux; MJPEG samples decode
+        # for real via codecs/jpeg, compressed AV codecs raise loudly
+        from gdal_ray.codecs.mp4 import decode_mjpeg_mp4
+
+        frames, _fps = decode_mjpeg_mp4(data)
+        if frames.ndim == 4:
+            luma = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
+                    + 0.114 * frames[..., 2])
+            return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+        return frames
     return _stub_decode_video(data, w, h, n_frames)
 
 
