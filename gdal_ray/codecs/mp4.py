@@ -172,10 +172,88 @@ def _parse_stss(buf: memoryview, ps: int, pe: int, n_samples: int) -> np.ndarray
     return key
 
 
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_DUR = 0x000100
+_TRUN_SIZE = 0x000200
+_TRUN_FLAGS = 0x000400
+_TRUN_CTS = 0x000800
+_TFHD_BASE_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEF_DUR = 0x000008
+_TFHD_DEF_SIZE = 0x000010
+_TFHD_DEF_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+
+def _parse_fragments(buf: memoryview, tracks: dict, defaults: dict):
+    """Walk every moof at top level; append trun samples to the per-track
+    accumulator lists in `tracks` (keyed by track_id)."""
+    for tag, ps, pe, hdr in walk_boxes(buf, 0, len(buf)):
+        if tag != b"moof":
+            continue
+        moof_start = ps - hdr
+        for tps, tpe in _find_all(buf, ps, pe, b"traf"):
+            tfhd = _find(buf, tps, tpe, b"tfhd")
+            _, tf_flags, p = _fullbox(buf, tfhd[0])
+            track_id = struct.unpack_from(">I", buf, p)[0]
+            p += 4
+            if tf_flags & _TFHD_BASE_OFFSET:
+                base = struct.unpack_from(">Q", buf, p)[0]
+                p += 8
+            elif tf_flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                base = moof_start
+            else:
+                base = moof_start  # first traf convention (§8.8.7)
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                p += 4
+            def_dur, def_size, def_flags = defaults.get(
+                track_id, (0, 0, 0))
+            if tf_flags & _TFHD_DEF_DUR:
+                def_dur = struct.unpack_from(">I", buf, p)[0]; p += 4
+            if tf_flags & _TFHD_DEF_SIZE:
+                def_size = struct.unpack_from(">I", buf, p)[0]; p += 4
+            if tf_flags & _TFHD_DEF_FLAGS:
+                def_flags = struct.unpack_from(">I", buf, p)[0]; p += 4
+            acc = tracks.setdefault(track_id, ([], [], []))
+            offs, szs, durs_kf = acc
+            for rps, rpe in _find_all(buf, tps, tpe, b"trun"):
+                _, fl, q = _fullbox(buf, rps)
+                n = struct.unpack_from(">I", buf, q)[0]; q += 4
+                pos = base
+                if fl & _TRUN_DATA_OFFSET:
+                    pos = base + struct.unpack_from(">i", buf, q)[0]; q += 4
+                first_flags = None
+                if fl & _TRUN_FIRST_FLAGS:
+                    first_flags = struct.unpack_from(">I", buf, q)[0]; q += 4
+                for i in range(n):
+                    dur, size, sfl = def_dur, def_size, def_flags
+                    if fl & _TRUN_DUR:
+                        dur = struct.unpack_from(">I", buf, q)[0]; q += 4
+                    if fl & _TRUN_SIZE:
+                        size = struct.unpack_from(">I", buf, q)[0]; q += 4
+                    if fl & _TRUN_FLAGS:
+                        sfl = struct.unpack_from(">I", buf, q)[0]; q += 4
+                    elif i == 0 and first_flags is not None:
+                        sfl = first_flags
+                    if fl & _TRUN_CTS:
+                        q += 4
+                    offs.append(pos)
+                    szs.append(size)
+                    # sample_is_non_sync_sample is bit 16 of sample flags
+                    durs_kf.append((dur, not (sfl >> 16) & 1))
+                    pos += size
+
+
 def parse_mp4(data: bytes) -> Mp4File:
     """Parse ftyp + moov into per-track flat sample tables.  Only the
     header region is touched — sample payloads stay in mdat and are
-    addressed by (offset, size)."""
+    addressed by (offset, size).  Fragmented files (moov carries mvex
+    and samples live in moof/traf/trun runs — the DASH/HLS/CMAF segment
+    shape every web video archive serves) are folded into the same flat
+    table: tfhd defaults + trex fallbacks, default-base-is-moof and
+    explicit base_data_offset addressing, per-sample or default
+    durations/sizes/flags, first-sample-flags override."""
     buf = memoryview(data)
     major = "????"
     ms = _find(buf, 0, len(buf), b"ftyp")
@@ -183,7 +261,7 @@ def parse_mp4(data: bytes) -> Mp4File:
         major = bytes(buf[ms[0]:ms[0] + 4]).decode("latin-1")
     moov = _find(buf, 0, len(buf), b"moov")
     if moov is None:
-        raise ValueError("no moov box (fragmented/streaming MP4 not supported)")
+        raise ValueError("no moov box (streaming init segment required)")
 
     mvhd = _find(buf, moov[0], moov[1], b"mvhd")
     v, _, p = _fullbox(buf, mvhd[0])
@@ -215,7 +293,8 @@ def parse_mp4(data: bytes) -> Mp4File:
         co64 = co is None
         if co64:
             co = _find(buf, stbl[0], stbl[1], b"co64")
-        chunk_offs = _parse_stco(buf, *co, co64=co64)
+        chunk_offs = (_parse_stco(buf, *co, co64=co64) if co is not None
+                      else np.zeros(0, np.int64))
         spc = _parse_stsc(buf, *_find(buf, stbl[0], stbl[1], b"stsc"),
                           n_chunks=len(chunk_offs))
         n = len(sizes)
@@ -234,6 +313,29 @@ def parse_mp4(data: bytes) -> Mp4File:
             track_id=track_id, handler=handler, codec=codec, timescale=ts,
             width=w >> 16, height=h >> 16, offsets=offsets, sizes=sizes,
             dts=dts[:n], durations=durations[:n], keyframe=key))
+
+    # fragmented: trex defaults + moof/traf/trun sample runs appended to
+    # any track whose stbl is empty (the fMP4 init-segment convention)
+    mvex = _find(buf, moov[0], moov[1], b"mvex")
+    if mvex is not None:
+        defaults = {}
+        for xps, xpe in _find_all(buf, mvex[0], mvex[1], b"trex"):
+            _, _, p = _fullbox(buf, xps)
+            tid, _desc, ddur, dsize, dflags = struct.unpack_from(
+                ">IIIII", buf, p)
+            defaults[tid] = (ddur, dsize, dflags)
+        frag: dict = {}
+        _parse_fragments(buf, frag, defaults)
+        for t in tracks:
+            if t.track_id in frag and t.n_samples == 0:
+                offs, szs, durs_kf = frag[t.track_id]
+                t.offsets = np.array(offs, np.int64)
+                t.sizes = np.array(szs, np.int64)
+                t.durations = np.array([d for d, _ in durs_kf], np.int64)
+                t.dts = np.concatenate(
+                    [[0], np.cumsum(t.durations)[:-1]]) if len(offs) \
+                    else np.zeros(0, np.int64)
+                t.keyframe = np.array([k for _, k in durs_kf], bool)
     return Mp4File(major_brand=major, movie_timescale=mts,
                    movie_duration=mdur, tracks=tracks)
 
@@ -382,6 +484,92 @@ def encode_mjpeg_mp4(frames: np.ndarray, *, fps: int = 25,
                       timescale=timescale,
                       durations=np.full(len(payloads), dur, np.int64),
                       samples_per_chunk=samples_per_chunk)
+
+
+def encode_fmp4(samples: list[bytes], *, codec: str = "jpeg",
+                width: int = 0, height: int = 0, timescale: int = 1000,
+                default_duration: int = 40, durations=None, keyframes=None,
+                samples_per_fragment: int = 4) -> bytes:
+    """Fragmented MP4 (the DASH/HLS/CMAF segment shape): an init section
+    (ftyp + moov with empty stbl + mvex/trex defaults) followed by
+    moof+mdat pairs, each traf using default-base-is-moof addressing and
+    a trun with per-sample sizes + flags.  parse_mp4 folds it back into
+    the same flat sample table as a progressive file."""
+    n = len(samples)
+    kf = (np.ones(n, bool) if keyframes is None
+          else np.asarray(keyframes, bool))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso5dash")
+
+    entry = (struct.pack(">6xH", 1) + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) +
+                 _box(codec.encode("latin-1"), entry))
+    empty32 = struct.pack(">I", 0)
+    stbl = _box(b"stbl", stsd
+                + _full(b"stts", 0, 0, empty32)
+                + _full(b"stsc", 0, 0, empty32)
+                + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                + _full(b"stco", 0, 0, empty32))
+    url = _full(b"url ", 0, 1, b"")
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8) + dinf + stbl)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, 0,
+                                            0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" +
+                 b"\x00" * 12 + b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0) +
+                 struct.pack(">I", 0) + b"\x00" * 8 +
+                 struct.pack(">hhhh", 0, 0, 0, 0) +
+                 struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000) +
+                 struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1,
+                                            default_duration, 0, 0))
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0) +
+                 struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10 +
+                 struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000) +
+                 b"\x00" * 24 + struct.pack(">I", 2))
+    out = [ftyp + _box(b"moov", mvhd + trak + mvex)]
+
+    seq = 1
+    for f0 in range(0, n, samples_per_fragment):
+        chunk = samples[f0:f0 + samples_per_fragment]
+        ckf = kf[f0:f0 + len(chunk)]
+        cdur = (None if durations is None
+                else np.asarray(durations, np.int64)[f0:f0 + len(chunk)])
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(b"tfhd", 0, _TFHD_DEF_DUR | _TFHD_DEFAULT_BASE_IS_MOOF,
+                     struct.pack(">II", 1, default_duration))
+        trun_flags = _TRUN_DATA_OFFSET | _TRUN_SIZE | _TRUN_FLAGS
+        if cdur is not None:
+            trun_flags |= _TRUN_DUR
+        rows = b"".join(
+            ((struct.pack(">I", int(cdur[i])) if cdur is not None else b"")
+             + struct.pack(">II", len(s),
+                           0 if k else (1 << 16)))    # non-sync bit
+            for i, (s, k) in enumerate(zip(chunk, ckf)))
+        # data_offset = moof size + mdat header (8); moof size is
+        # independent of the offset value — build once with 0, measure,
+        # rebuild with the real offset
+        trun0 = _full(b"trun", 0, trun_flags,
+                      struct.pack(">Ii", len(chunk), 0) + rows)
+        traf = _box(b"traf", tfhd + trun0)
+        moof = _box(b"moof", mfhd + traf)
+        data_offset = len(moof) + 8
+        trun = _full(b"trun", 0, trun_flags,
+                     struct.pack(">Ii", len(chunk), data_offset) + rows)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        out.append(moof + _box(b"mdat", b"".join(chunk)))
+        seq += 1
+    return b"".join(out)
 
 
 def decode_mjpeg_mp4(data: bytes) -> tuple[np.ndarray, float]:

@@ -6974,9 +6974,14 @@ def q_mp4_samples(sf_dir: str):
     payload range-read back via the chunk-offset expansion.  byte_sum
     pins the actual payload bytes recovered through the stsc→offset
     math, so parity proves the sample-table arithmetic is exact, not
-    just echoed.  This is the multimodal-video container layer the
-    100-TB curation pass runs (VERDICT round-4 'non-RIFF video' gap)."""
-    from gdal_ray.codecs.mp4 import encode_mp4, parse_mp4, read_sample
+    just echoed.  Odd docs take the FRAGMENTED path instead (DASH/HLS
+    segment shape: moov+mvex init, moof/traf/trun runs with per-sample
+    durations, default-base-is-moof addressing) — same oracle, so the
+    two wire formats are pinned to identical sample semantics.  This is
+    the multimodal-video container layer the 100-TB curation pass runs
+    (VERDICT round-4 'non-RIFF video' gap)."""
+    from gdal_ray.codecs.mp4 import (encode_fmp4, encode_mp4, parse_mp4,
+                                     read_sample)
 
     docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
         expr="doc_id < 200")
@@ -6993,10 +6998,15 @@ def q_mp4_samples(sf_dir: str):
             durs = np.array([40 if i % 2 == 0 else 20 for i in range(n)],
                             np.int64)
             kf = np.array([i % 3 == 0 for i in range(n)])
-            data = encode_mp4(samples, codec="raw ", width=64, height=48,
-                              durations=durs, keyframes=kf,
-                              samples_per_chunk=1 + did % 4,
-                              use_co64=(did % 5 == 0))
+            if did % 2 == 1:
+                data = encode_fmp4(samples, codec="raw ", width=64,
+                                   height=48, durations=durs, keyframes=kf,
+                                   samples_per_fragment=1 + did % 4)
+            else:
+                data = encode_mp4(samples, codec="raw ", width=64,
+                                  height=48, durations=durs, keyframes=kf,
+                                  samples_per_chunk=1 + did % 4,
+                                  use_co64=(did % 5 == 0))
             (t,) = parse_mp4(data).tracks
             out["n_samples"].append(t.n_samples)
             out["n_key"].append(int(t.keyframe.sum()))

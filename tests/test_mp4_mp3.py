@@ -104,6 +104,53 @@ class TestMp4:
         assert psnr > 30.0
         del rng
 
+    def test_fragmented_round_trip(self):
+        samples = _payloads(10, seed=9)
+        kf = np.array([i % 4 == 0 for i in range(10)])
+        from gdal_ray.codecs.mp4 import encode_fmp4
+
+        data = encode_fmp4(samples, codec="raw ", width=20, height=10,
+                           keyframes=kf, default_duration=33,
+                           samples_per_fragment=3)
+        assert data.count(b"moof") >= 4
+        (t,) = parse_mp4(data).tracks
+        assert t.n_samples == 10
+        assert [read_sample(data, t, i) for i in range(10)] == samples
+        assert (t.keyframe == kf).all()
+        assert (t.durations == 33).all()
+        np.testing.assert_array_equal(t.dts, np.arange(10) * 33)
+
+    def test_fragmented_per_sample_durations(self):
+        from gdal_ray.codecs.mp4 import encode_fmp4
+
+        samples = _payloads(7, seed=2)
+        durs = np.array([40, 20, 40, 20, 40, 20, 40])
+        data = encode_fmp4(samples, codec="raw ", durations=durs,
+                           samples_per_fragment=2)
+        (t,) = parse_mp4(data).tracks
+        assert (t.durations == durs).all()
+        assert t.duration == int(durs.sum())
+        assert [read_sample(data, t, i) for i in range(7)] == samples
+
+    def test_fragmented_equals_progressive_semantics(self):
+        # same samples through both wire formats -> identical flat table
+        from gdal_ray.codecs.mp4 import encode_fmp4
+
+        samples = _payloads(8, seed=5)
+        durs = np.array([40 if i % 2 == 0 else 20 for i in range(8)])
+        kf = np.array([i % 3 == 0 for i in range(8)])
+        prog = encode_mp4(samples, codec="raw ", durations=durs,
+                          keyframes=kf, samples_per_chunk=3)
+        frag = encode_fmp4(samples, codec="raw ", durations=durs,
+                           keyframes=kf, samples_per_fragment=3)
+        (tp,) = parse_mp4(prog).tracks
+        (tf,) = parse_mp4(frag).tracks
+        assert [read_sample(prog, tp, i) for i in range(8)] == \
+               [read_sample(frag, tf, i) for i in range(8)]
+        np.testing.assert_array_equal(tp.durations, tf.durations)
+        np.testing.assert_array_equal(tp.keyframe, tf.keyframe)
+        np.testing.assert_array_equal(tp.dts, tf.dts)
+
     def test_compressed_codec_gated(self):
         data = encode_mp4(_payloads(2), codec="avc1")
         (t,) = parse_mp4(data).tracks
