@@ -7025,6 +7025,72 @@ def q_mp4_samples(sf_dir: str):
                             batch_size=64).sort("doc_id")
 
 
+SQL_OGG_OPUS = """
+with p as (
+  select d.doc_id as doc_id, i.i as i,
+         30 + ((d.doc_id*3 + i.i*7) % 300) as len
+  from documents d
+  cross join (select unnest(generate_series(0, 19)) as i) i
+  where d.doc_id < 200 and i.i < 8 + d.doc_id % 12
+)
+select doc_id,
+  cast(count(*) as bigint) as n_audio_packets,
+  cast(2 + (count(*) + (1 + doc_id % 3) - 1) // (1 + doc_id % 3)
+       as bigint) as n_pages,
+  cast(2 + (count(*) + (1 + doc_id % 3) - 1) // (1 + doc_id % 3)
+       as bigint) as n_crc_ok,
+  cast(1 + doc_id % 2 as bigint) as channels,
+  cast(sum(len) as bigint) as audio_bytes,
+  cast(count(*) * 960 as bigint) as samples,
+  cast((count(*) * 960 * 1000) // 48000 as bigint) as duration_ms
+from p group by doc_id order by doc_id
+"""
+
+
+def q_ogg_opus(sf_dir: str):
+    """Ogg/Opus container round trip through the real wire format
+    (codecs/ogg.py, RFC 3533 + RFC 7845): documents rows become
+    spec-valid Ogg/Opus streams — varying packet sizes (multi-lace
+    packets past 255 bytes), packets-per-page layouts, channel counts —
+    then each stream is page-walked (every CRC verified with the
+    unreflected Ogg CRC-32), packets reassembled from lacing runs, and
+    OpusHead/granule arithmetic reduced to the curation-scan columns.
+    n_crc_ok == n_pages in the oracle pins the writer/reader CRC pair;
+    audio_bytes pins the lacing math; duration_ms pins the granule
+    accumulation per RFC 7845 §4."""
+    from gdal_ray.codecs.ogg import build_ogg_opus, index_ogg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 200")
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = {k: [] for k in ("n_audio_packets", "n_pages", "n_crc_ok",
+                               "channels", "audio_bytes", "samples",
+                               "duration_ms")}
+        for did in ids.tolist():
+            n = 8 + did % 12
+            lens = [30 + ((did * 3 + i * 7) % 300) for i in range(n)]
+            data = build_ogg_opus(
+                lens, channels=1 + did % 2, preskip=312,
+                packets_per_page=1 + did % 3, fill=did % 256)
+            ix = index_ogg(data)
+            out["n_audio_packets"].append(ix["n_audio_packets"])
+            out["n_pages"].append(ix["n_pages"])
+            out["n_crc_ok"].append(ix["n_crc_ok"])
+            out["channels"].append(ix["channels"])
+            out["audio_bytes"].append(ix["audio_bytes"])
+            out["samples"].append(ix["samples"])
+            out["duration_ms"].append(ix["duration_ms"])
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            batch_size=64).sort("doc_id")
+
+
 SQL_MP3_INDEX = """
 with f as (
   select d.doc_id as doc_id, i.i as i,
@@ -7197,6 +7263,7 @@ def queries():
         "osm_nodes": q_osm_nodes,
         "mp4_samples": q_mp4_samples,
         "mp3_index": q_mp3_index,
+        "ogg_opus": q_ogg_opus,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7435,6 +7502,7 @@ def oracle_sql():
         "osm_nodes": SQL_OSM_NODES,
         "mp4_samples": SQL_MP4_SAMPLES,
         "mp3_index": SQL_MP3_INDEX,
+        "ogg_opus": SQL_OGG_OPUS,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
