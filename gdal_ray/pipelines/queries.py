@@ -4787,6 +4787,75 @@ def q_lm_score(sf_dir: str):
     return score_ngrams(corpus, grams, ctxs, n=3).sort("doc_id")
 
 
+SQL_PPL_BUCKETS = (
+    "WITH s AS (SELECT doc_id, sum_c FROM (" + SQL_LM_SCORE + ")), "
+    "r AS (SELECT doc_id, sum_c, "
+    "ROW_NUMBER() OVER (ORDER BY sum_c, doc_id) - 1 AS rnk, "
+    "COUNT(*) OVER () AS n FROM s) "
+    "SELECT CAST((rnk * 10) // n AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(sum_c) AS BIGINT) AS sum_score, "
+    "CAST(MIN(sum_c) AS BIGINT) AS min_score, "
+    "CAST(MAX(sum_c) AS BIGINT) AS max_score "
+    "FROM r GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_ppl_buckets(sf_dir: str):
+    """Curriculum bucketing by LM score (the perplexity-decile shape:
+    CCNet buckets corpora into head/middle/tail by LM perplexity;
+    training curricula feed tiers in order).  Every scored doc gets a
+    global rank by (sum_c, doc_id) — computed DISTRIBUTED via the same
+    range-bucketed prefix-sum primitive as seq_pack/det_shuffle over a
+    composite integer key (sum_c·2²² + doc_id; unique because doc ids
+    fit 22 bits at every test scale — the key-width assumption is the
+    partitioning contract, documented here), never a driver sort —
+    then decile = rank·10/n, matching the oracle's ROW_NUMBER closed
+    form exactly (integer arithmetic end to end)."""
+    from gdal_ray.stages import packing
+    from gdal_ray.stages.agg import grouped_aggregate
+    from gdal_ray.stages.ngram_lm import score_ngrams, train_ngram_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = docs.filter(lambda r: r["doc_id"] % 97 == 0)
+    corpus = docs.filter(lambda r: r["doc_id"] % 97 != 0)
+    grams, ctxs, _v = train_ngram_counts(target, n=3)
+    scored = score_ngrams(corpus, grams, ctxs, n=3).materialize()
+    n_docs = scored.count()
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = b.column("sum_c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "sum_c": b.column("sum_c"),
+            "k": pa.array(sc * (1 << 22) + ids),
+            "one": pa.array(np.ones(len(ids), np.int64)),
+        })
+
+    ranked = packing.global_offsets(
+        scored.map_batches(key, batch_format="pyarrow"),
+        key="k", val="one", bucket_rows=1 << 26)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        # named "tier" internally: grouped_aggregate reserves "bucket"
+        rnk = b.column("tok_off").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tier": pa.array((rnk * 10) // n_docs),
+            "sum_c": b.column("sum_c"),
+        })
+
+    agg = grouped_aggregate(
+        ranked.map_batches(bucketize, batch_format="pyarrow"), ["tier"],
+        [("sum_c", "count", "n_docs"), ("sum_c", "sum", "sum_score"),
+         ("sum_c", "min", "min_score"), ("sum_c", "max", "max_score")])
+    return agg.map_batches(
+        lambda b: b.select(["tier", "n_docs", "sum_score", "min_score",
+                            "max_score"]).rename_columns(
+            ["bucket", "n_docs", "sum_score", "min_score", "max_score"]),
+        batch_format="pyarrow").sort("bucket")
+
+
 SQL_DSIR = (
     # hashed-bigram DSIR feature sums: vocab id = dense lexicographic
     # rank; bucket = (id1*1000003 + id2) % 8192; target = doc_id%97=0
@@ -7264,6 +7333,7 @@ def queries():
         "mp4_samples": q_mp4_samples,
         "mp3_index": q_mp3_index,
         "ogg_opus": q_ogg_opus,
+        "ppl_buckets": q_ppl_buckets,
         # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -7503,6 +7573,7 @@ def oracle_sql():
         "mp4_samples": SQL_MP4_SAMPLES,
         "mp3_index": SQL_MP3_INDEX,
         "ogg_opus": SQL_OGG_OPUS,
+        "ppl_buckets": SQL_PPL_BUCKETS,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
