@@ -487,6 +487,111 @@ def cmd_calc(args) -> int:
     return 0
 
 
+def cmd_warp(args) -> int:
+    """gdalwarp door (apps/gdalwarp_lib.cpp shape): src GeoTIFF → dst
+    GeoTIFF in a new CRS.  Distributed shape: the OUTPUT grid is split
+    into row strips; each Ray task inverse-maps its strip's border
+    sample grid to a source-pixel window, range-reads ONLY the source
+    chunks intersecting that window (sources/gtiff_reader.read_window —
+    the /vsicurl RasterIO shape), and warps its strip with the shared
+    aggregating resamplers (stages/warp.warp_image with an explicit
+    dst grid).  Only the single-file output layout pass is driver-side
+    (inherent to one .tif; `cog` is the distributed container writer)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.crs import parse_epsg, transform_fn
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.warp import suggested_output, warp_image
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    src_gt = meta["geotransform"]
+    if src_gt is None:
+        raise SystemExit("warp: source has no georeferencing")
+    src_crs = args.s_srs or (f"EPSG:{meta['epsg']}" if meta.get("epsg")
+                             else None)
+    if src_crs is None:
+        raise SystemExit("warp: source CRS unknown — pass --s_srs")
+    dst_crs = args.t_srs
+    dw, dh, dst_gt = suggested_output(W, H, src_gt, src_crs, dst_crs)
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, dh - y0)}
+             for y0 in range(0, dh, strip_h)]
+    inv = transform_fn(dst_crs, src_crs)
+    method = args.r
+    src_nodata = args.srcnodata
+    nodata = args.dstnodata
+    margin = 4  # max kernel radius (lanczos=3) + projection jitter
+    src_path = args.src
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "h": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, sh = it["y0"], it["h"]
+                sgt = (dst_gt[0], dst_gt[1], 0.0,
+                       dst_gt[3] + y0 * dst_gt[5], 0.0, dst_gt[5])
+                xs = np.linspace(0, dw, 33)
+                ys = np.linspace(0, sh, 9)
+                gx, gy = np.meshgrid(sgt[0] + xs * sgt[1],
+                                     sgt[3] + ys * sgt[5])
+                sx, sy = inv(gx, gy)
+                fx = (sx - src_gt[0]) / src_gt[1]
+                fy = (sy - src_gt[3]) / src_gt[5]
+                c0 = max(int(np.floor(np.nanmin(fx))) - margin, 0)
+                c1 = min(int(np.ceil(np.nanmax(fx))) + margin, W)
+                r0 = max(int(np.floor(np.nanmin(fy))) - margin, 0)
+                r1 = min(int(np.ceil(np.nanmax(fy))) + margin, H)
+                if c1 <= c0 or r1 <= r0:          # strip entirely outside
+                    out = np.full((sh, dw, meta["spp"]),
+                                  nodata, dtype=np.dtype(meta["dtype"]))
+                else:
+                    win = read_window(f, meta, r0, r1, c0, c1)
+                    wgt = (src_gt[0] + c0 * src_gt[1], src_gt[1], 0.0,
+                           src_gt[3] + r0 * src_gt[5], 0.0, src_gt[5])
+                    out, _ = warp_image(
+                        win, wgt, src_crs, dst_crs, dst_size=(dw, sh),
+                        dst_gt=sgt, method=method, nodata=nodata,
+                        src_nodata=src_nodata)
+                    if out.ndim == 2:
+                        out = out[:, :, None]
+                rows["y0"].append(y0)
+                rows["h"].append(sh)
+                rows["data"].append(np.ascontiguousarray(out).tobytes())
+        return pa_.table({
+            "y0": pa_.array(rows["y0"], pa_.int64()),
+            "h": pa_.array(rows["h"], pa_.int64()),
+            "data": pa_.array(rows["data"], pa_.binary()),
+        })
+
+    parts = rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(work, batch_format="pyarrow").take_all()
+    dt = np.dtype(meta["dtype"])
+    full = np.full((dh, dw, meta["spp"]), nodata, dtype=dt)
+    for r in parts:
+        full[r["y0"]:r["y0"] + r["h"]] = np.frombuffer(
+            r["data"], dtype=dt).reshape(r["h"], dw, meta["spp"])
+    if full.shape[2] == 1:
+        full = full[:, :, 0]
+    try:
+        epsg = parse_epsg(dst_crs)
+    except ValueError:
+        epsg = None
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=dst_gt, epsg=epsg,
+                               nodata=nodata))
+    print(json.dumps({"out": args.out, "width": dw, "height": dh,
+                      "dst_gt": list(dst_gt), "dst_crs": dst_crs,
+                      "method": method, "n_strips": len(items),
+                      "checksum": float(
+                          full.sum(dtype=np.float64))}))
+    return 0
+
+
 def cmd_info(args) -> int:
     """gdalinfo / ogrinfo analogue — no Ray session needed."""
     from gdal_ray.info import describe
@@ -876,6 +981,24 @@ def main(argv=None) -> int:
                     help="MERGE_ALG=ADD (accumulate)")
     rz.add_argument("--epsg", type=int, default=None)
     rz.set_defaults(fn=cmd_rasterize)
+
+    wp = sub.add_parser(
+        "warp", help="reproject a GeoTIFF (gdalwarp): strip-parallel, "
+                     "window range reads")
+    wp.add_argument("src", help="source GeoTIFF")
+    wp.add_argument("out", help="output GeoTIFF")
+    wp.add_argument("--t_srs", required=True,
+                    help="target CRS (EPSG:/ESRI:/proj/WKT1)")
+    wp.add_argument("--s_srs", default=None,
+                    help="override source CRS (default: geokeys)")
+    wp.add_argument("-r", default="bilinear",
+                    choices=["nearest", "bilinear", "cubic", "cubicspline",
+                             "lanczos"])
+    wp.add_argument("--strip", type=int, default=512,
+                    help="output strip height per Ray task")
+    wp.add_argument("--srcnodata", type=float, default=None)
+    wp.add_argument("--dstnodata", type=float, default=0.0)
+    wp.set_defaults(fn=cmd_warp)
 
     pk = sub.add_parser(
         "pack", help="pack documents into fixed-length token-sequence tar shards")

@@ -244,6 +244,45 @@ def read_geotiff_tiles(path: str, *, level: int = 0,
     )).map_batches(load, batch_format="pyarrow")
 
 
+def read_window(f, meta: dict, r0: int, r1: int, c0: int, c1: int
+                ) -> np.ndarray:
+    """Range-read + decode exactly the chunks intersecting the pixel
+    window [r0:r1, c0:c1] from an open file object; returns the window
+    as (r1-r0, c1-c0, spp).  The per-strip warp/regrid tasks use this so
+    a task touches only its own source bytes (the /vsicurl range-read
+    shape of gcore/gdalrasterband.cpp RasterIO).  Chunky files only
+    (PlanarConfiguration=2 callers go through read_geotiff_tiles)."""
+    if meta.get("planar", 1) == 2:
+        raise NotImplementedError("read_window: planar=2 — use "
+                                  "read_geotiff_tiles")
+    W, H, spp = meta["width"], meta["height"], meta["spp"]
+    dt = np.dtype(meta["dtype"]).newbyteorder("=")
+    out = np.zeros((r1 - r0, c1 - c0, spp), dtype=dt)
+    if meta["tiled"]:
+        tw, th = meta["tile_w"], meta["tile_h"]
+        tx = (W + tw - 1) // tw
+        for ty in range(r0 // th, (r1 - 1) // th + 1):
+            for txi in range(c0 // tw, (c1 - 1) // tw + 1):
+                i = ty * tx + txi
+                f.seek(meta["offsets"][i])
+                blk = _decode_chunk(f.read(meta["counts"][i]), meta, th, tw)
+                br0, bc0 = ty * th, txi * tw
+                sr0, sr1 = max(r0, br0), min(r1, br0 + th, H)
+                sc0, sc1 = max(c0, bc0), min(c1, bc0 + tw, W)
+                out[sr0 - r0:sr1 - r0, sc0 - c0:sc1 - c0] = \
+                    blk[sr0 - br0:sr1 - br0, sc0 - bc0:sc1 - bc0]
+    else:
+        rps = meta["rows_per_strip"]
+        for i in range(r0 // rps, (r1 - 1) // rps + 1):
+            ch = min(rps, H - i * rps)
+            f.seek(meta["offsets"][i])
+            blk = _decode_chunk(f.read(meta["counts"][i]), meta, ch, W)
+            br0 = i * rps
+            sr0, sr1 = max(r0, br0), min(r1, br0 + ch)
+            out[sr0 - r0:sr1 - r0, :] = blk[sr0 - br0:sr1 - br0, c0:c1]
+    return out
+
+
 def assemble(rows, meta: dict) -> np.ndarray:
     """Driver-side assembly of read_geotiff_tiles output (tests/small)."""
     dt = np.dtype(meta["dtype"])
