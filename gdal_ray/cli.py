@@ -592,6 +592,101 @@ def cmd_warp(args) -> int:
     return 0
 
 
+def cmd_translate(args) -> int:
+    """gdal_translate door (apps/gdal_translate_lib.cpp shape): windowed
+    copy (-srcwin), band selection (-b), linear rescale (-scale), output
+    resize (-outsize), type conversion (-ot) — strip-parallel: each Ray
+    task range-reads only the source rows its OUTPUT strip needs
+    (box-average/bilinear down/up-sampling is separable so a strip maps
+    to a contiguous source row band), transforms, and the driver does
+    only the single-file layout pass."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.resample import resize_rows, rows_needed
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    sx0, sy0, sw, sh = args.srcwin if args.srcwin else (0, 0, W, H)
+    if sx0 < 0 or sy0 < 0 or sx0 + sw > W or sy0 + sh > H:
+        raise SystemExit("translate: -srcwin outside the raster")
+    ow, oh = args.outsize if args.outsize else (sw, sh)
+    bands = [b - 1 for b in args.b] if args.b else list(range(meta["spp"]))
+    if any(b < 0 or b >= meta["spp"] for b in bands):
+        raise SystemExit("translate: band index out of range")
+    out_dt = np.dtype(args.ot) if args.ot else np.dtype(meta["dtype"])
+    scale = args.scale  # [src_min, src_max, dst_min, dst_max] or None
+    method = args.r
+    strip_h = max(args.strip, 8)
+    items = [{"y0": y0, "h": min(strip_h, oh - y0)}
+             for y0 in range(0, oh, strip_h)]
+    src_path = args.src
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "h": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                if (ow, oh) != (sw, sh):
+                    # exact windowed resize: rows_needed gives the source
+                    # row band this output strip depends on; resize_rows
+                    # reproduces resize(full)[y0:y0+th] bit-for-bit
+                    wr0, wr1 = rows_needed(sh, oh, y0, th, method)
+                    win = read_window(f, meta, sy0 + wr0, sy0 + wr1,
+                                      sx0, sx0 + sw)[:, :, bands]
+                    out = resize_rows(win, wr0, sh, ow, oh, y0, th, method)
+                else:
+                    out = read_window(f, meta, sy0 + y0, sy0 + y0 + th,
+                                      sx0, sx0 + sw)[:, :, bands]
+                if scale:
+                    smin, smax, dmin, dmax = scale
+                    g = (out.astype(np.float64) - smin) / max(smax - smin, 1e-12)
+                    out = g * (dmax - dmin) + dmin
+                if np.issubdtype(out_dt, np.integer):
+                    info = np.iinfo(out_dt)
+                    out = np.clip(np.floor(out.astype(np.float64) + 0.5),
+                                  info.min, info.max)
+                out = np.ascontiguousarray(out.astype(out_dt))
+                rows["y0"].append(y0)
+                rows["h"].append(th)
+                rows["data"].append(out.tobytes())
+        return pa_.table({
+            "y0": pa_.array(rows["y0"], pa_.int64()),
+            "h": pa_.array(rows["h"], pa_.int64()),
+            "data": pa_.array(rows["data"], pa_.binary()),
+        })
+
+    parts = rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(work, batch_format="pyarrow").take_all()
+    full = np.zeros((oh, ow, len(bands)), dtype=out_dt)
+    for r in parts:
+        full[r["y0"]:r["y0"] + r["h"]] = np.frombuffer(
+            r["data"], dtype=out_dt).reshape(r["h"], ow, len(bands))
+    if full.shape[2] == 1:
+        full = full[:, :, 0]
+    gt = meta.get("geotransform")
+    out_gt = None
+    if gt is not None:
+        # window + resize adjust the affine exactly like gdal_translate
+        px_w = gt[1] * sw / ow
+        px_h = gt[5] * sh / oh
+        out_gt = (gt[0] + sx0 * gt[1], px_w, 0.0,
+                  gt[3] + sy0 * gt[5], 0.0, px_h)
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=out_gt,
+                               epsg=meta.get("epsg"),
+                               nodata=meta.get("nodata")))
+    print(json.dumps({"out": args.out, "width": ow, "height": oh,
+                      "bands": [b + 1 for b in bands],
+                      "dtype": str(out_dt), "n_strips": len(items),
+                      "checksum": float(full.sum(dtype=np.float64))}))
+    return 0
+
+
 def cmd_info(args) -> int:
     """gdalinfo / ogrinfo analogue — no Ray session needed."""
     from gdal_ray.info import describe
@@ -981,6 +1076,28 @@ def main(argv=None) -> int:
                     help="MERGE_ALG=ADD (accumulate)")
     rz.add_argument("--epsg", type=int, default=None)
     rz.set_defaults(fn=cmd_rasterize)
+
+    tl = sub.add_parser(
+        "translate", help="windowed copy / band select / rescale / resize "
+                          "(gdal_translate): strip-parallel")
+    tl.add_argument("src", help="source GeoTIFF")
+    tl.add_argument("out", help="output GeoTIFF")
+    tl.add_argument("--srcwin", type=int, nargs=4, default=None,
+                    metavar=("XOFF", "YOFF", "XSIZE", "YSIZE"))
+    tl.add_argument("-b", type=int, action="append", default=None,
+                    help="band number (1-based, repeatable)")
+    tl.add_argument("--outsize", type=int, nargs=2, default=None,
+                    metavar=("W", "H"))
+    tl.add_argument("--scale", type=float, nargs=4, default=None,
+                    metavar=("SRC_MIN", "SRC_MAX", "DST_MIN", "DST_MAX"))
+    tl.add_argument("--ot", default=None,
+                    help="output dtype (uint8/uint16/int16/float32/...)")
+    tl.add_argument("-r", default="nearest",
+                    choices=["nearest", "bilinear", "cubic", "cubicspline",
+                             "lanczos", "average"])
+    tl.add_argument("--strip", type=int, default=512,
+                    help="output strip height per Ray task")
+    tl.set_defaults(fn=cmd_translate)
 
     wp = sub.add_parser(
         "warp", help="reproject a GeoTIFF (gdalwarp): strip-parallel, "

@@ -109,6 +109,88 @@ def resize(img: np.ndarray, out_w: int, out_h: int, method: str = "nearest") -> 
     raise ValueError(f"unknown resampling method {method!r}")
 
 
+def rows_needed(in_size: int, out_size: int, y0: int, th: int,
+                method: str) -> tuple[int, int]:
+    """Source row range [r0, r1) that output rows [y0, y0+th) of a
+    full resize(in_size → out_size) depend on — the strip-parallel
+    read-window contract for resize_rows."""
+    scale = in_size / out_size
+    if method == "nearest":
+        sy = (np.arange(y0, y0 + th) + 0.5) * scale
+        yi = np.clip(np.floor(sy).astype(np.int64), 0, in_size - 1)
+        return int(yi.min()), int(yi.max()) + 1
+    if method == "average":
+        r0 = int(np.floor(y0 * scale))
+        r1 = int(np.ceil((y0 + th) * scale))
+        return max(r0, 0), min(max(r1, r0 + 1), in_size)
+    _, radius = _KERNELS[method]
+    centers = (np.arange(y0, y0 + th) + 0.5) * scale - 0.5
+    half = int(np.ceil(radius * max(scale, 1.0)))
+    lo = int(np.floor(centers.min())) - half
+    hi = int(np.floor(centers.max())) + half
+    return max(lo, 0), min(hi + 1, in_size)
+
+
+def resize_rows(win: np.ndarray, win_r0: int, in_h: int, out_w: int,
+                out_h: int, y0: int, th: int,
+                method: str = "nearest") -> np.ndarray:
+    """Exactly ``resize(full, out_w, out_h, method)[y0:y0+th]`` computed
+    from only the source row window ``win = full[win_r0:win_r1]`` (the
+    caller sizes the window with :func:`rows_needed`).  Column taps use
+    the full width, so strips are independent — the distributed
+    gdal_translate -outsize shape."""
+    scale = in_h / out_h
+    if method == "nearest":
+        sy = (np.arange(y0, y0 + th) + 0.5) * scale
+        yi = np.clip(np.floor(sy).astype(np.int64), 0, in_h - 1) - win_r0
+        rows = win[yi]
+        sx = (np.arange(out_w) + 0.5) * (win.shape[1] / out_w)
+        xi = np.clip(np.floor(sx).astype(np.int64), 0, win.shape[1] - 1)
+        return rows[:, xi]
+    if method == "average":
+        starts = np.arange(y0, y0 + th) * scale
+        ends = starts + scale
+        out = np.empty((th,) + win.shape[1:], dtype=np.float64)
+        for o in range(th):
+            s, e = starts[o], ends[o]
+            i0, i1 = int(np.floor(s)), int(np.ceil(e))
+            i1 = min(i1, in_h)
+            sl = win[i0 - win_r0:i1 - win_r0].astype(np.float64)
+            wts = np.ones(i1 - i0)
+            wts[0] -= s - i0
+            wts[-1] -= i1 - e
+            wts = np.clip(wts, 0, None)
+            shape = (len(wts),) + (1,) * (sl.ndim - 1)
+            out[o] = (sl * wts.reshape(shape)).sum(axis=0) / wts.sum()
+        out = _box_average_axis(out, out_w, 1)
+        if np.issubdtype(win.dtype, np.integer):
+            info = np.iinfo(win.dtype)
+            return np.clip(np.floor(out + 0.5), info.min, info.max
+                           ).astype(win.dtype)
+        return out
+    if method in _KERNELS:
+        fn, radius = _KERNELS[method]
+        centers = (np.arange(y0, y0 + th) + 0.5) * scale - 0.5
+        ksc = max(scale, 1.0)
+        half = int(np.ceil(radius * ksc))
+        offsets = np.arange(-half, half + 1)
+        idx = np.floor(centers).astype(np.int64)[:, None] + offsets[None, :]
+        dist = (idx - centers[:, None]) / ksc
+        w = fn(dist.astype(np.float64))
+        wsum = w.sum(axis=1, keepdims=True)
+        wsum[wsum == 0] = 1.0
+        w = w / wsum
+        idx = np.clip(idx, 0, in_h - 1) - win_r0
+        out = np.einsum("ok,ok...->o...", w, win.astype(np.float64)[idx])
+        out = _resample_axis(out, out_w, 1, method)
+        if np.issubdtype(win.dtype, np.integer):
+            info = np.iinfo(win.dtype)
+            return np.clip(np.floor(out + 0.5), info.min, info.max
+                           ).astype(win.dtype)
+        return out
+    raise ValueError(f"unknown resampling method {method!r}")
+
+
 def _box_average(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Exact-coverage box average (overview.cpp average semantics: source
     pixels partially covered by the destination footprint get fractional
