@@ -592,6 +592,121 @@ def cmd_warp(args) -> int:
     return 0
 
 
+def cmd_dem(args) -> int:
+    """gdaldem door (apps/gdaldem_lib.cpp): hillshade (4 variants) /
+    slope / aspect / roughness / TRI / TPI / color-relief over a DEM
+    GeoTIFF.  Strip-parallel: each Ray task range-reads its output rows
+    plus a 1-pixel halo (the 3×3 kernel support), computes the window
+    kernel, and the global 1-pixel border gets the reference's default
+    no-compute_edges fill (0 for byte outputs, -9999 for slope/aspect)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages import dem as demk
+    from gdal_ray.stages.color import color_relief, parse_color_file
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    mode = args.mode
+    ramp = None
+    if mode == "color-relief":
+        if not args.color_text:
+            raise SystemExit("dem color-relief needs --color-text FILE")
+        with open(args.color_text) as f:
+            ramp, _nv = parse_color_file(f.read())
+    z, scale = args.z, args.s
+    az, alt = args.az, args.alt
+    variant = args.variant
+    strip_h = max(args.strip, 8)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    src_path = args.src
+
+    float_modes = {"slope", "aspect", "roughness", "tri", "tpi"}
+    out_dt = (np.dtype("float32") if mode in float_modes
+              else np.dtype("uint8"))
+    nodata = -9999.0 if mode in float_modes else 0.0
+    spp_out = 3 if mode == "color-relief" else 1
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "h": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                if mode == "color-relief":
+                    win = read_window(f, meta, y0, y0 + th, 0, W)[:, :, 0]
+                    out = color_relief(win, ramp).astype(np.uint8)
+                else:
+                    r0 = max(y0 - 1, 0)
+                    r1 = min(y0 + th + 1, H)
+                    win = read_window(f, meta, r0, r1, 0, W)[:, :, 0]
+                    e = win[None].astype(np.float64)
+                    if mode == "hillshade":
+                        fn = {"horn": demk.hillshade,
+                              "combined": demk.hillshade_combined,
+                              "igor": demk.hillshade_igor,
+                              "multidirectional":
+                                  demk.hillshade_multidirectional}[variant]
+                        if variant == "igor":
+                            interior = fn(e, azimuth=az, z=z, scale=scale)[0]
+                        elif variant == "multidirectional":
+                            interior = fn(e, altitude=alt, z=z,
+                                          scale=scale)[0]
+                        else:
+                            interior = fn(e, azimuth=az, altitude=alt, z=z,
+                                          scale=scale)[0]
+                    elif mode == "slope":
+                        interior = demk.slope_degrees(e, z=z, scale=scale)[0]
+                    elif mode == "aspect":
+                        interior = demk.aspect_degrees(e)[0]
+                    else:
+                        rough, tri8, tpi9 = demk.window_metrics(e)
+                        # window_metrics keeps integers scaled ×8; the
+                        # gdaldem conventions are mean-based
+                        interior = {"roughness": rough,
+                                    "tri": tri8 / 8.0,
+                                    "tpi": tpi9 / 8.0}[mode][0]
+                    out = np.full((th, W), nodata, dtype=np.float64)
+                    # interior rows of the halo window → global rows
+                    # [r0+1, r1-1); copy the slice overlapping the strip
+                    g0, g1 = r0 + 1, r1 - 1
+                    s0, s1 = max(g0, y0), min(g1, y0 + th)
+                    if s1 > s0:
+                        out[s0 - y0:s1 - y0, 1:W - 1] = \
+                            interior[s0 - g0:s1 - g0]
+                    out = out.astype(out_dt)
+                rows["y0"].append(y0)
+                rows["h"].append(th)
+                rows["data"].append(np.ascontiguousarray(out).tobytes())
+        return pa_.table({
+            "y0": pa_.array(rows["y0"], pa_.int64()),
+            "h": pa_.array(rows["h"], pa_.int64()),
+            "data": pa_.array(rows["data"], pa_.binary()),
+        })
+
+    parts = rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(work, batch_format="pyarrow").take_all()
+    shape = (H, W, spp_out) if spp_out > 1 else (H, W)
+    full = np.full(shape, nodata, dtype=out_dt)
+    for r in parts:
+        full[r["y0"]:r["y0"] + r["h"]] = np.frombuffer(
+            r["data"], dtype=out_dt).reshape((r["h"],) + shape[1:])
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg"),
+                               nodata=None if mode == "color-relief"
+                               else nodata))
+    print(json.dumps({"out": args.out, "mode": mode, "width": W,
+                      "height": H, "n_strips": len(items),
+                      "checksum": float(
+                          full.astype(np.float64).sum())}))
+    return 0
+
+
 def cmd_translate(args) -> int:
     """gdal_translate door (apps/gdal_translate_lib.cpp shape): windowed
     copy (-srcwin), band selection (-b), linear rescale (-scale), output
@@ -1076,6 +1191,26 @@ def main(argv=None) -> int:
                     help="MERGE_ALG=ADD (accumulate)")
     rz.add_argument("--epsg", type=int, default=None)
     rz.set_defaults(fn=cmd_rasterize)
+
+    dm = sub.add_parser(
+        "dem", help="hillshade/slope/aspect/roughness/tri/tpi/color-relief "
+                    "(gdaldem): strip-parallel with halo reads")
+    dm.add_argument("mode", choices=["hillshade", "slope", "aspect",
+                                     "roughness", "tri", "tpi",
+                                     "color-relief"])
+    dm.add_argument("src", help="DEM GeoTIFF")
+    dm.add_argument("out", help="output GeoTIFF")
+    dm.add_argument("--variant", default="horn",
+                    choices=["horn", "combined", "igor", "multidirectional"],
+                    help="hillshade algorithm")
+    dm.add_argument("-z", type=float, default=1.0, help="vertical exaggeration")
+    dm.add_argument("-s", type=float, default=1.0, help="scale (ground units per elev unit)")
+    dm.add_argument("--az", type=float, default=315.0, help="sun azimuth")
+    dm.add_argument("--alt", type=float, default=45.0, help="sun altitude")
+    dm.add_argument("--color-text", default=None,
+                    help="gdaldem color-relief color text file")
+    dm.add_argument("--strip", type=int, default=512)
+    dm.set_defaults(fn=cmd_dem)
 
     tl = sub.add_parser(
         "translate", help="windowed copy / band select / rescale / resize "
