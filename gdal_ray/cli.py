@@ -592,6 +592,105 @@ def cmd_warp(args) -> int:
     return 0
 
 
+def cmd_contour(args) -> int:
+    """gdal_contour door (apps/gdal_contour.cpp / alg contour engine):
+    DEM GeoTIFF → GeoJSON contour lines.  Strip-parallel: marching-
+    squares cell rows are partitioned across Ray tasks (each task
+    range-reads its cell rows + 1 source row), segments stream back as
+    small (level, x1, y1, x2, y2) rows, and the driver chains them by
+    exact endpoint matching (segment_merger.h semantics) — segment
+    counts are O(contour length), never O(pixels)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.contour import assemble_chains, contour_segments
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    if args.fl:
+        levels = sorted(args.fl)
+    else:
+        base, step = args.off, args.i
+        # levels crossing the raster's value range (gdal_contour -i):
+        # distributed min/max over the tile stream
+        from gdal_ray.sources.gtiff_reader import read_geotiff_tiles
+
+        dt = np.dtype(meta["dtype"])
+
+        def mm(b: pa_.Table) -> pa_.Table:
+            mns, mxs = [], []
+            for d in b.column("data").to_pylist():
+                arr = np.frombuffer(d, dt)
+                mns.append(float(arr.min()))
+                mxs.append(float(arr.max()))
+            return pa_.table({"mn": pa_.array([min(mns)], pa_.float64()),
+                              "mx": pa_.array([max(mxs)], pa_.float64())})
+
+        mm_rows = read_geotiff_tiles(args.src).map_batches(
+            mm, batch_format="pyarrow").take_all()
+        lo = min(r["mn"] for r in mm_rows)
+        hi = max(r["mx"] for r in mm_rows)
+        levels = [base + k * step
+                  for k in range(int(np.floor((lo - base) / step)),
+                                 int(np.ceil((hi - base) / step)) + 1)]
+    strip_h = max(args.strip, 8)
+    cell_rows = H - 1
+    items = [{"y0": y0, "h": min(strip_h, cell_rows - y0)}
+             for y0 in range(0, cell_rows, strip_h)]
+    src_path = args.src
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                win = read_window(f, meta, y0, y0 + th + 1, 0, W)[:, :, 0]
+                for lv in levels:
+                    for (p1, p2) in contour_segments(win, lv, r0=y0):
+                        rows["level"].append(float(lv))
+                        rows["x1"].append(p1[0])
+                        rows["y1"].append(p1[1])
+                        rows["x2"].append(p2[0])
+                        rows["y2"].append(p2[1])
+        return pa_.table({k: pa_.array(v, pa_.float64())
+                          for k, v in rows.items()})
+
+    seg_rows = rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(work, batch_format="pyarrow").take_all()
+    gt = meta.get("geotransform") or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def to_geo(x, y):
+        return (gt[0] + (x + 0.5) * gt[1], gt[3] + (y + 0.5) * gt[5])
+
+    features = []
+    fid = 0
+    for lv in levels:
+        segs = [((r["x1"], r["y1"]), (r["x2"], r["y2"]))
+                for r in seg_rows if r["level"] == float(lv)]
+        if not segs:
+            continue
+        _nc, _no, _np_, chains = assemble_chains(segs)
+        for ch in chains:
+            features.append({
+                "type": "Feature", "id": fid,
+                "properties": {"ELEV": float(lv),
+                               "closed": bool(ch[0] == ch[-1])},
+                "geometry": {"type": "LineString",
+                             "coordinates": [list(to_geo(x, y))
+                                             for x, y in ch]},
+            })
+            fid += 1
+    with open(args.out, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    print(json.dumps({"out": args.out, "levels": levels,
+                      "n_segments": len(seg_rows),
+                      "n_lines": len(features)}))
+    return 0
+
+
 def cmd_dem(args) -> int:
     """gdaldem door (apps/gdaldem_lib.cpp): hillshade (4 variants) /
     slope / aspect / roughness / TRI / TPI / color-relief over a DEM
@@ -1191,6 +1290,20 @@ def main(argv=None) -> int:
                     help="MERGE_ALG=ADD (accumulate)")
     rz.add_argument("--epsg", type=int, default=None)
     rz.set_defaults(fn=cmd_rasterize)
+
+    ct = sub.add_parser(
+        "contour", help="DEM -> GeoJSON contour lines (gdal_contour): "
+                        "strip-parallel segments, driver chain merge")
+    ct.add_argument("src", help="DEM GeoTIFF")
+    ct.add_argument("out", help="output GeoJSON")
+    ct.add_argument("-i", type=float, default=10.0,
+                    help="contour interval")
+    ct.add_argument("--off", type=float, default=0.0,
+                    help="contour base offset")
+    ct.add_argument("--fl", type=float, action="append", default=None,
+                    help="fixed level (repeatable; overrides -i)")
+    ct.add_argument("--strip", type=int, default=256)
+    ct.set_defaults(fn=cmd_contour)
 
     dm = sub.add_parser(
         "dem", help="hillshade/slope/aspect/roughness/tri/tpi/color-relief "
