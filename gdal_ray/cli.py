@@ -592,6 +592,98 @@ def cmd_warp(args) -> int:
     return 0
 
 
+def cmd_polygonize(args) -> int:
+    """gdal_polygonize door (alg/polygonize.cpp): integer raster →
+    GeoJSON polygons, one feature per connected region of equal value.
+    Distributed shape: the raster is tiled across Ray tasks (each
+    range-reads one tile; the square tiling pads with a sentinel value
+    that is filtered from the output), per-tile CCL + boundary-edge
+    extraction runs in parallel, and the per-file stitch reduce walks
+    cross-tile rings — bit-identical to the single-pass polygonize
+    (the pytest-gated stages/polygonize machinery)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.polygonize import (stitch_doc_geometry,
+                                            tile_label_geometry_batch)
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    if not np.issubdtype(np.dtype(meta["dtype"]), np.integer):
+        raise SystemExit("polygonize: integer rasters only "
+                         "(gdal_polygonize semantics)")
+    ts = max(args.tile, 16)
+    nt = (max(W, H) + ts - 1) // ts
+    SENTINEL = np.int32(np.iinfo(np.int32).min)
+    items = [{"ty": ty, "tx": tx} for ty in range(nt) for tx in range(nt)]
+    src_path = args.src
+
+    def load(b: pa_.Table) -> pa_.Table:
+        out = {"doc_id": [], "ty": [], "tx": [], "tile": [], "ts": [],
+               "nt": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                ty, tx = it["ty"], it["tx"]
+                t = np.full((ts, ts), SENTINEL, dtype=np.int32)
+                r0, c0 = ty * ts, tx * ts
+                r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
+                if r1 > r0 and c1 > c0:
+                    win = read_window(f, meta, r0, r1, c0, c1)[:, :, 0]
+                    t[:r1 - r0, :c1 - c0] = win.astype(np.int32)
+                out["doc_id"].append(0)
+                out["ty"].append(ty)
+                out["tx"].append(tx)
+                out["tile"].append(np.ascontiguousarray(t).tobytes())
+                out["ts"].append(ts)
+                out["nt"].append(nt)
+        return pa_.table({
+            "doc_id": pa_.array(out["doc_id"], pa_.int64()),
+            "ty": pa_.array(out["ty"], pa_.int64()),
+            "tx": pa_.array(out["tx"], pa_.int64()),
+            "tile": pa_.array(out["tile"], pa_.binary()),
+            "ts": pa_.array(out["ts"], pa_.int64()),
+            "nt": pa_.array(out["nt"], pa_.int64()),
+        })
+
+    tiles = rd.from_items(items, override_num_blocks=max(
+        1, len(items) // 4)).map_batches(load, batch_format="pyarrow")
+    geo = tiles.map_batches(tile_label_geometry_batch,
+                            batch_format="pyarrow")
+    rows = geo.groupby("doc_id").map_groups(
+        stitch_doc_geometry, batch_format="pyarrow").take_all()
+
+    gt = meta.get("geotransform") or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def ring_to_geo(txt: str):
+        pts = []
+        for pair in txt.split(","):
+            x, y = (float(v) for v in pair.split())
+            pts.append([gt[0] + x * gt[1], gt[3] + y * gt[5]])
+        return pts
+
+    features = []
+    for r in rows:
+        if r["value"] == int(SENTINEL):
+            continue
+        wkt = r["wkt"]
+        body = wkt[wkt.index("((") + 2:wkt.rindex("))")]
+        rings = [ring_to_geo(s) for s in body.split("),(")]
+        features.append({
+            "type": "Feature", "id": int(r["comp"]),
+            "properties": {"DN": int(r["value"]),
+                           "n_pixels": int(r["n_pixels"])},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        })
+    with open(args.out, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    print(json.dumps({"out": args.out, "n_polygons": len(features),
+                      "n_tiles": len(items)}))
+    return 0
+
+
 def cmd_contour(args) -> int:
     """gdal_contour door (apps/gdal_contour.cpp / alg contour engine):
     DEM GeoTIFF → GeoJSON contour lines.  Strip-parallel: marching-
@@ -1290,6 +1382,15 @@ def main(argv=None) -> int:
                     help="MERGE_ALG=ADD (accumulate)")
     rz.add_argument("--epsg", type=int, default=None)
     rz.set_defaults(fn=cmd_rasterize)
+
+    pz = sub.add_parser(
+        "polygonize", help="integer raster -> GeoJSON polygons "
+                           "(gdal_polygonize): tile-parallel CCL + stitch")
+    pz.add_argument("src", help="source GeoTIFF (integer band)")
+    pz.add_argument("out", help="output GeoJSON")
+    pz.add_argument("--tile", type=int, default=256,
+                    help="tile size per Ray task")
+    pz.set_defaults(fn=cmd_polygonize)
 
     ct = sub.add_parser(
         "contour", help="DEM -> GeoJSON contour lines (gdal_contour): "
