@@ -684,6 +684,126 @@ def cmd_polygonize(args) -> int:
     return 0
 
 
+def cmd_proximity(args) -> int:
+    """gdal_proximity door (alg/gdalproximity.cpp GDALComputeProximity):
+    raster → float32 distance-to-nearest-target raster.  Distributed
+    shape: pass 1 maps row strips to per-column (first, last) target-row
+    summaries — 2 int64 per column per strip, the ONLY cross-strip state
+    the exact separable EDT needs; the driver prefix/suffix-combines them
+    into per-strip (above, below) context; pass 2 re-reads each strip and
+    runs the vectorized vertical scans + Felzenszwalb–Huttenlocher row
+    pass (strip output pytest-pinned bit-identical to the single-pass
+    transform).  Pixels never shuffle; the exchange is O(width·n_strips).
+    We compute the EXACT transform where GDAL's scanline pass is an
+    approximation (documented in stages/rasterops.py)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages import rasterops as ro
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    dt = np.dtype(meta["dtype"])
+    vals = (np.array([float(v) for v in args.values.split(",")], dtype=np.float64)
+            if args.values else None)
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    src_path = args.src
+
+    def target_mask(win: np.ndarray) -> np.ndarray:
+        band = win[:, :, 0].astype(np.float64)
+        if vals is None:
+            return band != 0.0
+        return np.isin(band, vals)
+
+    def summarize(b: pa_.Table) -> pa_.Table:
+        out = {"y0": [], "first": [], "last": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                t = target_mask(read_window(f, meta, y0, y0 + th, 0, W))
+                first, last = ro.column_target_extents(t)
+                out["y0"].append(y0)
+                out["first"].append(first.tobytes())
+                out["last"].append(last.tobytes())
+        return pa_.table({"y0": pa_.array(out["y0"], pa_.int64()),
+                          "first": pa_.array(out["first"], pa_.binary()),
+                          "last": pa_.array(out["last"], pa_.binary())})
+
+    nb = max(1, len(items) // 4)
+    summaries = (rd.from_items(items, override_num_blocks=nb)
+                 .map_batches(summarize, batch_format="pyarrow").take_all())
+    summaries.sort(key=lambda r: r["y0"])
+    n_strips = len(summaries)
+    firsts = [np.frombuffer(s["first"], np.int64) for s in summaries]
+    lasts = [np.frombuffer(s["last"], np.int64) for s in summaries]
+    y0s = [s["y0"] for s in summaries]
+    # prefix max of global last-target rows → `above` context per strip;
+    # suffix min of global first-target rows → `below`
+    above = [np.full(W, -1, dtype=np.int64)]
+    for i in range(1, n_strips):
+        g = np.where(lasts[i - 1] >= 0, lasts[i - 1] + y0s[i - 1], -1)
+        above.append(np.maximum(above[i - 1], g))
+    below = [np.full(W, -1, dtype=np.int64)] * n_strips
+    nxt = np.full(W, -1, dtype=np.int64)
+    for i in range(n_strips - 2, -1, -1):
+        g = np.where(firsts[i + 1] >= 0, firsts[i + 1] + y0s[i + 1],
+                     np.int64(1) << 61)
+        cand = np.where(nxt >= 0, nxt, np.int64(1) << 61)
+        m = np.minimum(cand, g)
+        nxt = np.where(m < (np.int64(1) << 61), m, -1)
+        below[i] = nxt
+    items2 = [{"y0": y0s[i], "h": min(strip_h, H - y0s[i]),
+               "above": above[i].tobytes(), "below": below[i].tobytes()}
+              for i in range(n_strips)]
+
+    geo_scale = abs(meta.get("geotransform", (0, 1, 0, 0, 0, 1))[1]) \
+        if args.distunits == "GEO" else 1.0
+    nodata = float(args.nodata)
+    maxdist = float(args.maxdist) if args.maxdist else None
+
+    def transform(b: pa_.Table) -> pa_.Table:
+        out = {"y0": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                t = target_mask(read_window(f, meta, y0, y0 + th, 0, W))
+                a = np.frombuffer(it["above"], np.int64)
+                bl = np.frombuffer(it["below"], np.int64)
+                d2 = ro.strip_proximity_sq(t, y0, a, bl)
+                d = np.sqrt(d2.astype(np.float64)) * geo_scale
+                d = np.where(d2 >= ro._INF, nodata, d)
+                if maxdist is not None:
+                    d = np.where(d > maxdist, nodata, d)
+                out["y0"].append(y0)
+                out["data"].append(d.astype(np.float32).tobytes())
+        return pa_.table({"y0": pa_.array(out["y0"], pa_.int64()),
+                          "data": pa_.array(out["data"], pa_.binary())})
+
+    parts = (rd.from_items(items2, override_num_blocks=nb)
+             .map_batches(transform, batch_format="pyarrow").take_all())
+    full = np.empty((H, W), dtype=np.float32)
+    for r in parts:
+        y0 = r["y0"]
+        th = min(strip_h, H - y0)
+        full[y0:y0 + th] = np.frombuffer(r["data"], np.float32).reshape(th, W)
+    gt = meta.get("geotransform")
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=gt,
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "n_strips": n_strips,
+                      "width": W, "height": H,
+                      "max_distance": float(np.nanmax(
+                          np.where(full == nodata, np.nan, full)))
+                      if (full != nodata).any() else None}))
+    return 0
+
+
 def cmd_contour(args) -> int:
     """gdal_contour door (apps/gdal_contour.cpp / alg contour engine):
     DEM GeoTIFF → GeoJSON contour lines.  Strip-parallel: marching-
@@ -1391,6 +1511,20 @@ def main(argv=None) -> int:
     pz.add_argument("--tile", type=int, default=256,
                     help="tile size per Ray task")
     pz.set_defaults(fn=cmd_polygonize)
+
+    px = sub.add_parser(
+        "proximity", help="distance-to-target raster (gdal_proximity): "
+                          "strip-parallel exact EDT, O(width) exchange")
+    px.add_argument("src", help="source GeoTIFF")
+    px.add_argument("out", help="output float32 distance GeoTIFF")
+    px.add_argument("--values", default=None,
+                    help="comma list of target pixel values (default: nonzero)")
+    px.add_argument("--maxdist", type=float, default=None)
+    px.add_argument("--nodata", type=float, default=65535.0)
+    px.add_argument("--distunits", choices=["PIXEL", "GEO"], default="PIXEL")
+    px.add_argument("--strip", type=int, default=512,
+                    help="rows per Ray task")
+    px.set_defaults(fn=cmd_proximity)
 
     ct = sub.add_parser(
         "contour", help="DEM -> GeoJSON contour lines (gdal_contour): "

@@ -78,6 +78,65 @@ def proximity_sq(targets: np.ndarray) -> np.ndarray:
     return out
 
 
+def column_target_extents(targets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-column (first, last) target row index within a strip, -1 where
+    the column holds no target.  This is the ENTIRE cross-strip state the
+    distributed proximity transform needs: the vertical nearest-target
+    distance for a row inside some other strip only ever reaches back to
+    the closest target row of each intervening strip, i.e. these two
+    numbers per column."""
+    t = np.asarray(targets, dtype=bool)
+    h = t.shape[0]
+    any_col = t.any(axis=0)
+    first = np.where(any_col, t.argmax(axis=0), -1).astype(np.int64)
+    last = np.where(any_col, h - 1 - t[::-1].argmax(axis=0), -1).astype(np.int64)
+    return first, last
+
+
+def strip_vertical_dist(targets: np.ndarray, r0: int,
+                        above: np.ndarray, below: np.ndarray) -> np.ndarray:
+    """Exact per-pixel vertical distance (in rows) to the nearest target in
+    the SAME column anywhere in the full raster, computed strip-locally.
+
+    `targets` is the strip's (h, w) bool mask starting at global row r0;
+    `above[c]` / `below[c]` are the nearest target GLOBAL rows outside the
+    strip (above/below), -1 / huge where none.  Two vectorized scans (one
+    down, one up) over the strip's rows; O(h·w), no Python per pixel."""
+    t = np.asarray(targets, dtype=bool)
+    h, w = t.shape
+    big = _INF
+    zero = np.int64(0)
+    down = np.empty((h, w), dtype=np.int64)
+    # distance at the virtual row r0-1 (from the cross-strip summary)
+    prev = np.where(above >= 0, (np.int64(r0) - 1) - above, big)
+    for r in range(h):
+        prev = np.where(t[r], zero, np.minimum(prev, big - 1) + 1)
+        down[r] = prev
+    up = np.empty((h, w), dtype=np.int64)
+    # distance at the virtual row r0+h (from the cross-strip summary)
+    nxt = np.where(below >= 0, below - (np.int64(r0) + h), big)
+    for r in range(h - 1, -1, -1):
+        nxt = np.where(t[r], zero, np.minimum(nxt, big - 1) + 1)
+        up[r] = nxt
+    return np.minimum(down, up)
+
+
+def strip_proximity_sq(targets: np.ndarray, r0: int,
+                       above: np.ndarray, below: np.ndarray) -> np.ndarray:
+    """Exact squared euclidean distance transform for one row strip of a
+    larger raster: vertical pass from strip-local scans + the (above,
+    below) cross-strip summaries, then the Felzenszwalb–Huttenlocher
+    lower-envelope row pass (exact, row-independent — needs no context
+    beyond the strip's own rows).  Bit-identical to `proximity_sq` of the
+    whole raster restricted to the strip (pytest-gated)."""
+    g = strip_vertical_dist(targets, r0, above, below)
+    f = np.where(g >= _INF, _INF, g * g)
+    out = np.empty_like(f)
+    for r in range(f.shape[0]):
+        out[r, :] = _edt_1d_sq(f[r, :])
+    return out
+
+
 def sieve(classes: np.ndarray, *, threshold: int, connect8: bool = False) -> np.ndarray:
     """Remove connected components smaller than `threshold` pixels by
     merging each into its largest-by-pixel-count neighboring component
