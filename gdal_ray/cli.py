@@ -804,6 +804,112 @@ def cmd_proximity(args) -> int:
     return 0
 
 
+def cmd_viewshed(args) -> int:
+    """gdal_viewshed door (apps/gdal_viewshed.cpp, alg/viewshed/):
+    DEM GeoTIFF → uint8 visibility raster from one observer, or a
+    cumulative observer-count raster over an -os-spaced observer grid
+    (alg/viewshed/cumulative.cpp).  Distributed shape: the DEM is put in
+    the object store ONCE (`ray.put`); single-observer mode strips the
+    TARGET rows across tasks (`dem.viewshed(row_range=...)` — exact by
+    per-target independence, each task reads the broadcast grid
+    zero-copy); cumulative mode parallelizes over OBSERVERS and sums
+    per-task partial count grids driver-side (counts are small; the
+    reference reduces per-chunk the same way).  Pixels never shuffle."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    gt = meta.get("geotransform") or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    with open(args.src, "rb") as f:
+        dem_grid = read_window(f, meta, 0, H, 0, W)[:, :, 0].astype(np.int64)
+    dem_ref = ray.put(dem_grid)
+    oz = int(args.oz)
+    vis_v, invis_v = int(args.vv), int(args.iv)
+
+    def geo_to_pixel(x: float, y: float) -> tuple[int, int]:
+        # invert the affine geotransform (det != 0 for any valid GT)
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        dx, dy = x - gt[0], y - gt[3]
+        col = (gt[5] * dx - gt[2] * dy) / det
+        row = (-gt[4] * dx + gt[1] * dy) / det
+        return int(row), int(col)
+
+    if args.cumulative:
+        step = max(int(args.os_), 1)
+        obs = [(r, c) for r in range(step // 2, H, step)
+               for c in range(step // 2, W, step)]
+        n_obs = len(obs)
+        nb = min(n_obs, 32)
+
+        def partial(b: pa_.Table) -> pa_.Table:
+            from gdal_ray.stages import dem as demk
+            e = ray.get(dem_ref)
+            total = np.zeros((H, W), np.int32)
+            for it in b.to_pylist():
+                total += demk.viewshed(e, it["r"], it["c"], obs_height=oz)
+            return pa_.table({"data": pa_.array([total.tobytes()],
+                                                pa_.binary())})
+
+        parts = (rd.from_items([{"r": r, "c": c} for r, c in obs],
+                               override_num_blocks=nb)
+                 .map_batches(partial, batch_format="pyarrow").take_all())
+        full = np.zeros((H, W), np.int32)
+        for p in parts:
+            full += np.frombuffer(p["data"], np.int32).reshape(H, W)
+        out_arr = full.astype(np.uint16 if n_obs > 255 else np.uint8)
+        n_visible = int((full > 0).sum())
+        r0 = c0 = None
+    else:
+        if args.ox is None or args.oy is None:
+            raise SystemExit("viewshed needs -ox/-oy (or --cumulative)")
+        r0, c0 = geo_to_pixel(float(args.ox), float(args.oy))
+        if not (0 <= r0 < H and 0 <= c0 < W):
+            raise SystemExit(f"observer pixel ({r0},{c0}) outside raster")
+        strip_h = max(int(args.strip), 8)
+        items = [{"lo": y0, "hi": min(y0 + strip_h, H)}
+                 for y0 in range(0, H, strip_h)]
+        nb = max(1, len(items) // 2)
+
+        def work(b: pa_.Table) -> pa_.Table:
+            from gdal_ray.stages import dem as demk
+            e = ray.get(dem_ref)
+            rows = {"lo": [], "data": []}
+            for it in b.to_pylist():
+                vis = demk.viewshed(e, r0, c0, obs_height=oz,
+                                    row_range=(it["lo"], it["hi"]))
+                rows["lo"].append(it["lo"])
+                rows["data"].append(
+                    np.where(vis, np.uint8(vis_v),
+                             np.uint8(invis_v)).tobytes())
+            return pa_.table({"lo": pa_.array(rows["lo"], pa_.int64()),
+                              "data": pa_.array(rows["data"], pa_.binary())})
+
+        parts = (rd.from_items(items, override_num_blocks=nb)
+                 .map_batches(work, batch_format="pyarrow").take_all())
+        out_arr = np.empty((H, W), np.uint8)
+        for p in parts:
+            lo = p["lo"]
+            strip = np.frombuffer(p["data"], np.uint8).reshape(-1, W)
+            out_arr[lo:lo + strip.shape[0]] = strip
+        n_visible = int((out_arr == vis_v).sum())
+
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(out_arr, geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": W, "height": H,
+                      "observer_rc": [r0, c0] if r0 is not None else None,
+                      "n_observers": len(obs) if args.cumulative else 1,
+                      "n_visible": n_visible}))
+    return 0
+
+
 def cmd_contour(args) -> int:
     """gdal_contour door (apps/gdal_contour.cpp / alg contour engine):
     DEM GeoTIFF → GeoJSON contour lines.  Strip-parallel: marching-
@@ -1525,6 +1631,28 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    vs = sub.add_parser(
+        "viewshed", help="observer visibility raster (gdal_viewshed): "
+                         "broadcast DEM, strip-parallel targets; "
+                         "--cumulative sums an observer grid")
+    vs.add_argument("src", help="DEM GeoTIFF")
+    vs.add_argument("out", help="output visibility GeoTIFF")
+    vs.add_argument("-ox", type=float, default=None,
+                    help="observer X (georeferenced)")
+    vs.add_argument("-oy", type=float, default=None,
+                    help="observer Y (georeferenced)")
+    vs.add_argument("-oz", type=float, default=2,
+                    help="observer height above DEM")
+    vs.add_argument("--vv", type=int, default=255, help="visible value")
+    vs.add_argument("--iv", type=int, default=0, help="invisible value")
+    vs.add_argument("--cumulative", action="store_true",
+                    help="observer-grid count raster (-mode ACCUM)")
+    vs.add_argument("--os", dest="os_", type=int, default=16,
+                    help="observer spacing in pixels (cumulative mode)")
+    vs.add_argument("--strip", type=int, default=128,
+                    help="target rows per Ray task")
+    vs.set_defaults(fn=cmd_viewshed)
 
     ct = sub.add_parser(
         "contour", help="DEM -> GeoJSON contour lines (gdal_contour): "

@@ -212,7 +212,8 @@ def aspect_degrees(e: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # batch adapters (pa.Table in/out, used by pipelines/queries.py)
 
-def viewshed(e: np.ndarray, r0: int, c0: int, obs_height: int = 2) -> np.ndarray:
+def viewshed(e: np.ndarray, r0: int, c0: int, obs_height: int = 2,
+             row_range: tuple[int, int] | None = None) -> np.ndarray:
     """Exact integer R2 viewshed (alg/viewshed/viewshed.cpp semantics,
     Wang et al. line-of-sight): target (r, c) is visible iff no sampled
     terrain point along the straight sight line rises above it.
@@ -224,12 +225,18 @@ def viewshed(e: np.ndarray, r0: int, c0: int, obs_height: int = 2) -> np.ndarray
     cells.  Scaling every height by n keeps the whole comparison in
     integers: blocked ⇔ ∃k: e_lo·(n−m) + e_hi·m  >  n·h0 + k·(h1−h0),
     with m = k·|cross| mod n and h0 = e[r0,c0] + obs_height.
+
+    `row_range=(lo, hi)` restricts the TARGET rows (the LOS still reads
+    the full grid) — per-target independence makes the strip-distributed
+    door exact by construction: each Ray task holds the broadcast DEM and
+    evaluates only its strip's targets.
     """
     e = np.asarray(e, dtype=np.int64)
     nrows, ncols = e.shape
     h0 = int(e[r0, c0]) + obs_height
-    out = np.zeros((nrows, ncols), dtype=bool)
-    rr, cc = np.meshgrid(np.arange(nrows), np.arange(ncols), indexing="ij")
+    lo, hi = row_range if row_range is not None else (0, nrows)
+    out = np.zeros((hi - lo, ncols), dtype=bool)
+    rr, cc = np.meshgrid(np.arange(lo, hi), np.arange(ncols), indexing="ij")
     dr = rr - r0
     dc = cc - c0
     n = np.maximum(np.abs(dr), np.abs(dc))
@@ -258,7 +265,7 @@ def viewshed(e: np.ndarray, r0: int, c0: int, obs_height: int = 2) -> np.ndarray
             )
             sight = nv * h0 + k * (h1 - h0)
             visible &= terrain <= sight
-        out[tr, tc] = visible
+        out[tr - lo, tc] = visible
     return out
 
 
