@@ -804,6 +804,281 @@ def cmd_proximity(args) -> int:
     return 0
 
 
+def cmd_sieve(args) -> int:
+    """gdal_sieve door (alg/gdalsievefilter.cpp GDALSieveFilter): remove
+    raster components smaller than a threshold by merging each into its
+    largest neighbor.  Distributed shape: pass 1 labels row strips and
+    ships O(width + components) summaries (boundary label/class rows,
+    per-component size/class/first-pixel, different-class adjacency
+    pairs); the driver stitches them into global components and runs the
+    reference's smallest-first merge rule on the COMPONENT GRAPH (tiny
+    vs. pixels); pass 2 relabels each strip from its label→class map.
+    Output pytest-pinned identical to the single-pass kernel."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages import rasterops as ro
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    dt = np.dtype(meta["dtype"])
+    strip_h = max(args.strip, 8)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path, c8 = args.src, args.connect8
+
+    def summarize(b: pa_.Table) -> pa_.Table:
+        rows = {k: [] for k in ("y0", "n", "sizes", "classes", "firstpos",
+                                "adj", "top_lab", "bot_lab",
+                                "top_cls", "bot_cls")}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                g = read_window(f, meta, y0, y0 + th, 0, W)[:, :, 0]
+                s = ro.sieve_strip_summary(g, y0, connect8=c8)
+                rows["y0"].append(s["y0"])
+                rows["n"].append(s["n"])
+                for k in ("sizes", "classes", "firstpos", "adj",
+                          "top_lab", "bot_lab", "top_cls", "bot_cls"):
+                    rows[k].append(np.ascontiguousarray(
+                        s[k], dtype=np.int64).tobytes())
+        return pa_.table({
+            "y0": pa_.array(rows["y0"], pa_.int64()),
+            "n": pa_.array(rows["n"], pa_.int64()),
+            **{k: pa_.array(rows[k], pa_.binary())
+               for k in ("sizes", "classes", "firstpos", "adj",
+                         "top_lab", "bot_lab", "top_cls", "bot_cls")},
+        })
+
+    raw = (rd.from_items(items, override_num_blocks=nb)
+           .map_batches(summarize, batch_format="pyarrow").take_all())
+    summaries = []
+    for r in raw:
+        s = {"y0": r["y0"], "n": r["n"]}
+        for k in ("sizes", "classes", "firstpos"):
+            s[k] = np.frombuffer(r[k], np.int64)
+        s["adj"] = np.frombuffer(r["adj"], np.int64).reshape(-1, 2)
+        for k in ("top_lab", "bot_lab", "top_cls", "bot_cls"):
+            s[k] = np.frombuffer(r[k], np.int64)
+        summaries.append(s)
+    maps = ro.sieve_merge(summaries, threshold=args.st, connect8=c8)
+    order = sorted(range(len(summaries)), key=lambda i: summaries[i]["y0"])
+    items2 = [{"y0": summaries[i]["y0"],
+               "h": min(strip_h, H - summaries[i]["y0"]),
+               "map": maps[k].tobytes()}
+              for k, i in enumerate(order)]
+
+    def rewrite(b: pa_.Table) -> pa_.Table:
+        from gdal_ray.stages.polygonize import label_components
+        rows = {"y0": [], "data": [], "n_changed": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                g = read_window(f, meta, y0, y0 + th, 0, W)[:, :, 0]
+                lab = label_components(g.astype(np.int32), connect8=c8)
+                m = np.frombuffer(it["map"], np.int64)
+                out = m[lab].astype(dt)
+                rows["y0"].append(y0)
+                rows["data"].append(out.tobytes())
+                rows["n_changed"].append(int((out != g).sum()))
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary()),
+                          "n_changed": pa_.array(rows["n_changed"],
+                                                 pa_.int64())})
+
+    parts = (rd.from_items(items2, override_num_blocks=nb)
+             .map_batches(rewrite, batch_format="pyarrow").take_all())
+    full = np.empty((H, W), dtype=dt)
+    n_changed = 0
+    for p in parts:
+        y0 = p["y0"]
+        strip = np.frombuffer(p["data"], dt).reshape(-1, W)
+        full[y0:y0 + strip.shape[0]] = strip
+        n_changed += p["n_changed"]
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": W, "height": H,
+                      "threshold": args.st, "n_strips": len(items),
+                      "n_changed": n_changed}))
+    return 0
+
+
+def cmd_fillnodata(args) -> int:
+    """gdal_fillnodata door (alg/rasterfill.cpp GDALFillNodata's
+    smoothing-ring half): fill nodata pixels by iterative 4-neighbor
+    means, converging inward one ring per iteration.  Distributed shape:
+    each Ray task reads its output rows plus a max_iter-row halo — the
+    fill propagates exactly one pixel per iteration, so the halo makes
+    every interior row bit-identical to the single-pass kernel (pinned
+    by pytest).  No cross-task state at all."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages import rasterops as ro
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    dt = np.dtype(meta["dtype"])
+    nodata = float(args.nodata)
+    max_iter = max(int(args.max_iter), 1)
+    strip_h = max(args.strip, 8)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path = args.src
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                r0 = max(y0 - max_iter, 0)
+                r1 = min(y0 + th + max_iter, H)
+                win = read_window(f, meta, r0, r1, 0, W)[:, :, 0]
+                filled = ro.fill_nodata(win, win == nodata,
+                                        max_iter=max_iter)
+                out = filled[y0 - r0:y0 - r0 + th]
+                rows["y0"].append(y0)
+                rows["data"].append(out.astype(np.float64).tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary())})
+
+    parts = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(work, batch_format="pyarrow").take_all())
+    full = np.empty((H, W), dtype=np.float64)
+    for p in parts:
+        y0 = p["y0"]
+        strip = np.frombuffer(p["data"], np.float64).reshape(-1, W)
+        full[y0:y0 + strip.shape[0]] = strip
+    out_arr = (np.rint(full).astype(dt) if dt.kind in "iu"
+               else full.astype(dt))
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(out_arr,
+                               geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": W, "height": H,
+                      "n_strips": len(items),
+                      "n_unfilled": int((out_arr == nodata).sum())}))
+    return 0
+
+
+def cmd_nearblack(args) -> int:
+    """nearblack door (apps/nearblack_lib.cpp): flood from the image
+    border through near-black (< threshold on every band) pixels and set
+    the collar to a fixed value.  Distributed shape: pass 1 labels each
+    strip's dark mask and ships seed labels + O(width) seam label rows;
+    the driver unions seam-adjacent labels and marks border-seeded
+    components; pass 2 rewrites each strip from its label→collar map.
+    Collar pytest-pinned identical to the single-pass flood."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages import rasterops as ro
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    dt = np.dtype(meta["dtype"])
+    thr, value = int(args.near), int(args.setval)
+    strip_h = max(args.strip, 8)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path = args.src
+
+    def summarize(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "n": [], "seeds": [], "top_lab": [], "bot_lab": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                win = read_window(f, meta, y0, y0 + th, 0, W)
+                dark = (win < thr).all(axis=2)
+                s = ro.nearblack_strip_summary(dark, y0, H)
+                rows["y0"].append(s["y0"])
+                rows["n"].append(s["n"])
+                rows["seeds"].append(
+                    np.asarray(s["seeds"], np.int64).tobytes())
+                rows["top_lab"].append(s["top_lab"].tobytes())
+                rows["bot_lab"].append(s["bot_lab"].tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "n": pa_.array(rows["n"], pa_.int64()),
+                          "seeds": pa_.array(rows["seeds"], pa_.binary()),
+                          "top_lab": pa_.array(rows["top_lab"], pa_.binary()),
+                          "bot_lab": pa_.array(rows["bot_lab"], pa_.binary())})
+
+    raw = (rd.from_items(items, override_num_blocks=nb)
+           .map_batches(summarize, batch_format="pyarrow").take_all())
+    summaries = [{"y0": r["y0"], "n": r["n"],
+                  "seeds": np.frombuffer(r["seeds"], np.int64).tolist(),
+                  "top_lab": np.frombuffer(r["top_lab"], np.int64),
+                  "bot_lab": np.frombuffer(r["bot_lab"], np.int64)}
+                 for r in raw]
+    flags = ro.nearblack_merge(summaries)
+    order = sorted(range(len(summaries)), key=lambda i: summaries[i]["y0"])
+    items2 = [{"y0": summaries[i]["y0"],
+               "h": min(strip_h, H - summaries[i]["y0"]),
+               "flag": flags[k].tobytes()}
+              for k, i in enumerate(order)]
+
+    def rewrite(b: pa_.Table) -> pa_.Table:
+        from gdal_ray.stages.polygonize import label_components
+        rows = {"y0": [], "data": [], "n_collar": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                win = read_window(f, meta, y0, y0 + th, 0, W)
+                dark = (win < thr).all(axis=2)
+                lab = label_components(dark.astype(np.int32), mask=dark)
+                flag = np.frombuffer(it["flag"], bool)
+                collar = flag[lab]
+                out = win.copy()
+                out[collar] = value
+                rows["y0"].append(y0)
+                rows["data"].append(out.astype(dt).tobytes())
+                rows["n_collar"].append(int(collar.sum()))
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary()),
+                          "n_collar": pa_.array(rows["n_collar"],
+                                                pa_.int64())})
+
+    parts = (rd.from_items(items2, override_num_blocks=nb)
+             .map_batches(rewrite, batch_format="pyarrow").take_all())
+    spp = None
+    full = None
+    n_collar = 0
+    for p in parts:
+        y0 = p["y0"]
+        arr = np.frombuffer(p["data"], dt)
+        if spp is None:
+            th0 = min(strip_h, H - y0)
+            spp = arr.size // (th0 * W)
+            full = np.empty((H, W, spp), dtype=dt)
+        strip = arr.reshape(-1, W, spp)
+        full[y0:y0 + strip.shape[0]] = strip
+        n_collar += p["n_collar"]
+    out_arr = full[:, :, 0] if spp == 1 else full
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(out_arr,
+                               geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": W, "height": H,
+                      "n_strips": len(items), "n_collar": n_collar}))
+    return 0
+
+
 def cmd_viewshed(args) -> int:
     """gdal_viewshed door (apps/gdal_viewshed.cpp, alg/viewshed/):
     DEM GeoTIFF → uint8 visibility raster from one observer, or a
@@ -1631,6 +1906,41 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    sv = sub.add_parser(
+        "sieve", help="remove small raster components (gdal_sieve): "
+                      "strip CCL + component-graph merge on the driver")
+    sv.add_argument("src", help="source GeoTIFF (integer band)")
+    sv.add_argument("out", help="output GeoTIFF")
+    sv.add_argument("-st", type=int, default=2,
+                    help="size threshold in pixels")
+    sv.add_argument("-8", dest="connect8", action="store_true",
+                    help="8-connectedness")
+    sv.add_argument("--strip", type=int, default=512)
+    sv.set_defaults(fn=cmd_sieve)
+
+    fn_ = sub.add_parser(
+        "fillnodata", help="fill nodata by iterative ring means "
+                           "(gdal_fillnodata): halo strips, zero exchange")
+    fn_.add_argument("src", help="source GeoTIFF")
+    fn_.add_argument("out", help="output GeoTIFF")
+    fn_.add_argument("--nodata", type=float, default=0.0)
+    fn_.add_argument("--max-iter", type=int, default=32,
+                     help="fill ring iterations (== halo rows)")
+    fn_.add_argument("--strip", type=int, default=512)
+    fn_.set_defaults(fn=cmd_fillnodata)
+
+    nbk = sub.add_parser(
+        "nearblack", help="clean near-black collar (nearblack): strip "
+                          "CCL + border-seeded stitch")
+    nbk.add_argument("src", help="source GeoTIFF")
+    nbk.add_argument("out", help="output GeoTIFF")
+    nbk.add_argument("--near", type=int, default=15,
+                     help="darkness threshold (all bands <)")
+    nbk.add_argument("--setval", type=int, default=0,
+                     help="value to write into the collar")
+    nbk.add_argument("--strip", type=int, default=512)
+    nbk.set_defaults(fn=cmd_nearblack)
 
     vs = sub.add_parser(
         "viewshed", help="observer visibility raster (gdal_viewshed): "
