@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -801,6 +802,235 @@ def cmd_proximity(args) -> int:
                       "max_distance": float(np.nanmax(
                           np.where(full == nodata, np.nan, full)))
                       if (full != nodata).any() else None}))
+    return 0
+
+
+def cmd_buildvrt(args) -> int:
+    """gdalbuildvrt door (apps/gdalbuildvrt_lib.cpp): stack N GeoTIFF
+    sources into one VRT mosaic XML over their union extent.  Pure
+    header-region work — each source costs one directory parse, no pixel
+    reads — so the driver does it directly; the heavy compose happens
+    later wherever the VRT is consumed (`vrt read` tiles fan out per Ray
+    task, see sources/vrt.py read_vrt)."""
+    from gdal_ray.sources.vrt import parse_vrt, save_vrt
+
+    xml = save_vrt(list(args.src), args.out, nodata=args.nodata)
+    doc = parse_vrt(xml)
+    print(json.dumps({"out": args.out, "n_sources": len(args.src),
+                      "width": doc["width"], "height": doc["height"],
+                      "bands": doc["spp"]}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """gdal_merge door (apps — gdal_merge.py): mosaic N aligned GeoTIFFs
+    into ONE output GeoTIFF.  Distributed shape: build the VRT directory
+    driver-side (headers only), then `read_vrt` composes output tiles
+    across Ray tasks (later sources paint over earlier, nodata-aware) and
+    the driver assembles + encodes.  For planet-scale mosaics use the
+    `cog` door instead (distributed COG encode); this door is the exact
+    small-output utility."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.vrt import parse_vrt, read_vrt, save_vrt
+
+    _ray_init()
+    with tempfile.NamedTemporaryFile(suffix=".vrt", delete=False) as tf:
+        vrt_path = tf.name
+    xml = save_vrt(list(args.src), vrt_path, nodata=args.nodata)
+    doc = parse_vrt(xml)
+    W, H, spp = doc["width"], doc["height"], doc["spp"]
+    tiles = read_vrt(vrt_path, tile=args.tile).take_all()
+    dt = np.dtype(doc["dtype"])
+    full = np.zeros((H, W, spp), dtype=dt)
+    for t in tiles:
+        r0, c0, th, tw = t["row0"], t["col0"], t["h"], t["w"]
+        full[r0:r0 + th, c0:c0 + tw] = np.frombuffer(
+            t["data"], dt).reshape(th, tw, spp)
+    out_arr = full[:, :, 0] if spp == 1 else full
+    gt = doc.get("geotransform")
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(out_arr, geotransform=gt,
+                               nodata=args.nodata))
+    print(json.dumps({"out": args.out, "n_sources": len(args.src),
+                      "width": W, "height": H,
+                      "n_tiles": len(tiles)}))
+    return 0
+
+
+def cmd_tindex(args) -> int:
+    """gdaltindex door (apps/gdaltindex_lib.cpp): one polygon record per
+    source raster — its georeferenced extent ring + `location` path —
+    written as GeoJSON.  Header parses fan out across Ray tasks
+    (`map_batches` over the file list, one directory read each; pixels
+    are never touched), matching the reference's tile-index shape that
+    feeds ogrtindex/mosaic pipelines."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    _ray_init()
+    paths = [os.path.abspath(p) for p in args.src]
+
+    def describe(b: pa_.Table) -> pa_.Table:
+        from gdal_ray.sources.gtiff_reader import tiff_levels
+        rows = {"location": [], "ring": []}
+        for p in b.column("path").to_pylist():
+            m = tiff_levels(p)[0]
+            gt = m.get("geotransform") or (0, 1, 0, 0, 0, 1)
+            w, h = m["width"], m["height"]
+            corners = [(0, 0), (w, 0), (w, h), (0, h), (0, 0)]
+            ring = [[gt[0] + c * gt[1] + r * gt[2],
+                     gt[3] + c * gt[4] + r * gt[5]] for c, r in corners]
+            rows["location"].append(p)
+            rows["ring"].append(json.dumps(ring))
+        return pa_.table({"location": pa_.array(rows["location"]),
+                          "ring": pa_.array(rows["ring"])})
+
+    nb = max(1, min(len(paths), 32))
+    recs = (rd.from_items([{"path": p} for p in paths],
+                          override_num_blocks=nb)
+            .map_batches(describe, batch_format="pyarrow").take_all())
+    by_path = {r["location"]: r for r in recs}
+    feats = [{"type": "Feature",
+              "properties": {"location": p},
+              "geometry": {"type": "Polygon",
+                           "coordinates": [json.loads(by_path[p]["ring"])]}}
+             for p in paths]
+    with open(args.out, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    print(json.dumps({"out": args.out, "n_features": len(feats)}))
+    return 0
+
+
+def cmd_xyz(args) -> int:
+    """gdal2xyz door (apps — gdal2xyz.py): raster → `x y z` text rows at
+    pixel centers.  Strip-parallel: each Ray task range-reads its rows,
+    formats its lines with numpy (the formatting IS the hot loop), and
+    ships one text blob; the driver concatenates in row order.  With
+    --skip-nodata, nodata pixels are dropped per strip."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    gt = meta.get("geotransform") or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    band = int(args.band) - 1
+    skip_nd = args.skip_nodata
+    nodata = meta.get("nodata")
+    sep = "," if args.csv else " "
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path = args.src
+
+    def fmt(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "text": [], "n": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                z = read_window(f, meta, y0, y0 + th, 0, W)[:, :, band]
+                rr, cc = np.meshgrid(np.arange(y0, y0 + th),
+                                     np.arange(W), indexing="ij")
+                x = gt[0] + (cc + 0.5) * gt[1] + (rr + 0.5) * gt[2]
+                y = gt[3] + (cc + 0.5) * gt[4] + (rr + 0.5) * gt[5]
+                xf, yf, zf = x.ravel(), y.ravel(), z.ravel()
+                if skip_nd and nodata is not None:
+                    keep = zf != nodata
+                    xf, yf, zf = xf[keep], yf[keep], zf[keep]
+                col = np.char.add(
+                    np.char.add(xf.astype(str), sep),
+                    np.char.add(np.char.add(yf.astype(str), sep),
+                                zf.astype(str)))
+                rows["y0"].append(y0)
+                rows["text"].append("\n".join(col.tolist()))
+                rows["n"].append(int(zf.size))
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "text": pa_.array(rows["text"], pa_.string()),
+                          "n": pa_.array(rows["n"], pa_.int64())})
+
+    parts = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(fmt, batch_format="pyarrow").take_all())
+    parts.sort(key=lambda r: r["y0"])
+    n_rows = 0
+    with open(args.out, "w") as f:
+        for p in parts:
+            if p["text"]:
+                f.write(p["text"])
+                f.write("\n")
+            n_rows += p["n"]
+    print(json.dumps({"out": args.out, "n_rows": n_rows,
+                      "n_strips": len(items)}))
+    return 0
+
+
+def cmd_pansharpen(args) -> int:
+    """gdal_pansharpen door (alg/gdalpansharpen.cpp weighted Brovey):
+    high-res pan + low-res multispectral → high-res color.  Strip-
+    parallel: each Ray task range-reads its pan rows plus EXACTLY the
+    multispectral rows those outputs tap (`rows_needed`), nearest-
+    upsamples with the full-resize row/column mapping (`resize_rows`),
+    and applies the Brovey kernel — pytest-pinned identical to the
+    single-pass `pansharpen_brovey`.  No cross-task state."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.color import brovey_core
+    from gdal_ray.stages.resample import resize_rows, rows_needed
+
+    _ray_init()
+    pmeta = tiff_levels(args.pan)[0]
+    mmeta = tiff_levels(args.ms)[0]
+    PW, PH = pmeta["width"], pmeta["height"]
+    MW, MH = mmeta["width"], mmeta["height"]
+    spp = mmeta["spp"]
+    wts = ([float(w) for w in args.weights.split(",")] if args.weights
+           else [1.0 / spp] * spp)
+    if len(wts) != spp:
+        raise SystemExit(f"need {spp} weights, got {len(wts)}")
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, PH - y0)}
+             for y0 in range(0, PH, strip_h)]
+    nb = max(1, len(items) // 4)
+    pan_path, ms_path = args.pan, args.ms
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "data": []}
+        with open(pan_path, "rb") as fp, open(ms_path, "rb") as fm:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                pan = read_window(fp, pmeta, y0, y0 + th, 0, PW)[:, :, 0]
+                r0, r1 = rows_needed(MH, PH, y0, th, "nearest")
+                win = read_window(fm, mmeta, r0, r1, 0, MW)
+                up = resize_rows(win, r0, MH, PW, PH, y0, th, "nearest")
+                out = brovey_core(up, pan, wts)
+                rows["y0"].append(y0)
+                rows["data"].append(out.tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary())})
+
+    parts = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(work, batch_format="pyarrow").take_all())
+    full = np.empty((PH, PW, spp), dtype=np.uint8)
+    for p in parts:
+        y0 = p["y0"]
+        strip = np.frombuffer(p["data"], np.uint8).reshape(-1, PW, spp)
+        full[y0:y0 + strip.shape[0]] = strip
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=pmeta.get("geotransform"),
+                               epsg=pmeta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": PW, "height": PH,
+                      "bands": spp, "n_strips": len(items)}))
     return 0
 
 
@@ -1906,6 +2136,52 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    bv = sub.add_parser(
+        "buildvrt", help="stack GeoTIFFs into a VRT mosaic (gdalbuildvrt)")
+    bv.add_argument("out", help="output .vrt path")
+    bv.add_argument("src", nargs="+", help="source GeoTIFFs")
+    bv.add_argument("--nodata", type=float, default=None)
+    bv.set_defaults(fn=cmd_buildvrt)
+
+    mg = sub.add_parser(
+        "merge", help="mosaic GeoTIFFs into one output (gdal_merge): "
+                      "distributed VRT compose; use `cog` at scale")
+    mg.add_argument("out", help="output GeoTIFF")
+    mg.add_argument("src", nargs="+", help="source GeoTIFFs")
+    mg.add_argument("--nodata", type=float, default=None)
+    mg.add_argument("--tile", type=int, default=512)
+    mg.set_defaults(fn=cmd_merge)
+
+    ti = sub.add_parser(
+        "tindex", help="raster tile index -> GeoJSON (gdaltindex): "
+                       "header parses fan out per Ray task")
+    ti.add_argument("out", help="output GeoJSON")
+    ti.add_argument("src", nargs="+", help="source rasters")
+    ti.set_defaults(fn=cmd_tindex)
+
+    xy = sub.add_parser(
+        "xyz", help="raster -> 'x y z' text (gdal2xyz): strip-parallel "
+                    "numpy formatting")
+    xy.add_argument("src", help="source GeoTIFF")
+    xy.add_argument("out", help="output text file")
+    xy.add_argument("--band", type=int, default=1)
+    xy.add_argument("--csv", action="store_true",
+                    help="comma separator instead of space")
+    xy.add_argument("--skip-nodata", action="store_true")
+    xy.add_argument("--strip", type=int, default=512)
+    xy.set_defaults(fn=cmd_xyz)
+
+    ps = sub.add_parser(
+        "pansharpen", help="weighted-Brovey pansharpen (gdal_pansharpen): "
+                           "strip-parallel, exact row-window MS reads")
+    ps.add_argument("pan", help="high-res panchromatic GeoTIFF")
+    ps.add_argument("ms", help="low-res multispectral GeoTIFF")
+    ps.add_argument("out", help="output GeoTIFF")
+    ps.add_argument("--weights", default=None,
+                    help="comma band weights (default: equal)")
+    ps.add_argument("--strip", type=int, default=256)
+    ps.set_defaults(fn=cmd_pansharpen)
 
     sv = sub.add_parser(
         "sieve", help="remove small raster components (gdal_sieve): "

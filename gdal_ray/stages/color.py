@@ -81,21 +81,31 @@ def dither_fs(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
     return out
 
 
-def pansharpen_brovey(rgb_lowres: np.ndarray, pan: np.ndarray,
-                      weights=(1 / 3, 1 / 3, 1 / 3)) -> np.ndarray:
-    """Weighted Brovey (gdalpansharpen.cpp): out_b = in_b * pan / pseudo_pan
-    with pseudo_pan = Σ w_b · in_b, after nearest-upsampling the low-res
-    multispectral to the pan grid."""
-    from gdal_ray.stages.resample import resize
-
-    ph, pw = pan.shape[:2]
-    up = resize(rgb_lowres, pw, ph, method="nearest").astype(np.float64)
+def brovey_core(up: np.ndarray, pan: np.ndarray,
+                weights=(1 / 3, 1 / 3, 1 / 3)) -> np.ndarray:
+    """Weighted-Brovey kernel on ALREADY-upsampled multispectral `up`
+    (gdalpansharpen.cpp): out_b = in_b * pan / pseudo_pan with
+    pseudo_pan = Σ w_b · in_b.  Row-local, so the strip-parallel
+    pansharpen door applies it per strip and matches the single-pass
+    :func:`pansharpen_brovey` exactly."""
+    up = np.asarray(up, dtype=np.float64)
     wts = np.asarray(weights, dtype=np.float64)
     pseudo = (up * wts[None, None, :]).sum(axis=2)
     pseudo[pseudo == 0] = 1.0
     ratio = np.asarray(pan, dtype=np.float64) / pseudo
     out = up * ratio[:, :, None]
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def pansharpen_brovey(rgb_lowres: np.ndarray, pan: np.ndarray,
+                      weights=(1 / 3, 1 / 3, 1 / 3)) -> np.ndarray:
+    """Weighted Brovey (gdalpansharpen.cpp): nearest-upsample the low-res
+    multispectral to the pan grid, then :func:`brovey_core`."""
+    from gdal_ray.stages.resample import resize
+
+    ph, pw = pan.shape[:2]
+    up = resize(rgb_lowres, pw, ph, method="nearest")
+    return brovey_core(up, pan, weights)
 
 
 def color_relief(e: np.ndarray, ramp) -> np.ndarray:
