@@ -603,24 +603,41 @@ def cmd_polygonize(args) -> int:
     cross-tile rings — bit-identical to the single-pass polygonize
     (the pytest-gated stages/polygonize machinery)."""
     import numpy as np
-    import pyarrow as pa_
-    import ray.data as rd
 
-    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
-    from gdal_ray.stages.polygonize import (stitch_doc_geometry,
-                                            tile_label_geometry_batch)
+    from gdal_ray.sources.gtiff_reader import tiff_levels
 
     _ray_init()
     meta = tiff_levels(args.src)[0]
-    W, H = meta["width"], meta["height"]
     if not np.issubdtype(np.dtype(meta["dtype"]), np.integer):
         raise SystemExit("polygonize: integer rasters only "
                          "(gdal_polygonize semantics)")
-    ts = max(args.tile, 16)
+    features, n_tiles = _polygonize_features(args.src, meta, args.tile)
+    with open(args.out, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    print(json.dumps({"out": args.out, "n_polygons": len(features),
+                      "n_tiles": n_tiles}))
+    return 0
+
+
+def _polygonize_features(src_path: str, meta: dict, tile: int,
+                         prep=None) -> tuple[list[dict], int]:
+    """Shared tile-parallel polygonize core (cmd_polygonize,
+    cmd_footprint): tile CCL + cross-tile ring stitch → GeoJSON features
+    in georeferenced coordinates.  ``prep(win) -> int32 grid`` binarizes
+    or reclasses the window before labeling (identity by default)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.sources.gtiff_reader import read_window
+    from gdal_ray.stages.polygonize import (stitch_doc_geometry,
+                                            tile_label_geometry_batch)
+
+    W, H = meta["width"], meta["height"]
+    ts = max(tile, 16)
     nt = (max(W, H) + ts - 1) // ts
     SENTINEL = np.int32(np.iinfo(np.int32).min)
     items = [{"ty": ty, "tx": tx} for ty in range(nt) for tx in range(nt)]
-    src_path = args.src
 
     def load(b: pa_.Table) -> pa_.Table:
         out = {"doc_id": [], "ty": [], "tx": [], "tile": [], "ts": [],
@@ -632,8 +649,10 @@ def cmd_polygonize(args) -> int:
                 r0, c0 = ty * ts, tx * ts
                 r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
                 if r1 > r0 and c1 > c0:
-                    win = read_window(f, meta, r0, r1, c0, c1)[:, :, 0]
-                    t[:r1 - r0, :c1 - c0] = win.astype(np.int32)
+                    win = read_window(f, meta, r0, r1, c0, c1)
+                    g = (prep(win) if prep is not None
+                         else win[:, :, 0].astype(np.int32))
+                    t[:r1 - r0, :c1 - c0] = g
                 out["doc_id"].append(0)
                 out["ty"].append(ty)
                 out["tx"].append(tx)
@@ -678,10 +697,41 @@ def cmd_polygonize(args) -> int:
                            "n_pixels": int(r["n_pixels"])},
             "geometry": {"type": "Polygon", "coordinates": rings},
         })
+    return features, len(items)
+
+
+def cmd_footprint(args) -> int:
+    """gdal_footprint door (apps/gdal_footprint_lib.cpp): the valid-data
+    footprint of a raster as GeoJSON polygons — pixels where any band
+    differs from nodata, polygonized.  Same distributed shape as
+    `polygonize` (tile CCL + cross-tile ring stitch, shared core); the
+    binarization happens inside each tile load, so only tile-sized
+    windows are ever read."""
+    import numpy as np
+
+    from gdal_ray.sources.gtiff_reader import tiff_levels
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    nodata = args.nodata if args.nodata is not None else meta.get("nodata")
+    if nodata is None:
+        nodata = 0.0
+
+    def prep(win: np.ndarray) -> np.ndarray:
+        return (win != nodata).any(axis=2).astype(np.int32)
+
+    features, n_tiles = _polygonize_features(args.src, meta, args.tile,
+                                             prep=prep)
+    feats = [f for f in features if f["properties"]["DN"] == 1]
+    for i, f in enumerate(feats):
+        f["id"] = i
+        del f["properties"]["DN"]
     with open(args.out, "w") as f:
-        json.dump({"type": "FeatureCollection", "features": features}, f)
-    print(json.dumps({"out": args.out, "n_polygons": len(features),
-                      "n_tiles": len(items)}))
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    print(json.dumps({"out": args.out, "n_polygons": len(feats),
+                      "n_tiles": n_tiles,
+                      "n_pixels": sum(f["properties"]["n_pixels"]
+                                      for f in feats)}))
     return 0
 
 
@@ -2136,6 +2186,16 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    fpt = sub.add_parser(
+        "footprint", help="valid-data footprint polygons (gdal_footprint): "
+                          "tile CCL + cross-tile ring stitch")
+    fpt.add_argument("src", help="source GeoTIFF")
+    fpt.add_argument("out", help="output GeoJSON")
+    fpt.add_argument("--nodata", type=float, default=None,
+                     help="override nodata (default: file tag, else 0)")
+    fpt.add_argument("--tile", type=int, default=256)
+    fpt.set_defaults(fn=cmd_footprint)
 
     bv = sub.add_parser(
         "buildvrt", help="stack GeoTIFFs into a VRT mosaic (gdalbuildvrt)")
