@@ -855,6 +855,71 @@ def cmd_proximity(args) -> int:
     return 0
 
 
+def cmd_grid(args) -> int:
+    """gdal_grid door (alg/gdalgrid.cpp GDALGridCreate): scattered vector
+    points → interpolated raster.  Distributed shape: the vector source
+    parses across Ray tasks, each point is replicated to the output cells
+    within the search radius (`lattice_scatter` — the per-cell quadtree
+    search made explicit as contribution rows), ONE groupby((ci,cj))
+    computes the per-cell aggregate (average / invdist / nearest / count
+    / min / max / range), and the driver paints the raster.  The shuffle
+    moves small fixed-width contribution rows, never pixels."""
+    import numpy as np
+    import pyarrow as pa_
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources import open_vector
+    from gdal_ray.stages.grid import lattice_reduce, lattice_scatter
+
+    _ray_init()
+    spec = args.alg.split(":")
+    alg = spec[0]
+    opts = dict(kv.split("=", 1) for kv in spec[1:])
+    radius = float(opts.get("radius", 1.0))
+    power = float(opts.get("power", 2.0))
+    nodata = float(opts.get("nodata", 0.0))
+    W, H = (int(v) for v in args.outsize.split("x"))
+    xmin, ymin, xmax, ymax = (float(v) for v in args.extent.split(","))
+    dx, dy = (xmax - xmin) / W, (ymax - ymin) / H
+    zfield = args.zfield
+
+    ds = open_vector(args.src)
+
+    def to_points(b: pa_.Table) -> pa_.Table:
+        wkb = b.column("wkb").to_pylist()
+        px, py = [], []
+        for g in wkb:
+            # WKB point: byte order, uint32 type, x, y — both orders
+            bo = "<" if g[0] == 1 else ">"
+            x, y = np.frombuffer(g, dtype=f"{bo}f8", count=2, offset=5)
+            px.append(float(x))
+            py.append(float(y))
+        z = (b.column(zfield).to_numpy(zero_copy_only=False)
+             .astype(np.float64) if zfield
+             else np.zeros(len(px)))
+        return pa_.table({"px": pa_.array(px, pa_.float64()),
+                          "py": pa_.array(py, pa_.float64()),
+                          "z": pa_.array(z, pa_.float64())})
+
+    cells = (ds.map_batches(to_points, batch_format="pyarrow")
+             .map_batches(lambda b: lattice_scatter(
+                 b, xmin=xmin, ymax=ymax, dx=dx, dy=dy, nx=W, ny=H,
+                 radius=radius), batch_format="pyarrow")
+             .groupby(["ci", "cj"])
+             .map_groups(lattice_reduce(alg, power=power),
+                         batch_format="pyarrow")
+             .take_all())
+    full = np.full((H, W), nodata, dtype=np.float32)
+    for c in cells:
+        full[c["cj"], c["ci"]] = c["value"]
+    gt = (xmin, dx, 0.0, ymax, 0.0, -dy)
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full, geotransform=gt))
+    print(json.dumps({"out": args.out, "alg": alg, "width": W, "height": H,
+                      "n_cells_hit": len(cells)}))
+    return 0
+
+
 def cmd_buildvrt(args) -> int:
     """gdalbuildvrt door (apps/gdalbuildvrt_lib.cpp): stack N GeoTIFF
     sources into one VRT mosaic XML over their union extent.  Pure
@@ -2186,6 +2251,21 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    gr = sub.add_parser(
+        "grid", help="scattered points -> raster (gdal_grid): replicate-"
+                     "to-cells scatter + one cell groupby")
+    gr.add_argument("src", help="vector point source (any driver)")
+    gr.add_argument("out", help="output float32 GeoTIFF")
+    gr.add_argument("--alg", default="average:radius=1",
+                    help="average|invdist|nearest|count|minimum|maximum|"
+                         "range, ':'-options radius=,power=,nodata=")
+    gr.add_argument("--outsize", default="256x256", help="WxH")
+    gr.add_argument("--extent", required=True,
+                    help="xmin,ymin,xmax,ymax")
+    gr.add_argument("--zfield", default=None,
+                    help="attribute holding the z value")
+    gr.set_defaults(fn=cmd_grid)
 
     fpt = sub.add_parser(
         "footprint", help="valid-data footprint polygons (gdal_footprint): "

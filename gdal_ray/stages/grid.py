@@ -246,3 +246,87 @@ def grid_invdist(points_ds, *, radius: float = RADIUS, power: float = 2.0):
         )
 
     return contrib.groupby(["cx", "cy"]).map_groups(reduce_cell, batch_format="pyarrow")
+
+
+# ---- parameterized lattice (the gdal_grid CLI door) -------------------------
+#
+# Same replicate-to-cells plan as scatter_contributions, but over an
+# arbitrary output raster (extent + size from the command line) and with a
+# real z column.  Cell centers are pixel centers: x = xmin + (ci+0.5)·dx,
+# y = ymax − (cj+0.5)·dy (row 0 = north, GDAL raster convention).
+
+
+def lattice_scatter(batch: pa.Table, *, xmin: float, ymax: float,
+                    dx: float, dy: float, nx: int, ny: int,
+                    radius: float) -> pa.Table:
+    """(px, py, z) rows → (ci, cj, z, d2) contribution rows, one per grid
+    cell whose center lies within `radius` of the point."""
+    px = batch.column("px").to_numpy()
+    py = batch.column("py").to_numpy()
+    z = batch.column("z").to_numpy().astype(np.float64)
+    # cell-center index ranges hit by each point
+    ci0 = np.maximum(np.ceil((px - radius - xmin) / dx - 0.5).astype(np.int64), 0)
+    ci1 = np.minimum(np.floor((px + radius - xmin) / dx - 0.5).astype(np.int64), nx - 1)
+    cj0 = np.maximum(np.ceil((ymax - py - radius) / dy - 0.5).astype(np.int64), 0)
+    cj1 = np.minimum(np.floor((ymax - py + radius) / dy - 0.5).astype(np.int64), ny - 1)
+    cnx = np.maximum(ci1 - ci0 + 1, 0)
+    cny = np.maximum(cj1 - cj0 + 1, 0)
+    count = cnx * cny
+    keep = count > 0
+    px, py, z = px[keep], py[keep], z[keep]
+    ci0, cj0, cnx, count = ci0[keep], cj0[keep], cnx[keep], count[keep]
+    idx = np.repeat(np.arange(len(z), dtype=np.int64), count)
+    starts = np.concatenate([[0], np.cumsum(count)[:-1]])
+    ordn = np.arange(int(count.sum()), dtype=np.int64) - np.repeat(starts, count)
+    ci = ci0[idx] + ordn % cnx[idx]
+    cj = cj0[idx] + ordn // cnx[idx]
+    cxc = xmin + (ci + 0.5) * dx
+    cyc = ymax - (cj + 0.5) * dy
+    ddx = px[idx] - cxc
+    ddy = py[idx] - cyc
+    d2 = ddx * ddx + ddy * ddy
+    inside = d2 <= radius * radius
+    return pa.table({
+        "ci": pa.array(ci[inside], pa.int64()),
+        "cj": pa.array(cj[inside], pa.int64()),
+        "z": pa.array(z[idx][inside], pa.float64()),
+        "d2": pa.array(d2[inside], pa.float64()),
+    })
+
+
+def lattice_reduce(alg: str, power: float = 2.0):
+    """Per-cell aggregate for `lattice_scatter` contributions — the
+    GGA_* menu: average, invdist, nearest, count, minimum, maximum,
+    range.  Sum order is pinned by (d2, z) lexsort so distributed
+    output is deterministic."""
+
+    def reduce_cell(g: pa.Table) -> pa.Table:
+        z = g.column("z").to_numpy()
+        d2 = g.column("d2").to_numpy()
+        order = np.lexsort((z, d2))
+        z, d2 = z[order], d2[order]
+        if alg == "average":
+            val = float(z.sum() / len(z))
+        elif alg == "invdist":
+            w = np.where(d2 == 0.0, np.inf, d2 ** (-power / 2.0))
+            val = (float(z[np.argmax(np.isinf(w))]) if np.isinf(w).any()
+                   else float(np.dot(w, z) / w.sum()))
+        elif alg == "nearest":
+            val = float(z[0])
+        elif alg == "count":
+            val = float(len(z))
+        elif alg == "minimum":
+            val = float(z.min())
+        elif alg == "maximum":
+            val = float(z.max())
+        elif alg == "range":
+            val = float(z.max() - z.min())
+        else:
+            raise ValueError(f"unknown gdal_grid algorithm {alg!r}")
+        return pa.table({
+            "ci": pa.array([g.column("ci")[0].as_py()], pa.int64()),
+            "cj": pa.array([g.column("cj")[0].as_py()], pa.int64()),
+            "value": pa.array([val], pa.float64()),
+        })
+
+    return reduce_cell
