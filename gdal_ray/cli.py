@@ -2056,6 +2056,69 @@ def cmd_ogr2ogr(args) -> int:
     return 0
 
 
+def cmd_ogrmerge(args) -> int:
+    """ogrmerge door (apps — ogrmerge.py single-layer mode): append N
+    vector sources into one output layer, optionally tagging each row
+    with its source basename (-src_layer_field_name analogue).  Sources
+    parse across Ray tasks (each driver's reader is already
+    distributed); schemas union with null-fill promotion like the
+    reference's field-schema merge."""
+    import pyarrow as pa_
+
+    from gdal_ray.sources import open_vector, save_vector
+
+    _ray_init()
+    dss = []
+    for p in args.src:
+        ds = open_vector(p)
+        if args.src_field:
+            base = os.path.splitext(os.path.basename(p))[0]
+            fld = args.src_field
+
+            def tag(b: pa_.Table, _base=base) -> pa_.Table:
+                return b.append_column(
+                    fld, pa_.array([_base] * len(b), pa_.string()))
+
+            ds = ds.map_batches(tag, batch_format="pyarrow")
+        dss.append(ds)
+    merged = dss[0].union(*dss[1:]) if len(dss) > 1 else dss[0]
+    save_vector(merged, args.dst)
+    print(json.dumps({"dst": args.dst, "n_sources": len(args.src)}))
+    return 0
+
+
+def cmd_identify(args) -> int:
+    """gdalmanage identify door: report the driver for each input path.
+    Header-only sniffs fan out across Ray tasks (one `describe` each —
+    the open-registry dispatch in sources/info), like `gdalmanage
+    identify -r` over a crawl tree."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    _ray_init()
+    paths = list(args.src)
+
+    def sniff(b: pa_.Table) -> pa_.Table:
+        from gdal_ray.info import describe
+        out = {"path": [], "driver": []}
+        for p in b.column("path").to_pylist():
+            try:
+                out["driver"].append(describe(p).get("driver", "unknown"))
+            except Exception:
+                out["driver"].append("unrecognized")
+            out["path"].append(p)
+        return pa_.table({"path": pa_.array(out["path"]),
+                          "driver": pa_.array(out["driver"])})
+
+    recs = (rd.from_items([{"path": p} for p in paths],
+                          override_num_blocks=max(1, min(len(paths), 32)))
+            .map_batches(sniff, batch_format="pyarrow").take_all())
+    by_path = {r["path"]: r["driver"] for r in recs}
+    for p in paths:
+        print(f"{p}: {by_path[p]}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """`gdal pipeline` analogue: run a !-chained pipeline string (or a
     saved .gdalg.json document) and print the result row count."""
@@ -2251,6 +2314,19 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    om = sub.add_parser(
+        "ogrmerge", help="append vector sources into one layer (ogrmerge)")
+    om.add_argument("dst", help="output vector file (any driver)")
+    om.add_argument("src", nargs="+", help="source vector files")
+    om.add_argument("--src-field", default=None,
+                    help="add a column with each row's source basename")
+    om.set_defaults(fn=cmd_ogrmerge)
+
+    idf = sub.add_parser(
+        "identify", help="report the driver per path (gdalmanage identify)")
+    idf.add_argument("src", nargs="+", help="paths to sniff")
+    idf.set_defaults(fn=cmd_identify)
 
     gr = sub.add_parser(
         "grid", help="scattered points -> raster (gdal_grid): replicate-"
