@@ -2056,6 +2056,33 @@ def cmd_ogr2ogr(args) -> int:
     return 0
 
 
+def cmd_transform(args) -> int:
+    """gdaltransform door (apps/gdaltransform.cpp): reproject coordinate
+    pairs between any two supported CRS (EPSG/ESRI codes, +proj strings,
+    WKT1).  Reads `x y` pairs from the command line or stdin, prints one
+    transformed pair per line — the coordinate-filter utility; the
+    closed-form kernels are the same ones the distributed warp stages
+    broadcast (crs.transform_fn)."""
+    from gdal_ray.crs import transform_fn
+
+    f = transform_fn(args.s_srs, args.t_srs)
+    if args.coords:
+        vals = [float(v) for v in args.coords]
+        if len(vals) % 2:
+            raise SystemExit("need an even count of coordinates")
+        pairs = list(zip(vals[0::2], vals[1::2]))
+    else:
+        pairs = []
+        for line in sys.stdin:
+            parts = line.split()
+            if len(parts) >= 2:
+                pairs.append((float(parts[0]), float(parts[1])))
+    for x, y in pairs:
+        ox, oy = f(x, y)
+        print(f"{float(ox):.15g} {float(oy):.15g}")
+    return 0
+
+
 def cmd_ogrmerge(args) -> int:
     """ogrmerge door (apps — ogrmerge.py single-layer mode): append N
     vector sources into one output layer, optionally tagging each row
@@ -2314,6 +2341,14 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    tf = sub.add_parser(
+        "transform", help="reproject coordinate pairs (gdaltransform)")
+    tf.add_argument("-s_srs", required=True, help="source CRS")
+    tf.add_argument("-t_srs", required=True, help="target CRS")
+    tf.add_argument("coords", nargs="*",
+                    help="x y [x y ...]; stdin lines if omitted")
+    tf.set_defaults(fn=cmd_transform)
 
     om = sub.add_parser(
         "ogrmerge", help="append vector sources into one layer (ogrmerge)")

@@ -50,3 +50,24 @@ def test_cli_identify(ray_session, tmp_path, capsys):
     assert "tif" in rep[str(t)].lower() or "gtiff" in rep[str(t)].lower()
     assert "json" in rep[str(g)].lower()
     assert rep[str(junk)] in ("unrecognized", "unknown")
+
+
+def test_cli_transform(capsys):
+    from gdal_ray.cli import main
+
+    rc = main(["transform", "-s_srs", "EPSG:4326", "-t_srs", "EPSG:3857",
+               "0", "0", "90", "45"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    x0, y0 = (float(v) for v in lines[0].split())
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+    x1, y1 = (float(v) for v in lines[1].split())
+    assert abs(x1 - 10018754.171394622) < 1e-3
+    assert abs(y1 - 5621521.486192067) < 1e-3
+
+    # round-trip through a UTM zone
+    rc = main(["transform", "-s_srs", "EPSG:32633", "-t_srs", "EPSG:4326",
+               "500000", "0"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    lon, lat = (float(v) for v in lines[-1].split())
+    assert abs(lon - 15.0) < 1e-9 and abs(lat) < 1e-9
