@@ -2056,6 +2056,61 @@ def cmd_ogr2ogr(args) -> int:
     return 0
 
 
+def cmd_vectortiles(args) -> int:
+    """Vector-tiles door (ogr2ogr -f MVT / -f MBTiles;
+    ogr/ogrsf_frmts/mvt/mvtutils.cpp): any vector source → a zoom range
+    of Mapbox Vector Tiles inside MBTiles or PMTiles.  Distributed
+    shape: features cover/clip/quantize to their tiles inside
+    map_batches (Sutherland–Hodgman ring clip, Liang–Barsky line clip —
+    in tile units), ONE groupby((z,x,y)) per zoom builds deterministic
+    tile blobs, and the container writer streams them out.  Geometry
+    never concentrates on the driver."""
+    import ray.data as rd
+
+    from gdal_ray.sources import open_vector
+    from gdal_ray.stages.mvt import build_mixed_tile, geometry_cover_batch
+
+    _ray_init()
+    zooms = ([int(v) for v in args.zoom.split("-")] if "-" in args.zoom
+             else [int(args.zoom)])
+    if len(zooms) == 1:
+        zmin = zmax = zooms[0]
+    else:
+        zmin, zmax = zooms
+    props = args.props.split(",") if args.props else []
+    extent = int(args.extent)
+    ds = open_vector(args.src)
+
+    per_zoom = []
+    for z in range(zmin, zmax + 1):
+        cov = ds.map_batches(
+            lambda b, _z=z: geometry_cover_batch(
+                b, zoom=_z, extent=extent, props=props),
+            batch_format="pyarrow")
+        per_zoom.append(cov.groupby(["z", "x", "y"]).map_groups(
+            build_mixed_tile(args.layer, extent=extent),
+            batch_format="pyarrow"))
+    tiles = per_zoom[0].union(*per_zoom[1:]) if len(per_zoom) > 1 \
+        else per_zoom[0]
+
+    low = args.out.lower()
+    if low.endswith(".mbtiles"):
+        from gdal_ray.state.mbtiles import write_mbtiles
+        n = write_mbtiles(tiles, args.out, tile_size=extent,
+                          already_encoded=True, fmt="pbf",
+                          blob_col="mvt")
+    elif low.endswith(".pmtiles"):
+        from gdal_ray.state.pmtiles import TILETYPE_MVT, write_pmtiles
+        n = write_pmtiles(tiles, args.out, tile_size=extent,
+                          already_encoded=True, tile_type=TILETYPE_MVT,
+                          blob_col="mvt")
+    else:
+        raise SystemExit("vectortiles output must be .mbtiles or .pmtiles")
+    print(json.dumps({"out": args.out, "n_tiles": n,
+                      "zooms": [zmin, zmax], "layer": args.layer}))
+    return 0
+
+
 def cmd_transform(args) -> int:
     """gdaltransform door (apps/gdaltransform.cpp): reproject coordinate
     pairs between any two supported CRS (EPSG/ESRI codes, +proj strings,
@@ -2341,6 +2396,18 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    vt = sub.add_parser(
+        "vectortiles", help="vector source -> MVT pyramid in MBTiles/"
+                            "PMTiles (ogr2ogr -f MVT)")
+    vt.add_argument("src", help="vector source (any driver)")
+    vt.add_argument("out", help="output .mbtiles or .pmtiles")
+    vt.add_argument("--zoom", default="0-4", help="Z or Zmin-Zmax")
+    vt.add_argument("--layer", default="layer", help="MVT layer name")
+    vt.add_argument("--props", default=None,
+                    help="comma property columns to carry into features")
+    vt.add_argument("--extent", type=int, default=4096)
+    vt.set_defaults(fn=cmd_vectortiles)
 
     tf = sub.add_parser(
         "transform", help="reproject coordinate pairs (gdaltransform)")

@@ -522,3 +522,54 @@ def union_area_rects(x0: np.ndarray, y0: np.ndarray,
         covered = int((seg_ends - seg_starts).sum())
         total += (xb - xa) * covered
     return total
+
+
+def clip_line_box(line: np.ndarray, x0: float, y0: float,
+                  x1: float, y1: float) -> list[np.ndarray]:
+    """Clip a polyline to an axis-aligned box (Liang–Barsky per segment,
+    consecutive in-box segments stitched back together) -> list of
+    clipped sub-lines.  The MVT tiling door's linestring kernel
+    (reference: mvtutils.cpp clips through GEOS Intersection)."""
+    line = np.asarray(line, dtype=np.float64)
+    out: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 2:
+            out.append(np.asarray(cur))
+        cur = []
+
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        d = q - p
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for delta, lo, hi, c in ((d[0], x0, x1, p[0]), (d[1], y0, y1, p[1])):
+            if delta == 0.0:
+                if c < lo or c > hi:
+                    ok = False
+                    break
+            else:
+                ta, tb = (lo - c) / delta, (hi - c) / delta
+                if ta > tb:
+                    ta, tb = tb, ta
+                t0, t1 = max(t0, ta), min(t1, tb)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            flush()
+            continue
+        a = p + t0 * d
+        b = p + t1 * d
+        if not cur:
+            cur = [a]
+        elif not np.array_equal(cur[-1], a):
+            flush()
+            cur = [a]
+        cur.append(b)
+        if t1 < 1.0:
+            flush()
+    flush()
+    return out

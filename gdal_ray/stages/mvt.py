@@ -470,3 +470,163 @@ def quantize_points_batch(b: pa.Table, *, zoom: int, lon_col: str = "px",
     for k in keep or []:
         cols[k] = b.column(k)
     return pa.table(cols)
+
+
+# ---- generic vector → MVT tiling (the `vectortiles` CLI door) --------------
+#
+# Cover/clip/quantize each feature to its zoom-Z tiles inside map_batches,
+# then ONE groupby((z,x,y)) builds tile blobs — the same single spatial
+# shuffle as encode_point_tiles, generalized to lines and polygons
+# (reference: ogr/ogrsf_frmts/mvt/mvtutils.cpp, which clips through GEOS;
+# here rings clip with Sutherland–Hodgman `clip_ring_box` and lines with
+# Liang–Barsky `clip_line_box`, both in tile units).  Holes are clipped
+# per-ring (documented deviation: a hole that crosses the tile edge keeps
+# its clipped shape; the reference re-noded topology via GEOS).
+
+
+def _tile_units(coords: np.ndarray, zoom: int) -> np.ndarray:
+    """lon/lat columns -> global WebMercator tile units at `zoom`
+    (x right from -180, y down from the top latitude)."""
+    from gdal_ray import tilemath as tm
+
+    n = float(1 << zoom)
+    lon = coords[:, 0]
+    lat = np.clip(coords[:, 1], -tm.MAX_LATITUDE, tm.MAX_LATITUDE)
+    mx = (lon + 180.0) / 360.0 * n
+    lat_r = np.radians(lat)
+    my = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+    return np.stack([mx, my], axis=1)
+
+
+def _pack_parts(parts: list[np.ndarray]) -> bytes:
+    chunks = [np.asarray([len(parts)], np.int64).tobytes()]
+    for p in parts:
+        chunks.append(np.asarray([len(p)], np.int64).tobytes())
+        chunks.append(np.ascontiguousarray(p, dtype=np.int64).tobytes())
+    return b"".join(chunks)
+
+
+def _unpack_parts(blob: bytes) -> list[np.ndarray]:
+    npart = int(np.frombuffer(blob, np.int64, 1)[0])
+    off = 8
+    parts = []
+    for _ in range(npart):
+        k = int(np.frombuffer(blob, np.int64, 1, off)[0])
+        off += 8
+        parts.append(np.frombuffer(blob, np.int64, 2 * k, off).reshape(k, 2))
+        off += 16 * k
+    return parts
+
+
+def geometry_cover_batch(b: pa.Table, *, zoom: int,
+                         extent: int = EXTENT_DEFAULT,
+                         props: list[str] | None = None) -> pa.Table:
+    """(wkb [, prop columns]) rows -> per-(tile, feature) rows
+    (z, x, y, gtype, parts:binary, props:json-string), clipped and
+    quantized to tile-local integers."""
+    import json as _json
+
+    from gdal_ray.geometry.ops import clip_line_box, clip_ring_box
+    from gdal_ray.sources.geojson import wkb_to_geometry
+
+    props = props or []
+    n = 1 << zoom
+    out = {"z": [], "x": [], "y": [], "gtype": [], "parts": [], "props": []}
+    prop_cols = {p: b.column(p).to_pylist() for p in props}
+    for i, wkb in enumerate(b.column("wkb").to_pylist()):
+        geom = wkb_to_geometry(wkb)
+        t = geom["type"]
+        pj = _json.dumps({p: prop_cols[p][i] for p in props}, sort_keys=True)
+        if t in ("Point", "MultiPoint"):
+            pts = np.asarray([geom["coordinates"]] if t == "Point"
+                             else geom["coordinates"], np.float64)
+            gt, shapes = GEOM_POINT, [pts]
+        elif t in ("LineString", "MultiLineString"):
+            ls = ([geom["coordinates"]] if t == "LineString"
+                  else geom["coordinates"])
+            gt, shapes = GEOM_LINESTRING, [np.asarray(l, np.float64)
+                                           for l in ls]
+        else:
+            polys = ([geom["coordinates"]] if t == "Polygon"
+                     else geom["coordinates"])
+            gt = GEOM_POLYGON
+            shapes = [np.asarray(r, np.float64)
+                      for rings in polys for r in rings]
+        units = [_tile_units(s, zoom) for s in shapes]
+        allu = np.concatenate(units)
+        tx0 = max(int(np.floor(allu[:, 0].min())), 0)
+        tx1 = min(int(np.floor(allu[:, 0].max())), n - 1)
+        ty0 = max(int(np.floor(allu[:, 1].min())), 0)
+        ty1 = min(int(np.floor(allu[:, 1].max())), n - 1)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                parts = []
+                for u in units:
+                    if gt == GEOM_POINT:
+                        sel = ((u[:, 0] >= tx) & (u[:, 0] < tx + 1)
+                               & (u[:, 1] >= ty) & (u[:, 1] < ty + 1))
+                        if sel.any():
+                            clipped = [u[sel]]
+                        else:
+                            clipped = []
+                    elif gt == GEOM_LINESTRING:
+                        clipped = clip_line_box(u, tx, ty, tx + 1, ty + 1)
+                    else:
+                        r = clip_ring_box(u, tx, ty, tx + 1, ty + 1)
+                        clipped = [r] if len(r) >= 3 else []
+                    for c in clipped:
+                        q = np.round((c - [tx, ty]) * extent).astype(np.int64)
+                        keep = np.ones(len(q), bool)
+                        keep[1:] = (np.diff(q, axis=0) != 0).any(axis=1)
+                        q = q[keep]
+                        if gt == GEOM_POINT or \
+                           (gt == GEOM_LINESTRING and len(q) >= 2) or \
+                           (gt == GEOM_POLYGON and len(q) >= 3):
+                            parts.append(q)
+                if parts:
+                    out["z"].append(zoom)
+                    out["x"].append(tx)
+                    out["y"].append(ty)
+                    out["gtype"].append(gt)
+                    out["parts"].append(_pack_parts(parts))
+                    out["props"].append(pj)
+    return pa.table({
+        "z": pa.array(out["z"], pa.int64()),
+        "x": pa.array(out["x"], pa.int64()),
+        "y": pa.array(out["y"], pa.int64()),
+        "gtype": pa.array(out["gtype"], pa.int64()),
+        "parts": pa.array(out["parts"], pa.binary()),
+        "props": pa.array(out["props"], pa.string()),
+    })
+
+
+def build_mixed_tile(layer_name: str = "layer",
+                     extent: int = EXTENT_DEFAULT):
+    """groupby((z,x,y)) finalizer for geometry_cover_batch rows -> one
+    (z, x, y, mvt) row; features sorted by (props, bytes) so tile blobs
+    are deterministic across partitionings."""
+    import json as _json
+
+    def build(g: pa.Table) -> pa.Table:
+        z = int(g.column("z")[0].as_py())
+        x = int(g.column("x")[0].as_py())
+        y = int(g.column("y")[0].as_py())
+        rows = sorted(
+            zip(g.column("props").to_pylist(),
+                g.column("gtype").to_pylist(),
+                g.column("parts").to_pylist()),
+            key=lambda r: (r[0], r[2]))
+        feats = [{"type": int(gt), "parts": _unpack_parts(blob),
+                  "props": _json.loads(pj)}
+                 for pj, gt, blob in rows]
+        blob = encode_tile([(layer_name,
+                             encode_layer(layer_name, feats,
+                                          extent=extent))])
+        return pa.table({
+            "z": pa.array([z], pa.int64()),
+            "x": pa.array([x], pa.int64()),
+            "y": pa.array([y], pa.int64()),
+            "mvt": pa.array([blob], pa.binary()),
+        })
+
+    return build
