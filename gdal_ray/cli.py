@@ -2056,6 +2056,142 @@ def cmd_ogr2ogr(args) -> int:
     return 0
 
 
+def cmd_rgb2pct(args) -> int:
+    """rgb2pct door (apps — rgb2pct.py; alg/gdalmediancut.cpp
+    GDALComputeMedianCutPCT + alg/gdaldither.cpp): RGB GeoTIFF → single
+    palette-indexed band with a TIFF ColorMap.  Distributed shape: pass
+    1 stride-samples pixels per strip (the reference's median-cut also
+    samples) and the driver median-cuts the pooled sample into the
+    palette; pass 2 maps each strip to nearest-palette indices
+    (integer-exact matmul kernel).  --dither runs Floyd–Steinberg
+    PER STRIP — error diffusion is inherently sequential across rows,
+    so strip edges reset the error buffer (documented deviation; the
+    reference diffuses whole-image)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.color import (dither_fs, median_cut_palette,
+                                       nearest_palette_index)
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    if meta["spp"] < 3:
+        raise SystemExit("rgb2pct needs a 3-band RGB source")
+    n_colors = int(args.n)
+    stride = max(int(args.sample), 1)
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path = args.src
+
+    def sample(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "px": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                win = read_window(f, meta, y0, y0 + th, 0, W)[:, :, :3]
+                sub = win[::stride, ::stride].reshape(-1, 3)
+                rows["y0"].append(y0)
+                rows["px"].append(sub.astype(np.uint8).tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "px": pa_.array(rows["px"], pa_.binary())})
+
+    parts = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(sample, batch_format="pyarrow").take_all())
+    parts.sort(key=lambda r: r["y0"])   # deterministic pool order
+    pool = np.concatenate(
+        [np.frombuffer(p["px"], np.uint8).reshape(-1, 3) for p in parts])
+    pal = median_cut_palette(pool, n_colors=n_colors)
+    use_dither = args.dither
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                win = read_window(f, meta, y0, y0 + th, 0, W)[:, :, :3]
+                idx = (dither_fs(win, pal) if use_dither
+                       else nearest_palette_index(win, pal))
+                rows["y0"].append(y0)
+                rows["data"].append(idx.astype(np.uint8).tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary())})
+
+    parts2 = (rd.from_items(items, override_num_blocks=nb)
+              .map_batches(work, batch_format="pyarrow").take_all())
+    full = np.empty((H, W), dtype=np.uint8)
+    for p in parts2:
+        y0 = p["y0"]
+        strip = np.frombuffer(p["data"], np.uint8).reshape(-1, W)
+        full[y0:y0 + strip.shape[0]] = strip
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full,
+                               geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg"),
+                               palette=pal.astype(np.uint16) * 257))
+    print(json.dumps({"out": args.out, "n_colors": n_colors,
+                      "width": W, "height": H,
+                      "n_sampled": int(len(pool)),
+                      "dither": bool(use_dither)}))
+    return 0
+
+
+def cmd_pct2rgb(args) -> int:
+    """pct2rgb door (apps — pct2rgb.py): palette-indexed GeoTIFF → RGB.
+    Strip-parallel palette expansion (the ColorMap ships to every task
+    as a 768-entry array; pixels never shuffle)."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    pal16 = meta.get("palette")
+    if pal16 is None:
+        raise SystemExit("pct2rgb: source has no TIFF ColorMap")
+    pal8 = (np.asarray(pal16, np.uint32) // 257).astype(np.uint8)
+    strip_h = max(args.strip, 16)
+    items = [{"y0": y0, "h": min(strip_h, H - y0)}
+             for y0 in range(0, H, strip_h)]
+    nb = max(1, len(items) // 4)
+    src_path = args.src
+
+    def work(b: pa_.Table) -> pa_.Table:
+        rows = {"y0": [], "data": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                y0, th = it["y0"], it["h"]
+                idx = read_window(f, meta, y0, y0 + th, 0, W)[:, :, 0]
+                rgb = pal8[idx]
+                rows["y0"].append(y0)
+                rows["data"].append(rgb.tobytes())
+        return pa_.table({"y0": pa_.array(rows["y0"], pa_.int64()),
+                          "data": pa_.array(rows["data"], pa_.binary())})
+
+    parts = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(work, batch_format="pyarrow").take_all())
+    full = np.empty((H, W, 3), dtype=np.uint8)
+    for p in parts:
+        y0 = p["y0"]
+        strip = np.frombuffer(p["data"], np.uint8).reshape(-1, W, 3)
+        full[y0:y0 + strip.shape[0]] = strip
+    with open(args.out, "wb") as f:
+        f.write(encode_geotiff(full,
+                               geotransform=meta.get("geotransform"),
+                               epsg=meta.get("epsg")))
+    print(json.dumps({"out": args.out, "width": W, "height": H}))
+    return 0
+
+
 def cmd_vectortiles(args) -> int:
     """Vector-tiles door (ogr2ogr -f MVT / -f MBTiles;
     ogr/ogrsf_frmts/mvt/mvtutils.cpp): any vector source → a zoom range
@@ -2396,6 +2532,26 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    rp = sub.add_parser(
+        "rgb2pct", help="RGB -> palette-indexed GeoTIFF (rgb2pct): "
+                        "sampled median cut + strip-exact nearest map")
+    rp.add_argument("src", help="RGB GeoTIFF")
+    rp.add_argument("out", help="output indexed GeoTIFF (TIFF ColorMap)")
+    rp.add_argument("-n", type=int, default=256, help="palette size")
+    rp.add_argument("--sample", type=int, default=4,
+                    help="pixel stride for the palette sample pool")
+    rp.add_argument("--dither", action="store_true",
+                    help="Floyd-Steinberg per strip (edges reset)")
+    rp.add_argument("--strip", type=int, default=512)
+    rp.set_defaults(fn=cmd_rgb2pct)
+
+    pr = sub.add_parser(
+        "pct2rgb", help="palette-indexed GeoTIFF -> RGB (pct2rgb)")
+    pr.add_argument("src", help="indexed GeoTIFF with a ColorMap")
+    pr.add_argument("out", help="output RGB GeoTIFF")
+    pr.add_argument("--strip", type=int, default=512)
+    pr.set_defaults(fn=cmd_pct2rgb)
 
     vt = sub.add_parser(
         "vectortiles", help="vector source -> MVT pyramid in MBTiles/"

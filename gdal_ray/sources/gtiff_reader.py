@@ -95,6 +95,11 @@ def tiff_levels(path: str) -> list[dict]:
                            if T_JPEG_TABLES in tags else None),
             "geotransform": None, "nodata": None, "epsg": None,
         }
+        if 320 in tags:  # TIFF 6.0 §ColorMap: R..G..B planes of 2^bits SHORTs
+            cm = np.asarray(tags[320], dtype=np.uint16)
+            n = 1 << bits
+            meta["palette"] = np.stack(
+                [cm[:n], cm[n:2 * n], cm[2 * n:3 * n]], axis=1)
         if T_GEO_KEYS in tags:
             gk = tags[T_GEO_KEYS]
             for ki in range(int(gk[3])):
