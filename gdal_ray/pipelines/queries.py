@@ -7298,6 +7298,7 @@ def queries():
         # -- new in round 4e (oracle-backed, outside the 50-slot window;
         #    verified via tools/parity.py like prior outside-window rows) --
         "pii_redact": q_pii_redact,
+        "curate_pipeline": q_curate_pipeline,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7442,6 +7443,84 @@ def queries():
     }
 
 
+def q_curate_pipeline(sf_dir: str):
+    """End-to-end curation flagship (the FineWeb/CCNet pipeline shape,
+    composed from the engine's own stages): quality gate (alpha share +
+    min tokens) -> exact dedup keeping the min-doc_id representative per
+    distinct text -> PII redaction (stages/pii.py pattern constants,
+    identical in the SQL twin) -> token recount of the redacted text.
+    ONE shuffle total (the dedup groupby); every step integer/string
+    exact so the DuckDB twin hash-matches bit-for-bit.  At 100 TB: the
+    gate and redaction are shuffle-free map_batches, and the dedup
+    exchange moves (hash, doc_id, text) only for gate survivors."""
+    from gdal_ray.stages import dedup as dedup_stage
+    from gdal_ray.stages.pii import redact_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        t = text_stage.token_stats_batch(b)
+        nonspace = (
+            t.column("n_chars").to_numpy()
+            - pc.count_substring(b.column("text"), " ")
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        mask = (t.column("n_alpha").to_numpy() * 10 >= nonspace * 7) & (
+            t.column("n_tokens").to_numpy() >= 20)
+        return b.filter(pa.array(mask))
+
+    hashed = (docs.map_batches(gate, batch_format="pyarrow")
+              .map_batches(
+                  lambda b: dedup_stage.content_hash_batch(b, "text"),
+                  batch_format="pyarrow"))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        # min doc_id per DISTINCT text (hash collisions harmless)
+        ids = g.column("doc_id").to_numpy()
+        texts = g.column("text").to_pylist()
+        best: dict[str, int] = {}
+        for i, t in zip(ids, texts):
+            if t not in best or i < best[t]:
+                best[t] = int(i)
+        sel = np.isin(ids, sorted(best.values()))
+        return g.filter(pa.array(sel)).select(["doc_id", "text"])
+
+    kept = hashed.groupby("content_hash").map_groups(
+        keep_min, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.select(["doc_id"])
+        r = redact_batch(_pii_augment(b), col="full_text")
+        nt = pc.count_substring_regex(
+            r.column("redacted"), pattern=r"\S+").cast(pa.int64())
+        return (r.drop_columns(["full_text"])
+                .append_column("n_tokens_redacted", nt))
+
+    return kept.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_curate_pipeline() -> str:
+    from gdal_ray.stages.pii import sql_redact_exprs
+
+    red, counts = sql_redact_exprs("full_text")
+    return (
+        "WITH q AS (SELECT doc_id, text, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        "len(replace(text, ' ', '')) AS n_nonspace FROM documents), "
+        "g AS (SELECT doc_id, text FROM q "
+        "WHERE n_alpha * 10 >= n_nonspace * 7 AND n_tokens >= 20), "
+        "k AS (SELECT MIN(doc_id) AS doc_id, text FROM g GROUP BY text), "
+        f"f AS (SELECT doc_id, {PII_FULL_SQL} AS full_text FROM k) "
+        f"SELECT doc_id, {', '.join(counts)}, {red} AS redacted, "
+        f"CAST(len(regexp_extract_all({red}, '\\S+')) AS BIGINT) "
+        "AS n_tokens_redacted FROM f ORDER BY doc_id"
+    )
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -7539,6 +7618,7 @@ def oracle_sql():
         "decontaminate": SQL_DECONTAMINATE,
         "dup_ngram": SQL_DUP_NGRAM,
         "pii_redact": _sql_pii_redact(),
+        "curate_pipeline": _sql_curate_pipeline(),
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
