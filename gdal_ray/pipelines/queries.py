@@ -7299,6 +7299,7 @@ def queries():
         #    verified via tools/parity.py like prior outside-window rows) --
         "pii_redact": q_pii_redact,
         "curate_pipeline": q_curate_pipeline,
+        "gopher_rules": q_gopher_rules,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7521,6 +7522,110 @@ def _sql_curate_pipeline() -> str:
 
 
 
+def q_gopher_rules(sf_dir: str):
+    """The full Gopher quality-rule table (Rae et al. 2021 §A1.1, the
+    published filter MassiveWeb used; also the FineWeb/Dolma base
+    filter): per doc — word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# or ...) <= 0.1, <= 90% bullet-start
+    lines, <= 30% ellipsis-end lines, >= 80% words with an alphabetic
+    char, >= 2 of the 8 Gopher stop words.  Every rule is evaluated as
+    an INTEGER cross-multiplication (no float ratios) with the same RE2
+    patterns on both sides, so the DuckDB twin hash-matches exactly.
+    Shuffle-free map_batches; scales with input bytes."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+    def rules(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        n_words = pc.count_substring_regex(t, pattern=r"\S+").cast(pa.int64())
+        n_chars = pc.utf8_length(t).cast(pa.int64())
+        n_ws = pc.count_substring_regex(t, pattern=r"\s").cast(pa.int64())
+        word_chars = pc.subtract(n_chars, n_ws)
+        n_sym = pc.add(
+            pc.count_substring_regex(t, pattern=r"#").cast(pa.int64()),
+            pc.count_substring_regex(t, pattern=r"\.\.\.").cast(pa.int64()))
+        n_lines = pc.add(
+            pc.count_substring_regex(t, pattern=r"\n").cast(pa.int64()), 1)
+        n_bullet = pc.count_substring_regex(
+            t, pattern="(?m)^[-*\u2022]").cast(pa.int64())
+        n_ellend = pc.count_substring_regex(
+            t, pattern=r"(?m)\.\.\.$").cast(pa.int64())
+        n_alpha_w = pc.count_substring_regex(
+            t, pattern=r"\S*[A-Za-z]\S*").cast(pa.int64())
+        n_stop = None
+        for w in STOPS:
+            hit = pc.match_substring_regex(
+                t, pattern=rf"\b{w}\b").cast(pa.int64())
+            n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+        nw = n_words.to_numpy()
+        wc = word_chars.to_numpy()
+        ok = {
+            "r_word_count": (nw >= 50) & (nw <= 100_000),
+            "r_mean_word_len": (wc >= 3 * nw) & (wc <= 10 * nw),
+            "r_symbol_ratio": 10 * n_sym.to_numpy() <= nw,
+            "r_bullet_lines": 10 * n_bullet.to_numpy()
+                              <= 9 * n_lines.to_numpy(),
+            "r_ellipsis_lines": 10 * n_ellend.to_numpy()
+                                <= 3 * n_lines.to_numpy(),
+            "r_alpha_words": 5 * n_alpha_w.to_numpy() >= 4 * nw,
+            "r_stop_words": n_stop.to_numpy() >= 2,
+        }
+        keep = np.ones(len(b), dtype=bool)
+        cols = {"doc_id": b.column("doc_id"),
+                "n_words": pa.array(nw, pa.int64())}
+        for name, v in ok.items():
+            cols[name] = pa.array(v.astype(np.int64), pa.int64())
+            keep &= v
+        cols["keep"] = pa.array(keep.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(rules, batch_format="pyarrow")
+
+
+SQL_GOPHER_RULES = r"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+    CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+      + CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+    CAST(len(regexp_extract_all(text, '
+')) AS BIGINT) + 1 AS n_lines,
+    CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT)
+      AS n_bullet,
+    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS BIGINT) AS n_ellend,
+    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT)
+      AS n_alpha_w,
+    CAST(regexp_matches(text, 'the') AS BIGINT)
+      + CAST(regexp_matches(text, 'be') AS BIGINT)
+      + CAST(regexp_matches(text, 'to') AS BIGINT)
+      + CAST(regexp_matches(text, 'of') AS BIGINT)
+      + CAST(regexp_matches(text, 'and') AS BIGINT)
+      + CAST(regexp_matches(text, 'that') AS BIGINT)
+      + CAST(regexp_matches(text, 'have') AS BIGINT)
+      + CAST(regexp_matches(text, 'with') AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words,
+  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+  CAST(word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS BIGINT)
+    AS r_mean_word_len,
+  CAST(10 * n_sym <= n_words AS BIGINT) AS r_symbol_ratio,
+  CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) AS r_bullet_lines,
+  CAST(10 * n_ellend <= 3 * n_lines AS BIGINT) AS r_ellipsis_lines,
+  CAST(5 * n_alpha_w >= 4 * n_words AS BIGINT) AS r_alpha_words,
+  CAST(n_stop >= 2 AS BIGINT) AS r_stop_words,
+  CAST(n_words >= 50 AND n_words <= 100000
+   AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+   AND 10 * n_sym <= n_words
+   AND 10 * n_bullet <= 9 * n_lines
+   AND 10 * n_ellend <= 3 * n_lines
+   AND 5 * n_alpha_w >= 4 * n_words
+   AND n_stop >= 2 AS BIGINT) AS keep
+FROM s
+"""
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -7619,6 +7724,7 @@ def oracle_sql():
         "dup_ngram": SQL_DUP_NGRAM,
         "pii_redact": _sql_pii_redact(),
         "curate_pipeline": _sql_curate_pipeline(),
+        "gopher_rules": SQL_GOPHER_RULES,
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
