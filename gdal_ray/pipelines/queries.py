@@ -7300,6 +7300,8 @@ def queries():
         "pii_redact": q_pii_redact,
         "curate_pipeline": q_curate_pipeline,
         "gopher_rules": q_gopher_rules,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7626,6 +7628,113 @@ FROM s
 
 
 
+def q_funnel_steps(sf_dir: str):
+    """Funnel analysis (the event-analytics staple; SQL-window
+    equivalent of Spark's sequence-match): per user, the earliest
+    view -> first click AFTER it -> first purchase AFTER that.  One
+    user-keyed shuffle; per-group numpy searchsorted chains the steps.
+    Timestamps compare as epoch microseconds (int64) on both sides, -1
+    the null sentinel, so the DuckDB twin hash-matches exactly."""
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_type", "ts"])
+
+    def funnel(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist())
+        views = np.sort(ts[et == "view"])
+        if len(views) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "reached": pa.array([], pa.int64()),
+                             "t1_us": pa.array([], pa.int64()),
+                             "t2_us": pa.array([], pa.int64()),
+                             "t3_us": pa.array([], pa.int64())})
+        t1 = int(views[0])
+        clicks = np.sort(ts[et == "click"])
+        i = np.searchsorted(clicks, t1, side="right")
+        t2 = int(clicks[i]) if i < len(clicks) else -1
+        t3 = -1
+        if t2 != -1:
+            purchases = np.sort(ts[et == "purchase"])
+            j = np.searchsorted(purchases, t2, side="right")
+            t3 = int(purchases[j]) if j < len(purchases) else -1
+        reached = 1 + (t2 != -1) + (t3 != -1)
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "reached": pa.array([reached], pa.int64()),
+                         "t1_us": pa.array([t1], pa.int64()),
+                         "t2_us": pa.array([t2], pa.int64()),
+                         "t3_us": pa.array([t3], pa.int64())})
+
+    return events.groupby("user_id").map_groups(
+        funnel, batch_format="pyarrow")
+
+
+SQL_FUNNEL_STEPS = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT v.user_id, v.t1, MIN(e.ts) AS t2 FROM v
+      LEFT JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY v.user_id, v.t1),
+p AS (SELECT c.user_id, c.t1, c.t2, MIN(e.ts) AS t3 FROM c
+      LEFT JOIN events e ON e.user_id = c.user_id
+        AND e.event_type = 'purchase' AND c.t2 IS NOT NULL
+        AND e.ts > c.t2
+      GROUP BY c.user_id, c.t1, c.t2)
+SELECT user_id,
+  CAST(1 + CAST(t2 IS NOT NULL AS INTEGER)
+         + CAST(t3 IS NOT NULL AS INTEGER) AS BIGINT) AS reached,
+  CAST(epoch_us(t1) AS BIGINT) AS t1_us,
+  CAST(COALESCE(epoch_us(t2), -1) AS BIGINT) AS t2_us,
+  CAST(COALESCE(epoch_us(t3), -1) AS BIGINT) AS t3_us
+FROM p
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention (weekly cohorts by first event, distinct active
+    users at week k — the analytics-warehouse staple): ONE user-keyed
+    shuffle computes each user's Monday-truncated cohort week and its
+    distinct active-week offsets in numpy, then a tiny (cohort, week)
+    count aggregate.  Weeks are integer epoch-days (Monday truncation:
+    day - ((day + 3) mod 7), 1970-01-01 was a Thursday) so the DuckDB
+    date_trunc twin matches bit-for-bit."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        monday = day - ((day + 3) % 7)
+        cohort = int(monday.min())
+        week_k = np.unique((monday - cohort) // 7)
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(week_k), cohort), pa.int64()),
+            "week_k": pa.array(week_k, pa.int64()),
+        })
+
+    rows = events.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+    return grouped_aggregate(rows, keys=["cohort_day", "week_k"],
+                             aggs=[("week_k", "count", "n_users")])
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id,
+        CAST(date_diff('day', DATE '1970-01-01', f.cohort) AS BIGINT)
+          AS cohort_day,
+        CAST(date_diff('day', f.cohort,
+                       date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_k
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_day, week_k, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_day, week_k
+"""
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -7725,6 +7834,8 @@ def oracle_sql():
         "pii_redact": _sql_pii_redact(),
         "curate_pipeline": _sql_curate_pipeline(),
         "gopher_rules": SQL_GOPHER_RULES,
+        "funnel_steps": SQL_FUNNEL_STEPS,
+        "cohort_retention": SQL_COHORT_RETENTION,
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
