@@ -2056,6 +2056,129 @@ def cmd_ogr2ogr(args) -> int:
     return 0
 
 
+def cmd_raster2tiles(args) -> int:
+    """gdal2tiles door (osgeo_utils/gdal2tiles.py): ONE georeferenced
+    raster → a WebMercator XYZ PNG pyramid inside MBTiles.  Distributed
+    shape: base-zoom tiles render in parallel (each task inverse-maps
+    its 256² pixel centers 3857→source CRS→source pixels through the
+    closed-form kernels and range-reads only its source window,
+    nearest-sampled; outside pixels get alpha 0), then each overview
+    level is the engine's 4→1 groupby reduction (`overview_level`,
+    gcore/overview.cpp dispatch — average by default, like the
+    reference's pyramid build), with a per-level materialize barrier.
+    PNG encode runs in the MBTiles sink's parallel stage."""
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from gdal_ray import tilemath as tm
+    from gdal_ray.crs import transform_fn
+    from gdal_ray.sources.gtiff_reader import read_window, tiff_levels
+    from gdal_ray.stages.render import overview_level
+    from gdal_ray.state.mbtiles import write_mbtiles
+
+    _ray_init()
+    meta = tiff_levels(args.src)[0]
+    W, H = meta["width"], meta["height"]
+    gt = meta.get("geotransform")
+    if gt is None:
+        raise SystemExit("raster2tiles needs a georeferenced source")
+    s_srs = args.s_srs or (f"EPSG:{meta['epsg']}" if meta.get("epsg")
+                           else "EPSG:4326")
+    fwd = transform_fn(s_srs, "EPSG:3857")   # source -> meters
+    inv = transform_fn("EPSG:3857", s_srs)   # meters -> source
+    TS = 256
+
+    # source corner ring -> 3857 bbox (corner+edge-midpoint sampling)
+    cs = np.array([[0, 0], [W / 2, 0], [W, 0], [W, H / 2], [W, H],
+                   [W / 2, H], [0, H], [0, H / 2]], np.float64)
+    sx = gt[0] + cs[:, 0] * gt[1] + cs[:, 1] * gt[2]
+    sy = gt[3] + cs[:, 0] * gt[4] + cs[:, 1] * gt[5]
+    mx, my = fwd(sx, sy)
+    bx0, bx1 = float(np.min(mx)), float(np.max(mx))
+    by0, by1 = float(np.min(my)), float(np.max(my))
+
+    if args.zoom:
+        parts = [int(v) for v in args.zoom.split("-")]
+        zmin, zmax = (parts[0], parts[-1])
+    else:
+        # native resolution in meters/px at the raster center -> max zoom
+        res_m = (bx1 - bx0) / W
+        zmax = max(int(np.ceil(np.log2(tm.INITIAL_RESOLUTION / res_m))), 0)
+        zmin = max(zmax - 4, 0)
+
+    n = 1 << zmax
+    res = tm.INITIAL_RESOLUTION / n
+    # upper bounds are EXCLUSIVE at exact tile boundaries (ceil-1), so an
+    # extent ending on a seam doesn't drag in an empty row/column
+    tx0 = max(int(np.floor((bx0 + tm.ORIGIN_SHIFT) / (res * TS))), 0)
+    tx1 = min(int(np.ceil((bx1 + tm.ORIGIN_SHIFT) / (res * TS))) - 1, n - 1)
+    ty0 = max(int(np.floor((tm.ORIGIN_SHIFT - by1) / (res * TS))), 0)
+    ty1 = min(int(np.ceil((tm.ORIGIN_SHIFT - by0) / (res * TS))) - 1, n - 1)
+    tx1, ty1 = max(tx1, tx0), max(ty1, ty0)
+    items = [{"x": x, "y": y} for y in range(ty0, ty1 + 1)
+             for x in range(tx0, tx1 + 1)]
+    src_path = args.src
+    spp = meta["spp"]
+
+    def render(b: pa_.Table) -> pa_.Table:
+        rows = {"z": [], "x": [], "y": [], "rgb": [], "alpha": []}
+        with open(src_path, "rb") as f:
+            for it in b.to_pylist():
+                x, y = it["x"], it["y"]
+                px = np.arange(TS) + x * TS + 0.5
+                py = np.arange(TS) + y * TS + 0.5
+                mxs = px * res - tm.ORIGIN_SHIFT
+                mys = tm.ORIGIN_SHIFT - py * res
+                gx, gy = np.meshgrid(mxs, mys)
+                ox, oy = inv(gx.ravel(), gy.ravel())
+                det = gt[1] * gt[5] - gt[2] * gt[4]
+                col = (gt[5] * (ox - gt[0]) - gt[2] * (oy - gt[3])) / det
+                row = (-gt[4] * (ox - gt[0]) + gt[1] * (oy - gt[3])) / det
+                ci = np.floor(col).astype(np.int64)
+                ri = np.floor(row).astype(np.int64)
+                ok = (ci >= 0) & (ci < W) & (ri >= 0) & (ri < H)
+                if not ok.any():
+                    continue   # fully-transparent tile: don't emit
+                rgb = np.zeros((TS * TS, 3), np.uint8)
+                r0, r1 = int(ri[ok].min()), int(ri[ok].max()) + 1
+                c0, c1 = int(ci[ok].min()), int(ci[ok].max()) + 1
+                win = read_window(f, meta, r0, r1, c0, c1)
+                sam = win[ri[ok] - r0, ci[ok] - c0]
+                rgb[ok] = sam[:, :3] if spp >= 3 \
+                    else np.repeat(sam[:, :1], 3, axis=1)
+                rows["z"].append(zmax)
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["rgb"].append(rgb.reshape(TS, TS, 3).tobytes())
+                rows["alpha"].append(
+                    np.where(ok, 255, 0).astype(np.uint8).tobytes())
+        return pa_.table({"z": pa_.array(rows["z"], pa_.int64()),
+                          "x": pa_.array(rows["x"], pa_.int64()),
+                          "y": pa_.array(rows["y"], pa_.int64()),
+                          "rgb": pa_.array(rows["rgb"], pa_.binary()),
+                          "alpha": pa_.array(rows["alpha"], pa_.binary())})
+
+    nb = max(1, len(items) // 2)
+    cols = ["z", "x", "y", "rgb", "alpha"]
+    level = (rd.from_items(items, override_num_blocks=nb)
+             .map_batches(render, batch_format="pyarrow")).materialize()
+    levels = [level]
+    for z in range(zmax, zmin, -1):
+        level = (overview_level(level, tile_size=TS, method=args.resample)
+                 .select_columns(cols).materialize())
+        levels.append(level)
+    allt = levels[0].select_columns(cols)
+    for lv in levels[1:]:
+        allt = allt.union(lv)
+    n_tiles = write_mbtiles(allt, args.out, tile_size=TS,
+                            name=os.path.basename(args.src))
+    print(json.dumps({"out": args.out, "n_tiles": n_tiles,
+                      "zooms": [zmin, zmax],
+                      "base_tiles": len(items), "s_srs": s_srs}))
+    return 0
+
+
 def cmd_rgb2pct(args) -> int:
     """rgb2pct door (apps — rgb2pct.py; alg/gdalmediancut.cpp
     GDALComputeMedianCutPCT + alg/gdaldither.cpp): RGB GeoTIFF → single
@@ -2532,6 +2655,20 @@ def main(argv=None) -> int:
     px.add_argument("--strip", type=int, default=512,
                     help="rows per Ray task")
     px.set_defaults(fn=cmd_proximity)
+
+    r2t = sub.add_parser(
+        "raster2tiles", help="georeferenced raster -> XYZ PNG pyramid in "
+                             "MBTiles (gdal2tiles)")
+    r2t.add_argument("src", help="georeferenced GeoTIFF")
+    r2t.add_argument("out", help="output .mbtiles")
+    r2t.add_argument("--zoom", default=None, help="Z or Zmin-Zmax "
+                     "(default: native-resolution max zoom, 5 levels)")
+    r2t.add_argument("--s_srs", default=None,
+                     help="source CRS override (default: file tag/4326)")
+    r2t.add_argument("--resample", default="average",
+                     choices=["average", "rms", "nearest", "mode", "gauss"],
+                     help="overview 2x2 reducer")
+    r2t.set_defaults(fn=cmd_raster2tiles)
 
     rp = sub.add_parser(
         "rgb2pct", help="RGB -> palette-indexed GeoTIFF (rgb2pct): "
