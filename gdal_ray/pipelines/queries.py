@@ -7302,6 +7302,7 @@ def queries():
         "gopher_rules": q_gopher_rules,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "dbscan": q_dbscan,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7735,6 +7736,57 @@ FROM a GROUP BY cohort_day, week_k
 
 
 
+def q_dbscan(sf_dir: str):
+    """DBSCAN (Ester et al. 1996) over the derived point field:
+    eps-grid bucketed pair generation (each point ghosts to its 3x3
+    cells; owner rule emits every eps-pair exactly once), one endpoint
+    aggregate for degrees/the core set, pointer-jumping connected
+    components over core-core edges, union-tag border attachment
+    (min core-neighbor label), noise = -1.  Deterministic min-id labels
+    -> the recursive-transitive-closure SQL twin matches exactly.
+    Same float arithmetic both sides ((ax-bx)^2+(ay-by)^2 <= eps^2)."""
+    from gdal_ray.stages.cluster import dbscan
+
+    pts = (_read(sf_dir, "documents", columns=["doc_id"])
+           .filter(expr="doc_id < 400")
+           .map_batches(derived_points_batch, batch_format="pyarrow"))
+    return dbscan(pts, eps=10.0, min_pts=4)
+
+
+SQL_DBSCAN = """
+WITH RECURSIVE
+pts AS (SELECT doc_id AS id,
+    ((doc_id*7919) % 36000)/100.0 - 180.0 + 0.005 AS px,
+    ((doc_id*104729) % 17000)/100.0 - 85.0 + 0.005 AS py
+  FROM documents WHERE doc_id < 400),
+e AS (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+      ON a.id < b.id
+      AND (a.px-b.px)*(a.px-b.px)+(a.py-b.py)*(a.py-b.py) <= 100.0),
+nb AS (SELECT ia AS id, ib AS nbr FROM e
+       UNION ALL SELECT ib, ia FROM e),
+deg AS (SELECT id, COUNT(*) AS n_nb FROM nb GROUP BY id),
+core AS (SELECT id FROM deg WHERE n_nb >= 3),
+ce AS (SELECT n.id AS a, n.nbr AS b FROM nb n
+       WHERE n.id IN (SELECT id FROM core)
+         AND n.nbr IN (SELECT id FROM core)),
+r AS (SELECT id, id AS label FROM core
+      UNION
+      SELECT ce.b AS id, r.label FROM r JOIN ce ON ce.a = r.id),
+lab AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+border AS (SELECT n.id AS id, MIN(l.label) AS label
+           FROM nb n JOIN lab l ON n.nbr = l.id
+           WHERE n.id NOT IN (SELECT id FROM core)
+           GROUP BY n.id)
+SELECT p.id AS point_id,
+  CAST(COALESCE(l.label, b.label, -1) AS BIGINT) AS label,
+  CAST(l.id IS NOT NULL AS BIGINT) AS is_core
+FROM pts p
+LEFT JOIN lab l ON p.id = l.id
+LEFT JOIN border b ON p.id = b.id
+"""
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -7836,6 +7888,7 @@ def oracle_sql():
         "gopher_rules": SQL_GOPHER_RULES,
         "funnel_steps": SQL_FUNNEL_STEPS,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "dbscan": SQL_DBSCAN,
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
