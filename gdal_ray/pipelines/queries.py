@@ -7303,6 +7303,7 @@ def queries():
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "dbscan": q_dbscan,
+        "pagerank": q_pagerank,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7787,6 +7788,126 @@ LEFT JOIN border b ON p.id = b.id
 
 
 
+_PR_N, _PR_ITERS, _PR_SCALE = 1000, 5, 10**12
+
+
+def _pr_edges_batch(b: pa.Table) -> pa.Table:
+    """Deterministic 3-out-regular synthetic graph over doc_id < N
+    (multi-edges and self-loops kept, with multiplicity, both sides)."""
+    v = b.column("doc_id").to_numpy().astype(np.int64)
+    src = np.concatenate([v, v, v])
+    dst = np.concatenate([(v * 7 + 1) % _PR_N, (v * 13 + 3) % _PR_N,
+                          (v * 31 + 7) % _PR_N])
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank, 5 synchronous iterations over a deterministic
+    3-out-regular graph — in INTEGER micro-units so the distributed sum
+    order can never flip a bit: r0 = SCALE//N; each round
+    r'(v) = (15*(SCALE//N))//100 + (85 * Σ_{u→v} r(u)//3) // 100
+    (floor division at every step; multi-edges contribute with
+    multiplicity).  Per iteration: one union-tag attach (rank onto
+    edges keyed by src) + one integer sum by dst — two shuffles of
+    8-byte rows; ranks never materialize on the driver.  The SQL twin
+    unrolls the 5 iterations as CTE levels (DuckDB disallows GROUP BY
+    in a recursive term)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    nodes = (_read(sf_dir, "documents", columns=["doc_id"])
+             .filter(expr=f"doc_id < {_PR_N}"))
+    edges = nodes.map_batches(_pr_edges_batch,
+                              batch_format="pyarrow").materialize()
+    base = (15 * (_PR_SCALE // _PR_N)) // 100
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("doc_id"),
+            "rank": pa.array(np.full(len(b), _PR_SCALE // _PR_N), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    for _ in range(_PR_ITERS):
+        tagged = (ranks.map_batches(
+            lambda b: pa.table({"key": b.column("node"),
+                                "other": b.column("rank"),
+                                "t": pa.array(np.zeros(len(b), np.int64))}),
+            batch_format="pyarrow")
+            .union(edges.map_batches(
+                lambda b: pa.table({"key": b.column("src"),
+                                    "other": b.column("dst"),
+                                    "t": pa.array(np.ones(len(b), np.int64))}),
+                batch_format="pyarrow")))
+
+        def contrib(g: pa.Table) -> pa.Table:
+            t = g.column("t").to_numpy()
+            r = int(g.column("other").to_numpy()[t == 0][0])
+            dst = g.column("other").to_numpy()[t == 1]
+            return pa.table({
+                "dst": pa.array(dst, pa.int64()),
+                "c": pa.array(np.full(len(dst), r // 3), pa.int64()),
+            })
+
+        summed = grouped_aggregate(
+            tagged.groupby("key").map_groups(contrib,
+                                             batch_format="pyarrow"),
+            keys=["dst"], aggs=[("c", "sum", "s")])
+        # every node has in-edges in this graph family iff hit by a map;
+        # nodes with no incoming sum get base only (left-join semantics)
+        un = (summed.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "s": b.column("s"),
+                                "t": pa.array(np.zeros(len(b), np.int64))}),
+            batch_format="pyarrow")
+            .union(nodes.map_batches(
+                lambda b: pa.table({"node": b.column("doc_id"),
+                                    "s": pa.array(np.zeros(len(b), np.int64)),
+                                    "t": pa.array(np.ones(len(b), np.int64))}),
+                batch_format="pyarrow")))
+
+        def newrank(g: pa.Table) -> pa.Table:
+            t = g.column("t").to_numpy()
+            if not (t == 1).any():
+                # dst outside the node set (phantom %N target): drop,
+                # matching the SQL twin's LEFT JOIN from the node list
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.int64())})
+            s = int(g.column("s").to_numpy()[t == 0][0]) if (t == 0).any() \
+                else 0
+            return pa.table({
+                "node": pa.array([int(g.column("node")[0].as_py())],
+                                 pa.int64()),
+                "rank": pa.array([base + (85 * s) // 100], pa.int64()),
+            })
+
+        ranks = un.groupby("node").map_groups(
+            newrank, batch_format="pyarrow").materialize()
+    return ranks
+
+
+def _sql_pagerank() -> str:
+    base = (15 * (_PR_SCALE // _PR_N)) // 100
+    sql = [f"""
+WITH n AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_PR_N}),
+e AS (SELECT v AS src, (v*7+1) % {_PR_N} AS dst FROM n
+      UNION ALL SELECT v, (v*13+3) % {_PR_N} FROM n
+      UNION ALL SELECT v, (v*31+7) % {_PR_N} FROM n),
+r0 AS (SELECT v, CAST({_PR_SCALE // _PR_N} AS BIGINT) AS r FROM n)"""]
+    for k in range(_PR_ITERS):
+        sql.append(f""",
+s{k} AS (SELECT e.dst AS v, SUM(r{k}.r // 3) AS s
+         FROM e JOIN r{k} ON e.src = r{k}.v GROUP BY e.dst),
+r{k + 1} AS (SELECT n.v,
+         CAST({base} + (85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT) AS r
+         FROM n LEFT JOIN s{k} ON n.v = s{k}.v)""")
+    sql.append(f"""
+SELECT v AS node, r AS rank FROM r{_PR_ITERS}""")
+    return "".join(sql)
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -7889,6 +8010,7 @@ def oracle_sql():
         "funnel_steps": SQL_FUNNEL_STEPS,
         "cohort_retention": SQL_COHORT_RETENTION,
         "dbscan": SQL_DBSCAN,
+        "pagerank": _sql_pagerank(),
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
