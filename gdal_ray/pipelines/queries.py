@@ -7304,6 +7304,7 @@ def queries():
         "cohort_retention": q_cohort_retention,
         "dbscan": q_dbscan,
         "pagerank": q_pagerank,
+        "triangles": q_triangles,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7908,6 +7909,87 @@ SELECT v AS node, r AS rank FROM r{_PR_ITERS}""")
 
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count over the undirected synthetic graph (the
+    compact-forward / wedge-check algorithm every distributed graph
+    engine uses): orient edges low->high, group by the low endpoint to
+    emit wedges (a<v<w), then ONE union-tag exchange checks each wedge
+    against the edge set — every triangle {x<y<z} is counted exactly
+    once at apex x.  Two shuffles of 8/16-byte rows; no adjacency
+    matrix.  SQL twin: the canonical 3-way self-join."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    nodes = (_read(sf_dir, "documents", columns=["doc_id"])
+             .filter(expr=f"doc_id < {_PR_N}"))
+
+    def undirected(b: pa.Table) -> pa.Table:
+        e = _pr_edges_batch(b)
+        s = e.column("src").to_numpy()
+        d = e.column("dst").to_numpy()
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        u = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
+
+    # NOTE: per-batch unique only — cross-batch duplicate edges are
+    # removed by the groupby below (wedge emission reuniques per apex;
+    # the edge-set side dedupes by key)
+    edges = nodes.map_batches(undirected,
+                              batch_format="pyarrow").materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        a = int(g.column("a")[0].as_py())
+        nb = np.unique(g.column("b").to_numpy())
+        nb = nb[nb > a]
+        if len(nb) < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        vi, wi = np.triu_indices(len(nb), k=1)
+        key = nb[vi] * np.int64(_PR_N) + nb[wi]
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "t": pa.array(np.ones(len(key), np.int64))})
+
+    wedge_rows = edges.groupby("a").map_groups(wedges,
+                                               batch_format="pyarrow")
+    edge_keys = edges.map_batches(
+        lambda b: pa.table({
+            "key": pa.array(b.column("a").to_numpy() * np.int64(_PR_N)
+                            + b.column("b").to_numpy(), pa.int64()),
+            "t": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+
+    def close(g: pa.Table) -> pa.Table:
+        t = g.column("t").to_numpy()
+        n_tri = int((t == 1).sum()) if (t == 0).any() else 0
+        return pa.table({"n": pa.array([n_tri], pa.int64())})
+
+    closed = edge_keys.union(wedge_rows).groupby("key").map_groups(
+        close, batch_format="pyarrow")
+    total = grouped_aggregate(
+        closed.map_batches(
+            lambda b: b.append_column("k", pa.array(np.zeros(len(b),
+                                                            np.int64))),
+            batch_format="pyarrow"),
+        keys=["k"], aggs=[("n", "sum", "n_triangles")])
+    return total.map_batches(
+        lambda b: b.select(["n_triangles"]), batch_format="pyarrow")
+
+
+_SQL_TRIANGLES = f"""
+WITH n AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_PR_N}),
+d AS (SELECT v AS src, (v*7+1) % {_PR_N} AS dst FROM n
+      UNION ALL SELECT v, (v*13+3) % {_PR_N} FROM n
+      UNION ALL SELECT v, (v*31+7) % {_PR_N} FROM n),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM d WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -8011,6 +8093,7 @@ def oracle_sql():
         "cohort_retention": SQL_COHORT_RETENTION,
         "dbscan": SQL_DBSCAN,
         "pagerank": _sql_pagerank(),
+        "triangles": _SQL_TRIANGLES,
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
