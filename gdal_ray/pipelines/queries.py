@@ -7305,6 +7305,7 @@ def queries():
         "dbscan": q_dbscan,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
+        "bfs_hops": q_bfs_hops,
         "mix_weights": q_mix_weights,
         "bloom_dedup": q_bloom_dedup,
         "sample_stratified": q_sample_stratified,
@@ -7990,6 +7991,128 @@ FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
 
 
 
+_BFS_ROUNDS, _BFS_INF = 6, 1 << 30
+
+
+def q_bfs_hops(sf_dir: str):
+    """BFS hop distances from node 0 over the undirected synthetic
+    graph — K synchronous Bellman-Ford-style relaxation rounds
+    (d'(v) = min(d(v), min_{u~v} d(u)+1)), the Pregel/GraphX BFS shape.
+    Per round: one union-tag attach (distances onto both edge
+    directions) + one min-by-node reduce — 8-byte rows only.  Integer
+    distances, unreached = -1; the SQL twin unrolls the K rounds as
+    CTE levels."""
+    from gdal_ray.stages.agg import grouped_aggregate
+
+    nodes = (_read(sf_dir, "documents", columns=["doc_id"])
+             .filter(expr=f"doc_id < {_PR_N}"))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        e = _pr_edges_batch(b)
+        s = e.column("src").to_numpy()
+        d = e.column("dst").to_numpy()
+        keep = s != d
+        return pa.table({
+            "src": pa.array(np.concatenate([s[keep], d[keep]]), pa.int64()),
+            "dst": pa.array(np.concatenate([d[keep], s[keep]]), pa.int64()),
+        })
+
+    edges = nodes.map_batches(both_dirs,
+                              batch_format="pyarrow").materialize()
+    dist = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("doc_id"),
+            "d": pa.array(np.where(
+                b.column("doc_id").to_numpy() == 0, 0, _BFS_INF),
+                pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    for _ in range(_BFS_ROUNDS):
+        tagged = (dist.map_batches(
+            lambda b: pa.table({"key": b.column("node"),
+                                "other": b.column("d"),
+                                "t": pa.array(np.zeros(len(b), np.int64))}),
+            batch_format="pyarrow")
+            .union(edges.map_batches(
+                lambda b: pa.table({"key": b.column("src"),
+                                    "other": b.column("dst"),
+                                    "t": pa.array(np.ones(len(b), np.int64))}),
+                batch_format="pyarrow")))
+
+        def relax(g: pa.Table) -> pa.Table:
+            t = g.column("t").to_numpy()
+            if not (t == 0).any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            d0 = int(g.column("other").to_numpy()[t == 0][0])
+            dst = g.column("other").to_numpy()[t == 1]
+            node = int(g.column("key")[0].as_py())
+            # candidate d0+1 to every neighbor, plus keep own distance
+            return pa.table({
+                "node": pa.array(np.concatenate([[node], dst]), pa.int64()),
+                "d": pa.array(np.concatenate(
+                    [[d0], np.full(len(dst), min(d0 + 1, _BFS_INF))]),
+                    pa.int64()),
+            })
+
+        cand = tagged.groupby("key").map_groups(relax,
+                                                batch_format="pyarrow")
+        dist = grouped_aggregate(cand, keys=["node"],
+                                 aggs=[("d", "min", "d")]).materialize()
+
+    # phantom %N targets picked up distances but are not real nodes:
+    # intersect with the node list, then map INF -> -1
+    fin = (dist.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "d": b.column("d"),
+                            "t": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+        .union(nodes.map_batches(
+            lambda b: pa.table({"node": b.column("doc_id"),
+                                "d": pa.array(np.full(len(b), _BFS_INF),
+                                              pa.int64()),
+                                "t": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow")))
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.column("t").to_numpy()
+        if not (t == 1).any():
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "hops": pa.array([], pa.int64())})
+        d = int(g.column("d").to_numpy().min())
+        return pa.table({
+            "node": pa.array([int(g.column("node")[0].as_py())], pa.int64()),
+            "hops": pa.array([d if d < _BFS_INF else -1], pa.int64()),
+        })
+
+    return fin.groupby("node").map_groups(finish, batch_format="pyarrow")
+
+
+def _sql_bfs_hops() -> str:
+    sql = [f"""
+WITH n AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_PR_N}),
+dd AS (SELECT v AS src, (v*7+1) % {_PR_N} AS dst FROM n
+       UNION ALL SELECT v, (v*13+3) % {_PR_N} FROM n
+       UNION ALL SELECT v, (v*31+7) % {_PR_N} FROM n),
+e AS (SELECT src, dst FROM dd WHERE src <> dst
+      UNION ALL SELECT dst, src FROM dd WHERE src <> dst),
+verts AS (SELECT v FROM n UNION SELECT src FROM e UNION SELECT dst FROM e),
+d0 AS (SELECT v, CAST(CASE WHEN v = 0 THEN 0 ELSE {_BFS_INF} END AS BIGINT)
+       AS d FROM verts)"""]
+    for k in range(_BFS_ROUNDS):
+        sql.append(f""",
+m{k} AS (SELECT e.dst AS v, MIN(d{k}.d + 1) AS md
+         FROM e JOIN d{k} ON e.src = d{k}.v GROUP BY e.dst),
+d{k + 1} AS (SELECT d{k}.v,
+         CAST(LEAST(d{k}.d, COALESCE(m{k}.md, {_BFS_INF})) AS BIGINT) AS d
+         FROM d{k} LEFT JOIN m{k} ON d{k}.v = m{k}.v)""")
+    sql.append(f"""
+SELECT d.v AS node, CAST(CASE WHEN d.d >= {_BFS_INF} THEN -1 ELSE d.d END
+                       AS BIGINT) AS hops
+FROM d{_BFS_ROUNDS} d JOIN n ON d.v = n.v""")
+    return "".join(sql)
+
+
+
 def oracle_sql():
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -8094,6 +8217,7 @@ def oracle_sql():
         "dbscan": SQL_DBSCAN,
         "pagerank": _sql_pagerank(),
         "triangles": _SQL_TRIANGLES,
+        "bfs_hops": _sql_bfs_hops(),
         "mix_weights": SQL_MIX_WEIGHTS,
         "bloom_dedup": SQL_BLOOM_DEDUP,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
