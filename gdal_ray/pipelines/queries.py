@@ -1099,6 +1099,22 @@ def q_ann_pq(sf_dir: str):
     )
 
 
+def q_ann_hnsw(sf_dir: str):
+    """Sharded HNSW graph ANN (Malkov & Yashunin 2016; rows-only —
+    recall floor, determinism and full-ef exactness pytest-verified in
+    test_hnsw.py): hash-shard by vec_id, one graph per shard built where
+    the vectors live, broadcast queries, shard-candidate merge."""
+    from gdal_ray.stages.hnsw import hnsw_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    queries_m = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"]])
+    return hnsw_topk(
+        emb, queries_m, head["vec_id"].to_numpy(), k=5,
+        n_shards=4, M=8, ef_construction=64, ef_search=96,
+    )
+
+
 def q_ngram_pairs(sf_dir: str):
     """Exact 3-gram Jaccard similar pairs among the first 100 docs (the
     exact-verification kernel of near-dup dedup; LSH variants are
@@ -7404,6 +7420,7 @@ def queries():
         "kmeans_embed": q_kmeans_embed,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_hnsw": q_ann_hnsw,
         "minhash_pairs": q_minhash_pairs,
         "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
