@@ -818,6 +818,78 @@ from cells group by 1
 """
 
 
+HEX_SIZE = 10.0  # hex circumradius in degrees (planar binning lattice)
+
+
+def q_hexbin(sf_dir: str):
+    """Points per hexagonal cell (pointy-top axial lattice, cube-rounded
+    assignment — the hex-grid kernel H3-style indexes build on; parents
+    are the same kernel at size*sqrt(7)).  Per-batch partial counts keyed
+    by the (q, r) axial pair, one small two-int groupby — no raw-point
+    shuffle.  Cell assignment is bit-identical to the SQL twin (same IEEE
+    double ops in the same order, see tilemath.hexbin_axial)."""
+    from ray.data.aggregate import Min, Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        hq, hr = tm.hexbin_axial(
+            b.column("px").to_numpy(), b.column("py").to_numpy(), HEX_SIZE)
+        pid = b.column("point_id").to_numpy()
+        # axial pair -> one int64; +5e5 offset keeps the low field
+        # non-negative so floor-divide decode is exact (|hr| << 5e5)
+        key = hq * 1_000_000 + (hr + 500_000)
+        uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+        first = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, pid)
+        return pa.table({
+            "key": pa.array(uniq, pa.int64()),
+            "n_points": pa.array(counts.astype(np.int64)),
+            "first_point": pa.array(first, pa.int64()),
+        })
+
+    ds = derived_points_ds(sf_dir).map_batches(cells, batch_format="pyarrow")
+    agg = ds.groupby("key").aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Min("first_point", alias_name="first_point"),
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        key = b.column("key").to_numpy()
+        hq = np.floor_divide(key, 1_000_000)
+        hr = key - hq * 1_000_000 - 500_000
+        return pa.table({
+            "hex_q": pa.array(hq, pa.int64()),
+            "hex_r": pa.array(hr, pa.int64()),
+            "n_points": b.column("n_points").cast(pa.int64()),
+            "first_point": b.column("first_point").cast(pa.int64()),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
+SQL_HEXBIN = f"""
+with p as ({POINT_SQL_CTE}),
+h as (select point_id,
+             (sqrt(3.0)/3.0*px - py/3.0)/{HEX_SIZE!r} as q,
+             (2.0*py/3.0)/{HEX_SIZE!r} as r
+      from p),
+c as (select point_id, q, r,
+             floor(q + 0.5) as rx, floor(-q - r + 0.5) as ry,
+             floor(r + 0.5) as rz
+      from h),
+f as (select point_id,
+             case when abs(rx-q) > abs(ry-(-q-r)) and abs(rx-q) > abs(rz-r)
+                  then -ry-rz else rx end as hq,
+             case when not(abs(rx-q) > abs(ry-(-q-r)) and abs(rx-q) > abs(rz-r))
+                       and not(abs(ry-(-q-r)) > abs(rz-r))
+                  then -rx-ry else rz end as hr
+      from c)
+select cast(hq as bigint) as hex_q, cast(hr as bigint) as hex_r,
+       cast(count(*) as bigint) as n_points,
+       cast(min(point_id) as bigint) as first_point
+from f group by 1, 2
+"""
+
+
 def q_s2_cover(sf_dir: str):
     """Footprint -> S2 cell-set assignment ("assign each image-footprint
     to H3/S2 cells"): per-doc derived bbox (same formulas as tile_cover)
@@ -7333,6 +7405,7 @@ def queries():
         "dsir": q_dsir,
         "exact_substr_cut": q_exact_substr_cut,
         "s2_cells": q_s2_cells,
+        "hexbin": q_hexbin,
         "knn_s2": q_knn_s2,
         "seq_pack": q_seq_pack,
         "wds_shards": q_wds_shards,
@@ -8246,6 +8319,7 @@ def oracle_sql():
         "dsir": SQL_DSIR,
         "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "s2_cells": _sql_s2_cells(),
+        "hexbin": SQL_HEXBIN,
         "seq_pack": SQL_SEQ_PACK,
         "wds_shards": SQL_WDS_SHARDS,
         "ar_bucket": _sql_ar_bucket(),

@@ -286,3 +286,40 @@ def geohash_decode_bounds(gh: str):
                     hi_y = mid
             even = not even
     return lo_x, lo_y, hi_x, hi_y
+
+
+def hexbin_axial(x, y, size: float):
+    """Pointy-top hexagonal binning: planar (x, y) → axial (q, r) cell
+    ids at the given hex size (circumradius), via fractional axial
+    coordinates + cube rounding (the published hex-grid algorithm the
+    H3-style cell schemes build on; aperture-k parent rollups reuse the
+    same kernel at size*sqrt(k)).
+
+    Every operation (multiply/divide/add, floor, abs, sqrt) is an IEEE
+    correctly-rounded double op evaluated in the same order as the SQL
+    twin in queries.py, so cell assignment is bit-identical in numpy and
+    DuckDB — the oracle contract."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    q = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    r = (2.0 * y / 3.0) / size
+    rx = np.floor(q + 0.5)
+    ry = np.floor(-q - r + 0.5)
+    rz = np.floor(r + 0.5)
+    dx = np.abs(rx - q)
+    dy = np.abs(ry - (-q - r))
+    dz = np.abs(rz - r)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    hq = np.where(fix_x, -ry - rz, rx)
+    hr = np.where(fix_z, -rx - ry, rz)
+    return hq.astype(np.int64), hr.astype(np.int64)
+
+
+def hexbin_center(hq, hr, size: float):
+    """Axial hex cell → planar center (inverse of hexbin_axial's lattice)."""
+    hq = np.asarray(hq, dtype=np.float64)
+    hr = np.asarray(hr, dtype=np.float64)
+    x = size * (np.sqrt(3.0) * hq + np.sqrt(3.0) / 2.0 * hr)
+    y = size * (3.0 / 2.0 * hr)
+    return x, y
