@@ -2481,6 +2481,139 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_move(args) -> int:
+    """gdalmove door (osgeo_utils/gdalmove.py): rewrite a raster's
+    georeferencing from one CRS to another WITHOUT warping pixels — fit a
+    first-order (affine) geotransform to the exact coordinate transform
+    evaluated on a corner+interior pixel grid, report the max fit error,
+    and rewrite the header (decode + re-encode, as cmd_edit).  Only the
+    geotransform and CRS tag change; pixel data is untouched."""
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+    from gdal_ray.crs import parse_epsg, transform_fn
+
+    with open(args.path, "rb") as f:
+        arr, info = read_geotiff(f.read())
+    gt = info.get("geotransform")
+    if gt is None:
+        raise SystemExit("move: source has no geotransform")
+    s_srs = args.s_srs or (f"EPSG:{info['epsg']}" if info.get("epsg") else None)
+    if s_srs is None:
+        raise SystemExit("move: source CRS unknown; pass --s_srs")
+    fn = transform_fn(s_srs, args.t_srs)
+    h, w = arr.shape[:2]
+    cc, rr = np.meshgrid(np.linspace(0, w, 5), np.linspace(0, h, 5))
+    cc, rr = cc.ravel(), rr.ravel()
+    sx = gt[0] + cc * gt[1] + rr * gt[2]
+    sy = gt[3] + cc * gt[4] + rr * gt[5]
+    tx, ty = fn(sx, sy)
+    design = np.column_stack([np.ones_like(cc), cc, rr])
+    cx, resx, *_ = np.linalg.lstsq(design, tx, rcond=None)
+    cy, resy, *_ = np.linalg.lstsq(design, ty, rcond=None)
+    new_gt = (float(cx[0]), float(cx[1]), float(cx[2]),
+              float(cy[0]), float(cy[1]), float(cy[2]))
+    fit_x = design @ cx
+    fit_y = design @ cy
+    err = float(np.hypot(fit_x - tx, fit_y - ty).max())
+    try:
+        epsg = parse_epsg(args.t_srs)
+    except Exception:
+        epsg = None
+    data = encode_geotiff(arr, geotransform=new_gt, epsg=epsg,
+                          nodata=info.get("nodata"))
+    tmp = args.path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, args.path)
+    print(json.dumps({"path": args.path, "geotransform": new_gt,
+                      "epsg": epsg, "max_fit_error": err}))
+    return 0
+
+
+def cmd_attachpct(args) -> int:
+    """gdalattachpct door (osgeo_utils/gdalattachpct.py): attach a color
+    table to a single-band raster.  The palette source is either another
+    raster that carries a TIFF ColorMap or a text color file of
+    `value r g b` lines (the gdaldem color-relief format)."""
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import encode_geotiff, read_geotiff
+
+    pal = None
+    try:
+        with open(args.palette, "rb") as f:
+            head = f.read(4)
+        if head[:2] in (b"II", b"MM"):
+            _, pinfo = read_geotiff(open(args.palette, "rb").read())
+            pal = pinfo.get("palette")  # uint16 0..65535 per TIFF 6.0
+            if pal is None:
+                raise SystemExit("attachpct: palette raster has no ColorMap")
+        else:
+            rows = {}
+            for line in open(args.palette):
+                parts = line.replace(",", " ").split()
+                if len(parts) >= 4 and parts[0].lstrip("-").isdigit():
+                    rows[int(parts[0])] = [int(float(v)) for v in parts[1:4]]
+            if not rows:
+                raise SystemExit("attachpct: no color entries parsed")
+            pal = np.zeros((max(rows) + 1, 3), dtype=np.uint16)
+            for idx, rgb in rows.items():
+                pal[idx] = np.asarray(rgb, dtype=np.uint16) * 257
+    except OSError as e:
+        raise SystemExit(f"attachpct: {e}")
+    with open(args.src, "rb") as f:
+        arr, info = read_geotiff(f.read())
+    band = arr[..., 0] if arr.ndim == 3 else arr
+    if band.dtype != np.uint8:
+        raise SystemExit("attachpct: source band must be uint8")
+    if len(pal) < 256:
+        pal = np.vstack([pal, np.zeros((256 - len(pal), 3), np.uint16)])
+    data = encode_geotiff(band[..., None], geotransform=info.get("geotransform"),
+                          epsg=info.get("epsg"), nodata=info.get("nodata"),
+                          palette=pal[:256])
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(json.dumps({"out": args.out, "colors": int(len(pal[:256]))}))
+    return 0
+
+
+def cmd_dumpoverviews(args) -> int:
+    """dumpoverviews door (apps/dumpoverviews.cpp): extract every stored
+    overview level (internal IFD chain + external .ovr sidecar) to its
+    own GeoTIFF.  Levels decode in parallel on the cluster; only the
+    small per-level assembly happens driver-side."""
+    from gdal_ray.sources.gtiff_reader import (assemble, read_geotiff_tiles,
+                                               tiff_levels)
+    from gdal_ray.codecs.tiff import encode_geotiff
+
+    _ray_init()
+    levels = tiff_levels(args.src)
+    n_int = len(levels)
+    if os.path.exists(args.src + ".ovr"):
+        levels = levels + tiff_levels(args.src + ".ovr")
+    base = levels[0]
+    gt = base.get("geotransform")
+    outs = []
+    for lv in range(1, len(levels)):
+        meta = levels[lv]
+        rows = read_geotiff_tiles(args.src, level=lv).to_pandas()
+        arr = assemble(rows, meta)
+        lgt = None
+        if gt is not None:
+            fx = base["width"] / meta["width"]
+            fy = base["height"] / meta["height"]
+            lgt = (gt[0], gt[1] * fx, gt[2], gt[3], gt[4], gt[5] * fy)
+        out = f"{os.path.splitext(args.src)[0]}_ovr_{lv}.tif"
+        with open(out, "wb") as f:
+            f.write(encode_geotiff(arr, geotransform=lgt, epsg=base.get("epsg"),
+                                   nodata=base.get("nodata")))
+        outs.append({"level": lv, "external": lv >= n_int, "path": out,
+                     "width": meta["width"], "height": meta["height"]})
+    print(json.dumps({"src": args.src, "overviews": outs}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gdal_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -2940,6 +3073,25 @@ def main(argv=None) -> int:
     wd.add_argument("--out", required=True)
     wd.add_argument("--shards", type=int, default=64)
     wd.set_defaults(fn=cmd_wds)
+
+    mv = sub.add_parser(
+        "move", help="refit georeferencing to a new CRS without warping (gdalmove)")
+    mv.add_argument("path")
+    mv.add_argument("--t_srs", required=True)
+    mv.add_argument("--s_srs", default=None)
+    mv.set_defaults(fn=cmd_move)
+
+    ap = sub.add_parser(
+        "attachpct", help="attach a color table to a uint8 raster (gdalattachpct)")
+    ap.add_argument("palette", help="raster with ColorMap OR text color file")
+    ap.add_argument("src")
+    ap.add_argument("out")
+    ap.set_defaults(fn=cmd_attachpct)
+
+    dv = sub.add_parser(
+        "dumpoverviews", help="extract stored overview levels to GeoTIFFs (dumpoverviews)")
+    dv.add_argument("src")
+    dv.set_defaults(fn=cmd_dumpoverviews)
 
     args = p.parse_args(argv)
     return args.fn(args)
