@@ -2481,6 +2481,113 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+class _WkbPieces:
+    """map_batches stage for the layeralgebra door: A-feature batch →
+    (a_id, b_id, cls, area2_u) piece rows vs the broadcast METHOD layer.
+    Exact intersection areas for arbitrary simple (Multi)Polygons incl.
+    holes via the ear-clip kernel (geometry/ops.py)."""
+
+    def __init__(self, b_ref=None, fid_field: str = "fid"):
+        import ray
+
+        self.b_ids, self.b_parts, self.b_box = ray.get(b_ref[0])
+        self.fid_field = fid_field
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        from gdal_ray.geometry import ops
+        from gdal_ray.geometry.wkb import polygon_parts
+        from gdal_ray.stages.algebra import _SCHEMA, B_NULL
+
+        a_ids, b_ids, cls, areas = [], [], [], []
+        fids = batch.column(self.fid_field).to_numpy() if len(batch) else []
+        wkbs = batch.column("wkb").to_pylist() if len(batch) else []
+        for fid, w in zip(fids, wkbs):
+            try:
+                parts = polygon_parts(bytes(w))
+            except ValueError:
+                continue  # non-polygon feature: algebra ops skip it
+            pts = np.vstack([r for rings in parts for r in rings])
+            ax0, ay0 = pts.min(axis=0)
+            ax1, ay1 = pts.max(axis=0)
+            a2 = ops.polygon_area2_units(parts)
+            inter_sum = 0
+            for j in range(len(self.b_ids)):
+                bx0, by0, bx1, by1 = self.b_box[j]
+                if bx0 > ax1 or bx1 < ax0 or by0 > ay1 or by1 < ay0:
+                    continue
+                i2 = ops.polygon_intersection_area2_units(parts, self.b_parts[j])
+                if i2 > 0:
+                    a_ids.append(int(fid)); b_ids.append(self.b_ids[j])
+                    cls.append("both"); areas.append(i2)
+                    inter_sum += i2
+            resid = a2 - inter_sum
+            if resid > 0:
+                a_ids.append(int(fid)); b_ids.append(B_NULL)
+                cls.append("a_only"); areas.append(resid)
+        return pa.table(
+            {"a_id": pa.array(a_ids, pa.int64()),
+             "b_id": pa.array(b_ids, pa.string()),
+             "cls": pa.array(cls, pa.string()),
+             "area2_u": pa.array(areas, pa.int64())}, schema=_SCHEMA)
+
+
+def cmd_layeralgebra(args) -> int:
+    """ogr_layer_algebra door (osgeo_utils/ogr_layer_algebra.py over
+    OGRLayer::Union/Identity/Erase/SymDifference, ogrlayer.cpp:3763):
+    stream the INPUT layer through map_batches, broadcast the METHOD
+    layer once per actor, and emit the per-pair piece table
+    (a_id, b_id, cls ∈ both|a_only|b_only, area2_u in unit²) through
+    stages/algebra.py's distributed plan (b_only residuals via one small
+    grouped aggregate).  Areas are exact for arbitrary simple
+    (Multi)Polygons with holes; the a_only/b_only residuals assume the
+    OTHER layer's matching features are pairwise disjoint within each
+    feature (the module contract — see stages/algebra.py)."""
+    import numpy as np
+    import ray
+
+    from gdal_ray.geometry import ops
+    from gdal_ray.geometry.wkb import polygon_parts
+    from gdal_ray.sources import open_vector
+    from gdal_ray.stages.algebra import layer_algebra
+
+    _ray_init()
+    op = args.op.lower()
+    b_rows = open_vector(args.method).to_pandas()
+    if args.fid_field not in b_rows.columns:
+        raise SystemExit(
+            f"layeralgebra: no {args.fid_field!r} column in the method layer; "
+            "pass --fid-field naming a numeric id attribute")
+    b_ids, b_parts, b_box, b_area2 = [], [], [], []
+    for fid, w in zip(b_rows[args.fid_field], b_rows["wkb"]):
+        try:
+            parts = polygon_parts(bytes(w))
+        except ValueError:
+            continue
+        pts = np.vstack([r for rings in parts for r in rings])
+        b_ids.append(str(int(fid)))
+        b_parts.append(parts)
+        b_box.append([*pts.min(axis=0), *pts.max(axis=0)])
+        b_area2.append(ops.polygon_area2_units(parts))
+    bref = ray.put((b_ids, b_parts, np.asarray(b_box, dtype=np.float64)))
+    res = layer_algebra(
+        open_vector(args.input), _WkbPieces, b_ids,
+        np.asarray(b_area2, dtype=np.int64), op,
+        fn_constructor_kwargs={"b_ref": [bref], "fid_field": args.fid_field})
+    if args.out.endswith(".parquet") or args.out.endswith("/"):
+        res.write_parquet(args.out)
+        n = res.count()
+    else:
+        df = res.to_pandas().sort_values(
+            ["cls", "a_id", "b_id"]).reset_index(drop=True)
+        df.to_csv(args.out, index=False)
+        n = len(df)
+    print(json.dumps({"op": op, "out": args.out, "rows": int(n)}))
+    return 0
+
+
 def cmd_move(args) -> int:
     """gdalmove door (osgeo_utils/gdalmove.py): rewrite a raster's
     georeferencing from one CRS to another WITHOUT warping pixels — fit a
@@ -3073,6 +3180,19 @@ def main(argv=None) -> int:
     wd.add_argument("--out", required=True)
     wd.add_argument("--shards", type=int, default=64)
     wd.set_defaults(fn=cmd_wds)
+
+    la = sub.add_parser(
+        "layeralgebra",
+        help="Union/Identity/Erase/SymDifference piece table of two vector "
+             "layers (ogr_layer_algebra)")
+    la.add_argument("op", choices=["union", "identity", "erase", "symdifference"])
+    la.add_argument("input", help="INPUT layer (streamed)")
+    la.add_argument("method", help="METHOD layer (small side, broadcast)")
+    la.add_argument("out", help="output .csv or .parquet/")
+    la.add_argument("--fid-field", default="fid", dest="fid_field",
+                    help="numeric feature-id column (drivers without an "
+                         "intrinsic fid, e.g. GeoJSON, need an attribute)")
+    la.set_defaults(fn=cmd_layeralgebra)
 
     mv = sub.add_parser(
         "move", help="refit georeferencing to a new CRS without warping (gdalmove)")
