@@ -26,6 +26,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _tiff(path, stats)
     if low.endswith((".png", ".jpg", ".jpeg", ".webp", ".gif", ".bmp")):
         return _image(path, stats)
+    if low.endswith((".jp2", ".j2k", ".j2c", ".jpx")):
+        from gdal_ray.sources.jp2 import jp2_info
+
+        out = jp2_info(path)
+        out.pop("tile_parts", None)  # index is for readers, not info text
+        return out
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_gsb
 
