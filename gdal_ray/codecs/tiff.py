@@ -441,6 +441,10 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                     else:
                         exp = tw * th * cpp * bpp
                         buf = _decompress(raw, comp, exp)
+                        if len(buf) < exp:
+                            # partial final tile stored short (GDAL #1179
+                            # tolerance: zero-fill the missing tail)
+                            buf = bytes(buf) + b"\x00" * (exp - len(buf))
                         if predictor == 3:
                             blk = _undo_predictor3(buf, th, tw, cpp, dt)
                         else:
@@ -477,6 +481,9 @@ def read_geotiff(data: bytes, ifd_off: int | None = None) -> tuple[np.ndarray, d
                 else:
                     exp = hh * w * cpp * bpp
                     buf = _decompress(raw, comp, exp)
+                    if len(buf) < exp:
+                        # short final strip (GDAL #1179 tolerance)
+                        buf = bytes(buf) + b"\x00" * (exp - len(buf))
                     if predictor == 3:
                         blk = _undo_predictor3(buf, hh, w, cpp, dt)
                     else:
