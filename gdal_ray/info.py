@@ -129,6 +129,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return {"driver": "GML", **{k: v for k, v in
                                     read_gml_meta(path).items()
                                     if k != "format"}}
+    if low.endswith(".dxf"):
+        from gdal_ray.sources.dxf import dxf_info
+
+        return dxf_info(path)
     if low.endswith(".mif"):
         from gdal_ray.sources.mifmid import read_mif_meta
 

@@ -86,6 +86,10 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.geojson import read_geojson
 
         return read_geojson(path, **kw)
+    if low.endswith(".dxf"):
+        from gdal_ray.sources.dxf import read_dxf
+
+        return read_dxf(path, **kw)
     if low.endswith(".csv"):
         from gdal_ray.sources.csvwkt import read_csv_wkt
 
