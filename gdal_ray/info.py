@@ -133,6 +133,16 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.dxf import dxf_info
 
         return dxf_info(path)
+    if low.endswith((".fits", ".fit")):
+        from gdal_ray.sources.fits import fits_meta
+
+        m = fits_meta(path)
+        return {"driver": "FITS",
+                "size": [m["width"], m["height"]], "bands": m["bands"],
+                "bitpix": m["bitpix"], "dtype": m["dtype"],
+                "geotransform": m.get("geotransform"),
+                "ctype": m.get("ctype"), "nodata": m.get("nodata"),
+                "n_extensions": len(m["extensions"])}
     if low.endswith(".mif"):
         from gdal_ray.sources.mifmid import read_mif_meta
 

@@ -154,6 +154,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.rawgrid import read_rawgrid
 
         return read_rawgrid(path, **kw)
+    if low.endswith((".fits", ".fit")):
+        from gdal_ray.sources.fits import read_fits
+
+        return read_fits(path, **kw)
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_ntv2
 
