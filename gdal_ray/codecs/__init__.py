@@ -91,6 +91,11 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_bmp(data)
     if data[:4] == FAKE_LOSSY_MAGIC:
         return decode_lossy(data)
+    if fmt == "tga" or data[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA has no leading magic; the fmt hint or v2 footer decides
+        from gdal_ray.codecs.tga import decode_tga
+
+        return decode_tga(data)[0]
     raise NotImplementedError(
         f"cannot decode fmt={fmt!r}: unrecognized container magic "
         f"{data[:4]!r} (png/jpeg/webp/fake-lossy supported)"

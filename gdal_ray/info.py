@@ -133,6 +133,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.dxf import dxf_info
 
         return dxf_info(path)
+    if low.endswith(".tga"):
+        from gdal_ray.codecs.tga import tga_info
+
+        return tga_info(path)
     if low.endswith((".fits", ".fit")):
         from gdal_ray.sources.fits import fits_meta
 
