@@ -298,6 +298,9 @@ def _decode_complex(sec7: bytes, m: dict) -> np.ndarray:
     # values: continuous bit string with per-group widths
     bits = np.unpackbits(np.frombuffer(sec7, np.uint8, offset=pos))
     out = np.empty(n, dtype=np.int64)
+    missing = np.zeros(n, dtype=bool)
+    with_miss = m.get("miss", 0) == 1
+    ref_max = (1 << m["nbits"]) - 1
     bp = 0
     vp = 0
     for g in range(ng):
@@ -305,25 +308,42 @@ def _decode_complex(sec7: bytes, m: dict) -> np.ndarray:
         w = int(widths[g])
         if w == 0:
             out[vp:vp + cnt] = refs[g]
+            if with_miss and refs[g] == ref_max:
+                # all-missing group: max reference marks it (reg. 92.6.3)
+                missing[vp:vp + cnt] = True
         else:
             gb = bits[bp:bp + cnt * w].reshape(cnt, w).astype(np.int64)
             v = np.zeros(cnt, dtype=np.int64)
             for b in range(w):
                 v = (v << 1) | gb[:, b]
             out[vp:vp + cnt] = refs[g] + v
+            if with_miss:
+                # all-ones value within the group width marks missing
+                missing[vp:vp + cnt] = v == (1 << w) - 1
             bp += cnt * w
         vp += cnt
     if order:
-        out = out + dmin
-        f = out.astype(np.int64)
-        f[:order] = ivals
+        # spatial differencing runs over the NON-missING subsequence only
+        # (g2clib comunpack.c: missing points are skipped by the chain)
+        idx = np.nonzero(~missing)[0] if with_miss else np.arange(n)
+        sub = out[idx] + dmin
+        k = len(sub)
+        f = sub.astype(np.int64)
+        f[:min(order, k)] = ivals[:min(order, k)]
         if order == 2:
-            for i in range(2, n):
-                f[i] = out[i] + 2 * f[i - 1] - f[i - 2]
+            for i in range(2, k):
+                f[i] = sub[i] + 2 * f[i - 1] - f[i - 2]
         else:
-            for i in range(1, n):
-                f[i] = out[i] + f[i - 1]
-        out = f
+            for i in range(1, k):
+                f[i] = sub[i] + f[i - 1]
+        if with_miss:
+            res = np.zeros(n, dtype=np.int64)
+            res[idx] = f
+            out = res
+        else:
+            out = f
+    if with_miss:
+        m["_missing_mask"] = missing
     return out
 
 
@@ -346,10 +366,20 @@ def _parse_sections(buf: bytes) -> dict[int, bytes]:
 
 def _grid_meta(sec3: bytes) -> dict:
     src, npts, x1, x2, tmpl = struct.unpack_from(">BIBBH", sec3, 0)
+    b = sec3[9:]
+    if tmpl in (10, 20, 30):
+        # Mercator / polar-stereographic / Lambert grids: Ni/Nj sit at
+        # the same octets as 3.0; the data unpacks identically, only the
+        # geotransform needs the projection (not derived here — the grid
+        # is exposed with grid_template so callers know).  Scan mode:
+        # octet 60 (3.10) / 65 (3.20, 3.30).
+        ni, nj = struct.unpack_from(">II", b, 16)
+        scan = b[45] if tmpl == 10 else b[50]
+        return {"n_points": npts, "ni": ni, "nj": nj,
+                "grid_template": tmpl, "scan": int(scan)}
     if tmpl != 0:
         raise NotImplementedError(f"GRIB2 grid definition template {tmpl} "
-                                  "(only 3.0 regular lat/lon)")
-    b = sec3[9:]
+                                  "(3.0 lat/lon; 3.10/3.20/3.30 size-only)")
     ni, nj = struct.unpack_from(">II", b, 16)
     la1 = _sdeg(struct.unpack_from(">I", b, 32)[0])
     lo1 = _sdeg(struct.unpack_from(">I", b, 36)[0])
@@ -365,19 +395,29 @@ def _grid_meta(sec3: bytes) -> dict:
 
 def _pack_meta(sec5: bytes) -> dict:
     npts, tmpl = struct.unpack_from(">IH", sec5, 0)
-    if tmpl not in (0, 2, 3):
+    if tmpl not in (0, 2, 3, 4, 41):
         raise NotImplementedError(f"GRIB2 data representation template "
-                                  f"{tmpl} (5.0/5.2/5.3 supported)")
+                                  f"{tmpl} (5.0/5.2/5.3/5.4/5.41 supported)")
+    if tmpl == 4:  # IEEE floating point (template 5.4): precision octet only
+        return {"n_points": npts, "template": 4,
+                "ieee_precision": sec5[6] if len(sec5) > 6 else 1}
     r, e, d, nbits, ftype = struct.unpack_from(">fHHBB", sec5, 6)
     out = {"n_points": npts, "R": float(r), "E": _s16(e), "D": _s16(d),
            "nbits": nbits, "template": tmpl}
     if tmpl in (2, 3):
-        (split, miss, _pm, _sm2, ng, wref, wbits, lref, linc, llast,
+        (split, miss, pm, _sm2, ng, wref, wbits, lref, linc, llast,
          lbits) = struct.unpack_from(">BBIIIBBIBIB", sec5, 16)
-        if miss != 0:
-            raise NotImplementedError("GRIB2 missing-value management")
+        if miss not in (0, 1):
+            raise NotImplementedError(
+                "GRIB2 secondary missing-value management")
         out.update(ng=ng, w_ref=wref, w_bits=wbits, len_ref=lref,
-                   len_inc=linc, len_last=llast, len_bits=lbits)
+                   len_inc=linc, len_last=llast, len_bits=lbits,
+                   miss=miss, ftype=ftype)
+        if miss == 1:
+            # primary missing substitute: raw octets 24-27, interpreted
+            # per the original-field-type octet (reg. 92.6.3 / degrib)
+            out["miss_sub"] = (struct.unpack(">f", struct.pack(">I", pm))[0]
+                               if ftype == 0 else float(pm))
         if tmpl == 3:
             order, ld = struct.unpack_from(">BB", sec5, 42)
             out.update(sd_order=order, sd_octets=ld)
@@ -389,17 +429,30 @@ def _pack_meta(sec5: bytes) -> dict:
 def read_grib2_meta(path: str) -> dict:
     """Driver-side message index: reads only the 16-byte indicators plus
     each message's section headers (never the packed data)."""
+    import mmap
+
     msgs = []
     size = os.path.getsize(path)
     with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         off = 0
         while off < size:
+            f.seek(off)
             ind = f.read(16)
             if len(ind) < 16:
                 break
             magic, _, disc, ed, total = struct.unpack(">4sHBBQ", ind)
             if magic != _MAGIC:
-                raise ValueError(f"bad GRIB magic at offset {off}")
+                # WMO bulletins wrap messages in routing headers; the
+                # reference (degrib ReadGRIB2Record) scans forward for
+                # the next "GRIB" indicator — do the same
+                nxt = mm.find(_MAGIC, off)
+                if nxt < 0:
+                    if not msgs:
+                        raise ValueError(f"bad GRIB magic at offset {off}")
+                    break
+                off = nxt
+                continue
             if ed != 2:
                 raise NotImplementedError(f"GRIB edition {ed}")
             body = f.read(total - 16)
@@ -424,12 +477,41 @@ def _decode_message(path: str, m: dict) -> np.ndarray:
     with open(path, "rb") as f:
         f.seek(m["offset"] + 16)
         secs = _parse_sections(f.read(m["length"] - 16))
-    if m.get("template") in (2, 3):
+    if m.get("template") == 4:
+        # template 7.4: raw IEEE floats, no scaling (WMO FM 92 §5.4)
+        dt = {1: ">f4", 2: ">f8"}.get(m.get("ieee_precision", 1), ">f4")
+        y = np.frombuffer(secs[7], dtype=dt, count=m["n_points"]).astype(np.float64)
+        return y.reshape(m["nj"], m["ni"])
+    if m.get("template") == 41:
+        # template 7.41: the scaled integers are a PNG image (grayscale,
+        # 8/16-bit per the nbits octet) — decode via the engine's own
+        # from-spec PNG codec, then apply the standard E/D scaling
+        from gdal_ray.codecs.png import decode_png
+
+        img = decode_png(bytes(secs[7]))
+        if img.ndim == 3:
+            img = img[:, :, 0]
+        x = img.reshape(-1)[: m["n_points"]].astype(np.float64)
+    elif m.get("template") in (2, 3):
         x = _decode_complex(secs[7], m).astype(np.float64)
     else:
         x = _unpack_bits(secs[7], m["n_points"], m["nbits"]).astype(np.float64)
     y = (m["R"] + x * 2.0 ** m["E"]) / 10.0 ** m["D"]
-    return y.reshape(m["nj"], m["ni"])
+    mask = m.pop("_missing_mask", None)
+    if mask is not None:
+        # missing points carry the primary substitute verbatim (degrib
+        # maps it to the band nodata; scaling does not apply to it)
+        y = np.where(mask, m["miss_sub"], y)
+    y = y.reshape(m["nj"], m["ni"])
+    scan = m.get("scan", 0)
+    if scan & 0x10:
+        y = y.copy()
+        y[1::2] = y[1::2, ::-1]  # boustrophedon: odd rows scan backwards
+    if scan & 0x80:
+        y = y[:, ::-1]  # -i scan: normalize west->east
+    if scan & 0x40:
+        y = y[::-1]  # +j scan (south->north): normalize north-up as GDAL
+    return y
 
 
 def read_grib2_field(path: str, index: int = 0) -> np.ndarray:

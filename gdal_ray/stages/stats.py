@@ -23,13 +23,22 @@ _PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
 
 
 def checksum_plane(plane: np.ndarray) -> int:
-    """16-bit modulo-prime checksum of one band (row-major), bit-exact with
-    GDALChecksumImage for integer data starting at offset (0,0)."""
-    flat = plane.reshape(-1).astype(np.int64)
-    primes = _PRIMES[np.arange(flat.size, dtype=np.int64) % 11]
-    # C-style truncating remainder == np.fmod for nonnegative ints; our
-    # pixel data is uint8 so plain % matches.
-    return int(np.sum(flat % primes) & 0xFFFF)
+    """16-bit modulo-prime checksum of one band (row-major), bit-exact
+    with GDALChecksumImage at offset (0,0) for integer AND floating
+    bands (alg/gdalchecksum.cpp): floats convert via the GDALCopyWords
+    rounding floor(v+0.5) clamped to ±2147483647 (non-finite → INT_MIN),
+    and the modulo is C-truncating (negative values leave negative
+    remainders), which np.fmod reproduces."""
+    flat = plane.reshape(-1)
+    if flat.dtype.kind == "f":
+        v = np.floor(flat.astype(np.float64) + 0.5)
+        finite = np.isfinite(v)
+        v = np.clip(v, -2147483647.0, 2147483647.0)
+        vals = np.where(finite, v, float(-2147483648)).astype(np.int64)
+    else:
+        vals = flat.astype(np.int64)
+    primes = _PRIMES[np.arange(vals.size, dtype=np.int64) % 11]
+    return int(np.sum(np.fmod(vals, primes)) & 0xFFFF)
 
 
 def checksum_image(img: np.ndarray) -> int:
