@@ -174,6 +174,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.nitf import read_nitf
 
         return read_nitf(path, **kw)
+    if low.endswith((".jp2", ".j2k", ".j2c")):
+        from gdal_ray.sources.jp2 import read_jp2
+
+        return read_jp2(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))
