@@ -1178,3 +1178,607 @@ def decode_jp2_bytes(buf: bytes, promote_1bit_alpha: bool = True) -> np.ndarray:
             out = out.copy()
             out[:, :, alpha_idx] = out[:, :, alpha_idx] * 255
     return out
+
+
+# ===========================================================================
+# Encoder — lossless (reversible 5/3) JPEG 2000, single tile, one layer,
+# LRCP, 64x64 code-blocks, default precincts, optional RCT.  The decoder
+# above is the conformance reference for the written stream (it matches
+# openjpeg-produced fixtures bit-exact), so round-trip equality is the
+# correctness gate.
+# ===========================================================================
+
+
+class _MQEncoder:
+    """Software-conventions MQ encoder (T.800 C.2)."""
+
+    __slots__ = ("c", "a", "ct", "b", "out", "idx", "mps", "_first")
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+        self.b = None          # pending byte
+        self.out = bytearray()
+        self.idx = [0] * _N_CTX
+        self.mps = [0] * _N_CTX
+        self.idx[0] = 4
+        self.idx[17] = 3
+        self.idx[18] = 46
+
+    def _byteout(self):
+        # T.88 C.2.3 flowchart; `b` is the last produced byte, still
+        # mutable (carry propagation), finalized into `out` on the next
+        # byteout.  Bit 27 of C is the carry.
+        if self.b == 0xFF:
+            self.out.append(self.b)
+            self.b = (self.c >> 20) & 0xFF
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif (self.c & 0x8000000) == 0:
+            if self.b is not None:
+                self.out.append(self.b)
+            self.b = (self.c >> 19) & 0xFF
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.b = (self.b + 1) if self.b is not None else 1
+            if self.b == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.out.append(self.b)
+                self.b = (self.c >> 20) & 0xFF
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.out.append(self.b)
+                self.b = (self.c >> 19) & 0xFF
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def encode(self, d: int, cx: int):
+        qe, nmps, nlps, switch = _QE[self.idx[cx]]
+        if d == self.mps[cx]:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            self.idx[cx] = nmps
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.mps[cx] = 1 - self.mps[cx]
+            self.idx[cx] = nlps
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS: largest value in [C, C+A) with maximal trailing 1s —
+        # the decoder's end-of-data 0xFF fill then stays inside the
+        # interval
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        # two byteouts with 32-bit-register shift semantics (T.88 FLUSH)
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        # include the final pending byte unless it is 0xFF (the decoder
+        # synthesizes 0xFF fill at end-of-data)
+        if self.b is not None and self.b != 0xFF:
+            self.out.append(self.b)
+        return bytes(self.out)
+
+
+def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
+    """Tier-1 encode one code-block (all passes).  `vals` = magnitudes
+    (int >= 0), `sgn` = 1 for negative.  Returns (data, npasses, zbp)."""
+    h, w = vals.shape
+    n = w * h
+    mag = vals.reshape(-1).astype(np.int64)
+    vmax = int(mag.max()) if n else 0
+    nplanes_needed = vmax.bit_length()
+    zbp = mb - nplanes_needed
+    if nplanes_needed == 0:
+        return b"", 0, mb  # wholly zero block: never included
+    nplanes = nplanes_needed
+    npasses = 3 * nplanes - 2
+    sgn_f = sgn.reshape(-1)
+    sig = bytearray(n)
+    visited = bytearray(n)
+    ch = bytearray(n)
+    cv = bytearray(n)
+    cd = bytearray(n)
+    sh = np.zeros(n, np.int8)
+    sv = np.zeros(n, np.int8)
+    dplane = np.zeros(n, np.int8)
+    sig_lut = _SIG_HH if band == "HH" else _SIG_LL
+    swap = band == "HL"
+    mq = _MQEncoder()
+    enc = mq.encode
+
+    def make_sig(i, x, y, s, p):
+        sig[i] = 1
+        dplane[i] = p
+        ds = 1 if s == 0 else -1
+        if x > 0:
+            ch[i - 1] += 1
+            sh[i - 1] += ds
+            if y > 0:
+                cd[i - 1 - w] += 1
+            if y < h - 1:
+                cd[i - 1 + w] += 1
+        if x < w - 1:
+            ch[i + 1] += 1
+            sh[i + 1] += ds
+            if y > 0:
+                cd[i + 1 - w] += 1
+            if y < h - 1:
+                cd[i + 1 + w] += 1
+        if y > 0:
+            cv[i - w] += 1
+            sv[i - w] += ds
+        if y < h - 1:
+            cv[i + w] += 1
+            sv[i + w] += ds
+
+    def put_sign(i, x, y, p):
+        H = min(1, max(-1, int(sh[i])))
+        V = min(1, max(-1, int(sv[i])))
+        cx, xo = _SIGN_CTX[(H + 1, V + 1)]
+        s = int(sgn_f[i])
+        enc(s ^ xo, cx)
+        make_sig(i, x, y, s, p)
+
+    passno = 0
+    p = nplanes - 1
+    while passno < npasses and p >= 0:
+        ptype = 0 if passno == 0 else (passno - 1) % 3 + 1
+        bit_of = 1 << p
+        if ptype == 0 or ptype == 3:
+            for y0 in range(0, h, 4):
+                ylim = min(y0 + 4, h)
+                full = ylim - y0 == 4
+                for x in range(w):
+                    i0 = y0 * w + x
+                    if full:
+                        runnable = True
+                        for k in range(4):
+                            i = i0 + k * w
+                            if sig[i] or visited[i] or ch[i] or cv[i] or cd[i]:
+                                runnable = False
+                                break
+                        if runnable:
+                            r = -1
+                            for k in range(4):
+                                if mag[i0 + k * w] & bit_of:
+                                    r = k
+                                    break
+                            if r < 0:
+                                enc(0, 17)
+                                for k in range(4):
+                                    visited[i0 + k * w] = 0
+                                continue
+                            enc(1, 17)
+                            enc((r >> 1) & 1, 18)
+                            enc(r & 1, 18)
+                            i = i0 + r * w
+                            put_sign(i, x, y0 + r, p)
+                            start = r + 1
+                        else:
+                            start = 0
+                    else:
+                        start = 0
+                    for k in range(start, ylim - y0):
+                        i = i0 + k * w
+                        if sig[i] or visited[i]:
+                            continue
+                        if swap:
+                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                        else:
+                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                        b = 1 if mag[i] & bit_of else 0
+                        enc(b, cx)
+                        if b:
+                            put_sign(i, x, y0 + k, p)
+                    for k in range(ylim - y0):
+                        visited[i0 + k * w] = 0
+            p -= 1
+        elif ptype == 1:
+            for y0 in range(0, h, 4):
+                ylim = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    for k in range(ylim - y0):
+                        i = i0 + k * w
+                        if sig[i] or not (ch[i] or cv[i] or cd[i]):
+                            continue
+                        visited[i] = 1
+                        if swap:
+                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                        else:
+                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                        b = 1 if mag[i] & bit_of else 0
+                        enc(b, cx)
+                        if b:
+                            put_sign(i, x, y0 + k, p)
+        else:
+            for y0 in range(0, h, 4):
+                ylim = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    for k in range(ylim - y0):
+                        i = i0 + k * w
+                        if not sig[i] or dplane[i] <= p:
+                            continue
+                        # refinement state must mirror the decoder: first
+                        # refinement iff this is the plane right after the
+                        # coefficient became significant
+                        if dplane[i] == p + 1 and (mag[i] >> (p + 1)) == 1:
+                            cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
+                        else:
+                            cx = 16
+                        enc(1 if mag[i] & bit_of else 0, cx)
+                        dplane[i] = p
+        passno += 1
+    return mq.flush(), npasses, zbp
+
+
+class _HdrWriter:
+    """Packet-header bit writer with 0xFF bit-stuffing (B.10.1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nb = 0
+        self.lim = 8
+
+    def bit(self, b: int):
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nb += 1
+        if self.nb == self.lim:
+            self.out.append(self.cur)
+            self.lim = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.nb = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def align(self):
+        if self.nb:
+            self.cur <<= (self.lim - self.nb)
+            self.out.append(self.cur)
+            if self.cur == 0xFF:  # header may not end with 0xFF
+                self.out.append(0)
+            self.cur = 0
+            self.nb = 0
+            self.lim = 8
+        elif self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _TagTreeEnc:
+    """Tag-tree encoder (B.10.2): set leaf values, then emit bits so the
+    decoder's threshold walk reconstructs them."""
+
+    def __init__(self, w: int, h: int, leaf_vals):
+        self.dims = []
+        while True:
+            self.dims.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.val = []
+        cur = np.asarray(leaf_vals, np.int32).reshape(self.dims[0][1],
+                                                      self.dims[0][0])
+        for (ww, hh) in self.dims:
+            if not self.val:
+                self.val.append(cur)
+                continue
+            prev = self.val[-1]
+            nxt = np.full((hh, ww), 2 ** 30, np.int32)
+            for y in range(prev.shape[0]):
+                for x in range(prev.shape[1]):
+                    yy, xx = y >> 1, x >> 1
+                    if prev[y, x] < nxt[yy, xx]:
+                        nxt[yy, xx] = prev[y, x]
+            self.val.append(nxt)
+        self.low = [np.zeros((d[1], d[0]), np.int32) for d in self.dims]
+        self.known = [np.zeros((d[1], d[0]), bool) for d in self.dims]
+
+    def encode(self, wr: _HdrWriter, i: int, j: int, threshold: int):
+        lo = 0
+        for lev in range(len(self.dims) - 1, -1, -1):
+            x, y = i >> lev, j >> lev
+            if self.low[lev][y, x] < lo:
+                self.low[lev][y, x] = lo
+            v = self.val[lev][y, x]
+            while not self.known[lev][y, x] and self.low[lev][y, x] < threshold:
+                if self.low[lev][y, x] < v:
+                    wr.bit(0)
+                    self.low[lev][y, x] += 1
+                else:
+                    wr.bit(1)
+                    self.known[lev][y, x] = True
+            lo = max(self.low[lev][y, x], min(v, threshold))
+            lo = self.low[lev][y, x] if not self.known[lev][y, x] else v
+
+
+def _fd_53(X, i0, axis):
+    """Forward (analysis) reversible 5/3 along `axis`, global offset i0."""
+    n = X.shape[axis]
+    if n == 1:
+        return X if (i0 & 1) == 0 else X * 2
+    ext = _mirror_take(X, -2, n + 2, axis)
+    sl = [slice(None)] * ext.ndim
+    ne = ext.shape[axis]
+    start_even = (i0 - 2) & 1
+    out = ext.astype(np.int64, copy=True)
+    od = np.arange(1 - start_even, ne, 2)
+    od_in = od[(od >= 1) & (od <= ne - 2)]
+    s_lo = sl.copy(); s_lo[axis] = od_in - 1
+    s_hi = sl.copy(); s_hi[axis] = od_in + 1
+    s_od = sl.copy(); s_od[axis] = od_in
+    out[tuple(s_od)] = out[tuple(s_od)] - \
+        ((out[tuple(s_lo)] + out[tuple(s_hi)]) >> 1)
+    ev = np.arange(start_even, ne, 2)
+    ev_in = ev[(ev >= 1) & (ev <= ne - 2)]
+    s_lo = sl.copy(); s_lo[axis] = ev_in - 1
+    s_hi = sl.copy(); s_hi[axis] = ev_in + 1
+    s_ev = sl.copy(); s_ev[axis] = ev_in
+    out[tuple(s_ev)] = out[tuple(s_ev)] + \
+        ((out[tuple(s_lo)] + out[tuple(s_hi)] + 2) >> 2)
+    s_crop = sl.copy()
+    s_crop[axis] = slice(2, 2 + n)
+    return out[tuple(s_crop)]
+
+
+def _encode_numpasses(wr: _HdrWriter, n: int):
+    if n == 1:
+        wr.bit(0)
+    elif n == 2:
+        wr.bits(0b10, 2)
+    elif n <= 5:
+        wr.bits(0b11, 2)
+        wr.bits(n - 3, 2)
+    elif n <= 36:
+        wr.bits(0b1111, 4)
+        wr.bits(n - 6, 5)
+    else:
+        wr.bits(0b111111111, 9)
+        wr.bits(n - 37, 7)
+
+
+def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
+    """Encode one tile (list of per-component int64 canvas planes already
+    DC-shifted/MCT'd).  Returns packet bytes (LRCP, 1 layer, single
+    precinct per band-resolution)."""
+    chunks = []
+    # per component: wavelet decompose, collect bands per resolution
+    comp_bands = []  # comp -> r -> list of (kind, rect, array)
+    for plane in planes:
+        x0, y0, x1, y1 = tx0, ty0, tx1, ty1
+        cur = plane
+        rbands = {0: None}
+        for lev in range(1, levels + 1):
+            cur = _fd_53(cur, y0, axis=0)
+            cur = _fd_53(cur, x0, axis=1)
+            exs = 1 if (x0 & 1) else 0   # index of first even-x column
+            eys = 1 if (y0 & 1) else 0
+            oxs = 1 - exs
+            oys = 1 - eys
+            ll = cur[eys::2, exs::2]
+            hl = cur[eys::2, oxs::2]
+            lh = cur[oys::2, exs::2]
+            hh = cur[oys::2, oxs::2]
+            r = levels - lev + 1
+            hx0, hy0 = x0 // 2, y0 // 2          # high-band origins
+            lx0, ly0 = -(-x0 // 2), -(-y0 // 2)  # low-band origins
+            hx1, hy1 = x1 // 2, y1 // 2
+            lx1, ly1 = -(-x1 // 2), -(-y1 // 2)
+            rbands[r] = [("HL", (hx0, ly0, hx1, ly1), hl),
+                         ("LH", (lx0, hy0, lx1, hy1), lh),
+                         ("HH", (hx0, hy0, hx1, hy1), hh)]
+            cur = ll
+            x0, y0, x1, y1 = lx0, ly0, lx1, ly1
+        rbands[0] = [("LL", (x0, y0, x1, y1), cur)]
+        comp_bands.append(rbands)
+
+    for r in range(levels + 1):
+        for ci, rbands in enumerate(comp_bands):
+            wr = _HdrWriter()
+            bodies = []
+            any_included = False
+            cb_entries = []  # per band: (grid dims, list of cb results)
+            for kind, rect, arr in rbands[r]:
+                bx0, by0, bx1, by1 = rect
+                if bx1 <= bx0 or by1 <= by0:
+                    cb_entries.append((kind, 0, 0, []))
+                    continue
+                gx0, gx1 = bx0 // 64, -(-bx1 // 64)
+                gy0, gy1 = by0 // 64, -(-by1 // 64)
+                nw, nh = gx1 - gx0, gy1 - gy0
+                cbs = []
+                mb = guard + eps_fn(ci, kind) - 1
+                for gy in range(gy0, gy1):
+                    for gx in range(gx0, gx1):
+                        cx0, cy0 = max(bx0, gx * 64), max(by0, gy * 64)
+                        cx1, cy1 = min(bx1, (gx + 1) * 64), min(by1, (gy + 1) * 64)
+                        sub = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
+                        mags = np.abs(sub)
+                        sgns = (sub < 0).astype(np.uint8)
+                        data, npasses, zbp = _encode_cblock(
+                            mags, sgns, mb, kind)
+                        cbs.append((data, npasses, zbp))
+                        if npasses:
+                            any_included = True
+                cb_entries.append((kind, nw, nh, cbs))
+            if not any_included:
+                wr.bit(0)
+                chunks.append(wr.align())
+                continue
+            wr.bit(1)
+            for kind, nw, nh, cbs in cb_entries:
+                if not cbs:
+                    continue
+                incl_vals = [0 if c[1] else 1 for c in cbs]
+                itt = _TagTreeEnc(nw, nh, incl_vals)
+                ztt = _TagTreeEnc(nw, nh, [c[2] for c in cbs])
+                for ci2, (data, npasses, zbp) in enumerate(cbs):
+                    gx, gy = ci2 % nw, ci2 // nw
+                    itt.encode(wr, gx, gy, 1)
+                    if not npasses:
+                        continue
+                    # zero bit-planes: emit tag tree to full determination
+                    t = 1
+                    while True:
+                        before = ztt.known[0][gy, gx]
+                        ztt.encode(wr, gx, gy, t)
+                        if ztt.known[0][gy, gx]:
+                            break
+                        t += 1
+                    _encode_numpasses(wr, npasses)
+                    lblock = 3
+                    lenbits = lblock + npasses.bit_length() - 1
+                    need = max(1, len(data).bit_length())
+                    while lenbits < need:
+                        wr.bit(1)
+                        lblock += 1
+                        lenbits += 1
+                    wr.bit(0)
+                    wr.bits(len(data), lenbits)
+                    bodies.append(data)
+            chunks.append(wr.align())
+            chunks.extend(bodies)
+    return b"".join(chunks)
+
+
+def encode_j2k(img: np.ndarray, *, levels: int | None = None,
+               mct: bool = True, tile_size: int | None = None,
+               signed: bool | None = None, depth: int | None = None) -> bytes:
+    """Encode an array losslessly (reversible 5/3) to a raw JPEG 2000
+    codestream: single layer, LRCP, 64x64 code-blocks, default
+    precincts, optional RCT for >= 3 components, optional tiling
+    (`tile_size` must be even; each tile is independent — a distributed
+    sink encodes tiles in parallel Ray tasks and splices SOT segments)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    H, W, C = a.shape
+    if signed is None:
+        signed = a.dtype.kind == "i"
+    if depth is None:
+        depth = {np.uint8: 8, np.int8: 8, np.uint16: 16, np.int16: 16,
+                 np.uint32: 32, np.int32: 32}.get(a.dtype.type, 8)
+    if levels is None:
+        levels = max(0, min(5, (min(H, W) - 1).bit_length() - 2))
+    use_mct = 1 if (mct and C >= 3) else 0
+    xt = tile_size or W
+    yt = tile_size or H
+    if tile_size is not None and tile_size % 2:
+        raise ValueError("tile_size must be even")
+
+    guard = 2
+    extra = 1 if use_mct else 0
+
+    def eps_fn(ci, kind):
+        return depth + extra + _BAND_GAIN[kind]
+
+    # ---- main header ----
+    out = bytearray(b"\xffO")  # SOC
+    csiz = C
+    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * csiz, 0, W, H, 0, 0,
+                      xt, yt, 0, 0, csiz)
+    ssiz = (depth - 1) | (0x80 if signed else 0)
+    for _ in range(C):
+        siz += struct.pack(">BBB", ssiz, 1, 1)
+    out += b"\xffQ" + siz
+    cbcode = 4  # 64 = 2^(4+2)
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, use_mct, levels,
+                      cbcode, cbcode, 0, 1)
+    out += b"\xffR" + cod
+    nband = 1 + 3 * levels
+    qcd = struct.pack(">HB", 3 + nband, (guard << 5) | 0)
+    exps = [eps_fn(0, "LL")]
+    for _ in range(levels):
+        exps += [eps_fn(0, "HL"), eps_fn(0, "LH"), eps_fn(0, "HH")]
+    # QCD band order is finest-level-last: LL then per resolution HL,LH,HH
+    qcd += bytes(e << 3 for e in exps)
+    out += b"\xff\x5c" + qcd
+
+    # ---- component planes: DC shift + MCT ----
+    planes = []
+    for c in range(C):
+        p = a[:, :, c].astype(np.int64)
+        if not signed:
+            p = p - (1 << (depth - 1))
+        planes.append(p)
+    if use_mct:
+        r_, g, b_ = planes[0], planes[1], planes[2]
+        y = (r_ + 2 * g + b_) >> 2
+        u = b_ - g
+        v = r_ - g
+        planes[0], planes[1], planes[2] = y, u, v
+
+    # ---- tiles ----
+    ntx, nty = -(-W // xt), -(-H // yt)
+    isot = 0
+    for q in range(nty):
+        for p_i in range(ntx):
+            tx0, ty0 = p_i * xt, q * yt
+            tx1, ty1 = min(tx0 + xt, W), min(ty0 + yt, H)
+            tplanes = [pl[ty0:ty1, tx0:tx1] for pl in planes]
+            body = _encode_tile(tplanes, tx0, ty0, tx1, ty1, levels,
+                                guard, eps_fn)
+            psot = 12 + 2 + len(body)
+            out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
+            out += b"\xff\x93" + body
+            isot += 1
+    out += b"\xff\xd9"  # EOC
+    return bytes(out)
+
+
+def encode_jp2(img: np.ndarray, **kw) -> bytes:
+    """Wrap encode_j2k in a minimal JP2 container (signature, ftyp,
+    jp2h/ihdr+colr, jp2c) — ISO 15444-1 Annex I."""
+    cs = encode_j2k(img, **kw)
+    a = np.asarray(img)
+    h, w = a.shape[0], a.shape[1]
+    nc = 1 if a.ndim == 2 else a.shape[2]
+    depth = kw.get("depth") or {np.uint8: 8, np.int8: 8, np.uint16: 16,
+                                np.int16: 16}.get(a.dtype.type, 8)
+    signed = kw.get("signed")
+    if signed is None:
+        signed = a.dtype.kind == "i"
+    bpc = (depth - 1) | (0x80 if signed else 0)
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    sig = box(b"jP  ", b"\r\n\x87\n")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, bpc, 7, 0, 0))
+    cs_enum = 16 if nc >= 3 else 17  # sRGB / greyscale
+    colr = box(b"colr", struct.pack(">BBBI", 1, 0, 0, cs_enum))
+    jp2h = box(b"jp2h", ihdr + colr)
+    jp2c = box(b"jp2c", cs)
+    return sig + ftyp + jp2h + jp2c

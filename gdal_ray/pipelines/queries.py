@@ -6554,6 +6554,54 @@ def q_quarantine(sf_dir: str):
         batch_format="pyarrow").sort("reason")
 
 
+SQL_JP2_ROUNDTRIP = """
+with d as (
+  select doc_id from documents where doc_id < 96),
+px as (
+  select doc_id, (doc_id * 7 + y * 16 + x) % 256 as v
+  from d, unnest(range(16)) as yy(y), unnest(range(16)) as xx(x))
+select doc_id,
+       cast(sum(v) as bigint) as px_sum,
+       cast(min(v) as bigint) as px_min,
+       cast(max(v) as bigint) as px_max
+from px group by doc_id order by doc_id
+"""
+
+
+def q_jp2_roundtrip(sf_dir: str):
+    """JPEG 2000 lossless round trip through the real from-spec codec
+    (codecs/j2k.py: MQ coder, tier-1 bit-plane coding, 5/3 DWT, packet
+    headers): per doc a deterministic 16x16 raster is encoded to a JP2
+    container and EBCOT-decoded back inside map_batches; the decoded
+    pixel sums must equal the arithmetic prediction — an oracle-verified
+    round trip of the full JPEG 2000 write+read path (reference
+    frmts/jp2openjpeg via OpenJPEG)."""
+    from gdal_ray.codecs.j2k import decode_jp2_bytes, encode_jp2
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr="doc_id < 96")
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sums, mins, maxs = [], [], []
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        for did in ids.tolist():
+            img = ((did * 7 + yy * 16 + xx) % 256).astype(np.uint8)
+            dec = decode_jp2_bytes(encode_jp2(img))
+            sums.append(int(dec.astype(np.int64).sum()))
+            mins.append(int(dec.min()))
+            maxs.append(int(dec.max()))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "px_sum": pa.array(sums, pa.int64()),
+            "px_min": pa.array(mins, pa.int64()),
+            "px_max": pa.array(maxs, pa.int64()),
+        })
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow",
+                            batch_size=32).sort("doc_id")
+
+
 SQL_GIF_FRAMES = """
 with d as (
   select doc_id, 1 + doc_id % 4 as n_frames
@@ -7422,6 +7470,7 @@ def queries():
         "exif_gps": q_exif_gps,
         "audio_stats": q_audio_stats,
         "gif_frames": q_gif_frames,
+        "jp2_roundtrip": q_jp2_roundtrip,
         "quarantine": q_quarantine,
         "geohash": q_geohash,
         "exif_tiles": q_exif_tiles,
@@ -8335,6 +8384,7 @@ def oracle_sql():
         "exif_gps": SQL_EXIF_GPS,
         "audio_stats": SQL_AUDIO_STATS,
         "gif_frames": SQL_GIF_FRAMES,
+        "jp2_roundtrip": SQL_JP2_ROUNDTRIP,
         "quarantine": SQL_QUARANTINE,
         "geohash": SQL_GEOHASH,
         "exif_tiles": _sql_exif_tiles(),

@@ -233,3 +233,117 @@ def read_jp2(path: str, *, batch_size: int = 4):
     nb = max(1, min(len(items), 32))
     return rd.from_items(items, override_num_blocks=nb).map_batches(
         load, batch_format="pyarrow", batch_size=batch_size)
+
+
+def write_jp2(path: str, arr, *, tile_size: int | None = None, **kw):
+    """Lossless JP2 writer (reversible 5/3, optional tiling).  With
+    `tile_size`, tiles are independent codestream segments — the
+    distributed variant encodes per-tile bodies in parallel Ray tasks
+    and the driver splices SOT segments (see write_jp2_parallel)."""
+    from gdal_ray.codecs.j2k import encode_jp2
+
+    data = encode_jp2(arr, tile_size=tile_size, **kw)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def write_jp2_parallel(path: str, arr, *, tile_size: int = 256, **kw):
+    """Distributed lossless JP2 write: each Ray task tier-1-encodes one
+    tile (the expensive part — MQ coding is bit-serial per code-block
+    but tiles are independent); the driver assembles main header + SOT
+    segments in tile order.  Mirrors state/cogsink.py's layout pass."""
+    import numpy as np
+    import ray
+
+    from gdal_ray.codecs import j2k as J
+
+    a = np.asarray(arr)
+    if tile_size % 2:
+        raise ValueError("tile_size must be even")
+    H, W = a.shape[0], a.shape[1]
+    C = 1 if a.ndim == 2 else a.shape[2]
+    depth = kw.get("depth") or {np.uint8: 8, np.int8: 8, np.uint16: 16,
+                                np.int16: 16}.get(a.dtype.type, 8)
+    signed = kw.get("signed")
+    if signed is None:
+        signed = a.dtype.kind == "i"
+    mct = kw.get("mct", True)
+    levels = kw.get("levels")
+    if levels is None:
+        levels = max(0, min(5, (min(H, W) - 1).bit_length() - 2))
+
+    @ray.remote
+    def encode_tile_task(sub, tx0, ty0, tx1, ty1):
+        use_mct = 1 if (mct and C >= 3) else 0
+        extra = 1 if use_mct else 0
+
+        def eps_fn(ci, kind):
+            return depth + extra + J._BAND_GAIN[kind]
+
+        planes = []
+        for c in range(C):
+            p = (sub[:, :, c] if sub.ndim == 3 else sub).astype(np.int64)
+            if not signed:
+                p = p - (1 << (depth - 1))
+            planes.append(p)
+        if use_mct:
+            r_, g, b_ = planes[0], planes[1], planes[2]
+            planes[0] = (r_ + 2 * g + b_) >> 2
+            planes[1] = b_ - g
+            planes[2] = r_ - g
+        return J._encode_tile(planes, tx0, ty0, tx1, ty1, levels, 2, eps_fn)
+
+    ntx, nty = -(-W // tile_size), -(-H // tile_size)
+    refs = []
+    for q in range(nty):
+        for p_i in range(ntx):
+            tx0, ty0 = p_i * tile_size, q * tile_size
+            tx1, ty1 = min(tx0 + tile_size, W), min(ty0 + tile_size, H)
+            sub = a[ty0:ty1, tx0:tx1]
+            refs.append(encode_tile_task.remote(sub, tx0, ty0, tx1, ty1))
+    bodies = ray.get(refs)
+    # main header assembled driver-side (same parameters the per-tile
+    # tasks used), then per-tile SOT segments spliced in tile order
+    import struct as _s
+
+    out = bytearray(b"\xffO")
+    siz = _s.pack(">HHIIIIIIIIH", 38 + 3 * C, 0, W, H, 0, 0,
+                  tile_size, tile_size, 0, 0, C)
+    ssiz = (depth - 1) | (0x80 if signed else 0)
+    for _ in range(C):
+        siz += _s.pack(">BBB", ssiz, 1, 1)
+    out += b"\xffQ" + siz
+    use_mct = 1 if (mct and C >= 3) else 0
+    out += b"\xffR" + _s.pack(">HBBHBBBBBB", 12, 0, 0, 1, use_mct,
+                              levels, 4, 4, 0, 1)
+    extra = 1 if use_mct else 0
+    exps = [depth + extra]
+    for _ in range(levels):
+        exps += [depth + extra + 1, depth + extra + 1, depth + extra + 2]
+    out += b"\xff\x5c" + _s.pack(">HB", 3 + len(exps), 2 << 5) + \
+        bytes(e << 3 for e in exps)
+    for isot, body in enumerate(bodies):
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + _s.pack(">HHIBB", 10, isot, psot, 0, 1)
+        out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    cs = bytes(out)
+    # minimal container
+    def box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+    bpc = (depth - 1) | (0x80 if signed else 0)
+    data = (box(b"jP  ", b"\r\n\x87\n")
+            + box(b"ftyp", b"jp2 " + _s.pack(">I", 0) + b"jp2 ")
+            + box(b"jp2h", box(b"ihdr", _s.pack(">IIHBBBB", H, W, C, bpc,
+                                                7, 0, 0))
+                  + box(b"colr", _s.pack(">BBBI", 1, 0, 0,
+                                         16 if C >= 3 else 17)))
+            + box(b"jp2c", cs))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path

@@ -123,3 +123,71 @@ def test_read_jp2_tiles_match_whole_decode(ray_session):
             r["h"], r["w"])
         out[r["row0"]:r["row0"] + r["h"], r["col0"]:r["col0"] + r["w"]] = blk
     assert np.array_equal(out, whole)
+
+
+# ---- encoder (lossless) ---------------------------------------------------
+
+def test_encoder_roundtrip_matrix():
+    from gdal_ray.codecs.j2k import encode_j2k
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ((20, 20), np.uint8, {}),
+        ((37, 23), np.uint8, {}),
+        ((129, 65), np.uint16, {}),
+        ((50, 60), np.int16, {}),
+        ((40, 52, 3), np.uint8, {}),           # RCT
+        ((40, 52, 3), np.uint8, {"mct": False}),
+        ((33, 47, 4), np.uint8, {}),
+        ((130, 140), np.uint8, {"tile_size": 64}),
+        ((20, 20), np.uint8, {"levels": 0}),
+        ((1, 1), np.uint8, {}),
+        ((4, 200), np.uint8, {}),
+    ]
+    for shape, dtype, kw in cases:
+        if np.issubdtype(dtype, np.signedinteger):
+            a = rng.integers(-2 ** 12, 2 ** 12, size=shape).astype(dtype)
+        elif dtype == np.uint16:
+            a = rng.integers(0, 2 ** 16, size=shape).astype(dtype)
+        else:
+            a = rng.integers(0, 256, size=shape).astype(dtype)
+        b = decode_j2k(encode_j2k(a, **kw))
+        assert np.array_equal(np.squeeze(b.astype(np.int64)),
+                              np.squeeze(a.astype(np.int64))), (shape, kw)
+
+
+def test_encoder_compresses_smooth_content():
+    from gdal_ray.codecs.j2k import encode_j2k
+
+    x, y = np.meshgrid(np.arange(256), np.arange(256))
+    smooth = ((np.sin(x / 17) + np.cos(y / 23)) * 60 + 128).astype(np.uint8)
+    cs = encode_j2k(smooth)
+    assert np.array_equal(decode_j2k(cs), smooth)
+    assert len(cs) < smooth.nbytes // 4
+
+
+def test_mq_coder_fuzz_roundtrip():
+    from gdal_ray.codecs.j2k import _MQDecoder, _MQEncoder
+
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n = int(rng.integers(1, 3000))
+        bits = rng.integers(0, 2, size=n).tolist()
+        ctxs = rng.integers(0, 19, size=n).tolist()
+        e = _MQEncoder()
+        for b, c in zip(bits, ctxs):
+            e.encode(b, c)
+        d = _MQDecoder(e.flush())
+        assert [d.decode(c) for c in ctxs] == bits
+
+
+def test_write_jp2_parallel_byte_identical(ray_session, tmp_path):
+    from gdal_ray.sources.jp2 import (decode_jp2 as dec, write_jp2,
+                                      write_jp2_parallel)
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(300, 260, 3)).astype(np.uint8)
+    p1 = write_jp2(str(tmp_path / "s.jp2"), a, tile_size=128)
+    p2 = write_jp2_parallel(str(tmp_path / "p.jp2"), a, tile_size=128)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert np.array_equal(dec(p2), a)
