@@ -242,10 +242,14 @@ def _parse_image_subheader(sh: bytes, seg_off: int, li: int) -> dict:
         # G/S/U/P geodetic-seconds/UTM/MGRS forms: parsed lazily if needed
     nicom = int(sh[pos:pos + 1]); pos += 1 + 80 * nicom
     ic = sh[pos:pos + 2].decode(); pos += 2
-    if ic not in ("NC", "NM"):
+    if ic not in ("NC", "NM", "C8"):
         raise NotImplementedError(f"compressed NITF (IC={ic}) not supported")
     if ic == "NM":
         raise NotImplementedError("IC=NM (masked blocks) not supported")
+    m["ic"] = ic
+    if ic not in ("NC", "NM"):
+        m["comrat"] = sh[pos:pos + 4].decode().strip()  # COMRAT present
+        pos += 4
     nbands = int(sh[pos:pos + 1]); pos += 1
     if nbands == 0:
         raise NotImplementedError("XBANDS (NBANDS > 9) not supported")
@@ -299,6 +303,17 @@ def _decode_block(raw: bytes, m: dict) -> np.ndarray:
 def read_nitf_array(path: str, segment: int = 0) -> np.ndarray:
     """Full decode of one image segment -> (h, w, bands) (tests/info)."""
     m = nitf_meta(path)["images"][segment]
+    if m.get("ic") == "C8":
+        # JPEG 2000 codestream fills the segment data (frmts/nitf +
+        # jp2openjpeg interop path); decode via the from-spec EBCOT codec
+        from gdal_ray.codecs.j2k import decode_j2k
+
+        with open(path, "rb") as fh:
+            fh.seek(m["data_offset"])
+            arr = decode_j2k(fh.read(m["data_len"]))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr[:m["height"], :m["width"]]
     v, hh, bands = m["nppbv"], m["nppbh"], m["bands"]
     dt = np.dtype(m["wire_dtype"])
     out = np.zeros((m["nbpc"] * v, m["nbpr"] * hh, bands),

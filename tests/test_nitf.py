@@ -128,3 +128,28 @@ def test_gates(tmp_path):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="not a NITF"):
         nitf_meta(p)
+
+
+def test_nitf_c8_jpeg2000_segment():
+    """IC=C8 (JPEG 2000 in NITF) via the from-spec EBCOT codec — the
+    autotest's published checksums for test_jp2_ecw33.ntf
+    (autotest/gdrivers/nitf.py:901 nitf_check_created_file 32398/42502/
+    38882) decode bit-exact."""
+    import numpy as np
+
+    from gdal_ray.sources.nitf import nitf_meta, read_nitf_array
+    from gdal_ray.stages.stats import checksum_plane
+
+    p = "/root/reference/autotest/gdrivers/data/nitf/test_jp2_ecw33.ntf"
+    m = nitf_meta(p)
+    assert m["images"][0]["ic"] == "C8"
+    a = read_nitf_array(p)
+    assert a.shape == (100, 200, 3)
+    assert [checksum_plane(a[:, :, i]) for i in range(3)] == \
+        [32398, 42502, 38882]
+
+    # mixed-IC file: segment 0 uncompressed, segment 1 JPEG 2000
+    p2 = "/root/reference/autotest/gdrivers/data/nitf/two_images_jp2.ntf"
+    m2 = nitf_meta(p2)
+    assert [im["ic"] for im in m2["images"]] == ["NC", "C8"]
+    assert read_nitf_array(p2, segment=1).shape == (20, 20, 1)
