@@ -271,11 +271,26 @@ _SIGN_CTX = {
     (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
 }
 
+# flat python-list variants for the hot loops (python list indexing is
+# several times faster than numpy scalar indexing)
+_SIG_LL_FLAT = tuple(int(_SIG_LL[hh, vv, dd]) for hh in range(3)
+                     for vv in range(3) for dd in range(5))
+_SIG_HH_FLAT = tuple(int(_SIG_HH[hh, vv, dd]) for hh in range(3)
+                     for vv in range(3) for dd in range(5))
+_SIGN_CTX_FLAT = tuple(_SIGN_CTX[(hh, vv)] for hh in range(3)
+                       for vv in range(3))
+
 
 def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                    band: str):
-    """Decode one code-block; returns (mag<<down | reconstructed ints as
-    int32 array, sign array).  `nplanes` = Mb - zero_bitplanes."""
+    """Decode one code-block; returns reconstructed int32 magnitudes and
+    the sign plane.  `nplanes` = Mb - zero_bitplanes.
+
+    Hot-loop shape: the MQ decoder is inherently bit-serial, so per-
+    decision cost is O(1) via incremental neighbor-count arrays; whole
+    stripe-columns with no significant coefficient in their 3-column
+    window are skipped without scanning (col_sig counters), which makes
+    sparse (early-plane / smooth-content) passes cheap."""
     n = w * h
     mag = np.zeros(n, np.int32)
     dplane = np.zeros(n, np.int8)   # plane index of last decoded bit
@@ -285,23 +300,22 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
     ch = bytearray(n)               # count of significant horiz neighbors
     cv = bytearray(n)
     cd = bytearray(n)
-    sh = np.zeros(n, np.int8)       # signed sums for sign contexts
-    sv = np.zeros(n, np.int8)
-    if band == "HL":
-        sig_lut = _SIG_LL  # transposed access below
-    elif band == "HH":
-        sig_lut = _SIG_HH
-    else:
-        sig_lut = _SIG_LL
+    sh = [0] * n                    # signed sums for sign contexts
+    sv = [0] * n
+    col_sig = [0] * (w + 2)         # per-column significant count, +guard
+    lut = _SIG_HH_FLAT if band == "HH" else _SIG_LL_FLAT
     swap = band == "HL"
     mq = _MQDecoder(data)
     dec = mq.decode
+    magl = [0] * n                  # python-int magnitudes (fast path)
+    dpl = [0] * n
 
     def make_sig(i, x, y, s, p):
         sig[i] = 1
         sgn[i] = s
-        mag[i] = 1
-        dplane[i] = p
+        magl[i] = 1
+        dpl[i] = p
+        col_sig[x + 1] += 1
         ds = 1 if s == 0 else -1
         if x > 0:
             ch[i - 1] += 1
@@ -325,9 +339,11 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
             sv[i + w] += ds
 
     def sign_of(i, x, y, p):
-        H = min(1, max(-1, int(sh[i])))
-        V = min(1, max(-1, int(sv[i])))
-        cx, xo = _SIGN_CTX[(H + 1, V + 1)]
+        hs = sh[i]
+        vs = sv[i]
+        H = 1 if hs > 0 else (-1 if hs < 0 else 0)
+        V = 1 if vs > 0 else (-1 if vs < 0 else 0)
+        cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
         s = dec(cx) ^ xo
         make_sig(i, x, y, s, p)
 
@@ -336,24 +352,30 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
     while passno < npasses and p >= 0:
         ptype = 0 if passno == 0 else (passno - 1) % 3 + 1
         # pass types: on the first plane only cleanup runs; thereafter
-        # (SPP, MRP, CUP) per plane.  passno 0 = CUP of top plane;
-        # passno 1,2,3 = SPP,MRP,CUP of next plane; etc.
+        # (SPP, MRP, CUP) per plane.
         if ptype == 0 or ptype == 3:
             # cleanup pass
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
-                full = ylim - y0 == 4
+                nrows = ylim - y0
+                full = nrows == 4
                 for x in range(w):
                     i0 = y0 * w + x
+                    quiet3 = (col_sig[x] + col_sig[x + 1]
+                              + col_sig[x + 2]) == 0
                     if full:
-                        # run-length mode: whole column insignificant with
-                        # no significant neighbors and nothing visited
-                        runnable = True
-                        for k in range(4):
-                            i = i0 + k * w
-                            if sig[i] or visited[i] or ch[i] or cv[i] or cd[i]:
-                                runnable = False
-                                break
+                        if quiet3:
+                            runnable = not (visited[i0] or visited[i0 + w]
+                                            or visited[i0 + 2 * w]
+                                            or visited[i0 + 3 * w])
+                        else:
+                            runnable = True
+                            for k in range(4):
+                                i = i0 + k * w
+                                if sig[i] or visited[i] or ch[i] or cv[i] \
+                                        or cd[i]:
+                                    runnable = False
+                                    break
                         if runnable:
                             if not dec(17):
                                 continue
@@ -365,25 +387,29 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                             start = 0
                     else:
                         start = 0
-                    for k in range(start, ylim - y0):
+                    for k in range(start, nrows):
                         i = i0 + k * w
                         if sig[i] or visited[i]:
                             continue
                         if swap:
-                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
                         else:
-                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
                         if dec(cx):
                             sign_of(i, x, y0 + k, p)
-                    # clear visited for this column (end of plane)
-                    for k in range(ylim - y0):
+                    for k in range(nrows):
                         visited[i0 + k * w] = 0
             p -= 1
         elif ptype == 1:
-            # significance propagation pass
+            # significance propagation pass: a coefficient is eligible
+            # only if a neighbor is significant; skip whole columns whose
+            # 3-column window holds no significant coefficient (newly
+            # significant coeffs bump col_sig, so later columns see them)
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
+                    if (col_sig[x] + col_sig[x + 1] + col_sig[x + 2]) == 0:
+                        continue
                     i0 = y0 * w + x
                     for k in range(ylim - y0):
                         i = i0 + k * w
@@ -391,31 +417,33 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                             continue
                         visited[i] = 1
                         if swap:
-                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
                         else:
-                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
                         if dec(cx):
                             sign_of(i, x, y0 + k, p)
-            # visited flags persist into MRP/CUP of this plane
         else:
-            # magnitude refinement pass
+            # magnitude refinement pass: only significant columns matter
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
+                    if col_sig[x + 1] == 0:
+                        continue
                     i0 = y0 * w + x
                     for k in range(ylim - y0):
                         i = i0 + k * w
-                        if not sig[i] or dplane[i] <= p:
+                        if not sig[i] or dpl[i] <= p:
                             continue  # became significant this plane
-                        if dplane[i] == p + 1 and mag[i] == 1:
-                            # first refinement
+                        if dpl[i] == p + 1 and magl[i] == 1:
                             cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
                         else:
                             cx = 16
-                        mag[i] = (mag[i] << 1) | dec(cx)
-                        dplane[i] = p
+                        magl[i] = (magl[i] << 1) | dec(cx)
+                        dpl[i] = p
         passno += 1
     # reconstruct: shift up by undecoded planes, midpoint for truncation
+    mag[:] = magl
+    dplane[:] = dpl
     down = dplane.astype(np.int32)
     vals = mag << down
     half = np.where((down > 0) & (mag > 0), 1 << np.maximum(down - 1, 0), 0)
