@@ -1785,9 +1785,13 @@ def encode_j2k(img: np.ndarray, *, levels: int | None = None,
     return bytes(out)
 
 
-def encode_jp2(img: np.ndarray, **kw) -> bytes:
+def encode_jp2(img: np.ndarray, *, geotransform=None, epsg=None,
+               **kw) -> bytes:
     """Wrap encode_j2k in a minimal JP2 container (signature, ftyp,
-    jp2h/ihdr+colr, jp2c) — ISO 15444-1 Annex I."""
+    jp2h/ihdr+colr, jp2c) — ISO 15444-1 Annex I.  With `geotransform`
+    (6-term GDAL convention) a GeoJP2 uuid box carrying a degenerate
+    GeoTIFF is emitted (gt_wkt_srs.cpp msi_uuid2 convention), read back
+    by jp2_info and by the reference driver."""
     cs = encode_j2k(img, **kw)
     a = np.asarray(img)
     h, w = a.shape[0], a.shape[1]
@@ -1808,5 +1812,13 @@ def encode_jp2(img: np.ndarray, **kw) -> bytes:
     cs_enum = 16 if nc >= 3 else 17  # sRGB / greyscale
     colr = box(b"colr", struct.pack(">BBBI", 1, 0, 0, cs_enum))
     jp2h = box(b"jp2h", ihdr + colr)
+    geo = b""
+    if geotransform is not None:
+        from gdal_ray.codecs.tiff import encode_geotiff
+
+        tiny = encode_geotiff(np.zeros((1, 1), np.uint8),
+                              geotransform=geotransform, epsg=epsg)
+        geo = box(b"uuid",
+                  bytes.fromhex("b14bf8bd083d4b43a5ae8cd7d5a6ce03") + tiny)
     jp2c = box(b"jp2c", cs)
-    return sig + ftyp + jp2h + jp2c
+    return sig + ftyp + jp2h + geo + jp2c

@@ -22,6 +22,9 @@ import struct
 
 _SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 
+# GeoJP2 GeoTIFF-box UUID (gt_wkt_srs.cpp msi_uuid2)
+_GEOJP2_UUID = bytes.fromhex("b14bf8bd083d4b43a5ae8cd7d5a6ce03")
+
 _PROGRESSIONS = {0: "LRCP", 1: "RLCP", 2: "RPCL", 3: "PCRL", 4: "CPRL"}
 
 _COLR_CS = {16: "sRGB", 17: "greyscale", 18: "sYCC"}
@@ -131,6 +134,19 @@ def jp2_info(path: str) -> dict:
                     elif st == b"colr" and buf[soff] == 1:
                         ecs = struct.unpack_from(">I", buf, soff + 3)[0]
                         info["colorspace"] = _COLR_CS.get(ecs, f"enum:{ecs}")
+            elif btype == b"uuid" and buf[boff:boff + 16] == _GEOJP2_UUID:
+                # GeoJP2: degenerate GeoTIFF carrying the georeferencing
+                # (gt_wkt_srs.cpp); parse with the TIFF codec's geokey walk
+                try:
+                    from gdal_ray.codecs.tiff import read_geotiff
+
+                    _, gi = read_geotiff(buf[boff + 16:boff + blen])
+                    if gi.get("geotransform"):
+                        info["geotransform"] = gi["geotransform"]
+                    if gi.get("epsg"):
+                        info["epsg"] = gi["epsg"]
+                except Exception:
+                    pass
             elif btype == b"jp2c":
                 cs = _parse_codestream(buf, boff, boff + blen)
         if cs is None:

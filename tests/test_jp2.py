@@ -191,3 +191,27 @@ def test_write_jp2_parallel_byte_identical(ray_session, tmp_path):
     p2 = write_jp2_parallel(str(tmp_path / "p.jp2"), a, tile_size=128)
     assert open(p1, "rb").read() == open(p2, "rb").read()
     assert np.array_equal(dec(p2), a)
+
+
+def test_geojp2_georeferencing():
+    """GeoJP2 uuid box -> geotransform/EPSG (jp2openjpeg.py:76 expects
+    gt (440720,60,0,3751320,0,-60) and NAD27 UTM 11N for byte.jp2);
+    writer emits a degenerate GeoTIFF uuid box read back identically."""
+    from gdal_ray.codecs.j2k import encode_jp2
+    from gdal_ray.sources.jp2 import jp2_info
+
+    i = jp2_info(B + "byte.jp2")
+    assert i["geotransform"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert i["epsg"] == 26711
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, size=(25, 30)).astype(np.uint8)
+    gt = (100.0, 0.5, 0.0, 200.0, 0.0, -0.5)
+    data = encode_jp2(a, geotransform=gt, epsg=32611)
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "t.jp2")
+    with open(p, "wb") as f:
+        f.write(data)
+    i2 = jp2_info(p)
+    assert i2["geotransform"] == gt and i2["epsg"] == 32611
+    assert np.array_equal(decode_jp2_bytes(data), a)
