@@ -25,6 +25,53 @@ _SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 # GeoJP2 GeoTIFF-box UUID (gt_wkt_srs.cpp msi_uuid2)
 _GEOJP2_UUID = bytes.fromhex("b14bf8bd083d4b43a5ae8cd7d5a6ce03")
 
+
+def _parse_gmljp2(payload: bytes):
+    """GMLJP2 RectifiedGrid -> (geotransform, epsg) or None.
+
+    Mirrors gdaljp2metadata.cpp GetGeoTransform semantics: gml:pos is
+    the CENTER of the first cell (half-pixel shift applied); the two
+    offsetVectors are matched to column/row steps by magnitude; for
+    urn-form geographic CRS (EPSG 4xxx) coordinates are lat/lon and are
+    swapped to x/y.  Robust to embedded NULs (autotest
+    byte_gmljp2_with_nul_car)."""
+    import re
+
+    xml = payload.replace(b"\x00", b"").decode("utf-8", "replace")
+    m_pos = re.search(r"<gml:pos>([-\d.eE+ ]+)</gml:pos>", xml)
+    m_ov = re.findall(
+        r"<gml:offsetVector[^>]*>([-\d.eE+ ]+)</gml:offsetVector>", xml)
+    m_srs = re.search(r'srsName="([^"]*)"', xml)
+    if not (m_pos and len(m_ov) >= 2):
+        return None
+    px, py = (float(v) for v in m_pos.group(1).split()[:2])
+    ov1 = [float(v) for v in m_ov[0].split()[:2]]
+    ov2 = [float(v) for v in m_ov[1].split()[:2]]
+    epsg = None
+    flip = False
+    if m_srs:
+        srs = m_srs.group(1)
+        em = re.search(r"EPSG:+(\d+)", srs)
+        if em:
+            epsg = int(em.group(1))
+        # urn form uses authority axis order; geographic EPSG (4xxx) is
+        # lat/lon -> swap (the 3035 fixture stores easting/northing
+        # despite the urn, matching the reference's inverted-axis check)
+        flip = srs.startswith("urn:") and epsg is not None \
+            and 4000 <= epsg <= 4999
+    if flip:
+        px, py = py, px
+        ov1 = [ov1[1], ov1[0]]
+        ov2 = [ov2[1], ov2[0]]
+    # column step = the vector with the dominant x component
+    if abs(ov1[0]) >= abs(ov2[0]):
+        vx, vy = ov1, ov2
+    else:
+        vx, vy = ov2, ov1
+    gt = (px - 0.5 * vx[0] - 0.5 * vy[0], vx[0], vy[0],
+          py - 0.5 * vx[1] - 0.5 * vy[1], vx[1], vy[1])
+    return gt, epsg
+
 _PROGRESSIONS = {0: "LRCP", 1: "RLCP", 2: "RPCL", 3: "PCRL", 4: "CPRL"}
 
 _COLR_CS = {16: "sRGB", 17: "greyscale", 18: "sYCC"}
@@ -121,6 +168,7 @@ def jp2_info(path: str) -> dict:
     elif buf[:12] == _SIG:
         info["container"] = "jp2"
         cs = None
+        gml_georef = None
         for btype, boff, blen in _boxes(buf, 0, len(buf)):
             if btype == b"ftyp":
                 info["brand"] = buf[boff:boff + 4].decode("latin-1")
@@ -147,10 +195,24 @@ def jp2_info(path: str) -> dict:
                         info["epsg"] = gi["epsg"]
                 except Exception:
                     pass
+            elif btype == b"asoc":
+                # GMLJP2: gml.data asoc wrapping xml boxes
+                g = _parse_gmljp2(buf[boff:boff + blen])
+                if g is not None:
+                    gml_georef = g
             elif btype == b"jp2c":
                 cs = _parse_codestream(buf, boff, boff + blen)
         if cs is None:
             raise ValueError("JP2: no contiguous codestream (jp2c) box")
+        # precedence: GeoJP2 (uuid) over GMLJP2, the reference's default
+        # GEOREF_SOURCES order (jp2openjpeg.py:3344 expects 26711)
+        if gml_georef is not None and "geotransform" not in info:
+            info["geotransform"] = gml_georef[0]
+            if gml_georef[1] is not None:
+                info["epsg"] = gml_georef[1]
+            info["georef_source"] = "GMLJP2"
+        elif "geotransform" in info:
+            info["georef_source"] = "GeoJP2"
     else:
         raise ValueError("not a JP2 container or JPEG 2000 codestream")
     tps = cs.pop("tile_parts")

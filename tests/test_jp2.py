@@ -215,3 +215,32 @@ def test_geojp2_georeferencing():
     i2 = jp2_info(p)
     assert i2["geotransform"] == gt and i2["epsg"] == 32611
     assert np.array_equal(decode_jp2_bytes(data), a)
+
+
+def test_gmljp2_georeferencing_and_precedence():
+    """GMLJP2 RectifiedGrid -> geotransform (jp2metadata.py:202,243):
+    lat/lon axis swap for urn EPSG:4326 (both offsetVector orders), the
+    easting/northing 3035 form, NUL-embedded XML, and GeoJP2-over-GMLJP2
+    precedence on the 'inconsistent' fixture (jp2openjpeg.py:3344)."""
+    from gdal_ray.sources.jp2 import jp2_info
+
+    cases = [
+        ("gmljp2_dtedsm_epsg_4326_axes.jp2",
+         (42.999583333333369, 0.008271349862259, 0,
+          34.000416666666631, 0, -0.008271349862259), 4326, "GMLJP2"),
+        ("gmljp2_dtedsm_epsg_4326_axes_alt_offsetVector.jp2",
+         (42.999583333333369, 0.008271349862259, 0,
+          34.000416666666631, 0, -0.008271349862259), 4326, "GMLJP2"),
+        ("gmljp2_epsg3035_easting_northing.jp2",
+         (4895766.0, 2.0, 0.0, 2296946.0, 0.0, -2.0), 3035, "GMLJP2"),
+        ("byte_gmljp2_with_nul_car.jp2",
+         (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0), 26711, "GMLJP2"),
+        ("inconsitant_geojp2_gmljp2.jp2",
+         (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0), 26711, "GeoJP2"),
+    ]
+    for f, egt, eepsg, esrc in cases:
+        i = jp2_info(B + f)
+        assert i["epsg"] == eepsg, f
+        assert i["georef_source"] == esrc, f
+        assert all(abs(a - b) < 1e-7 for a, b in
+                   zip(i["geotransform"], egt)), f
