@@ -462,7 +462,7 @@ def _ceil_div(a: int, b: int) -> int:
 
 class _Cblk:
     __slots__ = ("x0", "y0", "x1", "y1", "included", "zbp", "lblock",
-                 "npasses", "data")
+                 "npasses", "data", "result")
 
     def __init__(self, x0, y0, x1, y1):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
@@ -471,6 +471,7 @@ class _Cblk:
         self.lblock = 3
         self.npasses = 0
         self.data = b""
+        self.result = None  # optionally pre-decoded by a cblock_executor
 
 
 class _Precinct:
@@ -953,9 +954,12 @@ def _band_to_array(tc: _TileComp, band: _Band):
             nplanes = band.mb - cb.zbp
             if nplanes <= 0:
                 continue
-            vals, sgn = _decode_cblock(cb.data, cb.x1 - cb.x0,
-                                       cb.y1 - cb.y0, cb.npasses,
-                                       nplanes, band.kind)
+            if cb.result is not None:
+                vals, sgn = cb.result
+            else:
+                vals, sgn = _decode_cblock(cb.data, cb.x1 - cb.x0,
+                                           cb.y1 - cb.y0, cb.npasses,
+                                           nplanes, band.kind)
             signed = np.where(sgn == 1, -vals, vals)
             sub = out[cb.y0 - by0:cb.y1 - by0, cb.x0 - bx0:cb.x1 - bx0]
             if tc.reversible:
@@ -965,13 +969,20 @@ def _band_to_array(tc: _TileComp, band: _Band):
     return out
 
 
-def decode_j2k(buf: bytes, only_tile: int | None = None) -> np.ndarray:
+def decode_j2k(buf: bytes, only_tile: int | None = None,
+               cblock_executor=None) -> np.ndarray:
     """Decode a raw JPEG 2000 codestream to (H, W) or (H, W, C).
 
     With `only_tile`, decodes just that tile index and returns an array
     of the tile's extent — the distributed read path (sources/jp2.py
     read_jp2) splices main header + one tile's tile-parts and decodes
-    per Ray task without allocating the full image."""
+    per Ray task without allocating the full image.
+
+    `cblock_executor`, if given, is called with the list of tier-1 jobs
+    `(data, w, h, npasses, nplanes, band_kind)` and must return the
+    matching list of (vals, sign) arrays — the hook sources/jp2.py uses
+    to fan code-blocks out over Ray for single-tile giant images
+    (tier-1 is the serial bottleneck; code-blocks are independent)."""
     if buf[:2] != b"\xffO":
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
@@ -1107,6 +1118,21 @@ def decode_j2k(buf: bytes, only_tile: int | None = None) -> np.ndarray:
         except IndexError:
             raise ValueError("JPEG2000: truncated codestream "
                              "(packet data ends mid-tile)") from None
+        if cblock_executor is not None:
+            jobs, refs = [], []
+            for tcl in tcomps:
+                for res in tcl.resolutions:
+                    for bd in res["bands"]:
+                        for prec in bd.precincts:
+                            for cb in prec.cbs:
+                                if cb.included and cb.npasses and \
+                                        bd.mb - cb.zbp > 0:
+                                    jobs.append((cb.data, cb.x1 - cb.x0,
+                                                 cb.y1 - cb.y0, cb.npasses,
+                                                 bd.mb - cb.zbp, bd.kind))
+                                    refs.append(cb)
+            for cb, out in zip(refs, cblock_executor(jobs)):
+                cb.result = out
         planes = [_decode_tilecomp(tcl) for tcl in tcomps]
         # inverse multiple-component transform (first 3 components)
         if t_cod["mct"] == 1 and ncomp >= 3:

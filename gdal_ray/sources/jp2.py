@@ -425,3 +425,61 @@ def write_jp2_parallel(path: str, arr, *, tile_size: int = 256, **kw):
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+def decode_jp2_parallel(path: str, *, batch_cblocks: int = 64):
+    """Whole-image decode with tier-1 fanned out over Ray — the
+    single-tile giant-image case (e.g. a 10980x10980 Sentinel-2 band is
+    ONE tile, so read_jp2's per-tile fan-out degenerates to one task).
+    Packet parsing (cheap, serial by spec) runs driver-side; the
+    independent code-blocks — where ~95% of decode time goes — are
+    decoded in Ray tasks of `batch_cblocks` each; band assembly and the
+    vectorized inverse DWT run driver-side."""
+    import ray
+
+    from gdal_ray.codecs.j2k import _decode_cblock, decode_jp2_bytes
+
+    @ray.remote
+    def t1_batch(jobs):
+        return [_decode_cblock(*j) for j in jobs]
+
+    def executor(jobs):
+        if len(jobs) < 2 * batch_cblocks:
+            return [_decode_cblock(*j) for j in jobs]
+        refs = [t1_batch.remote(jobs[i:i + batch_cblocks])
+                for i in range(0, len(jobs), batch_cblocks)]
+        out = []
+        for r in ray.get(refs):
+            out.extend(r)
+        return out
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"\xffO":
+        from gdal_ray.codecs.j2k import decode_j2k
+
+        return decode_j2k(buf, cblock_executor=executor)
+    return decode_jp2_bytes_parallel(buf, executor)
+
+
+def decode_jp2_bytes_parallel(buf: bytes, executor):
+    """Container-aware variant of decode_jp2_parallel's core."""
+    import struct as _s
+
+    from gdal_ray.codecs.j2k import decode_j2k
+
+    off, end = 0, len(buf)
+    while off + 8 <= end:
+        ln = _s.unpack_from(">I", buf, off)[0]
+        btype = buf[off + 4:off + 8]
+        hdr = 8
+        if ln == 1:
+            ln = _s.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif ln == 0:
+            ln = end - off
+        if btype == b"jp2c":
+            return decode_j2k(buf[off + hdr:off + ln],
+                              cblock_executor=executor)
+        off += ln
+    raise ValueError("JP2: no contiguous codestream (jp2c) box")

@@ -244,3 +244,14 @@ def test_gmljp2_georeferencing_and_precedence():
         assert i["georef_source"] == esrc, f
         assert all(abs(a - b) < 1e-7 for a, b in
                    zip(i["geotransform"], egt)), f
+
+
+def test_decode_jp2_parallel_matches_serial(ray_session):
+    """Ray code-block-parallel tier-1 (the single-tile giant-image path)
+    must be bit-identical to serial decode."""
+    from gdal_ray.sources.jp2 import decode_jp2, decode_jp2_parallel
+
+    for f in ["erdas_foo.jp2", "tile_size_16.jp2"]:
+        a = decode_jp2(B + f)
+        b = decode_jp2_parallel(B + f, batch_cblocks=8)
+        assert np.array_equal(a, b), f
