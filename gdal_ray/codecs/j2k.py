@@ -1341,11 +1341,14 @@ class _MQEncoder:
 
 def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
     """Tier-1 encode one code-block (all passes).  `vals` = magnitudes
-    (int >= 0), `sgn` = 1 for negative.  Returns (data, npasses, zbp)."""
+    (int >= 0), `sgn` = 1 for negative.  Returns (data, npasses, zbp).
+    Same quiet-column skipping as the decoder (state machines must stay
+    in lockstep, and the skip predicates depend only on significance
+    state both coders share)."""
     h, w = vals.shape
     n = w * h
-    mag = vals.reshape(-1).astype(np.int64)
-    vmax = int(mag.max()) if n else 0
+    mag = [int(v) for v in vals.reshape(-1)]
+    vmax = max(mag) if n else 0
     nplanes_needed = vmax.bit_length()
     zbp = mb - nplanes_needed
     if nplanes_needed == 0:
@@ -1358,17 +1361,19 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
     ch = bytearray(n)
     cv = bytearray(n)
     cd = bytearray(n)
-    sh = np.zeros(n, np.int8)
-    sv = np.zeros(n, np.int8)
-    dplane = np.zeros(n, np.int8)
-    sig_lut = _SIG_HH if band == "HH" else _SIG_LL
+    sh = [0] * n
+    sv = [0] * n
+    dpl = [0] * n
+    col_sig = [0] * (w + 2)
+    lut = _SIG_HH_FLAT if band == "HH" else _SIG_LL_FLAT
     swap = band == "HL"
     mq = _MQEncoder()
     enc = mq.encode
 
     def make_sig(i, x, y, s, p):
         sig[i] = 1
-        dplane[i] = p
+        dpl[i] = p
+        col_sig[x + 1] += 1
         ds = 1 if s == 0 else -1
         if x > 0:
             ch[i - 1] += 1
@@ -1392,9 +1397,11 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
             sv[i + w] += ds
 
     def put_sign(i, x, y, p):
-        H = min(1, max(-1, int(sh[i])))
-        V = min(1, max(-1, int(sv[i])))
-        cx, xo = _SIGN_CTX[(H + 1, V + 1)]
+        hs = sh[i]
+        vs = sv[i]
+        H = 1 if hs > 0 else (-1 if hs < 0 else 0)
+        V = 1 if vs > 0 else (-1 if vs < 0 else 0)
+        cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
         s = int(sgn_f[i])
         enc(s ^ xo, cx)
         make_sig(i, x, y, s, p)
@@ -1407,16 +1414,24 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
         if ptype == 0 or ptype == 3:
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
-                full = ylim - y0 == 4
+                nrows = ylim - y0
+                full = nrows == 4
                 for x in range(w):
                     i0 = y0 * w + x
                     if full:
-                        runnable = True
-                        for k in range(4):
-                            i = i0 + k * w
-                            if sig[i] or visited[i] or ch[i] or cv[i] or cd[i]:
-                                runnable = False
-                                break
+                        if (col_sig[x] + col_sig[x + 1]
+                                + col_sig[x + 2]) == 0:
+                            runnable = not (visited[i0] or visited[i0 + w]
+                                            or visited[i0 + 2 * w]
+                                            or visited[i0 + 3 * w])
+                        else:
+                            runnable = True
+                            for k in range(4):
+                                i = i0 + k * w
+                                if sig[i] or visited[i] or ch[i] or cv[i] \
+                                        or cd[i]:
+                                    runnable = False
+                                    break
                         if runnable:
                             r = -1
                             for k in range(4):
@@ -1438,25 +1453,27 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
                             start = 0
                     else:
                         start = 0
-                    for k in range(start, ylim - y0):
+                    for k in range(start, nrows):
                         i = i0 + k * w
                         if sig[i] or visited[i]:
                             continue
                         if swap:
-                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
                         else:
-                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
                         b = 1 if mag[i] & bit_of else 0
                         enc(b, cx)
                         if b:
                             put_sign(i, x, y0 + k, p)
-                    for k in range(ylim - y0):
+                    for k in range(nrows):
                         visited[i0 + k * w] = 0
             p -= 1
         elif ptype == 1:
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
+                    if (col_sig[x] + col_sig[x + 1] + col_sig[x + 2]) == 0:
+                        continue
                     i0 = y0 * w + x
                     for k in range(ylim - y0):
                         i = i0 + k * w
@@ -1464,9 +1481,9 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
                             continue
                         visited[i] = 1
                         if swap:
-                            cx = int(sig_lut[cv[i], ch[i], cd[i]])
+                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
                         else:
-                            cx = int(sig_lut[ch[i], cv[i], cd[i]])
+                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
                         b = 1 if mag[i] & bit_of else 0
                         enc(b, cx)
                         if b:
@@ -1475,20 +1492,19 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
+                    if col_sig[x + 1] == 0:
+                        continue
                     i0 = y0 * w + x
                     for k in range(ylim - y0):
                         i = i0 + k * w
-                        if not sig[i] or dplane[i] <= p:
+                        if not sig[i] or dpl[i] <= p:
                             continue
-                        # refinement state must mirror the decoder: first
-                        # refinement iff this is the plane right after the
-                        # coefficient became significant
-                        if dplane[i] == p + 1 and (mag[i] >> (p + 1)) == 1:
+                        if dpl[i] == p + 1 and (mag[i] >> (p + 1)) == 1:
                             cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
                         else:
                             cx = 16
                         enc(1 if mag[i] & bit_of else 0, cx)
-                        dplane[i] = p
+                        dpl[i] = p
         passno += 1
     return mq.flush(), npasses, zbp
 
