@@ -73,6 +73,12 @@ class _MQDecoder:
     __slots__ = ("d", "bp", "end", "c", "a", "ct", "idx", "mps")
 
     def __init__(self, data: bytes):
+        self.restart(data)
+        self.reset_contexts()
+
+    def restart(self, data: bytes):
+        """(Re)initialize the codeword stream only — context states
+        persist across terminated segments (TERMALL/BYPASS)."""
         self.d = data
         self.end = len(data)
         self.bp = 0
@@ -82,6 +88,8 @@ class _MQDecoder:
         self.c = (self.c << 7) & 0xFFFFFFFF
         self.ct -= 7
         self.a = 0x8000
+
+    def reset_contexts(self):
         self.idx = [0] * _N_CTX
         self.mps = [0] * _N_CTX
         # initial states per D.1: sig ctx 0 -> 4, run-length -> 3, uni -> 46
@@ -142,6 +150,96 @@ class _MQDecoder:
             if self.a & 0x8000:
                 break
         return d
+
+
+# code-block style bits (COD SPcod / Table A-19)
+_STY_BYPASS = 0x01
+_STY_RESET = 0x02
+_STY_TERMALL = 0x04
+_STY_VSC = 0x08
+_STY_PREDICT = 0x10
+_STY_SEGSYM = 0x20
+
+
+def _pass_is_raw(k: int, style: int) -> bool:
+    """Selective-bypass rule: SPP/MRP of the 5th and lower bit-planes
+    (pass index >= 10) are raw when BYPASS is set (D.6)."""
+    if not style & _STY_BYPASS or k < 10:
+        return False
+    ptype = 0 if k == 0 else (k - 1) % 3 + 1
+    return ptype in (1, 2)
+
+
+def _term_after(k: int, style: int) -> bool:
+    """Does a codeword-segment termination follow pass k?"""
+    if style & _STY_TERMALL:
+        return True
+    if style & _STY_BYPASS:
+        return _pass_is_raw(k, style) != _pass_is_raw(k + 1, style)
+    return False
+
+
+def _pass_spans(first: int, count: int, style: int):
+    """Split the passes [first, first+count) of a packet into codeword-
+    segment spans (lo, hi, raw) at termination boundaries (B.10.7.2)."""
+    spans = []
+    k = first
+    while k < first + count:
+        j = k
+        while j + 1 < first + count and not _term_after(j, style):
+            j += 1
+        spans.append((k, j + 1, _pass_is_raw(k, style)))
+        k = j + 1
+    return spans
+
+
+class _RawReader:
+    """Raw (bypass) bit reader — same 0xFF stuffing as packet headers."""
+
+    __slots__ = ("d", "p", "b", "ct")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+        self.b = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            nb = self.d[self.p] if self.p < len(self.d) else 0xFF
+            self.p += 1
+            self.ct = 7 if self.b == 0xFF else 8
+            self.b = nb
+        self.ct -= 1
+        return (self.b >> self.ct) & 1
+
+
+class _RawWriter:
+    """Raw (bypass) bit writer — emits a stuffed 7-bit byte after 0xFF."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nb = 0
+        self.lim = 8
+
+    def bit(self, b: int):
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nb += 1
+        if self.nb == self.lim:
+            self.out.append(self.cur)
+            self.lim = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.nb = 0
+
+    def flush(self) -> bytes:
+        if self.nb:
+            self.cur <<= (self.lim - self.nb)
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nb = 0
+            self.lim = 8
+        return bytes(self.out)
 
 
 # ---------------------------------------------------------------------------
@@ -281,33 +379,44 @@ _SIGN_CTX_FLAT = tuple(_SIGN_CTX[(hh, vv)] for hh in range(3)
                        for vv in range(3))
 
 
-def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
-                   band: str):
+def _decode_cblock(segs, w: int, h: int, npasses: int, nplanes: int,
+                   band: str, style: int = 0):
     """Decode one code-block; returns reconstructed int32 magnitudes and
     the sign plane.  `nplanes` = Mb - zero_bitplanes.
+
+    `segs` is the list of codeword segments [(bytes, pass_lo, pass_hi,
+    raw)], one for style 0, several with TERMALL/BYPASS; a bare bytes
+    value means one MQ segment over all passes.  Style bits implemented:
+    BYPASS (raw SPP/MRP from pass 10), RESET, TERMALL, VSC (vertically
+    causal contexts), SEGSYM; PREDICTABLE is encoder-side only.
 
     Hot-loop shape: the MQ decoder is inherently bit-serial, so per-
     decision cost is O(1) via incremental neighbor-count arrays; whole
     stripe-columns with no significant coefficient in their 3-column
-    window are skipped without scanning (col_sig counters), which makes
-    sparse (early-plane / smooth-content) passes cheap."""
+    window are skipped without scanning (col_sig counters)."""
+    if isinstance(segs, (bytes, bytearray)):
+        segs = [(bytes(segs), 0, npasses, False)]
     n = w * h
     mag = np.zeros(n, np.int32)
-    dplane = np.zeros(n, np.int8)   # plane index of last decoded bit
+    dplane = np.zeros(n, np.int8)
     sig = bytearray(n)
     visited = bytearray(n)
     sgn = bytearray(n)
-    ch = bytearray(n)               # count of significant horiz neighbors
+    ch = bytearray(n)
     cv = bytearray(n)
     cd = bytearray(n)
-    sh = [0] * n                    # signed sums for sign contexts
+    sh = [0] * n
     sv = [0] * n
-    col_sig = [0] * (w + 2)         # per-column significant count, +guard
+    col_sig = [0] * (w + 2)
     lut = _SIG_HH_FLAT if band == "HH" else _SIG_LL_FLAT
     swap = band == "HL"
-    mq = _MQDecoder(data)
-    dec = mq.decode
-    magl = [0] * n                  # python-int magnitudes (fast path)
+    causal = bool(style & _STY_VSC)
+    segsym = bool(style & _STY_SEGSYM)
+    reset = bool(style & _STY_RESET)
+    mq = None
+    raw = None
+    seg_starts = {lo: i for i, (_, lo, _, _) in enumerate(segs)}
+    magl = [0] * n
     dpl = [0] * n
 
     def make_sig(i, x, y, s, p):
@@ -317,54 +426,68 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
         dpl[i] = p
         col_sig[x + 1] += 1
         ds = 1 if s == 0 else -1
-        if x > 0:
+        up_ok = not (causal and (y & 3) == 0)  # VSC: no propagation into
+        if x > 0:                              # the stripe above
             ch[i - 1] += 1
             sh[i - 1] += ds
-            if y > 0:
+            if y > 0 and up_ok:
                 cd[i - 1 - w] += 1
             if y < h - 1:
                 cd[i - 1 + w] += 1
         if x < w - 1:
             ch[i + 1] += 1
             sh[i + 1] += ds
-            if y > 0:
+            if y > 0 and up_ok:
                 cd[i + 1 - w] += 1
             if y < h - 1:
                 cd[i + 1 + w] += 1
-        if y > 0:
+        if y > 0 and up_ok:
             cv[i - w] += 1
             sv[i - w] += ds
         if y < h - 1:
             cv[i + w] += 1
             sv[i + w] += ds
 
-    def sign_of(i, x, y, p):
-        hs = sh[i]
-        vs = sv[i]
-        H = 1 if hs > 0 else (-1 if hs < 0 else 0)
-        V = 1 if vs > 0 else (-1 if vs < 0 else 0)
-        cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
-        s = dec(cx) ^ xo
-        make_sig(i, x, y, s, p)
-
     passno = 0
     p = nplanes - 1
     while passno < npasses and p >= 0:
         ptype = 0 if passno == 0 else (passno - 1) % 3 + 1
-        # pass types: on the first plane only cleanup runs; thereafter
-        # (SPP, MRP, CUP) per plane.
+        if passno in seg_starts:
+            data, _, _, is_raw = segs[seg_starts[passno]]
+            if is_raw:
+                raw = _RawReader(data)
+            else:
+                if mq is None:
+                    mq = _MQDecoder(data)
+                else:
+                    mq.restart(data)
+        use_raw = _pass_is_raw(passno, style)
+        dec = mq.decode if not use_raw else None
+        rbit = raw.bit if use_raw else None
+
+        def sign_of(i, x, y, p):
+            if use_raw:
+                s = rbit()
+            else:
+                hs = sh[i]
+                vs = sv[i]
+                H = 1 if hs > 0 else (-1 if hs < 0 else 0)
+                V = 1 if vs > 0 else (-1 if vs < 0 else 0)
+                cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
+                s = dec(cx) ^ xo
+            make_sig(i, x, y, s, p)
+
         if ptype == 0 or ptype == 3:
-            # cleanup pass
+            # cleanup pass (always MQ)
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 nrows = ylim - y0
                 full = nrows == 4
                 for x in range(w):
                     i0 = y0 * w + x
-                    quiet3 = (col_sig[x] + col_sig[x + 1]
-                              + col_sig[x + 2]) == 0
                     if full:
-                        if quiet3:
+                        if (col_sig[x] + col_sig[x + 1]
+                                + col_sig[x + 2]) == 0:
                             runnable = not (visited[i0] or visited[i0 + w]
                                             or visited[i0 + 2 * w]
                                             or visited[i0 + 3 * w])
@@ -399,12 +522,13 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                             sign_of(i, x, y0 + k, p)
                     for k in range(nrows):
                         visited[i0 + k * w] = 0
+            if segsym:
+                # 4 segmentation symbols (1010) in the uniform context
+                for _ in range(4):
+                    dec(18)
             p -= 1
         elif ptype == 1:
-            # significance propagation pass: a coefficient is eligible
-            # only if a neighbor is significant; skip whole columns whose
-            # 3-column window holds no significant coefficient (newly
-            # significant coeffs bump col_sig, so later columns see them)
+            # significance propagation
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
@@ -416,14 +540,18 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                         if sig[i] or not (ch[i] or cv[i] or cd[i]):
                             continue
                         visited[i] = 1
-                        if swap:
-                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
+                        if use_raw:
+                            b = rbit()
                         else:
-                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
-                        if dec(cx):
+                            if swap:
+                                cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
+                            else:
+                                cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
+                            b = dec(cx)
+                        if b:
                             sign_of(i, x, y0 + k, p)
         else:
-            # magnitude refinement pass: only significant columns matter
+            # magnitude refinement
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
                 for x in range(w):
@@ -433,15 +561,20 @@ def _decode_cblock(data: bytes, w: int, h: int, npasses: int, nplanes: int,
                     for k in range(ylim - y0):
                         i = i0 + k * w
                         if not sig[i] or dpl[i] <= p:
-                            continue  # became significant this plane
-                        if dpl[i] == p + 1 and magl[i] == 1:
-                            cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
+                            continue
+                        if use_raw:
+                            b = rbit()
                         else:
-                            cx = 16
-                        magl[i] = (magl[i] << 1) | dec(cx)
+                            if dpl[i] == p + 1 and magl[i] == 1:
+                                cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
+                            else:
+                                cx = 16
+                            b = dec(cx)
+                        magl[i] = (magl[i] << 1) | b
                         dpl[i] = p
+        if reset and mq is not None:
+            mq.reset_contexts()
         passno += 1
-    # reconstruct: shift up by undecoded planes, midpoint for truncation
     mag[:] = magl
     dplane[:] = dpl
     down = dplane.astype(np.int32)
@@ -462,7 +595,7 @@ def _ceil_div(a: int, b: int) -> int:
 
 class _Cblk:
     __slots__ = ("x0", "y0", "x1", "y1", "included", "zbp", "lblock",
-                 "npasses", "data", "result")
+                 "npasses", "segs", "result")
 
     def __init__(self, x0, y0, x1, y1):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
@@ -470,7 +603,7 @@ class _Cblk:
         self.zbp = 0
         self.lblock = 3
         self.npasses = 0
-        self.data = b""
+        self.segs = []  # [(bytes, pass_lo, pass_hi, raw)]
         self.result = None  # optionally pre-decoded by a cblock_executor
 
 
@@ -604,10 +737,10 @@ class _TileComp:
         self.depth = comp["depth"]
         self.signed = comp["signed"]
         self.cod = cod
-        if cod["cbstyle"] != 0:
+        if cod["cbstyle"] & ~0x3F:
             raise NotImplementedError(
-                f"JPEG2000: code-block style {cod['cbstyle']:#x} "
-                "(bypass/termall/causal/segmentation)")
+                f"JPEG2000: unknown code-block style bits "
+                f"{cod['cbstyle']:#x}")
         self.x0, self.y0 = _ceil_div(tx0, dx), _ceil_div(ty0, dy)
         self.x1, self.y1 = _ceil_div(tx1, dx), _ceil_div(ty1, dy)
         N = cod["levels"]
@@ -757,7 +890,11 @@ def _read_numpasses(rd: _HdrReader) -> int:
 def _parse_packet(data: bytes, pos: int, tc: _TileComp, r: int, pi: int,
                   layer: int, scod: int):
     """Parse one packet header + attach body bytes to its code-blocks.
-    Returns the position after the packet body."""
+    Returns the position after the packet body.  With TERMALL/BYPASS a
+    packet carries one length per codeword-segment span (B.10.7.2);
+    spans continuing an unterminated segment from a previous layer are
+    merged byte-wise."""
+    style = tc.cod["cbstyle"]
     if scod & 2 and data[pos:pos + 2] == b"\xff\x91":
         pos += 6  # SOP segment: marker + Lsop=4 + Nsop
     rd = _HdrReader(data, pos)
@@ -781,18 +918,28 @@ def _parse_packet(data: bytes, pos: int, tc: _TileComp, r: int, pi: int,
                 npasses = _read_numpasses(rd)
                 while rd.bit():
                     cb.lblock += 1
-                nbits = cb.lblock + int(npasses).bit_length() - 1
-                seglen = rd.bits(nbits)
+                spans = _pass_spans(cb.npasses, npasses, style)
+                lens = []
+                for lo, hi, is_raw in spans:
+                    nbits = cb.lblock + (hi - lo).bit_length() - 1
+                    lens.append((rd.bits(nbits), lo, hi, is_raw))
                 cb.npasses += npasses
-                included_cbs.append((cb, seglen))
+                included_cbs.append((cb, lens))
     pos = rd.align()
     if scod & 4:  # EPH
         if data[pos:pos + 2] != b"\xff\x92":
             raise ValueError("JPEG2000: expected EPH marker")
         pos += 2
-    for cb, seglen in included_cbs:
-        cb.data += data[pos:pos + seglen]
-        pos += seglen
+    for cb, lens in included_cbs:
+        for ln, lo, hi, is_raw in lens:
+            chunk = data[pos:pos + ln]
+            pos += ln
+            if cb.segs and cb.segs[-1][2] == lo \
+                    and not _term_after(lo - 1, style):
+                b0, l0, _, r0 = cb.segs[-1]
+                cb.segs[-1] = (b0 + chunk, l0, hi, r0)
+            else:
+                cb.segs.append((chunk, lo, hi, is_raw))
     return pos
 
 
@@ -957,9 +1104,10 @@ def _band_to_array(tc: _TileComp, band: _Band):
             if cb.result is not None:
                 vals, sgn = cb.result
             else:
-                vals, sgn = _decode_cblock(cb.data, cb.x1 - cb.x0,
+                vals, sgn = _decode_cblock(cb.segs, cb.x1 - cb.x0,
                                            cb.y1 - cb.y0, cb.npasses,
-                                           nplanes, band.kind)
+                                           nplanes, band.kind,
+                                           tc.cod["cbstyle"])
             signed = np.where(sgn == 1, -vals, vals)
             sub = out[cb.y0 - by0:cb.y1 - by0, cb.x0 - bx0:cb.x1 - bx0]
             if tc.reversible:
@@ -1127,9 +1275,10 @@ def decode_j2k(buf: bytes, only_tile: int | None = None,
                             for cb in prec.cbs:
                                 if cb.included and cb.npasses and \
                                         bd.mb - cb.zbp > 0:
-                                    jobs.append((cb.data, cb.x1 - cb.x0,
+                                    jobs.append((cb.segs, cb.x1 - cb.x0,
                                                  cb.y1 - cb.y0, cb.npasses,
-                                                 bd.mb - cb.zbp, bd.kind))
+                                                 bd.mb - cb.zbp, bd.kind,
+                                                 tcl.cod["cbstyle"]))
                                     refs.append(cb)
             for cb, out in zip(refs, cblock_executor(jobs)):
                 cb.result = out
@@ -1249,11 +1398,18 @@ class _MQEncoder:
     __slots__ = ("c", "a", "ct", "b", "out", "idx", "mps", "_first")
 
     def __init__(self):
+        self.restart()
+        self.reset_contexts()
+
+    def restart(self):
+        """Fresh codeword stream (after a flush); contexts persist."""
         self.c = 0
         self.a = 0x8000
         self.ct = 12
         self.b = None          # pending byte
         self.out = bytearray()
+
+    def reset_contexts(self):
         self.idx = [0] * _N_CTX
         self.mps = [0] * _N_CTX
         self.idx[0] = 4
@@ -1339,22 +1495,23 @@ class _MQEncoder:
         return bytes(self.out)
 
 
-def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
-    """Tier-1 encode one code-block (all passes).  `vals` = magnitudes
-    (int >= 0), `sgn` = 1 for negative.  Returns (data, npasses, zbp).
-    Same quiet-column skipping as the decoder (state machines must stay
-    in lockstep, and the skip predicates depend only on significance
-    state both coders share)."""
+def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str,
+                   style: int = 0):
+    """Tier-1 encode one code-block (all passes).  Returns
+    (segments: list[bytes] aligned with _pass_spans(0, npasses, style),
+    npasses, zbp).  Styles: BYPASS/RESET/TERMALL/VSC/SEGSYM, mirroring
+    the decoder's state machine exactly."""
     h, w = vals.shape
     n = w * h
     mag = [int(v) for v in vals.reshape(-1)]
     vmax = max(mag) if n else 0
-    nplanes_needed = vmax.bit_length()
-    zbp = mb - nplanes_needed
-    if nplanes_needed == 0:
-        return b"", 0, mb  # wholly zero block: never included
-    nplanes = nplanes_needed
+    nplanes = vmax.bit_length()
+    zbp = mb - nplanes
+    if nplanes == 0:
+        return [], 0, mb  # wholly zero block: never included
     npasses = 3 * nplanes - 2
+    spans = _pass_spans(0, npasses, style)
+    span_starts = {lo: i for i, (lo, _, _) in enumerate(spans)}
     sgn_f = sgn.reshape(-1)
     sig = bytearray(n)
     visited = bytearray(n)
@@ -1367,50 +1524,73 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
     col_sig = [0] * (w + 2)
     lut = _SIG_HH_FLAT if band == "HH" else _SIG_LL_FLAT
     swap = band == "HL"
+    causal = bool(style & _STY_VSC)
+    segsym = bool(style & _STY_SEGSYM)
+    reset = bool(style & _STY_RESET)
     mq = _MQEncoder()
-    enc = mq.encode
+    raw = None
+    out_segs = []
 
     def make_sig(i, x, y, s, p):
         sig[i] = 1
         dpl[i] = p
         col_sig[x + 1] += 1
         ds = 1 if s == 0 else -1
+        up_ok = not (causal and (y & 3) == 0)
         if x > 0:
             ch[i - 1] += 1
             sh[i - 1] += ds
-            if y > 0:
+            if y > 0 and up_ok:
                 cd[i - 1 - w] += 1
             if y < h - 1:
                 cd[i - 1 + w] += 1
         if x < w - 1:
             ch[i + 1] += 1
             sh[i + 1] += ds
-            if y > 0:
+            if y > 0 and up_ok:
                 cd[i + 1 - w] += 1
             if y < h - 1:
                 cd[i + 1 + w] += 1
-        if y > 0:
+        if y > 0 and up_ok:
             cv[i - w] += 1
             sv[i - w] += ds
         if y < h - 1:
             cv[i + w] += 1
             sv[i + w] += ds
 
-    def put_sign(i, x, y, p):
-        hs = sh[i]
-        vs = sv[i]
-        H = 1 if hs > 0 else (-1 if hs < 0 else 0)
-        V = 1 if vs > 0 else (-1 if vs < 0 else 0)
-        cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
-        s = int(sgn_f[i])
-        enc(s ^ xo, cx)
-        make_sig(i, x, y, s, p)
-
     passno = 0
     p = nplanes - 1
     while passno < npasses and p >= 0:
         ptype = 0 if passno == 0 else (passno - 1) % 3 + 1
         bit_of = 1 << p
+        if passno in span_starts and passno > 0:
+            # previous span ends here: flush its coder
+            lo_prev, hi_prev, raw_prev = spans[span_starts[passno] - 1]
+            if raw_prev:
+                out_segs.append(raw.flush())
+                raw = None
+            else:
+                out_segs.append(mq.flush())
+                mq.restart()
+        use_raw = _pass_is_raw(passno, style)
+        if use_raw and raw is None:
+            raw = _RawWriter()
+        enc = mq.encode
+        rbit = raw.bit if raw is not None else None
+
+        def put_sign(i, x, y, p):
+            s = int(sgn_f[i])
+            if use_raw:
+                rbit(s)
+            else:
+                hs = sh[i]
+                vs = sv[i]
+                H = 1 if hs > 0 else (-1 if hs < 0 else 0)
+                V = 1 if vs > 0 else (-1 if vs < 0 else 0)
+                cx, xo = _SIGN_CTX_FLAT[(H + 1) * 3 + V + 1]
+                enc(s ^ xo, cx)
+            make_sig(i, x, y, s, p)
+
         if ptype == 0 or ptype == 3:
             for y0 in range(0, h, 4):
                 ylim = min(y0 + 4, h)
@@ -1467,6 +1647,11 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
                             put_sign(i, x, y0 + k, p)
                     for k in range(nrows):
                         visited[i0 + k * w] = 0
+            if segsym:
+                enc(1, 18)
+                enc(0, 18)
+                enc(1, 18)
+                enc(0, 18)
             p -= 1
         elif ptype == 1:
             for y0 in range(0, h, 4):
@@ -1480,12 +1665,15 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
                         if sig[i] or not (ch[i] or cv[i] or cd[i]):
                             continue
                         visited[i] = 1
-                        if swap:
-                            cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
-                        else:
-                            cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
                         b = 1 if mag[i] & bit_of else 0
-                        enc(b, cx)
+                        if use_raw:
+                            rbit(b)
+                        else:
+                            if swap:
+                                cx = lut[(cv[i] * 3 + ch[i]) * 5 + cd[i]]
+                            else:
+                                cx = lut[(ch[i] * 3 + cv[i]) * 5 + cd[i]]
+                            enc(b, cx)
                         if b:
                             put_sign(i, x, y0 + k, p)
         else:
@@ -1499,14 +1687,25 @@ def _encode_cblock(vals: np.ndarray, sgn: np.ndarray, mb: int, band: str):
                         i = i0 + k * w
                         if not sig[i] or dpl[i] <= p:
                             continue
-                        if dpl[i] == p + 1 and (mag[i] >> (p + 1)) == 1:
-                            cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
+                        b = 1 if mag[i] & bit_of else 0
+                        if use_raw:
+                            rbit(b)
                         else:
-                            cx = 16
-                        enc(1 if mag[i] & bit_of else 0, cx)
+                            if dpl[i] == p + 1 and (mag[i] >> (p + 1)) == 1:
+                                cx = 15 if (ch[i] or cv[i] or cd[i]) else 14
+                            else:
+                                cx = 16
+                            enc(b, cx)
                         dpl[i] = p
+        if reset:
+            mq.reset_contexts()
         passno += 1
-    return mq.flush(), npasses, zbp
+    # flush the final span's coder
+    if spans[-1][2]:
+        out_segs.append(raw.flush())
+    else:
+        out_segs.append(mq.flush())
+    return out_segs, npasses, zbp
 
 
 class _HdrWriter:
@@ -1638,10 +1837,12 @@ def _encode_numpasses(wr: _HdrWriter, n: int):
         wr.bits(n - 37, 7)
 
 
-def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
+def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn,
+                 style: int = 0):
     """Encode one tile (list of per-component int64 canvas planes already
     DC-shifted/MCT'd).  Returns packet bytes (LRCP, 1 layer, single
-    precinct per band-resolution)."""
+    precinct per band-resolution).  `style` = COD code-block style bits
+    (BYPASS/RESET/TERMALL/VSC/SEGSYM)."""
     chunks = []
     # per component: wavelet decompose, collect bands per resolution
     comp_bands = []  # comp -> r -> list of (kind, rect, array)
@@ -1696,9 +1897,9 @@ def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
                         sub = arr[cy0 - by0:cy1 - by0, cx0 - bx0:cx1 - bx0]
                         mags = np.abs(sub)
                         sgns = (sub < 0).astype(np.uint8)
-                        data, npasses, zbp = _encode_cblock(
-                            mags, sgns, mb, kind)
-                        cbs.append((data, npasses, zbp))
+                        segs, npasses, zbp = _encode_cblock(
+                            mags, sgns, mb, kind, style)
+                        cbs.append((segs, npasses, zbp))
                         if npasses:
                             any_included = True
                 cb_entries.append((kind, nw, nh, cbs))
@@ -1713,7 +1914,7 @@ def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
                 incl_vals = [0 if c[1] else 1 for c in cbs]
                 itt = _TagTreeEnc(nw, nh, incl_vals)
                 ztt = _TagTreeEnc(nw, nh, [c[2] for c in cbs])
-                for ci2, (data, npasses, zbp) in enumerate(cbs):
+                for ci2, (segs, npasses, zbp) in enumerate(cbs):
                     gx, gy = ci2 % nw, ci2 // nw
                     itt.encode(wr, gx, gy, 1)
                     if not npasses:
@@ -1721,22 +1922,25 @@ def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
                     # zero bit-planes: emit tag tree to full determination
                     t = 1
                     while True:
-                        before = ztt.known[0][gy, gx]
                         ztt.encode(wr, gx, gy, t)
                         if ztt.known[0][gy, gx]:
                             break
                         t += 1
                     _encode_numpasses(wr, npasses)
+                    spans = _pass_spans(0, npasses, style)
+                    # Lblock large enough for every segment's length
                     lblock = 3
-                    lenbits = lblock + npasses.bit_length() - 1
-                    need = max(1, len(data).bit_length())
-                    while lenbits < need:
+                    for (lo, hi, _), seg in zip(spans, segs):
+                        fixed = (hi - lo).bit_length() - 1
+                        need = max(1, len(seg).bit_length())
+                        if need - fixed > lblock:
+                            lblock = need - fixed
+                    for _ in range(lblock - 3):
                         wr.bit(1)
-                        lblock += 1
-                        lenbits += 1
                     wr.bit(0)
-                    wr.bits(len(data), lenbits)
-                    bodies.append(data)
+                    for (lo, hi, _), seg in zip(spans, segs):
+                        wr.bits(len(seg), lblock + (hi - lo).bit_length() - 1)
+                    bodies.extend(segs)
             chunks.append(wr.align())
             chunks.extend(bodies)
     return b"".join(chunks)
@@ -1744,7 +1948,8 @@ def _encode_tile(planes, tx0, ty0, tx1, ty1, levels, guard, eps_fn):
 
 def encode_j2k(img: np.ndarray, *, levels: int | None = None,
                mct: bool = True, tile_size: int | None = None,
-               signed: bool | None = None, depth: int | None = None) -> bytes:
+               signed: bool | None = None, depth: int | None = None,
+               cbstyle: int = 0) -> bytes:
     """Encode an array losslessly (reversible 5/3) to a raw JPEG 2000
     codestream: single layer, LRCP, 64x64 code-blocks, default
     precincts, optional RCT for >= 3 components, optional tiling
@@ -1784,7 +1989,7 @@ def encode_j2k(img: np.ndarray, *, levels: int | None = None,
     out += b"\xffQ" + siz
     cbcode = 4  # 64 = 2^(4+2)
     cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, use_mct, levels,
-                      cbcode, cbcode, 0, 1)
+                      cbcode, cbcode, cbstyle & 0x3F, 1)
     out += b"\xffR" + cod
     nband = 1 + 3 * levels
     qcd = struct.pack(">HB", 3 + nband, (guard << 5) | 0)
@@ -1818,7 +2023,7 @@ def encode_j2k(img: np.ndarray, *, levels: int | None = None,
             tx1, ty1 = min(tx0 + xt, W), min(ty0 + yt, H)
             tplanes = [pl[ty0:ty1, tx0:tx1] for pl in planes]
             body = _encode_tile(tplanes, tx0, ty0, tx1, ty1, levels,
-                                guard, eps_fn)
+                                guard, eps_fn, cbstyle & 0x3F)
             psot = 12 + 2 + len(body)
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
             out += b"\xff\x93" + body

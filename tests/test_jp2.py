@@ -255,3 +255,23 @@ def test_decode_jp2_parallel_matches_serial(ray_session):
         a = decode_jp2(B + f)
         b = decode_jp2_parallel(B + f, batch_cblocks=8)
         assert np.array_equal(a, b), f
+
+
+def test_cbstyle_roundtrip_all_modes():
+    """Code-block styles (COD Table A-19): selective bypass (raw SPP/MRP
+    from pass 10), context reset, termall (per-pass segments), vertically
+    causal contexts, segmentation symbols — every combination must
+    round-trip exactly (encoder and decoder share the segmentation rule
+    _pass_spans and the VSC/RESET state machines)."""
+    from gdal_ray.codecs.j2k import encode_j2k
+
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 256, size=(70, 90)).astype(np.uint8),
+            rng.integers(0, 2 ** 14, size=(50, 60)).astype(np.uint16),
+            rng.integers(0, 256, size=(40, 52, 3)).astype(np.uint8)]
+    for arr in arrs:
+        for style in [0x01, 0x02, 0x04, 0x08, 0x20, 0x05, 0x0D, 0x3F]:
+            b = decode_j2k(encode_j2k(arr, cbstyle=style))
+            assert np.array_equal(np.squeeze(b).astype(np.int64),
+                                  np.squeeze(arr).astype(np.int64)), \
+                (arr.shape, hex(style))
