@@ -671,7 +671,13 @@ def _parse_qcd(buf, body, L):
         return {"style": 2, "guard": guard,
                 "exps": [v >> 11 for v in vals],
                 "mants": [v & 0x7FF for v in vals]}
-    raise NotImplementedError("JPEG2000: derived quantization (style 1)")
+    if style == 1:
+        # scalar derived (E.1.1, eq E-5): one (eps0, mu0) for the LL
+        # band; band at resolution r >= 1 uses eps0 - (r - 1), mu0
+        v = struct.unpack_from(">H", buf, body + 1)[0]
+        return {"style": 1, "guard": guard,
+                "exps": [v >> 11], "mants": [v & 0x7FF]}
+    raise NotImplementedError(f"JPEG2000: quantization style {style}")
 
 
 def _parse_coc(buf, body, L, ncomp):
@@ -775,14 +781,20 @@ class _TileComp:
                 by0 = _ceil_div(self.y0 - offy, 1 << lev)
                 bx1 = _ceil_div(self.x1 - offx, 1 << lev)
                 by1 = _ceil_div(self.y1 - offy, 1 << lev)
-                qi = _band_qidx(r, kind)
-                eps = qcd["exps"][qi]
+                if qcd["style"] == 1:
+                    # scalar derived: exponents step down one per
+                    # resolution from the signalled LL value (E-5)
+                    eps = qcd["exps"][0] - (r - 1 if r >= 1 else 0)
+                    mant = qcd["mants"][0]
+                else:
+                    qi = _band_qidx(r, kind)
+                    eps = qcd["exps"][qi]
+                    mant = qcd["mants"][qi] if qcd["mants"] else 0
                 mb = guard + eps - 1
                 if reversible:
                     delta = 1.0
                 else:
                     rb = self.depth + _BAND_GAIN[kind]
-                    mant = qcd["mants"][qi]
                     delta = (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
                 band = _Band(kind, (bx0, by0, bx1, by1), mb, delta)
                 bands.append(band)
