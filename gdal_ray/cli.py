@@ -349,7 +349,8 @@ def cmd_formats(args) -> int:
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),
         ("PDS3", ".lbl/.img", "r", "raster"),
-        ("NITF 2.1", ".ntf", "r", "raster"),
+        ("JPEG 2000 (EBCOT + GeoJP2/GMLJP2)", ".jp2/.j2k", "rw", "raster"),
+        ("NITF 2.1 (incl. IC=C8 JPEG 2000)", ".ntf", "r", "raster"),
         ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),
         ("NTv2 grid shift", ".gsb", "rw", "raster"),
@@ -1761,6 +1762,28 @@ def cmd_translate(args) -> int:
     from gdal_ray.stages.resample import resize_rows, rows_needed
 
     _ray_init()
+    # JPEG 2000 IO: shim through GeoTIFF — a .jp2 source decodes once
+    # (Ray code-block-parallel tier-1) into a temp .tif so the strip
+    # pipeline below range-reads it; a .jp2 destination re-encodes the
+    # pipeline's GeoTIFF output losslessly at the end
+    jp2_out = args.out.lower().endswith((".jp2", ".j2k"))
+    real_out = args.out
+    if args.src.lower().endswith((".jp2", ".j2k", ".j2c")):
+        import tempfile
+
+        from gdal_ray.sources.jp2 import decode_jp2_parallel, jp2_info
+
+        ji = jp2_info(args.src)
+        arr = decode_jp2_parallel(args.src)
+        tmp_src = tempfile.mktemp(suffix=".tif")
+        with open(tmp_src, "wb") as f:
+            f.write(encode_geotiff(arr, geotransform=ji.get("geotransform"),
+                                   epsg=ji.get("epsg")))
+        args.src = tmp_src
+    if jp2_out:
+        import tempfile
+
+        args.out = tempfile.mktemp(suffix=".tif")
     meta = tiff_levels(args.src)[0]
     W, H = meta["width"], meta["height"]
     sx0, sy0, sw, sh = args.srcwin if args.srcwin else (0, 0, W, H)
@@ -1828,11 +1851,17 @@ def cmd_translate(args) -> int:
         px_h = gt[5] * sh / oh
         out_gt = (gt[0] + sx0 * gt[1], px_w, 0.0,
                   gt[3] + sy0 * gt[5], 0.0, px_h)
-    with open(args.out, "wb") as f:
-        f.write(encode_geotiff(full, geotransform=out_gt,
-                               epsg=meta.get("epsg"),
-                               nodata=meta.get("nodata")))
-    print(json.dumps({"out": args.out, "width": ow, "height": oh,
+    if jp2_out:
+        from gdal_ray.sources.jp2 import write_jp2
+
+        write_jp2(real_out, full, geotransform=out_gt,
+                  epsg=meta.get("epsg"))
+    else:
+        with open(args.out, "wb") as f:
+            f.write(encode_geotiff(full, geotransform=out_gt,
+                                   epsg=meta.get("epsg"),
+                                   nodata=meta.get("nodata")))
+    print(json.dumps({"out": real_out, "width": ow, "height": oh,
                       "bands": [b + 1 for b in bands],
                       "dtype": str(out_dt), "n_strips": len(items),
                       "checksum": float(full.sum(dtype=np.float64))}))

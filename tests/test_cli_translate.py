@@ -68,3 +68,32 @@ def test_cli_translate_scale_ot(tmp_path, ray_session):
     got = assemble(read_geotiff_tiles(out).to_pandas(), meta)[:, :, 0]
     np.testing.assert_allclose(got, (img / 255.0).astype(np.float32))
     assert np.dtype(meta["dtype"]) == np.float32
+
+
+def test_translate_jp2_io(ray_session, tmp_path):
+    """gdal_translate door with JPEG 2000 source and destination: the
+    .jp2 shim decodes (Ray-parallel tier-1) into the strip pipeline and
+    re-encodes losslessly, georeferencing carried through."""
+    import json
+    import subprocess
+    import sys
+
+    src = "/root/reference/autotest/gdrivers/data/jpeg2000/byte.jp2"
+    t1 = str(tmp_path / "o.tif")
+    t2 = str(tmp_path / "o2.jp2")
+    env = dict(__import__("os").environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run([sys.executable, "-m", "gdal_ray.cli", "translate",
+                         src, t1], capture_output=True, text=True, env=env)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    o1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    r2 = subprocess.run([sys.executable, "-m", "gdal_ray.cli", "translate",
+                         t1, t2], capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    o2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert o1["checksum"] == o2["checksum"]
+
+    from gdal_ray.sources.jp2 import jp2_info
+
+    i = jp2_info(t2)
+    assert i["geotransform"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert i["epsg"] == 26711
