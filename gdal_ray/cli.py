@@ -349,6 +349,9 @@ def cmd_formats(args) -> int:
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),
         ("PDS3", ".lbl/.img", "r", "raster"),
+        ("ISIS3 cube (BandSequential+Tile)", ".cub/.lbl", "r", "raster"),
+        ("VICAR (incl. BASIC/BASIC2 RLE, VAX floats)", ".vic", "r", "raster"),
+        ("ERMapper ERS", ".ers", "rw", "raster"),
         ("JPEG 2000 (EBCOT + GeoJP2/GMLJP2)", ".jp2/.j2k", "rw", "raster"),
         ("NITF 2.1 (incl. IC=C8 JPEG 2000)", ".ntf", "r", "raster"),
         ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),

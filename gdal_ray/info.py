@@ -14,6 +14,14 @@ import struct
 import numpy as np
 
 
+def _head_has(path: str, token: bytes, n: int = 512) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return token in f.read(n)
+    except OSError:
+        return False
+
+
 def describe(path: str, *, stats: bool = False) -> dict:
     """-> format-tagged summary dict for any supported file/store."""
     low = path.lower()
@@ -32,6 +40,21 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = jp2_info(path)
         out.pop("tile_parts", None)  # index is for readers, not info text
         return out
+    if low.endswith(".ers"):
+        from gdal_ray.sources.ers import ers_meta
+
+        return ers_meta(path)
+    if low.endswith((".vic", ".vicar")):
+        from gdal_ray.sources.vicar import vicar_meta
+
+        out = vicar_meta(path)
+        out.pop("label", None)
+        return out
+    if low.endswith((".cub",)) or (low.endswith(".lbl") and
+                                   _head_has(path, b"IsisCube")):
+        from gdal_ray.sources.isis3 import isis3_meta
+
+        return isis3_meta(path)
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_gsb
 

@@ -126,6 +126,15 @@ def _looks_pds3(path: str) -> bool:
         return False
 
 
+def _looks_isis3(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(512)
+        return b"IsisCube" in head
+    except OSError:
+        return False
+
+
 def open_raster(path: str, **kw):
     """Chunked raster store -> Dataset of decoded chunk rows."""
     low = path.lower()
@@ -145,8 +154,8 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.xyzgrid import read_xyz
 
         return read_xyz(path, **kw)
-    if low.endswith((".lbl", ".pds")) or (
-            low.endswith(".img") and _looks_pds3(path)):
+    if low.endswith(".pds") or (
+            low.endswith((".lbl", ".img")) and _looks_pds3(path)):
         from gdal_ray.sources.pds3 import read_pds3
 
         return read_pds3(path, **kw)
@@ -178,6 +187,18 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.jp2 import read_jp2
 
         return read_jp2(path, **kw)
+    if low.endswith(".ers"):
+        from gdal_ray.sources.ers import read_ers
+
+        return read_ers(path, **kw)
+    if low.endswith((".vic", ".vicar")):
+        from gdal_ray.sources.vicar import read_vicar
+
+        return read_vicar(path, **kw)
+    if low.endswith((".cub", ".lbl")) and _looks_isis3(path):
+        from gdal_ray.sources.isis3 import read_isis3
+
+        return read_isis3(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))

@@ -1,0 +1,154 @@
+"""ERS / VICAR / ISIS3 drivers vs the GDAL autotest fixtures' published
+checksums (ers.py, vicar.py, isis.py)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.stages.stats import checksum_plane
+
+ERS = "/root/reference/autotest/gdrivers/data/ers/"
+VIC = "/root/reference/autotest/gdrivers/data/vicar/"
+ISI = "/root/reference/autotest/gdrivers/data/isis3/"
+
+
+# ------------------------------------------------------------------- ERS
+
+def test_ers_published_checksums():
+    # ers.py:29 srtm.ers -> 64074; ers.py:75 ers_dem.ers -> 56588
+    from gdal_ray.sources.ers import ers_meta, read_ers_array
+
+    a = read_ers_array(ERS + "srtm.ers")
+    assert a.dtype == np.int16 and checksum_plane(a) == 64074
+    m = ers_meta(ERS + "srtm.ers")
+    assert abs(m["geotransform"][1] - 0.00833333) < 1e-9
+
+    d = read_ers_array(ERS + "ers_dem.ers")
+    assert d.dtype == np.float32 and checksum_plane(d) == 56588
+
+    rgb = read_ers_array(ERS + "8s.ers")
+    assert rgb.shape == (10, 10, 3) and rgb.dtype == np.int8
+
+
+def test_ers_lowercase_header():
+    # ers.py:114 band description from an all-lowercase header
+    from gdal_ray.sources.ers import ers_meta
+
+    m = ers_meta(ERS + "caseinsensitive.ers")
+    assert m["band_names"] == ["RTP 1st Vertical Derivative"]
+    assert m["nodata"] == -99999.0
+
+
+def test_ers_roundtrip(tmp_path):
+    from gdal_ray.sources.ers import read_ers_array, write_ers
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(-30000, 30000, size=(13, 17, 2)).astype(np.int16)
+    p = str(tmp_path / "t.ers")
+    write_ers(p, a, geotransform=(100.0, 2.0, 0.0, 500.0, 0.0, -2.0))
+    b = read_ers_array(p)
+    assert np.array_equal(a, b)
+
+
+# ----------------------------------------------------------------- VICAR
+
+VICAR_CASES = [
+    ("vicar_byte", np.uint8, 129),
+    ("vicar_int16", np.int16, 129),
+    ("vicar_bigendian_int16", np.int16, 129),
+    ("vicar_int32", np.int32, 129),
+    ("vicar_float32_bsq", np.float32, 123),
+    ("vicar_float32_bil", np.float32, 123),
+    ("vicar_float32_bip", np.float32, 123),
+    ("vicar_bigendian_float32", np.float32, 129),
+    ("vicar_float64", np.float64, 129),
+    ("vicar_vax_float32", np.float32, 129),
+    # BASIC / BASIC2 compression (vicar.py:393 list)
+    ("vicar_byte_basic", np.uint8, 4672),
+    ("vicar_byte_basic2", np.uint8, 4672),
+    ("vicar_int16_basic2", np.int16, 4672),
+    ("vicar_all_ones_basic2", np.uint8, 34464),
+]
+
+
+@pytest.mark.parametrize("name,dt,cs", VICAR_CASES,
+                         ids=[c[0] for c in VICAR_CASES])
+def test_vicar_published_checksums(name, dt, cs):
+    from gdal_ray.sources.vicar import read_vicar_array
+
+    a = read_vicar_array(VIC + name + ".vic")
+    p = a if a.ndim == 2 else a[:, :, 0]
+    assert p.dtype == dt
+    assert checksum_plane(p) == cs
+
+
+def test_vicar_cfloat_interleaved_checksum():
+    # vicar.py read_datatypes list: cfloat32 -> 148 (GDAL checksums
+    # complex bands over interleaved real/imag values)
+    from gdal_ray.sources.vicar import read_vicar_array
+
+    a = read_vicar_array(VIC + "vicar_cfloat32.vic")
+    inter = np.empty((a.shape[0], a.shape[1] * 2), np.float32)
+    inter[:, 0::2] = a.real
+    inter[:, 1::2] = a.imag
+    assert checksum_plane(inter) == 148
+
+
+def test_vicar_binary_prefix_skipped():
+    from gdal_ray.sources.vicar import read_vicar_array, vicar_meta
+
+    m = vicar_meta(VIC + "vicar_binary_prefix.vic")
+    assert m["nbb"] > 0
+    read_vicar_array(VIC + "vicar_binary_prefix.vic")
+
+
+def test_vicar_dataset_reader_matches_array(ray_session):
+    from gdal_ray.sources.vicar import read_vicar, read_vicar_array
+
+    for name in ["vicar_byte_basic2", "vicar_float32_bil"]:
+        whole = read_vicar_array(VIC + name + ".vic")
+        if whole.ndim == 2:
+            whole = whole[:, :, None]
+        out = np.zeros_like(whole)
+        for r in read_vicar(VIC + name + ".vic").iter_rows():
+            blk = np.frombuffer(r["data"], dtype=whole.dtype).reshape(
+                r["n_rows"], whole.shape[1])
+            out[r["row0"]:r["row0"] + r["n_rows"], :, r["band"]] = blk
+        assert np.array_equal(out, whole), name
+
+
+# ----------------------------------------------------------------- ISIS3
+
+def test_isis3_published_checksums():
+    # isis.py:53 detached .lbl -> 9978; isis.py:78 tiled unit test -> 42403
+    from gdal_ray.sources.isis3 import isis3_meta, read_isis3_array
+
+    a = read_isis3_array(ISI + "isis3_detached.lbl")
+    assert a.dtype == np.uint8 and a.shape == (30, 317)
+    assert checksum_plane(a) == 9978
+
+    b = read_isis3_array(ISI + "isis3_unit_test.cub")
+    assert b.dtype == np.int16 and b.shape == (50, 150)
+    assert checksum_plane(b) == 42403
+    m = isis3_meta(ISI + "isis3_unit_test.cub")
+    assert m["format"] == "Tile" and m["tile_w"] == 128
+    assert abs(m["base"] - 8190.1245134999) < 1e-6
+
+
+def test_isis3_dataset_reader_matches_array(ray_session):
+    from gdal_ray.sources.isis3 import read_isis3, read_isis3_array
+
+    whole = read_isis3_array(ISI + "isis3_unit_test.cub")
+    out = np.zeros_like(whole)
+    for r in read_isis3(ISI + "isis3_unit_test.cub").iter_rows():
+        blk = np.frombuffer(r["data"], dtype=whole.dtype).reshape(
+            r["h"], r["w"])
+        out[r["row0"]:r["row0"] + r["h"], :] = blk
+    assert np.array_equal(out, whole)
+
+
+def test_open_raster_dispatch(ray_session):
+    from gdal_ray.sources import open_raster
+
+    assert open_raster(ERS + "srtm.ers").count() > 0
+    assert open_raster(VIC + "vicar_byte.vic").count() > 0
+    assert open_raster(ISI + "isis3_detached.lbl").count() > 0
