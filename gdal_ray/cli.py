@@ -350,6 +350,9 @@ def cmd_formats(args) -> int:
         ("XYZ grid", ".xyz", "rw", "raster"),
         ("PDS3", ".lbl/.img", "r", "raster"),
         ("ISIS3 cube (BandSequential+Tile)", ".cub/.lbl", "r", "raster"),
+        ("PDS4 Product_Observational", ".xml/.img", "r", "raster"),
+        ("USGS ASCII DEM (+CDED)", ".dem", "r", "raster"),
+        ("Geosoft GXF (incl. base-90 compressed)", ".gxf", "r", "raster"),
         ("VICAR (incl. BASIC/BASIC2 RLE, VAX floats)", ".vic", "r", "raster"),
         ("ERMapper ERS", ".ers", "rw", "raster"),
         ("JPEG 2000 (EBCOT + GeoJP2/GMLJP2)", ".jp2/.j2k", "rw", "raster"),

@@ -55,6 +55,23 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.isis3 import isis3_meta
 
         return isis3_meta(path)
+    if low.endswith(".xml") and _head_has(path, b"Product_Observational",
+                                          4096):
+        from gdal_ray.sources.pds4 import pds4_meta
+
+        out = pds4_meta(path)
+        out.pop("arrays", None)
+        return out
+    if low.endswith(".dem"):
+        from gdal_ray.sources.usgsdem import usgsdem_meta
+
+        return usgsdem_meta(path)
+    if low.endswith(".gxf"):
+        from gdal_ray.sources.gxf import gxf_meta
+
+        out = gxf_meta(path)
+        out.pop("grid_lines", None)
+        return out
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_gsb
 

@@ -199,6 +199,18 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.isis3 import read_isis3
 
         return read_isis3(path, **kw)
+    if low.endswith(".xml"):
+        from gdal_ray.sources.pds4 import read_pds4
+
+        return read_pds4(path, **kw)
+    if low.endswith(".dem"):
+        from gdal_ray.sources.usgsdem import read_usgsdem
+
+        return read_usgsdem(path, **kw)
+    if low.endswith(".gxf"):
+        from gdal_ray.sources.gxf import read_gxf
+
+        return read_gxf(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))

@@ -152,3 +152,68 @@ def test_open_raster_dispatch(ray_session):
     assert open_raster(ERS + "srtm.ers").count() > 0
     assert open_raster(VIC + "vicar_byte.vic").count() > 0
     assert open_raster(ISI + "isis3_detached.lbl").count() > 0
+
+
+# ----------------------------------------------------------------- PDS4
+
+def test_pds4_published_checksums():
+    # pds4.py:167 — every cart schema variant of byte.tif reads 4672
+    from gdal_ray.sources.pds4 import pds4_meta, read_pds4_array
+
+    B = "/root/reference/autotest/gdrivers/data/pds4/"
+    for f in ["byte_pds4_cart_1700.xml", "byte_pds4_cart_1b00.xml",
+              "byte_pds4_cart_1d00_1933.xml", "byte_pds4_cart_1g00_1950.xml"]:
+        a = read_pds4_array(B + f)
+        assert a.shape == (20, 20) and checksum_plane(a) == 4672, f
+    m = pds4_meta(B + "byte_pds4_cart_1700.xml")
+    assert m["geotransform"] == (-59280.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    multi = pds4_meta(B + "byte_pds4_cart_1700_multi_sds.xml")
+    assert multi["n_arrays"] == 3
+    a2 = read_pds4_array(B + "byte_pds4_cart_1700_multi_sds.xml", index=1)
+    assert a2.shape[0] > 0
+
+
+# ------------------------------------------------------------- USGS DEM
+
+USGSDEM_CASES = [
+    ("022gdeme_truncated", 1583),
+    ("114p01_0100_deme_truncated.dem", 53864),
+    ("39079G6_truncated.dem", 61424),
+    ("39109h1_truncated.dem", 39443),
+    ("4619old_truncated.dem", 10659),
+    ("usgsdem_with_extra_values_at_end_of_profile.dem", 56679),
+    ("usgsdem_with_spaces_after_byte_864.dem", 61078),
+    ("record_1025_ending_with_linefeed.dem", 14172),
+]
+
+
+@pytest.mark.parametrize("name,cs", USGSDEM_CASES,
+                         ids=[c[0][:24] for c in USGSDEM_CASES])
+def test_usgsdem_published_checksums(name, cs):
+    from gdal_ray.sources.usgsdem import read_usgsdem_array
+
+    B = "/root/reference/autotest/gdrivers/data/usgsdem/"
+    assert checksum_plane(read_usgsdem_array(B + name)) == cs
+
+
+def test_usgsdem_geographic_geotransform():
+    # usgsdem.py:44 expected gt for 114p01 (NAD27 geographic)
+    from gdal_ray.sources.usgsdem import usgsdem_meta
+
+    m = usgsdem_meta("/root/reference/autotest/gdrivers/data/usgsdem/"
+                     "114p01_0100_deme_truncated.dem")
+    exp = (-136.25010416667, 0.000208333, 0.0, 59.25010416667, 0.0,
+           -0.000208333)
+    for a, b in zip(m["geotransform"], exp):
+        assert abs(a - b) < 1e-9
+
+
+# ----------------------------------------------------------------- GXF
+
+def test_gxf_published_checksums():
+    # gxf.py:29/:40 — uncompressed + GTYPE-3 base-90 compressed
+    from gdal_ray.sources.gxf import read_gxf_array
+
+    B = "/root/reference/autotest/gdrivers/data/gxf/"
+    assert checksum_plane(read_gxf_array(B + "small.gxf")) == 90
+    assert checksum_plane(read_gxf_array(B + "small2.gxf")) == 65042
