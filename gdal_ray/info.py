@@ -72,6 +72,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = gxf_meta(path)
         out.pop("grid_lines", None)
         return out
+    if low.endswith((".sgrd", ".sdat", ".sg-grd-z")):
+        from gdal_ray.sources.simplegrids import saga_meta
+
+        return saga_meta(path)
+    if low.endswith((".lan", ".gis")):
+        from gdal_ray.sources.simplegrids import lan_meta
+
+        return lan_meta(path)
+    if low.endswith(".mpr"):
+        from gdal_ray.sources.simplegrids import ilwis_meta
+
+        return ilwis_meta(path)
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_gsb
 

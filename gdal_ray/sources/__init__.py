@@ -211,6 +211,18 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.gxf import read_gxf
 
         return read_gxf(path, **kw)
+    if low.endswith((".sgrd", ".sdat", ".sg-grd-z")):
+        from gdal_ray.sources.simplegrids import read_saga
+
+        return read_saga(path, **kw)
+    if low.endswith((".lan", ".gis")):
+        from gdal_ray.sources.simplegrids import read_lan
+
+        return read_lan(path, **kw)
+    if low.endswith(".mpr"):
+        from gdal_ray.sources.simplegrids import read_ilwis
+
+        return read_ilwis(path, **kw)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))

@@ -217,3 +217,24 @@ def test_gxf_published_checksums():
     B = "/root/reference/autotest/gdrivers/data/gxf/"
     assert checksum_plane(read_gxf_array(B + "small.gxf")) == 90
     assert checksum_plane(read_gxf_array(B + "small2.gxf")) == 65042
+
+
+# ------------------------------------------------ SAGA / LAN / ILWIS
+
+def test_simplegrids_published_checksums():
+    """saga.py:30 (108 incl. zipped), lan.py:26/:36 (10, incl. 4-bit
+    nibble packing), ilwis.py:23 (2351)."""
+    from gdal_ray.sources.simplegrids import (read_ilwis_array,
+                                              read_lan_array,
+                                              read_saga_array, saga_meta)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    assert checksum_plane(read_saga_array(D + "saga/4byteFloat.sdat")) == 108
+    assert checksum_plane(
+        read_saga_array(D + "saga/4byteFloat.sg-grd-z")) == 108
+    m = saga_meta(D + "saga/4byteFloat.sdat")
+    assert m["geotransform"] == (328.3, 10.0, 0.0, 650.5, 0.0, -10.0)
+    assert checksum_plane(read_lan_array(D + "lan/fakelan.lan")) == 10
+    assert checksum_plane(read_lan_array(D + "lan/fakelan4bit.lan")) == 10
+    assert checksum_plane(
+        read_ilwis_array(D + "ilwis/LanduseSmall.mpr")) == 2351
