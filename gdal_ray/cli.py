@@ -349,6 +349,7 @@ def cmd_formats(args) -> int:
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),
         ("PDS3", ".lbl/.img", "r", "raster"),
+        ("Erdas Imagine HFA (incl. RLE compression)", ".img/.aux", "r", "raster"),
         ("ISIS3 cube (BandSequential+Tile)", ".cub/.lbl", "r", "raster"),
         ("PDS4 Product_Observational", ".xml/.img", "r", "raster"),
         ("USGS ASCII DEM (+CDED)", ".dem", "r", "raster"),

@@ -66,6 +66,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.usgsdem import usgsdem_meta
 
         return usgsdem_meta(path)
+    if low.endswith((".img", ".aux")) and _head_has(path, b"EHFA_HEADER_TAG",
+                                                    16):
+        from gdal_ray.sources.hfa import hfa_meta
+
+        return hfa_meta(path)
     if low.endswith(".gxf"):
         from gdal_ray.sources.gxf import gxf_meta
 

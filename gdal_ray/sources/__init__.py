@@ -126,6 +126,14 @@ def _looks_pds3(path: str) -> bool:
         return False
 
 
+def _looks_hfa(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(15) == b"EHFA_HEADER_TAG"
+    except OSError:
+        return False
+
+
 def _looks_isis3(path: str) -> bool:
     try:
         with open(path, "rb") as f:
@@ -159,6 +167,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.pds3 import read_pds3
 
         return read_pds3(path, **kw)
+    if low.endswith((".img", ".aux")) and _looks_hfa(path):
+        from gdal_ray.sources.hfa import read_hfa
+
+        return read_hfa(path, **kw)
     if low.endswith((".hgt", ".bil", ".bip", ".bsq", ".img", ".dat")):
         from gdal_ray.sources.rawgrid import read_rawgrid
 

@@ -238,3 +238,87 @@ def test_simplegrids_published_checksums():
     assert checksum_plane(read_lan_array(D + "lan/fakelan4bit.lan")) == 10
     assert checksum_plane(
         read_ilwis_array(D + "ilwis/LanduseSmall.mpr")) == 2351
+
+
+# ------------------------------------------------------------------- HFA
+
+def test_hfa_float_img_cross_checksum():
+    """hfa/float.img must decode to checksum 23529 (published in
+    ilwis.py:68 via the ILWIS CreateCopy cross-test) and its pixel stats
+    must match the file's own Esta_Statistics node (hfa.py:184 pins
+    minimum 40.91858291626)."""
+    from gdal_ray.sources.hfa import hfa_meta, read_hfa_array
+
+    B = "/root/reference/autotest/gdrivers/data/hfa/"
+    a = read_hfa_array(B + "float.img")
+    assert a.dtype == np.float32 and a.shape == (201, 201)
+    assert checksum_plane(a) == 23529
+    m = hfa_meta(B + "float.img")
+    assert abs(m["statistics"]["minimum"] - 40.91858291626) < 1e-4
+    assert abs(m["statistics"]["maximum"] - 41.134323120117) < 1e-4
+    valid = a[a != 0]
+    assert abs(float(valid.min()) - m["statistics"]["minimum"]) < 1e-4
+    assert abs(float(valid.max()) - m["statistics"]["maximum"]) < 1e-4
+
+
+def test_hfa_compressed_histogram_bit_exact():
+    """i8u_c_i.img (RLE 'ESRI GRID compression'): the decoded image's
+    256-bin histogram must equal the file's published
+    STATISTICS_HISTOBINVALUES exactly (hfa.py:744) — pixel-level
+    verification of the decompressor on real data."""
+    from gdal_ray.sources.hfa import read_hfa_array
+
+    a = read_hfa_array("/root/reference/autotest/gdrivers/data/hfa/"
+                       "i8u_c_i.img")
+    exp = [12603, 1, 0, 0, 45, 1, 0, 0, 0, 0, 656, 177, 0, 0, 5026, 1062,
+           0, 0, 2] + [0] * 13 + [75, 1, 0, 0, 207, 158, 0, 0, 8, 34, 0,
+                                  0, 0, 0, 538, 57, 0, 10, 214, 20]
+    got = np.bincount(a.ravel(), minlength=256)
+    assert list(got[:len(exp)]) == exp
+    assert int(got[255]) == 16517 and int(got[254]) == 16
+
+
+def test_hfa_int_and_stats():
+    from gdal_ray.sources.hfa import hfa_meta, read_hfa_array
+
+    B = "/root/reference/autotest/gdrivers/data/hfa/"
+    a = read_hfa_array(B + "int.img")
+    assert a.dtype == np.int32
+    m = hfa_meta(B + "int.img")
+    # hfa.py:136 int stats test pins STATISTICS_MINIMUM 40918
+    assert m["statistics"]["minimum"] == 40918.0
+    assert m["geotransform"] == (135362.5, 100.0, 0.0, 7122712.5, 0.0,
+                                 -100.0)
+
+
+def test_hfa_mapinfo_georef():
+    from gdal_ray.sources.hfa import hfa_meta
+
+    m = hfa_meta("/root/reference/autotest/gdrivers/data/hfa/dem10.img")
+    gt = m["geotransform"]
+    assert abs(gt[1] - 3.0) < 1e-9 and abs(gt[5] + 3.0) < 1e-9
+    assert m["projection_name"] == "UTM"
+
+
+def test_hfa_1bit_and_plain():
+    from gdal_ray.sources.hfa import read_hfa_array
+
+    B = "/root/reference/autotest/gdrivers/data/hfa/"
+    one = read_hfa_array(B + "small1bit.img")
+    assert set(np.unique(one)) <= {0, 1} and one.shape == (300, 300)
+    t = read_hfa_array(B + "87test.img")
+    assert t.shape == (24, 32)
+
+
+def test_hfa_dataset_reader_matches_array(ray_session):
+    from gdal_ray.sources.hfa import read_hfa, read_hfa_array
+
+    B = "/root/reference/autotest/gdrivers/data/hfa/"
+    whole = read_hfa_array(B + "i8u_c_i.img")
+    out = np.zeros_like(whole)
+    for r in read_hfa(B + "i8u_c_i.img").iter_rows():
+        blk = np.frombuffer(r["data"], dtype=whole.dtype).reshape(
+            r["h"], r["w"])
+        out[r["row0"]:r["row0"] + r["h"],
+            r["col0"]:r["col0"] + r["w"]] = blk
+    assert np.array_equal(out, whole)
