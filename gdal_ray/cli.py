@@ -357,6 +357,8 @@ def cmd_formats(args) -> int:
         ("SAGA GIS binary grid (+.sg-grd-z zip)", ".sgrd/.sdat", "r", "raster"),
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
+        ("Terragen heightfield", ".ter", "r", "raster"),
+        ("Leveller heightfield", ".ter", "r", "raster"),
         ("VICAR (incl. BASIC/BASIC2 RLE, VAX floats)", ".vic", "r", "raster"),
         ("ERMapper ERS", ".ers", "rw", "raster"),
         ("JPEG 2000 (EBCOT + GeoJP2/GMLJP2)", ".jp2/.j2k", "rw", "raster"),

@@ -89,6 +89,14 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.simplegrids import ilwis_meta
 
         return ilwis_meta(path)
+    if low.endswith(".ter"):
+        from gdal_ray.sources.simplegrids import (leveller_meta,
+                                                  terragen_meta)
+
+        try:
+            return terragen_meta(path)
+        except ValueError:
+            return leveller_meta(path)
     if low.endswith(".gsb"):
         from gdal_ray.sources.ntv2 import read_gsb
 

@@ -235,6 +235,19 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.simplegrids import read_ilwis
 
         return read_ilwis(path, **kw)
+    if low.endswith(".ter"):
+        from gdal_ray.sources.simplegrids import (read_leveller_array,
+                                                  read_terragen_array)
+        import ray.data as rd
+        import numpy as _np
+
+        try:
+            arr = read_terragen_array(path)
+        except ValueError:
+            arr = read_leveller_array(path)
+        rows = [{"row0": 0, "n_rows": arr.shape[0], "band": 0,
+                 "data": _np.ascontiguousarray(arr).tobytes()}]
+        return rd.from_items(rows)
     import os as _os
 
     if _os.path.isdir(path) and (_os.path.exists(_os.path.join(path, ".zarray"))

@@ -268,3 +268,122 @@ def read_lan(path: str, **kw):
 
 def read_ilwis(path: str, **kw):
     return _slab_dataset(path, read_ilwis_array, ilwis_meta, **kw)
+
+
+# --------------------------------------------------------------- Terragen
+
+def terragen_meta(path: str) -> dict:
+    """Terragen .ter (frmts/terragen): 'TERRAGENTERRAIN ' magic, 4-char
+    chunks: SIZE (n, +2 pad), XPTS/YPTS, SCAL (3 f4, SCAL=y), ALTW
+    (heightscale i2, baseheight i2, then xpts*ypts i2 LE bottom-up);
+    band exposes the raw Int16 with scale = SCAL/65536*heightscale and
+    offset = SCAL*baseheight."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(b"TERRAGENTERRAIN "):
+        raise ValueError("not a Terragen terrain file")
+    p = 16
+    if buf[p:p + 4] != b"SIZE":
+        raise ValueError("Terragen: missing SIZE")
+    nsize = _s.unpack_from("<H", buf, p + 4)[0]
+    p += 8
+    xpts = ypts = nsize + 1
+    scal = 30.0
+    hs = bh = 0
+    data_off = 0
+    while p + 4 <= len(buf):
+        tag = buf[p:p + 4]
+        p += 4
+        if tag == b"XPTS":
+            xpts = _s.unpack_from("<H", buf, p)[0]
+            p += 4
+        elif tag == b"YPTS":
+            ypts = _s.unpack_from("<H", buf, p)[0]
+            p += 4
+        elif tag == b"SCAL":
+            scal = _s.unpack_from("<f", buf, p + 4)[0]
+            p += 12
+        elif tag == b"CRAD":
+            p += 4
+        elif tag == b"CRVM":
+            p += 4
+        elif tag == b"ALTW":
+            hs, bh = _s.unpack_from("<hh", buf, p)
+            p += 4
+            data_off = p
+            p += xpts * ypts * 2
+        elif tag == b"EOF ":
+            break
+        else:
+            break
+    if not data_off:
+        raise ValueError("Terragen: no ALTW chunk")
+    return {
+        "driver": "Terragen", "width": xpts, "height": ypts, "bands": 1,
+        "dtype": "int16", "data_offset": data_off,
+        "scale": scal / 65536.0 * hs, "offset": scal * bh,
+        "pixel_size": scal,
+        "geotransform": (0.0, scal, 0.0, ypts * scal, 0.0, -scal),
+    }
+
+
+def read_terragen_array(path: str) -> np.ndarray:
+    m = terragen_meta(path)
+    with open(path, "rb") as f:
+        f.seek(m["data_offset"])
+        raw = np.frombuffer(f.read(m["width"] * m["height"] * 2), "<i2")
+    # bottom-up storage -> top-down raster
+    return np.ascontiguousarray(
+        raw.reshape(m["height"], m["width"])[::-1].astype("=i2"))
+
+
+# --------------------------------------------------------------- Leveller
+
+def leveller_meta(path: str) -> dict:
+    """Leveller .ter (frmts/leveller): 'trrn' + version, then tags
+    [len u8][name][datalen u4 LE][data]: hf_w, hf_b, hf_data (row-major
+    top-down f4 LE)."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(b"trrn"):
+        raise ValueError("not a Leveller terrain file")
+    version = buf[4]
+    p = 5
+    tags = {}
+    while p + 1 < len(buf):
+        dlen = buf[p]
+        if dlen == 0 or dlen > 64 or p + 1 + dlen + 4 > len(buf):
+            break
+        name = buf[p + 1:p + 1 + dlen].decode("latin-1")
+        p += 1 + dlen
+        (datalen,) = _s.unpack_from("<I", buf, p)
+        p += 4
+        tags[name] = (p, datalen)
+        p += datalen
+    if "hf_w" not in tags or "hf_data" not in tags:
+        raise ValueError("Leveller: missing heightfield tags")
+
+    def u4(name):
+        off, _ = tags[name]
+        return _s.unpack_from("<I", buf, off)[0]
+
+    m = {
+        "driver": "Leveller", "version": version,
+        "width": u4("hf_w"), "height": u4("hf_b"), "bands": 1,
+        "dtype": "float32", "data_offset": tags["hf_data"][0],
+        "tags": sorted(tags),
+    }
+    return m
+
+
+def read_leveller_array(path: str) -> np.ndarray:
+    m = leveller_meta(path)
+    with open(path, "rb") as f:
+        f.seek(m["data_offset"])
+        raw = np.frombuffer(f.read(m["width"] * m["height"] * 4), "<f4")
+    return np.ascontiguousarray(
+        raw.reshape(m["height"], m["width"]).astype("=f4"))

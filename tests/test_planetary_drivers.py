@@ -322,3 +322,21 @@ def test_hfa_dataset_reader_matches_array(ray_session):
         out[r["row0"]:r["row0"] + r["h"],
             r["col0"]:r["col0"] + r["w"]] = blk
     assert np.array_equal(out, whole)
+
+
+def test_terragen_and_leveller_published_checksums():
+    # terragen.py:27 -> 1128 (bottom-up i16 ALTW); leveller.py:23 -> 33441
+    from gdal_ray.sources.simplegrids import (read_leveller_array,
+                                              read_terragen_array,
+                                              terragen_meta)
+
+    a = read_terragen_array("/root/reference/autotest/gdrivers/data/"
+                            "terragen/float32.ter")
+    assert a.dtype == np.int16 and checksum_plane(a) == 1128
+    m = terragen_meta("/root/reference/autotest/gdrivers/data/"
+                      "terragen/float32.ter")
+    assert m["width"] == 20 and m["height"] == 20
+
+    b = read_leveller_array("/root/reference/autotest/gdrivers/data/"
+                            "leveller/ter6test.ter")
+    assert b.dtype == np.float32 and checksum_plane(b) == 33441
