@@ -358,6 +358,8 @@ def cmd_formats(args) -> int:
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
         ("Terragen heightfield", ".ter", "r", "raster"),
+        ("DIMAP v2 (SPOT/Pleiades products)", "DIM_*.XML", "r", "raster"),
+        ("Sentinel-1 SAFE (GRD measurements)", "manifest.safe", "r", "raster"),
         ("Leveller heightfield", ".ter", "r", "raster"),
         ("VICAR (incl. BASIC/BASIC2 RLE, VAX floats)", ".vic", "r", "raster"),
         ("ERMapper ERS", ".ers", "rw", "raster"),

@@ -89,6 +89,16 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.simplegrids import ilwis_meta
 
         return ilwis_meta(path)
+    if low.endswith("manifest.safe") or low.endswith(".safe"):
+        from gdal_ray.sources.products import safe_meta
+
+        return safe_meta(path)
+    if os.path.basename(path).upper().startswith(("DIM_", "VOL_")):
+        from gdal_ray.sources.products import dimap_meta
+
+        out = dimap_meta(path)
+        out.pop("products", None)
+        return out
     if low.endswith(".ter"):
         from gdal_ray.sources.simplegrids import (leveller_meta,
                                                   terragen_meta)

@@ -145,7 +145,21 @@ def _looks_isis3(path: str) -> bool:
 
 def open_raster(path: str, **kw):
     """Chunked raster store -> Dataset of decoded chunk rows."""
+    import os as _os
+
     low = path.lower()
+    base = _os.path.basename(path).upper()
+    if low.endswith("manifest.safe") or low.endswith(".safe") or \
+            base.startswith(("DIM_", "VOL_")):
+        from gdal_ray.sources.products import read_product
+
+        return read_product(path, **kw)
+    if _os.path.isdir(path) and any(
+            f.upper().startswith(("DIM_", "VOL_"))
+            for f in _os.listdir(path)[:64]):
+        from gdal_ray.sources.products import read_product
+
+        return read_product(path, **kw)
     if low.endswith((".tif", ".tiff")):
         from gdal_ray.sources.gtiff_reader import read_geotiff_tiles
 

@@ -340,3 +340,36 @@ def test_terragen_and_leveller_published_checksums():
     b = read_leveller_array("/root/reference/autotest/gdrivers/data/"
                             "leveller/ter6test.ter")
     assert b.dtype == np.float32 and checksum_plane(b) == 33441
+
+
+# ----------------------------------------------- DIMAP2 / Sentinel SAFE
+
+def test_dimap2_published_checksums():
+    """dimap.py:77 — single_component opens from dir / VOL / DIM with
+    4 bands 20x30; dimap.py:186 — bundle band 1 checksum 7024 with 2
+    subdatasets (component TIFF tiles mosaicked by tile_R/tile_C)."""
+    from gdal_ray.sources.products import dimap_meta, read_dimap_array
+
+    D = "/root/reference/autotest/gdrivers/data/dimap2/"
+    for p in [D + "single_component", D + "single_component/VOL_PHR.XML",
+              D + "single_component/DIM_foo.XML"]:
+        a = read_dimap_array(p)
+        assert a.shape == (30, 20, 4), p
+    m = dimap_meta(D + "bundle")
+    assert m["n_subdatasets"] == 2
+    a = read_dimap_array(D + "bundle")
+    assert checksum_plane(a[:, :, 0]) == 7024
+
+
+def test_safe_published_checksums():
+    """safe.py:29/:41 — manifest.safe band 1 (VH) 65372, band 2 (VV)
+    3732 from the measurement GeoTIFFs in manifest order."""
+    from gdal_ray.sources.products import read_safe_array, safe_meta
+
+    p = ("/root/reference/autotest/gdrivers/data/SAFE_FAKE/test.SAFE/"
+         "manifest.safe")
+    m = safe_meta(p)
+    assert m["polarisations"] == ["VH", "VV"]
+    a = read_safe_array(p)
+    assert checksum_plane(a[:, :, 0]) == 65372
+    assert checksum_plane(a[:, :, 1]) == 3732
