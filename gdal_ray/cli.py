@@ -357,6 +357,8 @@ def cmd_formats(args) -> int:
         ("SAGA GIS binary grid (+.sg-grd-z zip)", ".sgrd/.sdat", "r", "raster"),
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
+        ("Surfer 6/7 binary grids (GSBG/GS7BG)", ".grd", "r", "raster"),
+        ("NRCan geoid BYN", ".byn", "r", "raster"),
         ("Terragen heightfield", ".ter", "r", "raster"),
         ("DIMAP v2 (SPOT/Pleiades products)", "DIM_*.XML", "r", "raster"),
         ("Sentinel-1 SAFE (GRD measurements)", "manifest.safe", "r", "raster"),

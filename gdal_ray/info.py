@@ -99,6 +99,14 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = dimap_meta(path)
         out.pop("products", None)
         return out
+    if low.endswith(".grd"):
+        from gdal_ray.sources.simplegrids import surfer_meta
+
+        return surfer_meta(path)
+    if low.endswith(".byn"):
+        from gdal_ray.sources.simplegrids import byn_meta
+
+        return byn_meta(path)
     if low.endswith(".ter"):
         from gdal_ray.sources.simplegrids import (leveller_meta,
                                                   terragen_meta)

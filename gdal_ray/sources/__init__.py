@@ -249,6 +249,25 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.simplegrids import read_ilwis
 
         return read_ilwis(path, **kw)
+    if low.endswith(".grd"):
+        from gdal_ray.sources.simplegrids import (read_surfer_array,
+                                                  surfer_meta)
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_surfer_array(path)
+        return rd.from_items([{"row0": 0, "n_rows": arr.shape[0],
+                               "band": 0,
+                               "data": _np.ascontiguousarray(arr).tobytes()}])
+    if low.endswith(".byn"):
+        from gdal_ray.sources.simplegrids import read_byn_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_byn_array(path)
+        return rd.from_items([{"row0": 0, "n_rows": arr.shape[0],
+                               "band": 0,
+                               "data": _np.ascontiguousarray(arr).tobytes()}])
     if low.endswith(".ter"):
         from gdal_ray.sources.simplegrids import (read_leveller_array,
                                                   read_terragen_array)

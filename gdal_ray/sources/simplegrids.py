@@ -387,3 +387,119 @@ def read_leveller_array(path: str) -> np.ndarray:
         raw = np.frombuffer(f.read(m["width"] * m["height"] * 4), "<f4")
     return np.ascontiguousarray(
         raw.reshape(m["height"], m["width"]).astype("=f4"))
+
+
+# ------------------------------------------------------- Surfer 6/7 grids
+
+def surfer_meta(path: str) -> dict:
+    """Golden Software Surfer grids (frmts/gsg): DSBB (Surfer 6 binary:
+    i2 nx/ny, 4 f8 bounds + zmin/zmax, f4 data bottom-up, blank
+    1.701410009187828e38) and DSRB (Surfer 7: tagged sections — GRID
+    {i4 ny,nx; f8 xLL,yLL,xSize,ySize,zMin,zMax,rot,blank} then DATA
+    f8 bottom-up)."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] == b"DSBB":
+        nx, ny = _s.unpack_from("<hh", buf, 4)
+        xmin, xmax, ymin, ymax, zmin, zmax = _s.unpack_from("<6d", buf, 8)
+        return {"driver": "GSBG", "width": nx, "height": ny, "bands": 1,
+                "dtype": "float32", "data_offset": 56, "item": "<f4",
+                "blank": 1.701410009187828e38,
+                "geotransform": (xmin - (xmax - xmin) / (nx - 1) / 2,
+                                 (xmax - xmin) / (nx - 1), 0.0,
+                                 ymax + (ymax - ymin) / (ny - 1) / 2, 0.0,
+                                 -(ymax - ymin) / (ny - 1)),
+                "bottom_up": True}
+    if buf[:4] == b"DSRB":
+        p = 4 + 8  # header tag: size(4) + version(4)
+        grid = None
+        data_off = None
+        while p + 8 <= len(buf):
+            tag = buf[p:p + 4]
+            (size,) = _s.unpack_from("<i", buf, p + 4)
+            p += 8
+            if tag == b"GRID":
+                ny, nx = _s.unpack_from("<ii", buf, p)
+                xll, yll, xs, ys, zmin, zmax, rot, blank = \
+                    _s.unpack_from("<8d", buf, p + 8)
+                grid = (nx, ny, xll, yll, xs, ys, blank)
+                p += size
+            elif tag == b"DATA":
+                data_off = p
+                p += size if size > 0 else 0
+                break
+            else:
+                p += size
+        if grid is None or data_off is None:
+            raise ValueError("Surfer 7: missing GRID/DATA sections")
+        nx, ny, xll, yll, xs, ys, blank = grid
+        return {"driver": "GS7BG", "width": nx, "height": ny, "bands": 1,
+                "dtype": "float64", "data_offset": data_off, "item": "<f8",
+                "blank": blank,
+                "geotransform": (xll - xs / 2, xs, 0.0,
+                                 yll + (ny - 0.5) * ys, 0.0, -ys),
+                "bottom_up": True}
+    raise ValueError("not a Surfer binary grid (DSBB/DSRB)")
+
+
+def read_surfer_array(path: str) -> np.ndarray:
+    m = surfer_meta(path)
+    dt = np.dtype(m["item"])
+    n = m["width"] * m["height"]
+    with open(path, "rb") as f:
+        f.seek(m["data_offset"])
+        arr = np.frombuffer(f.read(n * dt.itemsize), dtype=dt).reshape(
+            m["height"], m["width"])
+    if m["bottom_up"]:
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr.astype(dt.newbyteorder("=")))
+
+
+# ---------------------------------------------------------------- BYN
+
+def byn_meta(path: str) -> dict:
+    """NRCan geoid BYN (frmts/raw/byndataset): 80-byte header with
+    arcsecond boundaries (i4 S,N,W,E; i2 dlat,dlon; x1000 when
+    Scale=1), i2 data size (2/4), Factor double as band scale, LSB
+    when ByteOrder==1; rows top-down from byte 80."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        hdr = f.read(80)
+    south, north, west, east = _s.unpack_from("<iiii", hdr, 0)
+    dlat, dlon, glob, typ = _s.unpack_from("<hhhh", hdr, 16)
+    (factor,) = _s.unpack_from("<d", hdr, 24)
+    sizeof, vdatum = _s.unpack_from("<hh", hdr, 32)
+    byteorder, scale = _s.unpack_from("<hh", hdr, 48)
+    fs = 1000.0 if scale == 1 else 1.0
+    s, n, w, e = south * fs, north * fs, west * fs, east * fs
+    dla, dlo = dlat * fs, dlon * fs
+    if dlo == 0 or dla == 0:
+        raise ValueError("BYN: zero spacing")
+    nx = int((e - w + 1.0) / dlo + 1.0)
+    ny = int((n - s + 1.0) / dla + 1.0)
+    if sizeof == 2:
+        dt = "i2"
+    elif sizeof == 4:
+        dt = "i4"
+    else:
+        raise NotImplementedError(f"BYN data size {sizeof}")
+    order = "<" if byteorder == 1 else ">"
+    return {"driver": "BYN", "width": nx, "height": ny, "bands": 1,
+            "wire_dtype": order + dt, "dtype": np.dtype(dt).name,
+            "scale": factor, "data_offset": 80,
+            "geotransform": ((w - dlo / 2.0) / 3600.0, dlo / 3600.0, 0.0,
+                             (n + dla / 2.0) / 3600.0, 0.0, -dla / 3600.0)}
+
+
+def read_byn_array(path: str) -> np.ndarray:
+    m = byn_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    n = m["width"] * m["height"]
+    with open(path, "rb") as f:
+        f.seek(m["data_offset"])
+        arr = np.frombuffer(f.read(n * dt.itemsize), dtype=dt)
+    return np.ascontiguousarray(arr.reshape(
+        m["height"], m["width"]).astype(dt.newbyteorder("=")))

@@ -373,3 +373,18 @@ def test_safe_published_checksums():
     a = read_safe_array(p)
     assert checksum_plane(a[:, :, 0]) == 65372
     assert checksum_plane(a[:, :, 1]) == 3732
+
+
+def test_surfer_and_byn_published_checksums():
+    # gsg.py:23/:29 both Surfer variants -> 4672; byn.py:29 -> 64764
+    from gdal_ray.sources.simplegrids import (byn_meta, read_byn_array,
+                                              read_surfer_array)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    assert checksum_plane(read_surfer_array(D + "gsg/gsg_binary.grd")) == 4672
+    assert checksum_plane(
+        read_surfer_array(D + "gsg/gsg_7binary.grd")) == 4672
+    c = read_byn_array(D + "byn/cgg2013ai08_reduced.byn")
+    assert checksum_plane(c) == 64764
+    m = byn_meta(D + "byn/cgg2013ai08_reduced.byn")
+    assert abs(m["geotransform"][0] + 170.0) < 1e-9
