@@ -357,6 +357,7 @@ def cmd_formats(args) -> int:
         ("SAGA GIS binary grid (+.sg-grd-z zip)", ".sgrd/.sdat", "r", "raster"),
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
+        ("BSB/KAP nautical charts", ".kap", "r", "raster"),
         ("Surfer 6/7 binary grids (GSBG/GS7BG)", ".grd", "r", "raster"),
         ("NRCan geoid BYN", ".byn", "r", "raster"),
         ("Terragen heightfield", ".ter", "r", "raster"),

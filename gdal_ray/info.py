@@ -99,6 +99,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = dimap_meta(path)
         out.pop("products", None)
         return out
+    if low.endswith((".kap", ".nos")):
+        from gdal_ray.sources.bsb import bsb_meta
+
+        out = bsb_meta(path)
+        out.pop("line_offsets", None)
+        return out
     if low.endswith(".grd"):
         from gdal_ray.sources.simplegrids import surfer_meta
 

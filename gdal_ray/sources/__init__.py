@@ -249,6 +249,10 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.simplegrids import read_ilwis
 
         return read_ilwis(path, **kw)
+    if low.endswith((".kap", ".nos")):
+        from gdal_ray.sources.bsb import read_bsb
+
+        return read_bsb(path, **kw)
     if low.endswith(".grd"):
         from gdal_ray.sources.simplegrids import (read_surfer_array,
                                                   surfer_meta)

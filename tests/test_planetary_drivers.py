@@ -388,3 +388,21 @@ def test_surfer_and_byn_published_checksums():
     assert checksum_plane(c) == 64764
     m = byn_meta(D + "byn/cgg2013ai08_reduced.byn")
     assert abs(m["geotransform"][0] + 170.0) < 1e-9
+
+
+def test_bsb_published_checksums():
+    """bsb.py:27/:56/:69 — base, index-table and split-line variants all
+    checksum 30321 (values shifted down one: the reference drops the
+    1-based palette's first entry, bsbdataset.cpp:101)."""
+    from gdal_ray.sources.bsb import bsb_meta, read_bsb_array
+
+    B = "/root/reference/autotest/gdrivers/data/bsb/"
+    for f in ["rgbsmall.kap", "rgbsmall_index.kap",
+              "rgbsmall_with_line_break.kap", "transverse_mercator.kap"]:
+        a = read_bsb_array(B + f)
+        assert a.shape == (50, 50) and checksum_plane(a) == 30321, f
+    m = bsb_meta(B + "rgbsmall.kap")
+    assert m["depth"] == 7 and len(m["palette"]) == 128
+    # big chart decodes fully
+    big = read_bsb_array(B + "australia4c.kap")
+    assert big.shape == (480, 625)
