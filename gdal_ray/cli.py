@@ -358,6 +358,10 @@ def cmd_formats(args) -> int:
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
         ("BSB/KAP nautical charts", ".kap", "r", "raster"),
+        ("ISG geoid models", ".isg", "r", "raster"),
+        ("GRASS ASCII grid", ".txt", "r", "raster"),
+        ("USGS CTG (LULC grid cell)", "grid_cell*", "r", "raster"),
+        ("NLAPS NDF", ".h1-.h4", "r", "raster"),
         ("Surfer 6/7 binary grids (GSBG/GS7BG)", ".grd", "r", "raster"),
         ("NRCan geoid BYN", ".byn", "r", "raster"),
         ("Terragen heightfield", ".ter", "r", "raster"),

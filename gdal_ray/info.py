@@ -99,6 +99,20 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = dimap_meta(path)
         out.pop("products", None)
         return out
+    if low.endswith(".isg"):
+        from gdal_ray.sources.asciigrids import isg_meta
+
+        return {k: v for k, v in isg_meta(path).items()
+                if not k.startswith("_")}
+    if low.endswith((".h1", ".h2", ".h3", ".h4")):
+        from gdal_ray.sources.asciigrids import ndf_meta
+
+        return ndf_meta(path)
+    if "grid_cell" in os.path.basename(low):
+        from gdal_ray.sources.asciigrids import ctg_meta
+
+        return {k: v for k, v in ctg_meta(path).items()
+                if not k.startswith("_")}
     if low.endswith((".kap", ".nos")):
         from gdal_ray.sources.bsb import bsb_meta
 

@@ -126,6 +126,14 @@ def _looks_pds3(path: str) -> bool:
         return False
 
 
+def _head_has_txt(path: str, token: bytes) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return token in f.read(256)
+    except OSError:
+        return False
+
+
 def _looks_hfa(path: str) -> bool:
     try:
         with open(path, "rb") as f:
@@ -253,6 +261,30 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.bsb import read_bsb
 
         return read_bsb(path, **kw)
+    if low.endswith(".isg") or low.endswith((".h1", ".h2", ".h3", ".h4")) \
+            or "grid_cell" in _os.path.basename(low) \
+            or (low.endswith(".txt") and _head_has_txt(path, b"north:")):
+        from gdal_ray.sources.asciigrids import (read_ctg_array,
+                                                 read_grass_array,
+                                                 read_isg_array,
+                                                 read_ndf_array)
+        import ray.data as rd
+        import numpy as _np
+
+        if low.endswith(".isg"):
+            arr = read_isg_array(path)
+        elif low.endswith((".h1", ".h2", ".h3", ".h4")):
+            arr = read_ndf_array(path)
+        elif "grid_cell" in _os.path.basename(low):
+            arr = read_ctg_array(path)
+        else:
+            arr = read_grass_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        rows = [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+                 "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+                for b in range(arr.shape[2])]
+        return rd.from_items(rows)
     if low.endswith(".grd"):
         from gdal_ray.sources.simplegrids import (read_surfer_array,
                                                   surfer_meta)

@@ -406,3 +406,24 @@ def test_bsb_published_checksums():
     # big chart decodes fully
     big = read_bsb_array(B + "australia4c.kap")
     assert big.shape == (480, 625)
+
+
+def test_asciigrids_published_checksums():
+    """isg.py:27 (159), grassasciigrid.py:23 (212), ctg.py:24 (21 band
+    1 of 6 Int32 bands), ndf.py:24 (window cs 6510 on the one-line
+    band file, zero-padded)."""
+    from gdal_ray.sources.asciigrids import (ctg_meta, read_ctg_array,
+                                             read_grass_array,
+                                             read_isg_array,
+                                             read_ndf_array)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    a = read_isg_array(D + "isg/test.isg")
+    assert a.shape == (4, 6) and checksum_plane(a) == 159
+    g = read_grass_array(D + "grassasciigrid/grassascii.txt")
+    assert checksum_plane(g) == 212
+    c = read_ctg_array(D + "ctg/fake_grid_cell")
+    assert c.shape[2] == 6 and checksum_plane(c[:, :, 0]) == 21
+    assert ctg_meta(D + "ctg/fake_grid_cell")["epsg"] == 32614
+    n = read_ndf_array(D + "ndf/LE7134052000500350.H3")
+    assert checksum_plane(n[0:1, :]) == 6510
