@@ -99,6 +99,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = dimap_meta(path)
         out.pop("products", None)
         return out
+    if low.endswith(".fst") or (low[-4:-1] in (".1a", ".0f", ".01")
+                                and _head_has(path, b"ACQUISITION DATE",
+                                              4096)):
+        from gdal_ray.sources.fast import fast_meta
+
+        return fast_meta(path)
     if low.endswith(".isg"):
         from gdal_ray.sources.asciigrids import isg_meta
 

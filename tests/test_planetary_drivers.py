@@ -427,3 +427,36 @@ def test_asciigrids_published_checksums():
     assert ctg_meta(D + "ctg/fake_grid_cell")["epsg"] == 32614
     n = read_ndf_array(D + "ndf/LE7134052000500350.H3")
     assert checksum_plane(n[0:1, :]) == 6510
+
+
+def test_fast_published_expectations():
+    """fast.py:31/:102 window checksums (60323 pan, 19110 band 2) and
+    the corner-GCP least-squares geotransforms of tests 5-8, including
+    the rotated Euromap LISS3/WIFS affines."""
+    from gdal_ray.sources.fast import fast_meta, read_fast_band
+
+    D = "/root/reference/autotest/gdrivers/data/fast/"
+    a = read_fast_band(D + "L71118038_03820020111_HPN.FST")
+    assert checksum_plane(a[0:1, 0:5000]) == 60323
+    m = fast_meta(D + "L71230079_07920021111_HTM.FST")
+    assert m["bands"] == 2
+    for got, exp in zip(m["geotransform"],
+                        (528417.25, 30.0, 0.0, 7071187.0, 0.0, -30.0)):
+        assert abs(got - exp) < 1e-6
+    b2 = read_fast_band(D + "L71230079_07920021111_HTM.FST", 1)
+    assert checksum_plane(b2[0:1, 0:7000]) == 19110
+
+    cases = [
+        ("n0o0y867.0fl", 4, (14640936.89174916, 1.008817518246492,
+                             24.9876841746236, 664274.3912497687,
+                             24.98828832116786, -0.9907878581173808)),
+        ("h0o0y867.1ah", 1, (676565.09, 5, 0, 5348341.5, 0, -5)),
+        ("w0y13a4t.010", 2, (-336965.0150603952, 176.0817495260164,
+                             -37.35662873563219, 484122.7765089957,
+                             -37.35622603749736, -176.081791954023)),
+    ]
+    for f, nb, egt in cases:
+        mm = fast_meta(D + f)
+        assert mm["bands"] == nb, f
+        for got, exp in zip(mm["geotransform"], egt):
+            assert abs(got - exp) < 1e-4, f
