@@ -358,6 +358,7 @@ def cmd_formats(args) -> int:
         ("Erdas 7.x LAN/GIS (incl. 4-bit)", ".lan/.gis", "r", "raster"),
         ("ILWIS raster map", ".mpr", "r", "raster"),
         ("BSB/KAP nautical charts", ".kap", "r", "raster"),
+        ("ADRG (ISO 8211 military raster)", ".gen/.thf", "r", "raster"),
         ("EOSAT FAST (Landsat L7A / Euromap IRS)", ".fst", "r", "raster"),
         ("ISG geoid models", ".isg", "r", "raster"),
         ("GRASS ASCII grid", ".txt", "r", "raster"),

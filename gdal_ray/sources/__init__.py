@@ -261,6 +261,16 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.bsb import read_bsb
 
         return read_bsb(path, **kw)
+    if low.endswith((".gen", ".thf")):
+        from gdal_ray.sources.adrg import read_adrg_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_adrg_array(path)
+        rows = [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+                 "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+                for b in range(arr.shape[2])]
+        return rd.from_items(rows)
     if low.endswith(".isg") or low.endswith((".h1", ".h2", ".h3", ".h4")) \
             or "grid_cell" in _os.path.basename(low) \
             or (low.endswith(".txt") and _head_has_txt(path, b"north:")):

@@ -460,3 +460,23 @@ def test_fast_published_expectations():
         assert mm["bands"] == nb, f
         for got, exp in zip(mm["geotransform"], egt):
             assert abs(got - exp) < 1e-4, f
+
+
+def test_adrg_published_expectations():
+    """adrg.py:28/:38 — band 1 checksum 62833 through both the .GEN and
+    .THF open paths, and the ZNA 9/18 polar ARC geotransforms of
+    adrg.py:65/:96 (fixed-position sddmmss.ss angle parsing)."""
+    from gdal_ray.sources.adrg import adrg_meta, read_adrg_array
+
+    D = "/root/reference/autotest/gdrivers/data/adrg/"
+    for p in [D + "SMALL_ADRG/ABCDEF01.GEN", D + "SMALL_ADRG/TRANSH01.THF"]:
+        a = read_adrg_array(p)
+        assert a.shape == (128, 128, 3)
+        assert checksum_plane(a[:, :, 0]) == 62833, p
+    m9 = adrg_meta(D + "SMALL_ADRG_ZNA9/ABCDEF01.GEN")
+    exp9 = (-307675.73602473765, 100.09145391818853, 0.0,
+            -179477.5051066006, 0.0, -100.09145391818853)
+    for got, exp in zip(m9["geotransform"], exp9):
+        assert abs(got - exp) < 1e-5
+    m18 = adrg_meta(D + "SMALL_ADRG_ZNA18/ABCDEF01.GEN")
+    assert abs(m18["geotransform"][3] - 179477.5051066006) < 1e-5
