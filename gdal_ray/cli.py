@@ -359,6 +359,7 @@ def cmd_formats(args) -> int:
         ("ILWIS raster map", ".mpr", "r", "raster"),
         ("BSB/KAP nautical charts", ".kap", "r", "raster"),
         ("ADRG (ISO 8211 military raster)", ".gen/.thf", "r", "raster"),
+        ("ASRP/USRP (ISO 8211, RLE PCB 4/8)", ".gen/.img", "r", "raster"),
         ("EOSAT FAST (Landsat L7A / Euromap IRS)", ".fst", "r", "raster"),
         ("ISG geoid models", ".isg", "r", "raster"),
         ("GRASS ASCII grid", ".txt", "r", "raster"),

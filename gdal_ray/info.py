@@ -120,9 +120,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return {k: v for k, v in ctg_meta(path).items()
                 if not k.startswith("_")}
     if low.endswith((".gen", ".thf")):
-        from gdal_ray.sources.adrg import adrg_meta
+        from gdal_ray.sources.adrg import adrg_meta, srp_meta
 
-        out = adrg_meta(path)
+        try:
+            out = adrg_meta(path)
+        except (ValueError, KeyError, TypeError):
+            out = srp_meta(path)
         out.pop("tile_index", None)
         return out
     if low.endswith((".kap", ".nos")):

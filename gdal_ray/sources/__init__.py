@@ -262,11 +262,16 @@ def open_raster(path: str, **kw):
 
         return read_bsb(path, **kw)
     if low.endswith((".gen", ".thf")):
-        from gdal_ray.sources.adrg import read_adrg_array
+        from gdal_ray.sources.adrg import read_adrg_array, read_srp_array
         import ray.data as rd
         import numpy as _np
 
-        arr = read_adrg_array(path)
+        try:
+            arr = read_adrg_array(path)
+        except (ValueError, KeyError, TypeError):
+            arr = read_srp_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
         rows = [{"row0": 0, "n_rows": arr.shape[0], "band": b,
                  "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
                 for b in range(arr.shape[2])]

@@ -480,3 +480,19 @@ def test_adrg_published_expectations():
         assert abs(got - exp) < 1e-5
     m18 = adrg_meta(D + "SMALL_ADRG_ZNA18/ABCDEF01.GEN")
     assert abs(m18["geotransform"][3] - 179477.5051066006) < 1e-5
+
+
+def test_srp_published_expectations():
+    """srp.py:48 — all three PCB modes (uncompressed, nibble RLE, byte
+    RLE) checksum 24576 through both .IMG and .THF paths, with the
+    projected USRP geotransform (500000, 5, 0, 5000000, 0, -5)."""
+    from gdal_ray.sources.adrg import read_srp_array, srp_meta
+
+    D = "/root/reference/autotest/gdrivers/data/srp/"
+    for z in ["USRP_PCB0", "USRP_PCB4", "USRP_PCB8"]:
+        for f in ["FKUSRP01.IMG", "TRANSH01.THF"]:
+            a = read_srp_array(D + z + "/" + f)
+            assert checksum_plane(a) == 24576, (z, f)
+    m = srp_meta(D + "USRP_PCB4/FKUSRP01.IMG")
+    assert m["geotransform"] == (500000.0, 5.0, 0.0, 5000000.0, 0.0, -5.0)
+    assert m["pcb"] == 4
