@@ -338,6 +338,7 @@ def cmd_formats(args) -> int:
         ("GeoParquet", ".parquet", "rw", "vector"),
         ("OSM PBF", ".osm.pbf", "rw", "vector"),
         ("MVT (Mapbox Vector Tiles)", "pbf in PMTiles/MBTiles", "rw", "vector"),
+        ("S-57 ENC nautical charts (ISO 8211)", ".000", "r", "vector"),
         # raster stores
         ("GTiff/BigTIFF/COG", ".tif", "rw", "raster"),
         ("VRT", ".vrt", "r", "raster"),

@@ -119,6 +119,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
 
         return {k: v for k, v in ctg_meta(path).items()
                 if not k.startswith("_")}
+    if low.endswith(".000"):
+        from gdal_ray.sources.s57 import s57_meta
+
+        return s57_meta(path)
     if low.endswith((".gen", ".thf")):
         from gdal_ray.sources.adrg import adrg_meta, srp_meta
 

@@ -114,6 +114,10 @@ def open_vector(path: str, **kw):
         from gdal_ray.sources.osmpbf import read_osm
 
         return read_osm(path, **kw)
+    if low.endswith(".000"):
+        from gdal_ray.sources.s57 import read_s57
+
+        return read_s57(path, **kw)
     raise ValueError(f"no vector driver for {path}")
 
 

@@ -45,6 +45,8 @@ def _parse_formats(fmt: str):
             width = {"11": 1, "12": 2, "14": 4,
                      "21": 1, "22": 2, "24": 4}.get(sub, 1)
             t = "b" + sub
+        elif t == "B" and width is not None:
+            width = width // 8  # B(n) widths are in BITS
         for _ in range(rep):
             out.append((t, width))
     return out
@@ -151,7 +153,8 @@ class ISO8211Reader:
                 chunk = raw[p:p + width]
                 p += width
             if t.startswith("b"):
-                v = int.from_bytes(chunk, "little")
+                v = int.from_bytes(chunk, "little",
+                                   signed=t.startswith("b2"))
             elif t == "A" or t == "C":
                 v = chunk.decode("latin-1")
             elif t == "I":

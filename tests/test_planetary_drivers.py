@@ -496,3 +496,44 @@ def test_srp_published_expectations():
     m = srp_meta(D + "USRP_PCB4/FKUSRP01.IMG")
     assert m["geotransform"] == (500000.0, 5.0, 0.0, 5000000.0, 0.0, -5.0)
     assert m["pcb"] == 4
+
+
+# ----------------------------------------------------------------- S-57
+
+def test_s57_layers_and_geometries(ray_session):
+    """ogr_s57.py:47 layer/count table (all 13 layers exact), plus the
+    COALNE linestring endpoints, the closed 18-point M_QUAL ring and
+    the exact SOUNDG 3D soundings of tests COALNE/M_QUAL/SOUNDG."""
+    import struct
+
+    from gdal_ray.sources.s57 import read_s57, s57_layers
+
+    p = "/root/reference/autotest/ogr/data/s57/1B5X02NE.000"
+    L = s57_layers(p)
+    exp = {"DSID": 1, "COALNE": 1, "DEPARE": 4, "DEPCNT": 4, "LNDARE": 1,
+           "LNDELV": 2, "SBDARE": 2, "SLCONS": 1, "SLOTOP": 1,
+           "SOUNDG": 2, "M_COVR": 1, "M_NSYS": 1, "M_QUAL": 1}
+    assert {k: len(v) for k, v in L.items()} == exp
+
+    wkb = L["COALNE"][0]["wkb"]
+    n = struct.unpack_from("<I", wkb, 5)[0]
+    assert n == 15
+    x0, y0 = struct.unpack_from("<dd", wkb, 9)
+    xn, yn = struct.unpack_from("<dd", wkb, 9 + 16 * (n - 1))
+    assert abs(x0 - 60.976834) < 1e-8 and abs(y0 + 32.494426) < 1e-8
+    assert abs(xn - 60.979426) < 1e-8 and abs(yn + 32.498666) < 1e-8
+
+    q = L["M_QUAL"][0]["wkb"]
+    nr = struct.unpack_from("<I", q, 5)[0]
+    npts = struct.unpack_from("<I", q, 9)[0]
+    assert nr == 1 and npts == 18
+
+    s = L["SOUNDG"][0]["wkb"]
+    nm = struct.unpack_from("<I", s, 5)[0]
+    assert nm == 4
+    zs = sorted(round(struct.unpack_from("<ddd", s, 9 + i * 29 + 5)[2], 3)
+                for i in range(nm))
+    assert zs == [-3.2, 1.2, 1.4, 3.4]
+
+    ds = read_s57(p)
+    assert ds.count() == sum(exp.values())
