@@ -367,6 +367,13 @@ def cmd_formats(args) -> int:
         ("USGS CTG (LULC grid cell)", "grid_cell*", "r", "raster"),
         ("NLAPS NDF", ".h1-.h4", "r", "raster"),
         ("Surfer 6/7 binary grids (GSBG/GS7BG)", ".grd", "r", "raster"),
+        ("R raster (RRASTER)", ".grd/.gri", "r", "raster"),
+        ("DigitalGlobe TIL mosaics", ".til", "r", "raster"),
+        ("PCI PAux raw", ".aux", "r", "raster"),
+        ("Generic Binary (.hdr)", ".bil", "r", "raster"),
+        ("NGS GEOID binary grids", ".bin", "r", "raster"),
+        ("Vexcel MFF / Erdas EIR raw", ".hdr", "r", "raster"),
+        ("SNODAS header", ".hdr", "r", "raster"),
         ("NRCan geoid BYN", ".byn", "r", "raster"),
         ("Terragen heightfield", ".ter", "r", "raster"),
         ("DIMAP v2 (SPOT/Pleiades products)", "DIM_*.XML", "r", "raster"),

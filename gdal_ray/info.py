@@ -119,6 +119,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
 
         return {k: v for k, v in ctg_meta(path).items()
                 if not k.startswith("_")}
+    if low.endswith(".grd") and _head_has(path, b"ncols="):
+        from gdal_ray.sources.mixedrasters import rraster_meta
+
+        return rraster_meta(path)
+    if low.endswith(".til"):
+        from gdal_ray.sources.mixedrasters import til_meta
+
+        return til_meta(path)
+    if low.endswith(".aux") and _head_has(path, b"AuxilaryTarget"):
+        from gdal_ray.sources.mixedrasters import paux_meta
+
+        return paux_meta(path)
     if low.endswith(".000"):
         from gdal_ray.sources.s57 import s57_meta
 

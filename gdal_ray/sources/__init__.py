@@ -304,6 +304,18 @@ def open_raster(path: str, **kw):
                  "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
                 for b in range(arr.shape[2])]
         return rd.from_items(rows)
+    if low.endswith(".grd") and _head_has_txt(path, b"ncols="):
+        from gdal_ray.sources.mixedrasters import read_rraster_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_rraster_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return rd.from_items(
+            [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+              "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+             for b in range(arr.shape[2])])
     if low.endswith(".grd"):
         from gdal_ray.sources.simplegrids import (read_surfer_array,
                                                   surfer_meta)

@@ -1,0 +1,346 @@
+"""Final small-driver batch: R raster (RRASTER .grd/.gri), DigitalGlobe
+TIL, PCI PAux, Generic Binary (.hdr/.bil), NOAA NGS GEOID binary grids,
+Vexcel MFF, Erdas EIR raw, and NOHRSC SNODAS headers.
+
+Wire facts (frmts/raw/{rrasterdataset,pauxdataset,genbindataset,
+mffdataset,eirdataset,snodasdataset}.cpp, frmts/til/tildataset.cpp,
+frmts/ngsgeoid/ngsgeoiddataset.cpp):
+- RRASTER: INI-ish .grd ([georeference] nrows/ncols/xmin..ymax,
+  [data] datatype INT1U/INT2S/.../FLT4S/FLT8S, byteorder, nbands,
+  bandorder BIL/BSQ/BIP) + raw .gri.
+- TIL: ``numTiles``/``TILE_n.filename``/offset keys mosaicking
+  referenced rasters (TIFFs decoded by this engine).
+- PAux: .aux text (AuxilaryTarget, RawDefinition w h nbands,
+  ChanDefinition-n: type offset pixel_offset line_offset Swapped?).
+- GenBin: .hdr keywords (BANDS/ROWS/COLS/DATATYPE U8|U16|S16|F32/
+  INTERLEAVING BSQ|BIL|BIP) + .bil raw.
+- NGSGEOID: 44-byte header SLAT,WLON,DLAT,DLON f8 + NLAT,NLON,IKIND i4
+  (IKIND==1 fixes endianness), f4 rows from the south (bottom-up);
+  node-registered: gt anchored at cell edges via half-cell shifts.
+- MFF: .hdr KEY=VALUE (IMAGE_LINES/LINE_SAMPLES) + band files .b<n>
+  (byte) per band; EIR: IMAGINE_RAW_FILE keyword block.
+- SNODAS: 'key: value' text header with a data file pathname.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+_RR_TYPES = {
+    "LOG1S": "u1", "INT1S": "i1", "INT1U": "u1", "INT2S": "i2",
+    "INT2U": "u2", "INT4S": "i4", "INT4U": "u4", "FLT4S": "f4",
+    "FLT8S": "f8",
+}
+
+
+def rraster_meta(path: str) -> dict:
+    grd = path if path.lower().endswith(".grd") else path[:-4] + ".grd"
+    with open(grd, "r", errors="replace") as f:
+        text = f.read()
+    kv = dict(re.findall(r"^(\w+)=(.*)$", text, re.M))
+    dt = _RR_TYPES.get(kv.get("datatype", "FLT4S").upper())
+    if dt is None:
+        raise NotImplementedError(f"RRASTER datatype {kv.get('datatype')}")
+    order = "<" if kv.get("byteorder", "little").lower() == "little" else ">"
+    w, h = int(kv["ncols"]), int(kv["nrows"])
+    nb = int(kv.get("nbands", 1))
+    xmin, xmax = float(kv["xmin"]), float(kv["xmax"])
+    ymin, ymax = float(kv["ymin"]), float(kv["ymax"])
+    return {
+        "driver": "RRASTER", "width": w, "height": h, "bands": nb,
+        "wire_dtype": order + dt,
+        "dtype": np.dtype(dt).name,
+        "interleave": kv.get("bandorder", "BIL").upper(),
+        "data_path": grd[:-4] + ".gri",
+        "nodata": None if kv.get("nodatavalue", "NA") == "NA"
+        else float(kv["nodatavalue"]),
+        "projection": kv.get("projection"),
+        "geotransform": (xmin, (xmax - xmin) / w, 0.0,
+                         ymax, 0.0, -(ymax - ymin) / h),
+    }
+
+
+def read_rraster_array(path: str) -> np.ndarray:
+    m = rraster_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h, nb = m["width"], m["height"], m["bands"]
+    with open(m["data_path"], "rb") as f:
+        raw = np.frombuffer(f.read(w * h * nb * dt.itemsize), dtype=dt)
+    il = m["interleave"]
+    if il == "BSQ":
+        arr = raw.reshape(nb, h, w).transpose(1, 2, 0)
+    elif il == "BIP":
+        arr = raw.reshape(h, w, nb)
+    else:  # BIL
+        arr = raw.reshape(h, nb, w).transpose(0, 2, 1)
+    arr = np.ascontiguousarray(arr.astype(dt.newbyteorder("=")))
+    return arr[:, :, 0] if nb == 1 else arr
+
+
+def til_meta(path: str) -> dict:
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    kv = dict(re.findall(r"([\w.]+)\s*=\s*\"?([^\";\n]+)\"?", text))
+    n = int(kv.get("numTiles", 0))
+    tiles = []
+    for i in range(1, n + 1):
+        tiles.append({
+            "path": os.path.join(os.path.dirname(path),
+                                 kv[f"TILE_{i}.filename"].strip()),
+            "col0": int(kv.get(f"TILE_{i}.ULColOffset", 0)),
+            "row0": int(kv.get(f"TILE_{i}.ULRowOffset", 0)),
+            "col1": int(kv.get(f"TILE_{i}.LRColOffset", 0)),
+            "row1": int(kv.get(f"TILE_{i}.LRRowOffset", 0)),
+        })
+    if not tiles:
+        raise ValueError("TIL: no tiles")
+    w = max(t["col1"] for t in tiles)
+    h = max(t["row1"] for t in tiles)
+    return {"driver": "TIL", "width": w, "height": h, "tiles": tiles}
+
+
+def read_til_array(path: str) -> np.ndarray:
+    from gdal_ray.codecs.tiff import decode_tiff
+
+    m = til_meta(path)
+    out = None
+    for t in m["tiles"]:
+        with open(t["path"], "rb") as f:
+            arr = np.squeeze(np.asarray(decode_tiff(f.read())))
+        if out is None:
+            shape = (m["height"], m["width"]) + \
+                (() if arr.ndim == 2 else (arr.shape[2],))
+            out = np.zeros(shape, arr.dtype)
+        out[t["row0"]:t["row0"] + arr.shape[0],
+            t["col0"]:t["col0"] + arr.shape[1]] = arr
+    return out
+
+
+_PAUX_TYPES = {"8U": "u1", "16U": "u2", "16S": "i2", "32R": "f4"}
+
+
+def paux_meta(path: str) -> dict:
+    aux = path if path.lower().endswith(".aux") else path + ".aux"
+    if not os.path.exists(aux):
+        aux = os.path.splitext(path)[0] + ".aux"
+    with open(aux, "r", errors="replace") as f:
+        text = f.read()
+    m = re.search(r"AuxilaryTarget:\s*(\S+)", text)
+    raw_name = m.group(1) if m else None
+    rd = re.search(r"RawDefinition:\s*(\d+)\s+(\d+)\s+(\d+)", text)
+    if not rd:
+        raise ValueError("PAux: no RawDefinition")
+    w, h, nb = (int(v) for v in rd.groups())
+    chans = []
+    for cm in re.finditer(r"ChanDefinition-(\d+):\s*(\S+)\s+(\d+)\s+(\d+)"
+                          r"\s+(\d+)\s*(\S*)", text):
+        chans.append({
+            "dtype": _PAUX_TYPES.get(cm.group(2), "u1"),
+            "offset": int(cm.group(3)),
+            "pixel_offset": int(cm.group(4)),
+            "line_offset": int(cm.group(5)),
+            # PCIDSK semantics: on LSB hosts 'Swapped' IS native
+            # little-endian (pauxdataset.cpp bNative)
+            "swapped": cm.group(6).strip().lower() != "swapped",
+        })
+    gt = None
+    ul = re.search(r"UpLeftX:\s*([-\d.]+)", text)
+    uy = re.search(r"UpLeftY:\s*([-\d.]+)", text)
+    lx = re.search(r"LoRightX:\s*([-\d.]+)", text)
+    ly = re.search(r"LoRightY:\s*([-\d.]+)", text)
+    if ul and uy and lx and ly:
+        x0, y0 = float(ul.group(1)), float(uy.group(1))
+        x1, y1 = float(lx.group(1)), float(ly.group(1))
+        gt = (x0, (x1 - x0) / w, 0.0, y0, 0.0, -(y0 - y1) / h)
+    return {
+        "driver": "PAux", "width": w, "height": h, "bands": len(chans),
+        "dtype": chans[0]["dtype"] if chans else "u1",
+        "chans": chans, "geotransform": gt,
+        "data_path": os.path.join(os.path.dirname(aux), raw_name)
+        if raw_name else os.path.splitext(aux)[0],
+    }
+
+
+def read_paux_band(path: str, band: int = 0) -> np.ndarray:
+    m = paux_meta(path)
+    ch = m["chans"][band]
+    dt = np.dtype(ch["dtype"])
+    if ch["swapped"]:
+        dt = dt.newbyteorder(">")
+    w, h = m["width"], m["height"]
+    with open(m["data_path"], "rb") as f:
+        buf = f.read()
+    out = np.empty((h, w), dt.newbyteorder("="))
+    for y in range(h):
+        off = ch["offset"] + y * ch["line_offset"]
+        row = np.frombuffer(buf[off:off + w * ch["pixel_offset"]],
+                            dtype=np.uint8)
+        row = row.reshape(w, ch["pixel_offset"])[:, :dt.itemsize]
+        out[y] = np.ascontiguousarray(row).view(dt)[:, 0]
+    return out
+
+
+_GENBIN_TYPES = {"U8": "u1", "S8": "i1", "U16": "u2", "S16": "i2",
+                 "U32": "u4", "S32": "i4", "F32": "f4", "F64": "f8"}
+
+
+def genbin_meta(path: str) -> dict:
+    hdr = path if path.lower().endswith(".hdr") else \
+        os.path.splitext(path)[0] + ".hdr"
+    with open(hdr, "r", errors="replace") as f:
+        text = f.read()
+    kv = {}
+    for ln in text.split("\n"):
+        parts = ln.split(":", 1)
+        if len(parts) == 2:
+            kv[parts[0].strip().upper()] = parts[1].strip()
+    if "BANDS" not in kv or "ROWS" not in kv:
+        raise ValueError("not a Generic Binary header")
+    dt = _GENBIN_TYPES.get(kv.get("DATATYPE", "U8").strip(), "u1")
+    return {
+        "driver": "GenBin", "width": int(kv["COLS"]),
+        "height": int(kv["ROWS"]), "bands": int(kv["BANDS"]),
+        "wire_dtype": dt, "dtype": np.dtype(dt).name,
+        "interleave": kv.get("INTERLEAVING", "BSQ").upper(),
+        "data_path": os.path.splitext(hdr)[0] + ".bil",
+        "geotransform": None,
+    }
+
+
+def read_genbin_array(path: str) -> np.ndarray:
+    m = genbin_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h, nb = m["width"], m["height"], m["bands"]
+    with open(m["data_path"], "rb") as f:
+        raw = f.read(w * h * nb * dt.itemsize)
+    if len(raw) < w * h * nb * dt.itemsize:
+        raw = raw + b"\x00" * (w * h * nb * dt.itemsize - len(raw))
+    flat = np.frombuffer(raw, dtype=dt)
+    il = m["interleave"]
+    if il == "BIL":
+        arr = flat.reshape(h, nb, w).transpose(0, 2, 1)
+    elif il == "BIP":
+        arr = flat.reshape(h, w, nb)
+    else:
+        arr = flat.reshape(nb, h, w).transpose(1, 2, 0)
+    arr = np.ascontiguousarray(arr.astype(dt.newbyteorder("=")))
+    return arr[:, :, 0] if nb == 1 else arr
+
+
+def ngsgeoid_meta(path: str) -> dict:
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(44)
+    for order in ("<", ">"):
+        (ikind,) = struct.unpack_from(order + "i", hdr, 40)
+        if ikind == 1:
+            break
+    else:
+        raise ValueError("not an NGS GEOID binary grid")
+    slat, wlon, dlat, dlon = struct.unpack_from(order + "4d", hdr, 0)
+    nlat, nlon = struct.unpack_from(order + "2i", hdr, 32)
+    return {
+        "driver": "NGSGEOID", "width": nlon, "height": nlat, "bands": 1,
+        "dtype": "float32", "order": order,
+        "geotransform": (wlon - dlon / 2 - 360.0, dlon, 0.0,
+                         slat + nlat * dlat - dlat / 2, 0.0, -dlat),
+    }
+
+
+def read_ngsgeoid_array(path: str) -> np.ndarray:
+    m = ngsgeoid_meta(path)
+    w, h = m["width"], m["height"]
+    with open(path, "rb") as f:
+        f.seek(44)
+        raw = f.read(w * h * 4)
+    if len(raw) < w * h * 4:
+        raw = raw + b"\x00" * (w * h * 4 - len(raw))
+    arr = np.frombuffer(raw, dtype=m["order"] + "f4").reshape(h, w)
+    return np.ascontiguousarray(arr[::-1].astype("=f4"))  # south-up file
+
+
+def mff_meta(path: str) -> dict:
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    kv = dict(re.findall(r"^\s*(\w+)\s*=\s*(.*)$", text, re.M))
+    if "IMAGE_LINES" not in kv:
+        raise ValueError("not an MFF header")
+    h = int(kv["IMAGE_LINES"])
+    w = int(kv["LINE_SAMPLES"])
+    base = os.path.splitext(path)[0]
+    bands = sorted(f for f in os.listdir(os.path.dirname(path) or ".")
+                   if f.lower().startswith(
+                       os.path.basename(base).lower() + ".b"))
+    return {"driver": "MFF", "width": w, "height": h,
+            "bands": max(1, len(bands)), "dtype": "uint8",
+            "band_files": [os.path.join(os.path.dirname(path), f)
+                           for f in bands]}
+
+
+def read_mff_band(path: str, band: int = 0) -> np.ndarray:
+    m = mff_meta(path)
+    w, h = m["width"], m["height"]
+    raw = b""
+    if band < len(m["band_files"]):
+        with open(m["band_files"][band], "rb") as f:
+            raw = f.read(w * h)
+    if len(raw) < w * h:
+        raw = raw + b"\x00" * (w * h - len(raw))
+    return np.frombuffer(raw, np.uint8).reshape(h, w)
+
+
+def eir_meta(path: str) -> dict:
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    if "IMAGINE_RAW_FILE" not in text:
+        raise ValueError("not an Erdas EIR header")
+    kv = dict(re.findall(r"^(\w+)[ \t]+(.+)$", text, re.M))
+    return {"driver": "EIR", "width": int(kv.get("WIDTH", 0)),
+            "height": int(kv.get("HEIGHT", 0)),
+            "bands": int(kv.get("NUM_LAYERS", 1)), "dtype": "uint8",
+            "data_path": os.path.join(os.path.dirname(path),
+                                      kv.get("PIXEL_FILES", "").strip()),
+            "offset": int(kv.get("DATA_OFFSET", 0))}
+
+
+def read_eir_array(path: str) -> np.ndarray:
+    m = eir_meta(path)
+    w, h = m["width"], m["height"]
+    with open(m["data_path"], "rb") as f:
+        f.seek(m["offset"])
+        raw = f.read(w * h)
+    if len(raw) < w * h:
+        raw = raw + b"\x00" * (w * h - len(raw))
+    return np.frombuffer(raw, np.uint8).reshape(h, w)
+
+
+def snodas_meta(path: str) -> dict:
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    kv = {}
+    for ln in text.split("\n"):
+        parts = ln.split(":", 1)
+        if len(parts) == 2:
+            kv[parts[0].strip()] = parts[1].strip()
+    if "Number of columns" not in kv:
+        raise ValueError("not a SNODAS header")
+    w = int(kv["Number of columns"])
+    h = int(kv["Number of rows"])
+    minx = float(kv.get("Minimum x-axis coordinate", 0))
+    maxx = float(kv.get("Maximum x-axis coordinate", 0))
+    miny = float(kv.get("Minimum y-axis coordinate", 0))
+    maxy = float(kv.get("Maximum y-axis coordinate", 0))
+    return {
+        "driver": "SNODAS", "width": w, "height": h, "bands": 1,
+        "dtype": "int16",
+        "nodata": float(kv.get("No data value", -9999)),
+        "minimum": float(kv["Minimum data value"])
+        if "Minimum data value" in kv else None,
+        "data_path": kv.get("Data file pathname"),
+        "geotransform": (minx, (maxx - minx) / w, 0.0,
+                         maxy, 0.0, -(maxy - miny) / h),
+    }

@@ -537,3 +537,39 @@ def test_s57_layers_and_geometries(ray_session):
 
     ds = read_s57(p)
     assert ds.count() == sum(exp.values())
+
+
+def test_mixedrasters_published_checksums():
+    """rraster.py:30 (4672), til.py:29 (4672), paux.py:25 (band 2
+    12816, PCIDSK 'Swapped'-is-LE semantics), genbin.py:28 (500x1
+    window 5738), ngsgeoid.py:23/:43 (65534 both endiannesses),
+    mff.py:25 (1) + bytemff (4672), eir.py:25 (1), snodas.py:27 gt."""
+    from gdal_ray.sources.mixedrasters import (ngsgeoid_meta,
+                                               read_eir_array,
+                                               read_genbin_array,
+                                               read_mff_band,
+                                               read_ngsgeoid_array,
+                                               read_paux_band,
+                                               read_rraster_array,
+                                               read_til_array,
+                                               snodas_meta)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    assert checksum_plane(
+        read_rraster_array(D + "rraster/byte_rraster.grd")) == 4672
+    assert checksum_plane(read_til_array(D + "til/testtil.til")) == 4672
+    assert checksum_plane(
+        read_paux_band(D + "paux/small16.raw", 1)) == 12816
+    g = read_genbin_array(D + "genbin/tm4628_96.bil")
+    assert checksum_plane(g[0:1, 0:500, 0]) == 5738
+    for f in ["ngsgeoid/g2009u01_le_truncated.bin",
+              "ngsgeoid/g2009u01_be_truncated.bin"]:
+        assert checksum_plane(read_ngsgeoid_array(D + f)) == 65534
+        m = ngsgeoid_meta(D + f)
+        assert abs(m["geotransform"][1] - 1.0 / 60) < 1e-12
+    assert checksum_plane(read_mff_band(D + "mff/fakemff.hdr")) == 1
+    assert checksum_plane(read_mff_band(D + "mff/bytemff.hdr")) == 4672
+    assert checksum_plane(read_eir_array(D + "eir/fakeeir.hdr")) == 1
+    s = snodas_meta(D + "snodas/fake_snodas.hdr")
+    assert abs(s["geotransform"][0] + 124.733749999995) < 1e-9
+    assert abs(s["geotransform"][1] - 0.0083333333333) < 1e-10
