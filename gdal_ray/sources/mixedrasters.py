@@ -344,3 +344,76 @@ def snodas_meta(path: str) -> dict:
         "geotransform": (minx, (maxx - minx) / w, 0.0,
                          maxy, 0.0, -(maxy - miny) / h),
     }
+
+
+# --------------------------------------------------------------- IRIS
+
+def iris_meta(path: str) -> dict:
+    """Sigmet/Vaisala IRIS radar products (frmts/iris/irisdataset.cpp):
+    640-byte LE header — structure ids 27/26 at bytes 0/12, product
+    code u2 @24, data-type code u2 @142, raster size i4 @112/@116;
+    Float32 band with the product-specific raw->physical conversions."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(640)
+    id1 = struct.unpack_from("<h", hdr, 0)[0]
+    id2 = struct.unpack_from("<h", hdr, 12)[0]
+    if not (id1 == 27 and id2 == 26):
+        raise ValueError("not an IRIS product file")
+    w = struct.unpack_from("<i", hdr, 112)[0]
+    h = struct.unpack_from("<i", hdr, 116)[0]
+    prod = struct.unpack_from("<H", hdr, 24)[0]
+    dtype_code = struct.unpack_from("<H", hdr, 142)[0]
+    nbytes = 1 if dtype_code in (1, 2, 3, 32, 35) else 2
+    return {"driver": "IRIS", "width": w, "height": h, "bands": 1,
+            "dtype": "float32", "product_code": prod,
+            "data_type_code": dtype_code, "item_bytes": nbytes}
+
+
+def read_iris_array(path: str) -> np.ndarray:
+    m = iris_meta(path)
+    w, h = m["width"], m["height"]
+    code = m["data_type_code"]
+    nb = m["item_bytes"]
+    with open(path, "rb") as f:
+        f.seek(640)
+        raw = f.read(w * h * nb)
+    if len(raw) < w * h * nb:
+        raw = raw + b"\x00" * (w * h * nb - len(raw))
+    if nb == 1:
+        v = np.frombuffer(raw, np.uint8).astype(np.float32)
+    else:
+        v = np.frombuffer(raw, "<u2").astype(np.float32)
+    if code in (1, 2):      # dBZ/dBT: (v-64)/2, 95.5 -> nodata
+        out = (v - 64.0) / 2.0
+        out[out == 95.5] = -9999.0
+    elif code in (8, 9):    # Fliquid2: (v-32768)/100
+        out = (v - 32768.0) / 100.0
+        out[np.isclose(out, 327.67)] = -9999.0
+    elif code == 37:        # VIL2 exponent/mantissa
+        iv = v.astype(np.int64)
+        exp = iv >> 12
+        mant = iv - (exp << 12)
+        out = np.where(exp == 0, mant / 1000.0,
+                       ((mant + 4096) << np.maximum(exp - 1, 0)) / 1000.0
+                       ).astype(np.float32)
+        out[iv == 65535] = -9999.0
+    elif code == 33:        # TOPS height
+        out = (v - 1.0) / 1000.0
+        out[v == 0] = -1.0
+        out[v == 65535] = -9999.0
+    elif code == 32:        # VEL 1-byte
+        out = (v - 1.0) / 10.0
+        out[v == 0] = -1.0
+        out[v == 255] = -9999.0
+    elif code == 35:        # (v-128)*0.2
+        out = (v - 128.0) * 0.2
+        out[v == 0] = -9998.0
+        out[v == 255] = -9999.0
+    else:
+        out = v
+    # IRIS rasters are stored bottom-up (the reference seeks
+    # nYSize-1-nBlockYOff per scanline)
+    return np.ascontiguousarray(
+        out.reshape(h, w)[::-1]).astype(np.float32)

@@ -573,3 +573,16 @@ def test_mixedrasters_published_checksums():
     s = snodas_meta(D + "snodas/fake_snodas.hdr")
     assert abs(s["geotransform"][0] + 124.733749999995) < 1e-9
     assert abs(s["geotransform"][1] - 0.0083333333333) < 1e-10
+
+
+def test_iris_published_checksums():
+    """iris.py:28 (fake, 65532) and :39 (real dBZ product, 52872 —
+    bottom-up scanlines + the (raw-64)/2 dBZ conversion with the 95.5
+    nodata rule)."""
+    from gdal_ray.sources.mixedrasters import iris_meta, read_iris_array
+
+    D = "/root/reference/autotest/gdrivers/data/iris/"
+    assert checksum_plane(read_iris_array(D + "fakeiris.dat")) == 65532
+    a = read_iris_array(D + "iristest.dat")
+    assert a.shape == (262, 260) and checksum_plane(a) == 52872
+    assert iris_meta(D + "iristest.dat")["data_type_code"] == 2
