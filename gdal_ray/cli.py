@@ -346,6 +346,7 @@ def cmd_formats(args) -> int:
         ("NetCDF-3 classic", ".nc", "rw", "raster"),
         ("netCDF-4 (HDF5)", ".nc", "rw", "raster"),
         ("HDF5 classic", ".h5", "rw", "raster"),
+        ("BAG bathymetry (HDF5)", ".bag", "r", "raster"),
         ("GRIB2", ".grib2", "rw", "raster"),
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),

@@ -53,6 +53,7 @@ _MSG_DATATYPE = 0x0003
 _MSG_FILLVALUE = 0x0005
 _MSG_LAYOUT = 0x0008
 _MSG_FILTERS = 0x000B
+_MSG_SYMTAB = 0x0011
 _MSG_ATTRIBUTE = 0x000C
 _MSG_SYMTAB = 0x0011
 
@@ -417,14 +418,25 @@ def _read_object_header(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     if ver != 1:
         raise NotImplementedError(f"object header version {ver}")
     msgs = []
-    off = addr + 16
-    end = off + hsize
-    for _ in range(nmsg):
-        if off >= end:
-            break
-        mtype, msize, _flags = struct.unpack_from("<HHB", buf, off)
-        msgs.append((mtype, buf[off + 8:off + 8 + msize]))
-        off += 8 + msize
+    # message blocks: the initial one plus any Object Header
+    # Continuation (type 0x10) blocks it points at
+    blocks = [(addr + 16, hsize)]
+    read = 0
+    bi = 0
+    while bi < len(blocks) and read < nmsg:
+        off, size = blocks[bi]
+        end = off + size
+        while read < nmsg and off + 8 <= end:
+            mtype, msize, _flags = struct.unpack_from("<HHB", buf, off)
+            body = buf[off + 8:off + 8 + msize]
+            if mtype == 0x0010 and len(body) >= 16:  # continuation
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                blocks.append((c_off, c_len))
+            else:
+                msgs.append((mtype, body))
+            off += 8 + msize
+            read += 1
+        bi += 1
     return msgs
 
 
@@ -519,88 +531,110 @@ def read_hdf5_meta(path: str) -> dict:
     # root symbol table entry at fixed offset 24+32 for v0/8-byte files
     root_entry = 24 + 32
     _lnk, _root_oh, cache = struct.unpack_from("<QQI", buf, root_entry)
-    if cache != 1:
-        raise NotImplementedError("root group without cached symtab scratch")
-    btree_addr, heap_addr = struct.unpack_from("<QQ", buf, root_entry + 24)
+    if cache == 1:
+        btree_addr, heap_addr = struct.unpack_from("<QQ", buf,
+                                                   root_entry + 24)
+    else:
+        # no cached scratch: find the Symbol Table message in the root
+        # object header (BAG and other h5py/HDF5-1.8 files)
+        btree_addr = heap_addr = None
+        for mtype, body in _read_object_header(buf, _root_oh):
+            if mtype == _MSG_SYMTAB:
+                btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+        if btree_addr is None:
+            raise NotImplementedError(
+                "root group without symbol table (new-style links)")
 
-    sig, hver, heap_len, _free, heap_data_addr = struct.unpack_from(
-        "<4sB3xQQQ", buf, heap_addr)
-    if sig != b"HEAP":
-        raise ValueError("bad local heap signature")
-
-    sig, ntype, level, nused = struct.unpack_from("<4sBBH", buf, btree_addr)
-    if sig != b"TREE" or ntype != 0:
-        raise ValueError("bad group B-tree node")
-    if level != 0:
-        raise NotImplementedError("multi-level group B-trees")
     datasets: dict[str, dict] = {}
-    child_base = btree_addr + 24
-    for ci in range(nused):
-        snod_addr = struct.unpack_from("<Q", buf, child_base + 8 + ci * 16)[0]
-        sig, _sver, nsym = struct.unpack_from("<4sBxH", buf, snod_addr)
-        if sig != b"SNOD":
-            raise ValueError("bad symbol table node")
-        for si in range(nsym):
-            e = snod_addr + 8 + si * 40
-            name_ofs, oh_addr = struct.unpack_from("<QQ", buf, e)
-            name = _heap_string(buf, heap_data_addr, name_ofs)
-            shape = dtype = layout = None
-            chunk_shape = btree = None
-            filters: list = []
-            ds_attrs: dict = {}
-            for mtype, body in _read_object_header(buf, oh_addr):
-                if mtype == _MSG_ATTRIBUTE:
-                    an, av = _parse_attr(body)
-                    if an is not None and av is not None:
-                        ds_attrs[an] = av
-                    continue
-                if mtype == _MSG_DATASPACE:
-                    ver, ndim, flags = struct.unpack_from("<BBB", body, 0)
-                    if ver != 1:
-                        raise NotImplementedError(f"dataspace version {ver}")
-                    shape = tuple(
-                        struct.unpack_from("<Q", body, 8 + 8 * i)[0]
-                        for i in range(ndim))
-                elif mtype == _MSG_DATATYPE:
+
+    def walk_group(btree_addr, heap_addr, prefix):
+        sig, hver, heap_len, _free, heap_data_addr = struct.unpack_from(
+            "<4sB3xQQQ", buf, heap_addr)
+        if sig != b"HEAP":
+            raise ValueError("bad local heap signature")
+        sig, ntype, level, nused = struct.unpack_from("<4sBBH", buf,
+                                                      btree_addr)
+        if sig != b"TREE" or ntype != 0:
+            raise ValueError("bad group B-tree node")
+        if level != 0:
+            raise NotImplementedError("multi-level group B-trees")
+        child_base = btree_addr + 24
+        for ci in range(nused):
+            snod_addr = struct.unpack_from("<Q", buf,
+                                           child_base + 8 + ci * 16)[0]
+            sig, _sver, nsym = struct.unpack_from("<4sBxH", buf, snod_addr)
+            if sig != b"SNOD":
+                raise ValueError("bad symbol table node")
+            for si in range(nsym):
+                e = snod_addr + 8 + si * 40
+                name_ofs, oh_addr = struct.unpack_from("<QQ", buf, e)
+                name = _heap_string(buf, heap_data_addr, name_ofs)
+                _walk_object(oh_addr, prefix + name)
+
+    def _walk_object(oh_addr, full_name):
+        shape = dtype = layout = None
+        chunk_shape = btree = None
+        sub_btree = sub_heap = None
+        filters: list = []
+        ds_attrs: dict = {}
+        for mtype, body in _read_object_header(buf, oh_addr):
+            if mtype == _MSG_SYMTAB:
+                sub_btree, sub_heap = struct.unpack_from("<QQ", body, 0)
+            elif mtype == _MSG_ATTRIBUTE:
+                an, av = _parse_attr(body)
+                if an is not None and av is not None:
+                    ds_attrs[an] = av
+            elif mtype == _MSG_DATASPACE:
+                ver, ndim, flags = struct.unpack_from("<BBB", body, 0)
+                if ver != 1:
+                    raise NotImplementedError(f"dataspace version {ver}")
+                shape = tuple(
+                    struct.unpack_from("<Q", body, 8 + 8 * i)[0]
+                    for i in range(ndim))
+            elif mtype == _MSG_DATATYPE:
+                try:
                     dtype = _parse_dt(body)
-                elif mtype == _MSG_FILTERS:
-                    filters = _parse_filters(body)
-                elif mtype == _MSG_LAYOUT:
-                    ver, cls = body[0], body[1]
-                    if ver != 3:
-                        raise NotImplementedError(f"data layout version {ver}")
-                    if cls == 1:
-                        layout = struct.unpack_from("<QQ", body, 2)
-                    elif cls == 2:
-                        keydims = body[2]
-                        btree = struct.unpack_from("<Q", body, 3)[0]
-                        dims = struct.unpack_from(f"<{keydims}I", body, 11)
-                        chunk_shape = dims[:-1]  # last = element size
-                    else:
-                        raise NotImplementedError(
-                            "compact HDF5 layout (contiguous/chunked only)")
-            if shape is None or dtype is None or \
-                    (layout is None and btree is None):
-                raise ValueError(f"dataset {name!r} missing required messages")
-            if btree is not None:
-                if chunk_shape[1:] != shape[1:]:
+                except NotImplementedError:
+                    dtype = None
+            elif mtype == _MSG_FILTERS:
+                filters = _parse_filters(body)
+            elif mtype == _MSG_LAYOUT:
+                ver, cls = body[0], body[1]
+                if ver != 3:
+                    raise NotImplementedError(f"data layout version {ver}")
+                if cls == 1:
+                    layout = struct.unpack_from("<QQ", body, 2)
+                elif cls == 2:
+                    keydims = body[2]
+                    btree = struct.unpack_from("<Q", body, 3)[0]
+                    dims = struct.unpack_from(f"<{keydims}I", body, 11)
+                    chunk_shape = dims[:-1]  # last = element size
+                else:
                     raise NotImplementedError(
-                        "chunk grid splits non-leading dimensions")
-                chunks = _walk_chunk_btree(fetch, btree, len(chunk_shape) + 1)
-                if any(any(c["offset"][1:]) for c in chunks):
-                    raise NotImplementedError(
-                        "chunk grid splits non-leading dimensions")
-                datasets[name] = {
-                    "shape": shape, "dtype": dtype.str, "layout": "chunked",
-                    "chunk_shape": chunk_shape, "filters": filters,
-                    "chunks": sorted(chunks, key=lambda c: c["offset"][0]),
-                    "attrs": ds_attrs,
-                }
-            else:
-                datasets[name] = {"shape": shape, "dtype": dtype.str,
-                                  "layout": "contiguous",
-                                  "data_addr": layout[0], "nbytes": layout[1],
-                                  "attrs": ds_attrs}
+                        "compact HDF5 layout (contiguous/chunked only)")
+        if sub_btree is not None:  # subgroup: recurse
+            walk_group(sub_btree, sub_heap, full_name + "/")
+            return
+        if shape is None or dtype is None or \
+                (layout is None and btree is None):
+            return  # non-dataset object (named type, vlen table, ...)
+        if btree is not None:
+            chunks = _walk_chunk_btree(fetch, btree, len(chunk_shape) + 1)
+            datasets[full_name] = {
+                "shape": shape, "dtype": dtype.str, "layout": "chunked",
+                "chunk_shape": chunk_shape, "filters": filters,
+                "chunks": sorted(chunks,
+                                 key=lambda c: tuple(c["offset"])),
+                "attrs": ds_attrs,
+            }
+        else:
+            datasets[full_name] = {"shape": shape, "dtype": dtype.str,
+                                   "layout": "contiguous",
+                                   "data_addr": layout[0],
+                                   "nbytes": layout[1],
+                                   "attrs": ds_attrs}
+
+    walk_group(btree_addr, heap_addr, "")
     root_attrs: dict = {}
     for mtype, body in _read_object_header(buf, _root_oh):
         if mtype == _MSG_ATTRIBUTE:
@@ -622,15 +656,20 @@ def read_hdf5_var(path: str, name: str) -> np.ndarray:
             f.seek(d["data_addr"])
             raw = f.read(d["nbytes"])
             return np.frombuffer(raw, dtype=dt).reshape(d["shape"])
-        out = np.empty(d["shape"], dtype=dt)
+        out = np.zeros(d["shape"], dtype=dt)
         cshape = d["chunk_shape"]
         for c in d["chunks"]:
             f.seek(c["addr"])
             raw = _defilter(f.read(c["nbytes"]), d["filters"], c["mask"])
             block = np.frombuffer(raw, dtype=dt).reshape(cshape)
-            lo = c["offset"][0]
-            hi = min(lo + cshape[0], d["shape"][0])
-            out[lo:hi] = block[:hi - lo]
+            sel_out = []
+            sel_blk = []
+            for dim in range(len(cshape)):
+                lo = c["offset"][dim]
+                hi = min(lo + cshape[dim], d["shape"][dim])
+                sel_out.append(slice(lo, hi))
+                sel_blk.append(slice(0, hi - lo))
+            out[tuple(sel_out)] = block[tuple(sel_blk)]
         return out
 
 
@@ -648,6 +687,13 @@ def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
         d = m["datasets"][n]
         lead = d["shape"][0] if d["shape"] else 1
         if d["layout"] == "chunked":
+            if any(any(c["offset"][1:]) for c in d["chunks"]) or \
+                    tuple(d["chunk_shape"][1:]) != tuple(d["shape"][1:]):
+                # chunk grid splits trailing dims: assemble whole var in
+                # one slab (general N-D placement)
+                items.append({"name": n, "lo": 0, "hi": lead,
+                              "addr": -2, "nbytes": -1, "mask": 0})
+                continue
             cr = d["chunk_shape"][0]
             for c in d["chunks"]:
                 lo = c["offset"][0]
@@ -669,7 +715,10 @@ def read_hdf5(path: str, var: str | None = None, *, rows_per_block: int = 4096):
                 row_bytes = (int(np.prod(shape[1:])) if len(shape) > 1 else 1) \
                     * np.dtype(d["dtype"]).itemsize
                 n_rows = it["hi"] - it["lo"]
-                if it["addr"] >= 0:   # chunk slab
+                if it["addr"] == -2:  # whole-var N-D chunk assembly
+                    raw = np.ascontiguousarray(
+                        read_hdf5_var(path, it["name"])).tobytes()
+                elif it["addr"] >= 0:   # chunk slab
                     f.seek(it["addr"])
                     raw = _defilter(f.read(it["nbytes"]), d["filters"],
                                     it["mask"])[:n_rows * row_bytes]

@@ -417,3 +417,33 @@ def read_iris_array(path: str) -> np.ndarray:
     # nYSize-1-nBlockYOff per scanline)
     return np.ascontiguousarray(
         out.reshape(h, w)[::-1]).astype(np.float32)
+
+
+# ---------------------------------------------------------------- BAG
+
+def bag_meta(path: str) -> dict:
+    """ONS BAG bathymetry (frmts/hdf5/bagdataset.cpp): an HDF5 file
+    with BAG_root/{elevation, uncertainty, nominal_elevation} Float32
+    grids stored south-up (GDAL flips), nodata 1e6; georef lives in the
+    BAG_root/metadata XML."""
+    from gdal_ray.sources.hdf5 import read_hdf5_meta
+
+    m = read_hdf5_meta(path)
+    ds = m["datasets"]
+    if "BAG_root/elevation" not in ds:
+        raise ValueError("not a BAG file (no BAG_root/elevation)")
+    bands = [n for n in ("BAG_root/elevation", "BAG_root/uncertainty",
+                         "BAG_root/nominal_elevation") if n in ds]
+    h, w = ds["BAG_root/elevation"]["shape"]
+    return {"driver": "BAG", "width": w, "height": h,
+            "bands": len(bands), "dtype": "float32",
+            "band_names": [b.split("/")[1] for b in bands],
+            "band_datasets": bands, "nodata": 1000000.0}
+
+
+def read_bag_band(path: str, band: int = 0) -> np.ndarray:
+    from gdal_ray.sources.hdf5 import read_hdf5_var
+
+    m = bag_meta(path)
+    a = read_hdf5_var(path, m["band_datasets"][band])
+    return np.ascontiguousarray(a[::-1]).astype(np.float32)

@@ -586,3 +586,18 @@ def test_iris_published_checksums():
     a = read_iris_array(D + "iristest.dat")
     assert a.shape == (262, 260) and checksum_plane(a) == 52872
     assert iris_meta(D + "iristest.dat")["data_type_code"] == 2
+
+
+def test_bag_published_checksums():
+    """bag.py:56-64 — true_n_nominal.bag bands (elevation 1072,
+    uncertainty 150, nominal_elevation 1315), south-up flip; exercises
+    the HDF5 reader's uncached root symtab, object-header continuation
+    blocks and nested-group walk."""
+    from gdal_ray.sources.mixedrasters import bag_meta, read_bag_band
+
+    p = "/root/reference/autotest/gdrivers/data/bag/true_n_nominal.bag"
+    m = bag_meta(p)
+    assert m["band_names"] == ["elevation", "uncertainty",
+                               "nominal_elevation"]
+    for b, exp in [(0, 1072), (1, 150), (2, 1315)]:
+        assert checksum_plane(read_bag_band(p, b)) == exp
