@@ -347,6 +347,7 @@ def cmd_formats(args) -> int:
         ("netCDF-4 (HDF5)", ".nc", "rw", "raster"),
         ("HDF5 classic", ".h5", "rw", "raster"),
         ("BAG bathymetry (HDF5)", ".bag", "r", "raster"),
+        ("Autopano KRO", ".kro", "rw", "raster"),
         ("GRIB2", ".grib2", "rw", "raster"),
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),

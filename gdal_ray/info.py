@@ -247,6 +247,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _grib2(path)
     if low.endswith((".h5", ".hdf5", ".he5")):
         return _hdf5(path)
+    if low.endswith(".kro"):
+        from gdal_ray.sources.mixedrasters import kro_meta
+
+        return kro_meta(path)
     if low.endswith(".bag"):
         from gdal_ray.sources.mixedrasters import bag_meta
 

@@ -447,3 +447,52 @@ def read_bag_band(path: str, band: int = 0) -> np.ndarray:
     m = bag_meta(path)
     a = read_hdf5_var(path, m["band_datasets"][band])
     return np.ascontiguousarray(a[::-1]).astype(np.float32)
+
+
+# ---------------------------------------------------------------- KRO
+
+def kro_meta(path: str) -> dict:
+    """Autopano KRO (frmts/raw/krodataset.cpp, public wiki spec):
+    'KRO\\x01' + BE u4 width, height, bit depth (8/16/32), band count;
+    pixel-interleaved big-endian samples (depth 32 = Float32)."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(20)
+    if hdr[:4] != b"KRO\x01":
+        raise ValueError("not a KRO file")
+    w, h, depth, nb = struct.unpack(">4i", hdr[4:20])
+    dt = {8: ">u1", 16: ">u2", 32: ">f4"}.get(depth)
+    if dt is None:
+        raise NotImplementedError(f"KRO depth {depth}")
+    return {"driver": "KRO", "width": w, "height": h, "bands": nb,
+            "wire_dtype": dt, "dtype": np.dtype(dt[1:]).name}
+
+
+def read_kro_array(path: str) -> np.ndarray:
+    m = kro_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h, nb = m["width"], m["height"], m["bands"]
+    with open(path, "rb") as f:
+        f.seek(20)
+        raw = f.read(w * h * nb * dt.itemsize)
+    arr = np.frombuffer(raw, dtype=dt).reshape(h, w, nb)
+    arr = np.ascontiguousarray(arr.astype(dt.newbyteorder("=")))
+    return arr[:, :, 0] if nb == 1 else arr
+
+
+def write_kro(path: str, arr) -> str:
+    import struct
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    depth = {np.uint8: 8, np.uint16: 16, np.float32: 32}.get(a.dtype.type)
+    if depth is None:
+        raise NotImplementedError(f"KRO write for {a.dtype}")
+    with open(path, "wb") as f:
+        f.write(b"KRO\x01" + struct.pack(">4i", a.shape[1], a.shape[0],
+                                         depth, a.shape[2]))
+        f.write(np.ascontiguousarray(
+            a.astype(a.dtype.newbyteorder(">"))).tobytes())
+    return path

@@ -601,3 +601,25 @@ def test_bag_published_checksums():
                                "nominal_elevation"]
     for b, exp in [(0, 1072), (1, 150), (2, 1315)]:
         assert checksum_plane(read_bag_band(p, b)) == exp
+
+
+def test_kro_roundtrip_matches_reference_checksum(tmp_path):
+    """kro.py:28 pins rgbsmall band 2 cs 21053 through a KRO CreateCopy
+    — our writer+reader round-trips the same data to the same checksum,
+    plus u16/f32 depths."""
+    import numpy as np
+
+    from gdal_ray.codecs.tiff import decode_tiff
+    from gdal_ray.sources.mixedrasters import read_kro_array, write_kro
+
+    ref = np.squeeze(np.asarray(decode_tiff(open(
+        "/root/reference/autotest/gdrivers/data/rgbsmall.tif",
+        "rb").read())))
+    p = str(tmp_path / "t.kro")
+    write_kro(p, ref)
+    a = read_kro_array(p)
+    assert np.array_equal(a, ref)
+    assert checksum_plane(a[:, :, 1]) == 21053
+    f32 = ref[:, :, 2].astype(np.float32) / 2
+    write_kro(p, f32)
+    assert np.array_equal(read_kro_array(p), f32)
