@@ -348,6 +348,9 @@ def cmd_formats(args) -> int:
         ("HDF5 classic", ".h5", "rw", "raster"),
         ("BAG bathymetry (HDF5)", ".bag", "r", "raster"),
         ("Autopano KRO", ".kro", "rw", "raster"),
+        ("Netpbm PGM/PPM", ".pgm/.ppm", "rw", "raster"),
+        ("Japanese DEM", ".mem", "r", "raster"),
+        ("PCIDSK (.pix, BAND/PIXEL interleave)", ".pix", "r", "raster"),
         ("GRIB2", ".grib2", "rw", "raster"),
         ("AAIGrid", ".asc", "rw", "raster"),
         ("XYZ grid", ".xyz", "rw", "raster"),

@@ -247,6 +247,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         return _grib2(path)
     if low.endswith((".h5", ".hdf5", ".he5")):
         return _hdf5(path)
+    if low.endswith((".pgm", ".ppm", ".pnm")):
+        from gdal_ray.sources.mixedrasters import pnm_meta
+
+        return pnm_meta(path)
+    if low.endswith(".mem"):
+        from gdal_ray.sources.mixedrasters import jdem_meta
+
+        return jdem_meta(path)
+    if low.endswith(".pix"):
+        from gdal_ray.sources.mixedrasters import pcidsk_meta
+
+        return pcidsk_meta(path)
     if low.endswith(".kro"):
         from gdal_ray.sources.mixedrasters import kro_meta
 

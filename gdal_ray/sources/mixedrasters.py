@@ -496,3 +496,150 @@ def write_kro(path: str, arr) -> str:
         f.write(np.ascontiguousarray(
             a.astype(a.dtype.newbyteorder(">"))).tobytes())
     return path
+
+
+# ---------------------------------------------------------------- PNM
+
+def pnm_meta(path: str) -> dict:
+    """Netpbm P5 (grey) / P6 (RGB) binary (frmts/raw/pnmdataset.cpp)."""
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM file")
+    toks = []
+    p = 2
+    data_off = None
+    while len(toks) < 3 and p < len(head):
+        while p < len(head) and head[p:p + 1].isspace():
+            p += 1
+        if head[p:p + 1] == b"#":
+            while p < len(head) and head[p] != 0x0A:
+                p += 1
+            continue
+        q = p
+        while q < len(head) and not head[q:q + 1].isspace():
+            q += 1
+        toks.append(int(head[p:q]))
+        p = q
+        if len(toks) == 3:
+            data_off = p + 1
+    w, h, maxval = toks
+    nb = 3 if head[:2] == b"P6" else 1
+    dt = "u1" if maxval < 256 else ">u2"
+    return {"driver": "PNM", "width": w, "height": h, "bands": nb,
+            "wire_dtype": dt, "dtype": np.dtype(dt.lstrip(">")).name,
+            "maxval": maxval, "data_offset": data_off}
+
+
+def read_pnm_array(path: str) -> np.ndarray:
+    m = pnm_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h, nb = m["width"], m["height"], m["bands"]
+    with open(path, "rb") as f:
+        f.seek(m["data_offset"])
+        raw = f.read(w * h * nb * dt.itemsize)
+    arr = np.frombuffer(raw, dtype=dt).reshape(h, w, nb)
+    arr = np.ascontiguousarray(arr.astype(dt.newbyteorder("=")))
+    return arr[:, :, 0] if nb == 1 else arr
+
+
+def write_pnm(path: str, arr) -> str:
+    a = np.asarray(arr)
+    nb = 1 if a.ndim == 2 else a.shape[2]
+    magic = b"P5" if nb == 1 else b"P6"
+    maxval = 65535 if a.dtype.itemsize == 2 else 255
+    with open(path, "wb") as f:
+        f.write(magic + b"\n%d %d\n%d\n" % (a.shape[1], a.shape[0],
+                                            maxval))
+        out = a.astype(">u2") if maxval == 65535 else a.astype("u1")
+        f.write(np.ascontiguousarray(out).tobytes())
+    return path
+
+
+# --------------------------------------------------------------- JDEM
+
+def jdem_meta(path: str) -> dict:
+    """Japanese DEM .mem (frmts/jdem): 1011-byte ASCII header, dims at
+    +23/+26 (3 digits each), then per-row records of 6-char mesh code +
+    3-digit 1-based row number + 5-digit decimeter heights (+2 pad)."""
+    with open(path, "rb") as f:
+        hdr = f.read(1011)
+    if len(hdr) < 32:
+        raise ValueError("not a JDEM file")
+    w = int(hdr[23:26])
+    h = int(hdr[26:29])
+    return {"driver": "JDEM", "width": w, "height": h, "bands": 1,
+            "dtype": "float32", "record_size": w * 5 + 9 + 2}
+
+
+def read_jdem_array(path: str) -> np.ndarray:
+    m = jdem_meta(path)
+    w, h, rs = m["width"], m["height"], m["record_size"]
+    out = np.zeros((h, w), np.float32)
+    with open(path, "rb") as f:
+        f.seek(1011)
+        for y in range(h):
+            rec = f.read(rs)
+            if len(rec) < 9:
+                break
+            for i in range(w):
+                s = rec[9 + 5 * i:14 + 5 * i].decode("latin-1").strip()
+                out[y, i] = (int(s) if s and
+                             s.lstrip("+-").isdigit() else 0) * 0.1
+    return out
+
+
+# -------------------------------------------------------------- PCIDSK
+
+def pcidsk_meta(path: str) -> dict:
+    """PCI Geomatics .pix (public PCIDSK spec / frmts/pcidsk/sdk
+    cpcidskfile.cpp field positions): 512-byte ASCII header — width
+    @384:8, height @392:8, channels @376:8, image start block @304:16
+    (1-based 512-byte blocks), interleaving @360:8, channel type counts
+    @464 (4x4: 8U,16S,16U,32R in that channel order)."""
+    with open(path, "rb") as f:
+        hdr = f.read(512)
+    if not hdr.startswith(b"PCIDSK  "):
+        raise ValueError("not a PCIDSK file")
+
+    def fld(off, n):
+        return hdr[off:off + n].decode("latin-1").strip()
+
+    w = int(fld(384, 8))
+    h = int(fld(392, 8))
+    nchan = int(fld(376, 8))
+    img_block = int(fld(304, 16))
+    interleave = fld(360, 8).upper()
+    counts = [int(fld(464 + 4 * i, 4) or 0) for i in range(4)]
+    types = (["u1"] * counts[0] + ["i2"] * counts[1] +
+             ["u2"] * counts[2] + ["f4"] * counts[3])
+    if not types:
+        types = ["u1"] * nchan
+    return {"driver": "PCIDSK", "width": w, "height": h, "bands": nchan,
+            "dtype": types[0], "channel_types": types,
+            "interleave": interleave,
+            "data_offset": (img_block - 1) * 512}
+
+
+def read_pcidsk_band(path: str, band: int = 0) -> np.ndarray:
+    m = pcidsk_meta(path)
+    w, h = m["width"], m["height"]
+    types = m["channel_types"]
+    with open(path, "rb") as f:
+        if m["interleave"].startswith("BAND"):
+            off = m["data_offset"]
+            for b in range(band):
+                off += w * h * np.dtype(types[b]).itemsize
+            f.seek(off)
+            dt = np.dtype(types[band])
+            raw = f.read(w * h * dt.itemsize)
+            return np.frombuffer(raw, dtype=dt).reshape(h, w).copy()
+        if m["interleave"].startswith("PIXEL"):
+            group = sum(np.dtype(t).itemsize for t in types)
+            coff = sum(np.dtype(t).itemsize for t in types[:band])
+            dt = np.dtype(types[band])
+            f.seek(m["data_offset"])
+            raw = np.frombuffer(f.read(w * h * group), np.uint8)
+            raw = raw.reshape(h * w, group)[:, coff:coff + dt.itemsize]
+            return np.ascontiguousarray(raw).view(dt).reshape(h, w).copy()
+    raise NotImplementedError(f"PCIDSK interleave {m['interleave']}")

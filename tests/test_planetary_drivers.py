@@ -623,3 +623,23 @@ def test_kro_roundtrip_matches_reference_checksum(tmp_path):
     f32 = ref[:, :, 2].astype(np.float32) / 2
     write_kro(p, f32)
     assert np.array_equal(read_kro_array(p), f32)
+
+
+def test_pnm_jdem_pcidsk_published_checksums(tmp_path):
+    """pnm.py:27 (4672), jdem.py:23 (15, decimeter records),
+    pcidsk.py:38 (utm.pix band 1 39576, BAND interleave)."""
+    import numpy as np
+
+    from gdal_ray.sources.mixedrasters import (read_jdem_array,
+                                               read_pcidsk_band,
+                                               read_pnm_array, write_pnm)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    a = read_pnm_array(D + "pnm/byte.pgm")
+    assert checksum_plane(a) == 4672
+    p = str(tmp_path / "x.pgm")
+    write_pnm(p, a)
+    assert np.array_equal(read_pnm_array(p), a)
+    assert checksum_plane(read_jdem_array(D + "jdem/fakejdem.mem")) == 15
+    b = read_pcidsk_band(D + "pcidsk/utm.pix")
+    assert b.shape == (7, 500) and checksum_plane(b) == 39576
