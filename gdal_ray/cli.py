@@ -349,6 +349,7 @@ def cmd_formats(args) -> int:
         ("BAG bathymetry (HDF5)", ".bag", "r", "raster"),
         ("Autopano KRO", ".kro", "rw", "raster"),
         ("Netpbm PGM/PPM", ".pgm/.ppm", "rw", "raster"),
+        ("Idrisi RST", ".rst/.rdc", "r", "raster"),
         ("Japanese DEM", ".mem", "r", "raster"),
         ("PCIDSK (.pix, BAND/PIXEL interleave)", ".pix", "r", "raster"),
         ("GRIB2", ".grib2", "rw", "raster"),

@@ -259,6 +259,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.mixedrasters import pcidsk_meta
 
         return pcidsk_meta(path)
+    if low.endswith((".rst", ".rdc")):
+        from gdal_ray.sources.mixedrasters import rst_meta
+
+        return rst_meta(path)
     if low.endswith(".kro"):
         from gdal_ray.sources.mixedrasters import kro_meta
 

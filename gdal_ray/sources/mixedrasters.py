@@ -643,3 +643,52 @@ def read_pcidsk_band(path: str, band: int = 0) -> np.ndarray:
             raw = raw.reshape(h * w, group)[:, coff:coff + dt.itemsize]
             return np.ascontiguousarray(raw).view(dt).reshape(h, w).copy()
     raise NotImplementedError(f"PCIDSK interleave {m['interleave']}")
+
+
+# --------------------------------------------------------------- Idrisi
+
+_RST_TYPES = {"byte": "u1", "integer": "<i2", "real": "<f4"}
+
+
+def rst_meta(path: str) -> dict:
+    """Idrisi RST (frmts/idrisi): .rdc 'key : value' text companion
+    (data type byte/integer/real, columns/rows, min/max X/Y edges) +
+    raw little-endian .rst."""
+    rdc = (path[:-4] if path.lower().endswith(".rst") else path) + ".rdc"
+    with open(rdc, "r", errors="replace") as f:
+        text = f.read()
+    kv = {}
+    for ln in text.split("\n"):
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            kv[k.strip().lower()] = v.strip()
+    if "idrisi" not in kv.get("file format", "").lower():
+        raise ValueError("not an Idrisi .rdc header")
+    dt = _RST_TYPES.get(kv.get("data type", "byte").lower())
+    if dt is None:
+        raise NotImplementedError(
+            f"Idrisi data type {kv.get('data type')}")
+    w = int(kv["columns"])
+    h = int(kv["rows"])
+    gt = None
+    try:
+        x0, x1 = float(kv["min. x"]), float(kv["max. x"])
+        y0, y1 = float(kv["min. y"]), float(kv["max. y"])
+        gt = (x0, (x1 - x0) / w, 0.0, y1, 0.0, -(y1 - y0) / h)
+    except (KeyError, ValueError):
+        pass
+    return {"driver": "RST", "width": w, "height": h, "bands": 1,
+            "wire_dtype": dt, "dtype": np.dtype(dt.lstrip("<")).name,
+            "geotransform": gt,
+            "data_path": rdc[:-4] + ".rst",
+            "ref_system": kv.get("ref. system")}
+
+
+def read_rst_array(path: str) -> np.ndarray:
+    m = rst_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h = m["width"], m["height"]
+    with open(m["data_path"], "rb") as f:
+        raw = f.read(w * h * dt.itemsize)
+    return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
+        h, w).astype(dt.newbyteorder("=")))

@@ -643,3 +643,15 @@ def test_pnm_jdem_pcidsk_published_checksums(tmp_path):
     assert checksum_plane(read_jdem_array(D + "jdem/fakejdem.mem")) == 15
     b = read_pcidsk_band(D + "pcidsk/utm.pix")
     assert b.shape == (7, 500) and checksum_plane(b) == 39576
+
+
+def test_idrisi_rst_published_checksums():
+    # idrisi.py:28 byte.rst -> 5044; :43 real.rst -> 5275
+    from gdal_ray.sources.mixedrasters import read_rst_array, rst_meta
+
+    D = "/root/reference/autotest/gdrivers/data/rst/"
+    assert checksum_plane(read_rst_array(D + "byte.rst")) == 5044
+    r = read_rst_array(D + "real.rst")
+    assert r.dtype == np.float32 and checksum_plane(r) == 5275
+    m = rst_meta(D + "byte.rst")
+    assert m["geotransform"][0] == 50.0
