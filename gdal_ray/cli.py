@@ -350,6 +350,10 @@ def cmd_formats(args) -> int:
         ("Autopano KRO", ".kro", "rw", "raster"),
         ("Netpbm PGM/PPM", ".pgm/.ppm", "rw", "raster"),
         ("Idrisi RST", ".rst/.rdc", "r", "raster"),
+        ("NOAA .b geoid (Fortran records)", ".b", "r", "raster"),
+        ("Vexcel MFF2/HKV directory", "attrib+image_data", "r", "raster"),
+        ("JPL ROI_PAC (.rsc)", ".dem/.slc/...", "r", "raster"),
+        ("PCRaster CSF", ".map", "r", "raster"),
         ("Japanese DEM", ".mem", "r", "raster"),
         ("PCIDSK (.pix, BAND/PIXEL interleave)", ".pix", "r", "raster"),
         ("GRIB2", ".grib2", "rw", "raster"),

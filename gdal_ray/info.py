@@ -263,6 +263,22 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.mixedrasters import rst_meta
 
         return rst_meta(path)
+    if low.endswith(".b") or low.endswith(".map") or \
+            (low.endswith(".dem") and os.path.exists(path + ".rsc")):
+        from gdal_ray.sources.mixedrasters import (noaa_b_meta,
+                                                   pcraster_meta,
+                                                   roipac_meta)
+
+        if low.endswith(".map"):
+            return pcraster_meta(path)
+        if low.endswith(".b"):
+            return noaa_b_meta(path)
+        return roipac_meta(path)
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "attrib")):
+        from gdal_ray.sources.mixedrasters import mff2_meta
+
+        return mff2_meta(path)
     if low.endswith(".kro"):
         from gdal_ray.sources.mixedrasters import kro_meta
 

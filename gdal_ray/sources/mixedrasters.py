@@ -692,3 +692,177 @@ def read_rst_array(path: str) -> np.ndarray:
         raw = f.read(w * h * dt.itemsize)
     return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
         h, w).astype(dt.newbyteorder("=")))
+
+
+# --------------------------------------------------------------- NOAA_B
+
+def noaa_b_meta(path: str) -> dict:
+    """NOAA .b geoid grids (frmts/raw/noaa_b_dataset.cpp): 52-byte
+    header — 4 doubles (lat0, lon0, dlat, dlon) at +4, 3 ints (nrows,
+    ncols, ikind) at +36; ikind==1 picks the byte order; f4 values."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(52)
+    for order in (">", "<"):
+        ikind = struct.unpack_from(order + "i", hdr, 44)[0]
+        if ikind in (0, 1, 2, 3):
+            lat0, lon0, dlat, dlon = struct.unpack_from(order + "4d",
+                                                        hdr, 4)
+            nrows, ncols = struct.unpack_from(order + "2i", hdr, 36)
+            if 0 < nrows < 1 << 24 and 0 < ncols < 1 << 24 \
+                    and 0 < dlat <= 90 and 0 < dlon <= 90:
+                break
+    else:
+        raise ValueError("not a NOAA .b grid")
+    return {"driver": "NOAA_B", "width": ncols, "height": nrows,
+            "bands": 1, "dtype": "float32", "order": order,
+            "geotransform": (lon0 - dlon / 2, dlon, 0.0,
+                             lat0 + dlat / 2, 0.0, -dlat)}
+
+
+def read_noaa_b_array(path: str) -> np.ndarray:
+    """Rows are FORTRAN records (4-byte length header/trailer) stored
+    south to north; the raster flips to north-up."""
+    m = noaa_b_meta(path)
+    w, h = m["width"], m["height"]
+    rec = 4 + w * 4 + 4
+    out = np.zeros((h, w), np.float32)
+    with open(path, "rb") as f:
+        f.seek(52)
+        data = f.read(h * rec)
+    for k in range(h):
+        row = np.frombuffer(data[k * rec + 4:k * rec + 4 + w * 4],
+                            m["order"] + "f4")
+        out[h - 1 - k] = row
+    return out
+
+
+# ----------------------------------------------------------------- MFF2
+
+def mff2_meta(path: str) -> dict:
+    """Vexcel MFF2/HKV: a DIRECTORY with 'attrib' key=value text
+    (extent.cols/rows, pixel.size bits, encoding/order flags marked by
+    '*') + raw 'image_data'."""
+    attrib = os.path.join(path, "attrib")
+    if not os.path.exists(attrib):
+        raise ValueError("not an MFF2 directory (no attrib)")
+    kv = {}
+    with open(attrib, "r", errors="replace") as f:
+        for ln in f:
+            if "=" in ln:
+                k, v = ln.split("=", 1)
+                kv[k.strip()] = v.strip()
+    w = int(kv["extent.cols"])
+    h = int(kv["extent.rows"])
+    bits = int(kv.get("pixel.size", 8))
+
+    def star(key, default):
+        v = kv.get(key, "")
+        m = re.search(r"\*(\w[\w-]*)", v)
+        return m.group(1) if m else default
+
+    enc = star("pixel.encoding", "unsigned")
+    order = star("pixel.order", "lsbf")
+    base = {"unsigned": "u", "twos-complement": "i",
+            "ieee-754": "f"}.get(enc, "u")
+    dt = ("<" if order == "lsbf" else ">") + base + str(bits // 8)
+    return {"driver": "MFF2", "width": w, "height": h, "bands": 1,
+            "wire_dtype": dt,
+            "dtype": np.dtype(base + str(bits // 8)).name,
+            "data_path": os.path.join(path, "image_data")}
+
+
+def read_mff2_array(path: str) -> np.ndarray:
+    m = mff2_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h = m["width"], m["height"]
+    with open(m["data_path"], "rb") as f:
+        raw = f.read(w * h * dt.itemsize)
+    return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
+        h, w).astype(dt.newbyteorder("=")))
+
+
+# -------------------------------------------------------------- ROI_PAC
+
+def roipac_meta(path: str) -> dict:
+    """JPL ROI_PAC (frmts/raw/roipacdataset.cpp): <file>.rsc text
+    (WIDTH, FILE_LENGTH, X_FIRST/X_STEP...) + raw data typed by the
+    file extension (.dem/.int/.slc/...)."""
+    rsc = path + ".rsc"
+    if not os.path.exists(rsc):
+        raise ValueError("not a ROI_PAC dataset (no .rsc)")
+    kv = {}
+    with open(rsc, "r", errors="replace") as f:
+        for ln in f:
+            parts = ln.split(None, 1)
+            if len(parts) == 2:
+                kv[parts[0]] = parts[1].strip()
+    w = int(kv["WIDTH"])
+    h = int(kv["FILE_LENGTH"])
+    ext = os.path.splitext(path)[1].lower()
+    dt, nb = {".dem": ("<i2", 1), ".flg": ("u1", 1),
+              ".slc": ("<c8", 1), ".int": ("<c8", 1),
+              ".amp": ("<f4", 2), ".cor": ("<f4", 2),
+              ".hgt": ("<f4", 2), ".unw": ("<f4", 2),
+              ".msk": ("<f4", 1)}.get(ext, ("<f4", 1))
+    gt = None
+    if "X_FIRST" in kv:
+        gt = (float(kv["X_FIRST"]) - float(kv["X_STEP"]) / 2,
+              float(kv["X_STEP"]), 0.0,
+              float(kv["Y_FIRST"]) - float(kv["Y_STEP"]) / 2, 0.0,
+              float(kv["Y_STEP"]))
+    return {"driver": "ROI_PAC", "width": w, "height": h, "bands": nb,
+            "wire_dtype": dt, "dtype": np.dtype(dt.lstrip("<")).name,
+            "geotransform": gt}
+
+
+def read_roipac_array(path: str) -> np.ndarray:
+    m = roipac_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h = m["width"], m["height"]
+    with open(path, "rb") as f:
+        raw = f.read(w * h * dt.itemsize)
+    return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
+        h, w).astype(dt.newbyteorder("=")))
+
+
+# ------------------------------------------------------------- PCRaster
+
+_CSF_REPR = {0x00: "u1", 0x26: "i4", 0x5A: "f4", 0xDB: "f8",
+             0x21: "i2", 0x04: "u1", 0x15: "u2", 0x34: "u4"}
+
+
+def pcraster_meta(path: str) -> dict:
+    """PCRaster CSF .map (the public CSF spec / frmts/pcraster):
+    'RUU CROSS SYSTEM MAP FORMAT' signature; raster header @64:
+    valueScale u2, cellRepr u2, min/max 8B each, xUL/yUL f8, angle f8,
+    cellSize f8, nrRows/nrCols u4; data @256."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(256)
+    if not hdr.startswith(b"RUU CROSS SYSTEM MAP FORMAT"):
+        raise ValueError("not a PCRaster CSF map")
+    vs, repr_code = struct.unpack_from("<HH", hdr, 64)
+    x_ul, y_ul = struct.unpack_from("<2d", hdr, 84)
+    nrows, ncols = struct.unpack_from("<II", hdr, 100)
+    cell, _celly, angle = struct.unpack_from("<3d", hdr, 108)
+    dt = _CSF_REPR.get(repr_code)
+    if dt is None:
+        raise NotImplementedError(f"CSF cell representation {repr_code:#x}")
+    return {"driver": "PCRaster", "width": ncols, "height": nrows,
+            "bands": 1, "wire_dtype": "<" + dt,
+            "dtype": np.dtype(dt).name, "value_scale": vs,
+            "geotransform": (x_ul, cell, 0.0, y_ul, 0.0, -cell)}
+
+
+def read_pcraster_array(path: str) -> np.ndarray:
+    m = pcraster_meta(path)
+    dt = np.dtype(m["wire_dtype"])
+    w, h = m["width"], m["height"]
+    with open(path, "rb") as f:
+        f.seek(256)
+        raw = f.read(w * h * dt.itemsize)
+    return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
+        h, w).astype(dt.newbyteorder("=")))

@@ -655,3 +655,26 @@ def test_idrisi_rst_published_checksums():
     assert r.dtype == np.float32 and checksum_plane(r) == 5275
     m = rst_meta(D + "byte.rst")
     assert m["geotransform"][0] == 50.0
+
+
+def test_noaa_mff2_roipac_pcraster_published_checksums():
+    """noaa_b.py:26 (cs 3 + gt, BE + LE, Fortran records south-up),
+    mff2.py:25 (4672), roipac.py:28 (64074 with .rsc sizes),
+    pcraster.py:27 (ldd.map 4528, CSF raster header)."""
+    from gdal_ray.sources.mixedrasters import (noaa_b_meta,
+                                               pcraster_meta,
+                                               read_mff2_array,
+                                               read_noaa_b_array,
+                                               read_pcraster_array,
+                                               read_roipac_array)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    for f in ["noaa_b/test.b", "noaa_b/test_little_endian.b"]:
+        assert checksum_plane(read_noaa_b_array(D + f)) == 3, f
+    assert noaa_b_meta(D + "noaa_b/test.b")["geotransform"] == \
+        (1.75, 0.5, 0.0, 49.25, 0.0, -0.5)
+    assert checksum_plane(read_mff2_array(D + "mff2/bytemff2")) == 4672
+    assert checksum_plane(read_roipac_array(D + "roipac/srtm.dem")) == 64074
+    p = read_pcraster_array(D + "pcraster/ldd.map")
+    assert p.shape == (100, 80) and checksum_plane(p) == 4528
+    assert pcraster_meta(D + "pcraster/ldd.map")["value_scale"] == 240
