@@ -48,7 +48,7 @@ def _find_dim_xmls(path: str):
                       and f.upper().endswith(".XML"))
         return [os.path.join(path, f) for f in dims]
     base = os.path.basename(path).upper()
-    if base.startswith("DIM_"):
+    if base.startswith("DIM_") or base.endswith(".DIM"):
         return [path]
     # VOL: Component hrefs of DIMAP type
     tree = ET.parse(path)
@@ -97,9 +97,14 @@ def dimap_meta(path: str) -> dict:
             href = None
             for e in df.iter():
                 if _local(e.tag) == "DATA_FILE_PATH":
-                    href = e.get("href")
-            tiles.append({"R": r, "C": c,
-                          "path": os.path.join(os.path.dirname(dim), href)})
+                    # DIMAP v1 uses an xlink:href attribute
+                    href = e.get("href") or next(
+                        (v for k, v in e.attrib.items()
+                         if k.endswith("href")), None) or                         (e.text or "").strip() or None
+            if href:
+                tiles.append({"R": r, "C": c,
+                              "path": os.path.join(
+                                  os.path.dirname(dim), href)})
         tw = th = None
         for e in root.iter():
             if _local(e.tag) == "NTILES_SIZE":
@@ -150,7 +155,15 @@ def read_dimap_array(path: str, subdataset: int = 0) -> np.ndarray:
                 arr = decode_jp2_bytes(f.read())
         else:
             with open(tp, "rb") as f:
-                arr = decode_tiff(f.read())
+                head = f.read(16)
+            if head.lstrip().startswith(b"<VRT"):
+                # DIMAP v1 sometimes ships a VRT in TIFF clothing
+                # (autotest METADATA.DIM); compose its SimpleSources
+                arr = _compose_vrt(tp, (p["height"], p["width"]),
+                                   np.dtype(p["dtype"]))
+            else:
+                with open(tp, "rb") as f:
+                    arr = decode_tiff(f.read())
         arr = np.asarray(arr)
         if arr.ndim == 2:
             arr = arr[:, :, None]
@@ -250,3 +263,49 @@ def read_product(path: str, **kw):
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def _compose_vrt(path, shape, dtype):
+    """Minimal SimpleSource composition for VRTs referenced as DIMAP
+    data files."""
+    import xml.etree.ElementTree as _ET
+
+    from gdal_ray.codecs.tiff import decode_tiff
+
+    tree = _ET.parse(path)
+    out = np.zeros(shape, dtype)
+    for src in tree.iter():
+        if _local(src.tag) not in ("SimpleSource", "ComplexSource"):
+            continue
+        fn = None
+        band = 1
+        sr = dr = None
+        for e in src.iter():
+            tag = _local(e.tag)
+            if tag == "SourceFilename":
+                fn = e.text.strip()
+                if e.get("relativeToVRT") == "1":
+                    fn = os.path.join(os.path.dirname(path), fn)
+            elif tag == "SourceBand":
+                band = int(e.text)
+            elif tag == "SrcRect":
+                sr = {k: int(float(e.get(k))) for k in
+                      ("xOff", "yOff", "xSize", "ySize")}
+            elif tag == "DstRect":
+                dr = {k: int(float(e.get(k))) for k in
+                      ("xOff", "yOff", "xSize", "ySize")}
+        if fn is None:
+            continue
+        with open(fn, "rb") as f:
+            arr = np.asarray(decode_tiff(f.read()))
+        if arr.ndim == 3:
+            arr = arr[:, :, band - 1]
+        if sr:
+            arr = arr[sr["yOff"]:sr["yOff"] + sr["ySize"],
+                      sr["xOff"]:sr["xOff"] + sr["xSize"]]
+        if dr is None:
+            dr = {"xOff": 0, "yOff": 0, "xSize": arr.shape[1],
+                  "ySize": arr.shape[0]}
+        out[dr["yOff"]:dr["yOff"] + arr.shape[0],
+            dr["xOff"]:dr["xOff"] + arr.shape[1]] = arr
+    return out

@@ -678,3 +678,20 @@ def test_noaa_mff2_roipac_pcraster_published_checksums():
     p = read_pcraster_array(D + "pcraster/ldd.map")
     assert p.shape == (100, 80) and checksum_plane(p) == 4528
     assert pcraster_meta(D + "pcraster/ldd.map")["value_scale"] == 240
+
+
+def test_dimap_v1_published_checksum(tmp_path):
+    """dimap.py:32 — METADATA.DIM (v1) with a VRT-disguised IMAGERY.TIF
+    referencing rgbsmall.tif: 6000x6000 declared, 100x100 window
+    checksum 21586 (same tmp-copy setup as the autotest)."""
+    import shutil
+
+    from gdal_ray.sources.products import read_dimap_array
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    shutil.copy(D + "dimap/METADATA.DIM", tmp_path)
+    shutil.copy(D + "dimap/IMAGERY.TIF", tmp_path)
+    shutil.copy(D + "rgbsmall.tif", tmp_path)
+    a = read_dimap_array(str(tmp_path / "METADATA.DIM"))
+    assert a.shape == (6000, 6000, 1)
+    assert checksum_plane(a[:100, :100, 0]) == 21586
