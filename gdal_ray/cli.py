@@ -378,6 +378,7 @@ def cmd_formats(args) -> int:
         ("NLAPS NDF", ".h1-.h4", "r", "raster"),
         ("Surfer 6/7 binary grids (GSBG/GS7BG)", ".grd", "r", "raster"),
         ("R raster (RRASTER)", ".grd/.gri", "r", "raster"),
+        ("Northwood/Vertical Mapper GRD", ".grd", "r", "raster"),
         ("DigitalGlobe TIL mosaics", ".til", "r", "raster"),
         ("PCI PAux raw", ".aux", "r", "raster"),
         ("Generic Binary (.hdr)", ".bil", "r", "raster"),

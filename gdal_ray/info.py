@@ -119,6 +119,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
 
         return {k: v for k, v in ctg_meta(path).items()
                 if not k.startswith("_")}
+    if low.endswith(".grd") and _head_has(path, b"HGPC", 8):
+        from gdal_ray.sources.mixedrasters import nwt_grd_meta
+
+        out = nwt_grd_meta(path)
+        out.pop("inflections", None)
+        return out
     if low.endswith(".grd") and _head_has(path, b"ncols="):
         from gdal_ray.sources.mixedrasters import rraster_meta
 

@@ -866,3 +866,130 @@ def read_pcraster_array(path: str) -> np.ndarray:
         raw = f.read(w * h * dt.itemsize)
     return np.ascontiguousarray(np.frombuffer(raw, dtype=dt).reshape(
         h, w).astype(dt.newbyteorder("=")))
+
+
+# --------------------------------------------------------- Northwood GRD
+
+def nwt_grd_meta(path: str) -> dict:
+    """Northwood/Vertical Mapper GRD (frmts/northwood): 'HGPC' magic +
+    format char ('1' surface / '8' classified); dims u2 @9/@11 (u4
+    @128/@132 when zero), bounds f8 LE @13..45, z-range f4 @45/@49,
+    colour inflection table @516 (u2 count, then 7-byte zVal f4 +
+    r,g,b records); u2 rows from 1024, Z = zmin + (raw-1) * (zmax -
+    zmin)/65534, raw 0 = nodata; RGB bands via a 4096-entry ramp
+    interpolated through the inflections (createIP)."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(1024)
+    if hdr[:4] != b"HGPC":
+        raise ValueError("not a Northwood GRD file")
+    fmt = chr(hdr[4])
+    w = struct.unpack_from("<H", hdr, 9)[0]
+    h = struct.unpack_from("<H", hdr, 11)[0]
+    if w == 0:
+        w = struct.unpack_from("<I", hdr, 128)[0]
+    if h == 0:
+        h = struct.unpack_from("<I", hdr, 132)[0]
+    minx, maxx, miny, maxy = struct.unpack_from("<4d", hdr, 13)
+    zmin, zmax = struct.unpack_from("<2f", hdr, 45)
+    n_inf = struct.unpack_from("<H", hdr, 516)[0]
+    inflections = []
+    if n_inf <= 32:
+        for i in range(n_inf):
+            z = struct.unpack_from("<f", hdr, 518 + 7 * i)[0]
+            r, g, b = hdr[522 + 7 * i], hdr[523 + 7 * i], hdr[524 + 7 * i]
+            inflections.append((z, r, g, b))
+    step = (maxx - minx) / (w - 1)
+    return {"driver": "NWT_GRD", "width": w, "height": h, "bands": 4,
+            "dtype": "float32", "zmin": zmin, "zmax": zmax,
+            "format": fmt, "inflections": inflections,
+            "geotransform": (minx - step / 2, step, 0.0,
+                             maxy + step / 2, 0.0, -step)}
+
+
+def _nwt_colormap(m: dict) -> np.ndarray:
+    """4096-entry RGB ramp per northwood.cpp createIP/linearColor."""
+    size = 4096
+    cmap = np.zeros((size, 3), np.uint8)
+    mark = [0]
+
+    def create_ip(index, r, g, b):
+        if index == 0:
+            cmap[0] = (r, g, b)
+            mark[0] = 0
+            return
+        if index <= mark[0]:
+            return
+        wm = mark[0]
+        base = cmap[wm].astype(np.float32)
+        slope = (np.array([r, g, b], np.float32) - base) / (index - wm)
+        for i in range(wm + 1, index):
+            cmap[i] = (base + (i - wm) * slope + 0.5).astype(np.uint8)
+        cmap[index] = (r, g, b)
+        mark[0] = index
+
+    def linear(lo, hi, mid):
+        z0, r0, g0, b0 = lo
+        z1, r1, g1, b1 = hi
+        if mid < z0:
+            return r0, g0, b0
+        if mid > z1:
+            return r1, g1, b1
+        s = (mid - z0) / (z1 - z0)
+        return (int(s * (r1 - r0) + r0 + 0.5),
+                int(s * (g1 - g0) + g0 + 0.5),
+                int(s * (b1 - b0) + b0 + 0.5))
+
+    create_ip(0, 255, 255, 255)
+    inf = m["inflections"]
+    if not inf:
+        return cmap
+    zmin, zmax = m["zmin"], m["zmax"]
+    if zmin <= inf[0][0]:
+        create_ip(1, inf[0][1], inf[0][2], inf[0][3])
+    i = 1
+    while i < len(inf):
+        if zmin < inf[i][0]:
+            r, g, b = linear(inf[i - 1], inf[i], zmin)
+            create_ip(1, r, g, b)
+            break
+        i += 1
+    if i >= len(inf):
+        last = inf[-1]
+        create_ip(1, last[1], last[2], last[3])
+        create_ip(size - 1, last[1], last[2], last[3])
+        return cmap
+    index = 0
+    while i < len(inf):
+        if zmax < inf[i][0]:
+            r, g, b = linear(inf[i - 1], inf[i], zmax)
+            index = size - 1
+            create_ip(index, r, g, b)
+            break
+        index = int((inf[i][0] - zmin) / (zmax - zmin) * size)
+        if index >= size:
+            index = size - 1
+        create_ip(index, inf[i][1], inf[i][2], inf[i][3])
+        i += 1
+    if index < size - 1:
+        last = inf[-1]
+        create_ip(size - 1, last[1], last[2], last[3])
+    return cmap
+
+
+def read_nwt_grd_band(path: str, band: int = 0) -> np.ndarray:
+    """Bands 1-3 = ramp RGB (uint8), band 4 = Z float32."""
+    m = nwt_grd_meta(path)
+    w, h = m["width"], m["height"]
+    with open(path, "rb") as f:
+        f.seek(1024)
+        raw = np.frombuffer(f.read(w * h * 2), "<u2").reshape(h, w)
+    if band == 3:
+        scale = (m["zmax"] - m["zmin"]) / 65534.0
+        out = (m["zmin"] + (raw.astype(np.float64) - 1) * scale
+               ).astype(np.float32)
+        out[raw == 0] = -1e37
+        return out
+    cmap = _nwt_colormap(m)
+    return cmap[raw >> 4, band].copy()

@@ -695,3 +695,16 @@ def test_dimap_v1_published_checksum(tmp_path):
     a = read_dimap_array(str(tmp_path / "METADATA.DIM"))
     assert a.shape == (6000, 6000, 1)
     assert checksum_plane(a[:100, :100, 0]) == 21586
+
+
+def test_nwt_grd_published_checksums():
+    """nwt_grd.py:29/:31 — bands 1/2 (ramp RGB through the 4096-entry
+    createIP inflection interpolation) checksum 28093/33690."""
+    from gdal_ray.sources.mixedrasters import (nwt_grd_meta,
+                                               read_nwt_grd_band)
+
+    p = "/root/reference/autotest/gdrivers/data/nwt_grd/nwt_grd.grd"
+    assert checksum_plane(read_nwt_grd_band(p, 0)) == 28093
+    assert checksum_plane(read_nwt_grd_band(p, 1)) == 33690
+    m = nwt_grd_meta(p)
+    assert len(m["inflections"]) == 5 and m["bands"] == 4
