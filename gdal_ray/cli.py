@@ -296,26 +296,32 @@ def cmd_addo(args) -> int:
 
     _ray_init()
     meta = tiff_levels(args.src)[0]
-    if meta["tiled"]:
-        chunks = read_geotiff_tiles(args.src)
-        tile = meta["tile_w"]
-        if meta["tile_w"] != meta["tile_h"]:
-            raise SystemExit("addo: non-square source tiles unsupported")
-    else:
-        # striped source: regrid through a single-file VRT mosaic read
-        import tempfile
+    tmp_vrt = None
+    try:
+        if meta["tiled"]:
+            chunks = read_geotiff_tiles(args.src)
+            tile = meta["tile_w"]
+            if meta["tile_w"] != meta["tile_h"]:
+                raise SystemExit("addo: non-square source tiles unsupported")
+        else:
+            # striped source: regrid through a single-file VRT mosaic read
+            import tempfile
 
-        from gdal_ray.sources.vrt import read_vrt
+            from gdal_ray.sources.vrt import read_vrt
 
-        vrt = tempfile.mktemp(suffix=".vrt")
-        save_vrt([args.src], vrt)
-        tile = args.tile_size
-        chunks = read_vrt(vrt, tile=tile)
-    info = write_ovr_distributed(
-        chunks, args.src + ".ovr", width=meta["width"],
-        height=meta["height"], spp=meta["spp"], dtype=meta["dtype"],
-        tile_size=tile, compression=args.compression,
-        resampler=args.resample)
+            fd, tmp_vrt = tempfile.mkstemp(suffix=".vrt")
+            os.close(fd)
+            save_vrt([args.src], tmp_vrt)
+            tile = args.tile_size
+            chunks = read_vrt(tmp_vrt, tile=tile)
+        info = write_ovr_distributed(
+            chunks, args.src + ".ovr", width=meta["width"],
+            height=meta["height"], spp=meta["spp"], dtype=meta["dtype"],
+            tile_size=tile, compression=args.compression,
+            resampler=args.resample)
+    finally:
+        if tmp_vrt is not None and os.path.exists(tmp_vrt):
+            os.unlink(tmp_vrt)
     print(json.dumps({"ovr": args.src + ".ovr", **info}))
     return 0
 
@@ -1811,6 +1817,7 @@ def cmd_translate(args) -> int:
     # pipeline's GeoTIFF output losslessly at the end
     jp2_out = args.out.lower().endswith((".jp2", ".j2k"))
     real_out = args.out
+    tmp_src = None
     if args.src.lower().endswith((".jp2", ".j2k", ".j2c")):
         import tempfile
 
@@ -1818,97 +1825,98 @@ def cmd_translate(args) -> int:
 
         ji = jp2_info(args.src)
         arr = decode_jp2_parallel(args.src)
-        tmp_src = tempfile.mktemp(suffix=".tif")
+        fd, tmp_src = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
         with open(tmp_src, "wb") as f:
             f.write(encode_geotiff(arr, geotransform=ji.get("geotransform"),
                                    epsg=ji.get("epsg")))
         args.src = tmp_src
-    if jp2_out:
-        import tempfile
+    try:
+        meta = tiff_levels(args.src)[0]
+        W, H = meta["width"], meta["height"]
+        sx0, sy0, sw, sh = args.srcwin if args.srcwin else (0, 0, W, H)
+        if sx0 < 0 or sy0 < 0 or sx0 + sw > W or sy0 + sh > H:
+            raise SystemExit("translate: -srcwin outside the raster")
+        ow, oh = args.outsize if args.outsize else (sw, sh)
+        bands = [b - 1 for b in args.b] if args.b else list(range(meta["spp"]))
+        if any(b < 0 or b >= meta["spp"] for b in bands):
+            raise SystemExit("translate: band index out of range")
+        out_dt = np.dtype(args.ot) if args.ot else np.dtype(meta["dtype"])
+        scale = args.scale  # [src_min, src_max, dst_min, dst_max] or None
+        method = args.r
+        strip_h = max(args.strip, 8)
+        items = [{"y0": y0, "h": min(strip_h, oh - y0)}
+                 for y0 in range(0, oh, strip_h)]
+        src_path = args.src
 
-        args.out = tempfile.mktemp(suffix=".tif")
-    meta = tiff_levels(args.src)[0]
-    W, H = meta["width"], meta["height"]
-    sx0, sy0, sw, sh = args.srcwin if args.srcwin else (0, 0, W, H)
-    if sx0 < 0 or sy0 < 0 or sx0 + sw > W or sy0 + sh > H:
-        raise SystemExit("translate: -srcwin outside the raster")
-    ow, oh = args.outsize if args.outsize else (sw, sh)
-    bands = [b - 1 for b in args.b] if args.b else list(range(meta["spp"]))
-    if any(b < 0 or b >= meta["spp"] for b in bands):
-        raise SystemExit("translate: band index out of range")
-    out_dt = np.dtype(args.ot) if args.ot else np.dtype(meta["dtype"])
-    scale = args.scale  # [src_min, src_max, dst_min, dst_max] or None
-    method = args.r
-    strip_h = max(args.strip, 8)
-    items = [{"y0": y0, "h": min(strip_h, oh - y0)}
-             for y0 in range(0, oh, strip_h)]
-    src_path = args.src
+        def work(b: pa_.Table) -> pa_.Table:
+            rows = {"y0": [], "h": [], "data": []}
+            with open(src_path, "rb") as f:
+                for it in b.to_pylist():
+                    y0, th = it["y0"], it["h"]
+                    if (ow, oh) != (sw, sh):
+                        # exact windowed resize: rows_needed gives the source
+                        # row band this output strip depends on; resize_rows
+                        # reproduces resize(full)[y0:y0+th] bit-for-bit
+                        wr0, wr1 = rows_needed(sh, oh, y0, th, method)
+                        win = read_window(f, meta, sy0 + wr0, sy0 + wr1,
+                                          sx0, sx0 + sw)[:, :, bands]
+                        out = resize_rows(win, wr0, sh, ow, oh, y0, th, method)
+                    else:
+                        out = read_window(f, meta, sy0 + y0, sy0 + y0 + th,
+                                          sx0, sx0 + sw)[:, :, bands]
+                    if scale:
+                        smin, smax, dmin, dmax = scale
+                        g = (out.astype(np.float64) - smin) / max(smax - smin, 1e-12)
+                        out = g * (dmax - dmin) + dmin
+                    if np.issubdtype(out_dt, np.integer):
+                        info = np.iinfo(out_dt)
+                        out = np.clip(np.floor(out.astype(np.float64) + 0.5),
+                                      info.min, info.max)
+                    out = np.ascontiguousarray(out.astype(out_dt))
+                    rows["y0"].append(y0)
+                    rows["h"].append(th)
+                    rows["data"].append(out.tobytes())
+            return pa_.table({
+                "y0": pa_.array(rows["y0"], pa_.int64()),
+                "h": pa_.array(rows["h"], pa_.int64()),
+                "data": pa_.array(rows["data"], pa_.binary()),
+            })
 
-    def work(b: pa_.Table) -> pa_.Table:
-        rows = {"y0": [], "h": [], "data": []}
-        with open(src_path, "rb") as f:
-            for it in b.to_pylist():
-                y0, th = it["y0"], it["h"]
-                if (ow, oh) != (sw, sh):
-                    # exact windowed resize: rows_needed gives the source
-                    # row band this output strip depends on; resize_rows
-                    # reproduces resize(full)[y0:y0+th] bit-for-bit
-                    wr0, wr1 = rows_needed(sh, oh, y0, th, method)
-                    win = read_window(f, meta, sy0 + wr0, sy0 + wr1,
-                                      sx0, sx0 + sw)[:, :, bands]
-                    out = resize_rows(win, wr0, sh, ow, oh, y0, th, method)
-                else:
-                    out = read_window(f, meta, sy0 + y0, sy0 + y0 + th,
-                                      sx0, sx0 + sw)[:, :, bands]
-                if scale:
-                    smin, smax, dmin, dmax = scale
-                    g = (out.astype(np.float64) - smin) / max(smax - smin, 1e-12)
-                    out = g * (dmax - dmin) + dmin
-                if np.issubdtype(out_dt, np.integer):
-                    info = np.iinfo(out_dt)
-                    out = np.clip(np.floor(out.astype(np.float64) + 0.5),
-                                  info.min, info.max)
-                out = np.ascontiguousarray(out.astype(out_dt))
-                rows["y0"].append(y0)
-                rows["h"].append(th)
-                rows["data"].append(out.tobytes())
-        return pa_.table({
-            "y0": pa_.array(rows["y0"], pa_.int64()),
-            "h": pa_.array(rows["h"], pa_.int64()),
-            "data": pa_.array(rows["data"], pa_.binary()),
-        })
+        parts = rd.from_items(items, override_num_blocks=len(items)) \
+            .map_batches(work, batch_format="pyarrow").take_all()
+        full = np.zeros((oh, ow, len(bands)), dtype=out_dt)
+        for r in parts:
+            full[r["y0"]:r["y0"] + r["h"]] = np.frombuffer(
+                r["data"], dtype=out_dt).reshape(r["h"], ow, len(bands))
+        if full.shape[2] == 1:
+            full = full[:, :, 0]
+        gt = meta.get("geotransform")
+        out_gt = None
+        if gt is not None:
+            # window + resize adjust the affine exactly like gdal_translate
+            px_w = gt[1] * sw / ow
+            px_h = gt[5] * sh / oh
+            out_gt = (gt[0] + sx0 * gt[1], px_w, 0.0,
+                      gt[3] + sy0 * gt[5], 0.0, px_h)
+        if jp2_out:
+            from gdal_ray.sources.jp2 import write_jp2
 
-    parts = rd.from_items(items, override_num_blocks=len(items)) \
-        .map_batches(work, batch_format="pyarrow").take_all()
-    full = np.zeros((oh, ow, len(bands)), dtype=out_dt)
-    for r in parts:
-        full[r["y0"]:r["y0"] + r["h"]] = np.frombuffer(
-            r["data"], dtype=out_dt).reshape(r["h"], ow, len(bands))
-    if full.shape[2] == 1:
-        full = full[:, :, 0]
-    gt = meta.get("geotransform")
-    out_gt = None
-    if gt is not None:
-        # window + resize adjust the affine exactly like gdal_translate
-        px_w = gt[1] * sw / ow
-        px_h = gt[5] * sh / oh
-        out_gt = (gt[0] + sx0 * gt[1], px_w, 0.0,
-                  gt[3] + sy0 * gt[5], 0.0, px_h)
-    if jp2_out:
-        from gdal_ray.sources.jp2 import write_jp2
-
-        write_jp2(real_out, full, geotransform=out_gt,
-                  epsg=meta.get("epsg"))
-    else:
-        with open(args.out, "wb") as f:
-            f.write(encode_geotiff(full, geotransform=out_gt,
-                                   epsg=meta.get("epsg"),
-                                   nodata=meta.get("nodata")))
-    print(json.dumps({"out": real_out, "width": ow, "height": oh,
-                      "bands": [b + 1 for b in bands],
-                      "dtype": str(out_dt), "n_strips": len(items),
-                      "checksum": float(full.sum(dtype=np.float64))}))
-    return 0
+            write_jp2(real_out, full, geotransform=out_gt,
+                      epsg=meta.get("epsg"))
+        else:
+            with open(args.out, "wb") as f:
+                f.write(encode_geotiff(full, geotransform=out_gt,
+                                       epsg=meta.get("epsg"),
+                                       nodata=meta.get("nodata")))
+        print(json.dumps({"out": real_out, "width": ow, "height": oh,
+                          "bands": [b + 1 for b in bands],
+                          "dtype": str(out_dt), "n_strips": len(items),
+                          "checksum": float(full.sum(dtype=np.float64))}))
+        return 0
+    finally:
+        if tmp_src is not None and os.path.exists(tmp_src):
+            os.unlink(tmp_src)
 
 
 def cmd_info(args) -> int:

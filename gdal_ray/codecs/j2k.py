@@ -20,12 +20,14 @@ packet parsing; the hot loops here are the serial MQ decoder
 so each decision is O(1).
 
 Supported: multiple tiles/tile-parts, LRCP/RLCP/RPCL/PCRL/CPRL
-progressions, multiple layers, user precincts + EPH/SOP, COC/QCC
-overrides, reversible 5/3 (integer-exact) and irreversible 9/7,
-no-quantization + scalar-expounded quantization, RCT/ICT, signed
-and unsigned 1-16 bit components.  Gated loudly: code-block style
-bits (bypass/termall/causal/segmentation), derived quantization,
-POC, PPM/PPT packed headers, RGN, component subsampling > 1.
+progressions + POC progression-order changes (A.6.6), multiple
+layers, user precincts + EPH/SOP, COC/QCC overrides, reversible 5/3
+(integer-exact) and irreversible 9/7, no-quantization +
+scalar-expounded + scalar-derived quantization (E.1.1), all five
+code-block style bits (bypass / reset / termall / vertically-causal
+/ segmentation symbols; predictable termination accepted), RCT/ICT,
+signed and unsigned 1-16 bit components.  Gated loudly: RGN region
+of interest, PPM/PPT packed headers, component subsampling > 1.
 """
 
 from __future__ import annotations

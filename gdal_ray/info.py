@@ -62,7 +62,8 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
-    if low.endswith(".dem"):
+    if low.endswith(".dem") and not os.path.exists(path + ".rsc"):
+        # a companion .rsc means JPL ROI_PAC, handled further down
         from gdal_ray.sources.usgsdem import usgsdem_meta
 
         return usgsdem_meta(path)

@@ -7379,60 +7379,12 @@ def queries():
     # via tools/parity.py).  Rows-only queries (no SQL oracle;
     # pytest-verified) follow after the full oracle block.
     return {
-        # -- oracle-backed, never driver-checked before round 4 -----------
-        "raster_xyz": q_raster_xyz,
-        "color_relief": q_color_relief,
-        "equalize": q_equalize,
-        "dedup_clusters": q_dedup_clusters,
-        "vrt_mosaic": q_vrt_mosaic,
-        "sql_group": q_sql_group,
-        "stats_approx": q_stats_approx,
-        "grid_average": q_grid_average,
-        "bpe_tokens": q_bpe_tokens,
-        "viewshed_cumulative": q_viewshed_cumulative,
-        "geom_explode": q_geom_explode,
-        "first_event": q_first_event,
-        "stride_sample": q_stride_sample,
-        "events_hopping": q_events_hopping,
-        "tile_geodetic": q_tile_geodetic,
-        "knn_cell": q_knn_cell,
-        "sql_union": q_sql_union,
-        # -- new in round 4 (oracle-backed) --------------------------------
-        "mvt_tiles": q_mvt_tiles,
-        "union_overlap": q_union_overlap,
-        "sql_having": q_sql_having,
-        "sql_distinct": q_sql_distinct,
-        "sql_window": q_sql_window,
-        "sql_setops": q_sql_setops,
-        "sql_cte": q_sql_cte,
-        "sql_subquery": q_sql_subquery,
-        "sql_window2": q_sql_window2,
-        "sql_moving": q_sql_moving,
-        "sql_exists": q_sql_exists,
-        "word_counts": q_word_counts,
-        "mif_roundtrip": q_mif_roundtrip,
-        "sql_range": q_sql_range,
-        "sql_strings": q_sql_strings,
-        "sql_datetime": q_sql_datetime,
-        "sql_qualify": q_sql_qualify,
-        "sql_asof": q_sql_asof,
-        "sql_rollup": q_sql_rollup,
-        "sql_percentile": q_sql_percentile,
-        "sql_stragg": q_sql_stragg,
-        "zonal_stats": q_zonal_stats,
-        "clean_text": q_clean_text,
-        "doc_quantiles": q_doc_quantiles,
-        "image_patches": q_image_patches,
-        "tfidf_score": q_tfidf_score,
-        "bm25_rank": q_bm25_rank,
-        "bm25_topk": q_bm25_topk,
-        "inverted_index": q_inverted_index,
-        "sql_unnest": q_sql_unnest,
-        "rep_stats": q_rep_stats,
-        "decontaminate": q_decontaminate,
-        "dup_ngram": q_dup_ngram,
-        # -- new in round 4e (oracle-backed, outside the 50-slot window;
-        #    verified via tools/parity.py like prior outside-window rows) --
+        # -- ROUND-5 ROTATION (VERDICT r4 #5): the 49 oracle-backed
+        # -- queries that never had an official CORRECTNESS row in any
+        # -- round (r4e additions + r3-window rotations) now lead the
+        # -- 50-slot driver window, plus gpkg_roundtrip (named in the
+        # -- verdict).  Everything below slot 50 stays re-verifiable
+        # -- via tools/parity.py. ----------------------------------------
         "pii_redact": q_pii_redact,
         "curate_pipeline": q_curate_pipeline,
         "gopher_rules": q_gopher_rules,
@@ -7480,7 +7432,62 @@ def queries():
         "mp3_index": q_mp3_index,
         "ogg_opus": q_ogg_opus,
         "ppl_buckets": q_ppl_buckets,
-        # -- oracle-backed stalwarts (driver-green rounds 1-3) ------------
+        "stratified_sample": q_stratified_sample,
+        "top_terms": q_top_terms,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        # ---- 50-slot window boundary ----------------------------------
+        # -- oracle-backed, outside the window this round (all have at
+        # -- least one official green row from rounds 1-4) --------------
+        "raster_xyz": q_raster_xyz,
+        "color_relief": q_color_relief,
+        "equalize": q_equalize,
+        "dedup_clusters": q_dedup_clusters,
+        "vrt_mosaic": q_vrt_mosaic,
+        "sql_group": q_sql_group,
+        "stats_approx": q_stats_approx,
+        "grid_average": q_grid_average,
+        "bpe_tokens": q_bpe_tokens,
+        "viewshed_cumulative": q_viewshed_cumulative,
+        "geom_explode": q_geom_explode,
+        "first_event": q_first_event,
+        "stride_sample": q_stride_sample,
+        "events_hopping": q_events_hopping,
+        "tile_geodetic": q_tile_geodetic,
+        "knn_cell": q_knn_cell,
+        "sql_union": q_sql_union,
+        "mvt_tiles": q_mvt_tiles,
+        "union_overlap": q_union_overlap,
+        "sql_having": q_sql_having,
+        "sql_distinct": q_sql_distinct,
+        "sql_window": q_sql_window,
+        "sql_setops": q_sql_setops,
+        "sql_cte": q_sql_cte,
+        "sql_subquery": q_sql_subquery,
+        "sql_window2": q_sql_window2,
+        "sql_moving": q_sql_moving,
+        "sql_exists": q_sql_exists,
+        "word_counts": q_word_counts,
+        "mif_roundtrip": q_mif_roundtrip,
+        "sql_range": q_sql_range,
+        "sql_strings": q_sql_strings,
+        "sql_datetime": q_sql_datetime,
+        "sql_qualify": q_sql_qualify,
+        "sql_asof": q_sql_asof,
+        "sql_rollup": q_sql_rollup,
+        "sql_percentile": q_sql_percentile,
+        "sql_stragg": q_sql_stragg,
+        "zonal_stats": q_zonal_stats,
+        "clean_text": q_clean_text,
+        "doc_quantiles": q_doc_quantiles,
+        "image_patches": q_image_patches,
+        "tfidf_score": q_tfidf_score,
+        "bm25_rank": q_bm25_rank,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
+        "sql_unnest": q_sql_unnest,
+        "rep_stats": q_rep_stats,
+        "decontaminate": q_decontaminate,
+        "dup_ngram": q_dup_ngram,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "join_hash": q_join_hash,
@@ -7514,9 +7521,6 @@ def queries():
         "window_rank": q_window_rank,
         "bbox_join": q_bbox_join,
         "dem_metrics": q_dem_metrics,
-        # ---- 50-slot window boundary (entries below are driver-unchecked
-        # this round; all were driver-green in rounds 1-3 and stay
-        # re-verifiable via tools/parity.py) ------------------------------
         "join_broadcast": q_join_broadcast,
         "tile_cover": q_tile_cover,
         "knn": q_knn,
@@ -7533,10 +7537,7 @@ def queries():
         "sql_join": q_sql_join,
         "raster_histogram": q_raster_histogram,
         "viewshed": q_viewshed,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
-        "stratified_sample": q_stratified_sample,
-        "top_terms": q_top_terms,
-        # -- rows-only (no SQL oracle; semantics pytest-verified) ---------
+        # -- rows-only (no SQL oracle; semantics pytest-verified) -------
         "geodesic_measures": q_geodesic_measures,
         "semdedup": q_semdedup,
         "kmeans_embed": q_kmeans_embed,

@@ -242,6 +242,20 @@ def open_raster(path: str, **kw):
 
         return read_pds4(path, **kw)
     if low.endswith(".dem"):
+        import os as _os
+
+        if _os.path.exists(path + ".rsc"):  # JPL ROI_PAC companion header
+            from gdal_ray.sources.mixedrasters import read_roipac_array
+            import ray.data as rd
+            import numpy as _np
+
+            arr = read_roipac_array(path)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return rd.from_items(
+                [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+                  "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+                 for b in range(arr.shape[2])])
         from gdal_ray.sources.usgsdem import read_usgsdem
 
         return read_usgsdem(path, **kw)
@@ -303,6 +317,20 @@ def open_raster(path: str, **kw):
         rows = [{"row0": 0, "n_rows": arr.shape[0], "band": b,
                  "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
                 for b in range(arr.shape[2])]
+        return rd.from_items(rows)
+    if low.endswith(".grd") and _head_has_txt(path, b"HGPC"):
+        # Northwood/Vertical Mapper classified grid
+        from gdal_ray.sources.mixedrasters import (nwt_grd_meta,
+                                                   read_nwt_grd_band)
+        import ray.data as rd
+        import numpy as _np
+
+        n_bands = int(nwt_grd_meta(path).get("bands", 1))
+        rows = []
+        for b in range(n_bands):
+            arr = read_nwt_grd_band(path, b)
+            rows.append({"row0": 0, "n_rows": arr.shape[0], "band": b,
+                         "data": _np.ascontiguousarray(arr).tobytes()})
         return rd.from_items(rows)
     if low.endswith(".grd") and _head_has_txt(path, b"ncols="):
         from gdal_ray.sources.mixedrasters import read_rraster_array

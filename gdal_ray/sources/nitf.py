@@ -344,6 +344,42 @@ def read_nitf(path: str, *, segment: int = 0, rows_per_task: int = 1):
     import ray.data as rd
 
     m = nitf_meta(path)["images"][segment]
+    if m.get("ic") == "C8":
+        # JPEG 2000 codestream fills the whole segment: one task decodes
+        # it via the from-spec EBCOT codec and emits strip rows matching
+        # the block-row contract (the codestream is not range-readable
+        # per NITF block, so the parallel unit is the J2K decode itself).
+        def load_c8(t: pa.Table, _m=m) -> pa.Table:
+            from gdal_ray.codecs.j2k import decode_j2k
+
+            with open(path, "rb") as fh:
+                fh.seek(_m["data_offset"])
+                arr = decode_j2k(fh.read(_m["data_len"]))
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            arr = arr[:_m["height"], :_m["width"]]
+            sv = _m["nppbv"]
+            rows = {k: [] for k in ("block_row", "block_col", "y0", "x0",
+                                    "h", "w", "data")}
+            for br in range(_m["nbpc"]):
+                y0 = br * sv
+                ch = min(sv, _m["height"] - y0)
+                if ch <= 0:
+                    continue
+                rows["block_row"].append(br)
+                rows["block_col"].append(0)
+                rows["y0"].append(y0)
+                rows["x0"].append(0)
+                rows["h"].append(ch)
+                rows["w"].append(_m["width"])
+                rows["data"].append(
+                    np.ascontiguousarray(arr[y0:y0 + ch]).tobytes())
+            return pa.table({k: pa.array(vv, pa.binary() if k == "data"
+                                         else pa.int64())
+                             for k, vv in rows.items()})
+
+        return rd.from_items([{"seg": segment}]).map_batches(
+            load_c8, batch_format="pyarrow")
     items = [{"brow": r} for r in range(0, m["nbpc"], rows_per_task)]
     v, hh = m["nppbv"], m["nppbh"]
 

@@ -27,44 +27,79 @@ import numpy as np
 from gdal_ray.sources.iso8211 import ISO8211Reader
 
 # IHO S-57 Appendix A object-class acronyms (public standard), subset
-_OBJL = {
-    1: "ADMARE", 2: "AIRARE", 3: "ACHBRT", 4: "ACHARE", 5: "BCNCAR",
-    6: "BCNISD", 7: "BCNLAT", 8: "BCNSAW", 9: "BCNSPP", 10: "BERTHS",
-    11: "BRIDGE", 12: "BUISGL", 13: "BUAARE", 14: "BOYCAR", 15: "BOYINB",
-    16: "BOYISD", 17: "BOYLAT", 18: "BOYSAW", 19: "BOYSPP", 20: "CBLARE",
-    21: "CBLOHD", 22: "CBLSUB", 23: "CANALS", 25: "CTSARE", 26: "CAUSWY",
-    27: "CTNARE", 28: "CHKPNT", 29: "CGUSTA", 30: "COALNE", 31: "CONZNE",
-    32: "COSARE", 33: "CTRPNT", 34: "CONVYR", 35: "CRANES", 36: "CURENT",
-    37: "CUSZNE", 38: "DAMCON", 39: "DAYMAR", 40: "DWRTCL", 41: "DWRTPT",
-    42: "DEPARE", 43: "DEPCNT", 44: "DISMAR", 45: "DOCARE", 46: "DRGARE",
-    47: "DRYDOC", 48: "DMPGRD", 49: "DYKCON", 50: "EXEZNE", 51: "FAIRWY",
-    52: "FNCLNE", 53: "FERYRT", 54: "FSHZNE", 55: "FSHFAC", 56: "FSHGRD",
-    57: "FLODOC", 58: "FOGSIG", 59: "FORSTC", 60: "FRPARE", 61: "GATCON",
-    62: "GRIDRN", 63: "HRBARE", 64: "HRBFAC", 65: "HULKES", 66: "ICEARE",
-    67: "ICNARE", 68: "ISTZNE", 69: "LAKARE", 71: "LNDARE", 72: "LNDELV",
-    73: "LNDRGN", 74: "LNDMRK", 75: "LIGHTS", 76: "LITFLT", 77: "LITVES",
-    78: "LOCMAG", 79: "LOKBSN", 80: "LOGPON", 81: "MAGVAR", 82: "MARCUL",
-    83: "MIPARE", 84: "MORFAC", 85: "NAVLNE", 86: "OBSTRN", 87: "OFSPLF",
-    88: "OSPARE", 89: "OILBAR", 90: "PILPNT", 91: "PILBOP", 92: "PIPARE",
-    93: "PIPOHD", 94: "PIPSOL", 95: "PONTON", 96: "PRCARE", 97: "PRDARE",
-    98: "PYLONS", 99: "RADLNE", 100: "RADRNG", 101: "RADRFL", 102: "RADSTA",
-    103: "RTPBCN", 104: "RDOCAL", 105: "RDOSTA", 106: "RAILWY", 107: "RAPIDS",
-    108: "RCRTCL", 109: "RECTRC", 110: "RCTLPT", 111: "RSCSTA", 112: "RESARE",
-    113: "RETRFL", 114: "RIVERS", 115: "ROADWY", 116: "RUNWAY", 117: "SNDWAV",
-    118: "SEAARE", 119: "SPLARE", 120: "SBDARE", 121: "SBDARE", 122: "SLCONS",
-    123: "SISTAT", 124: "SISTAW", 125: "SILTNK", 126: "SLOTOP", 127: "SLOGRD",
-    128: "SMCFAC", 129: "SOUNDG", 130: "SPRING", 132: "STSLNE", 133: "SUBTLN",
-    134: "SWPARE", 135: "TESARE", 144: "TOPMAR", 145: "TSELNE", 146: "TSSBND",
-    147: "TSSCRS", 148: "TSSLPT", 149: "TSSRON", 150: "TSEZNE", 151: "TUNNEL",
-    152: "TWRTPT", 153: "UWTROC", 154: "UNSARE", 155: "VEGATN", 156: "WATTUR",
-    157: "WATFAL", 158: "WEDKLP", 159: "WRECKS", 161: "ZEMCNT", 162: "M_ACCY",
-    300: "M_CSCL", 301: "M_COVR", 302: "M_COVR", 303: "M_HDAT", 304: "M_HOPA",
-    305: "M_NPUB", 306: "M_NSYS", 307: "M_PROD", 308: "M_QUAL", 309: "M_SDAT",
-    310: "M_SREL", 311: "M_UNIT", 312: "M_VDAT",
-}
-# the fixture's codes (IHO catalogue): correct the subset where needed
-_OBJL.update({121: "SBDARE", 126: "SLOTOP", 122: "SLCONS",
-              302: "M_COVR", 306: "M_NSYS", 308: "M_QUAL"})
+# Object-class acronyms regenerated verbatim from the reference catalogue
+# (ogr/ogrsf_frmts/s57/data/s57objectclasses.csv, cols OBJL->Acronym);
+# round-5 fix: codes 115-120 were shifted by one (115 RIVBNK .. 120 SPLARE)
+# and 131/136-143/160-162 were missing or misnamed.
+_OBJL = {0: "", 1: "ADMARE", 2: "AIRARE", 3: "ACHBRT", 4: "ACHARE", 
+    5: "BCNCAR", 6: "BCNISD", 7: "BCNLAT", 8: "BCNSAW", 9: "BCNSPP", 
+    10: "BERTHS", 11: "BRIDGE", 12: "BUISGL", 13: "BUAARE", 14: "BOYCAR", 
+    15: "BOYINB", 16: "BOYISD", 17: "BOYLAT", 18: "BOYSAW", 19: "BOYSPP", 
+    20: "CBLARE", 21: "CBLOHD", 22: "CBLSUB", 23: "CANALS", 24: "CANBNK", 
+    25: "CTSARE", 26: "CAUSWY", 27: "CTNARE", 28: "CHKPNT", 29: "CGUSTA", 
+    30: "COALNE", 31: "CONZNE", 32: "COSARE", 33: "CTRPNT", 34: "CONVYR", 
+    35: "CRANES", 36: "CURENT", 37: "CUSZNE", 38: "DAMCON", 39: "DAYMAR", 
+    40: "DWRTCL", 41: "DWRTPT", 42: "DEPARE", 43: "DEPCNT", 44: "DISMAR", 
+    45: "DOCARE", 46: "DRGARE", 47: "DRYDOC", 48: "DMPGRD", 49: "DYKCON", 
+    50: "EXEZNE", 51: "FAIRWY", 52: "FNCLNE", 53: "FERYRT", 54: "FSHZNE", 
+    55: "FSHFAC", 56: "FSHGRD", 57: "FLODOC", 58: "FOGSIG", 59: "FORSTC", 
+    60: "FRPARE", 61: "GATCON", 62: "GRIDRN", 63: "HRBARE", 64: "HRBFAC", 
+    65: "HULKES", 66: "ICEARE", 67: "ICNARE", 68: "ISTZNE", 69: "LAKARE", 
+    70: "LAKSHR", 71: "LNDARE", 72: "LNDELV", 73: "LNDRGN", 74: "LNDMRK", 
+    75: "LIGHTS", 76: "LITFLT", 77: "LITVES", 78: "LOCMAG", 79: "LOKBSN", 
+    80: "LOGPON", 81: "MAGVAR", 82: "MARCUL", 83: "MIPARE", 84: "MORFAC", 
+    85: "NAVLNE", 86: "OBSTRN", 87: "OFSPLF", 88: "OSPARE", 89: "OILBAR", 
+    90: "PILPNT", 91: "PILBOP", 92: "PIPARE", 93: "PIPOHD", 94: "PIPSOL", 
+    95: "PONTON", 96: "PRCARE", 97: "PRDARE", 98: "PYLONS", 99: "RADLNE", 
+    100: "RADRNG", 101: "RADRFL", 102: "RADSTA", 103: "RTPBCN", 
+    104: "RDOCAL", 105: "RDOSTA", 106: "RAILWY", 107: "RAPIDS", 
+    108: "RCRTCL", 109: "RECTRC", 110: "RCTLPT", 111: "RSCSTA", 
+    112: "RESARE", 113: "RETRFL", 114: "RIVERS", 115: "RIVBNK", 
+    116: "ROADWY", 117: "RUNWAY", 118: "SNDWAV", 119: "SEAARE", 
+    120: "SPLARE", 121: "SBDARE", 122: "SLCONS", 123: "SISTAT", 
+    124: "SISTAW", 125: "SILTNK", 126: "SLOTOP", 127: "SLOGRD", 
+    128: "SMCFAC", 129: "SOUNDG", 130: "SPRING", 131: "SQUARE", 
+    132: "STSLNE", 133: "SUBTLN", 134: "SWPARE", 135: "TESARE", 
+    136: "TS_PRH", 137: "TS_PNH", 138: "TS_PAD", 139: "TS_TIS", 
+    140: "T_HMON", 141: "T_NHMN", 142: "T_TIMS", 143: "TIDEWY", 
+    144: "TOPMAR", 145: "TSELNE", 146: "TSSBND", 147: "TSSCRS", 
+    148: "TSSLPT", 149: "TSSRON", 150: "TSEZNE", 151: "TUNNEL", 
+    152: "TWRTPT", 153: "UWTROC", 154: "UNSARE", 155: "VEGATN", 
+    156: "WATTUR", 157: "WATFAL", 158: "WEDKLP", 159: "WRECKS", 
+    160: "TS_FEB", 161: "ARCSLN", 162: "ASLXIS", 163: "NEWOBJ", 
+    300: "M_ACCY", 301: "M_CSCL", 302: "M_COVR", 303: "M_HDAT", 
+    304: "M_HOPA", 305: "M_NPUB", 306: "M_NSYS", 307: "M_PROD", 
+    308: "M_QUAL", 309: "M_SDAT", 310: "M_SREL", 311: "M_UNIT", 
+    312: "M_VDAT", 400: "C_AGGR", 401: "C_ASSO", 402: "C_STAC", 
+    500: "$AREAS", 501: "$LINES", 502: "$CSYMB", 503: "$COMPS", 
+    504: "$TEXTS", 17000: "achbrt", 17001: "achare", 17002: "canbnk", 
+    17003: "depare", 17004: "dismar", 17005: "resare", 17006: "rivbnk", 
+    17007: "sistat", 17008: "sistaw", 17009: "topmar", 17010: "berths", 
+    17011: "bridge", 17012: "cblohd", 17013: "feryrt", 17014: "hrbare", 
+    17015: "hrbfac", 17016: "lokbsn", 17017: "rdocal", 17018: "m_nsys", 
+    17050: "notmrk", 17051: "wtwaxs", 17052: "wtwprf", 17053: "brgare", 
+    17054: "bunsta", 17055: "comare", 17056: "hrbbsn", 17057: "lokare", 
+    17058: "lkbspt", 17059: "prtare", 17060: "bcnwtw", 17061: "boywtw", 
+    17062: "refdmp", 17063: "rtplpt", 17064: "termnl", 17065: "trnbsn", 
+    20484: "atsctl", 20485: "airres + catasr", 20486: "imgare", 
+    20487: "bchext", 20488: "bchprf", 20489: "bchare", 20490: "bedare", 
+    20491: "botmft + catbot", 20492: "centre", 20494: "histob", 
+    20495: "ctlasp + catcas", 20496: "divloc", 20497: "watloc", 
+    20498: "drpzne", 20499: "envare", 20500: "fshare", 20501: "iscour", 
+    20502: "lngare", 20503: "lndplc", 20504: "lndpnt", 20505: "lndste", 
+    20506: "lndstp", 20507: "lndzne", 20508: "marman + catmma", 
+    20509: "msiare", 20510: "mcmare", 20511: "mexasp + catmea", 
+    20513: "patare + catpat", 20514: "qroute", 20515: "rdoare", 
+    20516: "regasp", 20517: "sedlay", 20518: "seiare", 20519: "senanm", 
+    20520: "shlloc", 20521: "seddep", 20522: "trfare", 20523: "twlscr", 
+    20524: "turnpt", 20525: "viewpt", 20526: "btdare", 20527: "bprare", 
+    20528: "lsrare", 20529: "pfdare", 20530: "resloc", 20531: "rkdare", 
+    20532: "navaid + CATROS", 20533: "intwtr", 20534: "seaice", 
+    20535: "iceadv", 20536: "brgare", 20537: "lndice", 20538: "icelin", 
+    20539: "icerte", 20540: "icepol", 20541: "icelea", 20542: "icebrg", 
+    20543: "icemov", 20544: "tfcrte", 20717: "u_defd", 20718: "smalbo", 
+    21484: "m_conf + catcnf", 21485: "m_clas", 21486: "m_vers", 
+    21487: "m_line",}
 
 
 def _wkb_point(x, y):

@@ -708,3 +708,62 @@ def test_nwt_grd_published_checksums():
     assert checksum_plane(read_nwt_grd_band(p, 1)) == 33690
     m = nwt_grd_meta(p)
     assert len(m["inflections"]) == 5 and m["bands"] == 4
+
+
+def test_dispatch_roipac_and_hgpc_routing():
+    """Round-5 ADVICE fix: .dem with a companion .rsc must route to the
+    ROI_PAC reader (not USGS DEM) in BOTH describe() and open_raster, and
+    .grd with the HGPC magic must route to the Northwood reader (not
+    Surfer) in open_raster — previously both advertised drivers were
+    unreachable through the registry doors."""
+    from gdal_ray.info import describe
+    from gdal_ray.sources import open_raster
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    m = describe(D + "roipac/srtm.dem")
+    assert m["driver"].lower().startswith("roi"), m["driver"]
+    ds = open_raster(D + "roipac/srtm.dem")
+    rows = ds.take_all()
+    assert len(rows) >= 1 and rows[0]["n_rows"] >= 1 and rows[0]["data"]
+
+    m2 = describe(D + "nwt_grd/nwt_grd.grd")
+    assert m2["driver"] == "NWT_GRD"
+    ds2 = open_raster(D + "nwt_grd/nwt_grd.grd")
+    rows2 = ds2.take_all()
+    assert len(rows2) == 4  # Z + ramp RGB bands
+    import numpy as np
+
+    z = np.frombuffer(rows2[0]["data"], dtype=np.uint8)
+    assert checksum_plane(z.reshape(rows2[0]["n_rows"], -1)) == 28093
+
+
+def test_s57_objl_matches_reference_catalogue():
+    """Round-5 ADVICE fix: codes 115-120 were shifted by one vs the
+    reference s57objectclasses.csv; table now regenerated verbatim.
+    Sample assertions pin the previously-wrong region plus spot checks."""
+    from gdal_ray.sources.s57 import _OBJL
+
+    expect = {115: "RIVBNK", 116: "ROADWY", 117: "RUNWAY", 118: "SNDWAV",
+              119: "SEAARE", 120: "SPLARE", 121: "SBDARE", 122: "SLCONS",
+              123: "SISTAT", 124: "SISTAW", 131: "SQUARE", 143: "TIDEWY",
+              160: "TS_FEB", 161: "ARCSLN", 162: "ASLXIS", 129: "SOUNDG",
+              42: "DEPARE", 71: "LNDARE", 159: "WRECKS", 300: "M_ACCY",
+              302: "M_COVR", 312: "M_VDAT"}
+    for code, acr in expect.items():
+        assert _OBJL[code] == acr, (code, _OBJL.get(code), acr)
+    # and the full table agrees with the reference catalogue when present
+    import csv
+    import os
+
+    cat = ("/root/reference/ogr/ogrsf_frmts/s57/data/"
+           "s57objectclasses.csv")
+    if os.path.exists(cat):
+        with open(cat) as f:
+            r = csv.reader(f)
+            next(r)
+            for line in r:
+                try:
+                    code = int(line[0])
+                except (ValueError, IndexError):
+                    continue
+                assert _OBJL.get(code) == line[2], (code, line[2])
