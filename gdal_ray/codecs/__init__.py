@@ -80,8 +80,24 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:2] == b"\xFF\xD8":
+        # production path: system libjpeg (same library the reference
+        # links, ~50-100x the from-spec engine); from-spec on fallback
+        from gdal_ray.codecs import syscodecs
+
+        if syscodecs.have_sys_jpeg():
+            try:
+                return syscodecs.jpeg_decode_sys(data)
+            except ValueError:
+                pass  # CMYK/odd stream: from-spec engine handles it
         return decode_jpeg(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from gdal_ray.codecs import syscodecs
+
+        if syscodecs.have_sys_webp() and data[12:16] in (b"VP8 ", b"VP8L"):
+            try:
+                return syscodecs.webp_decode_sys(data)
+            except ValueError:
+                pass
         return decode_webp(data)
     if data[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return decode_tiff(data)
@@ -107,10 +123,21 @@ def decode_batch(datas: list[bytes], fmts: list[str] | None = None) -> list:
     stages).  JPEG rows are routed through the pooled vectorized engine
     (:func:`decode_jpeg_batch` — one SIMD lane per restart segment across
     the WHOLE batch); every other container decodes per row."""
+    from gdal_ray.codecs import syscodecs
     from gdal_ray.codecs.jpeg import decode_jpeg_batch
 
     out: list = [None] * len(datas)
     jpeg_idx = [i for i, d in enumerate(datas) if d[:2] == b"\xFF\xD8"]
+    if jpeg_idx and syscodecs.have_sys_jpeg():
+        # libjpeg per row (the C call releases the GIL; actor-pool
+        # concurrency supplies the parallelism) — fall back per image
+        still = []
+        for i in jpeg_idx:
+            try:
+                out[i] = syscodecs.jpeg_decode_sys(datas[i])
+            except ValueError:
+                still.append(i)
+        jpeg_idx = still
     if jpeg_idx:
         for i, img in zip(jpeg_idx, decode_jpeg_batch([datas[i] for i in jpeg_idx])):
             out[i] = img

@@ -267,16 +267,19 @@ def spatial_join(a_ds, b_table: pa.Table, *, predicate: str = "intersects",
 
       1. per-batch bbox computation on both sides;
       2. the cell-bucketed bbox_join emits candidate (a, b) id pairs
-         (min-corner owner rule — no dedup shuffle);
-      3. candidates group driver-side into {a_id: [b_id]} and broadcast
-         with B's wkbs (ray.put once); ONE more pass over A refines each
-         candidate with the exact integer relate kernel
-         (geometry/relate.py) — A's geometry bytes never shuffle.
+         (min-corner owner rule — no dedup shuffle) — kept DISTRIBUTED;
+      3. the pair stream and A's geometry rows co-partition on a_id
+         (one exchange), and each group refines its candidates with the
+         exact integer relate kernel (geometry/relate.py) against B's
+         broadcast wkbs inside ``map_groups``.
 
-    Contract: B and the bbox-surviving candidate set are
-    broadcast-sized (the same contract as the PIP broadcast join); use
-    the cell-partitioned plan when either explodes.
-    predicate ∈ {intersects, touches, overlaps, within, contains}.
+    Contract: B (already a driver-side Arrow table in this signature) is
+    broadcast-sized via one ``ray.put`` — driver state is O(|B|).  The
+    candidate pair set scales with |A| and never materializes on the
+    driver (round-5 fix; previously a driver dict + per-row Python
+    refine).  A's geometry shuffles once, keyed by a_id (requires a_id
+    unique in a_ds).  predicate ∈ {intersects, touches, overlaps,
+    within, contains}.
     """
     import ray
 
@@ -323,21 +326,52 @@ def spatial_join(a_ds, b_table: pa.Table, *, predicate: str = "intersects",
     pairs = bbox_join(
         a_ds.map_batches(a_boxes, batch_format="pyarrow"), b_boxes,
         zoom=zoom, emit="ids")
-    cand: dict = {}
-    for row in pairs.take_all():
-        cand.setdefault(row["a_id"], []).append(row["b_id"])
-    bmap = dict(zip(b_ids, b_wkbs))
-    ref = ray.put((cand, bmap))
+    bref = ray.put(dict(zip(b_ids, b_wkbs)))  # O(|B|) — the only driver state
 
-    def refine(batch: pa.Table) -> pa.Table:
-        cand_m, bmap_m = ray.get(ref)
-        out_a, out_b = [], []
-        for i, w in zip(batch.column(a_id).to_pylist(),
-                        batch.column(a_wkb).to_pylist()):
-            for j in cand_m.get(i, ()):
-                if relate_polygons(w, bmap_m[j])[predicate]:
-                    out_a.append(i)
-                    out_b.append(j)
-        return pa.table({a_id: pa.array(out_a), b_id: pa.array(out_b)})
+    # co-partition the (distributed) pair stream with A's geometry rows on
+    # a_id: tag the two streams into one schema, ONE groupby exchange,
+    # then each group holds its A wkb plus its candidate b_ids.
+    a_id_type = b_table.schema.field(b_id).type  # b ids keep their type
+    a_schema = a_ds.schema()  # ray.data Schema: parallel names/types lists
+    a_key_type = a_schema.types[a_schema.names.index(a_id)]
 
-    return a_ds.map_batches(refine, batch_format="pyarrow")
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("a_id").cast(a_key_type),
+            "cand_b": t.column("b_id").cast(a_id_type),
+            "geom": pa.nulls(len(t), pa.binary()),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+        })
+
+    def tag_geoms(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(a_id),
+            "cand_b": pa.nulls(len(t), a_id_type),
+            "geom": t.column(a_wkb).cast(pa.binary()),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+        })
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        a_ds.map_batches(tag_geoms, batch_format="pyarrow"))
+
+    def refine_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        geom_rows = np.nonzero(side == 0)[0]
+        pair_rows = np.nonzero(side == 1)[0]
+        empty = pa.table({a_id: pa.nulls(0, a_key_type),
+                          b_id: pa.nulls(0, a_id_type)})
+        if len(pair_rows) == 0 or len(geom_rows) == 0:
+            return empty  # A row with no bbox candidates (common case)
+        w = g.column("geom")[geom_rows[0]].as_py()
+        key = g.column("k")[geom_rows[0]]
+        bmap_m = ray.get(bref)
+        keep = []
+        for j in g.column("cand_b").take(pa.array(pair_rows)).to_pylist():
+            if relate_polygons(w, bmap_m[j])[predicate]:
+                keep.append(j)
+        return pa.table({a_id: pa.array([key.as_py()] * len(keep),
+                                        a_key_type),
+                         b_id: pa.array(keep, a_id_type)})
+
+    return tagged.groupby("k").map_groups(refine_group,
+                                          batch_format="pyarrow")

@@ -1,0 +1,125 @@
+"""System-codec production decode path (VERDICT r4 #1).
+
+The reference links libjpeg (frmts/jpeg/) and libwebp
+(frmts/webp/webpdataset.cpp); gdal_ray.codecs.syscodecs binds the same
+public libraries (libjpeg via the compiled _native shim, libwebp via
+ctypes) and codecs.decode prefers them.  The from-spec decoders stay
+the conformance oracle: these tests pin the two paths against each
+other — bit-exact where both are lossless, tight PSNR bounds where
+IDCT/upsampling choices legitimately differ by a few LSBs.
+"""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs import decode, encode
+from gdal_ray.codecs.jpeg import decode_jpeg
+from gdal_ray.codecs.syscodecs import (have_sys_jpeg, have_sys_webp,
+                                       jpeg_decode_sys, jpeg_encode_sys,
+                                       webp_decode_sys)
+from gdal_ray.codecs.webp import decode_webp
+
+needs_jpeg = pytest.mark.skipif(not have_sys_jpeg(),
+                                reason="libjpeg shim unavailable")
+needs_webp = pytest.mark.skipif(not have_sys_webp(),
+                                reason="libwebp unavailable")
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _img(w, h, seed=3):
+    x = np.linspace(0, 6, w)
+    y = np.linspace(0, 4, h)
+    base = (np.sin(x)[None, :] * np.cos(y)[:, None] * 0.5 + 0.5) * 225
+    rgb = np.stack([base, 225 - base, base * 0.6 + 40], axis=-1)
+    rng = np.random.default_rng(seed)
+    return np.clip(rgb + rng.integers(0, 12, rgb.shape), 0, 255).astype(
+        np.uint8)
+
+
+@needs_jpeg
+def test_libjpeg_decode_matches_from_spec():
+    for (w, h) in [(64, 48), (129, 77), (256, 256)]:
+        img = _img(w, h, seed=w)
+        data = encode(img, "jpeg-real")
+        a = jpeg_decode_sys(data)
+        b = decode_jpeg(data)
+        assert a.shape == b.shape == (h, w, 3)
+        # same bitstream, two conforming IDCT/upsample implementations
+        assert _psnr(a, b) > 50.0
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 16
+
+
+@needs_jpeg
+def test_libjpeg_encode_cross_decodes():
+    img = _img(96, 64)
+    data = jpeg_encode_sys(img, quality=90)
+    assert data[:2] == b"\xFF\xD8"
+    # libjpeg's own bitstream decodes on BOTH paths to near the source
+    assert _psnr(jpeg_decode_sys(data), img) > 33.0
+    assert _psnr(decode_jpeg(data), img) > 33.0
+    # libjpeg emits 4:2:0 by default; fancy vs simple chroma
+    # upsampling bounds cross-path agreement near ~40 dB (both conform)
+    assert _psnr(jpeg_decode_sys(data), decode_jpeg(data)) > 38.0
+
+
+@needs_jpeg
+def test_libjpeg_grayscale_and_errors():
+    g = _img(40, 30)[:, :, 0]
+    data = jpeg_encode_sys(g, quality=92)
+    out = jpeg_decode_sys(data)
+    assert out.shape == (30, 40)
+    assert _psnr(out, g) > 35.0
+    with pytest.raises(ValueError):
+        jpeg_decode_sys(b"\xFF\xD8\xFF\xE0garbage")
+
+
+@needs_webp
+def test_libwebp_lossless_bit_equal():
+    img = _img(50, 41, seed=9)
+    data = encode(img, "webp-real")  # VP8L from-spec encoder
+    assert np.array_equal(webp_decode_sys(data), decode_webp(data))
+
+
+@needs_webp
+def test_libwebp_lossy_parity():
+    from gdal_ray.codecs.vp8 import encode_webp_vp8
+
+    img = _img(80, 64, seed=11)
+    data = encode_webp_vp8(img, qindex=8)
+    a = webp_decode_sys(data)
+    b = decode_webp(data)
+    assert a.shape == b.shape == (64, 80, 3)
+    # YUV reconstruction is bit-exact (test_vp8.py); RGB differs by
+    # libwebp's fancy upsampler vs our simple one on 4:2:0 chroma
+    assert _psnr(a, b) > 38.0
+
+
+@needs_jpeg
+def test_decode_dispatch_prefers_system_and_falls_back(monkeypatch):
+    img = _img(32, 32)
+    data = encode(img, "jpeg-real")
+    out_sys = decode(data)
+    assert out_sys.shape == (32, 32, 3)
+    # forced-off path must produce the from-spec result
+    monkeypatch.setenv("GRAFT_NO_SYSCODECS", "1")
+    out_spec = decode(data)
+    assert np.array_equal(out_spec, decode_jpeg(data))
+    assert _psnr(out_sys, out_spec) > 50.0
+
+
+@needs_jpeg
+def test_decode_batch_system_path():
+    from gdal_ray.codecs import decode_batch
+
+    imgs = [_img(48, 32, seed=s) for s in range(4)]
+    datas = [encode(i, "jpeg-real") for i in imgs] + \
+        [encode(imgs[0], "png")]
+    outs = decode_batch(datas)
+    assert len(outs) == 5
+    for o, i in zip(outs[:4], imgs):
+        assert _psnr(o, i) > 30.0
+    assert np.array_equal(outs[4], imgs[0])
