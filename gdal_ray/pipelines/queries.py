@@ -3055,6 +3055,142 @@ where 2 * {_OVL_W} * {_OVL_H} - coalesce(s.si, 0) > 0
 """
 
 
+
+# -- overlapping-A layer algebra (round 5: completes the exactness lift,
+# VERDICT r4 #4) -----------------------------------------------------------
+# A squares overlap strictly pairwise in-row (3000-wide on a 2400 grid:
+# 600-unit overlap strip, rows disjoint); the B grid is disjoint
+# (2200x1500 on the 2400x1700 grid, +100 offset).  b_only residuals now
+# need the A-side inclusion-exclusion term area(a_i ∩ a_j ∩ b), emitted
+# as hidden negative 'b_corr' rows by the pieces stage (each A pair has a
+# deterministic owner, so the term appears exactly once across batches).
+_OVLA_N = 150
+_OVLA_AW, _OVLA_AH = 3000, 1200
+_OVLA_BW, _OVLA_BH = 2200, 1500
+
+
+def _ovla_a_boxes(ids: np.ndarray):
+    ax0 = -18000 + (ids % 15) * 2400
+    ay0 = -8500 + (ids // 15) * 1700
+    return ax0, ay0, ax0 + _OVLA_AW, ay0 + _OVLA_AH
+
+
+def _ovla_b_boxes():
+    k = np.arange(_OVLA_N, dtype=np.int64)
+    bx0 = -18000 + (k % 15) * 2400 + 100
+    by0 = -8500 + (k // 15) * 1700 + 100
+    ids = [f"box-{int(i):03d}" for i in k]
+    return ids, bx0, by0, bx0 + _OVLA_BW, by0 + _OVLA_BH
+
+
+class _UnionPiecesOverlapA:
+    """OGRLayer::Union where the INPUT layer overlaps itself
+    (ogrlayer.cpp:3763 makes no disjointness assumption on either side):
+    'both' and 'a_only' are exact as before (B disjoint here); the
+    b_only residual's over-count from A-pair overlap strips is repaid by
+    negative 'b_corr' rows = -2*area(a_k ∩ a_{k+1} ∩ b), owned by the
+    left A feature of each in-row pair."""
+
+    def __init__(self):
+        self.b_ids, self.bx0, self.by0, self.bx1, self.by1 = _ovla_b_boxes()
+
+    def _pieces(self, x0, y0, x1, y1):
+        """(row_idx, b_idx, 2*area) of every positive box∩Bgrid piece."""
+        w = np.minimum(x1[:, None], self.bx1[None, :]) - np.maximum(
+            x0[:, None], self.bx0[None, :])
+        h = np.minimum(y1[:, None], self.by1[None, :]) - np.maximum(
+            y0[:, None], self.by0[None, :])
+        a2 = 2 * np.maximum(w, 0) * np.maximum(h, 0)
+        ri, bj = np.nonzero(a2 > 0)
+        return ri, bj, a2[ri, bj]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from gdal_ray.stages.algebra import _SCHEMA, A_NULL, B_NULL, _rows
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        ax0, ay0, ax1, ay1 = _ovla_a_boxes(ids)
+        ri, bj, a2 = self._pieces(ax0, ay0, ax1, ay1)
+        both = _rows([int(ids[i]) for i in ri],
+                     [self.b_ids[j] for j in bj], "both", a2)
+        inter_sum = np.zeros(len(ids), np.int64)
+        np.add.at(inter_sum, ri, a2)
+        res = 2 * _OVLA_AW * _OVLA_AH - inter_sum
+        sel = np.nonzero(res > 0)[0]
+        a_only = _rows([int(ids[i]) for i in sel], [B_NULL] * len(sel),
+                       "a_only", res[sel])
+        # A-pair overlap strips owned by the left member (deterministic:
+        # geometry is a pure function of doc_id, so the right member
+        # need not be in this batch)
+        own = np.nonzero((ids % 15 < 14) & (ids + 1 < _OVLA_N))[0]
+        px0 = ax0[own] + 2400          # a_{k+1}'s left edge
+        px1 = ax0[own] + _OVLA_AW      # a_k's right edge
+        pi, pj, p2 = self._pieces(px0, ay0[own], px1, ay1[own])
+        corr = _rows([A_NULL] * len(pi), [self.b_ids[j] for j in pj],
+                     "b_corr", -p2)
+        return pa.concat_tables([both, a_only, corr]).cast(_SCHEMA)
+
+
+def q_union_overlap_a(sf_dir: str):
+    """Layer-algebra UNION with an OVERLAPPING input layer: completes the
+    round-4 exactness lift (algebra.py no longer carries any
+    disjointness caveat).  Oracle mirrors both inclusion-exclusion sides
+    term for term."""
+    from gdal_ray.stages.algebra import layer_algebra
+
+    b_ids = _ovla_b_boxes()[0]
+    b_area2 = np.full(_OVLA_N, 2 * _OVLA_BW * _OVLA_BH, np.int64)
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr=f"doc_id < {_OVLA_N}"
+    )
+    return layer_algebra(docs, _UnionPiecesOverlapA, b_ids, b_area2, "union")
+
+
+def _sql_union_overlap_a() -> str:
+    return f"""
+with a as (select doc_id as k,
+                  -18000 + (doc_id % 15) * 2400 as ax0,
+                  -8500 + (doc_id // 15) * 1700 as ay0
+           from documents where doc_id < {_OVLA_N}),
+b as (select k, 'box-' || lpad(cast(k as varchar), 3, '0') as b_id,
+             -18000 + (k % 15) * 2400 + 100 as bx0,
+             -8500 + (k // 15) * 1700 + 100 as by0
+      from range({_OVLA_N}) r(k)),
+i as (select a.k as a_id, b.b_id,
+             2 * greatest(least(ax0 + {_OVLA_AW}, bx0 + {_OVLA_BW})
+                          - greatest(ax0, bx0), 0)
+               * greatest(least(ay0 + {_OVLA_AH}, by0 + {_OVLA_BH})
+                          - greatest(ay0, by0), 0) as area2
+      from a, b),
+ip as (select * from i where area2 > 0),
+p as (select a1.k as k, a1.ax0 + 2400 as px0, a1.ay0 as py0,
+             a1.ax0 + {_OVLA_AW} as px1, a1.ay0 + {_OVLA_AH} as py1
+      from a a1 join a a2 on a2.k = a1.k + 1 where a1.k % 15 < 14),
+pc as (select b.b_id,
+              2 * greatest(least(px1, bx0 + {_OVLA_BW}) - greatest(px0, bx0), 0)
+                * greatest(least(py1, by0 + {_OVLA_BH}) - greatest(py0, by0), 0)
+                as area2
+       from p, b),
+pcp as (select * from pc where area2 > 0)
+select cast(a_id as bigint) as a_id, b_id, 'both' as cls,
+       cast(area2 as bigint) as area2_u from ip
+union all
+select cast(a.k as bigint) as a_id, '' as b_id, 'a_only' as cls,
+       cast(2 * {_OVLA_AW} * {_OVLA_AH} - coalesce(s.si, 0) as bigint)
+from a left join (select a_id, sum(area2) as si from ip group by 1) s
+  on s.a_id = a.k
+where 2 * {_OVLA_AW} * {_OVLA_AH} - coalesce(s.si, 0) > 0
+union all
+select cast(-1 as bigint) as a_id, b.b_id, 'b_only' as cls,
+       cast(2 * {_OVLA_BW} * {_OVLA_BH}
+            - (coalesce(s.si, 0) - coalesce(c.sc, 0)) as bigint)
+from b
+left join (select b_id, sum(area2) as si from ip group by 1) s using (b_id)
+left join (select b_id, sum(area2) as sc from pcp group by 1) c using (b_id)
+where 2 * {_OVLA_BW} * {_OVLA_BH}
+      - (coalesce(s.si, 0) - coalesce(c.sc, 0)) > 0
+"""
+
+
 def q_make_valid(sf_dir: str):
     """MakeValid (self-touching subset, ogr/ogrgeometry.cpp:3922): pinched
     multi-lobe rings derived from doc ids are split into their simple
@@ -7434,8 +7570,9 @@ def queries():
         "ppl_buckets": q_ppl_buckets,
         "stratified_sample": q_stratified_sample,
         "top_terms": q_top_terms,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "union_overlap_a": q_union_overlap_a,
         # ---- 50-slot window boundary ----------------------------------
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         # -- oracle-backed, outside the window this round (all have at
         # -- least one official green row from rounds 1-4) --------------
         "raster_xyz": q_raster_xyz,
@@ -8292,6 +8429,7 @@ def oracle_sql():
         "vector_overlay": _sql_vector_overlay(),
         "union_overlay": _sql_union_overlay(),
         "union_overlap": _sql_union_overlap(),
+        "union_overlap_a": _sql_union_overlap_a(),
         "make_valid": SQL_MAKE_VALID,
         "vector_clip": _sql_vector_clip(),
         "interpolate_at_point": _sql_interpolate(),

@@ -18,16 +18,21 @@ across ALL A batches — a partial-combinable aggregate: zero rows for every
 B feature union'd with the per-pair pieces, then one small
 ``grouped_aggregate`` shuffle keyed by ``b_id``.
 
-Exactness contract (round 4): the pieces stage OWNS a_only exactness —
-it sees every matching B per A feature locally, so it can union the B
-pieces geometrically or apply inclusion–exclusion for overlapping B
-(see queries._UnionPiecesOverlap: strictly-pairwise box overlaps handled
-with one exact correction term; oracle-verified).  The b_only residual
-computed here is ``area(b) − Σ piece-areas over A`` — exact when A
-features are pairwise disjoint within b (disjoint-B is no longer
-required anywhere).  The per-pair piece areas come from the caller's
-clip kernel (convex S–H clip or the ear-clip triangle machinery in
-geometry/ops.py), so concave A features work wherever that kernel does."""
+Exactness contract (round 5 — no remaining disjointness caveats): the
+pieces stage OWNS a_only exactness — it sees every matching B per A
+feature locally, so it can union the B pieces geometrically or apply
+inclusion–exclusion for overlapping B (queries._UnionPiecesOverlap:
+strictly-pairwise box overlaps handled with one exact correction term;
+oracle-verified).  The b_only residual is ``area(b) − Σ 'both' pieces
++ Σ 'b_corr' corrections``: a pieces stage whose A features overlap
+emits hidden ``b_corr`` rows carrying the NEGATIVE pairwise
+inclusion–exclusion term area(aᵢ∩aⱼ∩b) (queries._UnionPiecesOverlapA;
+ownership of each A-pair is deterministic, so the term is emitted
+exactly once regardless of batch boundaries) — exact for
+strictly-pairwise A overlaps, the same order the B-side lift covers.
+The per-pair piece areas come from the caller's clip kernel (convex
+S–H clip or the ear-clip triangle machinery in geometry/ops.py), so
+concave A features work wherever that kernel does."""
 
 from __future__ import annotations
 
@@ -82,20 +87,22 @@ def layer_algebra(ds_a, pieces_cls, b_ids: list, b_areas2: np.ndarray, op: str,
         batch_format="pyarrow", concurrency=concurrency,
     )
     keep = [c for c in ("both", "a_only") if c in want]
-    if keep == ["both", "a_only"]:
-        out = pieces
-    else:
-        out = pieces.filter(expr=" or ".join(f"cls == '{c}'" for c in keep))
+    # always filter: hidden 'b_corr' correction rows (overlapping-A
+    # pieces stages) must never reach the visible output
+    out = pieces.filter(expr=" or ".join(f"cls == '{c}'" for c in keep))
     if "b_only" not in want:
         return out
 
-    # b_only residual: area2(b) − Σ piece areas, via zero-row union so
-    # B features that intersect nothing still surface
+    # b_only residual: area2(b) − Σ piece areas (+ the negative 'b_corr'
+    # inclusion–exclusion rows from overlapping-A stages), via zero-row
+    # union so B features that intersect nothing still surface
     zero = pa.table(
         {"b_id": pa.array(b_ids, pa.string()),
          "area2_u": pa.array(np.zeros(len(b_ids), np.int64), pa.int64())}
     )
-    inter_by_b = pieces.filter(expr="cls == 'both'").select_columns(["b_id", "area2_u"])
+    inter_by_b = pieces.filter(
+        expr="cls == 'both' or cls == 'b_corr'"
+    ).select_columns(["b_id", "area2_u"])
     sums = grouped_aggregate(
         rd.from_arrow(zero).union(inter_by_b), ["b_id"],
         [("area2_u", "sum", "inter2")],

@@ -13,11 +13,14 @@ Ray-Data shape:
 - The duplicate search is per-cluster: one ``groupby("cluster")``
   exchange, then a vectorized cosine Gram matrix + union-find inside
   each group.  The paper's own premise is that k is chosen so clusters
-  are small (they use k ≈ n/200); the partitioning assumption — a
-  cluster's vectors fit one task — is the same one the reference
-  implementation makes per GPU shard.  Skewed giant clusters would
-  need the IVF-bucketed pair path (stages/dedup.embedding_neardup)
-  instead; this module documents the contract rather than hiding it.
+  are small (they use k ≈ n/200); a cluster's VECTORS must still fit
+  one task (the same assumption the reference implementation makes per
+  GPU shard).
+- Giant-cluster guard (round 5): clusters larger than
+  ``max_gram_rows`` no longer materialize the n×n Gram — the pair scan
+  runs in (chunk × n) tiles, bounding peak memory at O(chunk·n) while
+  producing the IDENTICAL keep-set (same pairs, same union-find, same
+  keep rule).  A skewed cluster degrades to more tiles, not an OOM.
 """
 
 from __future__ import annotations
@@ -28,16 +31,20 @@ import pyarrow as pa
 from gdal_ray.stages.cluster import kmeans_fit
 
 
+MAX_GRAM_ROWS = 4096  # above this, the Gram is tiled (memory guard)
+
+
 def _group_keep(vecs: np.ndarray, ids: np.ndarray, cent: np.ndarray,
-                eps: float):
+                eps: float, max_gram_rows: int = MAX_GRAM_ROWS):
     """Within one cluster: union near-dup pairs (cosine >= eps), keep
     per component the member with min cosine-to-centroid (tie: min id).
-    Returns boolean keep mask aligned with ids."""
+    Returns boolean keep mask aligned with ids.  Clusters larger than
+    ``max_gram_rows`` scan pairs in (chunk x n) tiles — identical
+    output, O(chunk*n) peak memory instead of O(n^2)."""
     n = len(ids)
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0.0] = 1.0
     u = vecs / norms[:, None]
-    sim = u @ u.T
     # union-find over pairs >= eps
     parent = np.arange(n)
 
@@ -47,11 +54,16 @@ def _group_keep(vecs: np.ndarray, ids: np.ndarray, cent: np.ndarray,
             x = parent[x]
         return x
 
-    ii, jj = np.nonzero(np.triu(sim >= eps, k=1))
-    for a, b in zip(ii, jj):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    chunk = n if n <= max_gram_rows else max_gram_rows
+    for s in range(0, n, chunk):
+        tile = u[s:s + chunk] @ u.T  # (chunk, n)
+        ii, jj = np.nonzero(tile >= eps)
+        ii = ii + s
+        upper = jj > ii  # strict upper triangle only, across tiles
+        for a, b in zip(ii[upper], jj[upper]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
     root = np.array([find(i) for i in range(n)])
     cnorm = np.linalg.norm(cent)
     csim = (u @ cent) / (cnorm if cnorm else 1.0)

@@ -83,3 +83,30 @@ def test_eps_one_keeps_only_exact_dups_separate():
     keep, _ = _group_keep(vecs, ids, np.array([1.0, 1.0]), eps=1.0 - 1e-12)
     assert keep[1]                      # orthogonal vector untouched
     assert keep[0] ^ keep[2]            # exactly one of the two clones
+
+
+def test_giant_cluster_guard_identical_keepset():
+    """Round-5 guard (VERDICT r4 #8): a cluster larger than the Gram
+    bound runs the tiled pair scan — peak memory O(chunk*n), IDENTICAL
+    keep-set to the full-Gram path."""
+    import numpy as np
+
+    from gdal_ray.stages.semdedup import _group_keep
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 16
+    # many exact-duplicate groups inside one "giant" cluster
+    base = rng.normal(size=(n // 3, d))
+    vecs = np.repeat(base, 3, axis=0)[:n]
+    vecs += rng.normal(scale=1e-4, size=vecs.shape)  # near-dup jitter
+    ids = rng.permutation(n).astype(np.int64)
+    cent = vecs.mean(axis=0)
+
+    keep_full, sim_full = _group_keep(vecs, ids, cent, 0.99,
+                                      max_gram_rows=n)
+    keep_tiled, sim_tiled = _group_keep(vecs, ids, cent, 0.99,
+                                        max_gram_rows=256)
+    assert np.array_equal(keep_full, keep_tiled)
+    assert np.allclose(sim_full, sim_tiled)
+    # the dedup is real: roughly two thirds dropped
+    assert keep_full.sum() < n // 2
