@@ -13,11 +13,16 @@ Scale design (100 TB corpus):
 - document frequencies reduce through the engine's hash-bucket
   `grouped_aggregate` (only (term, 1) pairs shuffle).
 - the (term -> df) side is vocabulary-sized — orders of magnitude smaller
-  than the corpus — so scoring BROADCASTS it (`ray.put` once, read per
-  actor) instead of shuffling the corpus through a join; for a vocabulary
-  too large to broadcast, hash-bucket both sides by term and use the
-  same `grouped_aggregate` machinery (documented fallback, not needed at
-  any realistic vocabulary size).
+  than the corpus — so for bounded vocabularies scoring BROADCASTS it
+  (`ray.put` once, read per actor) instead of shuffling the corpus
+  through a join.  Open-vocabulary web text (10^8+ terms at 100 TB)
+  routes through the gram-keyed JOIN path instead (round 5, the
+  ngram_lm.py count-attachment pattern): tf rows and df rows
+  co-partition on term in ONE groupby exchange and scores attach inside
+  ``map_groups`` — no driver or broadcast state at any vocabulary size.
+  ``path="auto"`` picks by measured vocabulary size
+  (VOCAB_BROADCAST_MAX); both paths produce bit-identical scores
+  (element-wise IEEE ops, order-free).
 - all float scores are single-expression IEEE arithmetic on integer
   inputs, evaluated in the same operation order as the SQL oracle —
   bit-stable across engines (no `ln`, whose libm rounding differs).
@@ -76,12 +81,16 @@ def document_frequency(tf_rows, *, num_buckets: int = 16):
                              num_buckets=num_buckets)
 
 
-def _df_map(tf_rows) -> tuple[dict, int]:
-    """Materialize the vocabulary-sized (term -> df) map and the total
-    token count.  Driver-side state is O(vocabulary), not O(corpus)."""
-    df_tbl = document_frequency(tf_rows).to_arrow_refs()
+VOCAB_BROADCAST_MAX = 2_000_000  # terms; larger vocabularies take the
+#                                  gram-keyed join path automatically
+
+
+def _df_map(df_ds) -> dict:
+    """Materialize a (term, df) Dataset into the vocabulary-sized
+    driver map.  Driver-side state is O(vocabulary), not O(corpus) —
+    only valid on the broadcast path (vocab <= VOCAB_BROADCAST_MAX)."""
     import ray
-    parts = [ray.get(r) for r in df_tbl]
+    parts = [ray.get(r) for r in df_ds.to_arrow_refs()]
     tbl = pa.concat_tables([p for p in parts if p.num_rows])
     return dict(zip(tbl.column("term").to_pylist(),
                     tbl.column("df").to_pylist()))
@@ -117,14 +126,8 @@ class _ScoreDocs:
         pos = pc.index_in(b.column("term"), value_set=self.terms)
         df = self.dfs[pos.to_numpy(zero_copy_only=False)]
         tf = b.column("tf").to_numpy().astype(np.int64)
-        if self.mode == "tfidf":
-            # score = (tf * N) / df — one IEEE division on exact ints
-            score = (tf * self.n).astype(np.float64) / df
-        else:  # bm25 (rational idf kernel; same op order as the oracle)
-            dl = b.column("dl").to_numpy().astype(np.float64)
-            idf = (self.n - df + 0.5) / (df + 0.5)
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avgdl))
-            score = idf * ((tf * (BM25_K1 + 1.0)) / denom)
+        dl = b.column("dl").to_numpy().astype(np.float64)
+        score = _score_expr(tf, df, dl, self.n, self.avgdl, self.mode)
         return pa.table({
             "doc_id": b.column("doc_id"),
             "term": b.column("term"),
@@ -134,11 +137,27 @@ class _ScoreDocs:
         })
 
 
-def _scored(ds, *, mode: str, min_tf: int, col="text", id_col="doc_id"):
+def _score_expr(tf: np.ndarray, df: np.ndarray, dl: np.ndarray,
+                n_docs: int, avgdl: float, mode: str) -> np.ndarray:
+    """The shared scoring kernel — element-wise IEEE ops in one fixed
+    order, so broadcast and join paths (and the SQL oracle) agree
+    bit-for-bit."""
+    if mode == "tfidf":
+        # score = (tf * N) / df — one IEEE division on exact ints
+        return (tf * n_docs).astype(np.float64) / df
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+    return idf * ((tf * (BM25_K1 + 1.0)) / denom)
+
+
+def _scored(ds, *, mode: str, min_tf: int, col="text", id_col="doc_id",
+            path: str = "auto"):
+    """path: 'broadcast' (vocab-sized ray.put map, bounded vocab),
+    'join' (gram-keyed co-partition, any vocab size), or 'auto'
+    (measured vocabulary size decides)."""
     import ray
 
     tf_rows = doc_term_rows(ds, col=col, id_col=id_col)
-    dfm = _df_map(tf_rows)
     # corpus totals from the df/tf reduction, not a driver scan
     stats = grouped_aggregate(
         tf_rows.map_batches(
@@ -151,23 +170,76 @@ def _scored(ds, *, mode: str, min_tf: int, col="text", id_col="doc_id"):
     total_tokens = int(stats[0]["total_tokens"]) if stats else 0
     n_docs = ds.count()
     avgdl = float(total_tokens) / n_docs if n_docs else 1.0
-    df_ref = ray.put(dfm)
-    return tf_rows.map_batches(
-        _ScoreDocs, fn_constructor_args=(df_ref, n_docs, avgdl, mode, min_tf),
-        concurrency=(1, 4), batch_format="pyarrow")
+    df_ds = document_frequency(tf_rows)
+    if path == "auto":
+        path = "broadcast" if df_ds.count() <= VOCAB_BROADCAST_MAX \
+            else "join"
+    if path == "broadcast":
+        df_ref = ray.put(_df_map(df_ds))
+        return tf_rows.map_batches(
+            _ScoreDocs,
+            fn_constructor_args=(df_ref, n_docs, avgdl, mode, min_tf),
+            concurrency=(1, 4), batch_format="pyarrow")
+    # open-vocab join path (the ngram_lm._attach_counts pattern): df rows
+    # and tf rows hash-bucket by term — 64 coarse buckets, ONE vectorized
+    # index_in per bucket, no per-term Python and no driver/broadcast
+    # vocabulary state at any vocab size
+    from gdal_ray.stages.ngram_lm import _attach_counts
+
+    def tag_tf(b: pa.Table) -> pa.Table:
+        if min_tf > 1:
+            b = b.filter(pc.greater_equal(b.column("tf"), min_tf))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "term": b.column("term"),
+            "tf": pc.cast(b.column("tf"), pa.int64()),
+            "dl": pc.cast(b.column("dl"), pa.int64()),
+        })
+
+    df_c = df_ds.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "c": pc.cast(b.column("df"), pa.int64())}),
+        batch_format="pyarrow")
+    rows = _attach_counts(
+        tf_rows.map_batches(tag_tf, batch_format="pyarrow"), df_c,
+        key="term", out="df",
+        row_schema=[("doc_id", pa.int64()), ("term", pa.string()),
+                    ("tf", pa.int64()), ("dl", pa.int64())])
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy().astype(np.int64)
+        dl = b.column("dl").to_numpy().astype(np.float64)
+        df = b.column("df").to_numpy().astype(np.int64)
+        score = _score_expr(tf, df, dl, n_docs, avgdl, mode)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "term": b.column("term"),
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    return rows.map_batches(score_batch, batch_format="pyarrow")
 
 
-def tfidf_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id"):
+def tfidf_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id",
+                 path: str = "auto"):
     """(doc_id, term, tf, df, score) with score = tf·N/df (the idf ratio
-    without the log — a single exact division, cross-engine bit-stable)."""
-    return _scored(ds, mode="tfidf", min_tf=min_tf, col=col, id_col=id_col)
+    without the log — a single exact division, cross-engine bit-stable).
+    ``path``: 'auto' | 'broadcast' | 'join' (open-vocab, no driver
+    vocabulary state)."""
+    return _scored(ds, mode="tfidf", min_tf=min_tf, col=col,
+                   id_col=id_col, path=path)
 
 
-def bm25_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id"):
+def bm25_scores(ds, *, min_tf: int = 3, col="text", id_col="doc_id",
+                path: str = "auto"):
     """(doc_id, term, tf, df, score) with the BM25 kernel
     idf_ratio · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)), k1=1.2, b=0.75,
-    idf_ratio = (N-df+0.5)/(df+0.5) (log-free for bit-stability)."""
-    return _scored(ds, mode="bm25", min_tf=min_tf, col=col, id_col=id_col)
+    idf_ratio = (N-df+0.5)/(df+0.5) (log-free for bit-stability).
+    ``path`` as in :func:`tfidf_scores`."""
+    return _scored(ds, mode="bm25", min_tf=min_tf, col=col,
+                   id_col=id_col, path=path)
 
 
 def bm25_topk(ds, query_terms: list[str], k: int = 20, *,

