@@ -4473,6 +4473,57 @@ def q_image_quality(sf_dir: str):
         image_quality, batch_format="pyarrow", batch_size=32)
 
 
+def q_jpeg_transcode(sf_dir: str):
+    """Rate-controlled lossy JPEG transcode over the image table (round
+    5: closes the "no rate-controlled lossy encode" gap via the system
+    libjpeg the reference links, frmts/jpeg/ CreateCopy QUALITY=):
+    decode -> re-encode at a per-image quality (60/80/95 cycling) ->
+    decode back, emitting byte sizes and PSNR.  Rows-only (encoded byte
+    counts are libjpeg-version-defined, no SQL twin); falls back to the
+    from-spec T.81 encoder where the shim is unavailable.  Actor-pool
+    stage: pixels never shuffle."""
+    from gdal_ray.codecs import decode
+    from gdal_ray.codecs.syscodecs import (have_sys_jpeg, jpeg_decode_sys,
+                                           jpeg_encode_sys)
+
+    def transcode(b: pa.Table) -> pa.Table:
+        use_sys = have_sys_jpeg()
+        ids, quals, n_in, n_out, psnrs = [], [], [], [], []
+        for i in range(len(b)):
+            raw = b.column("bytes")[i].as_py()
+            img = decode(raw, None)
+            if img.ndim == 2:
+                img = img[:, :, None].repeat(3, axis=2)
+            q = (60, 80, 95)[i % 3]
+            if use_sys:
+                data = jpeg_encode_sys(img, quality=q)
+                back = jpeg_decode_sys(data)
+            else:
+                from gdal_ray.codecs import encode as _enc
+                from gdal_ray.codecs.jpeg import decode_jpeg
+
+                data = _enc(img, "jpeg-real")
+                back = decode_jpeg(data)
+            mse = float(np.mean((img.astype(np.float64)
+                                 - back.astype(np.float64)) ** 2))
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+            ids.append(str(b.column("image_id")[i].as_py()))
+            quals.append(q)
+            n_in.append(len(raw))
+            n_out.append(len(data))
+            psnrs.append(int(min(psnr, 99.0) * 10))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "quality": pa.array(quals, pa.int64()),
+            "in_bytes": pa.array(n_in, pa.int64()),
+            "jpeg_bytes": pa.array(n_out, pa.int64()),
+            "psnr_db_x10": pa.array(psnrs, pa.int64()),
+        })
+
+    return _images_ds(sf_dir, limit=300).map_batches(
+        transcode, batch_format="pyarrow", batch_size=32)
+
+
 def q_vp8_roundtrip(sf_dir: str):
     """Real lossy-WebP (VP8, RFC 6386) round-trip over the image table:
     re-encode decoded pixels as VP8 key frames (codecs/vp8.py) and decode
@@ -7692,6 +7743,7 @@ def queries():
         "image_tiles": q_image_tiles,
         "image_quality": q_image_quality,
         "vp8_roundtrip": q_vp8_roundtrip,
+        "jpeg_transcode": q_jpeg_transcode,
         "image_augment": q_image_augment,
         "pca_embed": q_pca_embed,
         "bpe_merges": q_bpe_merges,

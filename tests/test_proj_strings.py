@@ -137,8 +137,10 @@ def test_unsupported_projections_raise():
         crs.proj_pair("+proj=igh +ellps=WGS84")
     with pytest.raises(NotImplementedError, match="oblique"):
         crs.proj_pair("+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel")
+    # airy/mod_airy/WGS72/krass/aust_SA joined the table in round 5
+    # (EPSG registry); Everest 1830 remains honestly outside it
     with pytest.raises(NotImplementedError, match="ellipsoid"):
-        crs.proj_pair("+proj=merc +ellps=airy")
+        crs.proj_pair("+proj=merc +ellps=evrst30")
 
 
 def test_geocentric_anchors_and_roundtrip():

