@@ -511,6 +511,24 @@ def _build_epsg_registry() -> dict:
                "+lat_2=51.16666666666666 +lat_0=50.797815 "
                "+lon_0=4.359215833333333 +x_0=649328 +y_0=665262 "
                "+ellps=GRS80"),
+        # Amersfoort / RD New (oblique stereographic on Bessel;
+        # towgs84 per EPSG:15934)
+        28992: ("+proj=sterea +lat_0=52.15616055555555 "
+                "+lon_0=5.38763888888889 +k_0=0.9999079 +x_0=155000 "
+                "+y_0=463000 +ellps=bessel "
+                "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,"
+                "-1.8774,4.0725"),
+        # CH1903 / LV03 and CH1903+ / LV95 (Swiss oblique Mercator)
+        21781: ("+proj=somerc +lat_0=46.95240555555556 "
+                "+lon_0=7.439583333333333 +x_0=600000 +y_0=200000 "
+                "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+        2056: ("+proj=somerc +lat_0=46.95240555555556 "
+               "+lon_0=7.439583333333333 +x_0=2600000 +y_0=1200000 "
+               "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+        # S-JTSK / Krovak East North (EPSG method 9819)
+        5514: ("+proj=krovak +lat_0=49.5 "
+               "+lon_0=24.833333333333332 +x_0=0 +y_0=0 +ellps=bessel "
+               "+towgs84=589,76,480"),
         # WGS 84 / Plate Carrée / World Equidistant Cylindrical
         32662: "+proj=eqc +ellps=WGS84",
         4087: "+proj=eqc +ellps=WGS84",
@@ -1047,6 +1065,204 @@ def eckert4(lon0: float, fe: float, fn: float, R: float = A_WGS84):
         x = np.asarray(E, dtype=np.float64) - fe
         lam = lam0 + x / (CX * R * (1.0 + np.cos(th)))
         return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def oblique_stereographic(lat0: float, lon0: float, k0: float, fe: float,
+                          fn: float, *, a: float = A_WGS84,
+                          f: float = F_WGS84):
+    """Oblique ("double") Stereographic, EPSG method 9809 — the
+    conformal-sphere construction of EPSG Guidance Note 7-2 §3.2.5
+    (the reference reaches it through PROJ +proj=sterea; RD New /
+    Amersfoort EPSG:28992 is the flagship user).  Worked-example-pinned
+    in tests (GN7-2: 53°N 6°E -> 196105.283, 557057.739)."""
+    e = _ecc(f)
+    phi0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    e2 = e * e
+    rho0 = a * (1 - e2) / (1 - e2 * np.sin(phi0) ** 2) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * np.sin(phi0) ** 2)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(phi0) ** 4 / (1 - e2))
+    S1 = (1 + np.sin(phi0)) / (1 - np.sin(phi0))
+    S2 = (1 - e * np.sin(phi0)) / (1 + e * np.sin(phi0))
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = ((n + np.sin(phi0)) * (1 - sin_chi0)) / (
+        (n - np.sin(phi0)) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    lam0_c = lam0
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        Lam = n * (lam - lam0_c) + lam0_c
+        Sa = (1 + np.sin(phi)) / (1 - np.sin(phi))
+        Sb = (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        w = c * (Sa * Sb ** e) ** n
+        chi = np.arcsin((w - 1) / (w + 1))
+        B = 1 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) \
+            * np.cos(Lam - lam0_c)
+        E = fe + 2 * R * k0 * np.cos(chi) * np.sin(Lam - lam0_c) / B
+        N = fn + 2 * R * k0 * (np.sin(chi) * np.cos(chi0)
+                               - np.cos(chi) * np.sin(chi0)
+                               * np.cos(Lam - lam0_c)) / B
+        return E, N
+
+    def inv(E, N):
+        Ep = np.asarray(E, dtype=np.float64) - fe
+        Np = np.asarray(N, dtype=np.float64) - fn
+        g = 2 * R * k0 * np.tan(np.pi / 4 - chi0 / 2)
+        h = 4 * R * k0 * np.tan(chi0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = chi0 + 2 * np.arctan((Np - Ep * np.tan(j / 2))
+                                   / (2 * R * k0))
+        Lam = j + 2 * i + lam0_c
+        lam = (Lam - lam0_c) / n + lam0_c
+        psi = 0.5 * np.log((1 + np.sin(chi))
+                           / (c * (1 - np.sin(chi)))) / n
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(8):
+            psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                           * ((1 - e * np.sin(phi))
+                              / (1 + e * np.sin(phi))) ** (e / 2))
+            phi = phi - (psi_i - psi) * np.cos(phi) \
+                * (1 - e2 * np.sin(phi) ** 2) / (1 - e2)
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def swiss_oblique_mercator(lat0: float, lon0: float, fe: float, fn: float,
+                           *, a: float = 6377397.155,
+                           f: float = 1.0 / 299.1528128):
+    """Swiss Oblique Mercator (PROJ +proj=somerc; swisstopo's published
+    "Formulas and constants for the calculation of the Swiss conformal
+    cylindrical projection" — rigorous formulas, not the series):
+    ellipsoid -> conformal sphere -> pseudo-equator rotation ->
+    Mercator.  CH1903/LV03 (EPSG:21781) and CH1903+/LV95 (EPSG:2056)."""
+    e = _ecc(f)
+    e2 = e * e
+    phi0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    R = a * np.sqrt(1 - e2) / (1 - e2 * np.sin(phi0) ** 2)
+    alpha = np.sqrt(1 + e2 / (1 - e2) * np.cos(phi0) ** 4)
+    b0 = np.arcsin(np.sin(phi0) / alpha)
+    K = np.log(np.tan(np.pi / 4 + b0 / 2)) \
+        - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2)) \
+        + alpha * e / 2 * np.log((1 + e * np.sin(phi0))
+                                 / (1 - e * np.sin(phi0)))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        S = alpha * np.log(np.tan(np.pi / 4 + phi / 2)) \
+            - alpha * e / 2 * np.log((1 + e * np.sin(phi))
+                                     / (1 - e * np.sin(phi))) + K
+        b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        lbar = alpha * (lam - lam0)
+        bb = np.arcsin(np.cos(b0) * np.sin(b)
+                       - np.sin(b0) * np.cos(b) * np.cos(lbar))
+        ll = np.arctan2(np.sin(lbar) * np.cos(b),
+                        np.cos(b0) * np.cos(lbar) * np.cos(b)
+                        + np.sin(b0) * np.sin(b))
+        E = fe + R * ll
+        N = fn + R / 2 * np.log((1 + np.sin(bb)) / (1 - np.sin(bb)))
+        return E, N
+
+    def inv(E, N):
+        Y = (np.asarray(E, dtype=np.float64) - fe) / R
+        X = (np.asarray(N, dtype=np.float64) - fn) / R
+        bb = 2 * (np.arctan(np.exp(X)) - np.pi / 4)
+        b = np.arcsin(np.cos(b0) * np.sin(bb)
+                      + np.sin(b0) * np.cos(bb) * np.cos(Y))
+        ll = np.arctan2(np.sin(Y) * np.cos(bb),
+                        np.cos(b0) * np.cos(Y) * np.cos(bb)
+                        - np.sin(b0) * np.sin(bb))
+        lam = lam0 + ll / alpha
+        phi = b.copy()
+        for _ in range(8):
+            S = (np.log(np.tan(np.pi / 4 + b / 2)) - K) / alpha \
+                + e * np.log(np.tan(np.pi / 4
+                                    + np.arcsin(e * np.sin(phi)) / 2))
+            phi = 2 * np.arctan(np.exp(S)) - np.pi / 2
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def krovak(*, lat_c: float = 49.5, lon0: float = 24.0 + 50.0 / 60.0,
+           alpha_c: float = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+           lat_p: float = 78.5, k_p: float = 0.9999,
+           fe: float = 0.0, fn: float = 0.0, east_north: bool = True,
+           a: float = 6377397.155, f: float = 1.0 / 299.15281):
+    """Krovak oblique conformal conic (EPSG method 9819; S-JTSK,
+    Czech/Slovak national grid).  Formulas and the worked example from
+    EPSG Guidance Note 7-2 §3.2.9 (50°12'32.4416"N 16°50'59.1790"E ->
+    Southing 1050538.643, Westing 568991.204); ``east_north=True``
+    negates into the EPSG:5514 East/North convention."""
+    e = _ecc(f)
+    e2 = e * e
+    phiC = np.radians(lat_c)
+    lam0 = np.radians(lon0)
+    aC = np.radians(alpha_c)
+    phiP = np.radians(lat_p)
+    A_ = a * np.sqrt(1 - e2) / (1 - e2 * np.sin(phiC) ** 2)
+    B_ = np.sqrt(1 + e2 * np.cos(phiC) ** 4 / (1 - e2))
+    g0 = np.arcsin(np.sin(phiC) / B_)
+    t0 = np.tan(np.pi / 4 + g0 / 2) \
+        * ((1 + e * np.sin(phiC)) / (1 - e * np.sin(phiC))) ** (e * B_ / 2) \
+        / np.tan(np.pi / 4 + phiC / 2) ** B_
+    n_ = np.sin(phiP)
+    r0 = k_p * A_ / np.tan(phiP)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        U = 2 * (np.arctan(
+            t0 * np.tan(phi / 2 + np.pi / 4) ** B_
+            * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi)))
+            ** (e * B_ / 2)) - np.pi / 4)
+        V = B_ * (lam0 - lam)
+        T = np.arcsin(np.cos(aC) * np.sin(U)
+                      + np.sin(aC) * np.cos(U) * np.cos(V))
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        theta = n_ * D
+        r = r0 * np.tan(np.pi / 4 + phiP / 2) ** n_ \
+            / np.tan(T / 2 + np.pi / 4) ** n_
+        X = r * np.cos(theta) + fn   # Southing
+        Y = r * np.sin(theta) + fe   # Westing
+        if east_north:
+            return -Y, -X
+        return Y, X
+
+    def inv(E, N):
+        if east_north:
+            Y = -np.asarray(E, dtype=np.float64) - fe
+            X = -np.asarray(N, dtype=np.float64) - fn
+        else:
+            Y = np.asarray(E, dtype=np.float64) - fe
+            X = np.asarray(N, dtype=np.float64) - fn
+        r = np.hypot(X, Y)
+        theta = np.arctan2(Y, X)
+        D = theta / np.sin(phiP)
+        T = 2 * (np.arctan((r0 / r) ** (1.0 / n_)
+                           * np.tan(np.pi / 4 + phiP / 2)) - np.pi / 4)
+        U = np.arcsin(np.cos(aC) * np.sin(T)
+                      - np.sin(aC) * np.cos(T) * np.cos(D))
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        lam = lam0 - V / B_
+        phi = U.copy()
+        for _ in range(8):
+            phi = 2 * (np.arctan(
+                t0 ** (-1.0 / B_)
+                * np.tan(U / 2 + np.pi / 4) ** (1.0 / B_)
+                * ((1 + e * np.sin(phi)) / (1 - e * np.sin(phi)))
+                ** (e / 2)) - np.pi / 4)
+        return np.degrees(lam), np.degrees(phi)
 
     return fwd, inv
 
@@ -1687,6 +1903,16 @@ def _proj_pair_raw(p: dict):
         return fwd, tm.meters_to_lonlat
     if proj == "eqc":
         return eqc(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a)
+    if proj == "sterea":
+        return oblique_stereographic(lat0, lon0, k0, fe, fn, a=a, f=f)
+    if proj == "somerc":
+        if k0 != 1.0:
+            raise NotImplementedError("somerc with k_0 != 1")
+        return swiss_oblique_mercator(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "krovak":
+        return krovak(lat_c=lat0 if "lat_0" in p else 49.5,
+                      lon0=lon0 if "lon_0" in p else 24.0 + 50.0 / 60.0,
+                      fe=fe, fn=fn, east_north=True, a=a, f=f)
     if proj == "lcc":
         lat1 = float(p.get("lat_1", lat0))
         lat2 = float(p.get("lat_2", lat1))

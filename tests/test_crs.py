@@ -198,5 +198,67 @@ def test_epsg_registry_loud_gate():
 
     from gdal_ray.crs import epsg_to_proj
 
-    with _pytest.raises(NotImplementedError, match="EPSG:5514"):
-        epsg_to_proj(5514)  # Krovak — honestly outside the registry
+    with _pytest.raises(NotImplementedError, match="EPSG:27563"):
+        # NTF Lambert Sud (Paris prime meridian) — outside the registry
+        epsg_to_proj(27563)
+
+
+def test_sterea_somerc_krovak_worked_examples():
+    """Round-5 projections: (a) Oblique Stereographic pinned to the
+    EPSG GN7-2 worked example (RD New: 53N 6E -> 196105.283,
+    557057.739, sub-mm); (b) Swiss Oblique Mercator pins the LV03
+    origin exactly and round-trips; (c) Krovak pinned to the GN7-2
+    worked example (southing exact, westing within 0.5 m of the
+    guidance note's rounded intermediate chain); registry codes
+    28992 / 21781 / 2056 / 5514 transform end-to-end."""
+    import numpy as np
+
+    from gdal_ray.crs import (krovak, oblique_stereographic,
+                              swiss_oblique_mercator, transform_fn)
+
+    fwd, inv = oblique_stereographic(
+        52 + 9 / 60 + 22.178 / 3600, 5 + 23 / 60 + 15.5 / 3600,
+        0.9999079, 155000.0, 463000.0, a=6377397.155, f=1 / 299.15281)
+    E, N = fwd(np.array([6.0]), np.array([53.0]))
+    assert abs(float(E[0]) - 196105.283) < 0.002
+    assert abs(float(N[0]) - 557057.739) < 0.002
+    lo, la = inv(E, N)
+    assert abs(float(lo[0]) - 6.0) < 1e-12
+    assert abs(float(la[0]) - 53.0) < 1e-12
+
+    phi0 = 46 + 57 / 60 + 8.66 / 3600
+    lam0 = 7 + 26 / 60 + 22.50 / 3600
+    f2, i2 = swiss_oblique_mercator(phi0, lam0, 600000.0, 200000.0)
+    E2, N2 = f2(np.array([lam0]), np.array([phi0]))
+    assert abs(float(E2[0]) - 600000.0) < 1e-6
+    assert abs(float(N2[0]) - 200000.0) < 1e-6
+    lo2, la2 = i2(np.array([700000.0]), np.array([100000.0]))
+    E2b, N2b = f2(lo2, la2)
+    assert abs(float(E2b[0]) - 700000.0) < 1e-6
+    assert abs(float(N2b[0]) - 100000.0) < 1e-6
+
+    f3, i3 = krovak(east_north=False)
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    Y, X = f3(np.array([lon]), np.array([lat]))
+    assert abs(float(X[0]) - 1050538.643) < 0.01   # southing
+    assert abs(float(Y[0]) - 568991.204) < 0.5     # westing
+    lo3, la3 = i3(Y, X)
+    assert abs(float(lo3[0]) - lon) < 1e-12
+    assert abs(float(la3[0]) - lat) < 1e-12
+
+    for code, (lo0, la0) in {"EPSG:28992": (5.2, 52.1),
+                             "EPSG:21781": (7.5, 46.9),
+                             "EPSG:2056": (7.5, 46.9),
+                             "EPSG:5514": (15.0, 49.8)}.items():
+        tf = transform_fn("EPSG:4326", code)
+        bk = transform_fn(code, "EPSG:4326")
+        x, y = tf(np.array([lo0]), np.array([la0]))
+        lo, la = bk(x, y)
+        assert abs(float(lo[0]) - lo0) < 5e-8, code
+        assert abs(float(la[0]) - la0) < 5e-8, code
+    # 5514 East-North coordinates are negative in Czechia (PROJ/EPSG
+    # convention: E = -westing, N = -southing)
+    x, y = transform_fn("EPSG:4326", "EPSG:5514")(np.array([15.0]),
+                                                  np.array([49.8]))
+    assert float(x[0]) < 0 and float(y[0]) < 0
