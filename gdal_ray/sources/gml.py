@@ -7,6 +7,11 @@ Supported feature geometry (the WFS simple-features profile):
   gml:LineString   <gml:posList>x y x y …</gml:posList> / coordinates
   gml:Polygon      exterior/interior LinearRing posList (3.2) or
                    outerBoundaryIs/innerBoundaryIs (2.1)
+  gml:Curve        <gml:segments> of LineStringSegment / GeodesicString
+                   / Arc / ArcString / Circle — curve segments linearize
+                   through the geometry/wkb arc kernel (round 5), and a
+                   Ring/Curve polygon boundary goes through the same
+                   path (reference: gml2ogrgeometry.cpp Arc handling)
 Feature members: any element directly inside gml:featureMember /
 wfs:member / members; simple child elements become string attributes.
 
@@ -70,6 +75,9 @@ _INTERIOR_RE = re.compile(
     r"<(?:gml:)?(?:interior|innerBoundaryIs)>(.*?)</(?:gml:)?"
     r"(?:interior|innerBoundaryIs)>", re.S)
 _SIMPLE_RE = re.compile(r"<(?:\w+:)?(\w+)>([^<]+)</(?:\w+:)?\1>")
+_SEGMENT_RE = re.compile(
+    r"<(?:gml:)?(LineStringSegment|GeodesicString|ArcString|Arc|Circle)"
+    r"[^>]*>(.*?)</(?:gml:)?\1>", re.S)
 
 
 def _coords(text: str) -> np.ndarray:
@@ -82,21 +90,80 @@ def _coords(text: str) -> np.ndarray:
     return vals.reshape(-1, 2)
 
 
+def _full_circle(p0, p1, p2, step_deg: float = 4.0) -> np.ndarray:
+    """Three distinct points -> the FULL circle through them (gml:Circle),
+    2π sweep from p0, closed (first == last point)."""
+    ax, ay = float(p0[0]), float(p0[1])
+    bx, by = float(p1[0]), float(p1[1])
+    cx, cy = float(p2[0]), float(p2[1])
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    import math
+
+    r = math.hypot(ax - ux, ay - uy)
+    a0 = math.atan2(ay - uy, ax - ux)
+    n = max(8, int(math.ceil(360.0 / step_deg)))
+    ang = a0 + 2.0 * math.pi * np.arange(n + 1) / n
+    pts = np.column_stack([ux + r * np.cos(ang), uy + r * np.sin(ang)])
+    pts[0] = (ax, ay)
+    pts[-1] = (ax, ay)
+    return pts
+
+
+def _segments_to_pts(xml: str) -> "np.ndarray | None":
+    """<gml:segments> content -> linearized (n,2) points, honoring
+    segment order and shared endpoints (Arc/ArcString/Circle linearize
+    via the WKB curve kernel, 4-degree OGR default step)."""
+    from gdal_ray.geometry.wkb import (_arc_points,
+                                       linearize_circularstring)
+
+    parts = []
+    for m in _SEGMENT_RE.finditer(xml):
+        kind = m.group(1)
+        pm = _POS_RE.search(m.group(2))
+        if not pm:
+            continue
+        pts = _coords(pm.group(1))
+        if kind in ("LineStringSegment", "GeodesicString"):
+            lin = pts
+        elif kind in ("Arc", "ArcString"):
+            lin = linearize_circularstring(pts)
+        else:  # Circle: three distinct points define the full circle
+            lin = _full_circle(pts[0], pts[1], pts[2])
+        parts.append(lin if not parts else lin[1:])
+    if not parts:
+        return None
+    return np.vstack(parts)
+
+
 def _parse_member(xml: str):
     """member XML -> (wkb|None, {attr: str})."""
     wkb = None
     if "Polygon" in xml:
         rings = []
-        for m in _EXTERIOR_RE.finditer(xml):
-            pm = _POS_RE.search(m.group(1))
-            if pm:
-                rings.append(_coords(pm.group(1)))
-        for m in _INTERIOR_RE.finditer(xml):
-            pm = _POS_RE.search(m.group(1))
-            if pm:
-                rings.append(_coords(pm.group(1)))
+        for rx in (_EXTERIOR_RE, _INTERIOR_RE):
+            for m in rx.finditer(xml):
+                frag = m.group(1)
+                if "segments" in frag or "Arc" in frag or "Circle" in frag:
+                    pts = _segments_to_pts(frag)
+                    if pts is not None:
+                        rings.append(pts)
+                    continue
+                pm = _POS_RE.search(frag)
+                if pm:
+                    rings.append(_coords(pm.group(1)))
         if rings:
             wkb = encode_polygon(rings)
+    elif "Curve" in xml and "segments" in xml:
+        pts = _segments_to_pts(xml)
+        if pts is not None:
+            import struct
+
+            wkb = struct.pack("<BII", 1, 2, len(pts)) + \
+                np.ascontiguousarray(pts, dtype="<f8").tobytes()
     elif "LineString" in xml:
         m = _POS_RE.search(xml)
         if m:
@@ -113,7 +180,9 @@ def _parse_member(xml: str):
     attrs = {}
     geom_tags = ("pos", "posList", "coordinates", "Point", "LineString",
                  "Polygon", "exterior", "interior", "LinearRing",
-                 "outerBoundaryIs", "innerBoundaryIs")
+                 "outerBoundaryIs", "innerBoundaryIs", "Curve",
+                 "segments", "LineStringSegment", "Arc", "ArcString",
+                 "Circle", "GeodesicString", "Ring", "curveMember")
     for m in _SIMPLE_RE.finditer(xml):
         name, val = m.group(1), m.group(2).strip()
         if name not in geom_tags and val:

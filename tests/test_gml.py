@@ -72,3 +72,50 @@ def test_open_vector_door(tmp_path, ray_session):
     p = str(tmp_path / "door.gml")
     write_gml(p, _tbl())
     assert len(open_vector(p).take_all()) == 2
+
+
+def test_gml_curve_segments(tmp_path, ray_session):
+    """Round-5: gml:Curve segments (Arc / ArcString / Circle /
+    LineStringSegment) linearize through the WKB arc kernel; a
+    Ring/Curve polygon boundary takes the same path
+    (gml2ogrgeometry.cpp Arc semantics)."""
+    import math
+
+    import numpy as np
+
+    from gdal_ray.geometry.wkb import decode_wkb, polygon_rings
+    from gdal_ray.sources.gml import read_gml
+
+    gml = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2">
+ <gml:featureMember>
+  <f><name>circlepoly</name>
+   <geom><gml:Polygon><gml:exterior><gml:Ring><gml:curveMember>
+    <gml:Curve><gml:segments>
+      <gml:Circle><gml:posList>0 0 1 1 2 0</gml:posList></gml:Circle>
+    </gml:segments></gml:Curve>
+   </gml:curveMember></gml:Ring></gml:exterior></gml:Polygon></geom></f>
+ </gml:featureMember>
+ <gml:featureMember>
+  <f><name>arcline</name>
+   <geom><gml:Curve><gml:segments>
+     <gml:Arc><gml:posList>0 0 1 1 2 0</gml:posList></gml:Arc>
+     <gml:LineStringSegment><gml:posList>2 0 3 0</gml:posList>
+     </gml:LineStringSegment>
+   </gml:segments></gml:Curve></geom></f>
+ </gml:featureMember>
+</gml:FeatureCollection>"""
+    p = str(tmp_path / "curves.gml")
+    with open(p, "w") as f:
+        f.write(gml)
+    rows = {r["name"]: r for r in read_gml(p).take_all()}
+    assert set(rows) == {"circlepoly", "arcline"}
+    # unit circle through (0,0),(1,1),(2,0): area pi, within 4° chords
+    ring = polygon_rings(rows["circlepoly"]["wkb"])[0]
+    x, y = ring[:, 0], ring[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(area - math.pi) < 5e-3
+    # semicircle (len pi) + unit segment
+    _, pts = decode_wkb(rows["arcline"]["wkb"])
+    length = float(np.hypot(*np.diff(pts, axis=0).T).sum())
+    assert abs(length - (math.pi + 1.0)) < 2e-3
