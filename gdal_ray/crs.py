@@ -529,6 +529,24 @@ def _build_epsg_registry() -> dict:
         5514: ("+proj=krovak +lat_0=49.5 "
                "+lon_0=24.833333333333332 +x_0=0 +y_0=0 +ellps=bessel "
                "+towgs84=589,76,480"),
+        # NTF (Paris) / Lambert zones I-IV + carto variants (lcc 1sp
+        # on Clarke 1880 IGN, Paris prime meridian, EPSG method 9801)
+        27561: ("+proj=lcc +lat_1=49.5 +lat_2=49.5 +lat_0=49.5 +lon_0=0 "
+                "+k_0=0.999877341 +x_0=600000 +y_0=200000 +a=6378249.2 "
+                "+b=6356515 +towgs84=-168,-60,320 +pm=paris"),
+        27562: ("+proj=lcc +lat_1=46.8 +lat_2=46.8 +lat_0=46.8 +lon_0=0 "
+                "+k_0=0.99987742 +x_0=600000 +y_0=200000 +a=6378249.2 "
+                "+b=6356515 +towgs84=-168,-60,320 +pm=paris"),
+        27563: ("+proj=lcc +lat_1=44.1 +lat_2=44.1 +lat_0=44.1 +lon_0=0 "
+                "+k_0=0.999877499 +x_0=600000 +y_0=200000 +a=6378249.2 "
+                "+b=6356515 +towgs84=-168,-60,320 +pm=paris"),
+        27564: ("+proj=lcc +lat_1=42.165 +lat_2=42.165 +lat_0=42.165 "
+                "+lon_0=0 +k_0=0.99994471 +x_0=234.358 +y_0=185861.369 "
+                "+a=6378249.2 +b=6356515 +towgs84=-168,-60,320 "
+                "+pm=paris"),
+        27572: ("+proj=lcc +lat_1=46.8 +lat_2=46.8 +lat_0=46.8 +lon_0=0 "
+                "+k_0=0.99987742 +x_0=600000 +y_0=2200000 +a=6378249.2 "
+                "+b=6356515 +towgs84=-168,-60,320 +pm=paris"),
         # WGS 84 / Plate Carrée / World Equidistant Cylindrical
         32662: "+proj=eqc +ellps=WGS84",
         4087: "+proj=eqc +ellps=WGS84",
@@ -634,6 +652,19 @@ def transform_fn(src_crs: str, dst_crs: str):
 # lcc/stere(polar)/aea/laea families — with arbitrary ellipsoid, central
 # meridian, standard parallels, scale and false origin — transforms without
 # an enumerated EPSG table entry.  Unsupported projections raise loudly.
+
+# PROJ's named prime meridians (degrees east of Greenwich; proj -le pm)
+_PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "paris": 2.0 + 20.0 / 60 + 14.025 / 3600,      # 2°20'14.025"
+    "lisbon": -(9.0 + 7.0 / 60 + 54.862 / 3600),
+    "madrid": -(3.0 + 41.0 / 60 + 14.55 / 3600),
+    "rome": 12.0 + 27.0 / 60 + 8.4 / 3600,
+    "bern": 7.0 + 26.0 / 60 + 22.5 / 3600,
+    "bogota": -(74.0 + 4.0 / 60 + 51.3 / 3600),
+    "ferro": -(17.0 + 40.0 / 60),
+    "oslo": 10.0 + 43.0 / 60 + 22.5 / 3600,
+}
 
 _ELLPS = {
     "WGS84": (A_WGS84, F_WGS84),
@@ -1831,6 +1862,24 @@ def proj_pair(s: str):
     families."""
     p = parse_proj_params(s)
     pair = _proj_pair_raw(p)
+    pm = p.get("pm")
+    if pm not in (None, True):
+        # +pm=: the CRS (and its lon_0) is relative to a non-Greenwich
+        # prime meridian; the lon/lat side of this pair stays Greenwich
+        # (PROJ's normalization order: lam = lon_gw - pm - lon_0)
+        pm_deg = _PRIME_MERIDIANS.get(str(pm))
+        if pm_deg is None:
+            pm_deg = float(pm)
+        raw_fwd0, raw_inv0 = pair
+
+        def fwd_pm(lon, lat, _f=raw_fwd0, _o=pm_deg):
+            return _f(np.asarray(lon, dtype=np.float64) - _o, lat)
+
+        def inv_pm(E, N, _i=raw_inv0, _o=pm_deg):
+            lo, la = _i(E, N)
+            return lo + _o, la
+
+        pair = (fwd_pm, inv_pm)
     grids = p.get("nadgrids")
     if grids not in (None, True) and str(grids) not in ("@null", "null"):
         # +nadgrids=path.gsb — NTv2 horizontal grid shift (PROJ

@@ -198,9 +198,9 @@ def test_epsg_registry_loud_gate():
 
     from gdal_ray.crs import epsg_to_proj
 
-    with _pytest.raises(NotImplementedError, match="EPSG:27563"):
-        # NTF Lambert Sud (Paris prime meridian) — outside the registry
-        epsg_to_proj(27563)
+    with _pytest.raises(NotImplementedError, match="EPSG:29873"):
+        # Timbalai / RSO Borneo (Hotine oblique Mercator) — outside
+        epsg_to_proj(29873)
 
 
 def test_sterea_somerc_krovak_worked_examples():
@@ -262,3 +262,34 @@ def test_sterea_somerc_krovak_worked_examples():
     x, y = transform_fn("EPSG:4326", "EPSG:5514")(np.array([15.0]),
                                                   np.array([49.8]))
     assert float(x[0]) < 0 and float(y[0]) < 0
+
+
+def test_ntf_paris_lambert_zones():
+    """Round-5 +pm= support: NTF (Paris) / Lambert zones (lcc 1sp on
+    Clarke 1880 IGN, Paris prime meridian, EPSG method 9801).  Feeding
+    the WGS84 position of the Paris meridian at lat_0 lands within the
+    NTF datum-shift distance (~50-150 m) of the false origin — the
+    Helmert term, proving BOTH the pm shift and the datum shift are
+    applied; round-trips are exact."""
+    import numpy as np
+
+    from gdal_ray.crs import transform_fn
+
+    pm = 2.0 + 20.0 / 60 + 14.025 / 3600
+    f = transform_fn("EPSG:4326", "EPSG:27562")
+    x, y = f(np.array([pm]), np.array([46.8]))
+    d = ((float(x[0]) - 600000.0) ** 2 + (float(y[0]) - 200000.0) ** 2) \
+        ** 0.5
+    assert 20.0 < d < 200.0, d
+    # WITHOUT the pm handling x would be ~170 km off (2.34° of longitude)
+    assert abs(float(x[0]) - 600000.0) < 1000.0
+    for code, pt in [("EPSG:27561", (2.5, 49.2)),
+                     ("EPSG:27563", (2.3, 44.0)),
+                     ("EPSG:27564", (9.0, 42.1)),
+                     ("EPSG:27572", (2.3, 46.8))]:
+        fwd = transform_fn("EPSG:4326", code)
+        inv = transform_fn(code, "EPSG:4326")
+        xx, yy = fwd(np.array([pt[0]]), np.array([pt[1]]))
+        lo, la = inv(xx, yy)
+        assert abs(float(lo[0]) - pt[0]) < 5e-8, code
+        assert abs(float(la[0]) - pt[1]) < 5e-8, code
