@@ -525,6 +525,22 @@ def _build_epsg_registry() -> dict:
         2056: ("+proj=somerc +lat_0=46.95240555555556 "
                "+lon_0=7.439583333333333 +x_0=2600000 +y_0=1200000 "
                "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+        # Timbalai 1948 / RSO Borneo (m) — Hotine variant B on
+        # Everest 1830 (1967); GN7-2's own worked example
+        29873: ("+proj=omerc +lat_0=4 +lonc=115 "
+                "+alpha=53.31582047222222 +gamma=53.13010235555556 "
+                "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 "
+                "+a=6377298.556 +b=6356097.550300896 "
+                "+towgs84=-679,669,-48"),
+        # GDM2000 / East Malaysia BRSO (same axes on GRS80)
+        3376: ("+proj=omerc +lat_0=4 +lonc=115 "
+               "+alpha=53.31582047222222 +gamma=53.13010235555556 "
+               "+k_0=0.99984 +x_0=0 +y_0=0 +ellps=GRS80"),
+        # NAD83 / Alaska zone 1 (Hotine variant A, +no_uoff)
+        26931: ("+proj=omerc +no_uoff +lat_0=57 "
+                "+lonc=-133.66666666666666 +alpha=323.13010236111114 "
+                "+gamma=323.13010236111114 +k_0=0.9999 +x_0=5000000 "
+                "+y_0=-5000000 +ellps=GRS80"),
         # S-JTSK / Krovak East North (EPSG method 9819)
         5514: ("+proj=krovak +lat_0=49.5 "
                "+lon_0=24.833333333333332 +x_0=0 +y_0=0 +ellps=bessel "
@@ -1220,6 +1236,82 @@ def swiss_oblique_mercator(lat0: float, lon0: float, fe: float, fn: float,
                 + e * np.log(np.tan(np.pi / 4
                                     + np.arcsin(e * np.sin(phi)) / 2))
             phi = 2 * np.arctan(np.exp(S)) - np.pi / 2
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def hotine_oblique_mercator(lat_c: float, lon_c: float, alpha_c: float,
+                            gamma_c: float, k_c: float, fe: float,
+                            fn: float, *, variant_b: bool = True,
+                            a: float = A_WGS84, f: float = F_WGS84):
+    """Hotine Oblique Mercator (EPSG methods 9812 variant A /
+    9815 variant B; PROJ +proj=omerc).  Formulas from EPSG Guidance
+    Note 7-2 §3.2.6; pinned in tests to the GN7-2 Timbalai 1948 / RSO
+    Borneo worked example (E 679245.73, N 596562.78 to the cm).
+    ``variant_b``: false easting/northing at the projection CENTRE
+    (uC offset applied); variant A (+no_uoff) references the natural
+    origin instead."""
+    import math
+
+    e = _ecc(f)
+    e2 = e * e
+    phiC = np.radians(lat_c)
+    lamC = np.radians(lon_c)
+    aC = np.radians(alpha_c)
+    gC = np.radians(gamma_c)
+    sphi = 1.0 if lat_c >= 0 else -1.0
+    B_ = math.sqrt(1 + e2 * math.cos(phiC) ** 4 / (1 - e2))
+    A_ = a * B_ * k_c * math.sqrt(1 - e2) / (1 - e2 * math.sin(phiC) ** 2)
+    t0 = math.tan(math.pi / 4 - phiC / 2) / (
+        (1 - e * math.sin(phiC)) / (1 + e * math.sin(phiC))) ** (e / 2)
+    D_ = B_ * math.sqrt(1 - e2) / (
+        math.cos(phiC) * math.sqrt(1 - e2 * math.sin(phiC) ** 2))
+    D2 = max(D_ * D_, 1.0)
+    F_ = D_ + math.sqrt(D2 - 1.0) * sphi
+    H_ = F_ * t0 ** B_
+    G_ = (F_ - 1.0 / F_) / 2.0
+    g0 = math.asin(math.sin(aC) / D_)
+    lam0 = lamC - math.asin(G_ * math.tan(g0)) / B_
+    uC = (A_ / B_) * math.atan2(math.sqrt(D2 - 1.0), math.cos(aC)) * sphi
+    u_off = abs(uC) * sphi if variant_b else 0.0
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        t = np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+        Q = H_ / t ** B_
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(B_ * (lam - lam0))
+        U = (-V * np.cos(g0) + S * np.sin(g0)) / T
+        v = A_ * np.log((1 - U) / (1 + U)) / (2 * B_)
+        u = A_ * np.arctan2(S * np.cos(g0) + V * np.sin(g0),
+                            np.cos(B_ * (lam - lam0))) / B_ - u_off
+        E = v * np.cos(gC) + u * np.sin(gC) + fe
+        N = u * np.cos(gC) - v * np.sin(gC) + fn
+        return E, N
+
+    def inv(E, N):
+        Ep = np.asarray(E, dtype=np.float64) - fe
+        Np = np.asarray(N, dtype=np.float64) - fn
+        v = Ep * np.cos(gC) - Np * np.sin(gC)
+        u = Np * np.cos(gC) + Ep * np.sin(gC) + u_off
+        Q = np.exp(-B_ * v / A_)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(B_ * u / A_)
+        U = (V * np.cos(g0) + S * np.sin(g0)) / T
+        t = (H_ / np.sqrt((1 + U) / (1 - U))) ** (1.0 / B_)
+        chi = np.pi / 2 - 2 * np.arctan(t)
+        phi = chi
+        for _ in range(8):
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - e * np.sin(phi))
+                     / (1 + e * np.sin(phi))) ** (e / 2))
+        lam = lam0 - np.arctan2(S * np.cos(g0) - V * np.sin(g0),
+                                np.cos(B_ * u / A_)) / B_
         return np.degrees(lam), np.degrees(phi)
 
     return fwd, inv
@@ -1958,6 +2050,13 @@ def _proj_pair_raw(p: dict):
         if k0 != 1.0:
             raise NotImplementedError("somerc with k_0 != 1")
         return swiss_oblique_mercator(lat0, lon0, fe, fn, a=a, f=f)
+    if proj == "omerc":
+        lonc = float(p.get("lonc", lon0))
+        alpha = float(p.get("alpha", 90.0))
+        gamma = float(p.get("gamma", alpha))
+        return hotine_oblique_mercator(
+            lat0, lonc, alpha, gamma, k0, fe, fn,
+            variant_b="no_uoff" not in p, a=a, f=f)
     if proj == "krovak":
         return krovak(lat_c=lat0 if "lat_0" in p else 49.5,
                       lon0=lon0 if "lon_0" in p else 24.0 + 50.0 / 60.0,

@@ -198,9 +198,9 @@ def test_epsg_registry_loud_gate():
 
     from gdal_ray.crs import epsg_to_proj
 
-    with _pytest.raises(NotImplementedError, match="EPSG:29873"):
-        # Timbalai / RSO Borneo (Hotine oblique Mercator) — outside
-        epsg_to_proj(29873)
+    with _pytest.raises(NotImplementedError, match="EPSG:27200"):
+        # NZGD49 / NZ Map Grid (complex-series projection) — outside
+        epsg_to_proj(27200)
 
 
 def test_sterea_somerc_krovak_worked_examples():
@@ -291,5 +291,77 @@ def test_ntf_paris_lambert_zones():
         inv = transform_fn(code, "EPSG:4326")
         xx, yy = fwd(np.array([pt[0]]), np.array([pt[1]]))
         lo, la = inv(xx, yy)
+        assert abs(float(lo[0]) - pt[0]) < 5e-8, code
+        assert abs(float(la[0]) - pt[1]) < 5e-8, code
+
+
+def test_every_registry_code_roundtrips():
+    """Sweep the ENTIRE EPSG registry: every code must parse, project a
+    point near its natural origin, and round-trip to 1e-7 degrees —
+    catches parameter-table typos wholesale."""
+    import numpy as np
+
+    from gdal_ray.crs import (_EPSG_PROJ, _PRIME_MERIDIANS,
+                              parse_proj_params, transform_fn)
+
+    for code, pstr in _EPSG_PROJ.items():
+        p = parse_proj_params(pstr)
+        proj = p.get("proj")
+        lon0 = float(p.get("lon_0", 0.0))
+        if p.get("pm") not in (None, True):
+            pm = _PRIME_MERIDIANS.get(str(p["pm"]))
+            lon0 += float(pm if pm is not None else p["pm"])
+        if proj == "utm":
+            lon0 = float(p.get("zone", 31)) * 6.0 - 183.0
+            lat0 = -20.0 if p.get("south") else 30.0
+        elif proj == "longlat":
+            lat0 = 30.0
+        elif proj == "krovak":
+            lon0, lat0 = 15.0, 49.8
+        elif proj == "omerc":
+            lon0 = float(p.get("lonc", 0.0))
+            lat0 = float(p.get("lat_0", 45.0))
+        else:
+            lat0 = float(p.get("lat_0", p.get("lat_1", 45.0))) or 45.0
+        lon0 += 0.4
+        lat0 = max(min(lat0 + 0.3, 84.0), -80.0)
+        fwd = transform_fn("EPSG:4326", f"EPSG:{code}")
+        inv = transform_fn(f"EPSG:{code}", "EPSG:4326")
+        x, y = fwd(np.array([lon0]), np.array([lat0]))
+        assert np.isfinite(x).all() and np.isfinite(y).all(), code
+        lo, la = inv(x, y)
+        assert abs(float(lo[0]) - lon0) < 1e-7, (code, float(lo[0]), lon0)
+        assert abs(float(la[0]) - lat0) < 1e-7, (code, float(la[0]), lat0)
+
+
+
+def test_hotine_oblique_mercator_worked_example():
+    """EPSG GN7-2 §3.2.6 worked example (Timbalai 1948 / RSO Borneo,
+    variant B): 5°23'14.1129"N 115°48'19.8196"E -> 679245.73,
+    596562.78 to the cm; registry codes 29873 / 3376 / 26931 (variant A
+    +no_uoff) round-trip through transform_fn."""
+    import numpy as np
+
+    from gdal_ray.crs import hotine_oblique_mercator, transform_fn
+
+    fwd, inv = hotine_oblique_mercator(
+        4.0, 115.0, 53 + 18 / 60 + 56.9537 / 3600,
+        53 + 7 / 60 + 48.3685 / 3600, 0.99984, 590476.87, 442857.65,
+        a=6377298.556, f=1 / 300.8017)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    E, N = fwd(np.array([lon]), np.array([lat]))
+    assert abs(float(E[0]) - 679245.73) < 0.01
+    assert abs(float(N[0]) - 596562.78) < 0.01
+    lo, la = inv(E, N)
+    assert abs(float(lo[0]) - lon) < 1e-12
+    assert abs(float(la[0]) - lat) < 1e-12
+    for code, pt in [("EPSG:29873", (115.5, 5.0)),
+                     ("EPSG:3376", (116.0, 5.5)),
+                     ("EPSG:26931", (-134.0, 57.5))]:
+        f2 = transform_fn("EPSG:4326", code)
+        i2 = transform_fn(code, "EPSG:4326")
+        x, y = f2(np.array([pt[0]]), np.array([pt[1]]))
+        lo, la = i2(x, y)
         assert abs(float(lo[0]) - pt[0]) < 5e-8, code
         assert abs(float(la[0]) - pt[1]) < 5e-8, code
