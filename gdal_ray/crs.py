@@ -467,6 +467,15 @@ def _build_epsg_registry() -> dict:
         reg[32200 + z] = f"+proj=utm +zone={z} +ellps=WGS72 +towgs84=0,0,4.5"
         reg[32300 + z] = (f"+proj=utm +zone={z} +south +ellps=WGS72 "
                           "+towgs84=0,0,4.5")
+    for z in range(2, 33):    # Pulkovo 1942 / Gauss-Krüger zones 2-32
+        reg[28400 + z] = (
+            f"+proj=tmerc +lat_0=0 +lon_0={6 * z - 3} +k=1 "
+            f"+x_0={z * 1000000 + 500000} +y_0=0 +ellps=krass "
+            "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12")
+    for z in range(13, 24):   # Beijing 1954 / Gauss-Krüger zones 13-23
+        reg[21400 + z] = (
+            f"+proj=tmerc +lat_0=0 +lon_0={6 * z - 3} +k=1 "
+            f"+x_0={z * 1000000 + 500000} +y_0=0 +ellps=krass")
     for z in (2, 3, 4, 5):    # DHDN / 3-degree Gauss-Krüger zones 2-5
         reg[31464 + z] = (
             f"+proj=tmerc +lat_0=0 +lon_0={3 * z} +k=1 "

@@ -330,7 +330,8 @@ def test_every_registry_code_roundtrips():
         x, y = fwd(np.array([lon0]), np.array([lat0]))
         assert np.isfinite(x).all() and np.isfinite(y).all(), code
         lo, la = inv(x, y)
-        assert abs(float(lo[0]) - lon0) < 1e-7, (code, float(lo[0]), lon0)
+        dlon = (float(lo[0]) - lon0 + 180.0) % 360.0 - 180.0
+        assert abs(dlon) < 1e-7, (code, float(lo[0]), lon0)
         assert abs(float(la[0]) - lat0) < 1e-7, (code, float(la[0]), lat0)
 
 
