@@ -26,10 +26,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# GRAFT_REAL_CODECS=1: the corpus's `jpeg` rows are REAL baseline JPEG
-# (ITU-T T.81, gdal_ray.codecs.jpeg) instead of the deterministic stand-in
-# container — measures the actual lossy-decode bill of a 100-TB crawl.
-REAL_CODECS = os.environ.get("GRAFT_REAL_CODECS", "0") == "1"
+# GRAFT_REAL_CODECS (default 1 since round 5): the corpus's `jpeg` rows
+# are REAL baseline JPEG and `webp` rows REAL lossy VP8 — the actual
+# lossy-decode bill of a 100-TB crawl, decoded through the system
+# libjpeg/libwebp production path (codecs/syscodecs.py).  Since round 5
+# the real profile is FASTER than the stand-in (the C decoders beat the
+# stand-in's zlib container), so the honest profile is also the default
+# official one; set GRAFT_REAL_CODECS=0 for the legacy stand-in corpus.
+REAL_CODECS = os.environ.get("GRAFT_REAL_CODECS", "1") == "1"
 # bench-profile image dims: moderate sizes so the bench measures pipeline
 # throughput, not just zlib on 512x512 blobs (dims still cycle, odd size kept)
 BENCH_DIMS = [(64, 64), (128, 128), (256, 255), (96, 128), (128, 96)]
