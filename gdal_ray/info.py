@@ -29,6 +29,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
         if os.path.exists(os.path.join(path, ".zarray")) or \
                 os.path.exists(os.path.join(path, "zarr.json")):
             return _zarr(path)
+        if low.rstrip("/").endswith(".gdb") or os.path.exists(
+                os.path.join(path, "a00000001.gdbtable")):
+            from gdal_ray.sources.openfilegdb import gdb_meta
+
+            return gdb_meta(path)
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
         return _tiff(path, stats)

@@ -66,6 +66,10 @@ def synth_images(n: int, *, parallelism: int = -1):
 def open_vector(path: str, **kw):
     """Vector table -> Dataset (fid:int64, wkb:binary, + attributes)."""
     low = path.lower()
+    if low.rstrip("/").endswith(".gdb"):
+        from gdal_ray.sources.openfilegdb import read_gdb
+
+        return read_gdb(path, **kw)
     if low.endswith(".gpkg"):
         from gdal_ray.sources.gpkg import read_gpkg
 
