@@ -293,7 +293,7 @@ class GdbTable:
                                & (1 << (i_nullable & 7)))
                 i_nullable += 1
                 if is_null:
-                    out[fld["name"]] = None
+                    out["wkb" if fld["type"] == 7 else fld["name"]] = None
                     continue
             t = fld["type"]
             if t == 6:  # objectid: implicit
@@ -415,7 +415,12 @@ def _geom_to_wkb(g: bytes, fld: dict) -> bytes | None:
         if len(parts) == 1:
             return encode_linestring(parts[0])
         return encode_multilinestring(parts)
-    return encode_polygon(parts)
+    # polygon ring soup: regroup CW outers / CCW holes into
+    # Polygon/MultiPolygon (the shapefile driver's shared idiom, the
+    # same organizePolygons behavior the reference applies)
+    from gdal_ray.sources.shapefile import _rings_to_wkb
+
+    return _rings_to_wkb(parts)
 
 
 def _skip_varuints(g: bytes, pos: int, n: int) -> int:
