@@ -354,7 +354,7 @@ def cmd_formats(args) -> int:
     rows = [
         # vector
         ("ESRI Shapefile", ".shp", "rw", "vector"),
-        ("OpenFileGDB", ".gdb", "r", "vector"),
+        ("OpenFileGDB", ".gdb", "rw", "vector"),
         ("GPKG", ".gpkg", "rw", "vector"),
         ("FlatGeobuf", ".fgb", "rw", "vector"),
         ("GeoJSON", ".geojson/.json", "rw", "vector"),

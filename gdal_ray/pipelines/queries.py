@@ -5681,6 +5681,75 @@ def q_pipeline_gcp_warp(sf_dir: str):
     return _images_ds(sf_dir, limit=100).map_batches(gw, batch_format="pyarrow", batch_size=16)
 
 
+def q_gdb_roundtrip(sf_dir: str):
+    """OpenFileGDB driver round-trip (sources/openfilegdb.py — the
+    reverse-engineered .gdbtable/.gdbtablx layout the reference's
+    from-scratch reader implements): nation rows become point features
+    with an int64 attribute, written as a .gdb directory (system
+    catalog + compressed delta-varint geometry on the ESRI snap grid)
+    and read back with fid-range parallel tasks; x/y re-extract from
+    the round-tripped WKB.  Coordinates are chosen exactly
+    representable on the 1e-9 snap grid, so the oracle's arithmetic
+    recomputation hash-matches bit-for-bit."""
+    import hashlib
+    import shutil
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geometry.wkb import encode_point
+    from gdal_ray.sources.openfilegdb import read_gdb, write_gdb
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    keys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    wkbs = [
+        encode_point(float(k % 7) + 0.5, float(k % 5) - 0.25) for k in keys
+    ]
+    src = pa.table(
+        {
+            "wkb": pa.array(wkbs, pa.binary()),
+            "n_name": nat.column("n_name"),
+            "big": pa.array(keys * 1000000007, pa.int64()),
+        }
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/gdal_ray_nation_{tag}.gdb"
+    shutil.rmtree(path, ignore_errors=True)
+    write_gdb(src, path, layer="nation_pts")
+
+    def extract(b: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for blob in b.column("wkb").to_pylist():
+            x, y = struct.unpack("<2d", blob[5:21])
+            xs.append(x)
+            ys.append(y)
+        return pa.table(
+            {
+                "fid": pc.cast(b.column("fid"), pa.int64()),
+                "n_name": b.column("n_name"),
+                "big": pc.cast(b.column("big"), pa.int64()),
+                "x": pa.array(xs, pa.float64()),
+                "y": pa.array(ys, pa.float64()),
+            }
+        )
+
+    return read_gdb(path, "nation_pts", rows_per_block=8).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+SQL_GDB_ROUNDTRIP = """
+select cast(row_number() over (order by n_nationkey) as bigint) as fid,
+       n_name,
+       cast(cast(n_nationkey as bigint) * 1000000007 as bigint) as big,
+       cast((n_nationkey % 7) + 0.5 as double) as x,
+       cast((n_nationkey % 5) - 0.25 as double) as y
+from nation
+"""
+
+
 def q_gpkg_roundtrip(sf_dir: str):
     """GeoPackage driver round-trip (sources/gpkg.py — OGC GeoPackage 1.3
     over stdlib sqlite3; reference ogr/ogrsf_frmts/gpkg): nation rows
@@ -7624,6 +7693,7 @@ def queries():
         "union_overlap_a": q_union_overlap_a,
         # ---- 50-slot window boundary ----------------------------------
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "gdb_roundtrip": q_gdb_roundtrip,
         # -- oracle-backed, outside the window this round (all have at
         # -- least one official green row from rounds 1-4) --------------
         "raster_xyz": q_raster_xyz,
@@ -8589,6 +8659,7 @@ def oracle_sql():
         "stats_approx": SQL_STATS_APPROX,
         "viewshed": SQL_VIEWSHED,
         "gpkg_roundtrip": SQL_GPKG_ROUNDTRIP,
+        "gdb_roundtrip": SQL_GDB_ROUNDTRIP,
         "grid_average": SQL_GRID_AVERAGE,
         "bpe_tokens": SQL_BPE_TOKENS,
         "viewshed_cumulative": SQL_VIEWSHED_CUMULATIVE,

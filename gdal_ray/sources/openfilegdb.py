@@ -47,7 +47,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from gdal_ray.geometry.wkb import (_arc_points, encode_linestring,
+from gdal_ray.geometry.wkb import (_arc_points, decode_wkb,
+                                   encode_linestring,
                                    encode_multilinestring, encode_multipoint,
                                    encode_point, encode_polygon)
 
@@ -632,3 +633,257 @@ def read_gdb(gdb_dir: str, layer: str | None = None, *,
         return pa.table(cols)
 
     return rd.from_items(items).map_batches(load, batch_format="pyarrow")
+
+
+# -- minimal writer ---------------------------------------------------------
+# Enough of the format to round-trip through this reader (and the layout
+# the reference documents): one catalog + one feature table per layer,
+# v3 .gdbtable/.gdbtablx pairs, OBJECTID + geometry + scalar/string
+# attribute fields.  Geometry encodes the compressed delta-varint form.
+
+def _enc_varuint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_varint(v: int) -> bytes:
+    neg = v < 0
+    v = -v if neg else v
+    first = (v & 0x3F) | (0x40 if neg else 0)
+    v >>= 6
+    out = bytearray()
+    if v:
+        out.append(first | 0x80)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    else:
+        out.append(first)
+    return bytes(out)
+
+
+def _enc_utf16(s: str) -> bytes:
+    raw = s.encode("utf-16-le")
+    return bytes([len(raw) // 2]) + raw
+
+
+_W_ORIGIN = -400769.0  # the esri default grid origin/scale family
+_W_SCALE = 1000000000.0
+
+
+def _enc_geometry(wkb: bytes | None) -> bytes:
+    """WKB -> compressed FileGDB shape (2D, no curves)."""
+    if wkb is None:
+        return _enc_varuint(0)
+
+    def snap(a):
+        return np.round((np.asarray(a, dtype=np.float64) - _W_ORIGIN)
+                        * _W_SCALE).astype(np.int64)
+
+    gt, payload = decode_wkb(wkb)
+    out = bytearray()
+    if gt == 1:
+        out += _enc_varuint(1)
+        out += _enc_varuint(int(snap(payload[0])) + 1)
+        out += _enc_varuint(int(snap(payload[1])) + 1)
+        return bytes(out)
+    parts: list | None = None
+    if gt == 4:  # multipoint
+        pts = np.vstack([p[1] for p in payload])
+        out += _enc_varuint(8)
+        out += _enc_varuint(len(pts))
+    elif gt in (2, 5):  # (multi)linestring
+        parts = [payload] if gt == 2 else [p[1] for p in payload]
+        pts = np.vstack(parts)
+        out += _enc_varuint(3)
+        out += _enc_varuint(len(pts))
+        out += _enc_varuint(len(parts))
+    elif gt in (3, 6):  # (multi)polygon: ring soup, ESRI winding
+        def orient(r, cw):
+            x, y = r[:, 0], r[:, 1]
+            area2 = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+            flip = (area2 > 0) if cw else (area2 < 0)
+            return r[::-1] if flip else r
+
+        if gt == 3:
+            rings = [(r, i == 0) for i, r in enumerate(payload)]
+        else:
+            rings = [(r, i == 0) for p in payload
+                     for i, r in enumerate(p[1])]
+        parts = [orient(r, is_outer) for r, is_outer in rings]
+        pts = np.vstack(parts)
+        out += _enc_varuint(5)
+        out += _enc_varuint(len(pts))
+        out += _enc_varuint(len(parts))
+    else:
+        raise NotImplementedError(f"gdb write of geom type {gt}")
+    ix = snap(pts[:, 0])
+    iy = snap(pts[:, 1])
+    out += _enc_varuint(int(ix.min()))
+    out += _enc_varuint(int(iy.min()))
+    out += _enc_varuint(int(ix.max() - ix.min()))
+    out += _enc_varuint(int(iy.max() - iy.min()))
+    if parts is not None:  # (n_parts - 1) leading per-part point counts
+        for p in parts[:-1]:
+            out += _enc_varuint(len(p))
+    px = py = 0
+    for x, y in zip(ix.tolist(), iy.tolist()):
+        out += _enc_varint(x - px)
+        out += _enc_varint(y - py)
+        px, py = x, y
+    return bytes(out)
+
+
+def _write_table(base: str, fields: list[dict], rows: list[dict],
+                 *, table_geom_type: int = 0):
+    """fields: [{name, type, nullable}], geometry field type 7 reads the
+    row's 'wkb' key."""
+    # field descriptor section
+    sec = bytearray()
+    sec += struct.pack("<i", 4)
+    sec += bytes([table_geom_type, 0x01, 0x00, 0x00])  # utf8 strings
+    sec += struct.pack("<h", len(fields))
+    for f in fields:
+        sec += _enc_utf16(f["name"])
+        sec += _enc_utf16("")
+        t = f["type"]
+        sec += bytes([t])
+        nullable = 1 if f.get("nullable") else 0
+        if t == 6:
+            sec += bytes([4, 2])
+        elif t == 7:
+            sec += bytes([0, 6 | nullable])
+            sec += struct.pack("<H", 0)  # empty WKT
+            sec += bytes([1])  # no Z/M origin blocks
+            sec += struct.pack("<3d", _W_ORIGIN, _W_ORIGIN, _W_SCALE)
+            sec += struct.pack("<d", 1.0 / _W_SCALE)  # xytolerance
+            sec += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # extent
+            sec += bytes([0])
+            sec += struct.pack("<I", 1)
+            sec += struct.pack("<d", 1.0)
+        elif t == 4:
+            sec += struct.pack("<i", 65536)
+            sec += bytes([4 | nullable])
+            sec += _enc_varuint(0)
+        else:
+            width = {0: 2, 1: 4, 2: 4, 3: 8, 5: 8, 13: 8}.get(t, 4)
+            sec += bytes([width, 4 | nullable, 0])
+    # rows
+    n_nullable = sum(1 for f in fields if f.get("nullable"))
+    null_bytes = (n_nullable + 7) // 8
+    blobs = []
+    for r in rows:
+        body = bytearray(null_bytes)
+        i_nul = 0
+        for f in fields:
+            key = "wkb" if f["type"] == 7 else f["name"]
+            v = r.get(key)
+            if f.get("nullable"):
+                if v is None:
+                    body[i_nul >> 3] |= 1 << (i_nul & 7)
+                    i_nul += 1
+                    continue
+                i_nul += 1
+            t = f["type"]
+            if t == 6:
+                continue  # implicit
+            if t == 0:
+                body += struct.pack("<h", int(v))
+            elif t == 1:
+                body += struct.pack("<i", int(v))
+            elif t == 2:
+                body += struct.pack("<f", float(v))
+            elif t in (3, 5):
+                body += struct.pack("<d", float(v))
+            elif t == 13:
+                body += struct.pack("<q", int(v))
+            elif t == 4:
+                raw = str(v).encode("utf-8")
+                body += _enc_varuint(len(raw)) + raw
+            elif t == 7:
+                g = _enc_geometry(v)
+                body += _enc_varuint(len(g)) + g
+            elif t == 8:
+                body += _enc_varuint(len(v)) + bytes(v)
+            else:
+                raise NotImplementedError(f"gdb write field type {t}")
+        blobs.append(bytes(body))
+    # .gdbtable
+    data = bytearray()
+    data += struct.pack("<i", 3)
+    data += struct.pack("<i", len(rows))
+    data += struct.pack("<i", max((len(b) for b in blobs), default=0))
+    data += struct.pack("<i", 5)
+    data += struct.pack("<q", 0)
+    data += struct.pack("<q", 0)  # placeholder file size
+    data += struct.pack("<q", 40)
+    data += struct.pack("<I", len(sec)) + sec
+    offsets = []
+    for b in blobs:
+        offsets.append(len(data))
+        data += struct.pack("<i", len(b)) + b
+    struct.pack_into("<q", data, 24, len(data))
+    with open(base + ".gdbtable", "wb") as f:
+        f.write(data)
+    # .gdbtablx
+    n_blocks = (len(rows) + 1023) // 1024
+    tx = bytearray()
+    tx += struct.pack("<iiii", 3, n_blocks, len(rows), 5)
+    for i in range(n_blocks * 1024):
+        off = offsets[i] if i < len(offsets) else 0
+        tx += struct.pack("<q", off)[:5]
+    tx += struct.pack("<IIII", 0, n_blocks, n_blocks, 0)
+    with open(base + ".gdbtablx", "wb") as f:
+        f.write(tx)
+
+
+def write_gdb(table: pa.Table, gdb_dir: str, *, layer: str = "layer",
+              geometry_col: str = "wkb") -> None:
+    """pa.Table (wkb binary + scalar/string attribute columns) -> a
+    .gdb directory readable by read_gdb: system catalog + one feature
+    table.  Attribute types map to the closest FileGDB field type."""
+    os.makedirs(gdb_dir, exist_ok=True)
+    cat_fields = [
+        {"name": "ID", "type": 6},
+        {"name": "Name", "type": 4},
+        {"name": "FileFormat", "type": 1},
+    ]
+    sys_names = ["GDB_SystemCatalog", layer]
+    cat_rows = [{"Name": n, "FileFormat": 0} for n in sys_names]
+    _write_table(os.path.join(gdb_dir, "a00000001"), cat_fields, cat_rows)
+
+    fields: list[dict] = [{"name": "OBJECTID", "type": 6}]
+    has_geom = geometry_col in table.column_names
+    if has_geom:
+        fields.append({"name": "SHAPE", "type": 7, "nullable": True})
+    for name in table.column_names:
+        if name in (geometry_col, "fid", "OBJECTID"):
+            continue
+        ty = table.schema.field(name).type
+        if pa.types.is_integer(ty):
+            ft = 13 if pa.types.is_int64(ty) else 1
+        elif pa.types.is_floating(ty):
+            ft = 3
+        elif pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+            ft = 8
+        else:
+            ft = 4
+        fields.append({"name": name, "type": ft, "nullable": True})
+    rows = table.to_pylist()
+    if has_geom and geometry_col != "wkb":
+        for r in rows:
+            r["wkb"] = r.pop(geometry_col)
+    _write_table(os.path.join(gdb_dir, f"a{2:08x}"), fields, rows,
+                 table_geom_type=4 if has_geom else 0)

@@ -203,3 +203,43 @@ def test_master_fixture_geometries_and_attributes(tmp_path):
             if t.row(fh, i) is not None:
                 n += 1
     assert n == t.n_valid >= 300
+
+
+def test_write_gdb_roundtrip(tmp_path, ray_session):
+    """Minimal writer: all geometry classes + nulls + int64/float/string
+    attributes round-trip through read_gdb; snap-grid coordinates are
+    bit-exact for values representable on the 1e-9 grid."""
+    from gdal_ray.geometry.wkb import (GeomType, encode_linestring,
+                                       encode_multipolygon, encode_point)
+    from gdal_ray.sources.openfilegdb import write_gdb
+
+    import pyarrow as pa
+
+    mp = encode_multipolygon(
+        [[np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float),
+          np.array([[0.5, 0.5], [0.5, 1.5], [1.5, 1.5], [1.5, 0.5],
+                    [0.5, 0.5]], float)],
+         [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], float)]])
+    tbl = pa.table({
+        "wkb": pa.array([encode_point(1.25, -2.5),
+                         encode_linestring(np.array([[0, 0], [3, 4]],
+                                                    float)),
+                         mp, None], pa.binary()),
+        "name": pa.array(["a", "b", "c", None]),
+        "big": pa.array([10 ** 15, -7, 0, 5], pa.int64()),
+        "score": pa.array([1.5, None, 2.25, 0.0], pa.float64()),
+    })
+    g = str(tmp_path / "rt.gdb")
+    write_gdb(tbl, g, layer="features")
+    rows = read_gdb(g, "features").take_all()
+    assert [r["fid"] for r in rows] == [1, 2, 3, 4]
+    gt, p = decode_wkb(rows[0]["wkb"])
+    assert gt == GeomType.POINT and p.tolist() == [1.25, -2.5]
+    gt, p = decode_wkb(rows[1]["wkb"])
+    assert gt == GeomType.LINESTRING and p.tolist() == [[0, 0], [3, 4]]
+    gt, p = decode_wkb(rows[2]["wkb"])
+    assert gt == GeomType.MULTIPOLYGON and len(p) == 2
+    assert len(p[0][1]) == 2
+    assert rows[3]["wkb"] is None
+    assert [r["big"] for r in rows] == [10 ** 15, -7, 0, 5]
+    assert rows[1]["score"] is None and rows[3]["name"] is None
