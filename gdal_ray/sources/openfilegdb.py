@@ -123,7 +123,10 @@ class GdbTable:
         with open(base + ".gdbtable", "rb") as f:
             head = f.read(40)
             self.version = struct.unpack_from("<i", head, 0)[0]
-            self.n_valid = struct.unpack_from("<i", head, 4)[0]
+            if self.version == 4:  # 64-bit ObjectID variant
+                self.n_valid = struct.unpack_from("<q", head, 16)[0]
+            else:
+                self.n_valid = struct.unpack_from("<i", head, 4)[0]
             field_off = struct.unpack_from("<q", head, 32)[0]
             f.seek(field_off)
             sec_len = struct.unpack_from("<I", f.read(4), 0)[0]
@@ -247,6 +250,24 @@ class GdbTable:
     def _parse_tablx(self, path: str):
         with open(path, "rb") as f:
             head = f.read(16)
+            if self.version == 4:
+                # uint64 block count; total row count moves to the
+                # 12-byte trailer (uint64 + bitmap-section size)
+                n_blocks = struct.unpack_from("<Q", head, 4)[0]
+                osize = struct.unpack_from("<I", head, 12)[0]
+                f.seek(16 + osize * 1024 * n_blocks)
+                trailer = f.read(12)
+                self.n_total = struct.unpack_from("<q", trailer, 0)[0] \
+                    if len(trailer) == 12 else 0
+                f.seek(16)
+                raw = f.read(osize * 1024 * n_blocks)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, osize)
+                offs = np.zeros(len(arr), dtype=np.int64)
+                for i in range(osize):
+                    offs |= arr[:, i].astype(np.int64) << (8 * i)
+                self.offsets = offs[:self.n_total] if self.n_total \
+                    else offs
+                return
             n_blocks = struct.unpack_from("<I", head, 4)[0]
             self.n_total = struct.unpack_from("<i", head, 8)[0]
             osize = struct.unpack_from("<I", head, 12)[0]

@@ -243,3 +243,32 @@ def test_write_gdb_roundtrip(tmp_path, ray_session):
     assert rows[3]["wkb"] is None
     assert [r["big"] for r in rows] == [10 ** 15, -7, 0, 5]
     assert rows[1]["score"] is None and rows[3]["name"] is None
+
+
+def test_gdbtable_v4_objectid64():
+    """v4 (64-bit ObjectID) tables: int64 row counts in the .gdbtable
+    header and the .gdbtablx trailer; geometry perimeters/areas must
+    match the stored Shape_Length/Shape_Area attributes."""
+    D4 = f"{D}/objectid64/3features.gdb"
+    name = gdb_layers(D4)[0]
+    rows = list(_iter_rows_at(D4, name))
+    assert len(rows) == 3
+    for r in rows:
+        parts = polygon_parts(r["wkb"])
+        per = sum(float(np.hypot(*np.diff(rr, axis=0).T).sum())
+                  for p in parts for rr in p)
+        area = sum(abs(0.5 * (np.dot(rr[:, 0], np.roll(rr[:, 1], -1))
+                              - np.dot(rr[:, 1], np.roll(rr[:, 0], -1))))
+                   for p in parts for rr in p)
+        assert abs(per - r["Shape_Length"]) / r["Shape_Length"] < 1e-9
+        assert abs(area - r["Shape_Area"]) / r["Shape_Area"] < 1e-8
+
+
+def _iter_rows_at(gdb_path, layer):
+    cat = gdb_catalog(gdb_path)
+    t = GdbTable(f"{gdb_path}/a{cat[layer]:08x}")
+    with open(t.base + ".gdbtable", "rb") as fh:
+        for i in range(len(t.offsets)):
+            r = t.row(fh, i)
+            if r is not None:
+                yield r
