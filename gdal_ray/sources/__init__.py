@@ -482,6 +482,10 @@ def save_vector(ds_or_table, path: str, **kw) -> None:
              for b in t.iter_batches(batch_format="pyarrow")],
             promote_options="default")
     low = path.lower()
+    if low.rstrip("/").endswith(".gdb"):
+        from gdal_ray.sources.openfilegdb import write_gdb
+
+        return write_gdb(t, path, **kw)
     if low.endswith(".gpkg"):
         from gdal_ray.sources.gpkg import write_gpkg
 
