@@ -534,6 +534,13 @@ def _build_epsg_registry() -> dict:
         2056: ("+proj=somerc +lat_0=46.95240555555556 "
                "+lon_0=7.439583333333333 +x_0=2600000 +y_0=1200000 "
                "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+        # Palestine 1923 / Palestine Grid (Cassini-Soldner on Clarke
+        # 1880 Benoit)
+        28191: ("+proj=cass +lat_0=31.73409694444445 "
+                "+lon_0=35.21208055555556 +x_0=170251.555 "
+                "+y_0=126867.909 +a=6378300.789 +b=6356566.435 "
+                "+towgs84=-275.722,94.7824,340.894,-8.001,-4.42,"
+                "-11.821,1"),
         # Timbalai 1948 / RSO Borneo (m) — Hotine variant B on
         # Everest 1830 (1967); GN7-2's own worked example
         29873: ("+proj=omerc +lat_0=4 +lonc=115 "
@@ -1245,6 +1252,67 @@ def swiss_oblique_mercator(lat0: float, lon0: float, fe: float, fn: float,
                 + e * np.log(np.tan(np.pi / 4
                                     + np.arcsin(e * np.sin(phi)) / 2))
             phi = 2 * np.arctan(np.exp(S)) - np.pi / 2
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def cassini_soldner(lat0: float, lon0: float, fe: float, fn: float, *,
+                    a: float = A_WGS84, f: float = F_WGS84):
+    """Cassini-Soldner (EPSG method 9806; Snyder/GN7-2 series) — the
+    historic national grids (Trinidad, Palestine, old German soldner).
+    Pinned in tests to the GN7-2 Trinidad 1903 worked example
+    (10°N 62°W -> 66644.94, 82536.22 Clarke's links, to the cm)."""
+    import math
+
+    e2 = f * (2 - f)
+
+    def M(phi):
+        return a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256)
+                    * phi
+                    - (3 * e2 / 8 + 3 * e2 * e2 / 32
+                       + 45 * e2 ** 3 / 1024) * np.sin(2 * phi)
+                    + (15 * e2 * e2 / 256 + 45 * e2 ** 3 / 1024)
+                    * np.sin(4 * phi)
+                    - (35 * e2 ** 3 / 3072) * np.sin(6 * phi))
+
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+    M0 = float(M(phi0))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        A_ = (lam - lam0) * np.cos(phi)
+        T = np.tan(phi) ** 2
+        C = e2 * np.cos(phi) ** 2 / (1 - e2)
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        E = fe + nu * (A_ - T * A_ ** 3 / 6
+                       - (8 - T + 8 * C) * T * A_ ** 5 / 120)
+        N = fn + M(phi) - M0 + nu * np.tan(phi) * (
+            A_ ** 2 / 2 + (5 - T + 6 * C) * A_ ** 4 / 24)
+        return E, N
+
+    def inv(E, N):
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        M1 = M0 + (N - fn)
+        mu1 = M1 / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64
+                         - 5 * e2 ** 3 / 256))
+        e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+        phi1 = (mu1 + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu1)
+                + (21 * e1 * e1 / 16 - 55 * e1 ** 4 / 32)
+                * np.sin(4 * mu1)
+                + (151 * e1 ** 3 / 96) * np.sin(6 * mu1)
+                + (1097 * e1 ** 4 / 512) * np.sin(8 * mu1))
+        nu1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+        rho1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+        T1 = np.tan(phi1) ** 2
+        D = (E - fe) / nu1
+        phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (
+            D * D / 2 - (1 + 3 * T1) * D ** 4 / 24)
+        lam = lam0 + (D - T1 * D ** 3 / 3
+                      + (1 + 3 * T1) * T1 * D ** 5 / 15) / np.cos(phi1)
         return np.degrees(lam), np.degrees(phi)
 
     return fwd, inv
@@ -2053,6 +2121,8 @@ def _proj_pair_raw(p: dict):
         return fwd, tm.meters_to_lonlat
     if proj == "eqc":
         return eqc(float(p.get("lat_ts", 0.0)), lon0, fe, fn, a)
+    if proj == "cass":
+        return cassini_soldner(lat0, lon0, fe, fn, a=a, f=f)
     if proj == "sterea":
         return oblique_stereographic(lat0, lon0, k0, fe, fn, a=a, f=f)
     if proj == "somerc":

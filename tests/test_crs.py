@@ -366,3 +366,31 @@ def test_hotine_oblique_mercator_worked_example():
         lo, la = i2(x, y)
         assert abs(float(lo[0]) - pt[0]) < 5e-8, code
         assert abs(float(la[0]) - pt[1]) < 5e-8, code
+
+
+def test_cassini_soldner_worked_example():
+    """EPSG GN7-2 §3.2.3 worked example (Trinidad 1903 / Trinidad Grid,
+    Clarke 1858 in Clarke's links): 10°N 62°W -> 66644.94, 82536.22 to
+    the cm; EPSG:28191 (Palestine Grid) round-trips via the registry."""
+    import numpy as np
+
+    from gdal_ray.crs import cassini_soldner, transform_fn
+
+    a = 31706587.88  # Clarke 1858 semi-major in links
+    f = 1.0 - (20855233.0 / 20926348.0)
+    fwd, inv = cassini_soldner(10 + 26 / 60 + 30 / 3600,
+                               -(61 + 20 / 60), 430000.0, 325000.0,
+                               a=a, f=f)
+    E, N = fwd(np.array([-62.0]), np.array([10.0]))
+    assert abs(float(E[0]) - 66644.94) < 0.01
+    assert abs(float(N[0]) - 82536.22) < 0.01
+    lo, la = inv(E, N)
+    assert abs(float(lo[0]) + 62.0) < 1e-9
+    assert abs(float(la[0]) - 10.0) < 1e-9
+
+    tf = transform_fn("EPSG:4326", "EPSG:28191")
+    bk = transform_fn("EPSG:28191", "EPSG:4326")
+    x, y = tf(np.array([35.0]), np.array([31.8]))
+    lo, la = bk(x, y)
+    assert abs(float(lo[0]) - 35.0) < 5e-8
+    assert abs(float(la[0]) - 31.8) < 5e-8
