@@ -245,6 +245,15 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.pds4 import read_pds4
 
         return read_pds4(path, **kw)
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from gdal_ray.sources.mixedrasters import read_dted_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_dted_array(path)
+        return rd.from_items([{"row0": 0, "n_rows": arr.shape[0],
+                               "band": 0,
+                               "data": _np.ascontiguousarray(arr).tobytes()}])
     if low.endswith(".dem"):
         import os as _os
 

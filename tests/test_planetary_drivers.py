@@ -767,3 +767,26 @@ def test_s57_objl_matches_reference_catalogue():
                 except (ValueError, IndexError):
                     continue
                 assert _OBJL.get(code) == line[2], (code, line[2])
+
+
+def test_dted_published_checksums():
+    """DTED (MIL-PRF-89020B, frmts/dted): published autotest pins —
+    n43.dt0 checksum 49187 + exact geotransform (dted.py:39,56);
+    partial/sparse column files 56006/56369 (embedded column index +
+    nodata fill, dted.py:296,307); inverted-header file detected by
+    hemisphere letters (dted.py:252)."""
+    from gdal_ray.sources.mixedrasters import dted_meta, read_dted_array
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    assert checksum_plane(read_dted_array(D + "n43.dt0")) == 49187
+    gt = dted_meta(D + "n43.dt0")["geotransform"]
+    assert abs(gt[0] - (-80.004166666666663)) < 1e-6
+    assert abs(gt[3] - 44.00416666666667) < 1e-6
+    assert abs(gt[5] - (-0.0083333333333333332)) < 1e-9
+    assert checksum_plane(
+        read_dted_array(D + "dted/n43_partial_cols.dt0")) == 56006
+    assert checksum_plane(
+        read_dted_array(D + "dted/n43_sparse_cols.dt0")) == 56369
+    gti = dted_meta(D + "dted/n43_coord_inverted.dt0")["geotransform"]
+    assert abs(gti[0] - (-80.004166666666663)) < 1e-6
+    assert abs(gti[3] - 44.00416666666667) < 1e-6
