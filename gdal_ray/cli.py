@@ -424,6 +424,9 @@ def cmd_formats(args) -> int:
         ("JPEG 2000 (EBCOT + GeoJP2/GMLJP2)", ".jp2/.j2k", "rw", "raster"),
         ("NITF 2.1 (incl. IC=C8 JPEG 2000)", ".ntf", "r", "raster"),
         ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),
+        ("LCP", ".lcp", "r", "raster"),
+        ("LOSLAS", ".los/.las", "r", "raster"),
+        ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),
         ("NTv2 grid shift", ".gsb", "rw", "raster"),
         ("GTX vertical datum", ".gtx", "rw", "raster"),

@@ -67,6 +67,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith(".lcp"):
+        from gdal_ray.sources.mixedrasters import lcp_meta
+
+        return lcp_meta(path)
+    if low.endswith((".los", ".las")) and not _head_has(path, b"LASF", 4):
+        from gdal_ray.sources.mixedrasters import loslas_meta
+
+        return loslas_meta(path)
+    if low.endswith(".cub") and _head_has(path, b"^QUBE", 4096):
+        from gdal_ray.sources.mixedrasters import isis2_meta
+
+        return isis2_meta(path)
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.mixedrasters import dted_meta
 
@@ -216,6 +228,18 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith(".lcp"):
+        from gdal_ray.sources.mixedrasters import lcp_meta
+
+        return lcp_meta(path)
+    if low.endswith((".los", ".las")) and not _head_has(path, b"LASF", 4):
+        from gdal_ray.sources.mixedrasters import loslas_meta
+
+        return loslas_meta(path)
+    if low.endswith(".cub") and _head_has(path, b"^QUBE", 4096):
+        from gdal_ray.sources.mixedrasters import isis2_meta
+
+        return isis2_meta(path)
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.dted import dted_meta
 

@@ -217,6 +217,27 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.gtx import read_gtx_dataset
 
         return read_gtx_dataset(path, **kw)
+    if low.endswith(".lcp") or low.endswith(".los") or \
+            (low.endswith(".cub") and _head_has_txt(path, b"^QUBE")):
+        from gdal_ray.sources.mixedrasters import (lcp_meta,
+                                                   read_isis2_array,
+                                                   read_lcp_array,
+                                                   read_loslas_array)
+        import ray.data as rd
+        import numpy as _np
+
+        if low.endswith(".lcp"):
+            arr = read_lcp_array(path)
+        elif low.endswith(".los"):
+            arr = read_loslas_array(path)[:, :, None]
+        else:
+            arr = read_isis2_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return rd.from_items(
+            [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+              "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+             for b in range(arr.shape[2])])
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.dted import read_dted
 
@@ -245,6 +266,27 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.pds4 import read_pds4
 
         return read_pds4(path, **kw)
+    if low.endswith(".lcp") or low.endswith(".los") or \
+            (low.endswith(".cub") and _head_has_txt(path, b"^QUBE")):
+        from gdal_ray.sources.mixedrasters import (lcp_meta,
+                                                   read_isis2_array,
+                                                   read_lcp_array,
+                                                   read_loslas_array)
+        import ray.data as rd
+        import numpy as _np
+
+        if low.endswith(".lcp"):
+            arr = read_lcp_array(path)
+        elif low.endswith(".los"):
+            arr = read_loslas_array(path)[:, :, None]
+        else:
+            arr = read_isis2_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return rd.from_items(
+            [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+              "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+             for b in range(arr.shape[2])])
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.sources.mixedrasters import read_dted_array
         import ray.data as rd

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+import struct
 
 import numpy as np
 
@@ -1060,3 +1061,116 @@ def read_dted_array(path: str) -> np.ndarray:
         val = np.where(col & 0x8000, -mag, mag).astype(np.int16)
         out[:, cidx] = val[::-1]  # south->north on wire; north-up raster
     return out
+
+
+# --------------------------------------------------------- FARSITE LCP
+
+def lcp_meta(path: str) -> dict:
+    """FARSITE v.4 landscape file (frmts/raw/lcpdataset.cpp): 7316-byte
+    header — crown/ground-fuel flags at 0/4 select 5/7/8/10 bands,
+    size at 4164/4168, west/east/north/south doubles at 4172..4196,
+    cell sizes at 4208/4216; pixel-interleaved int16 LE data follows."""
+    with open(path, "rb") as f:
+        h = f.read(7316)
+    crown = struct.unpack_from("<i", h, 0)[0] - 20
+    ground = struct.unpack_from("<i", h, 4)[0] - 20
+    n_bands = 5 + (3 if crown else 0) + (2 if ground else 0)
+    w = struct.unpack_from("<i", h, 4164)[0]
+    hgt = struct.unpack_from("<i", h, 4168)[0]
+    east, west, north, south = struct.unpack_from("<4d", h, 4172)
+    cellx, celly = struct.unpack_from("<2d", h, 4208)
+    return {"driver": "LCP", "width": w, "height": hgt,
+            "bands": n_bands, "dtype": "int16",
+            "geotransform": (west, cellx, 0.0, north, 0.0, -celly),
+            "latitude": struct.unpack_from("<i", h, 8)[0],
+            "description": h[6804:7316].split(b"\0")[0].decode(
+                "latin-1", "replace")}
+
+
+def read_lcp_array(path: str) -> np.ndarray:
+    m = lcp_meta(path)
+    w, h, nb = m["width"], m["height"], m["bands"]
+    with open(path, "rb") as f:
+        f.seek(7316)
+        raw = np.frombuffer(f.read(w * h * nb * 2), dtype="<i2")
+    return raw.reshape(h, w, nb)  # pixel-interleaved
+
+
+# --------------------------------------------------- NADCON LOS/LAS grids
+
+def loslas_meta(path: str) -> dict:
+    """NADCON .los/.las/.geo datum grid (frmts/raw/loslasdataset.cpp):
+    int32 nx/ny at byte 64, float32 min_lon/dlon/min_lat/dlat at 76;
+    rows south-first with a 4-byte Fortran record prefix."""
+    with open(path, "rb") as f:
+        f.seek(64)
+        nx, ny = struct.unpack("<2i", f.read(8))
+        f.seek(76)
+        min_lon, dlon, min_lat, dlat = struct.unpack("<4f", f.read(16))
+    kind = {"los": "Longitude Offset (arc seconds)",
+            "las": "Latitude Offset (arc seconds)",
+            "geo": "Geoid undulation (meters)"}.get(
+        path.rsplit(".", 1)[-1].lower(), "")
+    return {"driver": "LOSLAS", "width": nx, "height": ny, "bands": 1,
+            "dtype": "float32", "band_description": kind,
+            "geotransform": (min_lon - dlon * 0.5, float(dlon), 0.0,
+                             min_lat + (ny - 0.5) * dlat, 0.0,
+                             float(-dlat))}
+
+
+def read_loslas_array(path: str) -> np.ndarray:
+    m = loslas_meta(path)
+    nx, ny = m["width"], m["height"]
+    rec = nx * 4 + 4
+    with open(path, "rb") as f:
+        f.seek(rec)  # the first record is the header row
+        data = f.read(rec * ny)
+    rows = np.frombuffer(data, dtype="<f4").reshape(ny, nx + 1)[:, 1:]
+    return rows[::-1].copy()  # south-first on disk; north-up raster
+
+
+# --------------------------------------------------------------- ISIS2
+
+def isis2_meta(path: str) -> dict:
+    """ISIS2 cube (frmts/pds/isis2dataset.cpp): PDS-style keyword label,
+    ^QUBE record pointer, CORE_ITEMS (samples, lines, bands),
+    CORE_ITEM_BYTES/TYPE (SUN_* = big-endian, PC_/LSB_ = little)."""
+    with open(path, "rb") as f:
+        head = f.read(32768).decode("latin-1", "replace")
+    kv = {}
+    for line in head.splitlines():
+        line = line.split("/*")[0].strip()
+        if "=" in line:
+            k, v = line.split("=", 1)
+            kv[k.strip()] = v.strip()
+    rec_bytes = int(kv.get("RECORD_BYTES", "512"))
+    qube_rec = int(kv.get("^QUBE", "1").split()[0])
+    items = kv["CORE_ITEMS"].strip("()").split(",")
+    ns, nl, nb = (int(x) for x in items)
+    ib = int(kv.get("CORE_ITEM_BYTES", "1"))
+    ctype = kv.get("CORE_ITEM_TYPE", "PC_INTEGER").strip()
+    be = ctype.startswith(("SUN", "MSB"))
+    real = "REAL" in ctype
+    unsigned = "UNSIGNED" in ctype
+    dt = (f"{'>' if be else '<'}"
+          f"{'f' if real else ('u' if unsigned else 'i')}{ib}")
+    return {"driver": "ISIS2", "width": ns, "height": nl, "bands": nb,
+            "dtype": dt, "offset": (qube_rec - 1) * rec_bytes,
+            "base": float(kv.get("CORE_BASE", "0.0")),
+            "multiplier": float(kv.get("CORE_MULTIPLIER", "1.0"))}
+
+
+def read_isis2_array(path: str) -> np.ndarray:
+    m = isis2_meta(path)
+    ns, nl, nb = m["width"], m["height"], m["bands"]
+    dt = np.dtype(m["dtype"])
+    want = ns * nl * nb * dt.itemsize
+    with open(path, "rb") as f:
+        f.seek(m["offset"])
+        raw = f.read(want)
+    if len(raw) < want:  # truncated fixture: zero-fill like the ref
+        raw = raw + b"\0" * (want - len(raw))
+    a = np.frombuffer(raw, dtype=dt).reshape(nb, nl, ns)
+    a = np.ascontiguousarray(a.transpose(1, 2, 0).astype(
+        dt.newbyteorder("=")))
+    return a[:, :, 0] if nb == 1 else a

@@ -790,3 +790,38 @@ def test_dted_published_checksums():
     gti = dted_meta(D + "dted/n43_coord_inverted.dt0")["geotransform"]
     assert abs(gti[0] - (-80.004166666666663)) < 1e-6
     assert abs(gti[3] - 44.00416666666667) < 1e-6
+
+
+def test_lcp_loslas_isis2_published_values():
+    """Round-5 batch: FARSITE LCP (lcp.py:69-150 all 8 band checksums +
+    both geotransforms), NADCON LOS/LAS (loslas.py gt + 4 stats), ISIS2
+    (isis2.py checksum 382)."""
+    from gdal_ray.sources.mixedrasters import (isis2_meta, lcp_meta,
+                                               loslas_meta,
+                                               read_isis2_array,
+                                               read_lcp_array,
+                                               read_loslas_array)
+
+    D = "/root/reference/autotest/gdrivers/data/"
+    m = lcp_meta(D + "lcp/test_FARSITE_UTM12.LCP")
+    assert m["bands"] == 8
+    assert abs(m["geotransform"][0] - 285807.932887174887583) < 1e-6
+    assert abs(m["geotransform"][3] - 5379230.386217921040952) < 1e-6
+    a = read_lcp_array(D + "lcp/test_FARSITE_UTM12.LCP")
+    want = [18645, 16431, 18851, 26182, 30038, 22077, 30388, 23249]
+    assert [checksum_plane(a[:, :, b]) for b in range(8)] == want
+    a2 = read_lcp_array(D + "lcp/test_USGS_LFNM_Alb83.lcp")
+    assert [checksum_plane(a2[:, :, b]) for b in range(2)] == [28381, 25824]
+
+    m = loslas_meta(D + "loslas/wyhpgn.los")
+    assert m["geotransform"] == (-111.625, 0.25, 0.0, 45.625, 0.0, -0.25)
+    g = read_loslas_array(D + "loslas/wyhpgn.los")
+    assert abs(float(g.min()) - (-0.027868999168276787)) < 1e-9
+    assert abs(float(g.max()) - 0.033906999975442886) < 1e-9
+    assert abs(float(g.mean()) - 0.009716129862575248) < 1e-9
+    assert abs(float(g.std()) - 0.008260044951413324) < 1e-9
+
+    i2 = read_isis2_array(D + "isis2/arvidson_original_truncated.cub")
+    assert checksum_plane(i2) == 382
+    assert isis2_meta(
+        D + "isis2/arvidson_original_truncated.cub")["dtype"] == ">f4"
