@@ -425,6 +425,7 @@ def cmd_formats(args) -> int:
         ("NITF 2.1 (incl. IC=C8 JPEG 2000)", ".ntf", "r", "raster"),
         ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),
         ("LCP", ".lcp", "r", "raster"),
+        ("MRF", ".mrf", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

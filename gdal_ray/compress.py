@@ -289,8 +289,17 @@ def lerc_decode(blob: bytes):
     if dtype is None or ndepth != 1:
         raise NotImplementedError("LERC blob layout not supported")
     out = _np.empty((bands, rows, cols), dtype=dtype)
-    ok = _lerc.lerc_decode(blob, ctypes.c_uint(len(blob)), ctypes.c_int(0),
-                           None, ctypes.c_int(1), ctypes.c_int(cols),
+    n_masks = int(info[8])
+    if n_masks > 0:
+        # blobs carrying a validity mask (Lerc1 "CntZImage" always does)
+        # require the mask buffer or the decoder errors out
+        mask = _np.empty(n_masks * rows * cols, dtype=_np.uint8)
+        mask_ptr = mask.ctypes.data_as(ctypes.c_void_p)
+    else:
+        mask_ptr = None
+    ok = _lerc.lerc_decode(blob, ctypes.c_uint(len(blob)),
+                           ctypes.c_int(n_masks), mask_ptr,
+                           ctypes.c_int(1), ctypes.c_int(cols),
                            ctypes.c_int(rows), ctypes.c_int(bands),
                            ctypes.c_uint(int(info[1])),
                            out.ctypes.data_as(ctypes.c_void_p))

@@ -67,6 +67,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith(".mrf"):
+        from gdal_ray.sources.mixedrasters import mrf_meta
+
+        return mrf_meta(path)
     if low.endswith(".lcp"):
         from gdal_ray.sources.mixedrasters import lcp_meta
 
@@ -228,6 +232,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith(".mrf"):
+        from gdal_ray.sources.mixedrasters import mrf_meta
+
+        return mrf_meta(path)
     if low.endswith(".lcp"):
         from gdal_ray.sources.mixedrasters import lcp_meta
 

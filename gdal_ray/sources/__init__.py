@@ -217,6 +217,18 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.gtx import read_gtx_dataset
 
         return read_gtx_dataset(path, **kw)
+    if low.endswith(".mrf"):
+        from gdal_ray.sources.mixedrasters import read_mrf_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_mrf_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return rd.from_items(
+            [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+              "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+             for b in range(arr.shape[2])])
     if low.endswith(".lcp") or low.endswith(".los") or \
             (low.endswith(".cub") and _head_has_txt(path, b"^QUBE")):
         from gdal_ray.sources.mixedrasters import (lcp_meta,
@@ -266,6 +278,18 @@ def open_raster(path: str, **kw):
         from gdal_ray.sources.pds4 import read_pds4
 
         return read_pds4(path, **kw)
+    if low.endswith(".mrf"):
+        from gdal_ray.sources.mixedrasters import read_mrf_array
+        import ray.data as rd
+        import numpy as _np
+
+        arr = read_mrf_array(path)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return rd.from_items(
+            [{"row0": 0, "n_rows": arr.shape[0], "band": b,
+              "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
+             for b in range(arr.shape[2])])
     if low.endswith(".lcp") or low.endswith(".los") or \
             (low.endswith(".cub") and _head_has_txt(path, b"^QUBE")):
         from gdal_ray.sources.mixedrasters import (lcp_meta,

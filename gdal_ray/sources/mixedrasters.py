@@ -1174,3 +1174,117 @@ def read_isis2_array(path: str) -> np.ndarray:
     a = np.ascontiguousarray(a.transpose(1, 2, 0).astype(
         dt.newbyteorder("=")))
     return a[:, :, 0] if nb == 1 else a
+
+
+# ----------------------------------------------------------- NASA MRF
+
+_MRF_EXT = {"LERC": ".lrc", "PNG": ".ppg", "PPNG": ".ppg", "JPEG": ".pjg",
+            "DEFLATE": ".pzp", "ZSTD": ".pzs", "NONE": ".til",
+            "TIF": ".ptf"}
+_MRF_DT = {"Byte": np.uint8, "Int16": np.int16, "UInt16": np.uint16,
+           "Int32": np.int32, "UInt32": np.uint32, "Float32": np.float32,
+           "Float64": np.float64}
+
+
+def mrf_meta(path: str) -> dict:
+    """NASA Meta Raster Format (frmts/mrf/): XML .mrf header + .idx
+    (big-endian uint64 offset/size pairs per page) + a page data file
+    whose suffix names the codec."""
+    xml = open(path).read()
+
+    def attr(tag, name, default=None):
+        m = re.search(rf"<{tag}[^>]*\b{name}=\"([^\"]+)\"", xml)
+        return m.group(1) if m else default
+
+    m = re.search(r"<Compression>([^<]+)</Compression>", xml)
+    comp = m.group(1).strip() if m else "PNG"
+    dt = re.search(r"<DataType>([^<]+)</DataType>", xml)
+    bbox = re.search(
+        r"<BoundingBox minx=\"([^\"]+)\" miny=\"([^\"]+)\""
+        r" maxx=\"([^\"]+)\" maxy=\"([^\"]+)\"", xml)
+    w = int(attr("Size", "x"))
+    h = int(attr("Size", "y"))
+    c = int(attr("Size", "c", "1"))
+    pw = int(attr("PageSize", "x", "512"))
+    ph = int(attr("PageSize", "y", "512"))
+    out = {"driver": "MRF", "width": w, "height": h, "bands": c,
+           "page_w": pw, "page_h": ph, "compression": comp,
+           "dtype": np.dtype(_MRF_DT.get(
+               dt.group(1).strip() if dt else "Byte", np.uint8)).name}
+    if bbox:
+        x0, y0, x1, y1 = (float(v) for v in bbox.groups())
+        out["geotransform"] = (x0, (x1 - x0) / w, 0.0, y1, 0.0,
+                               -(y1 - y0) / h)
+    return out
+
+
+def read_mrf_array(path: str) -> np.ndarray:
+    m = mrf_meta(path)
+    w, h, c = m["width"], m["height"], m["bands"]
+    pw, ph = m["page_w"], m["page_h"]
+    comp = m["compression"].upper()
+    dt = np.dtype(m["dtype"])
+    base = path.rsplit(".", 1)[0]
+    idx = np.frombuffer(open(base + ".idx", "rb").read(), dtype=">u8")
+    import glob as _glob
+
+    data_path = base + _MRF_EXT.get(comp, ".til")
+    if not os.path.exists(data_path):
+        cands = [p for p in _glob.glob(base + ".*")
+                 if not p.endswith((".mrf", ".idx", ".aux.xml"))]
+        if not cands:
+            raise FileNotFoundError(f"MRF data file for {path}")
+        data_path = cands[0]
+    data = open(data_path, "rb").read()
+    px = (w + pw - 1) // pw
+    py = (h + ph - 1) // ph
+    out = np.zeros((py * ph, px * pw, c), dtype=dt)
+    k = 0
+    for b in range(c):
+        for ty in range(py):
+            for tx in range(px):
+                off, size = int(idx[2 * k]), int(idx[2 * k + 1])
+                k += 1
+                if size == 0:
+                    continue
+                blob = data[off:off + size]
+                if comp == "LERC":
+                    from gdal_ray.compress import lerc_decode
+
+                    tile = np.asarray(lerc_decode(blob))
+                elif comp in ("PNG", "PPNG"):
+                    from gdal_ray.codecs.png import decode_png
+
+                    tile = decode_png(blob)
+                elif comp == "JPEG":
+                    from gdal_ray.codecs import decode
+
+                    tile = decode(blob)
+                elif comp == "DEFLATE":
+                    import zlib
+
+                    tile = np.frombuffer(zlib.decompress(blob),
+                                         dtype=dt).reshape(ph, pw)
+                elif comp == "ZSTD":
+                    from gdal_ray.compress import zstd_decompress
+
+                    tile = np.frombuffer(zstd_decompress(blob),
+                                         dtype=dt).reshape(ph, pw)
+                elif comp == "NONE":
+                    tile = np.frombuffer(blob, dtype=dt).reshape(ph, pw)
+                elif comp == "TIF":
+                    from gdal_ray.codecs.tiff import decode_tiff
+
+                    tile = decode_tiff(blob)
+                else:
+                    raise NotImplementedError(f"MRF compression {comp}")
+                tile = np.asarray(tile)
+                if tile.ndim == 3 and tile.shape[2] == 1:
+                    tile = tile[:, :, 0]
+                t = np.nan_to_num(tile[:ph, :pw]) \
+                    if tile.dtype.kind == "f" and dt.kind != "f" \
+                    else tile[:ph, :pw]
+                out[ty * ph:ty * ph + t.shape[0],
+                    tx * pw:tx * pw + t.shape[1], b] = t.astype(dt)
+    out = out[:h, :w]
+    return out[:, :, 0] if c == 1 else out

@@ -825,3 +825,21 @@ def test_lcp_loslas_isis2_published_values():
     assert checksum_plane(i2) == 382
     assert isis2_meta(
         D + "isis2/arvidson_original_truncated.cub")["dtype"] == ">f4"
+
+
+def test_mrf_published_checksums():
+    """NASA MRF (frmts/mrf): every lossless page codec variant of the
+    byte.tif fixture reads checksum 4672 (mrf.py matrix) — LERC v2,
+    LERC v1 (CntZImage, validity mask), PNG, DEFLATE, NONE, embedded
+    TIF; JPEG is lossy (4668 via libjpeg's IDCT)."""
+    from gdal_ray.sources.mixedrasters import mrf_meta, read_mrf_array
+
+    B = "/root/reference/autotest/gdrivers/data/mrf/"
+    for d in ("lerc", "lerc_v1", "png", "deflate", "none", "tif"):
+        a = read_mrf_array(B + d + "/byte.mrf")
+        assert checksum_plane(a.astype(np.uint8)) == 4672, d
+    m = mrf_meta(B + "lerc/byte.mrf")
+    assert m["geotransform"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0,
+                                 -60.0)
+    aj = read_mrf_array(B + "jpeg/byte.mrf")
+    assert abs(int(checksum_plane(aj.astype(np.uint8))) - 4672) < 20
