@@ -426,6 +426,7 @@ def cmd_formats(args) -> int:
         ("DTED", ".dt0/.dt1/.dt2", "r", "raster"),
         ("LCP", ".lcp", "r", "raster"),
         ("MRF", ".mrf", "r", "raster"),
+        ("ESRIC", ".tpkx / compact cache V2", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -34,6 +34,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
             from gdal_ray.sources.openfilegdb import gdb_meta
 
             return gdb_meta(path)
+        if os.path.exists(os.path.join(path, "conf.xml")):
+            from gdal_ray.sources.esric import esric_meta
+
+            return esric_meta(path)
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
         return _tiff(path, stats)
@@ -67,6 +71,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith(".tpkx"):
+        from gdal_ray.sources.esric import esric_meta
+
+        return esric_meta(path)
     if low.endswith(".mrf"):
         from gdal_ray.sources.mixedrasters import mrf_meta
 
@@ -232,6 +240,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith(".tpkx"):
+        from gdal_ray.sources.esric import esric_meta
+
+        return esric_meta(path)
     if low.endswith(".mrf"):
         from gdal_ray.sources.mixedrasters import mrf_meta
 

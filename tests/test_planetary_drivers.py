@@ -843,3 +843,27 @@ def test_mrf_published_checksums():
                                  -60.0)
     aj = read_mrf_array(B + "jpeg/byte.mrf")
     assert abs(int(checksum_plane(aj.astype(np.uint8))) - 4672) < 20
+
+
+def test_esric_published_checksums(tmp_path):
+    """Esri Compact Cache V2 + .tpkx (frmts/esric): published autotest
+    pins — Usa.tpkx full-res LOD5 per-band checksums 61275/57672/
+    61542/19476 and LOD3 band-2 53503 (esric.py:146,169); the tar'd V2
+    cache's LOD1 band-2 46857 (esric.py:91)."""
+    import tarfile
+
+    from gdal_ray.sources.esric import esric_meta, read_esric_level
+
+    E = "/root/reference/autotest/gdrivers/data/esric/"
+    a = read_esric_level(E + "Usa.tpkx", 5)
+    assert a.shape == (8192, 8192, 4)
+    assert [checksum_plane(a[:, :, b]) for b in range(4)] == \
+        [61275, 57672, 61542, 19476]
+    a3 = read_esric_level(E + "Usa.tpkx", 3)
+    assert checksum_plane(a3[:, :, 1]) == 53503
+    assert esric_meta(E + "Usa.tpkx")["n_lods"] == 6
+
+    tarfile.open(E + "Layers.tar").extractall(str(tmp_path))
+    v2 = str(tmp_path / "Layers")
+    a1 = read_esric_level(v2, 1)
+    assert checksum_plane(a1[:, :, 1]) == 46857
