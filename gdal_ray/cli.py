@@ -427,6 +427,7 @@ def cmd_formats(args) -> int:
         ("LCP", ".lcp", "r", "raster"),
         ("MRF", ".mrf", "r", "raster"),
         ("ESRIC", ".tpkx / compact cache V2", "r", "raster"),
+        ("FITS", ".fits", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -71,6 +71,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith((".fits", ".fit")):
+        from gdal_ray.sources.fits import fits_meta
+
+        return fits_meta(path)
     if low.endswith(".tpkx"):
         from gdal_ray.sources.esric import esric_meta
 
@@ -240,6 +244,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith((".fits", ".fit")):
+        from gdal_ray.sources.fits import fits_meta
+
+        return fits_meta(path)
     if low.endswith(".tpkx"):
         from gdal_ray.sources.esric import esric_meta
 

@@ -867,3 +867,25 @@ def test_esric_published_checksums(tmp_path):
     v2 = str(tmp_path / "Layers")
     a1 = read_esric_level(v2, 1)
     assert checksum_plane(a1[:, :, 1]) == 46857
+
+
+def test_fits_published_values():
+    """FITS from the 4.0 standard (the reference delegates to cfitsio):
+    byte_merc.fits reads checksum 4672; multi-HDU walking matches the
+    autotest's expected metadata dict and subdataset sizes
+    (fits.py:151-180); BSCALE/BZERO surfaces scaled floats."""
+    from gdal_ray.sources.fits import (fits_meta, read_fits_array)
+
+    B = "/root/reference/autotest/gdrivers/data/fits/"
+    assert checksum_plane(read_fits_array(B + "byte_merc.fits")) == 4672
+    m = fits_meta(B + "image_in_second_hdu.fits")
+    assert m["image_hdus"] == [{"hdu": 1, "width": 1, "height": 2,
+                                "bands": 1, "bitpix": 8}]
+    assert m["metadata"] == {"FOO": "BAR_override", "FOO2": "BAR2    ",
+                             "BAR": "BAZ     "}
+    m2 = fits_meta(B + "image_in_first_and_second_hdu.fits")
+    assert [(h["width"], h["height"]) for h in m2["image_hdus"]] == \
+        [(1, 2), (1, 3)]
+    assert fits_meta(B + "empty_primary_hdu.fits")["image_hdus"] == []
+    a = read_fits_array(B + "offset_scale_no_georef.fits")
+    assert a.dtype == np.float64  # BSCALE/BZERO applied
