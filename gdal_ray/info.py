@@ -71,6 +71,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith(".slc") and os.path.exists(path + ".xml"):
+        from gdal_ray.sources.mixedrasters import isce_meta
+
+        return isce_meta(path)
     if low.endswith((".fits", ".fit")):
         from gdal_ray.sources.fits import fits_meta
 
@@ -244,6 +248,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith(".slc") and os.path.exists(path + ".xml"):
+        from gdal_ray.sources.mixedrasters import isce_meta
+
+        return isce_meta(path)
     if low.endswith((".fits", ".fit")):
         from gdal_ray.sources.fits import fits_meta
 
@@ -379,6 +387,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.codecs.tga import tga_info
 
         return tga_info(path)
+    if low.endswith(".slc") and os.path.exists(path + ".xml"):
+        from gdal_ray.sources.mixedrasters import isce_meta
+
+        return isce_meta(path)
     if low.endswith((".fits", ".fit")):
         from gdal_ray.sources.fits import fits_meta
 

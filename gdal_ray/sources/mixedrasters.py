@@ -1288,3 +1288,43 @@ def read_mrf_array(path: str) -> np.ndarray:
                     tx * pw:tx * pw + t.shape[1], b] = t.astype(dt)
     out = out[:h, :w]
     return out[:, :, 0] if c == 1 else out
+
+
+# ------------------------------------------------------------- ISCE
+
+_ISCE_DT = {"BYTE": "u1", "SHORT": "i2", "INT": "i4", "FLOAT": "f4",
+            "DOUBLE": "f8", "CFLOAT": "c8", "CDOUBLE": "c16"}
+
+
+def isce_meta(path: str) -> dict:
+    """JPL ISCE image (frmts/raw/iscedataset.cpp): raw data + an
+    <imageFile> XML of <property name=..><value>..</value> pairs."""
+    xml = open(path + ".xml").read()
+    kv = {}
+    for m in re.finditer(
+            r'<property name="([^"]+)">\s*<value>([^<]*)</value>', xml):
+        kv[m.group(1).upper()] = m.group(2).strip()
+    w = int(kv["WIDTH"])
+    h = int(kv["LENGTH"])
+    nb = int(kv.get("NUMBER_BANDS", "1"))
+    dt = _ISCE_DT[kv.get("DATA_TYPE", "FLOAT").upper()]
+    bo = "<" if kv.get("BYTE_ORDER", "l").lower().startswith("l") else ">"
+    return {"driver": "ISCE", "width": w, "height": h, "bands": nb,
+            "dtype": bo + dt, "scheme": kv.get("SCHEME", "BIP").upper()}
+
+
+def read_isce_array(path: str) -> np.ndarray:
+    m = isce_meta(path)
+    w, h, nb = m["width"], m["height"], m["bands"]
+    dt = np.dtype(m["dtype"])
+    raw = np.frombuffer(open(path, "rb").read(w * h * nb * dt.itemsize),
+                        dtype=dt)
+    sch = m["scheme"]
+    if sch == "BIP":
+        a = raw.reshape(h, w, nb)
+    elif sch == "BIL":
+        a = raw.reshape(h, nb, w).transpose(0, 2, 1)
+    else:  # BSQ
+        a = raw.reshape(nb, h, w).transpose(1, 2, 0)
+    a = np.ascontiguousarray(a.astype(dt.newbyteorder("=")))
+    return a[:, :, 0] if nb == 1 else a

@@ -889,3 +889,19 @@ def test_fits_published_values():
     assert fits_meta(B + "empty_primary_hdu.fits")["image_hdus"] == []
     a = read_fits_array(B + "offset_scale_no_georef.fits")
     assert a.dtype == np.float64  # BSCALE/BZERO applied
+
+
+def test_isce_published_checksum():
+    """JPL ISCE (frmts/raw/iscedataset.cpp): CFLOAT SLC fixture reads
+    checksum 350 (isce.py, complex checksummed over interleaved
+    real/imag like the reference)."""
+    from gdal_ray.sources.mixedrasters import isce_meta, read_isce_array
+
+    p = "/root/reference/autotest/gdrivers/data/isce/isce.slc"
+    m = isce_meta(p)
+    assert (m["width"], m["height"]) == (12, 10)
+    a = read_isce_array(p)
+    inter = np.empty((a.shape[0], a.shape[1] * 2), np.float32)
+    inter[:, 0::2] = a.real
+    inter[:, 1::2] = a.imag
+    assert checksum_plane(inter) == 350
