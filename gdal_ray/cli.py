@@ -429,6 +429,7 @@ def cmd_formats(args) -> int:
         ("ESRIC", ".tpkx / compact cache V2", "r", "raster"),
         ("FITS", ".fits", "r", "raster"),
         ("ISCE", ".slc + .xml", "r", "raster"),
+        ("AIG", "coverage dir (hdr.adf)", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -38,6 +38,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
             from gdal_ray.sources.esric import esric_meta
 
             return esric_meta(path)
+        if os.path.exists(os.path.join(path, "hdr.adf")) or \
+                os.path.exists(os.path.join(path, "HDR.ADF")):
+            from gdal_ray.sources.mixedrasters import aig_meta
+
+            return aig_meta(path)
         raise ValueError(f"unrecognized directory store: {path}")
     if low.endswith((".tif", ".tiff")):
         return _tiff(path, stats)

@@ -1328,3 +1328,168 @@ def read_isce_array(path: str) -> np.ndarray:
         a = raw.reshape(nb, h, w).transpose(1, 2, 0)
     a = np.ascontiguousarray(a.astype(dt.newbyteorder("=")))
     return a[:, :, 0] if nb == 1 else a
+
+
+# ------------------------------------------------- Arc/Info Binary Grid
+
+AIG_NODATA = -2147483647
+
+
+def _aig_file(cover_dir: str, name: str) -> str:
+    """Case-insensitive coverage file lookup (UC coverages use
+    HDR.ADF etc.)."""
+    p = os.path.join(cover_dir, name)
+    if os.path.exists(p):
+        return p
+    up = os.path.join(cover_dir, name.upper())
+    if os.path.exists(up):
+        return up
+    for f in os.listdir(cover_dir):
+        if f.lower() == name:
+            return os.path.join(cover_dir, f)
+    raise FileNotFoundError(p)
+
+
+def aig_meta(cover_dir: str) -> dict:
+    """Arc/Info Binary Grid coverage directory (frmts/aigrid/gridlib.c):
+    hdr.adf (BE: cell type @16, compressed flag @20, cell sizes @256/264,
+    blocks per row/col @288/292, block size @296/304), dblbnd.adf
+    (LLX, LLY, URX, URY doubles), w001001x.adf block index."""
+    h = open(_aig_file(cover_dir, "hdr.adf"), "rb").read(308)
+    cell_type = struct.unpack_from(">i", h, 16)[0]
+    # gridlib.c:856 inverts the raw flag: 0 on disk means COMPRESSED
+    compressed = not struct.unpack_from(">i", h, 20)[0]
+    csx, csy = struct.unpack_from(">2d", h, 256)
+    bx = struct.unpack_from(">i", h, 296)[0]
+    by = struct.unpack_from(">i", h, 304)[0]
+    llx, lly, urx, ury = struct.unpack(
+        ">4d", open(_aig_file(cover_dir, "dblbnd.adf"), "rb").read(32))
+    w = int((urx - llx + 0.5 * csx) / csx)
+    hgt = int((ury - lly + 0.5 * csy) / csy)
+    return {"driver": "AIG", "width": w, "height": hgt, "bands": 1,
+            "dtype": "float32" if cell_type == 2 else "int32",
+            "cell_type": cell_type, "compressed": compressed,
+            "block_w": bx, "block_h": by,
+            "geotransform": (llx, csx, 0.0, ury, 0.0, -csy)}
+
+
+def _aig_runlength(cur: bytes, magic: int, nmin: int, ntot: int,
+                   out: np.ndarray):
+    """The marker-based run family (gridlib.c AIGProcessBlock)."""
+    pos = 0
+    n = 0
+    I32 = 1 << 32
+    while n < ntot and pos < len(cur):
+        marker = cur[pos]
+        pos += 1
+        if magic == 0xE0:
+            v = (struct.unpack_from(">i", cur, pos)[0] + nmin + I32) % I32
+            pos += 4
+            out[n:n + marker] = np.int64(v).astype(np.int64)
+            n += marker
+        elif magic == 0xF0:
+            v = cur[pos] * 256 + cur[pos + 1] + nmin
+            pos += 2
+            out[n:n + marker] = v
+            n += marker
+        elif magic in (0xFC, 0xF8):
+            v = cur[pos] + nmin
+            pos += 1
+            out[n:n + marker] = v
+            n += marker
+        elif magic == 0xDF and marker < 128:
+            out[n:n + marker] = nmin
+            n += marker
+        elif magic == 0xD7 and marker < 128:
+            vals = np.frombuffer(cur, np.uint8, marker, pos).astype(
+                np.int64) + nmin
+            pos += marker
+            out[n:n + marker] = vals
+            n += marker
+        elif magic == 0xCF and marker < 128:
+            vals = np.frombuffer(cur, ">u2", marker, pos).astype(
+                np.int64) + nmin
+            pos += 2 * marker
+            out[n:n + marker] = vals
+            n += marker
+        elif marker > 128:
+            cnt = 256 - marker
+            out[n:n + cnt] = AIG_NODATA
+            n += cnt
+        else:
+            raise ValueError(f"AIG run magic {magic:#x} marker {marker}")
+
+
+def _aig_block(raw: bytes, m: dict) -> np.ndarray:
+    bw, bh = m["block_w"], m["block_h"]
+    ntot = bw * bh
+    if m["cell_type"] == 2:  # float
+        return np.frombuffer(raw, ">f4", ntot).astype(
+            np.float32).reshape(bh, bw)
+    out = np.full(ntot, AIG_NODATA, dtype=np.int64)
+    if not m["compressed"]:
+        out[:] = np.frombuffer(raw, ">i4", ntot)
+        return out.reshape(bh, bw).astype(np.int32)
+    magic = raw[0]
+    min_size = raw[1]
+    pos = 2
+    nmin = 0
+    if min_size == 4:
+        nmin = struct.unpack_from(">i", raw, pos)[0]
+    else:
+        for i in range(min_size):
+            nmin = nmin * 256 + raw[pos + i]
+        if min_size and raw[pos] >= 128:  # sign-extend short mins
+            nmin -= 1 << (8 * min_size)
+    pos += min_size
+    cur = raw[pos:]
+    if magic == 0x00:
+        out[:] = nmin
+    elif magic == 0x08:
+        out[:] = np.frombuffer(cur, np.uint8, ntot).astype(
+            np.int64) + nmin
+    elif magic == 0x04:
+        b = np.frombuffer(cur, np.uint8, (ntot + 1) // 2)
+        nib = np.empty(len(b) * 2, np.int64)
+        nib[0::2] = b >> 4
+        nib[1::2] = b & 0xF
+        out[:] = nib[:ntot] + nmin
+    elif magic == 0x01:
+        bits = np.unpackbits(np.frombuffer(
+            cur, np.uint8, (ntot + 7) // 8))[:ntot]
+        out[:] = bits.astype(np.int64) + nmin
+    elif magic == 0x10:
+        out[:] = np.frombuffer(cur, ">u2", ntot).astype(np.int64) + nmin
+    elif magic == 0x20:
+        v = np.frombuffer(cur, ">i4", ntot).astype(np.int64)
+        out[:] = (v + nmin + (1 << 32)) % (1 << 32)
+    elif magic == 0xFF:
+        raise NotImplementedError("AIG CCITT-RLE (0xFF) block")
+    else:
+        _aig_runlength(cur, magic, nmin, ntot, out)
+    out = ((out + (1 << 31)) % (1 << 32)) - (1 << 31)  # int32 rollover
+    return out.reshape(bh, bw).astype(np.int32)
+
+
+def read_aig_array(cover_dir: str) -> np.ndarray:
+    m = aig_meta(cover_dir)
+    w, h = m["width"], m["height"]
+    bw, bh = m["block_w"], m["block_h"]
+    idx = open(_aig_file(cover_dir, "w001001x.adf"), "rb").read()
+    n_blocks = (len(idx) - 100) // 8
+    entries = np.frombuffer(idx, ">i4", n_blocks * 2, 100)
+    tiles_per_row = (w - 1) // bw + 1
+    dt = np.float32 if m["cell_type"] == 2 else np.int32
+    fill = np.nan if m["cell_type"] == 2 else AIG_NODATA
+    out = np.full((((h - 1) // bh + 1) * bh, tiles_per_row * bw), fill,
+                  dtype=dt)
+    data = open(_aig_file(cover_dir, "w001001.adf"), "rb").read()
+    for i in range(n_blocks):
+        off = int(entries[2 * i]) * 2
+        size = int(entries[2 * i + 1]) * 2
+        if size <= 0:
+            continue
+        blk = _aig_block(data[off + 2:off + 2 + size], m)
+        ty, tx = divmod(i, tiles_per_row)
+        out[ty * bh:(ty + 1) * bh, tx * bw:(tx + 1) * bw] = blk
+    return out[:h, :w]

@@ -905,3 +905,19 @@ def test_isce_published_checksum():
     inter[:, 0::2] = a.real
     inter[:, 1::2] = a.imag
     assert checksum_plane(inter) == 350
+
+
+def test_aig_published_values():
+    """Arc/Info Binary Grid (frmts/aigrid/gridlib.c): abc3x1 reads
+    values [0,1,2] / checksum 3 with the exact autotest geotransform
+    (-0.5, 1, 0, 0.5, 0, -1), both lowercase and UPPERCASE coverages
+    (aigrid.py:31,60)."""
+    from gdal_ray.sources.mixedrasters import aig_meta, read_aig_array
+
+    B = "/root/reference/autotest/gdrivers/data/aigrid/"
+    for d in ("abc3x1", "ABC3X1UC"):
+        a = read_aig_array(B + d)
+        assert a.ravel().tolist() == [0, 1, 2], d
+        assert checksum_plane(a) == 3, d
+        assert aig_meta(B + d)["geotransform"] == \
+            (-0.5, 1.0, 0.0, 0.5, 0.0, -1.0)
