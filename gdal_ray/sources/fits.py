@@ -78,30 +78,6 @@ def fits_hdus(path: str) -> list[dict]:
     return out
 
 
-def fits_meta(path: str) -> dict:
-    hdus = fits_hdus(path)
-    images = [i for i, h in enumerate(hdus)
-              if len(h["dims"]) >= 2 and all(d > 0 for d in h["dims"])
-              and h["xtension"] in ("", "IMAGE")]
-    layers = []
-    for i in images:
-        d = hdus[i]["dims"]
-        layers.append({"hdu": i, "width": d[0], "height": d[1],
-                       "bands": d[2] if len(d) > 2 else 1,
-                       "bitpix": hdus[i]["bitpix"]})
-    # non-structural metadata cards, later HDUs overriding earlier
-    skip = {"SIMPLE", "BITPIX", "NAXIS", "XTENSION", "PCOUNT", "GCOUNT",
-            "EXTEND", "BSCALE", "BZERO", "COMMENT", "HISTORY",
-            "CHECKSUM", "DATASUM"}
-    md = {}
-    for h in hdus:
-        for k, v in h["cards"]:
-            if k not in skip and not k.startswith("NAXIS"):
-                md[k] = v
-    return {"driver": "FITS", "n_hdus": len(hdus),
-            "image_hdus": layers, "metadata": md}
-
-
 def read_fits_array(path: str, hdu: int | None = None) -> np.ndarray:
     """Image data of one HDU (default: first image HDU) -> numpy array,
     rows in file order (the reference driver's convention), BSCALE/BZERO
@@ -124,25 +100,186 @@ def read_fits_array(path: str, hdu: int | None = None) -> np.ndarray:
     # FITS is Fortran-ordered (NAXIS1 fastest); rows surface in file
     # order, matching the reference driver's checksums
     a = a.reshape(list(reversed(dims)))
+    if a.ndim == 3:
+        a = np.moveaxis(a, 0, 2)  # (c,h,w) -> (h,w,c)
     a = np.ascontiguousarray(a.astype(dt.newbyteorder("=")))
     bscale = float(h["kv"].get("BSCALE", "1"))
     bzero = float(h["kv"].get("BZERO", "0"))
+    if h["bitpix"] == 16 and (bscale, bzero) == (1.0, 32768.0):
+        return (a.astype(np.int32) + 32768).astype(np.uint16)
     if (bscale, bzero) != (1.0, 0.0) and h["bitpix"] > 0 and \
             not (h["bitpix"] == 8 and bzero == 0.0):
         return a.astype(np.float64) * bscale + bzero
     return a
 
 
-def read_fits(path: str, hdu: int | None = None, **_kw):
-    """-> Ray Dataset (row0, n_rows, band, data) over the image HDU."""
+def _first_image_hdu(hdus):
+    for i, h in enumerate(hdus):
+        if len(h["dims"]) >= 2 and all(d > 0 for d in h["dims"]) and \
+                h["xtension"] in ("", "IMAGE"):
+            return i
+    return None
+
+
+def _num(v):
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def fits_meta(path: str) -> dict:  # noqa: F811 (rich form)
+    hdus = fits_hdus(path)
+    first = _first_image_hdu(hdus)
+    h = hdus[first] if first is not None else hdus[0]
+    kv = h["kv"]
+    dims = h["dims"]
+    width = dims[0] if len(dims) >= 1 else 0
+    height = dims[1] if len(dims) >= 2 else 0
+    bands = dims[2] if len(dims) >= 3 else (1 if len(dims) >= 2 else 0)
+    cards = {k: _num(v) for k, v in h["cards"]}
+    bscale = float(kv.get("BSCALE", "1"))
+    bzero = float(kv.get("BZERO", "0"))
+    out = {
+        "driver": "FITS", "n_hdus": len(hdus),
+        "width": width, "height": height, "bands": bands,
+        "size": [width, height],
+        "bitpix": h["bitpix"],
+        "uint16_convention": h["bitpix"] == 16 and bzero == 32768.0
+        and bscale == 1.0,
+        "cards": cards,
+        "extensions": [{"xtension": x["xtension"],
+                        "dims": x["dims"]} for x in hdus[1:]],
+    }
+    if "BLANK" in kv:
+        out["nodata"] = float(kv["BLANK"])
+    if "CTYPE1" in kv and "CTYPE2" in kv:
+        out["ctype"] = (kv["CTYPE1"].strip(), kv["CTYPE2"].strip())
+    if all(k in kv for k in ("CRPIX1", "CRVAL1", "CDELT1",
+                             "CRPIX2", "CRVAL2", "CDELT2")):
+        # the reference's WCS mapping (fitsdataset.cpp LoadFITSInfo):
+        # gt = CRVAL + (0.5 - CRPIX) * CDELT per axis
+        out["geotransform"] = (
+            float(kv["CRVAL1"]) + (0.5 - float(kv["CRPIX1"]))
+            * float(kv["CDELT1"]),
+            float(kv["CDELT1"]), 0.0,
+            float(kv["CRVAL2"]) + (0.5 - float(kv["CRPIX2"]))
+            * float(kv["CDELT2"]),
+            0.0, float(kv["CDELT2"]))
+    # rows-only summary fields used by the driver-sweep tests
+    out["image_hdus"] = [
+        {"hdu": i, "width": x["dims"][0], "height": x["dims"][1],
+         "bands": x["dims"][2] if len(x["dims"]) > 2 else 1,
+         "bitpix": x["bitpix"]}
+        for i, x in enumerate(hdus)
+        if len(x["dims"]) >= 2 and all(d > 0 for d in x["dims"])
+        and x["xtension"] in ("", "IMAGE")]
+    skip = {"SIMPLE", "BITPIX", "NAXIS", "XTENSION", "PCOUNT", "GCOUNT",
+            "EXTEND", "BSCALE", "BZERO", "COMMENT", "HISTORY",
+            "CHECKSUM", "DATASUM"}
+    md = {}
+    for x in hdus:
+        for k, v in x["cards"]:
+            if k not in skip and not k.startswith("NAXIS"):
+                md[k] = v
+    out["metadata"] = md
+    return out
+
+
+_DT_BITPIX = {np.uint8: 8, np.int16: 16, np.uint16: 16, np.int32: 32,
+              np.int64: 64, np.float32: -32, np.float64: -64}
+
+
+def write_fits(path: str, arr: np.ndarray,
+               extra_cards: dict | None = None) -> None:
+    """Write one primary-HDU FITS file; uint16 uses the standard
+    BZERO=32768 convention; 3-D arrays (h, w, bands) become NAXIS3
+    cubes.  Everything pads to 2880-byte blocks."""
+    a = np.asarray(arr)
+    bitpix = _DT_BITPIX[a.dtype.type]
+    bzero = 32768 if a.dtype == np.uint16 else 0
+    if a.ndim == 2:
+        dims = [a.shape[1], a.shape[0]]
+        payload = a
+    elif a.ndim == 3:
+        dims = [a.shape[1], a.shape[0], a.shape[2]]
+        payload = np.moveaxis(a, 2, 0)  # (h,w,c) -> (c,h,w)
+    else:
+        raise ValueError("write_fits: 2-D or 3-D arrays only")
+    if bzero:
+        payload = (payload.astype(np.int32) - 32768).astype(np.int16)
+    wire = payload.astype(
+        np.dtype(_BITPIX_DT[bitpix]))
+
+    def card(key, val):
+        return f"{key:<8}= {val:>20}".ljust(80).encode("ascii")
+
+    cards = [f"{'SIMPLE':<8}= {'T':>20}".ljust(80).encode("ascii"),
+             card("BITPIX", bitpix),
+             card("NAXIS", len(dims))]
+    for i, d in enumerate(dims, 1):
+        cards.append(card(f"NAXIS{i}", d))
+    if bzero:
+        cards.append(card("BZERO", 32768))
+        cards.append(card("BSCALE", 1))
+    for k, v in (extra_cards or {}).items():
+        cards.append(card(k, v))
+    cards.append(b"END".ljust(80))
+    head = b"".join(cards)
+    head += b" " * (-len(head) % _BLOCK)
+    data = wire.tobytes()
+    data += b"\0" * (-len(data) % _BLOCK)
+    with open(path, "wb") as f:
+        f.write(head + data)
+
+
+def read_fits(path: str, hdu: int | None = None, *,
+              rows_per_block: int = 4096, **_kw):
+    """-> Ray Dataset (row0, n_rows, band, data): slab-parallel range
+    reads of the image HDU (tasks open the file themselves)."""
     import ray.data as rd
 
-    arr = read_fits_array(path, hdu)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    elif arr.ndim == 3:
-        arr = np.moveaxis(arr, 0, 2)  # (bands, h, w) -> (h, w, bands)
-    return rd.from_items(
-        [{"row0": 0, "n_rows": arr.shape[0], "band": b,
-          "data": np.ascontiguousarray(arr[:, :, b]).tobytes()}
-         for b in range(arr.shape[2])])
+    hdus = fits_hdus(path)
+    if hdu is None:
+        hdu = _first_image_hdu(hdus)
+        if hdu is None:
+            raise ValueError(f"no image HDU in {path}")
+    h = hdus[hdu]
+    dims = h["dims"]
+    w, hgt = dims[0], dims[1]
+    nb = dims[2] if len(dims) > 2 else 1
+    dt = np.dtype(_BITPIX_DT[h["bitpix"]])
+    bzero = float(h["kv"].get("BZERO", "0"))
+    u16 = h["bitpix"] == 16 and bzero == 32768.0
+    off0 = h["data_offset"]
+    items = [{"band": b, "row0": r,
+              "n_rows": min(rows_per_block, hgt - r)}
+             for b in range(nb) for r in range(0, hgt, rows_per_block)]
+
+    def load(batch):
+        import pyarrow as pa_
+
+        rows = {"row0": [], "n_rows": [], "band": [], "data": []}
+        with open(path, "rb") as f:
+            for b, r0, nr in zip(batch["band"], batch["row0"],
+                                 batch["n_rows"]):
+                b, r0, nr = int(b), int(r0), int(nr)
+                f.seek(off0 + ((b * hgt + r0) * w) * dt.itemsize)
+                a = np.frombuffer(f.read(nr * w * dt.itemsize), dtype=dt)
+                a = a.astype(dt.newbyteorder("="))
+                if u16:
+                    a = (a.astype(np.int32) + 32768).astype(np.uint16)
+                rows["row0"].append(r0)
+                rows["n_rows"].append(nr)
+                rows["band"].append(b)
+                rows["data"].append(a.tobytes())
+        return pa_.table({
+            "row0": pa_.array(rows["row0"], pa_.int64()),
+            "n_rows": pa_.array(rows["n_rows"], pa_.int64()),
+            "band": pa_.array(rows["band"], pa_.int64()),
+            "data": pa_.array(rows["data"], pa_.binary())})
+
+    return rd.from_items(items).map_batches(load, batch_format="numpy")
