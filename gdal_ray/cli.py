@@ -430,6 +430,7 @@ def cmd_formats(args) -> int:
         ("FITS", ".fits", "r", "raster"),
         ("ISCE", ".slc + .xml", "r", "raster"),
         ("AIG", "coverage dir (hdr.adf)", "r", "raster"),
+        ("STACTA", ".json (tiled-assets)", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -76,6 +76,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         out = pds4_meta(path)
         out.pop("arrays", None)
         return out
+    if low.endswith(".json") and _head_has(path, b"tiled-assets", 2048):
+        from gdal_ray.sources.stacta import stacta_meta
+
+        return stacta_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 
@@ -253,6 +257,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.rawgrid import hgt_meta
 
         return hgt_meta(path)
+    if low.endswith(".json") and _head_has(path, b"tiled-assets", 2048):
+        from gdal_ray.sources.stacta import stacta_meta
+
+        return stacta_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 
@@ -392,6 +400,10 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.codecs.tga import tga_info
 
         return tga_info(path)
+    if low.endswith(".json") and _head_has(path, b"tiled-assets", 2048):
+        from gdal_ray.sources.stacta import stacta_meta
+
+        return stacta_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 

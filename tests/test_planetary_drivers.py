@@ -921,3 +921,30 @@ def test_aig_published_values():
         assert checksum_plane(a) == 3, d
         assert aig_meta(B + d)["geotransform"] == \
             (-0.5, 1.0, 0.0, 0.5, 0.0, -1.0)
+
+
+def test_stacta_expected_values():
+    """STAC Tiled Assets (frmts/stacta): size 2048x1024, the autotest's
+    exact WGS84 geotransform, and the mosaic equals the direct
+    concatenation of the level-2 tiles (stacta.py:31-55)."""
+    from gdal_ray.codecs.tiff import decode_tiff
+    from gdal_ray.sources.stacta import read_stacta_array, stacta_meta
+
+    p = "/root/reference/autotest/gdrivers/data/stacta/test.json"
+    m = stacta_meta(p)
+    assert (m["width"], m["height"], m["bands"]) == (2048, 1024, 3)
+    gt = m["geotransform"]
+    assert abs(gt[0] + 180.0) < 1e-8
+    assert abs(gt[1] - 0.17578125) < 1e-8
+    assert abs(gt[3] - 90.0) < 1e-8
+    assert abs(gt[5] + 0.17578125) < 1e-8
+    a = read_stacta_array(p)
+    B = ("/root/reference/autotest/gdrivers/data/stacta/"
+         "WorldCRS84Quad/2/0/")
+    ref = np.concatenate(
+        [decode_tiff(open(B + "0.tif", "rb").read()),
+         decode_tiff(open(B + "1.tif", "rb").read())], axis=1)
+    if ref.ndim == 2:
+        ref = ref[:, :, None]
+    assert np.array_equal(a, ref)
+    assert m["levels"] == [0, 1, 2]  # overview pyramid
