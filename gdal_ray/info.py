@@ -108,10 +108,6 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.mixedrasters import isis2_meta
 
         return isis2_meta(path)
-    if low.endswith((".dt0", ".dt1", ".dt2")):
-        from gdal_ray.sources.mixedrasters import dted_meta
-
-        return dted_meta(path)
     if low.endswith(".dem") and not os.path.exists(path + ".rsc"):
         # a companion .rsc means JPL ROI_PAC, handled further down
         from gdal_ray.sources.usgsdem import usgsdem_meta

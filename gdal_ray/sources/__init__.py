@@ -311,15 +311,6 @@ def open_raster(path: str, **kw):
             [{"row0": 0, "n_rows": arr.shape[0], "band": b,
               "data": _np.ascontiguousarray(arr[:, :, b]).tobytes()}
              for b in range(arr.shape[2])])
-    if low.endswith((".dt0", ".dt1", ".dt2")):
-        from gdal_ray.sources.mixedrasters import read_dted_array
-        import ray.data as rd
-        import numpy as _np
-
-        arr = read_dted_array(path)
-        return rd.from_items([{"row0": 0, "n_rows": arr.shape[0],
-                               "band": 0,
-                               "data": _np.ascontiguousarray(arr).tobytes()}])
     if low.endswith(".dem"):
         import os as _os
 

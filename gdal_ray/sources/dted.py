@@ -97,8 +97,13 @@ def dted_meta(path: str) -> dict:
         uhl = f.read(80)
     if uhl[:4] != b"UHL1":
         raise ValueError("not a DTED file (no UHL1)")
-    lon0 = _parse_dms(uhl[4:12])
-    lat0 = _parse_dms(uhl[12:20])
+    lon_f, lat_f = uhl[4:12], uhl[12:20]
+    # hemisphere letters detect inverted headers (the reference swaps
+    # them back; autotest dted/n43_coord_inverted.dt0)
+    if lon_f[-1:] in b"NS" and lat_f[-1:] in b"EW":
+        lon_f, lat_f = lat_f, lon_f
+    lon0 = _parse_dms(lon_f)
+    lat0 = _parse_dms(lat_f)
     lon_int = int(uhl[20:24]) / 10.0 / 3600.0   # degrees
     lat_int = int(uhl[24:28]) / 10.0 / 3600.0
     nlon = int(uhl[47:51])
@@ -124,15 +129,26 @@ def _decode_record(rec: bytes, nlat: int, col: int) -> np.ndarray:
 
 
 def read_dted_array(path: str) -> np.ndarray:
-    """Full read -> (nlat, nlon) int16, row 0 = SOUTH edge (tests)."""
+    """Full read -> (nlat, nlon) int16, row 0 = SOUTH edge.  Columns
+    place by their embedded longitude index (partial/sparse files per
+    the reference, autotest checksums 56006/56369); absent columns fill
+    with DTED_NODATA; present-but-corrupt records still raise."""
     m = dted_meta(path)
     nlat, nlon = m["height"], m["width"]
     rec_size = 12 + 2 * nlat
-    out = np.empty((nlat, nlon), np.int16)
+    out = np.full((nlat, nlon), DTED_NODATA, np.int16)
     with open(path, "rb") as f:
         f.seek(_DATA_START)
-        for col in range(nlon):
-            out[:, col] = _decode_record(f.read(rec_size), nlat, col)
+        data = f.read()
+    for k in range(len(data) // rec_size):
+        rec = data[k * rec_size:(k + 1) * rec_size]
+        if rec[0] != 0xAA:
+            raise ValueError(f"DTED record {k}: bad sentinel "
+                             f"0x{rec[0]:02X}")
+        col = struct.unpack_from(">H", rec, 4)[0]
+        if col >= nlon:
+            continue
+        out[:, col] = _decode_record(rec, nlat, col)
     return out
 
 

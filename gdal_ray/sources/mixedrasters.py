@@ -996,73 +996,6 @@ def read_nwt_grd_band(path: str, band: int = 0) -> np.ndarray:
     return cmap[raw >> 4, band].copy()
 
 
-# --------------------------------------------------------- DTED (MIL-PRF-89020B)
-
-def _dted_angle(s: bytes) -> float:
-    """DDDMMSSH / DDMMSSH -> signed degrees."""
-    t = s.decode()
-    hemi = t[-1]
-    digits = t[:-1]
-    ss = float(digits[-2:])
-    mm = float(digits[-4:-2])
-    dd = float(digits[:-4])
-    v = dd + mm / 60.0 + ss / 3600.0
-    return -v if hemi in "WS" else v
-
-
-def dted_meta(path: str) -> dict:
-    """UHL header (frmts/dted/dted_api.c): 'UHL1', lon/lat origin
-    (DDDMMSSH), lon/lat interval in tenths of arc-seconds, counts."""
-    with open(path, "rb") as f:
-        uhl = f.read(80)
-    if uhl[:4] != b"UHL1":
-        raise ValueError("not a DTED file (UHL1 magic missing)")
-    lon_s, lat_s = uhl[4:12], uhl[12:20]
-    # hemisphere letters detect header inversion (autotest
-    # n43_coord_inverted.dt0: the reference swaps them back)
-    if lon_s[-1:] in b"NS" and lat_s[-1:] in b"EW":
-        lon_s, lat_s = lat_s, lon_s
-    lon0 = _dted_angle(lon_s)
-    lat0 = _dted_angle(lat_s)
-    dlon = int(uhl[20:24]) / 36000.0   # tenths of seconds -> degrees
-    dlat = int(uhl[24:28]) / 36000.0
-    n_cols = int(uhl[47:51])   # number of longitude lines
-    n_rows = int(uhl[51:55])   # number of latitude points per line
-    # pixel-is-point: the raster corner sits half a cell out
-    gt = (lon0 - dlon / 2.0, dlon, 0.0,
-          lat0 + (n_rows - 1) * dlat + dlat / 2.0, 0.0, -dlat)
-    return {"driver": "DTED", "width": n_cols, "height": n_rows,
-            "bands": 1, "dtype": "int16", "geotransform": gt,
-            "epsg": 4326, "nodata": -32767.0}
-
-
-def read_dted_array(path: str) -> np.ndarray:
-    """-> (rows, cols) int16, north-up.  Data records: one per longitude
-    column, 0xAA sentinel + block count + lon/lat counts, big-endian
-    elevations SOUTH->NORTH in SIGNED-MAGNITUDE form, 4-byte checksum."""
-    m = dted_meta(path)
-    n_cols, n_rows = m["width"], m["height"]
-    rec = 8 + 2 * n_rows + 4
-    # missing columns (partial/sparse files) fill with the DTED nodata,
-    # matching the reference (autotest checksums 56006/56369 pin this)
-    out = np.full((n_rows, n_cols), -32767, dtype=np.int16)
-    with open(path, "rb") as f:
-        f.seek(80 + 648 + 2700)  # UHL + DSI + ACC
-        data = f.read()
-    for k in range(len(data) // rec):
-        chunk = data[k * rec:(k + 1) * rec]
-        if len(chunk) < rec or chunk[0] != 0xAA:
-            continue
-        cidx = int.from_bytes(chunk[4:6], "big")  # embedded column index
-        if cidx >= n_cols:
-            continue
-        col = np.frombuffer(chunk, dtype=">u2", count=n_rows, offset=8)
-        mag = (col & 0x7FFF).astype(np.int16)
-        val = np.where(col & 0x8000, -mag, mag).astype(np.int16)
-        out[:, cidx] = val[::-1]  # south->north on wire; north-up raster
-    return out
-
-
 # --------------------------------------------------------- FARSITE LCP
 
 def lcp_meta(path: str) -> dict:

@@ -775,7 +775,7 @@ def test_dted_published_checksums():
     partial/sparse column files 56006/56369 (embedded column index +
     nodata fill, dted.py:296,307); inverted-header file detected by
     hemisphere letters (dted.py:252)."""
-    from gdal_ray.sources.mixedrasters import dted_meta, read_dted_array
+    from gdal_ray.sources.dted import dted_meta, read_dted_array
 
     D = "/root/reference/autotest/gdrivers/data/"
     assert checksum_plane(read_dted_array(D + "n43.dt0")) == 49187
