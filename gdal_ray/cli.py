@@ -431,6 +431,8 @@ def cmd_formats(args) -> int:
         ("ISCE", ".slc + .xml", "r", "raster"),
         ("AIG", "coverage dir (hdr.adf)", "r", "raster"),
         ("STACTA", ".json (tiled-assets)", "r", "raster"),
+        ("DOQ2", ".doq/.nws", "r", "raster"),
+        ("GSC", ".gsc", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

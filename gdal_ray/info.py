@@ -80,6 +80,15 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".nws", ".doq")) and _head_has(
+            path, b"BEGIN_USGS_DOQ_HEADER", 80):
+        from gdal_ray.sources.mixedrasters import doq2_meta
+
+        return doq2_meta(path)
+    if low.endswith(".gsc"):
+        from gdal_ray.sources.mixedrasters import gsc_meta
+
+        return gsc_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 
@@ -257,6 +266,15 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".nws", ".doq")) and _head_has(
+            path, b"BEGIN_USGS_DOQ_HEADER", 80):
+        from gdal_ray.sources.mixedrasters import doq2_meta
+
+        return doq2_meta(path)
+    if low.endswith(".gsc"):
+        from gdal_ray.sources.mixedrasters import gsc_meta
+
+        return gsc_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 
@@ -400,6 +418,15 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".nws", ".doq")) and _head_has(
+            path, b"BEGIN_USGS_DOQ_HEADER", 80):
+        from gdal_ray.sources.mixedrasters import doq2_meta
+
+        return doq2_meta(path)
+    if low.endswith(".gsc"):
+        from gdal_ray.sources.mixedrasters import gsc_meta
+
+        return gsc_meta(path)
     if low.endswith(".slc") and os.path.exists(path + ".xml"):
         from gdal_ray.sources.mixedrasters import isce_meta
 

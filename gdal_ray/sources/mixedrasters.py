@@ -1426,3 +1426,89 @@ def read_aig_array(cover_dir: str) -> np.ndarray:
         ty, tx = divmod(i, tiles_per_row)
         out[ty * bh:(ty + 1) * bh, tx * bw:(tx + 1) * bw] = blk
     return out[:h, :w]
+
+
+# ----------------------------------------------------------- USGS DOQ2
+
+def doq2_meta(path: str) -> dict:
+    """USGS DOQ (keyword header, frmts/raw/doq2dataset.cpp): '*'-
+    terminated keyword records; BYTE_COUNT = header length, data is
+    BIP/BIL/BSQ bytes after it."""
+    head = open(path, "rb").read(65536).decode("latin-1", "replace")
+    kv = {}
+    n_contents = 0
+    for line in head.split("*"):
+        toks = line.split()
+        if not toks:
+            continue
+        if toks[0] == "BAND_CONTENT":
+            n_contents += 1
+        elif len(toks) > 1:
+            kv.setdefault(toks[0], toks[1:])
+    w, h = int(kv["SAMPLES_AND_LINES"][0]), int(kv["SAMPLES_AND_LINES"][1])
+    x0, y0 = (float(v) for v in kv["XY_ORIGIN"][:2])
+    res = float(kv.get("HORIZONTAL_RESOLUTION", ["1"])[0])
+    bpp = int(kv.get("BITS_PER_PIXEL", ["8"])[0]) // 8
+    return {"driver": "DOQ2", "width": w, "height": h,
+            "bands": max(n_contents, 1), "dtype": "uint8",
+            "organization": kv.get("BAND_ORGANIZATION", ["BIP"])[0],
+            "header_bytes": int(kv.get("BYTE_COUNT", ["0"])[0]),
+            "bytes_per_pixel": bpp,
+            "quadrangle": " ".join(kv.get("QUADRANGLE_NAME", [])),
+            "geotransform": (x0, res, 0.0, y0, 0.0, -res)}
+
+
+def read_doq2_array(path: str, *, max_rows: int | None = None
+                    ) -> np.ndarray:
+    """-> (h, w, bands) uint8; truncated files zero-fill the tail."""
+    m = doq2_meta(path)
+    w, h, nb = m["width"], m["height"], m["bands"]
+    if max_rows is not None:
+        h = min(h, max_rows)
+    want = w * h * nb
+    with open(path, "rb") as f:
+        f.seek(m["header_bytes"])
+        raw = f.read(want)
+    raw = raw + b"\0" * (want - len(raw))
+    a = np.frombuffer(raw, np.uint8)
+    org = m["organization"].upper()
+    if org == "BIP":
+        return a.reshape(h, w, nb)
+    if org == "BIL":
+        return a.reshape(h, nb, w).transpose(0, 2, 1)
+    return a.reshape(nb, h, w).transpose(1, 2, 0)
+
+
+# ---------------------------------------------------------------- GSC
+
+def gsc_meta(path: str) -> dict:
+    """GSC geogrid (frmts/raw/gscdataset.cpp): Fortran records — int32
+    LE record length / pixels / lines, second record holds 8 float32
+    (dx, dy, x0, ?, ?, y0, ...); float32 rows with 4-byte markers."""
+    h = open(path, "rb").read(20)
+    rec_len = struct.unpack_from("<i", h, 0)[0]
+    npix = struct.unpack_from("<i", h, 4)[0]
+    nlin = struct.unpack_from("<i", h, 8)[0]
+    if rec_len != npix * 4:
+        raise ValueError("not a GSC file (record length mismatch)")
+    rec = rec_len + 8
+    with open(path, "rb") as f:
+        f.seek(rec + 12)
+        info = struct.unpack("<8f", f.read(32))
+    return {"driver": "GSC", "width": npix, "height": nlin, "bands": 1,
+            "dtype": "float32", "nodata": -1.0000000150474662199e+30,
+            "record_bytes": rec,
+            "geotransform": (info[2], info[0], 0.0, info[5], 0.0,
+                             -info[1])}
+
+
+def read_gsc_array(path: str) -> np.ndarray:
+    m = gsc_meta(path)
+    w, hgt = m["width"], m["height"]
+    rec = m["record_bytes"]
+    out = np.zeros((hgt, w), np.float32)
+    with open(path, "rb") as f:
+        for r in range(hgt):
+            f.seek(rec * 2 + 4 + r * rec)
+            out[r] = np.frombuffer(f.read(4 * w), "<f4")
+    return out

@@ -948,3 +948,48 @@ def test_stacta_expected_values():
         ref = ref[:, :, None]
     assert np.array_equal(a, ref)
     assert m["levels"] == [0, 1, 2]  # overview pyramid
+
+
+def test_doq2_and_gsc(tmp_path):
+    """USGS DOQ2 keyword-header driver: first-row per-band checksums
+    4201/4010/5820 + exact geotransform (doq2.py:34-45); GSC geogrid:
+    fake-fixture open + a synthesized Fortran-record file round-trips."""
+    import struct
+
+    from gdal_ray.sources.mixedrasters import (doq2_meta, gsc_meta,
+                                               read_doq2_array,
+                                               read_gsc_array)
+
+    p = ("/root/reference/autotest/gdrivers/data/doq2/"
+         "C3607614_truncated.NWS")
+    m = doq2_meta(p)
+    assert (m["width"], m["height"], m["bands"]) == (500, 7631, 3)
+    assert m["geotransform"] == (377054.0, 1.0, 0.0, 4082205.0, 0.0,
+                                 -1.0)
+    a = read_doq2_array(p, max_rows=1)
+    assert [checksum_plane(a[:, :, b]) for b in range(3)] == \
+        [4201, 4010, 5820]
+
+    assert gsc_meta("/root/reference/autotest/gdrivers/data/gsc/"
+                    "fakegsc.gsc")["width"] == 1
+
+    # synthesized GSC: 3x2 float grid laid out by the driver's absolute
+    # offsets (record = 4-byte marker + rec_len payload + 4-byte marker;
+    # info floats at rec+12, data rows at rec*2+4 + r*rec)
+    w, h = 12, 2  # rec_len must exceed the 8+32-byte info span
+    rec_len = w * 4
+    rec = rec_len + 8
+    vals = np.arange(w * h, dtype="<f4").reshape(h, w) * 1.5
+    buf = bytearray(rec * 2 + 4 + h * rec)
+    struct.pack_into("<4i", buf, 0, rec_len, w, h, 2)
+    struct.pack_into("<8f", buf, rec + 12, 2.0, 3.0, 100.0, 0, 0,
+                     200.0, 0, 0)
+    for r in range(h):
+        buf[rec * 2 + 4 + r * rec:rec * 2 + 4 + r * rec + rec_len] = \
+            vals[r].tobytes()
+    g = str(tmp_path / "t.gsc")
+    with open(g, "wb") as f:
+        f.write(bytes(buf))
+    mg = gsc_meta(g)
+    assert mg["geotransform"] == (100.0, 2.0, 0.0, 200.0, 0.0, -3.0)
+    assert np.array_equal(read_gsc_array(g), vals)
