@@ -433,6 +433,7 @@ def cmd_formats(args) -> int:
         ("STACTA", ".json (tiled-assets)", "r", "raster"),
         ("DOQ2", ".doq/.nws", "r", "raster"),
         ("GSC", ".gsc", "r", "raster"),
+        ("GTI", ".gti.gpkg tile index", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -80,6 +80,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
+        from gdal_ray.sources.gti import gti_meta
+
+        out = gti_meta(path)
+        out.pop("tiles", None)
+        return out
     if low.endswith((".nws", ".doq")) and _head_has(
             path, b"BEGIN_USGS_DOQ_HEADER", 80):
         from gdal_ray.sources.mixedrasters import doq2_meta
@@ -266,6 +272,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
+        from gdal_ray.sources.gti import gti_meta
+
+        out = gti_meta(path)
+        out.pop("tiles", None)
+        return out
     if low.endswith((".nws", ".doq")) and _head_has(
             path, b"BEGIN_USGS_DOQ_HEADER", 80):
         from gdal_ray.sources.mixedrasters import doq2_meta
@@ -418,6 +430,12 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
+        from gdal_ray.sources.gti import gti_meta
+
+        out = gti_meta(path)
+        out.pop("tiles", None)
+        return out
     if low.endswith((".nws", ".doq")) and _head_has(
             path, b"BEGIN_USGS_DOQ_HEADER", 80):
         from gdal_ray.sources.mixedrasters import doq2_meta

@@ -993,3 +993,52 @@ def test_doq2_and_gsc(tmp_path):
     mg = gsc_meta(g)
     assert mg["geotransform"] == (100.0, 2.0, 0.0, 200.0, 0.0, -3.0)
     assert np.array_equal(read_gsc_array(g), vals)
+
+
+def test_gti_tile_index_mosaic(tmp_path, ray_session):
+    """GTI (frmts/gti): a GPKG tile index of two GeoTIFFs opens as their
+    mosaic, both through the driver-side assembly and the per-tile Ray
+    door."""
+    from gdal_ray.codecs.tiff import encode_geotiff
+    from gdal_ray.geometry.wkb import encode_polygon
+    from gdal_ray.sources.gpkg import write_gpkg
+    from gdal_ray.sources.gti import gti_meta, read_gti, read_gti_array
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 255, (10, 12), dtype=np.uint8)
+    b = rng.integers(0, 255, (10, 12), dtype=np.uint8)
+    pa_t = str(tmp_path / "a.tif")
+    pb_t = str(tmp_path / "b.tif")
+    with open(pa_t, "wb") as f:  # west tile
+        f.write(encode_geotiff(a, geotransform=(0.0, 1.0, 0, 10.0, 0,
+                                                -1.0)))
+    with open(pb_t, "wb") as f:  # east tile
+        f.write(encode_geotiff(b, geotransform=(12.0, 1.0, 0, 10.0, 0,
+                                                -1.0)))
+
+    def box(x0, x1):
+        r = np.array([[x0, 0], [x1, 0], [x1, 10], [x0, 10], [x0, 0]],
+                     float)
+        return encode_polygon([r])
+
+    idx = pa.table({
+        "fid": pa.array([1, 2], pa.int64()),
+        "wkb": pa.array([box(0, 12), box(12, 24)], pa.binary()),
+        "location": pa.array(["a.tif", "b.tif"]),
+    })
+    ip = str(tmp_path / "index.gpkg")
+    write_gpkg(idx, ip, layer="index")
+
+    m = gti_meta(ip)
+    assert (m["width"], m["height"], m["n_tiles"]) == (24, 10, 2)
+    assert m["geotransform"] == (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
+    full = read_gti_array(ip)[:, :, 0]
+    assert np.array_equal(full, np.concatenate([a, b], axis=1))
+
+    out = np.zeros((10, 24), np.uint8)
+    for r in read_gti(ip).take_all():
+        out[r["y0"]:r["y0"] + r["h"], r["x0"]:r["x0"] + r["w"]] = \
+            np.frombuffer(r["data"], np.uint8).reshape(r["h"], r["w"])
+    assert np.array_equal(out, full)
