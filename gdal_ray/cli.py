@@ -434,6 +434,7 @@ def cmd_formats(args) -> int:
         ("DOQ2", ".doq/.nws", "r", "raster"),
         ("GSC", ".gsc", "r", "raster"),
         ("GTI", ".gti.gpkg tile index", "r", "raster"),
+        ("SENTINEL2", "S2 MTD_*.xml", "r", "raster"),
         ("LOSLAS", ".los/.las", "r", "raster"),
         ("ISIS2", ".cub", "r", "raster"),
         ("SRTM HGT / raw grids", ".hgt/.bil/.bsq", "r", "raster"),

@@ -80,6 +80,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith(".xml") and "mtd" in os.path.basename(low) and \
+            _head_has(path, b"Level-1C_User_Product", 512):
+        from gdal_ray.sources.sentinel2 import sentinel2_meta
+
+        return sentinel2_meta(path)
     if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
         from gdal_ray.sources.gti import gti_meta
 
@@ -272,6 +277,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith(".xml") and "mtd" in os.path.basename(low) and \
+            _head_has(path, b"Level-1C_User_Product", 512):
+        from gdal_ray.sources.sentinel2 import sentinel2_meta
+
+        return sentinel2_meta(path)
     if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
         from gdal_ray.sources.gti import gti_meta
 
@@ -430,6 +440,11 @@ def describe(path: str, *, stats: bool = False) -> dict:
         from gdal_ray.sources.stacta import stacta_meta
 
         return stacta_meta(path)
+    if low.endswith(".xml") and "mtd" in os.path.basename(low) and \
+            _head_has(path, b"Level-1C_User_Product", 512):
+        from gdal_ray.sources.sentinel2 import sentinel2_meta
+
+        return sentinel2_meta(path)
     if low.endswith((".gti.gpkg", ".gti.fgb", ".gti")):
         from gdal_ray.sources.gti import gti_meta
 

@@ -1042,3 +1042,52 @@ def test_gti_tile_index_mosaic(tmp_path, ray_session):
         out[r["y0"]:r["y0"] + r["h"], r["x0"]:r["x0"] + r["w"]] = \
             np.frombuffer(r["data"], np.uint8).reshape(r["h"], r["w"])
     assert np.array_equal(out, full)
+
+
+def test_sentinel2_l1c_metadata_exact():
+    """Sentinel-2 L1C SAFE (frmts/sentinel2): the product metadata dict
+    matches the reference autotest's expected_md EXACTLY (29 keys, no
+    extras — sentinel2.py:59-88) and the resolution-grouped subdataset
+    descriptions match."""
+    from gdal_ray.sources.sentinel2 import sentinel2_meta
+
+    p = ("/root/reference/autotest/gdrivers/data/sentinel2/fake_l1c/"
+         "S2A_OPER_PRD_MSIL1C.SAFE/S2A_OPER_MTD_SAFL1C.xml")
+    m = sentinel2_meta(p)
+    expected = {
+        "CLOUD_COVERAGE_ASSESSMENT": "0.0",
+        "DATATAKE_1_DATATAKE_SENSING_START": "2015-12-31T23:59:59.999Z",
+        "DATATAKE_1_DATATAKE_TYPE": "INS-NOBS",
+        "DATATAKE_1_ID": "GS2A_20151231T235959_000123_N01.03",
+        "DATATAKE_1_SENSING_ORBIT_DIRECTION": "DESCENDING",
+        "DATATAKE_1_SENSING_ORBIT_NUMBER": "22",
+        "DATATAKE_1_SPACECRAFT_NAME": "Sentinel-2A",
+        "DEGRADED_ANC_DATA_PERCENTAGE": "0",
+        "DEGRADED_MSI_DATA_PERCENTAGE": "0",
+        "FOOTPRINT": "POLYGON((11 46, 11 45, 13 45, 13 46, 11 46))",
+        "FORMAT_CORRECTNESS_FLAG": "PASSED",
+        "GENERAL_QUALITY_FLAG": "PASSED",
+        "GENERATION_TIME": "2015-12-31T23:59:59.999Z",
+        "GEOMETRIC_QUALITY_FLAG": "PASSED",
+        "PREVIEW_GEO_INFO": "BrowseImageFootprint",
+        "PREVIEW_IMAGE_URL": "http://example.com",
+        "PROCESSING_BASELINE": "01.03",
+        "PROCESSING_LEVEL": "Level-1C",
+        "PRODUCT_START_TIME": "2015-12-31T23:59:59.999Z",
+        "PRODUCT_STOP_TIME": "2015-12-31T23:59:59.999Z",
+        "PRODUCT_TYPE": "S2MSI1C",
+        "QUANTIFICATION_VALUE": "1000",
+        "RADIOMETRIC_QUALITY_FLAG": "PASSED",
+        "REFERENCE_BAND": "B1",
+        "REFLECTANCE_CONVERSION_U": "0.97",
+        "SENSOR_QUALITY_FLAG": "PASSED",
+        "SPECIAL_VALUE_NODATA": "1",
+        "SPECIAL_VALUE_SATURATED": "0",
+    }
+    assert m["metadata"] == expected
+    assert [s["desc"] for s in m["subdatasets"]] == [
+        "Bands B2, B3, B4, B8 with 10m resolution, UTM 32N",
+        "Bands B5, B6, B7, B8A, B11, B12 with 20m resolution, UTM 32N",
+        "Bands B1, B9, B10 with 60m resolution, UTM 32N",
+        "RGB preview, UTM 32N",
+    ]
