@@ -300,10 +300,15 @@ def laea(lat0: float, lon0: float, fe: float, fn: float,
     e = _ecc(f)
     e2 = e * e
 
-    def q(phi):
-        s = np.sin(phi)
-        return (1 - e2) * (s / (1 - e2 * s * s)
-                           - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+    if e == 0.0:  # spherical limit (US National Atlas EPSG:2163/9311)
+        def q(phi):
+            return 2.0 * np.sin(phi)
+    else:
+        def q(phi):
+            s = np.sin(phi)
+            return (1 - e2) * (s / (1 - e2 * s * s)
+                               - np.log((1 - e * s) / (1 + e * s))
+                               / (2 * e))
 
     qp = float(q(np.pi / 2))
     Rq = a * np.sqrt(qp / 2.0)
@@ -579,6 +584,22 @@ def _build_epsg_registry() -> dict:
         27572: ("+proj=lcc +lat_1=46.8 +lat_2=46.8 +lat_0=46.8 +lon_0=0 "
                 "+k_0=0.99987742 +x_0=600000 +y_0=2200000 +a=6378249.2 "
                 "+b=6356515 +towgs84=-168,-60,320 +pm=paris"),
+        # NSIDC EASE-Grid 2.0 North / South (laea on WGS84)
+        6931: "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",
+        6932: "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84",
+        # NSIDC sea-ice polar stereographic N/S (Hughes 1980 ellipsoid)
+        3411: ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
+               "+a=6378273 +b=6356889.449"),
+        3412: ("+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 "
+               "+a=6378273 +b=6356889.449"),
+        # NAD83 / Alaska Albers
+        3338: ("+proj=aea +lat_1=55 +lat_2=65 +lat_0=50 +lon_0=-154 "
+               "+x_0=0 +y_0=0 +ellps=GRS80"),
+        # US National Atlas Equal Area (laea on the authalic sphere)
+        2163: ("+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+               "+a=6370997 +b=6370997"),
+        9311: ("+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+               "+a=6370997 +b=6370997"),
         # WGS 84 / Plate Carrée / World Equidistant Cylindrical
         32662: "+proj=eqc +ellps=WGS84",
         4087: "+proj=eqc +ellps=WGS84",
