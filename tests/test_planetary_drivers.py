@@ -1091,3 +1091,25 @@ def test_sentinel2_l1c_metadata_exact():
         "Bands B1, B9, B10 with 60m resolution, UTM 32N",
         "RGB preview, UTM 32N",
     ]
+
+
+def test_snap_tiff_header(tmp_path):
+    """SNAP (Sentinel-1) TIFF: the engine's own TIFF reader parses the
+    header of the double-zipped truncated fixture to the autotest's
+    pinned size/type (snap_tiff.py: 25548x16716 float32, 1 band)."""
+    import glob
+    import zipfile
+
+    z = ("/root/reference/autotest/gdrivers/data/snap_tiff/"
+         "S1A_IW_GRDH_1SDV_20171009T141532_20171009T141557_018737_"
+         "01F9E2_E974_tnr_empty_truncated.tif.zip.zip")
+    zipfile.ZipFile(z).extractall(str(tmp_path))
+    inner = glob.glob(str(tmp_path / "*.zip"))[0]
+    zipfile.ZipFile(inner).extractall(str(tmp_path))
+    tif = glob.glob(str(tmp_path / "*.tif"))[0]
+
+    from gdal_ray.sources.gtiff_reader import tiff_levels
+
+    m = tiff_levels(tif)[0]
+    assert (m["width"], m["height"], m["spp"]) == (25548, 16716, 1)
+    assert np.dtype(m["dtype"]) == np.float32
